@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of the headline set (lower is better).
+A warmup pass first touches every string function so Spark's one-time ICU/
+codegen initialization (~50 s in this image) isn't billed to any query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from printer_etl_hub_spark.plans import REGISTRY  # noqa: E402
+from printer_etl_hub_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: scan-agg, joins, windows, sessionization, dedup families,
+#: similarity, text analysis — the engine's representative workload mix.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q34_tpch_q3",
+    "q35_tpch_q5",
+    "q06_pivot_orderstatus",
+    "q08_severity_argmax",
+    "q09_top2_per_group",
+    "q15_window_running",
+    "q20_events_tumbling",
+    "q21_sessionize",
+    "q23_dedup_exact",
+    "q28_minhash_lsh",
+    "q29_ngram_jaccard",
+    "q30_simhash",
+    "q32_embedding_lsh",
+    "q25_quality_score",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # Warmup: one-time JVM init (ICU collation tables, codegen) off the clock.
+    from pyspark.sql import functions as F
+
+    spark.range(1).select(
+        F.lower(F.lit("WARMUP")), F.md5(F.lit("x")), F.regexp_replace(F.lit("a b"), r"\s+", " ")
+    ).collect()
+    REGISTRY["q01_pricing_summary"].fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        n = df.count()  # full materialization of the result
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = None
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

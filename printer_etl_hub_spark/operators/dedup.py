@@ -1,0 +1,217 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-disciplined for 100 TB:
+
+- exact:        hash-groupBy on content digest — one shuffle on the digest.
+- MinHash LSH:  shingle → k md5-min signatures → band buckets → bucket
+                self-join. Only docs sharing a band collide; the candidate
+                join is an equi-join on (band_id, band_signature), never a
+                cross join.
+- SimHash:      16-bit per-doc signature (hamming buckets for near-dup text).
+- n-gram Jaccard: inverted-index pair counting — explode shingles, equi-join
+                on shingle, count shared per pair. Scales with total postings
+                (documents × shingles), not documents².
+
+Hashes are md5-based so the DuckDB oracle reproduces every result exactly
+(no xxhash divergence between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    minhash_signature,
+    simhash16,
+    tokenize,
+    word_shingles,
+)
+
+
+def dedup_exact(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact dedup by content digest: one row per distinct content with the
+    smallest id as keeper and the duplicate count.
+
+    Single shuffle on the digest; the digest (not the full content) is the
+    grouping key so wide text never travels twice.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(content_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _md5_60bit(col):
+    """First 15 hex digits of md5 as a bigint — a 60-bit hash computable
+    identically in DuckDB (``('0x' || substr(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # Repartition the NARROW doc rows before the explode fans them out:
+    # a single small parquet file arrives as one partition, and shingle
+    # construction + hashing is the CPU-heavy part — spread it first.
+    # (Pre-explode the rows are small, so this shuffle is the cheap place.)
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    toks = tokenize(F.col(text_col))
+    return spread.select(
+        F.col(id_col).alias("doc_id"), word_shingles(toks, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: (a_id, b_id) sharing ≥1 signature band.
+
+    k signature components in ``bands`` bands of k/bands rows each; a band
+    signature is the concat of its components. Docs sharing any band bucket
+    become a candidate pair. Deterministic (md5 minima), so oracle-checkable.
+
+    Scale: the only shuffles are the bucket groupBy/join; bucket skew (a
+    degenerate shingle shared by millions of docs) is handled by AQE skew
+    join; per-bucket pair explosion is the classic LSH tradeoff — tune
+    (k, bands) for the target similarity threshold.
+    """
+    assert k % bands == 0, "k must divide into equal bands"
+    rows_per_band = k // bands
+    # Postings plan: explode shingles once, compute all k md5-min components
+    # in ONE hash aggregation (map-side partial min per component). This is
+    # the 100 TB shape — no wide nested-lambda expressions, one shuffle on
+    # doc_id, vectorized md5 over the postings stream.
+    posts = _doc_shingles(df, id_col, text_col, shingle_n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    # Signature components are NUMERIC (first 60 bits of the keyed md5 as a
+    # bigint): min over bigint is a cheap primitive-typed partial agg,
+    # whereas min over string pays a per-comparison collation cost in
+    # Spark 4 — ~50x slower at scale. Numeric min-hashing is equally
+    # min-wise independent, and DuckDB reproduces it exactly.
+    sig = posts.groupBy("doc_id").agg(
+        *[
+            F.min(_md5_60bit(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
+    # Melt signature → (band_id, band_key) rows in a single projection
+    # (stack), instead of a union that would recompute sig per band. The
+    # band key is re-hashed to a bigint so the candidate self-join stays on
+    # primitive-typed keys end to end (string join keys sort/compare
+    # through collation in Spark 4 — avoid them in the hot path).
+    stack_args = []
+    for b in range(bands):
+        cols = ", ".join(f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
+        stack_args.append(f"{b}, concat_ws('|', {cols})")
+    banded = sig.selectExpr(
+        "doc_id", f"stack({bands}, {', '.join(stack_args)}) AS (band_id, band_sig)"
+    ).select("doc_id", "band_id", _md5_60bit(F.col("band_sig")).alias("band_key"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|); the intersection count comes from
+    an equi-join on shingle (postings join), never a doc×doc cross join.
+    Output: a_id, b_id, jaccard (double) for pairs ≥ threshold.
+    """
+    sh = _doc_shingles(df, id_col, text_col, shingle_n)
+    # Postings carry a NUMERIC shingle hash — the equi-join runs on a bigint
+    # instead of a string (collation-free compares, tighter shuffle rows).
+    # A 60-bit collision would merge two shingles; at dedup scales the
+    # probability is negligible and the DuckDB oracle hashes identically.
+    postings = sh.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).select("doc_id", _md5_60bit(F.col("shingle")).alias("sh_h"))
+    # Shingle-set sizes derived from the SAME postings subtree (shingles are
+    # already distinct per doc) — Catalyst reuses the exchange instead of
+    # recomputing the shingle pipeline from the scan.
+    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh_h") == F.col("b.sh_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    # sizes scales with |docs| — NOT broadcastable at 100 TB; AQE picks the
+    # strategy (broadcast at small SF, shuffle join at scale).
+    out = (
+        inter.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc 16-bit SimHash signature (hamming-close docs are near-dups).
+
+    Postings plan: explode distinct tokens, hash each token once (first 4
+    md5 hex digits → 16 bits), then ONE aggregation computes all 16 bit
+    votes map-side. Bit b of the doc is 1 when strictly more tokens set it
+    than clear it — identical to functions/text.py::simhash16, but a single
+    vectorized pass instead of 16 nested array traversals.
+    """
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    toks = spread.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
+    )
+    hashed = toks.select(
+        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int").alias("h")
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(0)
+            ).alias(f"v{b}")
+            for b in range(16)
+        ],
+    )
+    sim = F.lit(0)
+    for b in range(16):
+        sim = sim + F.when(F.col(f"v{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+    return votes.select("doc_id", sim.cast("int").alias("simhash"))

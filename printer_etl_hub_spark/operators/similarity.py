@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk_bruteforce: exact top-k neighbors. Correctness baseline and
+  fine for ≤10^4 vectors; the join is a shuffled theta-join so it is O(n²) —
+  never the scale path.
+- sign_lsh_pairs: sign-projection LSH. Bucket = the first ``bits`` coordinate
+  signs (an axis-aligned random-hyperplane family — deterministic and
+  oracle-reproducible); candidate pairs only within a bucket, then exact
+  cosine. At 100 TB this is the pattern: O(n) bucket assignment, equi-join on
+  bucket, exact re-rank of a tiny candidate set. Swap the bucket function for
+  learned/IVF centroids without touching the join shape.
+
+All element arithmetic is cast to double BEFORE any fold so Spark and the
+DuckDB oracle produce bit-identical sums (sequential left folds both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_vector_norm(
+    df: DataFrame, vec_col: str, out_vec: str = "vec_d", out_norm: str = "norm"
+) -> DataFrame:
+    """Precompute the double-cast vector and its L2 norm once per row.
+
+    Rows are spread across the default parallelism first — vector corpora
+    often arrive as few fat files, and the downstream pair-join is
+    CPU-bound on the dot products.
+    """
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    v = _as_double(F.col(vec_col))
+    return spread.withColumn(out_vec, v).withColumn(out_norm, _norm(F.col(out_vec)))
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 3
+) -> DataFrame:
+    """Exact top-k cosine neighbors per vector: (vec_id, neighbor_id, cos, rn).
+
+    Norms are precomputed per side; ranking tie-breaks on neighbor id so the
+    result is a total order (deterministic at any parallelism).
+    """
+    from pyspark.sql import Window
+
+    base = with_vector_norm(df.select(F.col(id_col).alias("vid"), vec_col), vec_col)
+    a = base.select(
+        F.col("vid").alias("a_id"), F.col("vec_d").alias("a_vec"), F.col("norm").alias("a_norm")
+    )
+    b = base.select(
+        F.col("vid").alias("b_id"), F.col("vec_d").alias("b_vec"), F.col("norm").alias("b_norm")
+    )
+    pairs = a.join(b, F.col("a_id") != F.col("b_id"))
+    cos = (_dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))).alias(
+        "cos_sim"
+    )
+    scored = pairs.select("a_id", "b_id", cos)
+    w = Window.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), F.col("b_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("b_id").alias("neighbor_id"),
+            F.round(F.col("cos_sim"), 6).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 12) -> Column:
+    """LSH bucket id from the signs of the first ``bits`` coordinates."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(vec, i + 1).cast("double") > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def sign_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int = 12,
+    min_cos: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: same sign-LSH bucket AND cosine ≥ min_cos.
+
+    Output: a_id, b_id (a<b), bucket, cos_sim (rounded 6).
+    """
+    base = with_vector_norm(df.select(F.col(id_col).alias("vid"), vec_col), vec_col)
+    base = base.withColumn("bucket", sign_bucket(F.col("vec_d"), bits))
+    a = base.select(
+        F.col("vid").alias("a_id"),
+        F.col("bucket"),
+        F.col("vec_d").alias("a_vec"),
+        F.col("norm").alias("a_norm"),
+    )
+    b = base.select(
+        F.col("vid").alias("b_id"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("vec_d").alias("b_vec"),
+        F.col("norm").alias("b_norm"),
+    )
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("b_bucket")) & (F.col("a_id") < F.col("b_id"))
+    )
+    cos = _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
+    return (
+        pairs.select("a_id", "b_id", "bucket", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cos)
+    )

@@ -1,0 +1,824 @@
+"""Relational query pack — SURVEY.md §2's operator inventory over the
+driver's TPC-H-ish corpus, each with its DuckDB oracle.
+
+Naming contract: every computed column is aliased IDENTICALLY in the Spark
+plan and the oracle SQL (the driver sorts columns by name before hashing).
+
+Scale notes are inline per query; the common themes:
+- dimensions broadcast (nation/region/part/supplier);
+- aggregations are partial-aggregable (map-side combine) wherever possible;
+- explicit total orders on every window (determinism at any parallelism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.normalize import (
+    canonicalize_id,
+    dash_if_blank,
+    is_bad_value,
+    norm_ws,
+    sanitize_control_chars,
+    split_postal,
+)
+from ..operators.argmax import argmax_per_group, top_k_per_group
+from ..operators.pivot import first_per_slot_pivot
+from ..operators.upsert import merge_upsert
+from ..streaming.windows import sessionized, tumbling_counts
+from ..tables import load_tables
+from .common import dsum, sql_dsum, ts_str
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape; reference A8/A9 aggregation family)
+# --------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupBy-2 + 8 aggregates over the fact table. One shuffle, full
+    map-side partial agg; filter pushed into the parquet scan."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+    return out
+
+
+Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_dsum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
+       count(*) AS count_order,
+       {sql_dsum('l_quantity')} / count(*) AS avg_qty,
+       {sql_dsum('l_extendedprice')} / count(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q02 — sentinel + target-set filter (reference P1 bad-IP / P2 device-type)
+# --------------------------------------------------------------------------
+def q02_bad_value_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown showcase: both filters reach the parquet scan."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    out = (
+        ev.filter(~is_bad_value(F.col("event_type")))
+        .filter(F.lower(F.col("event_type")).isin("click", "view", "error"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+    )
+    return out
+
+
+Q02_SQL = f"""
+SELECT event_type, count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events
+WHERE event_type IS NOT NULL
+  AND lower(trim(event_type)) NOT IN ('', '-', 'n/a', 'na', 'none', '0.0.0.0', 'null')
+  AND lower(event_type) IN ('click', 'view', 'error')
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q03 — normalization projection (reference F1/F2/F5/F6)
+# --------------------------------------------------------------------------
+def q03_normalize_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure narrow projection — no shuffle at any scale. Synthetic noise is
+    added so the normalizers have something to normalize."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    noisy_name = F.concat(F.lit("  "), F.col("c_name"), F.lit("   x  y\t z "))
+    noisy_id = F.concat(F.lit("  "), F.col("c_custkey").cast("string"), F.lit(".0  "))
+    blankable = F.when(F.col("c_custkey") % 3 == 0, F.lit(" ")).otherwise(F.col("c_mktsegment"))
+    ctl = F.concat(F.col("c_name"), F.lit("\x01\x02"))
+    return c.select(
+        F.col("c_custkey"),
+        norm_ws(noisy_name).alias("name_norm"),
+        canonicalize_id(noisy_id).alias("id_canon"),
+        dash_if_blank(blankable).alias("segment_or_dash"),
+        sanitize_control_chars(ctl).alias("name_sanitized"),
+    )
+
+
+Q03_SQL = r"""
+SELECT c_custkey,
+       lower(regexp_replace(trim('  ' || c_name || '   x  y' || chr(9) || ' z '), '\s+', ' ', 'g')) AS name_norm,
+       CAST(CAST(TRY_CAST('  ' || CAST(c_custkey AS VARCHAR) || '.0  ' AS DOUBLE) AS BIGINT) AS VARCHAR) AS id_canon,
+       COALESCE(NULLIF(trim(CASE WHEN c_custkey % 3 = 0 THEN ' ' ELSE c_mktsegment END), ''), '-') AS segment_or_dash,
+       regexp_replace(c_name || chr(1) || chr(2), '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g') AS name_sanitized
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# q04 — dimension enrichment join (reference J1 employees / J8 catalog)
+# --------------------------------------------------------------------------
+def q04_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast left-joins + conditional-update (only overwrite when the
+    dimension value is non-empty — `core/enrich/employees.py:26-29`)."""
+    t = load_tables(spark, sf_dir)
+    c, n, r = t["customer"], t["nation"], t["region"]
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left").join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey, "left"
+    )
+    dim_ok = F.col("n_name").isNotNull() & (F.col("n_name") != "")
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+        F.when(dim_ok, F.col("n_name")).otherwise(F.col("c_mktsegment")).alias("enriched_tag"),
+        F.when(dim_ok, F.lit(1)).otherwise(F.lit(0)).alias("changed"),
+    )
+
+
+Q04_SQL = """
+SELECT c_custkey, c_name, n_name AS nation, r_name AS region,
+       CASE WHEN n_name IS NOT NULL AND n_name <> '' THEN n_name ELSE c_mktsegment END AS enriched_tag,
+       CASE WHEN n_name IS NOT NULL AND n_name <> '' THEN 1 ELSE 0 END AS changed
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q05 — postal split (reference J2/F7 regex extraction)
+# --------------------------------------------------------------------------
+def q05_postal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    addr = F.concat(
+        F.col("c_name"),
+        F.lit(" "),
+        F.lpad(((F.col("c_custkey") * 37) % 10000000).cast("string"), 7, "0"),
+    )
+    clean, postal = split_postal(addr)
+    return c.select(
+        "c_custkey",
+        addr.alias("address"),
+        clean.alias("addr_clean"),
+        postal.alias("postal"),
+    )
+
+
+Q05_SQL = r"""
+SELECT c_custkey,
+       c_name || ' ' || lpad(CAST((c_custkey * 37) % 10000000 AS VARCHAR), 7, '0') AS address,
+       trim(regexp_replace(c_name || ' ' || lpad(CAST((c_custkey * 37) % 10000000 AS VARCHAR), 7, '0'), '[\s,:-]*\d{7}\s*$', '')) AS addr_clean,
+       NULLIF(regexp_extract(c_name || ' ' || lpad(CAST((c_custkey * 37) % 10000000 AS VARCHAR), 7, '0'), '(\d{7})\s*$', 1), '') AS postal
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# q06 — status pivot (reference A1 varbind pivot shape)
+# --------------------------------------------------------------------------
+def q06_pivot_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit pivot values → single-pass pivot (no discovery scan)."""
+    t = load_tables(spark, sf_dir)
+    j = t["orders"].join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+                         F.col("o_custkey") == F.col("c_custkey"))
+    piv = (
+        j.groupBy("c_nationkey")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "c_nationkey",
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    )
+
+
+Q06_SQL = """
+SELECT c_nationkey,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cnt_o,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cnt_f,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS cnt_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q07 — first-per-slot pivot (reference A7 first-match color fill)
+# --------------------------------------------------------------------------
+def q07_first_per_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-dependent 'first seen per slot' made explicit with a total
+    order (SURVEY.md §7 watch list #1)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    out = first_per_slot_pivot(
+        li,
+        group_cols=["l_suppkey"],
+        slot_col="l_returnflag",
+        slot_values=["R", "A", "N"],
+        order_by=[F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
+        value_col="l_quantity",
+    )
+    return out.select(
+        "l_suppkey",
+        F.col("R").alias("first_qty_r"),
+        F.col("A").alias("first_qty_a"),
+        F.col("N").alias("first_qty_n"),
+    )
+
+
+Q07_SQL = """
+WITH ranked AS (
+  SELECT l_suppkey, l_returnflag, l_quantity,
+         row_number() OVER (PARTITION BY l_suppkey, l_returnflag
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+)
+SELECT l_suppkey,
+       MAX(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS first_qty_r,
+       MAX(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS first_qty_a,
+       MAX(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS first_qty_n
+FROM ranked WHERE rn = 1
+GROUP BY l_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q08 — severity argmax (reference A2/A3/A4 priority pick)
+# --------------------------------------------------------------------------
+PRIORITY_RANK = {"1-URGENT": 5, "2-HIGH": 4, "3-MEDIUM": 3, "4-NOT SPECIFIED": 2, "5-LOW": 1}
+
+
+def q08_severity_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per key via max_by — hash agg with map-side combine, no sort.
+    The reference scans rows in order and keeps the best
+    (`adapters/snmp_alerts.py:152-179`); the argmax key makes the same
+    choice order-independent."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    rank = F.lit(None)
+    expr = None
+    for k, v in PRIORITY_RANK.items():
+        expr = F.when(F.col("o_orderpriority") == k, v) if expr is None else expr.when(
+            F.col("o_orderpriority") == k, v
+        )
+    rank = expr.otherwise(0)
+    o = o.withColumn("prio_rank", rank)
+    key = F.struct(
+        F.col("prio_rank"),
+        (-F.unix_timestamp(F.col("o_orderdate"))).alias("neg_date"),
+        (-F.col("o_orderkey")).alias("neg_key"),
+    )
+    out = argmax_per_group(
+        o,
+        ["o_custkey"],
+        key,
+        {
+            "top_orderkey": F.col("o_orderkey"),
+            "top_priority": F.col("o_orderpriority"),
+            "top_rank": F.col("prio_rank"),
+            "top_orderdate": ts_str(F.col("o_orderdate"), "yyyy-MM-dd"),
+        },
+    )
+    return out
+
+
+Q08_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4
+              WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 2
+              WHEN '5-LOW' THEN 1 ELSE 0 END AS prio_rank,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CASE o_orderpriority WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4
+                                          WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 2
+                                          WHEN '5-LOW' THEN 1 ELSE 0 END DESC,
+                                     o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey AS top_orderkey, o_orderpriority AS top_priority,
+       prio_rank AS top_rank, strftime(o_orderdate, '%Y-%m-%d') AS top_orderdate
+FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q09 — top-k per group (reference W4 top-2 per branch)
+# --------------------------------------------------------------------------
+def q09_top2_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    out = top_k_per_group(
+        t["orders"],
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=2,
+    )
+    return out.select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+
+
+Q09_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_custkey, rn, o_orderkey, o_totalprice FROM ranked WHERE rn <= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 — dedup keep-first (reference A5 ordered dedup)
+# --------------------------------------------------------------------------
+def q10_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving dedup: the kept row is the MIN-id row per key —
+    explicit rule instead of dropDuplicates' arbitrary pick (determinism)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.min_by(F.col("value"), F.col("event_id")).alias("first_value"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+Q10_SQL = """
+SELECT user_id, event_type, min(event_id) AS first_event_id,
+       arg_min(value, event_id) AS first_value, count(*) AS n_dupes
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 — ordered distinct + collect (reference A6/A10/F38)
+# --------------------------------------------------------------------------
+def q11_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = t["customer"].join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ", ").alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+Q11_SQL = """
+SELECT n_name,
+       array_to_string(list_sort(list_distinct(list(c_mktsegment))), ', ') AS segments,
+       count(DISTINCT c_mktsegment) AS n_segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 — point lookup (reference J6/F37 numeric-tolerant equality)
+# --------------------------------------------------------------------------
+def q12_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row predicate — at scale this is the query that MUST prune:
+    a parquet min/max-pruned scan, no shuffle."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    id_norm = canonicalize_id(F.lit("  42.0 "))  # "42"
+    return c.filter(
+        (F.col("c_custkey").cast("string") == id_norm)
+        | (F.upper(F.col("c_name")) == F.lit("CUSTOMER#000000099"))
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+Q12_SQL = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer
+WHERE CAST(c_custkey AS VARCHAR) = '42' OR upper(c_name) = 'CUSTOMER#000000099'
+"""
+
+
+# --------------------------------------------------------------------------
+# q13 — MERGE upsert (reference J4/J5/S11 report update)
+# --------------------------------------------------------------------------
+def q13_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN MATCHED THEN UPDATE via left join + coalesce; updates side is
+    the small aggregate → broadcast (single target scan, no shuffle)."""
+    t = load_tables(spark, sf_dir)
+    updates = (
+        t["orders"]
+        .filter(F.year("o_orderdate") == 1997)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("ord_cnt_1997"),
+            dsum(F.col("o_totalprice")).alias("total_1997"),
+        )
+    )
+    merged = merge_upsert(
+        t["customer"].select("c_custkey", "c_name", "c_acctbal"),
+        updates,
+        key="c_custkey",
+        update_cols=["ord_cnt_1997", "total_1997"],
+        changed_flag="changed_b",
+    )
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.coalesce(F.col("ord_cnt_1997"), F.lit(0)).alias("ord_cnt_1997"),
+        F.coalesce(F.col("total_1997"), F.lit(0.0)).alias("total_1997"),
+        F.col("changed_b").cast("int").alias("changed"),
+    )
+
+
+Q13_SQL = f"""
+WITH updates AS (
+  SELECT o_custkey AS c_custkey, count(*) AS ord_cnt_1997,
+         {sql_dsum('o_totalprice')} AS total_1997
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, c.c_acctbal,
+       COALESCE(u.ord_cnt_1997, 0) AS ord_cnt_1997,
+       COALESCE(u.total_1997, 0.0) AS total_1997,
+       CASE WHEN u.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS changed
+FROM customer c LEFT JOIN updates u ON c.c_custkey = u.c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q14 — group-representative probe (reference J7 fetch-dedup)
+# --------------------------------------------------------------------------
+def q14_group_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference probes ONE device per Type and broadcasts the result
+    to the group (`plugins/tonerType/toner_type_snmp.py:60-94`): aggregate →
+    probe the tiny representative frame → join back. Here the 'probe' is a
+    pure hash so the oracle can reproduce it; the real effectful version is
+    sources/fetch.py::probe_per_group."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    reps = p.groupBy("p_brand").agg(F.min_by("p_name", "p_partkey").alias("rep_name"))
+    probed = reps.select("p_brand", F.md5(F.col("rep_name")).alias("probe_sig"))
+    return p.join(F.broadcast(probed), "p_brand").select("p_partkey", "p_brand", "probe_sig")
+
+
+Q14_SQL = """
+WITH rep AS (
+  SELECT p_brand, md5(arg_min(p_name, p_partkey)) AS probe_sig FROM part GROUP BY p_brand
+)
+SELECT p_partkey, part.p_brand, probe_sig FROM part JOIN rep ON part.p_brand = rep.p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# q15 — window functions: running / lag / rank
+# --------------------------------------------------------------------------
+def q15_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running decimal-exact sum + lag over an explicit total order."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = Window.partitionBy("l_suppkey").orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    from .common import DEC
+
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast(DEC)).over(wrun).cast("double").alias("running_qty"),
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.row_number().over(w).alias("seq_no"),
+    )
+
+
+Q15_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
+            PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty,
+       lag(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
+       row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS seq_no
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 — rollup (extended: grouping sets)
+# --------------------------------------------------------------------------
+def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum(F.col("c_acctbal")).alias("sum_bal"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "n_cust",
+            "sum_bal",
+        )
+    )
+
+
+Q16_SQL = f"""
+SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+       count(*) AS n_cust, {sql_dsum('c_acctbal')} AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# q17 — set operations (union / intersect / except)
+# --------------------------------------------------------------------------
+def q17_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    c95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    c96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = c95.intersect(c96).select(F.lit("both").alias("tag"), F.col("o_custkey").alias("custkey"))
+    only95 = c95.exceptAll(c96).select(F.lit("only_1995").alias("tag"), F.col("o_custkey").alias("custkey"))
+    return both.unionByName(only95)
+
+
+Q17_SQL = """
+SELECT 'both' AS tag, o_custkey AS custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+)
+UNION ALL
+SELECT 'only_1995' AS tag, o_custkey AS custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 — tolerant JSON extraction (reference F26/F27)
+# --------------------------------------------------------------------------
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a partial schema — unparseable rows become null, never
+    dropped (the reference's tolerant-parse contract,
+    `adapters/ews_alerts.py:34-45`)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_parsed"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT event_type, count(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_parsed
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q19 — catalog lookup join + severity mapping (reference J8/F18-F20)
+# --------------------------------------------------------------------------
+EVENT_CATALOG = [
+    ("click", "info", 1),
+    ("view", "info", 1),
+    ("signup", "notice", 2),
+    ("purchase", "notice", 3),
+    ("error", "critical", 4),
+]
+
+
+def q19_catalog_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cat = spark.createDataFrame(EVENT_CATALOG, "event_type string, severity string, sev_rank int")
+    return (
+        t["events"]
+        .join(F.broadcast(cat), "event_type", "left")
+        .groupBy("event_type", "severity", "sev_rank")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+Q19_SQL = """
+SELECT e.event_type, c.severity, c.sev_rank, count(*) AS n
+FROM events e
+LEFT JOIN (VALUES ('click','info',1),('view','info',1),('signup','notice',2),
+                  ('purchase','notice',3),('error','critical',4))
+       AS c(event_type, severity, sev_rank)
+  ON e.event_type = c.event_type
+GROUP BY e.event_type, c.severity, c.sev_rank
+"""
+
+
+# --------------------------------------------------------------------------
+# q20 — tumbling event-time windows (streaming semantics, batch-checkable)
+# --------------------------------------------------------------------------
+def q20_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same function the streaming path uses (streaming/windows.py) — batch/
+    stream unification is the point."""
+    t = load_tables(spark, sf_dir)
+    return tumbling_counts(t["events"], "5 minutes")
+
+
+Q20_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q21 — sessionization (session_window vs lag/cumsum oracle)
+# --------------------------------------------------------------------------
+def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return sessionized(t["events"], "30 minutes")
+
+
+Q21_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM gaps
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM sess GROUP BY user_id, sess_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 — as-of join (last preceding click per user before each error)
+# --------------------------------------------------------------------------
+def q22_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a running max over event time — no native
+    Spark as-of, but this composition is shuffle-minimal: one window over
+    (user, time), no self-join."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_ts = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    return (
+        ev.withColumn("last_click_ts", click_ts)
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            ts_str(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("error_ts"),
+            ts_str(F.col("last_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_click_ts"),
+        )
+    )
+
+
+Q22_SQL = """
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS last_click_ts
+  FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+       strftime(last_click_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+FROM marked WHERE event_type = 'error'
+"""
+
+
+# --------------------------------------------------------------------------
+# q34/q35 — TPC-H classics (bench headliners: fact-fact joins)
+# --------------------------------------------------------------------------
+def q34_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join orders⋈lineitem with customer broadcast; AQE re-plans at
+    runtime. The bench headline for join throughput."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", ts_str(F.col("o_orderdate"), "yyyy-MM-dd").alias("orderdate"), "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q34_SQL = f"""
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q35_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: fact shuffle joins + three broadcast dims."""
+    t = load_tables(spark, sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+    )
+    return j.groupBy("r_name", "n_name").agg(dsum(revenue).alias("revenue"))
+
+
+Q35_SQL = f"""
+SELECT r_name, n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+RELATIONAL_QUERIES = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
+    "q03_normalize_projection": (q03_normalize_projection, Q03_SQL),
+    "q04_enrichment_join": (q04_enrichment_join, Q04_SQL),
+    "q05_postal_split": (q05_postal_split, Q05_SQL),
+    "q06_pivot_orderstatus": (q06_pivot_orderstatus, Q06_SQL),
+    "q07_first_per_slot": (q07_first_per_slot, Q07_SQL),
+    "q08_severity_argmax": (q08_severity_argmax, Q08_SQL),
+    "q09_top2_per_group": (q09_top2_per_group, Q09_SQL),
+    "q10_dedup_keep_first": (q10_dedup_keep_first, Q10_SQL),
+    "q11_collect_sorted": (q11_collect_sorted, Q11_SQL),
+    "q12_point_lookup": (q12_point_lookup, Q12_SQL),
+    "q13_merge_upsert": (q13_merge_upsert, Q13_SQL),
+    "q14_group_representative": (q14_group_representative, Q14_SQL),
+    "q15_window_running": (q15_window_running, Q15_SQL),
+    "q16_rollup": (q16_rollup, Q16_SQL),
+    "q17_setops": (q17_setops, Q17_SQL),
+    "q18_json_extract": (q18_json_extract, Q18_SQL),
+    "q19_catalog_lookup": (q19_catalog_lookup, Q19_SQL),
+    "q20_events_tumbling": (q20_events_tumbling, Q20_SQL),
+    "q21_sessionize": (q21_sessionize, Q21_SQL),
+    "q22_asof_last_click": (q22_asof_last_click, Q22_SQL),
+    "q34_tpch_q3": (q34_tpch_q3, Q34_SQL),
+    "q35_tpch_q5": (q35_tpch_q5, Q35_SQL),
+}

@@ -1,0 +1,430 @@
+"""Training-data pipeline query pack: dedup, similarity search, text
+analysis, multimodal plumbing — over the ``documents`` / ``embeddings``
+corpus, each with a DuckDB oracle.
+
+All signatures are md5-derived and all float folds sequential, so every
+query here is bit-reproducible in DuckDB (see plans/common.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    doc_fingerprint64,
+    lang_id,
+    quality_features,
+    tokenize,
+)
+from ..operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_docs,
+)
+from ..operators.multimodal import decode_media
+from ..operators.similarity import cosine_topk_bruteforce, sign_lsh_pairs
+from ..tables import load_tables
+from .common import dsum, sql_dsum
+
+# DuckDB shingle/token CTEs shared by several oracles (word 3-grams,
+# mirroring functions/text.py::word_shingles).
+_SQL_WORDS = r"SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents"
+_SQL_SHINGLES = (
+    "SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM words WHERE len(w) >= 3"
+)
+_SQL_TOKS = r"SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents"
+
+
+# --------------------------------------------------------------------------
+# q23 — exact dedup (hash-groupBy on content digest)
+# --------------------------------------------------------------------------
+def q23_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup_exact(t["documents"], "doc_id", "text")
+
+
+Q23_SQL = """
+SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# q24 — language ID (stopword heuristic)
+# --------------------------------------------------------------------------
+def q24_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    toks = tokenize(F.col("text"))
+    return d.select("doc_id", "lang", lang_id(toks).alias("pred_lang"))
+
+
+def _sql_stop_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> t IN ({words})))"
+
+
+Q24_SQL = f"""
+WITH toks AS ({_SQL_TOKS}),
+scored AS (
+  SELECT doc_id, lang,
+         {_sql_stop_count('en')} AS s_en, {_sql_stop_count('de')} AS s_de,
+         {_sql_stop_count('es')} AS s_es, {_sql_stop_count('fr')} AS s_fr
+  FROM toks
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'unknown'
+            WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+            ELSE 'unknown' END AS pred_lang
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# q25 — quality scoring
+# --------------------------------------------------------------------------
+def q25_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    toks = tokenize(F.col("text"))
+    feats = quality_features(F.col("text"), toks)
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["quality_score"].alias("quality_score"),
+    )
+
+
+Q25_SQL = rf"""
+WITH t0 AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+         CAST({_sql_stop_count('en')} AS BIGINT) AS stop_en
+  FROM t0
+), feats AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS avg_token_len,
+         CASE WHEN n_tokens > 0 THEN CAST(stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS alpha_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio, alpha_ratio,
+       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 + stopword_ratio * 0.3 + alpha_ratio * 0.3 AS quality_score
+FROM feats
+"""
+
+
+# --------------------------------------------------------------------------
+# q26 — token counting (whitespace + BPE-ish regex)
+# --------------------------------------------------------------------------
+def q26_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    ws = F.size(tokenize(F.col("text"))).cast("bigint")
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    ).cast("bigint")
+    return d.select("doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"))
+
+
+Q26_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q27 — document fingerprinting
+# --------------------------------------------------------------------------
+def q27_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("md5_full"),
+        doc_fingerprint64(F.col("text")).alias("fp64"),
+    )
+
+
+Q27_SQL = r"""
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM documents
+)
+SELECT doc_id, md5(norm) AS md5_full,
+       CAST(('0x' || substr(md5(norm), 1, 15)) AS BIGINT) AS fp64
+FROM n
+"""
+
+
+# --------------------------------------------------------------------------
+# q28 — MinHash-LSH candidate pairs
+# --------------------------------------------------------------------------
+_MH_K, _MH_BANDS = 12, 4
+_MH_RPB = _MH_K // _MH_BANDS
+
+
+def q28_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_pairs(t["documents"], "doc_id", "text", k=_MH_K, bands=_MH_BANDS)
+
+
+def _sql_md5_60bit(expr: str) -> str:
+    """DuckDB mirror of operators/dedup.py::_md5_60bit."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_mh_cols = ",\n         ".join(
+    f"list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('{i}:' || s), 1, 15)) AS BIGINT))) AS mh{i}"
+    for i in range(_MH_K)
+)
+_band_selects = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_id, "
+    + " || '|' || ".join(f"CAST(mh{i} AS VARCHAR)" for i in range(b * _MH_RPB, (b + 1) * _MH_RPB))
+    + " AS band_sig FROM sig"
+    for b in range(_MH_BANDS)
+)
+Q28_SQL = f"""
+WITH words AS ({_SQL_WORDS}),
+sh AS ({_SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id, {_mh_cols}
+  FROM sh
+),
+banded AS (
+{_band_selects}
+),
+keyed AS (
+  SELECT doc_id, band_id, {_sql_md5_60bit('band_sig')} AS band_key FROM banded
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM keyed a JOIN keyed b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q29 — exact n-gram Jaccard near-dup pairs (inverted-index join)
+# --------------------------------------------------------------------------
+def q29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(t["documents"], "doc_id", "text", threshold=0.8)
+
+
+Q29_SQL = f"""
+WITH words AS ({_SQL_WORDS}),
+sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+posts AS (
+  SELECT doc_id, {_sql_md5_60bit('shingle')} AS sh_h
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)
+),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM posts a JOIN posts b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# q30 — SimHash signatures
+# --------------------------------------------------------------------------
+def q30_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return simhash_docs(t["documents"], "doc_id", "text")
+
+
+_simhash_terms = "\n     + ".join(
+    f"CASE WHEN 2 * len(list_filter(toks, t -> ((('0x' || substr(md5(t), 1, 4))::INT) & {1 << b}) != 0)) > len(toks) THEN {1 << b} ELSE 0 END"
+    for b in range(16)
+)
+Q30_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_simhash_terms} AS INTEGER) AS simhash
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# q31 — brute-force cosine top-k (ANN correctness baseline)
+# --------------------------------------------------------------------------
+def q31_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return cosine_topk_bruteforce(t["embeddings"], "vec_id", "embedding", k=3)
+
+
+Q31_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+), n AS (
+  SELECT vec_id, vd,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, len(a.vd) + 1), i -> a.vd[i] * b.vd[i]), (x, y) -> x + y)
+           / (a.nrm * b.nrm) AS cos_raw
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q32 — sign-LSH bucketed near-dup embedding pairs (the ANN scale path)
+# --------------------------------------------------------------------------
+_LSH_BITS = 6
+_LSH_MIN_COS = 0.25  # corpus embeddings are near-orthogonal (max cos ≈ 0.51)
+
+
+def q32_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return sign_lsh_pairs(
+        t["embeddings"], "vec_id", "embedding", bits=_LSH_BITS, min_cos=_LSH_MIN_COS
+    )
+
+
+_bucket_terms = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(_LSH_BITS)
+)
+Q32_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+         CAST({_bucket_terms} AS INTEGER) AS bucket
+  FROM embeddings
+), n AS (
+  SELECT vec_id, vd, bucket,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+         round(list_reduce(list_transform(range(1, len(a.vd) + 1), i -> a.vd[i] * b.vd[i]), (x, y) -> x + y)
+           / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, bucket, cos_sim FROM pairs WHERE cos_sim >= {_LSH_MIN_COS}
+"""
+
+
+# --------------------------------------------------------------------------
+# q33 — multimodal decode plumbing (mapInPandas, deterministic stub kernel)
+# --------------------------------------------------------------------------
+def q33_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column → Arrow-batched Python decode stage. The stub
+    kernel is deterministic arithmetic on the bytes, so even the Python
+    stage is oracle-checkable."""
+    t = load_tables(spark, sf_dir)
+    media = t["documents"].select(
+        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return decode_media(media, "doc_id", "payload")
+
+
+Q33_SQL = """
+WITH b AS (SELECT doc_id, CAST(strlen(text) AS INTEGER) AS byte_len, md5(text) AS content_md5 FROM documents)
+SELECT doc_id AS media_id, byte_len, content_md5,
+       CAST(64 + byte_len % 577 AS INTEGER) AS width,
+       CAST(64 + byte_len % 433 AS INTEGER) AS height,
+       CAST(1 + byte_len % 7 AS INTEGER) AS n_frames,
+       'fake/' || CAST(byte_len % 3 AS VARCHAR) AS format
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
+# q36 — salted two-stage aggregation (skew-mitigation pattern; same answer
+#        as the plain aggregate, which is exactly what the oracle checks)
+# --------------------------------------------------------------------------
+def q36_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key mitigation: pre-aggregate on (key, salt), then merge. Decimal
+    partials merge exactly, so the result is identical to a one-stage agg."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    from .common import DEC
+
+    salted = (
+        ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("value").cast(DEC)).alias("_sv"),
+        )
+    )
+    return (
+        salted.groupBy("event_type")
+        .agg(
+            F.sum("_n").alias("n"),
+            F.sum("_sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+Q36_SQL = f"""
+SELECT event_type, count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q37 — approximate distinct (HLL; no SQL oracle — estimator-specific)
+# --------------------------------------------------------------------------
+def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("p50_value"),
+        )
+    )
+
+
+TEXT_QUERIES = {
+    "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
+    "q24_lang_id": (q24_lang_id, Q24_SQL),
+    "q25_quality_score": (q25_quality_score, Q25_SQL),
+    "q26_token_count": (q26_token_count, Q26_SQL),
+    "q27_fingerprint": (q27_fingerprint, Q27_SQL),
+    "q28_minhash_lsh": (q28_minhash_lsh, Q28_SQL),
+    "q29_ngram_jaccard": (q29_ngram_jaccard, Q29_SQL),
+    "q30_simhash": (q30_simhash, Q30_SQL),
+    "q31_embedding_topk": (q31_embedding_topk, Q31_SQL),
+    "q32_embedding_lsh": (q32_embedding_lsh, Q32_SQL),
+    "q33_multimodal_decode": (q33_multimodal_decode, Q33_SQL),
+    "q36_salted_agg": (q36_salted_agg, Q36_SQL),
+    "q37_approx_distinct": (q37_approx_distinct, None),
+}

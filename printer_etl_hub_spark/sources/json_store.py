@@ -1,0 +1,67 @@
+"""Canonical JSON document store (reference S4/S5).
+
+The reference keeps the whole fleet in one JSON document with two row arrays
+keyed by group name (`core/printers.py:4-17`, `adapters/json_store.py:11-19`).
+Here the canonical store is a DataFrame with a ``group`` discriminator column
+(SURVEY.md §1.3); the exact-shape JSON document is an export format.
+
+Scale: the JSON document form only exists at the edges. Internally rows live
+in parquet (columnar, splittable); a single giant JSON file would serialize
+the whole fleet through one task.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GROUP_KEYS = ("Company_Grouped", "Branches_Grouped")
+
+
+def load_printers_json(spark: SparkSession, path: str) -> DataFrame:
+    """S4: whole-file JSON read → unioned rows with a ``group`` column.
+
+    `spark.read.json(multiLine=True)` reads the document; the two group
+    arrays are exploded and unioned by name (missing columns null-filled),
+    with a ``seq`` column capturing input order — order-dependent reference
+    semantics (first-appearance, last-wins) need it (SURVEY.md §7).
+    """
+    doc = spark.read.option("multiLine", "true").json(path)
+    frames = []
+    for g in GROUP_KEYS:
+        if g not in doc.columns:
+            continue
+        rows = doc.select(F.posexplode(F.col(g)).alias("seq", "row")).select(
+            F.lit(g).alias("group"), F.col("seq").cast("bigint"), F.col("row.*")
+        )
+        frames.append(rows)
+    if not frames:
+        raise ValueError(f"no group arrays {GROUP_KEYS} found in {path}")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def save_printers_json(df: DataFrame, path: str) -> None:
+    """S5: export the canonical frame back to the reference document shape.
+
+    Atomic tmp+rename like `adapters/json_store.py:15-19`
+    (`ensure_ascii=False, indent=2`). Driver-side by design: this is an edge
+    export of a small fleet, not a data path.
+    """
+    groups: dict[str, list] = {g: [] for g in GROUP_KEYS}
+    cols = [c for c in df.columns if c not in ("group", "seq")]
+    rows = df.select("group", "seq", *cols).orderBy("group", "seq").collect()
+    for r in rows:
+        d = r.asDict(recursive=True)
+        g = d.pop("group")
+        d.pop("seq", None)
+        groups.setdefault(g, []).append({k: v for k, v in d.items() if v is not None})
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(groups, f, ensure_ascii=False, indent=2)
+    os.replace(tmp, path)

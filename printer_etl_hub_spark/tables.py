@@ -1,0 +1,63 @@
+"""Test-corpus table loader.
+
+The driver corpus (TESTDATA.md) is a TPC-H-ish star schema plus ``events``
+(stream-shaped), ``documents`` (text corpus) and ``embeddings``
+(vector corpus), one parquet file per table.
+
+Parquet scans are the scale path: Catalyst pushes filters and prunes columns
+into the scan (verify with ``.explain`` → PushedFilters / ReadSchema), and at
+100 TB the same reader parallelizes by row-group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_conf
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions we always broadcast in joins (SURVEY.md §2.3: every
+# reference join is a tiny-dimension equi-join → broadcast hash join).
+BROADCAST_DIMS = ("region", "nation", "supplier", "part")
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't read them
+    natively; we read them as long (legacy conf) and convert."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all corpus tables from ``sf_dir`` and register temp views.
+
+    TIMESTAMP(NANOS) columns (e.g. ``events.ts``) are read as nano longs and
+    truncated to microsecond timestamps with integer division — exactly what
+    DuckDB does when it reads the same file, so the oracle agrees.
+    """
+    apply_runtime_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = f"{sf_dir}/{name}.parquet"
+        df = spark.read.parquet(path)
+        for c in _nanos_ts_columns(path):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

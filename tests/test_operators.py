@@ -1,0 +1,139 @@
+"""Unit tests for DataFrame operators (argmax, pivot, upsert, dedup,
+similarity, multimodal, fetch)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from printer_etl_hub_spark.operators import (
+    argmax_per_group,
+    cosine_topk_bruteforce,
+    dedup_exact,
+    first_per_slot_pivot,
+    merge_upsert,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    sign_lsh_pairs,
+    simhash_docs,
+    top_k_per_group,
+    varbind_pivot,
+)
+from printer_etl_hub_spark.operators.multimodal import decode_media, frame_sample
+from printer_etl_hub_spark.sources.fetch import fetch_stage
+
+
+def test_varbind_pivot(spark):
+    rows = [(1, 5, "3"), (1, 9, "42"), (2, 5, "3"), (2, 9, "77")]
+    df = spark.createDataFrame(rows, "idx int, colno int, value string")
+    out = varbind_pivot(df, ["idx"], "colno", [5, 9]).orderBy("idx").collect()
+    assert [(r["idx"], r["c5"], r["c9"]) for r in out] == [(1, "3", "42"), (2, "3", "77")]
+
+
+def test_first_per_slot_pivot(spark):
+    rows = [
+        ("p1", "Black", 10, 1),
+        ("p1", "Black", 99, 2),  # later → ignored
+        ("p1", "Cyan", 20, 3),
+        ("p2", "Black", 30, 1),
+    ]
+    df = spark.createDataFrame(rows, "id string, color string, pct int, seq int")
+    out = first_per_slot_pivot(
+        df, ["id"], "color", ["Black", "Cyan"], [F.col("seq")], "pct"
+    ).orderBy("id").collect()
+    assert [(r["id"], r["Black"], r["Cyan"]) for r in out] == [("p1", 10, 20), ("p2", 30, None)]
+
+
+def test_argmax_and_topk(spark):
+    rows = [("a", 1, "x"), ("a", 9, "y"), ("b", 5, "z")]
+    df = spark.createDataFrame(rows, "k string, rank int, payload string")
+    am = argmax_per_group(df, ["k"], F.struct(F.col("rank")), {"best": F.col("payload")})
+    assert {(r["k"], r["best"]) for r in am.collect()} == {("a", "y"), ("b", "z")}
+    tk = top_k_per_group(df, ["k"], [F.col("rank").desc()], 1)
+    assert {(r["k"], r["payload"]) for r in tk.collect()} == {("a", "y"), ("b", "z")}
+
+
+def test_merge_upsert(spark):
+    target = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "id int, name string, bal double")
+    updates = spark.createDataFrame([(1, 99.0)], "id int, bal double")
+    out = merge_upsert(target, updates, "id", ["bal"], changed_flag="chg").orderBy("id").collect()
+    assert [(r["id"], r["bal"], r["chg"]) for r in out] == [(1, 99.0, True), (2, 20.0, False)]
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame([(1, "same"), (2, "same"), (3, "diff")], "id int, txt string")
+    out = dedup_exact(df, "id", "txt").collect()
+    by_keeper = {r["keeper_id"]: r["n_copies"] for r in out}
+    assert by_keeper == {1: 2, 3: 1}
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near-dup of 1
+    (3, "completely different words describing another document entirely here now"),
+]
+
+
+def test_minhash_and_jaccard(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert [(r["a_id"], r["b_id"]) for r in jac] == [(1, 2)]
+    mh = minhash_lsh_pairs(df, "doc_id", "text", k=12, bands=4).collect()
+    assert (1, 2) in {(r["a_id"], r["b_id"]) for r in mh}
+    assert all(r["a_id"] < r["b_id"] for r in mh)
+
+
+def test_simhash_close_for_near_dups(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_docs(df, "doc_id", "text").collect()}
+    ham_12 = bin(sh[1] ^ sh[2]).count("1")
+    ham_13 = bin(sh[1] ^ sh[3]).count("1")
+    assert ham_12 < ham_13
+
+
+def test_cosine_topk_and_lsh(spark):
+    vecs = [
+        (1, [1.0, 0.1, 0.1, 0.1]),
+        (2, [0.9, 0.2, 0.1, 0.1]),     # close to 1, same sign pattern
+        (3, [-1.0, 0.5, -0.3, 0.2]),
+        (4, [-0.9, 0.6, -0.2, 0.3]),   # close to 3, same sign pattern
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    tk = cosine_topk_bruteforce(df, "vec_id", "embedding", k=1).collect()
+    nn = {r["vec_id"]: r["neighbor_id"] for r in tk}
+    assert nn[1] == 2 and nn[2] == 1 and nn[3] == 4 and nn[4] == 3
+    pairs = sign_lsh_pairs(df, "vec_id", "embedding", bits=4, min_cos=0.8).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (1, 2) in got and (3, 4) in got
+
+
+def test_decode_media_and_frame_sample(spark):
+    df = spark.createDataFrame([(1, bytearray(b"hello")), (2, bytearray(b""))],
+                               "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_media(df, "media_id", "payload").collect()}
+    assert out[1]["byte_len"] == 5
+    assert out[1]["content_md5"] == __import__("hashlib").md5(b"hello").hexdigest()
+    assert out[2]["byte_len"] == 0
+    fs = frame_sample(
+        spark.createDataFrame([(1, 5)], "media_id long, n_frames int"),
+        "media_id", "n_frames", every=2,
+    ).collect()
+    assert [r["frame_idx"] for r in fs] == [0, 2, 4]
+
+
+def test_fetch_stage_offline_default(spark):
+    df = spark.createDataFrame([("10.0.0.1",), ("10.0.0.2",)], "ip string")
+
+    def transport(ip, opts):
+        if ip.endswith("2"):
+            raise TimeoutError("unreachable")
+        return {"status": "online", "pct": 42}
+
+    out = fetch_stage(
+        df, "ip", transport,
+        "ip string, status string, pct int",
+        offline_default={"status": "offline", "pct": None},
+        max_retries=1,
+    ).collect()
+    by_ip = {r["ip"]: (r["status"], r["pct"]) for r in out}
+    assert by_ip["10.0.0.1"] == ("online", 42)
+    assert by_ip["10.0.0.2"] == ("offline", None)

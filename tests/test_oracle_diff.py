@@ -1,0 +1,68 @@
+"""Differential gate: every registry query vs its DuckDB oracle.
+
+Mirrors the driver's t2 check: row count, column names, and exact values
+(bit-exact doubles — the whole point of plans/common.py's decimal sums).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from printer_etl_hub_spark.plans import REGISTRY
+
+from conftest import SF_ORACLE
+
+ORACLED = [n for n, s in REGISTRY.items() if s.oracle_sql is not None]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _cells_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(name, spark, duck):
+    spec = REGISTRY[name]
+    got = spec.fn(spark, SF_ORACLE).toPandas()
+    want = duck.execute(spec.oracle_sql).df()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name} column mismatch: {sorted(got.columns)} vs {sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name} row count {len(got)} vs {len(want)}"
+    g, w = _normalize(got), _normalize(want)
+    for c in g.columns:
+        ga, wa = g[c].tolist(), w[c].tolist()
+        bad = [
+            (i, x, y)
+            for i, (x, y) in enumerate(zip(ga, wa))
+            if not _cells_equal(x, y)
+        ][:5]
+        assert not bad, f"{name}.{c} first diffs: {bad}"
+
+
+def test_all_queries_return_rows(spark):
+    """Queries with no oracle still must run and be non-degenerate."""
+    for name, spec in REGISTRY.items():
+        if spec.oracle_sql is None:
+            df = spec.fn(spark, SF_ORACLE)
+            assert df.count() >= 0, name

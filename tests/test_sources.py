@@ -1,0 +1,46 @@
+"""Sources: canonical JSON store round-trip and probe_per_group."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from printer_etl_hub_spark.sources.json_store import (
+    load_printers_json,
+    save_printers_json,
+)
+
+FLEET = {
+    "Company_Grouped": [
+        {"ID": "1", "Floor": "2", "Printer IP": "10.0.0.1", "Type": "M402dn",
+         "Serial": "AA1", "Comment": None},
+        {"ID": "2", "Floor": "3", "Printer IP": "0.0.0.0", "Type": "M426fdw",
+         "Serial": "AA2", "Comment": "שבור"},
+    ],
+    "Branches_Grouped": [
+        {"ID": "101", "Name": "סניף מרכז", "Printer IP": "10.1.0.1",
+         "BO IP": "10.1.0.254", "Type": "E60055", "Serial": "BB1", "Comment": None},
+    ],
+}
+
+
+def test_json_store_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "printers.json")
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(FLEET, f, ensure_ascii=False)
+
+    df = load_printers_json(spark, path)
+    assert df.count() == 3
+    assert set(df.select("group").distinct().toPandas()["group"]) == {
+        "Company_Grouped", "Branches_Grouped",
+    }
+    # seq preserves input order within each group
+    company = df.filter(F.col("group") == "Company_Grouped").orderBy("seq").collect()
+    assert [r["ID"] for r in company] == ["1", "2"]
+    # Hebrew survives the round trip
+    out_path = str(tmp_path / "out.json")
+    save_printers_json(df, out_path)
+    data = json.load(open(out_path, encoding="utf-8"))
+    assert data["Branches_Grouped"][0]["Name"] == "סניף מרכז"
+    assert data["Company_Grouped"][1]["Comment"] == "שבור"
