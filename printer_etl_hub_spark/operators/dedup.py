@@ -137,12 +137,19 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.8,
     shingle_n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
 
     jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|); the intersection count comes from
     an equi-join on shingle (postings join), never a doc×doc cross join.
     Output: a_id, b_id, jaccard (double) for pairs ≥ threshold.
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    (stop-shingles). This is THE scale knob: a shingle shared by d docs
+    contributes d² join rows, so one degenerate common phrase can dominate
+    the whole job; ultra-common shingles carry no near-dup signal anyway.
+    Jaccard is then computed exactly over the df-filtered shingle space.
     """
     sh = _doc_shingles(df, id_col, text_col, shingle_n)
     # Postings carry a NUMERIC shingle hash — the equi-join runs on a bigint
@@ -152,6 +159,11 @@ def ngram_jaccard_pairs(
     postings = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
     ).select("doc_id", _md5_60bit(F.col("shingle")).alias("sh_h"))
+    if max_df is not None:
+        doc_freq = postings.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+        postings = postings.join(
+            doc_freq.filter(F.col("df") <= max_df).select("sh_h"), "sh_h"
+        )
     # Shingle-set sizes derived from the SAME postings subtree (shingles are
     # already distinct per doc) — Catalyst reuses the exchange instead of
     # recomputing the shingle pipeline from the scan.

@@ -397,20 +397,28 @@ GROUP BY n_name
 # --------------------------------------------------------------------------
 def q12_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-row predicate — at scale this is the query that MUST prune:
-    a parquet min/max-pruned scan, no shuffle."""
+    a parquet min/max-pruned scan, no shuffle.
+
+    The reference's search (J6, `plugins/openticket/TonerOrder.py:38-48`)
+    matches ONE user-chosen field per lookup with numeric-tolerant ID
+    equality (F37). The messy user input is normalized on the LITERAL side
+    (canonicalize_id over a constant folds at plan time), so the table-side
+    predicate stays a bare `c_custkey = 42` that parquet row-group stats can
+    prune — normalizing the column side instead would defeat pushdown on
+    every row of a 100 TB table.
+    """
     t = load_tables(spark, sf_dir)
     c = t["customer"]
-    id_norm = canonicalize_id(F.lit("  42.0 "))  # "42"
-    return c.filter(
-        (F.col("c_custkey").cast("string") == id_norm)
-        | (F.upper(F.col("c_name")) == F.lit("CUSTOMER#000000099"))
-    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    id_norm = canonicalize_id(F.lit("  42.0 "))  # folds to "42" at plan time
+    return c.filter(F.col("c_custkey") == id_norm.cast("bigint")).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
 
 
 Q12_SQL = """
 SELECT c_custkey, c_name, c_mktsegment, c_acctbal
 FROM customer
-WHERE CAST(c_custkey AS VARCHAR) = '42' OR upper(c_name) = 'CUSTOMER#000000099'
+WHERE c_custkey = CAST('42' AS BIGINT)
 """
 
 

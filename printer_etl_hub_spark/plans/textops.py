@@ -223,19 +223,26 @@ FROM keyed a JOIN keyed b
 # --------------------------------------------------------------------------
 # q29 — exact n-gram Jaccard near-dup pairs (inverted-index join)
 # --------------------------------------------------------------------------
+_J_MAX_DF = 100  # stop-shingle cap: bounds the postings join at any corpus size
+
+
 def q29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return ngram_jaccard_pairs(t["documents"], "doc_id", "text", threshold=0.8)
+    return ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+    )
 
 
 Q29_SQL = f"""
 WITH words AS ({_SQL_WORDS}),
 sh AS ({_SQL_SHINGLES}),
-sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
-posts AS (
+posts0 AS (
   SELECT doc_id, {_sql_md5_60bit('shingle')} AS sh_h
   FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)
 ),
+freq AS (SELECT sh_h FROM posts0 GROUP BY sh_h HAVING count(*) <= {_J_MAX_DF}),
+posts AS (SELECT p.doc_id, p.sh_h FROM posts0 p JOIN freq USING (sh_h)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM posts GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
   FROM posts a JOIN posts b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id

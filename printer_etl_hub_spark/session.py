@@ -41,6 +41,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill through tmpfs when available: local-mode shuffles are
+    # disk-bound on this host's slow /tmp. On a cluster the platform sets
+    # spark.local.dir (and SPARK_LOCAL_DIRS wins over this config anyway).
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    if os.path.isdir(os.path.dirname(shm) or "/"):
+        try:
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
+        except OSError:
+            pass
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

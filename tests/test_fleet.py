@@ -1,0 +1,133 @@
+"""Golden test for the flagship fleet report + enrichment operators,
+using FIXTURES.md-style synthetic data (Hebrew, sentinels, dup ids,
+order-dependent rules)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from printer_etl_hub_spark.operators.enrich import (
+    enrich_employees,
+    enrich_locations,
+    service_descriptions,
+    snmp_toner_cartridges,
+)
+from printer_etl_hub_spark.plans.fleet import fleet_toner_report, printer_error_argmax
+
+
+def _walk_rows(ip, idx, typ, desc, unit, mx, lvl):
+    base = "1.3.6.1.2.1.43.11.1.1"
+    return [
+        (ip, f"{base}.5.1.{idx}", str(typ)),
+        (ip, f"{base}.6.1.{idx}", desc),
+        (ip, f"{base}.7.1.{idx}", str(unit)),
+        (ip, f"{base}.8.1.{idx}", str(mx)),
+        (ip, f"{base}.9.1.{idx}", str(lvl)),
+    ]
+
+
+def test_snmp_toner_cartridges(spark):
+    rows = (
+        _walk_rows("10.0.0.1", 1, 3, "HP 26A Black Toner (CF226A)", 7, 200, 50)
+        + _walk_rows("10.0.0.1", 2, 3, "טונר צהוב", 19, 0, 42)
+        + _walk_rows("10.0.0.1", 3, 8, "Maintenance Kit", 7, 100, 10)  # not toner
+        + _walk_rows("10.0.0.1", 4, 5, "Cyan Cartridge", 7, 100, -2)   # sentinel
+    )
+    walk = spark.createDataFrame(rows, "ip string, oid string, value string")
+    out = snmp_toner_cartridges(walk).collect()
+    assert len(out) == 1
+    carts = [(c["cartridge"], c["remaining_percent"]) for c in out[0]["cartridges"]]
+    assert carts == [("Black", "25%"), ("Yellow", "42%"), ("Cyan", None)]
+
+
+def test_printer_error_argmax(spark):
+    rows = [
+        ("10.0.0.1", 1, 3, "Low toner"),
+        ("10.0.0.1", 2, 4, "נייר תקוע"),        # critical, Hebrew → translated
+        ("10.0.0.1", 3, 4, "מצב שינה פועל"),    # suppressed
+        ("10.0.0.2", 1, 2, "strange state"),
+    ]
+    alerts = spark.createDataFrame(rows, "ip string, row_idx int, severity int, description string")
+    out = {r["ip"]: (r["problem"], r["severity"]) for r in printer_error_argmax(alerts).collect()}
+    assert out["10.0.0.1"] == ("Paper jam", "critical")
+    assert out["10.0.0.2"] == ("strange state", "warning")
+
+
+def test_fleet_report_end_to_end(spark):
+    printers = spark.createDataFrame(
+        [
+            ("Company_Grouped", "1001", "10.0.0.1", "M402dn"),
+            ("Company_Grouped", " 1002.0 ", "0.0.0.0", "M426fdw"),  # bad ip
+            ("Branches_Grouped", "101", "10.1.0.1", "E60055"),
+        ],
+        "group string, ID string, `Printer IP` string, Type string",
+    )
+    walk = spark.createDataFrame(
+        _walk_rows("10.0.0.1", 1, 3, "Black (CF226A)", 7, 200, 100)
+        + _walk_rows("10.0.0.1", 2, 3, "Black spare", 19, 0, 77)  # 2nd black ignored
+        + _walk_rows("10.1.0.1", 1, 3, "Magenta", 19, 0, 12),
+        "ip string, oid string, value string",
+    )
+    alerts = spark.createDataFrame(
+        [("10.1.0.1", 1, 4, "Door open")],
+        "ip string, row_idx int, severity int, description string",
+    )
+    types = spark.createDataFrame(
+        [("M402dn", ["CF226A", "CF226A"])], "Type string, tonerType array<string>"
+    )
+    rep = {r["id"]: r for r in fleet_toner_report(printers, walk, alerts, types).collect()}
+    assert set(rep) == {"1001", "1002", "101"}
+    r1 = rep["1001"]
+    assert (r1["status"], r1["black_pct"], r1["toner_type"]) == ("online", "50%", "CF226A")
+    assert r1["cyan_pct"] == "-" and r1["problem"] == "-"
+    r2 = rep["1002"]  # bad ip → offline, canonical id "1002"
+    assert r2["status"] == "offline" and r2["black_pct"] == "-"
+    r3 = rep["101"]
+    assert (r3["status"], r3["magenta_pct"], r3["problem"], r3["severity"]) == (
+        "online", "12%", "Door open", "critical",
+    )
+
+
+def test_enrich_employees_conditional_update(spark):
+    branches = spark.createDataFrame(
+        [("101", "Old Mgr", "03-111"), ("102", None, None), ("103", "Keep", "Keep#")],
+        "ID string, Manager string, Phone string",
+    )
+    employees = spark.createDataFrame(
+        [("101", "דנה לוי", "050-1", 0), ("101", "Newest", "", 1), ("104", "X", "Y", 2)],
+        "id string, name string, phone string, seq long",
+    )
+    out = {r["ID"]: r for r in enrich_employees(branches, employees).collect()}
+    # whole-record last-write-wins per id; the latest record's empty phone
+    # fails the non-empty check → branch keeps its existing phone
+    assert out["101"]["Manager"] == "Newest"
+    assert out["101"]["Phone"] == "03-111"
+    assert out["102"]["Manager"] is None and out["102"]["emp_changed"] == 0
+    assert out["103"]["Manager"] == "Keep" and out["103"]["emp_changed"] == 0
+
+
+def test_enrich_locations_and_descriptions(spark):
+    branches = spark.createDataFrame([("101",), ("102",)], "ID string")
+    locations = spark.createDataFrame(
+        [
+            ("101.0", "הרצל 1 תל אביב 6100000", "שירות ראשי", "משני", None, 0),
+            ("101", "ignored older", "שירות ראשי", "משני", "SUB-1", 1),
+            ("101", None, "שירות אחר", None, "SUB-2", 2),
+            ("102", "no postal st", "בסיסי", None, "SUB-9", 3),
+        ],
+        "branch_id string, address string, primary_desc string, secondary_desc string, sub_num string, seq long",
+    )
+    loc = enrich_locations(branches, locations)
+    got = {r["ID"]: (r["Location"], r["Postal"]) for r in loc.collect()}
+    # last non-null address wins (seq=1), postal split from seq=0 row's value? no — seq1 addr has no postal
+    assert got["101"] == ("ignored older", None)
+    assert got["102"] == ("no postal st", None)
+
+    sd = {r["bid"]: r for r in service_descriptions(locations).collect()}
+    fd = sd[101]["firstDescription"]
+    assert (fd["PrimaryDescription"], fd["SecondayDescription"], fd["LineID"]) == (
+        "שירות ראשי", "משני", "SUB-1",
+    )
+    sec = sd[101]["secondDescription"]
+    assert (sec["PrimaryDescription"], sec["LineID"]) == ("שירות אחר", "SUB-2")
+    assert sd[102]["secondDescription"] is None

@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the optimizations we claim must be visible in
+``explain`` output — filter/column pushdown into the parquet scan, broadcast
+joins for dimensions, no Python in relational paths (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import re
+
+from printer_etl_hub_spark.plans import REGISTRY
+
+from conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q01_filter_pushdown(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or re.search(
+        r"PushedFilters: \[.*l_shipdate", plan
+    ), plan[:2000]
+    # column pruning: the scan must not read unused wide columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_partkey" not in m.group(1), m.group(0) if m else "no ReadSchema"
+
+
+def test_q04_broadcast_dims(spark):
+    plan = plan_of(spark, "q04_enrichment_join")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+
+def test_q34_broadcast_customer_filter_pushdown(spark):
+    plan = plan_of(spark, "q34_tpch_q3")
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"PushedFilters: \[.*c_mktsegment.*\]", plan), "segment filter not pushed"
+
+
+def test_q12_point_lookup_prunes(spark):
+    plan = plan_of(spark, "q12_point_lookup")
+    # the literal-side normalization folds, leaving a pushable key equality
+    assert re.search(r"PushedFilters: \[.*EqualTo\(c_custkey,42\)", plan), plan[:2000]
+    # a point lookup must not shuffle
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_relational_paths_have_no_python(spark):
+    """Every relational query must stay JVM-side — no BatchEvalPython /
+    ArrowEvalPython / mapInPandas stages (q33 is the only sanctioned
+    Python-stage query)."""
+    for name in REGISTRY:
+        if name == "q33_multimodal_decode":
+            continue
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+def test_q01_wholestage_codegen(spark):
+    # formatted mode hides codegen ids under an unexecuted AdaptiveSparkPlan,
+    # so ask for the codegen-mode explain explicitly
+    df = REGISTRY["q01_pricing_summary"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    assert "WholeStageCodegen" in plan, plan[:1500]
