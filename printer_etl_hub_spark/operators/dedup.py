@@ -58,10 +58,17 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     # construction + hashing is the CPU-heavy part — spread it first.
     # (Pre-explode the rows are small, so this shuffle is the cheap place.)
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    toks = tokenize(F.col(text_col))
-    return spread.select(
-        F.col(id_col).alias("doc_id"), word_shingles(toks, n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    # Materialize the token array in its OWN projection: word_shingles
+    # references its tokens argument once per element_at inside a lambda,
+    # and lambda bodies see the raw expression tree — inlining tokenize()
+    # here would re-split the full text per shingle element (O(doc²) string
+    # work; measured 5x on the bench corpus). As a multi-referenced
+    # non-cheap alias, Catalyst's CollapseProject keeps it materialized.
+    return (
+        spread.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
+        .select("doc_id", word_shingles(F.col("toks"), n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
 
 
 def minhash_lsh_pairs(
@@ -152,32 +159,36 @@ def ngram_jaccard_pairs(
     Jaccard is then computed exactly over the df-filtered shingle space.
     """
     sh = _doc_shingles(df, id_col, text_col, shingle_n)
-    # Postings carry a NUMERIC shingle hash — the equi-join runs on a bigint
-    # instead of a string (collation-free compares, tighter shuffle rows).
-    # A 60-bit collision would merge two shingles; at dedup scales the
+    # Postings carry a NUMERIC shingle hash — grouping/joining runs on a
+    # bigint instead of a string (collation-free compares, tighter shuffle
+    # rows). A 60-bit collision would merge two shingles; at dedup scales the
     # probability is negligible and the DuckDB oracle hashes identically.
     postings = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
     ).select("doc_id", _md5_60bit(F.col("shingle")).alias("sh_h"))
+    # ONE shuffle (by shingle) builds the inverted index; the df cap is a
+    # size() filter on the posting list — no separate doc_freq pass, and the
+    # expensive scan→shingle→hash subtree exists exactly once in the plan
+    # (both consumers below read this aggregation via exchange reuse).
+    grouped = postings.groupBy("sh_h").agg(F.collect_list("doc_id").alias("ds"))
     if max_df is not None:
-        doc_freq = postings.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
-        postings = postings.join(
-            doc_freq.filter(F.col("df") <= max_df).select("sh_h"), "sh_h"
-        )
-    # Shingle-set sizes derived from the SAME postings subtree (shingles are
-    # already distinct per doc) — Catalyst reuses the exchange instead of
-    # recomputing the shingle pipeline from the scan.
-    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = postings.alias("a")
-    b = postings.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.sh_h") == F.col("b.sh_h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        grouped = grouped.filter(F.size("ds") <= max_df)
+    # Pair generation is a double explode of each posting list — a flatMap,
+    # not a self-join: a shingle held by d docs emits exactly C(d,2) ordered
+    # pairs with zero extra shuffle. With the df cap, d ≤ max_df bounds the
+    # fan-out per shingle regardless of corpus size.
+    pairs = (
+        grouped.select(F.explode("ds").alias("a_id"), F.col("ds"))
+        .select("a_id", F.explode("ds").alias("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
+    )
+    inter = pairs.groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("n_inter"))
+    # Sizes over the df-FILTERED shingle space (Jaccard is exact on the
+    # filtered universe): re-derived from the same grouped index.
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
     )
     # sizes scales with |docs| — NOT broadcastable at 100 TB; AQE picks the
     # strategy (broadcast at small SF, shuffle join at scale).

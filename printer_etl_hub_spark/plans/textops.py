@@ -59,8 +59,11 @@ FROM documents GROUP BY md5(text)
 def q24_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     d = t["documents"]
-    toks = tokenize(F.col("text"))
-    return d.select("doc_id", "lang", lang_id(toks).alias("pred_lang"))
+    # Materialize toks once: lang_id references its argument in four
+    # stopword filters, and inlining tokenize() would re-split per filter.
+    return d.select("doc_id", "lang", tokenize(F.col("text")).alias("toks")).select(
+        "doc_id", "lang", lang_id(F.col("toks")).alias("pred_lang")
+    )
 
 
 def _sql_stop_count(lang: str) -> str:
@@ -93,9 +96,9 @@ FROM scored
 def q25_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     d = t["documents"]
-    toks = tokenize(F.col("text"))
-    feats = quality_features(F.col("text"), toks)
-    return d.select(
+    staged = d.select("doc_id", "text", tokenize(F.col("text")).alias("toks"))
+    feats = quality_features(F.col("text"), F.col("toks"))
+    return staged.select(
         "doc_id",
         feats["n_chars"].alias("n_chars"),
         feats["n_tokens"].alias("n_tokens"),
