@@ -27,10 +27,13 @@ def canonicalize_id(col: Column) -> Column:
 
     Reference: `core/excel/update_from_json.py:17-26`.
     """
-    as_num = (col).try_cast("double")
-    return F.when(
-        as_num.isNotNull(), as_num.cast("bigint").cast("string")
-    ).otherwise(F.regexp_replace(F.trim(col), r"[\n\r]+", " "))
+    # try_cast BOTH steps: NaN/Infinity parse as double but have no bigint
+    # value (ANSI cast would throw) — they take the string branch, exactly
+    # like Python's int(float(v)) raising there.
+    as_int = col.try_cast("double").try_cast("bigint")
+    return F.when(as_int.isNotNull(), as_int.cast("string")).otherwise(
+        F.regexp_replace(F.trim(col), r"[\n\r]+", " ")
+    )
 
 
 def normalize_color(col: Column) -> Column:

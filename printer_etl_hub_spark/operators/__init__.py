@@ -8,5 +8,5 @@ from .dedup import (  # noqa: F401
     simhash_docs,
 )
 from .pivot import first_per_slot_pivot, varbind_pivot  # noqa: F401
-from .similarity import cosine_topk_bruteforce, sign_lsh_pairs  # noqa: F401
+from .similarity import cosine_topk_bruteforce, ivf_topk, sign_lsh_pairs  # noqa: F401
 from .upsert import merge_upsert  # noqa: F401

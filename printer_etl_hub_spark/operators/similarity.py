@@ -86,6 +86,83 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine neighbors.
+
+    Index build: centroids are the vectors of the ``n_centroids`` smallest
+    ids — a deterministic seeding so the DuckDB oracle reproduces the cell
+    partition exactly; production swaps in KMeans centroids (pyspark.ml)
+    without changing any plan shape below. Every vector scores against the
+    broadcast centroid set once (an O(n·c) map stage, no shuffle): rank 1
+    assigns the vector to its cell, ranks ≤ n_probe form its probe list.
+
+    Query: candidates come from an equi-join of probe lists against cell
+    members — ~n·n_probe·(n/c) exact cosines instead of the n² theta-join
+    of the brute-force baseline, and the only shuffle is on the (int) cell
+    id. Recall loss is the standard IVF tradeoff, tuned by (c, n_probe).
+
+    Output matches cosine_topk_bruteforce: (vec_id, neighbor_id, cos_sim, rn).
+    """
+    from pyspark.sql import Window
+
+    base = with_vector_norm(df.select(F.col(id_col).alias("vid"), vec_col), vec_col)
+    cents = (
+        base.orderBy("vid")
+        .limit(n_centroids)
+        .select(
+            F.col("vid").alias("cent_id"),
+            F.col("vec_d").alias("c_vec"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vid",
+        "vec_d",
+        "norm",
+        "cent_id",
+        (
+            _dot(F.col("vec_d"), F.col("c_vec")) / (F.col("norm") * F.col("c_norm"))
+        ).alias("c_cos"),
+    )
+    wc = Window.partitionBy("vid").orderBy(F.col("c_cos").desc(), F.col("cent_id").asc())
+    ranked = scored.withColumn("crn", F.row_number().over(wc)).filter(
+        F.col("crn") <= n_probe
+    )
+    cells = ranked.filter(F.col("crn") == 1).select(
+        F.col("cent_id").alias("cell"),
+        F.col("vid").alias("m_id"),
+        F.col("vec_d").alias("m_vec"),
+        F.col("norm").alias("m_norm"),
+    )
+    probes = ranked.select(
+        "vid", F.col("vec_d").alias("q_vec"), F.col("norm").alias("q_norm"),
+        F.col("cent_id").alias("cell"),
+    )
+    cand = probes.join(cells, "cell").filter(F.col("vid") != F.col("m_id"))
+    cos = (_dot(F.col("q_vec"), F.col("m_vec")) / (F.col("q_norm") * F.col("m_norm"))).alias(
+        "cos_sim"
+    )
+    scored2 = cand.select(F.col("vid"), F.col("m_id"), cos)
+    w = Window.partitionBy("vid").orderBy(F.col("cos_sim").desc(), F.col("m_id").asc())
+    return (
+        scored2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("m_id").alias("neighbor_id"),
+            F.round(F.col("cos_sim"), 6).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
 def sign_bucket(vec: Column, bits: int = 12) -> Column:
     """LSH bucket id from the signs of the first ``bits`` coordinates."""
     out = F.lit(0)

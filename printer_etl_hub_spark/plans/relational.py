@@ -804,6 +804,71 @@ GROUP BY r_name, n_name
 """
 
 
+# --------------------------------------------------------------------------
+# q39 — sliding event-time windows (overlapping-window state at scale)
+# --------------------------------------------------------------------------
+def q39_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import sliding_counts
+
+    t = load_tables(spark, sf_dir)
+    return sliding_counts(t["events"], "10 minutes", "5 minutes")
+
+
+# Each event belongs to window/slide = 2 overlapping epoch-aligned windows:
+# starts at bucket(ts) and bucket(ts) - 5min.
+Q39_SQL = f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - j * INTERVAL '5 minutes' AS w_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j)
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM assigned GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q40 — TPC-H Q10 (returned-item reporting: 4-way join, top 20)
+# --------------------------------------------------------------------------
+def q40_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact shuffle join (orders⋈lineitem) with customer/nation
+    broadcast dims; the revenue group-by keys include wide customer
+    attributes, so the aggregation runs AFTER the filter-reduced join —
+    Catalyst pushes the returnflag and date filters to both scans."""
+    t = load_tables(spark, sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q40_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -829,4 +894,6 @@ RELATIONAL_QUERIES = {
     "q22_asof_last_click": (q22_asof_last_click, Q22_SQL),
     "q34_tpch_q3": (q34_tpch_q3, Q34_SQL),
     "q35_tpch_q5": (q35_tpch_q5, Q35_SQL),
+    "q39_sliding_window": (q39_sliding_window, Q39_SQL),
+    "q40_tpch_q10": (q40_tpch_q10, Q40_SQL),
 }

@@ -25,7 +25,7 @@ from ..operators.dedup import (
     simhash_docs,
 )
 from ..operators.multimodal import decode_media
-from ..operators.similarity import cosine_topk_bruteforce, sign_lsh_pairs
+from ..operators.similarity import cosine_topk_bruteforce, ivf_topk, sign_lsh_pairs
 from ..tables import load_tables
 from .common import dsum, sql_dsum
 
@@ -350,6 +350,64 @@ SELECT a_id, b_id, bucket, cos_sim FROM pairs WHERE cos_sim >= {_LSH_MIN_COS}
 
 
 # --------------------------------------------------------------------------
+# q38 — IVF approximate nearest neighbors (the ANN index path)
+# --------------------------------------------------------------------------
+_IVF_C = 16  # centroids (deterministic seed: smallest vec_ids)
+_IVF_PROBE = 2
+
+
+def q38_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return ivf_topk(
+        t["embeddings"], "vec_id", "embedding",
+        k=3, n_centroids=_IVF_C, n_probe=_IVF_PROBE,
+    )
+
+
+_SQL_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+
+Q38_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+), n AS (
+  SELECT vec_id, vd,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), cents AS (
+  SELECT vec_id AS cent_id, vd AS c_vec, nrm AS c_nrm FROM n
+  ORDER BY vec_id LIMIT {_IVF_C}
+), scored AS (
+  SELECT n.vec_id, n.vd, n.nrm, c.cent_id,
+         {_SQL_DOT.format(a='n.vd', b='c.c_vec')} / (n.nrm * c.c_nrm) AS c_cos
+  FROM n CROSS JOIN cents c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cent_id ASC) AS crn
+  FROM scored
+), cells AS (
+  SELECT cent_id AS cell, vec_id AS m_id, vd AS m_vec, nrm AS m_nrm
+  FROM ranked WHERE crn = 1
+), probes AS (
+  SELECT vec_id, vd AS q_vec, nrm AS q_nrm, cent_id AS cell
+  FROM ranked WHERE crn <= {_IVF_PROBE}
+), cand AS (
+  SELECT p.vec_id, c.m_id,
+         {_SQL_DOT.format(a='p.q_vec', b='c.m_vec')} / (p.q_nrm * c.m_nrm) AS cos_raw
+  FROM probes p JOIN cells c USING (cell)
+  WHERE p.vec_id <> c.m_id
+), out AS (
+  SELECT vec_id, m_id AS neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos_raw DESC, m_id ASC) AS rn
+  FROM cand
+)
+SELECT vec_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rn
+FROM out WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # q33 — multimodal decode plumbing (mapInPandas, deterministic stub kernel)
 # --------------------------------------------------------------------------
 def q33_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,6 +492,7 @@ TEXT_QUERIES = {
     "q30_simhash": (q30_simhash, Q30_SQL),
     "q31_embedding_topk": (q31_embedding_topk, Q31_SQL),
     "q32_embedding_lsh": (q32_embedding_lsh, Q32_SQL),
+    "q38_ivf_topk": (q38_ivf_topk, Q38_SQL),
     "q33_multimodal_decode": (q33_multimodal_decode, Q33_SQL),
     "q36_salted_agg": (q36_salted_agg, Q36_SQL),
     "q37_approx_distinct": (q37_approx_distinct, None),

@@ -1,0 +1,124 @@
+"""Custom stateful streaming: per-key state machines via applyInPandasWithState.
+
+The reference's enrichment loop is a per-device state machine — each poll
+cycle compares the fresh probe against the stored record and rewrites it
+(read-modify-write in `plugins/base.py:19-43`; offline-transition defaults
+in `plugins/tonerFinder/toner_hp.py:62-66`). Structured Streaming expresses
+that as a keyed state store: state lives per key (O(fleet), not O(events)),
+micro-batches update it incrementally, and GroupStateTimeout can expire
+silent devices.
+
+`status_transitions` is the operator: emit a row whenever a key's status
+differs from the last status seen in any earlier micro-batch. The SAME
+semantics in batch is a lag() window (`status_transitions_batch`) — the
+equivalence test replays the events through a file stream and requires
+identical output, which is the correctness contract for every stateful op
+we add.
+
+Scale notes: state is one (status, ts) pair per key; shuffle is the single
+groupBy(key) exchange Structured Streaming already requires; the Python
+stage is Arrow-batched (one pandas frame per key-group per batch, not per
+row).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TRANSITIONS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("prev_status", StringType()),
+        StructField("status", StringType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("last_status", StringType()), StructField("last_ts", LongType())]
+)
+
+
+def _transitions_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key micro-batch update: sort this batch's rows in event order
+    (ts, then event_id — the deterministic tiebreak the batch oracle uses),
+    emit one output row per status change vs. the stored last status."""
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    last_status, _last_ts = state.get if state.exists else (None, None)
+    out_ts, out_prev, out_new = [], [], []
+    for ts, status in zip(rows["ts"], rows["event_type"]):
+        if status != last_status:
+            out_ts.append(ts)
+            out_prev.append(last_status)
+            out_new.append(status)
+            last_status = status
+    if len(rows):
+        state.update((last_status, int(rows["ts"].iloc[-1].value // 1000)))
+    if out_ts:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_ts),
+                "ts": out_ts,
+                "prev_status": out_prev,
+                "status": out_new,
+            }
+        )
+
+
+def status_transitions_stream(
+    events_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming per-user status-transition detector (custom stateful op).
+
+    Requires event-time ordered arrival per key across micro-batches for
+    exact batch parity (the equivalence test feeds batches in ts order —
+    the same contract as any cross-batch stateful comparison)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transitions_fn,
+            TRANSITIONS_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def status_transitions_batch(events: DataFrame) -> DataFrame:
+    """Batch semantics of the same operator: lag() per key in (ts, event_id)
+    order; the first event of a key is a transition from null."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = events.withColumn("prev_status", F.lag("event_type").over(w))
+    return (
+        lagged.filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "prev_status",
+            F.col("event_type").alias("status"),
+        )
+    )

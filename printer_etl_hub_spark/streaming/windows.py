@@ -56,6 +56,60 @@ def tumbling_counts_stream(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding event-time windows per event_type (each event lands in
+    window/slide overlapping windows). Epoch-aligned starts, so a SQL
+    oracle reproduces them with time_bucket arithmetic."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window, slide).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts_stream(
+    events_stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming variant: watermark bounds the overlapping-window state."""
+    return sliding_counts(
+        events_stream.withWatermark(ts_col, watermark), window, slide, ts_col
+    )
+
+
+def dedup_within_watermark_stream(
+    events_stream: DataFrame,
+    keys: list[str],
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving within
+    the watermark horizon are dropped; state for keys older than the
+    watermark is evicted (batch dropDuplicates would keep ALL keys forever —
+    unbounded state is the #1 streaming-job killer at scale)."""
+    return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def sessionized(
     events: DataFrame, gap: str = "30 minutes", ts_col: str = "ts"
 ) -> DataFrame:

@@ -9,6 +9,7 @@ from printer_etl_hub_spark.operators import (
     argmax_per_group,
     cosine_topk_bruteforce,
     dedup_exact,
+    ivf_topk,
     first_per_slot_pivot,
     merge_upsert,
     minhash_lsh_pairs,
@@ -104,6 +105,34 @@ def test_cosine_topk_and_lsh(spark):
     pairs = sign_lsh_pairs(df, "vec_id", "embedding", bits=4, min_cos=0.8).collect()
     got = {(r["a_id"], r["b_id"]) for r in pairs}
     assert (1, 2) in got and (3, 4) in got
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    # 2 well-separated clusters; with n_probe covering both cells, IVF must
+    # reproduce the exact brute-force neighbor lists
+    import math
+    # even ids = cluster A, odd ids = cluster B, so the deterministic
+    # smallest-id centroid seed (ids 0 and 1) spans both clusters
+    vecs = []
+    for i in range(10):
+        a = 0.1 * i
+        vecs.append((2 * i, [math.cos(a), math.sin(a), 0.5, 0.1]))         # cluster A
+        vecs.append((2 * i + 1, [-math.cos(a), -math.sin(a), -0.5, 0.3]))  # cluster B
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    bf = {
+        (r["vec_id"], r["rn"]): r["neighbor_id"]
+        for r in cosine_topk_bruteforce(df, "vec_id", "embedding", k=2).collect()
+    }
+    ivf = {
+        (r["vec_id"], r["rn"]): r["neighbor_id"]
+        for r in ivf_topk(df, "vec_id", "embedding", k=2, n_centroids=4, n_probe=4).collect()
+    }
+    # full-probe IVF == exact
+    assert ivf == bf
+    # restricted probe still finds within-cluster neighbors
+    ivf1 = ivf_topk(df, "vec_id", "embedding", k=1, n_centroids=2, n_probe=1)
+    for r in ivf1.collect():
+        assert r["vec_id"] % 2 == r["neighbor_id"] % 2
 
 
 def test_decode_media_and_frame_sample(spark):

@@ -40,35 +40,55 @@ CASES = [
 ]
 
 
+#: Java regex \s (Spark) and RE2 \s (DuckDB) are the ASCII class below.
+#: Python's \s and str.strip() additionally count \x1c-\x1f as whitespace —
+#: the engine contract is Spark==DuckDB, so the oracle pins the ASCII class.
+WS = r"[ \t\n\x0b\f\r]"
+
+
+def _re_strip(s):
+    return re.sub(f"^{WS}+|{WS}+$", "", s)
+
+
 def py_norm_ws(s):
-    return re.sub(r"\s+", " ", s.strip()).lower()
+    return re.sub(f"{WS}+", " ", _re_strip(s)).lower()
+
+
+def _engine_float(s):
+    """float() pinned to the engines' numeric-literal grammar: Python parses
+    Unicode digits and '1_0'; Spark/DuckDB casts don't."""
+    if not s.isascii() or "_" in s:
+        raise ValueError(s)
+    return float(s)
 
 
 def py_canonicalize_id(s):
     try:
-        f = float(s)
+        f = _engine_float(s)
         if f in (float("inf"), float("-inf")) or f != f:
             raise ValueError
         return str(int(f))
     except (ValueError, OverflowError):
-        return re.sub(r"[\n\r]+", " ", s.strip())
+        return re.sub(r"[\n\r]+", " ", _re_strip(s))
 
 
 def py_dash_if_blank(s):
-    t = s.strip()
+    t = _re_strip(s)
     return t if t else "-"
 
 
 def py_norm_text(s):
-    t = re.sub(r"\s+", " ", s.strip())
+    t = re.sub(f"{WS}+", " ", _re_strip(s))
     return t or None
 
 
 def py_safe_bigint(s):
     try:
-        return int(float(s))
+        v = int(_engine_float(s))
     except (ValueError, OverflowError):
         return None
+    # bigint range: the engine's try_cast chain nulls outside int64
+    return v if -(2**63) <= v < 2**63 else None
 
 
 def _run(spark, col_fn):

@@ -11,9 +11,16 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from printer_etl_hub_spark.streaming.stateful import (
+    status_transitions_batch,
+    status_transitions_stream,
+)
 from printer_etl_hub_spark.streaming.windows import (
+    dedup_within_watermark_stream,
     device_last_state_stream,
     sessionized,
+    sliding_counts,
+    sliding_counts_stream,
     tumbling_counts,
     tumbling_counts_stream,
 )
@@ -78,4 +85,99 @@ def test_stream_equals_batch(spark, events, tmp_path):
         (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
         for r in tumbling_counts(events, "5 minutes").collect()
     }
+    assert got == want
+
+
+def test_sliding_batch_double_counts(events):
+    """win=2×slide ⇒ every event is counted in exactly two windows."""
+    total = events.count()
+    out = sliding_counts(events, "10 minutes", "5 minutes").collect()
+    assert sum(r["n_events"] for r in out) == 2 * total
+
+
+def test_sliding_stream_equals_batch(spark, events, tmp_path):
+    src = str(tmp_path / "slide_src")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = sliding_counts_stream(stream, "10 minutes", "5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sliding_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM sliding_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in sliding_counts(events, "10 minutes", "5 minutes").collect()
+    }
+    assert got == want
+
+
+def test_dedup_within_watermark_drops_dups(spark, events, tmp_path):
+    """Duplicate rows arriving within the watermark horizon are dropped."""
+    src = str(tmp_path / "dedup_src")
+    dup = events.limit(50)
+    dup.union(dup).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    dd = dedup_within_watermark_stream(stream, ["event_id"], "10 minutes")
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    finally:
+        q.stop()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)) == 50
+
+
+def test_status_transitions_stream_equals_batch(spark, events, tmp_path):
+    """Custom stateful operator: two ts-ordered micro-batches through
+    applyInPandasWithState must equal the batch lag() answer."""
+    sub = events.filter(F.col("user_id") < 20)
+    want = {
+        (r["user_id"], r["ts"], r["prev_status"], r["status"])
+        for r in status_transitions_batch(sub).collect()
+    }
+    src = str(tmp_path / "trans_src")
+    ordered = sub.orderBy("ts", "event_id")
+    n = sub.count()
+    rows = ordered.collect()
+    half_ts = rows[n // 2]["ts"]
+    first = sub.filter(F.col("ts") <= half_ts)
+    rest = sub.filter(F.col("ts") > half_ts)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = status_transitions_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rest.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["ts"], r["prev_status"], r["status"])
+            for r in spark.sql("SELECT * FROM trans_out").collect()
+        }
+    finally:
+        q.stop()
     assert got == want
