@@ -64,11 +64,13 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     # here would re-split the full text per shingle element (O(doc²) string
     # work; measured 5x on the bench corpus). As a multi-referenced
     # non-cheap alias, Catalyst's CollapseProject keeps it materialized.
-    return (
-        spread.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
-        .select("doc_id", word_shingles(F.col("toks"), n).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-    )
+    # NO size()>0 filter here: every consumer explodes the array (explode
+    # drops empty arrays for free), and a filter would be pushed below these
+    # projections with the aliases substituted back in — re-inlining the
+    # whole tokenize+shingle tree into the pre-shuffle Filter, twice.
+    return spread.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+    ).select("doc_id", word_shingles(F.col("toks"), n).alias("shingles"))
 
 
 def minhash_lsh_pairs(
@@ -78,6 +80,7 @@ def minhash_lsh_pairs(
     k: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (a_id, b_id) sharing ≥1 signature band.
 
@@ -122,17 +125,23 @@ def minhash_lsh_pairs(
     banded = sig.selectExpr(
         "doc_id", f"stack({bands}, {', '.join(stack_args)}) AS (band_id, band_sig)"
     ).select("doc_id", "band_id", _md5_60bit(F.col("band_sig")).alias("band_key"))
-
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Bucket inverted index + double-explode pair generation (a flatMap),
+    # NOT a self-join: a self-join's build side would re-evaluate the whole
+    # scan→shingle→signature pipeline a second time (no exchange reuse
+    # across a broadcast boundary). One shuffle on the bucket key, the
+    # expensive subtree exists once. A bucket of d docs emits C(d,2) pairs —
+    # the LSH design keeps d small; a degenerate hot bucket (all-identical
+    # docs at corpus scale) is the classic blowup, so cap it with
+    # max_bucket if the corpus has pathological duplication.
+    grouped = banded.groupBy("band_id", "band_key").agg(
+        F.collect_list("doc_id").alias("ds")
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ds") <= max_bucket)
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        grouped.select(F.explode("ds").alias("a_id"), F.col("ds"))
+        .select("a_id", F.explode("ds").alias("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
         .distinct()
     )
     return pairs
@@ -173,6 +182,14 @@ def ngram_jaccard_pairs(
     grouped = postings.groupBy("sh_h").agg(F.collect_list("doc_id").alias("ds"))
     if max_df is not None:
         grouped = grouped.filter(F.size("ds") <= max_df)
+    # The inverted index feeds BOTH the pair stream and the size recount —
+    # a diamond the optimizer will not deduplicate (verified: 3 full scans
+    # in the executed plan without this). Persisting the index is the
+    # algorithm's own materialization step, same as any IVF/LSH index
+    # build; MEMORY_AND_DISK spills gracefully at corpus scale.
+    from pyspark import StorageLevel
+
+    grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
     # Pair generation is a double explode of each posting list — a flatMap,
     # not a self-join: a shingle held by d docs emits exactly C(d,2) ordered
     # pairs with zero extra shuffle. With the df cap, d ≤ max_df bounds the

@@ -135,6 +135,11 @@ def ivf_topk(
     ranked = scored.withColumn("crn", F.row_number().over(wc)).filter(
         F.col("crn") <= n_probe
     )
+    # cells + probes both read `ranked` — persist the index build (IVF's own
+    # materialization step) instead of recomputing the assignment twice.
+    from pyspark import StorageLevel
+
+    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     cells = ranked.filter(F.col("crn") == 1).select(
         F.col("cent_id").alias("cell"),
         F.col("vid").alias("m_id"),
