@@ -95,36 +95,55 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0, "k must divide into equal bands"
     rows_per_band = k // bands
-    # Postings plan: explode shingles once, compute all k md5-min components
-    # in ONE hash aggregation (map-side partial min per component). This is
-    # the 100 TB shape — no wide nested-lambda expressions, one shuffle on
-    # doc_id, vectorized md5 over the postings stream.
-    posts = _doc_shingles(df, id_col, text_col, shingle_n).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    # Signature components are NUMERIC (first 60 bits of the keyed md5 as a
-    # bigint): min over bigint is a cheap primitive-typed partial agg,
-    # whereas min over string pays a per-comparison collation cost in
-    # Spark 4 — ~50x slower at scale. Numeric min-hashing is equally
-    # min-wise independent, and DuckDB reproduces it exactly.
-    sig = posts.groupBy("doc_id").agg(
+    # Signature = per-doc ARRAY FOLD, not explode+groupBy: array_min over a
+    # transform evaluates each of the k components once per doc row — fully
+    # narrow, NO shuffle at all until the bucket index below. (The explode
+    # path additionally re-evaluates the shingle-construction expression per
+    # generated row — measured 4-5x the whole fold cost — and pays a
+    # doc_id shuffle for the re-aggregation.) The shingles alias is
+    # referenced k times, so CollapseProject keeps it materialized.
+    # Components are NUMERIC (first 60 bits of the keyed md5 as a bigint):
+    # primitive-typed mins, no string-collation compares, and DuckDB
+    # reproduces them exactly for the oracle.
+    def _mh_component(seed: int):
+        # MUST be a 1-parameter lambda: pyspark's transform() treats a
+        # 2-parameter callable (e.g. `lambda s, i=i: ...`) as an
+        # (element, index) lambda and passes the array-index Column as the
+        # second argument — silently shadowing a closure default.
+        prefix = f"{seed}:"
+        return lambda s: _md5_60bit(F.concat(F.lit(prefix), s))
+
+    sh = _doc_shingles(df, id_col, text_col, shingle_n)
+    sig = sh.select(
+        "doc_id",
         *[
-            F.min(_md5_60bit(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            F.array_min(F.transform("shingles", _mh_component(i))).alias(f"mh{i}")
             for i in range(k)
-        ]
+        ],
     )
     # Melt signature → (band_id, band_key) rows in a single projection
     # (stack), instead of a union that would recompute sig per band. The
     # band key is re-hashed to a bigint so the candidate self-join stays on
     # primitive-typed keys end to end (string join keys sort/compare
     # through collation in Spark 4 — avoid them in the hot path).
+    # concat (NOT concat_ws): a doc with no shingles has null mins, and
+    # null-propagating concat gives it a null band_sig → null band_key →
+    # dropped by the filter below. (concat_ws would silently fold all empty
+    # docs into one giant shared bucket.) The filter sits on the stack
+    # generator's OUTPUT, so it cannot be pushed into the fold expressions.
     stack_args = []
     for b in range(bands):
-        cols = ", ".join(f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
-        stack_args.append(f"{b}, concat_ws('|', {cols})")
-    banded = sig.selectExpr(
-        "doc_id", f"stack({bands}, {', '.join(stack_args)}) AS (band_id, band_sig)"
-    ).select("doc_id", "band_id", _md5_60bit(F.col("band_sig")).alias("band_key"))
+        cols = " , '|', ".join(
+            f"cast(mh{i} as string)" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        stack_args.append(f"{b}, concat({cols})")
+    banded = (
+        sig.selectExpr(
+            "doc_id", f"stack({bands}, {', '.join(stack_args)}) AS (band_id, band_sig)"
+        )
+        .filter(F.col("band_sig").isNotNull())
+        .select("doc_id", "band_id", _md5_60bit(F.col("band_sig")).alias("band_key"))
+    )
     # Bucket inverted index + double-explode pair generation (a flatMap),
     # NOT a self-join: a self-join's build side would re-evaluate the whole
     # scan→shingle→signature pipeline a second time (no exchange reuse
@@ -167,7 +186,17 @@ def ngram_jaccard_pairs(
     the whole job; ultra-common shingles carry no near-dup signal anyway.
     Jaccard is then computed exactly over the df-filtered shingle space.
     """
-    sh = _doc_shingles(df, id_col, text_col, shingle_n)
+    from pyspark import StorageLevel
+
+    # Persist the computed shingle arrays BEFORE exploding: Generate
+    # re-evaluates a computed child expression per OUTPUT row (measured 5x
+    # the construction cost), and an exchange barrier doesn't help because
+    # the optimizer pulls the projection back above it. Exploding from the
+    # cached arrays is free; this cache is the operator's tokenized-corpus
+    # index, the same materialization any inverted-index build pays.
+    sh = _doc_shingles(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # Postings carry a NUMERIC shingle hash — grouping/joining runs on a
     # bigint instead of a string (collation-free compares, tighter shuffle
     # rows). A 60-bit collision would merge two shingles; at dedup scales the
