@@ -41,7 +41,14 @@ HEADLINE = [
     "q29_ngram_jaccard",
     "q30_simhash",
     "q32_embedding_lsh",
+    "q38_ivf_topk",
     "q25_quality_score",
+    "q24_lang_id",
+    "q27_fingerprint",
+    "q39_sliding_window",
+    "q40_tpch_q10",
+    "q13_merge_upsert",
+    "q33_multimodal_decode",
 ]
 
 

