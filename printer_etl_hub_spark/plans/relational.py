@@ -212,9 +212,9 @@ def q06_pivot_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q06_SQL = """
 SELECT c_nationkey,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cnt_o,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cnt_f,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS cnt_p
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
 """
@@ -609,7 +609,7 @@ def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_SQL = """
 SELECT event_type, count(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_parsed
 FROM events GROUP BY event_type
 """
