@@ -47,6 +47,8 @@ HEADLINE = [
     "q27_fingerprint",
     "q39_sliding_window",
     "q40_tpch_q10",
+    "q41_semi_anti_join",
+    "q42_tpch_q18",
     "q13_merge_upsert",
     "q33_multimodal_decode",
 ]

@@ -869,6 +869,83 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# q41 — semi/anti joins (existence predicates without row duplication)
+# --------------------------------------------------------------------------
+def q41_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers WITH an urgent 1997 order (left_semi) and WITHOUT any 1998
+    order (left_anti). Semi/anti joins never duplicate the probe side and
+    stream the build side — at scale they beat IN/NOT IN subquery rewrites
+    because no dedup of the inner side is needed."""
+    t = load_tables(spark, sf_dir)
+    urgent97 = t["orders"].filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year("o_orderdate") == 1997)
+    )
+    any98 = t["orders"].filter(F.year("o_orderdate") == 1998)
+    return (
+        t["customer"]
+        .join(urgent97, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(any98, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+Q41_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1997)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND year(o_orderdate) = 1998)
+"""
+
+
+# --------------------------------------------------------------------------
+# q42 — TPC-H Q18 shape (HAVING-filtered agg feeding a semi-join)
+# --------------------------------------------------------------------------
+_Q18_QTY = 250
+
+
+def q42_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: aggregate lineitem per order, HAVING a sum
+    threshold, then semi-join orders+customer to the qualifying keys. The
+    qualifying set is tiny → broadcast; the big aggregation is one shuffle
+    with full map-side partials."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_QTY)
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"])
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            ts_str(F.col("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+Q42_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {sql_dsum('l_quantity')} > {_Q18_QTY}) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -896,4 +973,6 @@ RELATIONAL_QUERIES = {
     "q35_tpch_q5": (q35_tpch_q5, Q35_SQL),
     "q39_sliding_window": (q39_sliding_window, Q39_SQL),
     "q40_tpch_q10": (q40_tpch_q10, Q40_SQL),
+    "q41_semi_anti_join": (q41_semi_anti_join, Q41_SQL),
+    "q42_tpch_q18": (q42_tpch_q18, Q42_SQL),
 }
