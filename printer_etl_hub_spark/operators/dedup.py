@@ -257,30 +257,12 @@ def ngram_jaccard_pairs(
 def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc 16-bit SimHash signature (hamming-close docs are near-dups).
 
-    Postings plan: explode distinct tokens, hash each token once (first 4
-    md5 hex digits → 16 bits), then ONE aggregation computes all 16 bit
-    votes map-side. Bit b of the doc is 1 when strictly more tokens set it
-    than clear it — identical to functions/text.py::simhash16, but a single
-    vectorized pass instead of 16 nested array traversals.
+    Fully NARROW per-doc array fold (functions/text.py::simhash16) over a
+    materialized token array — no explode, no shuffle. The explode+groupBy
+    alternative pays generator re-evaluation of the token expression per
+    output row plus a doc_id shuffle; measured 7x slower at 50k docs.
     """
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    toks = spread.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
-    )
-    hashed = toks.select(
-        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int").alias("h")
-    )
-    votes = hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(0)
-            ).alias(f"v{b}")
-            for b in range(16)
-        ],
-    )
-    sim = F.lit(0)
-    for b in range(16):
-        sim = sim + F.when(F.col(f"v{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
-    return votes.select("doc_id", sim.cast("int").alias("simhash"))
+    return spread.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+    ).select("doc_id", simhash16(F.col("toks")).alias("simhash"))
