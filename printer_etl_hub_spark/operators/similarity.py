@@ -96,6 +96,10 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine neighbors.
 
+    Tuning at scale: probe cost ≈ n · n_probe · (n / n_centroids), so
+    n_centroids must grow ~sqrt(n) to keep cells bounded (the classic IVF
+    sizing rule); the 16-centroid default fits the test corpus only.
+
     Index build: centroids are the vectors of the ``n_centroids`` smallest
     ids — a deterministic seeding so the DuckDB oracle reproduces the cell
     partition exactly; production swaps in KMeans centroids (pyspark.ml)
@@ -188,9 +192,18 @@ def sign_lsh_pairs(
     """Near-duplicate embedding pairs: same sign-LSH bucket AND cosine ≥ min_cos.
 
     Output: a_id, b_id (a<b), bucket, cos_sim (rounded 6).
+
+    Tuning at scale: candidate pairs ≈ Σ bucket_size², so ``bits`` must grow
+    with the corpus (≈ log2(n) keeps average bucket size constant); the
+    exact per-pair cosine is a sequential fold (oracle-exact), so the pair
+    count — not the bucket assignment — is the cost to engineer down.
     """
+    from pyspark import StorageLevel
+
     base = with_vector_norm(df.select(F.col(id_col).alias("vid"), vec_col), vec_col)
-    base = base.withColumn("bucket", sign_bucket(F.col("vec_d"), bits))
+    base = base.withColumn("bucket", sign_bucket(F.col("vec_d"), bits)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # both self-join sides read this — compute the norms/buckets once
     a = base.select(
         F.col("vid").alias("a_id"),
         F.col("bucket"),

@@ -36,9 +36,21 @@ BROADCAST_DIMS = ("region", "nation", "supplier", "part")
 
 def _nanos_ts_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't read them
-    natively; we read them as long (legacy conf) and convert."""
+    natively; we read them as long (legacy conf) and convert.
+
+    ``path`` may be a single file (driver corpus) or a directory of part
+    files (any Spark-written table) — the schema comes from the first part.
+    """
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return []
+        path = parts[0]
     schema = pq.read_schema(path)
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 
@@ -56,8 +68,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLE_NAMES:
         path = f"{sf_dir}/{name}.parquet"
         df = spark.read.parquet(path)
+        # Only convert when Spark actually read the column as a nano LONG:
+        # pyarrow also reports Spark-written INT96 timestamps as
+        # timestamp[ns], but Spark reads those natively as TIMESTAMP.
+        dtypes = dict(df.dtypes)
         for c in _nanos_ts_columns(path):
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            if dtypes.get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -214,3 +214,48 @@ def test_device_state_sink_last_value_wins(spark, events, tmp_path):
         for r in device_last_state_stream(sub, "user_id").collect()
     }
     assert got == want
+
+
+def test_fleet_poll_stream(spark, tmp_path):
+    """Poll-cycle composition: injected tick stream × broadcast fleet →
+    partition-parallel probe with offline defaults → one typed row per
+    (cycle, device), across two micro-batches."""
+    import datetime as dt
+
+    from printer_etl_hub_spark.streaming.poll import fleet_poll_stream
+
+    fleet = spark.createDataFrame(
+        [("10.0.0.1",), ("10.0.0.2",), ("10.0.0.3",)], "ip string"
+    )
+
+    def transport(ip, opts):
+        if ip.endswith("3"):
+            raise TimeoutError("unreachable")
+        return {"status": "online", "pct": int(ip[-1]) * 10}
+
+    src = str(tmp_path / "ticks")
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    spark.createDataFrame([(t0, 0)], "poll_ts timestamp, cycle_ts long") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    ticks = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = fleet_poll_stream(
+        ticks, fleet, "ip", transport,
+        "ip string, status string, pct int",
+        offline_default={"status": "offline", "pct": None},
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("poll_out").start()
+    try:
+        q.processAllAvailable()
+        t1 = t0 + dt.timedelta(minutes=1)
+        spark.createDataFrame([(t1, 1)], "poll_ts timestamp, cycle_ts long") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM poll_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 6  # 2 cycles x 3 devices, no dropped rows
+    by = {(r["poll_ts"], r["ip"]): (r["status"], r["pct"]) for r in rows}
+    assert by[(t0, "10.0.0.1")] == ("online", 10)
+    assert by[(t0, "10.0.0.3")] == ("offline", None)
+    assert by[(t1, "10.0.0.2")] == ("online", 20)
