@@ -946,6 +946,34 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# q43 — exact percentiles (interpolated; the approx path is q37)
+# --------------------------------------------------------------------------
+def q43_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group. Spark's percentile()
+    buffers each group's values — fine for bounded per-group cardinality;
+    at open-ended 100 TB scale use approx_percentile (q37), which is
+    mergeable and bounded-memory. Rounded(6) so both engines' float
+    interpolation hashes identically."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+Q43_SQL = """
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -975,4 +1003,5 @@ RELATIONAL_QUERIES = {
     "q40_tpch_q10": (q40_tpch_q10, Q40_SQL),
     "q41_semi_anti_join": (q41_semi_anti_join, Q41_SQL),
     "q42_tpch_q18": (q42_tpch_q18, Q42_SQL),
+    "q43_exact_percentiles": (q43_exact_percentiles, Q43_SQL),
 }
