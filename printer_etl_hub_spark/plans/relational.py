@@ -974,6 +974,69 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q44 — TPC-H Q4 shape (per-priority order counts via semi-join)
+# --------------------------------------------------------------------------
+def q44_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having ANY lineitem shipped in the quarter, counted per
+    priority: left_semi keeps the probe side unduplicated (no distinct
+    needed), then a tiny groupBy."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q44_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate >= TIMESTAMP '1997-07-01' AND l_shipdate < TIMESTAMP '1998-01-01')
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q45 — TPC-H Q14 shape (conditional revenue share over a broadcast dim)
+# --------------------------------------------------------------------------
+def q45_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single global aggregate of a CASE expression over a fact⋈dim join —
+    full map-side partials, one-row result; the part dim broadcasts."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    j = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return j.agg(
+        F.round(100.0 * dsum(promo) / dsum(rev), 6).alias("promo_revenue_pct")
+    )
+
+
+Q45_SQL = f"""
+SELECT round(100.0 * {sql_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {sql_dsum('l_extendedprice * (1 - l_discount)')}, 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1004,4 +1067,6 @@ RELATIONAL_QUERIES = {
     "q41_semi_anti_join": (q41_semi_anti_join, Q41_SQL),
     "q42_tpch_q18": (q42_tpch_q18, Q42_SQL),
     "q43_exact_percentiles": (q43_exact_percentiles, Q43_SQL),
+    "q44_tpch_q4": (q44_tpch_q4, Q44_SQL),
+    "q45_tpch_q14": (q45_tpch_q14, Q45_SQL),
 }
