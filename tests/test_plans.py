@@ -12,10 +12,13 @@ from printer_etl_hub_spark.plans import REGISTRY
 from conftest import SF_SMOKE
 
 
-def plan_of(spark, name: str) -> str:
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    # "formatted" for readable sections (PushedFilters/ReadSchema);
+    # "simple" for NODE COUNTING — formatted prints every node twice
+    # (tree line + detail section)
     df = REGISTRY[name].fn(spark, SF_SMOKE)
     return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     )
 
 
@@ -67,3 +70,29 @@ def test_q01_wholestage_codegen(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
     )
     assert "WholeStageCodegen" in plan, plan[:1500]
+
+
+def test_q28_minhash_single_scan(spark):
+    """Regression guard: the scan→shingle→signature subtree must exist ONCE
+    (the band self-join used to re-evaluate it on the broadcast side)."""
+    plan = plan_of(spark, "q28_minhash_lsh", "simple")
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+
+
+def test_q30_simhash_no_shuffle_no_explode(spark):
+    """SimHash is a narrow per-doc fold: beyond the load-balancing
+    repartition there must be no aggregation exchange and no Generate."""
+    plan = plan_of(spark, "q30_simhash", "simple")
+    assert "Generate" not in plan
+    assert plan.count("Exchange") == 1, plan[:1500]  # only the repartition
+
+
+def test_q41_semi_anti_join_shapes(spark):
+    plan = plan_of(spark, "q41_semi_anti_join")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:2000]
+
+
+def test_q44_semi_join_no_distinct(spark):
+    """EXISTS via left_semi: no Aggregate/distinct on the lineitem side."""
+    plan = plan_of(spark, "q44_tpch_q4")
+    assert "LeftSemi" in plan, plan[:2000]
