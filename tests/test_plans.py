@@ -75,6 +75,10 @@ def test_q01_wholestage_codegen(spark):
 def test_q28_minhash_single_scan(spark):
     """Regression guard: the scan→shingle→signature subtree must exist ONCE
     (the band self-join used to re-evaluate it on the broadcast side)."""
+    # clear other tests' persisted frames: a substituted InMemoryRelation
+    # prints its cached child plan (incl. the FileScan text), which breaks
+    # string-count assertions
+    spark.catalog.clearCache()
     plan = plan_of(spark, "q28_minhash_lsh", "simple")
     assert plan.count("Scan parquet") == 1, plan[:1500]
 
@@ -82,6 +86,7 @@ def test_q28_minhash_single_scan(spark):
 def test_q30_simhash_no_shuffle_no_explode(spark):
     """SimHash is a narrow per-doc fold: beyond the load-balancing
     repartition there must be no aggregation exchange and no Generate."""
+    spark.catalog.clearCache()
     plan = plan_of(spark, "q30_simhash", "simple")
     assert "Generate" not in plan
     assert plan.count("Exchange") == 1, plan[:1500]  # only the repartition
