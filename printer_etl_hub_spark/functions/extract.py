@@ -197,3 +197,44 @@ def toner_type_display(col: Column) -> Column:
     array and scalar shapes of `tonerType` — normalize to array at ingest).
     """
     return F.array_join(F.array_distinct(col), ", ")
+
+
+def tolerant_json_fixup(col: Column) -> Column:
+    """F26 fallback rewrite: quote unquoted object keys so a sloppy payload
+    (`{status: "ok", code:42}`) parses. Reference `adapters/ews_alerts.py:
+    34-45` tries strict json → json5 → regex key-quoting; Spark's from_json
+    already tolerates some laxness, and this covers the bare-key case.
+    Apply as ``coalesce(from_json(s), from_json(tolerant_json_fixup(s)))``.
+    """
+    return F.regexp_replace(
+        col, r"([\{,]\s*)([A-Za-z_][A-Za-z0-9_\-]*)(\s*:)", r"$1\"$2\"$3"
+    )
+
+
+def tolerant_json_field(col: Column, schema: str, field: str) -> Column:
+    """F26 tolerant parse: strict first, key-quoting fallback second; null
+    (never a dropped/poisoned row) when both fail."""
+    strict = F.from_json(col, schema).getField(field)
+    fixed = F.from_json(tolerant_json_fixup(col), schema).getField(field)
+    return F.coalesce(strict, fixed)
+
+
+def xml_local_name_text(xml: Column, *tag_names: str) -> Column:
+    """F30 namespace-agnostic XML descendant search: first non-empty text of
+    any candidate tag name, ignoring namespaces — `local-name()` matches
+    regardless of prefix (the reference strips namespaces the same way,
+    `adapters/ledm_client.py:19-44`). Null if nothing matches."""
+    bound = [
+        F.nullif(
+            _xpath_string(xml, f"//*[local-name()='{t}']"),
+            F.lit(""),
+        )
+        for t in tag_names
+    ]
+    return F.coalesce(*bound) if len(bound) > 1 else bound[0]
+
+
+def _xpath_string(xml: Column, path: str) -> Column:
+    from pyspark.sql.functions import call_function
+
+    return call_function("xpath_string", xml, F.lit(path))

@@ -169,3 +169,44 @@ def test_toner_type_display(spark):
     df = spark.createDataFrame([(["CF226A", "CF226A", "W2040X"],)], "v array<string>")
     got = [r[0] for r in df.select(toner_type_display(F.col("v")).alias("o")).collect()]
     assert got == ["CF226A, W2040X"]
+
+
+def test_tolerant_json_field(spark):
+    from printer_etl_hub_spark.functions.extract import tolerant_json_field
+
+    df = spark.createDataFrame(
+        [
+            ('{"status": "ok", "code": 1}',),
+            ('{status: "sloppy", code:42}',),   # unquoted keys (F26 fallback)
+            ("not json",),
+            (None,),
+        ],
+        "s string",
+    )
+    out = [
+        r[0]
+        for r in df.select(
+            tolerant_json_field(F.col("s"), "status STRING, code INT", "status")
+        ).collect()
+    ]
+    assert out == ["ok", "sloppy", None, None]
+
+
+def test_xml_local_name_text(spark):
+    from printer_etl_hub_spark.functions.extract import xml_local_name_text
+
+    df = spark.createDataFrame(
+        [
+            ('<a:Root xmlns:a="urn:x"><a:Severity>Warning</a:Severity></a:Root>',),
+            ("<Root><Status>מוכן</Status></Root>",),  # Hebrew text, no namespace
+            ("<Root/>",),
+        ],
+        "xml string",
+    )
+    out = [
+        r[0]
+        for r in df.select(
+            xml_local_name_text(F.col("xml"), "Severity", "Status")
+        ).collect()
+    ]
+    assert out == ["Warning", "מוכן", None]
