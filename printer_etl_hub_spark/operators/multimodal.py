@@ -82,3 +82,81 @@ def frame_sample(df: DataFrame, id_col: str, n_frames_col: str, every: int = 2) 
             F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every))
         ).alias("frame_idx"),
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id bigint, payload binary, width int, height int, resized boolean"
+)
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    target_w: int = 224,
+    target_h: int = 224,
+) -> DataFrame:
+    """Resize stage plumbing: binary in → binary out, Arrow-batched.
+
+    The pixel kernel is STUBBED (no PIL here): output bytes are a
+    deterministic truncation/pad of the input sized to target_w*target_h/64,
+    so batch shapes and memory behavior match a real resize. Swap the body
+    for PIL/torchvision in production; the plan (partition-parallel
+    mapInPandas, binary columns, no collect) is the real thing.
+    """
+    out_len = max(1, target_w * target_h // 64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                resized = (b * (out_len // max(1, len(b)) + 1))[:out_len] if b else b""
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "payload": resized,
+                        "width": target_w,
+                        "height": target_h,
+                        "resized": bool(b),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col), F.col(payload_col)
+    ).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FEATURES_SCHEMA = "media_id bigint, embedding array<float>"
+
+
+def extract_features(
+    df: DataFrame, id_col: str, payload_col: str, dim: int = 16
+) -> DataFrame:
+    """Feature-extraction stage: binary → array<float> embedding.
+
+    Kernel STUBBED with a deterministic md5-seeded pseudo-embedding (unit
+    scale), so the output feeds the REAL similarity operators
+    (cosine_topk_bruteforce / sign_lsh_pairs / ivf_topk) in tests — the
+    full media→embedding→ANN pipeline shape without an ML runtime.
+    """
+    import hashlib
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                vec = []
+                for i in range(dim):
+                    h = hashlib.md5(b + i.to_bytes(2, "big")).digest()
+                    (u,) = struct.unpack(">I", h[:4])
+                    vec.append((u / 0xFFFFFFFF) * 2.0 - 1.0)
+                rows.append({"media_id": int(mid), "embedding": vec})
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col), F.col(payload_col)
+    ).mapInPandas(run, schema=FEATURES_SCHEMA)

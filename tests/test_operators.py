@@ -166,3 +166,24 @@ def test_fetch_stage_offline_default(spark):
     by_ip = {r["ip"]: (r["status"], r["pct"]) for r in out}
     assert by_ip["10.0.0.1"] == ("online", 42)
     assert by_ip["10.0.0.2"] == ("offline", None)
+
+
+def test_resize_and_feature_pipeline(spark):
+    """media → resize → features → ANN: the full multimodal pipeline shape
+    with stub kernels feeding the REAL similarity operators."""
+    from printer_etl_hub_spark.operators.multimodal import extract_features, resize_media
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"cat picture")), (2, bytearray(b"cat picture")),
+         (3, bytearray(b"dog picture")), (4, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    rs = {r["media_id"]: r for r in resize_media(media, "media_id", "payload", 32, 32).collect()}
+    assert rs[1]["width"] == 32 and len(rs[1]["payload"]) == 32 * 32 // 64
+    assert rs[4]["resized"] is False and len(rs[4]["payload"]) == 0
+    feats = extract_features(media, "media_id", "payload", dim=8)
+    nn = cosine_topk_bruteforce(feats, "media_id", "embedding", k=1).collect()
+    by = {r["vec_id"]: (r["neighbor_id"], r["cos_sim"]) for r in nn}
+    # identical payloads → identical embeddings → cosine 1.0 neighbors
+    assert by[1][0] == 2 and abs(by[1][1] - 1.0) < 1e-6
+    assert by[2][0] == 1
