@@ -1037,6 +1037,49 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-0
 """
 
 
+# --------------------------------------------------------------------------
+# q46 — two-table as-of join (operators/asof.py; DuckDB native ASOF oracle)
+# --------------------------------------------------------------------------
+def q46_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the most recent click value (ts-inclusive) by the
+    same user — the trades/quotes point-in-time lookup via the union+window
+    composition (one shuffle on the key, zero joins)."""
+    from ..operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, clicks, "user_id", "ts", ["click_value"], "last_")
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_str(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.col("last_click_value"),
+    )
+
+
+Q46_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       c.click_value AS last_click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1069,4 +1112,5 @@ RELATIONAL_QUERIES = {
     "q43_exact_percentiles": (q43_exact_percentiles, Q43_SQL),
     "q44_tpch_q4": (q44_tpch_q4, Q44_SQL),
     "q45_tpch_q14": (q45_tpch_q14, Q45_SQL),
+    "q46_asof_join": (q46_asof_join, Q46_SQL),
 }

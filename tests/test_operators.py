@@ -187,3 +187,29 @@ def test_resize_and_feature_pipeline(spark):
     # identical payloads → identical embeddings → cosine 1.0 neighbors
     assert by[1][0] == 2 and abs(by[1][1] - 1.0) < 1e-6
     assert by[2][0] == 1
+
+
+def test_asof_join_edges(spark):
+    """Backward-inclusive as-of: tie at equal ts attaches; rows with no
+    preceding right row get null; keys don't leak across."""
+    import datetime as dt
+
+    from printer_etl_hub_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, "u1", T(5)), (2, "u1", T(10)), (3, "u2", T(1)), (4, "u3", T(9))],
+        "event_id int, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", T(5), 50.0), ("u1", T(7), 70.0), ("u2", T(2), 20.0)],
+        "user_id string, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r["last_v"]
+        for r in asof_join(left, right, "user_id", "ts", ["v"], "last_").collect()
+    }
+    assert out[1] == 50.0     # tie at ts=5 is inclusive
+    assert out[2] == 70.0     # latest preceding, not first
+    assert out[3] is None     # right row is later than left
+    assert out[4] is None     # no right rows for key
