@@ -1080,6 +1080,47 @@ FROM purchases p ASOF LEFT JOIN clicks c
 """
 
 
+# --------------------------------------------------------------------------
+# q47 — range (interval) join via bucketization (operators/rangejoin.py)
+# --------------------------------------------------------------------------
+def q47_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count events inside 10 fixed 20-minute windows spaced an hour apart
+    from the corpus start — a cross-key point-in-interval join that the
+    bucketized rewrite executes as an equi-join (nested-loop-free)."""
+    from ..operators.rangejoin import range_join_bucketed
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    t0 = ev.agg(F.min("ts")).collect()[0][0]
+    wins = spark.createDataFrame(
+        [
+            (i, t0 + __import__("datetime").timedelta(hours=i),
+             t0 + __import__("datetime").timedelta(hours=i, minutes=20))
+            for i in range(10)
+        ],
+        "w_id int, w_start timestamp, w_end timestamp",
+    )
+    joined = range_join_bucketed(ev, "ts", wins, "w_start", "w_end", 600)
+    return (
+        joined.groupBy("w_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+    )
+
+
+Q47_SQL = f"""
+WITH t0 AS (SELECT min(ts) AS start0 FROM events),
+wins AS (
+  SELECT i AS w_id,
+         start0 + i * INTERVAL '1 hour' AS w_start,
+         start0 + i * INTERVAL '1 hour' + INTERVAL '20 minutes' AS w_end
+  FROM t0 CROSS JOIN (SELECT unnest(range(10)) AS i)
+)
+SELECT w_id, count(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events JOIN wins ON ts BETWEEN w_start AND w_end
+GROUP BY w_id
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1113,4 +1154,5 @@ RELATIONAL_QUERIES = {
     "q44_tpch_q4": (q44_tpch_q4, Q44_SQL),
     "q45_tpch_q14": (q45_tpch_q14, Q45_SQL),
     "q46_asof_join": (q46_asof_join, Q46_SQL),
+    "q47_range_join": (q47_range_join, Q47_SQL),
 }

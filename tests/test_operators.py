@@ -213,3 +213,26 @@ def test_asof_join_edges(spark):
     assert out[2] == 70.0     # latest preceding, not first
     assert out[3] is None     # right row is later than left
     assert out[4] is None     # no right rows for key
+
+
+def test_range_join_bucketed_edges(spark):
+    """Inclusive bounds; intervals spanning multiple buckets match once;
+    points outside all intervals drop."""
+    import datetime as dt
+
+    from printer_etl_hub_spark.operators.rangejoin import range_join_bucketed
+
+    T = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    pts = spark.createDataFrame(
+        [(1, T(0)), (2, T(10)), (3, T(25)), (4, T(59))],
+        "pid int, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(100, T(0), T(10)), (200, T(5), T(30))],  # overlap; 200 spans 4 buckets at w=10
+        "iid int, s timestamp, e timestamp",
+    )
+    out = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join_bucketed(pts, "ts", ivs, "s", "e", 10).collect()
+    )
+    assert out == [(1, 100), (2, 100), (2, 200), (3, 200)]
