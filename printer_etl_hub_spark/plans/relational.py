@@ -1121,6 +1121,37 @@ GROUP BY w_id
 """
 
 
+# --------------------------------------------------------------------------
+# q48 — hypertable rollup ladder (operators/rollup_ht.py)
+# --------------------------------------------------------------------------
+def q48_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-level continuous aggregate computed minute→hour→day (each level
+    re-aggregates the previous one). The oracle aggregates raw events
+    directly at day resolution — matching proves the ladder's partials
+    merge exactly (mergeable counts + decimal sums)."""
+    from ..operators.rollup_ht import hypertable_rollup
+
+    t = load_tables(spark, sf_dir)
+    ladder = hypertable_rollup(
+        t["events"], "ts", ["event_type"], "value",
+        ("1 minute", "1 hour", "1 day"),
+    )
+    day = ladder["1 day"]
+    return day.select(
+        ts_str(F.col("bucket_start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+Q48_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+       event_type, count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1155,4 +1186,5 @@ RELATIONAL_QUERIES = {
     "q45_tpch_q14": (q45_tpch_q14, Q45_SQL),
     "q46_asof_join": (q46_asof_join, Q46_SQL),
     "q47_range_join": (q47_range_join, Q47_SQL),
+    "q48_hypertable_rollup": (q48_hypertable_rollup, Q48_SQL),
 }
