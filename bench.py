@@ -50,6 +50,9 @@ HEADLINE = [
     "q41_semi_anti_join",
     "q42_tpch_q18",
     "q13_merge_upsert",
+    "q46_asof_join",
+    "q47_range_join",
+    "q48_hypertable_rollup",
     "q33_multimodal_decode",
 ]
 
