@@ -1152,6 +1152,63 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q49 — distinct aggregation (Expand-based plan) + multi-distinct
+# --------------------------------------------------------------------------
+def q49_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT x) per group plus a second distinct on another column —
+    Catalyst plans multi-distinct with an Expand (one row per distinct
+    "branch"), keeping a single shuffle pass. The exact-distinct complement
+    of q37's HLL estimate."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+Q49_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q50 — CUBE grouping sets (all 4 aggregation lattices in one pass)
+# --------------------------------------------------------------------------
+def q50_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): Expand emits one row per grouping set, one
+    shuffle computes every lattice cell (vs 4 separate scans)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("sum_price"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+Q50_SQL = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, {sql_dsum('o_totalprice')} AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1187,4 +1244,6 @@ RELATIONAL_QUERIES = {
     "q46_asof_join": (q46_asof_join, Q46_SQL),
     "q47_range_join": (q47_range_join, Q47_SQL),
     "q48_hypertable_rollup": (q48_hypertable_rollup, Q48_SQL),
+    "q49_distinct_agg": (q49_distinct_agg, Q49_SQL),
+    "q50_cube": (q50_cube, Q50_SQL),
 }
