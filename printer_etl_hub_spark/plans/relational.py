@@ -1209,6 +1209,41 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+# --------------------------------------------------------------------------
+# q52 — unpivot / melt (wide→long, the inverse of q06's pivot)
+# --------------------------------------------------------------------------
+def q52_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot per-nation status counts wide, then melt back long with
+    unpivot — Spark's Expand-based wide→long, no shuffle beyond the
+    original aggregation."""
+    t = load_tables(spark, sf_dir)
+    wide = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+    )
+    return wide.unpivot(
+        ["c_nationkey"], ["O", "F", "P"], "status", "n_orders"
+    )
+
+
+Q52_SQL = """
+WITH wide AS (
+  SELECT c_nationkey,
+         CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS "O",
+         CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS "F",
+         CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS "P"
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey
+)
+SELECT c_nationkey, status, n_orders
+FROM wide UNPIVOT (n_orders FOR status IN ("O", "F", "P"))
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1246,4 +1281,5 @@ RELATIONAL_QUERIES = {
     "q48_hypertable_rollup": (q48_hypertable_rollup, Q48_SQL),
     "q49_distinct_agg": (q49_distinct_agg, Q49_SQL),
     "q50_cube": (q50_cube, Q50_SQL),
+    "q52_unpivot": (q52_unpivot, Q52_SQL),
 }

@@ -481,6 +481,36 @@ def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# q51 — token frequency top-k (posexplode + global top-k)
+# --------------------------------------------------------------------------
+def q51_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 tokens: explode the (cheap) token arrays, one
+    count shuffle, then a single-partition top-k of the (tiny) distinct-token
+    aggregate — never a global sort of the raw postings."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    return (
+        toks.filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+Q51_SQL = r"""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -496,4 +526,5 @@ TEXT_QUERIES = {
     "q33_multimodal_decode": (q33_multimodal_decode, Q33_SQL),
     "q36_salted_agg": (q36_salted_agg, Q36_SQL),
     "q37_approx_distinct": (q37_approx_distinct, None),
+    "q51_token_topk": (q51_token_topk, Q51_SQL),
 }
