@@ -1,0 +1,76 @@
+"""Storage-layout scale evidence: date-partition pruning and AQE skew-join.
+
+Partition pruning and skew splitting are the two behaviors that decide
+whether a 100 TB job reads 1/365th of the data or all of it, and whether
+one hot key stalls the stage. Both must be VISIBLE in the plan, not
+assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from printer_etl_hub_spark.tables import load_tables
+
+from conftest import SF_SMOKE
+
+
+def test_date_partitioned_write_prunes(spark, tmp_path):
+    """Writing partitionBy(event_date) and filtering on it must prune at
+    the source: the scan's partition count shrinks and the filter shows in
+    PartitionFilters, not as a post-scan Filter."""
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    out = str(tmp_path / "ev_by_date")
+    ev.withColumn("event_date", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    one_day = back.select("event_date").distinct().limit(1).collect()[0][0]
+    q = back.filter(F.col("event_date") == F.lit(one_day))
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # pruned scan reads only the one partition's rows
+    n_day = q.count()
+    assert 0 < n_day < back.count()
+
+
+def test_aqe_skew_join_splits(spark, tmp_path):
+    """A pathologically hot key must trigger AQE's skew-join split (visible
+    as isSkew=true / skew= markers in the final plan) once the thresholds
+    are scaled down to local data sizes."""
+    big_src = str(tmp_path / "skew_big")
+    dim_src = str(tmp_path / "skew_dim")
+    spark.range(0, 200_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    ).write.mode("overwrite").parquet(big_src)
+    spark.range(0, 50_000).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).write.mode("overwrite").parquet(dim_src)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.read.parquet(big_src)
+        dim = spark.read.parquet(dim_src)
+        # execute the BARE join: a downstream agg would suppress the skew
+        # split (AQE keeps the partitioning the agg could reuse)
+        j = big.join(dim, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
