@@ -1244,6 +1244,64 @@ FROM wide UNPIVOT (n_orders FOR status IN ("O", "F", "P"))
 """
 
 
+# --------------------------------------------------------------------------
+# q53 — ranking-window family (ntile / percent_rank / dense_rank)
+# --------------------------------------------------------------------------
+def q53_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-function family over one explicit total order per nation —
+    one window shuffle serves all four functions."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("bal_pct_rank"),
+    )
+
+
+Q53_SQL = """
+SELECT c_custkey, c_nationkey,
+       dense_rank() OVER w AS bal_dense_rank,
+       ntile(4) OVER w AS bal_quartile,
+       round(percent_rank() OVER w, 9) AS bal_pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+# --------------------------------------------------------------------------
+# q54 — correlated scalar subquery (TPC-H Q17 shape; Catalyst decorrelates)
+# --------------------------------------------------------------------------
+def q54_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems with quantity below 20% of their part's average quantity.
+    Written as the correlated scalar subquery TPC-H specifies — Catalyst
+    decorrelates it into an aggregate + join (no per-row re-execution);
+    the same rewrite a hand-tuned plan would use."""
+    t = load_tables(spark, sf_dir)
+    t["lineitem"].createOrReplaceTempView("lineitem")
+    t["part"].createOrReplaceTempView("part")
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = part.p_partkey)
+    """)
+
+
+Q54_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1282,4 +1340,6 @@ RELATIONAL_QUERIES = {
     "q49_distinct_agg": (q49_distinct_agg, Q49_SQL),
     "q50_cube": (q50_cube, Q50_SQL),
     "q52_unpivot": (q52_unpivot, Q52_SQL),
+    "q53_rank_windows": (q53_rank_windows, Q53_SQL),
+    "q54_tpch_q17": (q54_tpch_q17, Q54_SQL),
 }
