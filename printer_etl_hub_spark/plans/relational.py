@@ -1302,6 +1302,69 @@ WHERE p_brand = 'Brand#1'
 """
 
 
+# --------------------------------------------------------------------------
+# q55 — ordered string aggregation (listagg)
+# --------------------------------------------------------------------------
+def q55_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region ordered name list: collect_list under an explicit sort
+    (sort_array for a deterministic order at any parallelism) rendered with
+    concat_ws — the distributed listagg."""
+    t = load_tables(spark, sf_dir)
+    j = t["nation"].join(
+        F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        j.groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+Q55_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q56 — date/time function family (engine-portable calendar arithmetic)
+# --------------------------------------------------------------------------
+def q56_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar projections every ETL needs: truncation, extraction, day
+    arithmetic — all pushed-down-safe narrow expressions."""
+    t = load_tables(spark, sf_dir)
+    d = F.col("o_orderdate")
+    return t["orders"].select(
+        "o_orderkey",
+        ts_str(d, "yyyy-MM-dd").alias("orderdate"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        ts_str(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date")).alias("days_to_eoy"),
+        ts_str(F.date_add(d.cast("date"), 90), "yyyy-MM-dd").alias("due_date"),
+    )
+
+
+Q56_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_eoy,
+       strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d') AS due_date
+FROM orders
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1342,4 +1405,6 @@ RELATIONAL_QUERIES = {
     "q52_unpivot": (q52_unpivot, Q52_SQL),
     "q53_rank_windows": (q53_rank_windows, Q53_SQL),
     "q54_tpch_q17": (q54_tpch_q17, Q54_SQL),
+    "q55_string_agg": (q55_string_agg, Q55_SQL),
+    "q56_date_functions": (q56_date_functions, Q56_SQL),
 }
