@@ -54,6 +54,10 @@ HEADLINE = [
     "q47_range_join",
     "q48_hypertable_rollup",
     "q33_multimodal_decode",
+    "q59_tpch_q8",
+    "q61_tpch_q13",
+    "q64_tpch_q21",
+    "q66_tpch_q2",
 ]
 
 

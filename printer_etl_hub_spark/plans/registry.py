@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .relational import RELATIONAL_QUERIES
 from .textops import TEXT_QUERIES
+from .tpch_pack import TPCH_PACK_QUERIES
 
 
 @dataclass(frozen=True)
@@ -19,5 +20,9 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {
     name: QuerySpec(fn, sql)
-    for name, (fn, sql) in {**RELATIONAL_QUERIES, **TEXT_QUERIES}.items()
+    for name, (fn, sql) in {
+        **RELATIONAL_QUERIES,
+        **TEXT_QUERIES,
+        **TPCH_PACK_QUERIES,
+    }.items()
 }
