@@ -101,3 +101,45 @@ def test_q44_semi_join_no_distinct(spark):
     """EXISTS via left_semi: no Aggregate/distinct on the lineitem side."""
     plan = plan_of(spark, "q44_tpch_q4")
     assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_q57_all_predicates_pushed(spark):
+    """TPC-H Q6: every predicate reaches the parquet scan; only the four
+    needed columns are read."""
+    plan = plan_of(spark, "q57_tpch_q6")
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert re.search(rf"PushedFilters: \[.*{col}", plan), f"{col} not pushed"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_orderkey" not in m.group(1), m.group(0) if m else "no ReadSchema"
+
+
+def test_q64_no_nested_loop(spark):
+    """Q21-shape double correlation: both the EXISTS and NOT-EXISTS legs
+    must hash-join on the l_orderkey equi-component with the suppkey
+    inequality as a residual — never a BroadcastNestedLoopJoin."""
+    plan = plan_of(spark, "q64_tpch_q21")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:2000]
+
+
+def test_q66_single_pass_no_diamond(spark):
+    """Q2-shape groupwise-min as a window: lineitem must be scanned ONCE
+    (an aggregate+join-back rewrite scans and aggregates it twice)."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "q66_tpch_q2", "simple")
+    assert plan.count("lineitem.parquet") == 1, plan[:3000]
+    assert "Window" in plan, plan[:2000]
+
+
+def test_q62_q67_fact_scanned_once(spark):
+    """Scalar-threshold queries reuse the persisted aggregate: both branches
+    (rows + global threshold) must read the InMemoryRelation, not re-derive
+    the fact aggregation. (A cached relation prints its child plan, so
+    counting 'lineitem.parquet' in the text overcounts — assert the cache
+    substitution itself.)"""
+    for name in ("q62_tpch_q15", "q67_tpch_q11"):
+        spark.catalog.clearCache()
+        df = REGISTRY[name].fn(spark, SF_SMOKE)
+        df.collect()  # materialize so the reused branch substitutes the cache
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert executed.count("InMemoryTableScan") >= 2, name
