@@ -1,0 +1,160 @@
+"""Tabular sheet ingest with the reference's header semantics (S1-S3).
+
+The reference reads Excel sheets three ways (this container has no xlsx
+libs, so the semantics are implemented over CSV/JSON-lines — the header
+logic is byte-identical, only the byte decoder differs):
+
+- S1 spec'd scan with fuzzy header→key matching and positional fallback
+  (`core/excel/import_from_xlsm.py:51-84`): normalized lowercase /
+  whitespace-collapsed match; a spec'd column whose header is missing is
+  taken by position.
+- S2 synonym resolution (`adapters/employee_source.py:6-42`): each logical
+  column has a list of accepted header spellings, incl. Hebrew
+  (e.g. branch id = "מספר סניף").
+- S3 inferred scan (`adapters/location_source.py:6-57`): keep every
+  non-empty header, suffix duplicate headers ``_2, _3…``, skip
+  all-empty rows.
+
+Header resolution is DRIVER-side (schema work, bytes-cheap); the row scan
+stays a distributed Spark CSV/JSON read — at 100 TB the scan parallelizes
+by file split while the header decision is one metadata read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _norm_header(h: str) -> str:
+    """Reference F1 `_norm` applied to headers: lower + trim + collapse ws."""
+    return " ".join(str(h).strip().lower().split())
+
+
+def dedup_headers(headers: list[str]) -> list[str]:
+    """S3 duplicate-header suffixing (`adapters/location_source.py:6-21`):
+    second occurrence of a header becomes ``name_2``, third ``name_3``…"""
+    seen: dict[str, int] = {}
+    out = []
+    for h in headers:
+        n = seen.get(h, 0) + 1
+        seen[h] = n
+        out.append(h if n == 1 else f"{h}_{n}")
+    return out
+
+
+def resolve_headers(
+    actual: list[str],
+    spec: dict[str, list[str]],
+    *,
+    positional_fallback: bool = True,
+) -> dict[str, str]:
+    """S1/S2 fuzzy header resolution: logical name → actual header.
+
+    ``spec`` maps each logical column to its accepted spellings (the logical
+    name itself is always accepted). Matching is on normalized headers;
+    logical columns with no header match fall back to the spec-position
+    column (`core/excel/import_from_xlsm.py:73-84`) when enabled.
+    Raises if a logical column cannot be resolved.
+    """
+    norm_actual = {_norm_header(h): h for h in actual}
+    resolved: dict[str, str] = {}
+    taken: set[str] = set()
+    missing: list[tuple[int, str]] = []
+    for pos, (logical, synonyms) in enumerate(spec.items()):
+        hit = None
+        for cand in [logical, *synonyms]:
+            h = norm_actual.get(_norm_header(cand))
+            if h is not None and h not in taken:
+                hit = h
+                break
+        if hit is None:
+            missing.append((pos, logical))
+            continue
+        resolved[logical] = hit
+        taken.add(hit)
+    for pos, logical in missing:
+        if not positional_fallback or pos >= len(actual) or actual[pos] in taken:
+            raise ValueError(f"cannot resolve column {logical!r} in {actual}")
+        resolved[logical] = actual[pos]
+        taken.add(actual[pos])
+    return resolved
+
+
+def _raw_csv_headers(path: str) -> list[str] | None:
+    """First header line of the (first) CSV file, exactly as written."""
+    import csv
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        cands = sorted(glob.glob(os.path.join(path, "*.csv")))
+    else:
+        cands = sorted(glob.glob(path)) or [path]
+    if not cands or not os.path.isfile(cands[0]):
+        return None
+    with open(cands[0], newline="", encoding="utf-8") as fh:
+        return next(csv.reader(fh), None)
+
+
+def read_sheet(
+    spark: SparkSession,
+    path: str,
+    spec: dict[str, list[str]] | None = None,
+    *,
+    fmt: str = "csv",
+    drop_all_null: bool = True,
+) -> DataFrame:
+    """Spec'd (S1/S2) or inferred (S3) sheet scan over CSV / JSON-lines.
+
+    - spec given → fuzzy-resolve + prune/rename to the logical columns;
+    - spec None → keep every header, duplicate headers suffixed ``_2…``;
+    - empty strings normalize to null first, then all-null rows drop
+      (P6, `core/excel/import_from_xlsm.py:79-84`).
+    """
+    if fmt == "csv":
+        df = spark.read.option("header", "true").csv(path)
+        # Spark renames duplicate CSV headers to name0/name1; recover the raw
+        # header row (one driver-side metadata read) for reference-exact
+        # fuzzy matching and _2/_3 dedup suffixes.
+        raw = _raw_csv_headers(path)
+        if raw is not None and len(raw) == len(df.columns):
+            df = df.toDF(*dedup_headers(raw))
+    elif fmt in ("json", "jsonl"):
+        df = spark.read.json(path)
+    else:
+        raise ValueError(f"unsupported fmt {fmt!r}")
+
+    if spec is not None:
+        mapping = resolve_headers(df.columns, spec)
+        df = df.select(
+            *[F.col(f"`{actual}`").alias(logical) for logical, actual in mapping.items()]
+        )
+
+    # "" → null so drop("all") matches the reference's (None, "", []) test
+    df = df.select(
+        *[
+            F.nullif(F.col(f"`{c}`"), F.lit("")).alias(c)
+            if dict(df.dtypes)[c] == "string"
+            else F.col(f"`{c}`")
+            for c in df.columns
+        ]
+    )
+    return df.na.drop("all") if drop_all_null else df
+
+
+#: Reference sheet specs (`core/excel/import_from_xlsm.py:14-23`) with the
+#: S2 synonym lists (`adapters/employee_source.py:6-42`) — Hebrew included.
+EMPLOYEE_SPEC = {
+    "id": ["employee id", "emp id", "מספר סניף", "branch id"],
+    "name": ["employee name", "full name", "שם"],
+    "phone": ["phone number", "tel", "טלפון"],
+}
+COMPANY_SHEET_SPEC = {
+    "ID": [],
+    "Floor": [],
+    "Printer IP": ["IP", "ip"],
+    "Type": [],
+    "Serial": [],
+    "Comment": [],
+}

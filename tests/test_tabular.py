@@ -1,0 +1,67 @@
+"""S1-S3 tabular ingest: fuzzy headers, synonyms, positional fallback,
+duplicate-header suffixing, all-null row drop (reference
+`core/excel/import_from_xlsm.py:51-84`, `adapters/employee_source.py:6-42`,
+`adapters/location_source.py:6-57`)."""
+
+from __future__ import annotations
+
+import pytest
+
+from printer_etl_hub_spark.sources.tabular import (
+    EMPLOYEE_SPEC,
+    dedup_headers,
+    read_sheet,
+    resolve_headers,
+)
+
+
+def test_resolve_fuzzy_and_synonym():
+    actual = ["  Employee  ID ", "שם", "Phone Number"]
+    m = resolve_headers(actual, EMPLOYEE_SPEC)
+    assert m == {"id": "  Employee  ID ", "name": "שם", "phone": "Phone Number"}
+
+
+def test_resolve_positional_fallback():
+    # middle header unrecognized → taken by spec position (pos 1 = name)
+    actual = ["emp id", "mystery", "tel"]
+    m = resolve_headers(actual, EMPLOYEE_SPEC)
+    assert m["name"] == "mystery"
+
+
+def test_resolve_unresolvable_raises():
+    with pytest.raises(ValueError, match="cannot resolve"):
+        resolve_headers(["a"], EMPLOYEE_SPEC, positional_fallback=False)
+
+
+def test_dedup_headers():
+    assert dedup_headers(["x", "y", "x", "x"]) == ["x", "y", "x_2", "x_3"]
+
+
+def test_read_sheet_spec(spark, tmp_path):
+    p = tmp_path / "emp.csv"
+    p.write_text(
+        "Employee ID,שם,Phone Number\n"
+        "1,Alice,555\n"
+        ",,\n"  # all-null row → dropped
+        "2,בועז,556\n",
+        encoding="utf-8",
+    )
+    df = read_sheet(spark, str(p), EMPLOYEE_SPEC)
+    rows = sorted((r.id, r.name, r.phone) for r in df.collect())
+    assert rows == [("1", "Alice", "555"), ("2", "בועז", "556")]
+
+
+def test_read_sheet_inferred_dedup(spark, tmp_path):
+    p = tmp_path / "loc.csv"
+    p.write_text("addr,addr,note\nA,B,\nC,D,x\n", encoding="utf-8")
+    df = read_sheet(spark, str(p), None)
+    assert df.columns == ["addr", "addr_2", "note"]
+    rows = sorted((r.addr, r.addr_2, r.note) for r in df.collect())
+    assert rows == [("A", "B", None), ("C", "D", "x")]
+
+
+def test_read_sheet_jsonl(spark, tmp_path):
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"id": "1", "name": "A"}\n{"id": "2", "name": "B"}\n')
+    df = read_sheet(spark, str(p), {"id": [], "name": []}, fmt="jsonl")
+    assert sorted((r.id, r.name) for r in df.collect()) == [("1", "A"), ("2", "B")]
