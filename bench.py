@@ -58,6 +58,8 @@ HEADLINE = [
     "q61_tpch_q13",
     "q64_tpch_q21",
     "q66_tpch_q2",
+    "q71_json_harvest",
+    "q72_dup_clusters",
 ]
 
 

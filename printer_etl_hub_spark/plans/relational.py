@@ -1365,6 +1365,45 @@ FROM orders
 """
 
 
+# --------------------------------------------------------------------------
+# q71 — schema-agnostic JSON harvest (reference F27/F28 recursive walk)
+# --------------------------------------------------------------------------
+def q71_json_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested payloads flattened to (id, path, vtype, val) rows by the
+    VARIANT explode ladder (operators/harvest.py) — keys are DISCOVERED from
+    the data, not declared. The payload here is built from base columns so
+    the oracle can state the expected leaves from the same base table
+    without any cross-engine JSON formatting dependency."""
+    from ..operators.harvest import harvest_json
+
+    t = load_tables(spark, sf_dir)
+    payload = F.to_json(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_orderpriority").alias("priority"),
+                F.year("o_orderdate").alias("yr"),
+            ).alias("meta"),
+            F.array(F.col("o_orderkey"), F.col("o_custkey")).alias("items"),
+        )
+    )
+    doc = t["orders"].select("o_orderkey", payload.alias("payload"))
+    return harvest_json(doc, "payload", ("o_orderkey",), max_depth=3)
+
+
+Q71_SQL = """
+SELECT o_orderkey, 'status' AS path, 'STRING' AS vtype, o_orderstatus AS val FROM orders
+UNION ALL
+SELECT o_orderkey, 'meta.priority', 'STRING', o_orderpriority FROM orders
+UNION ALL
+SELECT o_orderkey, 'meta.yr', 'BIGINT', CAST(year(o_orderdate) AS VARCHAR) FROM orders
+UNION ALL
+SELECT o_orderkey, 'items[0]', 'BIGINT', CAST(o_orderkey AS VARCHAR) FROM orders
+UNION ALL
+SELECT o_orderkey, 'items[1]', 'BIGINT', CAST(o_custkey AS VARCHAR) FROM orders
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1407,4 +1446,5 @@ RELATIONAL_QUERIES = {
     "q54_tpch_q17": (q54_tpch_q17, Q54_SQL),
     "q55_string_agg": (q55_string_agg, Q55_SQL),
     "q56_date_functions": (q56_date_functions, Q56_SQL),
+    "q71_json_harvest": (q71_json_harvest, Q71_SQL),
 }

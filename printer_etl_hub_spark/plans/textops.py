@@ -511,6 +511,40 @@ GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# q72 — duplicate-cluster labeling (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+def q72_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q29 near-dup pair graph collapsed to per-document cluster labels
+    (component = min doc_id reachable) by iterative min-label propagation
+    (operators/components.py). The oracle states the same fixpoint as a
+    recursive CTE over the identical SQL pair set."""
+    from ..operators.components import connected_components
+
+    t = load_tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+    )
+    return connected_components(pairs, "a_id", "b_id")
+
+
+Q72_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT a_id, b_id FROM ({Q29_SQL}) q),
+sym AS (
+  SELECT a_id AS sa, b_id AS sb FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(node, lab) AS (
+  SELECT sa, sa FROM sym
+  UNION
+  SELECT s.sb, r.lab FROM reach r JOIN sym s ON s.sa = r.node
+)
+SELECT node, min(lab) AS component FROM reach GROUP BY node
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -527,4 +561,5 @@ TEXT_QUERIES = {
     "q36_salted_agg": (q36_salted_agg, Q36_SQL),
     "q37_approx_distinct": (q37_approx_distinct, None),
     "q51_token_topk": (q51_token_topk, Q51_SQL),
+    "q72_dup_clusters": (q72_dup_clusters, Q72_SQL),
 }

@@ -236,3 +236,54 @@ def test_range_join_bucketed_edges(spark):
         for r in range_join_bucketed(pts, "ts", ivs, "s", "e", 10).collect()
     )
     assert out == [(1, 100), (2, 100), (2, 200), (3, 200)]
+
+
+def test_harvest_json_discovers_nested_leaves(spark):
+    from printer_etl_hub_spark.operators.harvest import harvest_json
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"severity": "critical", "meta": {"code": "E4-100", "extra": {"deep": 7}}, "arr": [{"desc": "jam"}, 5]}'),
+            (2, '{"plain": 1}'),
+        ],
+        "id INT, payload STRING",
+    )
+    got = {
+        (r.id, r.path, r.vtype, r.val)
+        for r in harvest_json(df, "payload", ("id",), max_depth=4).collect()
+    }
+    assert (1, "severity", "STRING", "critical") in got
+    assert (1, "meta.code", "STRING", "E4-100") in got
+    assert (1, "meta.extra.deep", "BIGINT", "7") in got
+    assert (1, "arr[0].desc", "STRING", "jam") in got
+    assert (1, "arr[1]", "BIGINT", "5") in got
+    assert (2, "plain", "BIGINT", "1") in got
+
+    # F27 key-family filter: severity/code/desc substring match on leaf key
+    fam = {
+        r.path
+        for r in harvest_json(
+            df, "payload", ("id",), max_depth=4,
+            key_substrings=("severity", "code", "desc"),
+        ).collect()
+    }
+    assert fam == {"severity", "meta.code", "arr[0].desc"}
+
+
+def test_connected_components_chain_and_clique(spark):
+    from printer_etl_hub_spark.operators.components import connected_components
+
+    # chain 1-2-3-4 (diameter 3) + clique {10,11,12} + isolated pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id BIGINT, b_id BIGINT",
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges, "a_id", "b_id").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
