@@ -151,3 +151,43 @@ def quality_features(text: Column, tokens: Column) -> dict[str, Column]:
         "alpha_ratio": alpha_ratio,
         "quality_score": score,
     }
+
+
+# ---------------------------------------------------------------------------
+# Corpus cleaning (training-data prep): HTML strip, PII redaction.
+# All native regexp Column expressions — the regex subset used is valid in
+# both Java (Spark) and RE2-ish (DuckDB) dialects so cleaning is
+# oracle-checkable cross-engine.
+# ---------------------------------------------------------------------------
+
+#: Conservative cross-dialect PII patterns (no lookaround, no \b ambiguity).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+PHONE_RE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def strip_html(col: Column) -> Column:
+    """Drop tags, unescape the five XML entities, collapse whitespace.
+
+    Tag regex is non-greedy per-tag (`<[^>]*>`) — linear scan, safe for
+    arbitrary corpus bytes (never backtracks across tags).
+    """
+    no_tags = F.regexp_replace(col, "<[^>]*>", " ")
+    unescaped = no_tags
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"),
+    ):
+        unescaped = F.replace(unescaped, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(unescaped, "\\s+", " "))
+
+
+def redact_pii(col: Column) -> Column:
+    """Mask emails, IPv4s, and phone-ish digit runs with typed tokens.
+
+    Order matters: emails first (their local part would otherwise be
+    phone-matched), then IPs (dotted quads would phone-match), then phones.
+    """
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")

@@ -545,6 +545,56 @@ SELECT node, min(lab) AS component FROM reach GROUP BY node
 """
 
 
+# --------------------------------------------------------------------------
+# q73 — corpus cleaning: HTML strip + PII redaction (training-data prep)
+# --------------------------------------------------------------------------
+def q73_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow per-row regexp pipeline (functions/text.py::strip_html /
+    redact_pii) — zero shuffle, codegen'd, pushdown-transparent. The dirty
+    payload is constructed deterministically from base columns so both
+    engines clean the identical string."""
+    from ..functions.text import redact_pii, strip_html
+
+    t = load_tables(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.lit('<p class="x">'),
+        F.col("text"),
+        F.lit("</p> &amp; contact: user"),
+        sid,
+        F.lit("@example.com or 10.0.0.1 tel +1 (555) 0101-"),
+        sid,
+    )
+    return t["documents"].select(
+        "doc_id", redact_pii(strip_html(dirty)).alias("clean_text")
+    )
+
+
+Q73_SQL = """
+WITH dirty AS (
+  SELECT doc_id,
+         '<p class="x">' || text || '</p> &amp; contact: user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or 10.0.0.1 tel +1 (555) 0101-' || CAST(doc_id AS VARCHAR) AS d
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(d, '<[^>]*>', ' ', 'g'),
+             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '\\s+', ' ', 'g')) AS s
+  FROM dirty
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+         '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+FROM stripped
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -562,4 +612,5 @@ TEXT_QUERIES = {
     "q37_approx_distinct": (q37_approx_distinct, None),
     "q51_token_topk": (q51_token_topk, Q51_SQL),
     "q72_dup_clusters": (q72_dup_clusters, Q72_SQL),
+    "q73_corpus_clean": (q73_corpus_clean, Q73_SQL),
 }

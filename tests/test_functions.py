@@ -210,3 +210,27 @@ def test_xml_local_name_text(spark):
         ).collect()
     ]
     assert out == ["Warning", "מוכן", None]
+
+
+def test_strip_html_and_redact_pii(spark):
+    from pyspark.sql import functions as F
+
+    from printer_etl_hub_spark.functions.text import redact_pii, strip_html
+
+    df = spark.createDataFrame(
+        [
+            ('<div a="1"><b>Hi</b> &amp; bye</div>', "a@b.co or 1.2.3.4 call +44 20 7946 0958 now"),
+        ],
+        "html STRING, pii STRING",
+    )
+    r = df.select(
+        strip_html(F.col("html")).alias("h"), redact_pii(F.col("pii")).alias("p")
+    ).first()
+    assert r.h == "Hi & bye"
+    assert r.p == "<EMAIL> or <IP> call <PHONE> now"
+
+    # redaction order: the email's local part must not be phone-eaten
+    r2 = spark.createDataFrame([("mail 12345678901@x.io end",)], "s STRING").select(
+        redact_pii(F.col("s")).alias("p")
+    ).first()
+    assert r2.p == "mail <EMAIL> end"

@@ -74,3 +74,48 @@ def test_aqe_skew_join_splits(spark, tmp_path):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_zorder_write_tightens_file_stats(spark, tmp_path):
+    """Z-clustered files must have narrow min/max ranges on BOTH cluster
+    columns (parquet scans prune on these stats); a plain write leaves
+    every file covering ~the full range of at least one column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from printer_etl_hub_spark.sources.layout import write_clustered
+    from printer_etl_hub_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"].select("event_id", "user_id", "value")
+
+    def coverage(path: str, col: str) -> float:
+        """Mean per-file fraction of the global [min,max] span covered."""
+        spans, glo_min, glo_max = [], None, None
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is None:
+                continue
+            spans.append((fmin, fmax))
+            glo_min = fmin if glo_min is None else min(glo_min, fmin)
+            glo_max = fmax if glo_max is None else max(glo_max, fmax)
+        width = glo_max - glo_min
+        return sum((b - a) / width for a, b in spans) / len(spans)
+
+    plain = str(tmp_path / "plain")
+    ev.repartition(8).write.parquet(plain)
+    zpath = str(tmp_path / "zorder")
+    write_clustered(ev, zpath, ["user_id", "value"], files=8)
+
+    for col in ("user_id", "value"):
+        z_cov, p_cov = coverage(zpath, col), coverage(plain, col)
+        assert p_cov > 0.6, (col, p_cov)  # plain files span most of the range
+        assert z_cov < 0.7 * p_cov, (col, z_cov, p_cov)
