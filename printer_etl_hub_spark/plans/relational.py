@@ -1404,6 +1404,45 @@ SELECT o_orderkey, 'items[1]', 'BIGINT', CAST(o_custkey AS VARCHAR) FROM orders
 """
 
 
+# --------------------------------------------------------------------------
+# q74 — interval attribution join (batch oracle of the stream-stream join)
+# --------------------------------------------------------------------------
+def q74_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→click attribution within 10 minutes (streaming/joins.py —
+    identical logical plan runs watermarked on two live streams; equivalence
+    pinned in tests/test_streaming.py)."""
+    from ..streaming.joins import attributed_clicks
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    out = attributed_clicks(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    return out.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        ts_str(F.col("view_ts")).alias("view_ts"),
+        ts_str(F.col("click_ts")).alias("click_ts"),
+        "delay_s",
+    )
+
+
+Q74_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       date_diff('second', v.ts, c.ts) AS delay_s
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1447,4 +1486,5 @@ RELATIONAL_QUERIES = {
     "q55_string_agg": (q55_string_agg, Q55_SQL),
     "q56_date_functions": (q56_date_functions, Q56_SQL),
     "q71_json_harvest": (q71_json_harvest, Q71_SQL),
+    "q74_attribution": (q74_attribution, Q74_SQL),
 }

@@ -259,3 +259,42 @@ def test_fleet_poll_stream(spark, tmp_path):
     assert by[(t0, "10.0.0.1")] == ("online", 10)
     assert by[(t0, "10.0.0.3")] == ("offline", None)
     assert by[(t1, "10.0.0.2")] == ("online", 20)
+
+
+def test_stream_stream_join_equals_batch(spark, events, tmp_path):
+    """Watermarked stream-stream interval join (view→click attribution)
+    converges to the same pair set as the batch join."""
+    from printer_etl_hub_spark.streaming.joins import attributed_clicks
+
+    views_b = events.filter(F.col("event_type") == "view")
+    clicks_b = events.filter(F.col("event_type") == "click")
+    want = {
+        (r.user_id, r.view_id, r.click_id, r.delay_s)
+        for r in attributed_clicks(views_b, clicks_b).collect()
+    }
+    assert want, "batch attribution must be non-degenerate"
+
+    src = str(tmp_path / "ss_src")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = attributed_clicks(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "click"),
+        streaming=True,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.view_id, r.click_id, r.delay_s)
+            for r in spark.sql("SELECT * FROM ss_join_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
