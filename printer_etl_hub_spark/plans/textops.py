@@ -8,7 +8,7 @@ query here is bit-reproducible in DuckDB (see plans/common.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -595,6 +595,48 @@ FROM stripped
 """
 
 
+# --------------------------------------------------------------------------
+# q75 — deterministic stratified sampling (hash rate + per-stratum quota)
+# --------------------------------------------------------------------------
+def q75_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus sampling — the scale-correct alternative to RNG
+    sampling (re-runs, retries, and engines all agree):
+
+    - rate gate: keep a doc when md5(doc_id) mod 100 < rate% (narrow
+      predicate, pushes through everything, no shuffle);
+    - quota cap: ≤ K docs per language, chosen by hash order (one
+      row_number window per stratum — deterministic tie-free total order).
+    """
+    t = load_tables(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    rated = t["documents"].withColumn("_h", h).filter(F.pmod(F.col("_h"), 100) < 40)
+    w = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    return (
+        rated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .select("doc_id", "lang", F.col("_rn").alias("stratum_rank"))
+    )
+
+
+Q75_SQL = """
+WITH rated AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 40
+)
+SELECT doc_id, lang, stratum_rank
+FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS stratum_rank
+  FROM rated
+)
+WHERE stratum_rank <= 20
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -613,4 +655,5 @@ TEXT_QUERIES = {
     "q51_token_topk": (q51_token_topk, Q51_SQL),
     "q72_dup_clusters": (q72_dup_clusters, Q72_SQL),
     "q73_corpus_clean": (q73_corpus_clean, Q73_SQL),
+    "q75_stratified_sample": (q75_stratified_sample, Q75_SQL),
 }
