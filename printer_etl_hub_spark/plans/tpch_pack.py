@@ -523,7 +523,9 @@ def q67_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     (persisted — one row per part), and the global total re-aggregates those
     partials (decimal addition is associative, so the total is bit-identical
     to the oracle's direct sum over base rows); threshold arithmetic is the
-    identical float expression on both engines."""
+    identical float expression on both engines. The 0.001 fraction is
+    sf0.01-calibrated; TPC-H's own Q11 scales it by 1/SF (at 10x the share
+    of every part drops below a fixed fraction — expected, not a bug)."""
     from pyspark import StorageLevel
 
     t = load_tables(spark, sf_dir)

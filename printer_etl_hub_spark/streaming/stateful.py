@@ -15,6 +15,12 @@ equivalence test replays the events through a file stream and requires
 identical output, which is the correctness contract for every stateful op
 we add.
 
+Spark 4's successor API (``transformWithStateInPandas`` — timers, typed
+state vars, TTL) is API-compatible with this design but its Python driver
+worker needs ``google.protobuf``, which this container does not ship — so
+``applyInPandasWithState`` is the supported custom-stateful surface here
+(verified: the TWS driver worker crashes on protobuf import).
+
 Scale notes: state is one (status, ts) pair per key; shuffle is the single
 groupBy(key) exchange Structured Streaming already requires; the Python
 stage is Arrow-batched (one pandas frame per key-group per batch, not per
