@@ -32,6 +32,7 @@ def harvest_json(
     *,
     max_depth: int = 4,
     key_substrings: tuple[str, ...] | None = None,
+    persist_levels: bool = False,
 ) -> DataFrame:
     """Flatten every leaf of a JSON payload to ``(ids…, path, vtype, val)``.
 
@@ -68,6 +69,13 @@ def harvest_json(
             child_path.alias("_hpath"),
             F.coalesce(F.col("key"), F.lit("")).alias("_hkey"),
         )
+        if persist_levels:
+            # each level feeds TWO consumers (its leaves + the next
+            # frontier); without the persist the final union re-derives
+            # every ancestor explode per leaf frame — O(depth²) re-parses
+            from pyspark import StorageLevel
+
+            children = children.persist(StorageLevel.MEMORY_AND_DISK)
         sch = F.schema_of_variant(F.col("_hv"))
         leaf_frames.append(
             children.filter(~_is_container(sch)).select(

