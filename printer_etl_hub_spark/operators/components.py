@@ -48,7 +48,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = (
             sym.join(labels, sym["a"] == labels["node"])
             .select(F.col("b").alias("node"), F.col("component"))
@@ -65,7 +65,9 @@ def connected_components(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
+        # round 0 always changes something (any b-side node adopts a smaller
+        # a-side label) — skip its convergence probe, one job per run saved
+        changed = 1 if it == 0 else (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))

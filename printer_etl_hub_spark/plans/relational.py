@@ -1445,6 +1445,32 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 """
 
 
+# --------------------------------------------------------------------------
+# q76 — mergeable distinct-count rollup (HLL sketch partials)
+# --------------------------------------------------------------------------
+def q76_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT as a continuous aggregate: daily HLL sketches of
+    user_id per event_type, merged upward with hll_union_agg — the rollup
+    RE-AGGREGATES sketches (register-wise max), never recounts rows, so the
+    day→total ladder costs O(|sketch|) per group at any scale. HLL merge is
+    lossless for same-width sketches: est_users_merged equals
+    est_users_direct exactly (pinned by unit test). Estimator-specific →
+    rows-only driver gate, like q37."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users_merged"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_users_direct")
+    )
+    return merged.join(direct, "event_type")
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1489,4 +1515,5 @@ RELATIONAL_QUERIES = {
     "q56_date_functions": (q56_date_functions, Q56_SQL),
     "q71_json_harvest": (q71_json_harvest, Q71_SQL),
     "q74_attribution": (q74_attribution, Q74_SQL),
+    "q76_hll_rollup": (q76_hll_rollup, None),
 }

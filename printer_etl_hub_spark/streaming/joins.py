@@ -27,12 +27,16 @@ def attributed_clicks(
     view_watermark: str = "20 minutes",
     click_watermark: str = "20 minutes",
     streaming: bool = False,
+    how: str = "inner",
 ) -> DataFrame:
     """Clicks joined to the view they follow within ``max_delay``.
 
     Output: (user_id, view_id, click_id, view_ts, click_ts, delay_s).
     ``streaming=True`` adds the watermarks required for state cleanup on a
-    stream-stream inner join; the logical join is identical in batch.
+    stream-stream join; the logical join is identical in batch.
+    ``how="left_outer"`` additionally emits never-clicked views (click
+    columns null) — in streaming these rows emit once the watermark passes
+    the view's match horizon (Spark's no-data micro-batches flush them).
     """
     if streaming:
         views = views.withWatermark("ts", view_watermark)
@@ -52,6 +56,7 @@ def attributed_clicks(
         (F.col("v_key") == F.col("c_key"))
         & (F.col("click_ts") > F.col("view_ts"))
         & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_delay}")),
+        how,
     )
     return joined.select(
         F.col("v_key").alias("user_id"),

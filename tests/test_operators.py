@@ -287,3 +287,16 @@ def test_connected_components_chain_and_clique(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_hll_rollup_merge_is_lossless(spark):
+    """Register-wise HLL merge must reproduce the direct single-pass
+    estimate exactly (q76's correctness claim)."""
+    from conftest import SF_SMOKE
+
+    from printer_etl_hub_spark.plans.relational import q76_hll_rollup
+
+    rows = q76_hll_rollup(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.est_users_merged == r.est_users_direct, r

@@ -298,3 +298,68 @@ def test_stream_stream_join_equals_batch(spark, events, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_stream_stream_outer_join_emits_unmatched(spark, events, tmp_path):
+    """Left-outer stream-stream join: never-clicked views must eventually
+    emit with null click columns (state flushed as the watermark passes),
+    converging to the batch left join."""
+    from printer_etl_hub_spark.streaming.joins import attributed_clicks
+
+    views_b = events.filter(F.col("event_type") == "view")
+    clicks_b = events.filter(F.col("event_type") == "click")
+    want = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in attributed_clicks(views_b, clicks_b, how="left_outer").collect()
+    }
+    assert any(c is None for _, _, c in want), "need unmatched views"
+
+    src = str(tmp_path / "sso_src")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = attributed_clicks(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "click"),
+        streaming=True,
+        how="left_outer",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sso_join_out")
+        .option("checkpointLocation", str(tmp_path / "sso_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.view_id, r.click_id)
+            for r in spark.sql("SELECT * FROM sso_join_out").collect()
+        }
+    finally:
+        q.stop()
+    # Matched pairs must all be there. Unmatched views emit only once the
+    # final watermark (max ts - 20 min) passes their 10-min match horizon —
+    # views newer than that are CORRECTLY still held in state, so the
+    # streaming result is the batch result minus those tail views.
+    import datetime
+
+    # global watermark = min over both inputs of (max ts - 20 min); a view
+    # flushes as unmatched once watermark passes its 10-min match window
+    max_view = views_b.agg(F.max("ts")).first()[0]
+    max_click = clicks_b.agg(F.max("ts")).first()[0]
+    horizon = (
+        min(max_view, max_click)
+        - datetime.timedelta(minutes=20)
+        - datetime.timedelta(minutes=10)
+    )
+    view_ts = {
+        r.view_id: r.view_ts
+        for r in attributed_clicks(views_b, clicks_b, how="left_outer").collect()
+    }
+    want_emittable = {
+        (u, v, c) for (u, v, c) in want if c is not None or view_ts[v] < horizon
+    }
+    assert got == want_emittable
+    assert any(c is None for _, _, c in got), "outer rows must have flushed"
