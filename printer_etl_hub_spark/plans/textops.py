@@ -637,6 +637,48 @@ WHERE stratum_rank <= 20
 """
 
 
+# --------------------------------------------------------------------------
+# q77 — token-budget sharding (sequence packing for training runs)
+# --------------------------------------------------------------------------
+def q77_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to ~fixed-token-budget shards: deterministic hash
+    order → running token cumsum → shard = floor(preceding_tokens/budget).
+    One window over a hash total order; a doc that straddles a boundary goes
+    to the earlier shard (standard approximate packing). At scale the
+    single global window becomes per-partition packing after a
+    repartitionByRange on the same hash key (same assignment, distributed
+    ranges); the oracle pins the sequential semantics."""
+    budget = 2000
+    t = load_tables(spark, sf_dir)
+    toks = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("bigint")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.orderBy(h, "doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    d = t["documents"].select("doc_id", toks.alias("n_toks"), h.alias("_h"))
+    return (
+        d.withColumn("_prev", F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.floor(F.col("_prev") / budget).cast("int").alias("shard_id"),
+        )
+    )
+
+
+Q77_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT doc_id, n_toks,
+       CAST(floor(COALESCE(SUM(n_toks) OVER (
+         ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / 2000.0) AS INT) AS shard_id
+FROM d
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -656,4 +698,5 @@ TEXT_QUERIES = {
     "q72_dup_clusters": (q72_dup_clusters, Q72_SQL),
     "q73_corpus_clean": (q73_corpus_clean, Q73_SQL),
     "q75_stratified_sample": (q75_stratified_sample, Q75_SQL),
+    "q77_token_shards": (q77_token_shards, Q77_SQL),
 }
