@@ -266,3 +266,72 @@ def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return spread.select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
     ).select("doc_id", simhash16(F.col("toks")).alias("simhash"))
+
+
+def ngram_jaccard_cross(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus contamination detection: n-gram Jaccard pairs where one
+    side is in ``df_a`` (e.g. the training corpus) and the other in ``df_b``
+    (e.g. an eval/test set) — the decontamination sweep every training-data
+    pipeline runs before a model sees the eval set.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs`, but the pair
+    stream is the a-postings ⋈ b-postings equi-join on the shingle hash (no
+    within-corpus pairs are ever generated, so a huge train side never pays
+    its own quadratic fan-out). ``max_df`` caps the COMBINED document
+    frequency, bounding the join fan-out per shingle at any corpus size.
+    Output: a_id, b_id, jaccard. Caller guarantees ids are disjoint across
+    frames (tag upstream if not).
+    """
+    from pyspark import StorageLevel
+
+    def posts(df: DataFrame, out_id: str) -> DataFrame:
+        sh = _doc_shingles(df, id_col, text_col, shingle_n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        return sh.select(
+            F.col("doc_id").alias(out_id), F.explode("shingles").alias("shingle")
+        ).select(out_id, _md5_60bit(F.col("shingle")).alias("sh_h"))
+
+    pa, pb = posts(df_a, "a_id"), posts(df_b, "b_id")
+    if max_df is not None:
+        freq = (
+            pa.select("sh_h")
+            .union(pb.select("sh_h"))
+            .groupBy("sh_h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh_h")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pa = pa.join(freq, "sh_h", "left_semi")
+        pb = pb.join(freq, "sh_h", "left_semi")
+    pa = pa.persist(StorageLevel.MEMORY_AND_DISK)
+    pb = pb.persist(StorageLevel.MEMORY_AND_DISK)
+    inter = (
+        pa.join(pb, "sh_h")
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes_a = pa.groupBy("a_id").agg(F.count(F.lit(1)).alias("na"))
+    sizes_b = pb.groupBy("b_id").agg(F.count(F.lit(1)).alias("nb"))
+    return (
+        inter.join(sizes_a, "a_id")
+        .join(sizes_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -679,6 +679,61 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------------
+# q78 — train/eval decontamination (cross-corpus near-dup sweep)
+# --------------------------------------------------------------------------
+def q78_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents split deterministically (md5 parity) into a "train" and an
+    "eval" corpus; ngram_jaccard_cross finds eval docs leaked into train.
+    Only cross-corpus pairs are ever generated — the train side never pays
+    its own quadratic fan-out."""
+    from ..operators.dedup import ngram_jaccard_cross
+
+    t = load_tables(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    d = t["documents"].withColumn("_par", F.pmod(h, 2))
+    train = d.filter(F.col("_par") == 0).drop("_par")
+    testc = d.filter(F.col("_par") == 1).drop("_par")
+    return ngram_jaccard_cross(
+        train, testc, "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+    )
+
+
+Q78_SQL = f"""
+WITH parity AS (
+  SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS par
+  FROM documents
+),
+words AS (SELECT doc_id, par, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM parity),
+sh AS (
+  SELECT doc_id, par, list_distinct(list_transform(range(1, len(w)-1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM words WHERE len(w) >= 3
+),
+posts0 AS (
+  SELECT doc_id, par, {_sql_md5_60bit('shingle')} AS sh_h
+  FROM (SELECT doc_id, par, unnest(sh) AS shingle FROM sh)
+),
+freq AS (SELECT sh_h FROM posts0 GROUP BY sh_h HAVING count(*) <= {_J_MAX_DF}),
+posts AS (SELECT p.doc_id, p.par, p.sh_h FROM posts0 p JOIN freq USING (sh_h)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM posts GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM posts a JOIN posts b ON a.sh_h = b.sh_h
+  WHERE a.par = 0 AND b.par = 1
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -699,4 +754,5 @@ TEXT_QUERIES = {
     "q73_corpus_clean": (q73_corpus_clean, Q73_SQL),
     "q75_stratified_sample": (q75_stratified_sample, Q75_SQL),
     "q77_token_shards": (q77_token_shards, Q77_SQL),
+    "q78_decontamination": (q78_decontamination, Q78_SQL),
 }
