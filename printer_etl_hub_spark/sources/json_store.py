@@ -29,10 +29,18 @@ def load_printers_json(spark: SparkSession, path: str) -> DataFrame:
     with a ``seq`` column capturing input order — order-dependent reference
     semantics (first-appearance, last-wins) need it (SURVEY.md §7).
     """
+    from pyspark.sql.types import ArrayType, StructType
+
     doc = spark.read.option("multiLine", "true").json(path)
     frames = []
+    types = {f.name: f.dataType for f in doc.schema.fields}
     for g in GROUP_KEYS:
         if g not in doc.columns:
+            continue
+        # an EMPTY group array infers as array<string>; there are no rows to
+        # contribute, and star-expanding a non-struct element would throw
+        t = types[g]
+        if not (isinstance(t, ArrayType) and isinstance(t.elementType, StructType)):
             continue
         rows = doc.select(F.posexplode(F.col(g)).alias("seq", "row")).select(
             F.lit(g).alias("group"), F.col("seq").cast("bigint"), F.col("row.*")

@@ -131,3 +131,62 @@ def test_enrich_locations_and_descriptions(spark):
     sec = sd[101]["secondDescription"]
     assert (sec["PrimaryDescription"], sec["LineID"]) == ("שירות אחר", "SUB-2")
     assert sd[102]["secondDescription"] is None
+
+
+def test_reference_lifecycle_end_to_end(spark, tmp_path):
+    """The reference's full run (SURVEY §3.1) as ONE Spark pipeline:
+    sheet ingest (fuzzy headers) → fleet poll (custom DataSource) →
+    bad-IP filter + enrichment join → report projection → canonical JSON
+    export → reload round-trip."""
+    from printer_etl_hub_spark.functions.normalize import is_bad_value
+    from printer_etl_hub_spark.sources.devicepoll_source import register
+    from printer_etl_hub_spark.sources.json_store import (
+        load_printers_json,
+        save_printers_json,
+    )
+    from printer_etl_hub_spark.sources.tabular import COMPANY_SHEET_SPEC, read_sheet
+
+    # 1. inventory sheet with fuzzy/synonym headers (reference S1)
+    inv = tmp_path / "inventory.csv"
+    inv.write_text(
+        "id,floor,IP,type,serial,comment\n"
+        "1,2,10.9.0.1,hp,SN1,ok\n"
+        "2,3,10.9.0.2,hp,SN2,\n"
+        "3,1,-,brother,SN3,bad ip\n"  # filtered by P1
+        "4,2,10.9.0.4,brother,SN4,\n",
+        encoding="utf-8",
+    )
+    printers = read_sheet(spark, str(inv), COMPANY_SHEET_SPEC)
+    good = printers.filter(~is_bad_value(F.col("Printer IP")))
+    assert good.count() == 3
+
+    # 2. poll cycle via the devicepoll DataSource (reference §3.2 fetch)
+    register(spark)
+    ips = ",".join(r["Printer IP"] for r in good.select("Printer IP").collect())
+    poll = spark.read.format("devicepoll").option("fleet_ips", ips).load()
+
+    # 3. enrichment join + report projection (J-family + F5 dash default)
+    report = (
+        good.join(poll, good["Printer IP"] == poll["ip"], "left")
+        .select(
+            good["ID"],
+            good["Printer IP"],
+            good["Type"],
+            F.coalesce(poll["status"], F.lit("offline")).alias("status"),
+            F.coalesce(poll["severity"], F.lit("critical")).alias("severity"),
+            F.coalesce(poll["toner_pct"], F.lit(0)).alias("toner_pct"),
+        )
+    )
+    rows = {r.ID: r for r in report.collect()}
+    assert set(rows) == {"1", "2", "4"}
+    assert all(r.status in ("online", "offline") for r in rows.values())
+
+    # 4. canonical JSON export + reload (reference S4/S5 round-trip)
+    out = report.withColumn("group", F.lit("Company_Grouped")).withColumn(
+        "seq", F.monotonically_increasing_id()
+    )
+    path = str(tmp_path / "printers.json")
+    save_printers_json(out, path)
+    back = load_printers_json(spark, path)
+    assert back.count() == 3
+    assert {r.ID for r in back.select("ID").collect()} == {"1", "2", "4"}
