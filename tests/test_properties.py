@@ -120,3 +120,84 @@ def test_safe_bigint_matches_python(spark):
     want = [py_safe_bigint(c) for c in CASES]
     for c, g, w in zip(CASES, got, want):
         assert g == w, f"safe_bigint({c!r}): spark={g!r} python={w!r}"
+
+
+# ---------------------------------------------------------------------------
+# Tabular header resolution (S1-S3) — pure-driver properties
+# ---------------------------------------------------------------------------
+def test_resolve_headers_noise_invariance():
+    """Any case/whitespace noise on spec'd headers still resolves every
+    logical column, injectively, regardless of column order."""
+    import itertools
+    import random
+
+    from printer_etl_hub_spark.sources.tabular import EMPLOYEE_SPEC, resolve_headers
+
+    rng = random.Random(7)
+    base = ["Employee ID", "שם", "Phone Number"]
+
+    def noisy(h: str) -> str:
+        out = "  " + h.upper() + " "
+        return out.replace(" ", "  ") if rng.random() < 0.5 else out
+
+    for perm in itertools.permutations(base):
+        actual = [noisy(h) for h in perm]
+        m = resolve_headers(actual, EMPLOYEE_SPEC)
+        assert set(m) == set(EMPLOYEE_SPEC)
+        assert len(set(m.values())) == len(m)  # injective
+        assert all(v in actual for v in m.values())
+
+
+def test_dedup_headers_unique_and_prefixed():
+    import random
+
+    from printer_etl_hub_spark.sources.tabular import dedup_headers
+
+    rng = random.Random(11)
+    for _ in range(50):
+        headers = [rng.choice("abc") for _ in range(rng.randint(1, 12))]
+        out = dedup_headers(headers)
+        assert len(set(out)) == len(out)
+        assert all(o == h or o.startswith(h + "_") for h, o in zip(headers, out))
+        # first occurrence keeps its bare name
+        for name in set(headers):
+            assert out[headers.index(name)] == name
+
+
+def test_redact_pii_leaves_no_pii(spark):
+    """After redaction, no email/IPv4 pattern survives in any adversarial
+    composition (PII at string edges, back-to-back, inside noise)."""
+    from printer_etl_hub_spark.functions.text import EMAIL_RE, IPV4_RE, redact_pii
+
+    samples = [
+        "a@b.co",
+        "x a@b.co y c.d@e.org z",
+        "10.0.0.1",
+        "edge@case.io 255.255.255.255",
+        "a@b.co10.0.0.1+15550000000",
+        "text with no pii at all",
+        "tricky @ not-an-email 999.999.999.999",  # dotted quad still matches shape
+        "שלום a@b.co עולם",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s STRING")
+    out = [r.p for r in df.select(redact_pii(F.col("s")).alias("p")).collect()]
+    for s in out:
+        assert not re.search(EMAIL_RE, s), s
+        assert not re.search(IPV4_RE, s), s
+
+
+def test_zorder_key_bounds(spark):
+    """Z keys stay within [0, 2^(k*bits)) and are non-constant on
+    non-constant input."""
+    from printer_etl_hub_spark.sources.layout import zorder_key
+    from printer_etl_hub_spark.tables import load_tables
+
+    from conftest import SF_SMOKE
+
+    ev = load_tables(spark, SF_SMOKE)["events"].select("user_id", "value")
+    z = zorder_key(ev, ["user_id", "value"], bits=6)
+    stats = ev.select(z.alias("z")).agg(
+        F.min("z").alias("lo"), F.max("z").alias("hi"), F.countDistinct("z").alias("n")
+    ).first()
+    assert 0 <= stats.lo <= stats.hi < (1 << 12)
+    assert stats.n > 10
