@@ -363,3 +363,33 @@ def test_stream_stream_outer_join_emits_unmatched(spark, events, tmp_path):
     }
     assert got == want_emittable
     assert any(c is None for _, _, c in got), "outer rows must have flushed"
+
+
+def test_available_now_backfill_drains_and_stops(spark, events, tmp_path):
+    """Trigger.AvailableNow: the backfill mode a scheduled pipeline uses —
+    process everything present, then stop on its own (no manual stop), with
+    the same answer as batch."""
+    from printer_etl_hub_spark.streaming.windows import tumbling_counts, tumbling_counts_stream
+
+    src = str(tmp_path / "an_src")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = tumbling_counts_stream(stream, "5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("an_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query must self-terminate"
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM an_out").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_counts(events, "5 minutes").collect()
+    }
+    assert got == want
