@@ -300,3 +300,19 @@ def test_hll_rollup_merge_is_lossless(spark):
     assert rows
     for r in rows:
         assert r.est_users_merged == r.est_users_direct, r
+
+
+def test_connected_components_long_chain_pointer_jump(spark):
+    """A 100-node chain (diameter 99) must converge within the pointer-jump
+    round budget (~log2) — plain one-hop propagation would need 99 rounds
+    and previously mislabeled silently."""
+    from printer_etl_hub_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 100)], "a_id BIGINT, b_id BIGINT"
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges, "a_id", "b_id", max_iter=12).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 101)}
