@@ -201,3 +201,47 @@ def test_zorder_key_bounds(spark):
     ).first()
     assert 0 <= stats.lo <= stats.hi < (1 << 12)
     assert stats.n > 10
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Random graphs (varying density, incl. long paths + stars) must match
+    a driver-side union-find oracle exactly."""
+    import random
+
+    from printer_etl_hub_spark.operators.components import connected_components
+
+    def uf_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(42)
+    cases = []
+    for trial in range(3):
+        n = 40
+        m = rng.randint(n // 2, 2 * n)
+        cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
+    cases.append([(i, i + 1) for i in range(30)])          # path
+    cases.append([(0, i) for i in range(1, 30)])           # star
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "a_id BIGINT, b_id BIGINT")
+        got = {
+            (r.node, r.component)
+            for r in connected_components(df, "a_id", "b_id").collect()
+        }
+        want = set(uf_components(edges).items())
+        assert got == want
