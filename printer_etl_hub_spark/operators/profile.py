@@ -1,0 +1,65 @@
+"""Dataset profiling: per-column statistics in one pass.
+
+The profile every ingest pipeline runs before trusting a new dataset:
+row/null/distinct counts and numeric moments per column, emitted in LONG
+format (col_name, stat, value) so downstream rules are data-driven.
+
+Scale: ONE aggregation over the table computes every stat (no per-column
+scans); moments use exact decimal partials (sum, sum-of-squares) so the
+derived mean/stddev are bit-identical across engines and partition orders —
+a naive float stddev differs in the low bits run to run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,6)"
+
+
+def profile_columns(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
+    """Long-format profile ``(col_name, stat, value)`` for numeric columns.
+
+    Stats: n (non-null count), n_distinct, min, max, mean, stddev (sample).
+    All values as double; mean/stddev derived from exact decimal partials:
+    var = (sumsq - sum²/n) / (n-1).
+    """
+    aggs = []
+    for c in numeric_cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__n"),
+            F.countDistinct(col).alias(f"{c}__n_distinct"),
+            F.min(col).cast("double").alias(f"{c}__min"),
+            F.max(col).cast("double").alias(f"{c}__max"),
+            F.sum(col.cast(DEC)).alias(f"{c}__sum"),
+            F.sum((col.cast(DEC) * col.cast(DEC))).alias(f"{c}__sumsq"),
+        ]
+    wide = df.agg(*aggs)
+    # single explode over the one-row agg frame — NOT a union of per-stat
+    # selects (which would reference the aggregate N×6 times)
+    entries = []
+    for c in numeric_cols:
+        n = F.col(f"{c}__n").cast("double")
+        s = F.col(f"{c}__sum").cast("double")
+        sq = F.col(f"{c}__sumsq").cast("double")
+        mean = s / n
+        var = (sq - (s * s) / n) / (n - 1)
+        stats = {
+            "n": F.col(f"{c}__n").cast("double"),
+            "n_distinct": F.col(f"{c}__n_distinct").cast("double"),
+            "min": F.col(f"{c}__min"),
+            "max": F.col(f"{c}__max"),
+            "mean": mean,
+            "stddev": F.sqrt(var),
+        }
+        for stat, expr in stats.items():
+            entries.append(
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.lit(stat).alias("stat"),
+                    expr.alias("value"),
+                )
+            )
+    return wide.select(F.explode(F.array(*entries)).alias("kv")).select("kv.*")

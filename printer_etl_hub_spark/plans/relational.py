@@ -1471,6 +1471,40 @@ def q76_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(direct, "event_type")
 
 
+# --------------------------------------------------------------------------
+# q79 — dataset profiling (per-column stats, one pass)
+# --------------------------------------------------------------------------
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def q79_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/profile.py::profile_columns — one aggregation computes
+    every column's n/n_distinct/min/max/mean/stddev; moments from exact
+    decimal partials so stddev is bit-stable across engines."""
+    from ..operators.profile import profile_columns
+
+    t = load_tables(spark, sf_dir)
+    return profile_columns(t["lineitem"], _PROFILE_COLS)
+
+
+def _profile_sql_for(c: str) -> str:
+    dec = f"CAST({c} AS DECIMAL(38,6))"
+    s = f"CAST(SUM({dec}) AS DOUBLE)"
+    sq = f"CAST(SUM({dec} * {dec}) AS DOUBLE)"
+    n = f"CAST(count({c}) AS DOUBLE)"
+    return f"""
+SELECT '{c}' AS col_name, 'n' AS stat, CAST(count({c}) AS DOUBLE) AS value FROM lineitem
+UNION ALL SELECT '{c}', 'n_distinct', CAST(count(DISTINCT {c}) AS DOUBLE) FROM lineitem
+UNION ALL SELECT '{c}', 'min', CAST(min({c}) AS DOUBLE) FROM lineitem
+UNION ALL SELECT '{c}', 'max', CAST(max({c}) AS DOUBLE) FROM lineitem
+UNION ALL SELECT '{c}', 'mean', {s} / {n} FROM lineitem
+UNION ALL SELECT '{c}', 'stddev', sqrt(({sq} - ({s} * {s}) / {n}) / ({n} - 1)) FROM lineitem
+"""
+
+
+Q79_SQL = " UNION ALL ".join(_profile_sql_for(c) for c in _PROFILE_COLS)
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1516,4 +1550,5 @@ RELATIONAL_QUERIES = {
     "q71_json_harvest": (q71_json_harvest, Q71_SQL),
     "q74_attribution": (q74_attribution, Q74_SQL),
     "q76_hll_rollup": (q76_hll_rollup, None),
+    "q79_profile": (q79_profile, Q79_SQL),
 }
