@@ -1505,6 +1505,54 @@ UNION ALL SELECT '{c}', 'stddev', sqrt(({sq} - ({s} * {s}) / {n}) / ({n} - 1)) F
 Q79_SQL = " UNION ALL ".join(_profile_sql_for(c) for c in _PROFILE_COLS)
 
 
+# --------------------------------------------------------------------------
+# q80 — sessionization at event grain (gap rule → session ids)
+# --------------------------------------------------------------------------
+def q80_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each event its session ordinal: a session breaks after a
+    30-minute silence. lag() flags session starts, a running sum over the
+    same per-user window numbers them — two window passes over ONE shuffle
+    by user (same partitioning reused, no second exchange). Event-grain
+    complement of q21's session_window aggregates."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
+    return (
+        t["events"]
+        .withColumn("_new", is_new)
+        .select(
+            "event_id",
+            "user_id",
+            ts_str(F.col("ts")).alias("ts"),
+            F.sum("_new")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("int")
+            .alias("session_no"),
+        )
+    )
+
+
+Q80_SQL = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+         AS session_no
+FROM flagged
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1551,4 +1599,5 @@ RELATIONAL_QUERIES = {
     "q74_attribution": (q74_attribution, Q74_SQL),
     "q76_hll_rollup": (q76_hll_rollup, None),
     "q79_profile": (q79_profile, Q79_SQL),
+    "q80_session_ids": (q80_session_ids, Q80_SQL),
 }

@@ -316,3 +316,27 @@ def test_connected_components_long_chain_pointer_jump(spark):
         for r in connected_components(edges, "a_id", "b_id", max_iter=12).collect()
     }
     assert got == {(i, 1) for i in range(1, 101)}
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salt scatter must not change the join result (inner and left, with
+    a hot key dominating the big side)."""
+    from printer_etl_hub_spark.operators.skewjoin import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 900), (3, 901)],  # key 1 is hot
+        "k INT, payload INT",
+    )
+    small = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (4, "four")], "k INT, name STRING"
+    )
+    for how in ("inner", "left"):
+        got = {
+            (r.k, r.payload, r.name)
+            for r in salted_join(big, small, "k", n_salts=4, how=how).collect()
+        }
+        want = {
+            (r.k, r.payload, r.name)
+            for r in big.join(small, "k", how).select("k", "payload", "name").collect()
+        }
+        assert got == want, how
