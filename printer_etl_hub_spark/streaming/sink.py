@@ -97,3 +97,37 @@ def device_state_sink(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def delete_keys(
+    spark: SparkSession,
+    state_dir: str,
+    key: str,
+    keys_df: DataFrame,
+    *,
+    version_tag: str = "delete",
+) -> int:
+    """Data-lifecycle delete (GDPR erasure shape): rewrite the current state
+    WITHOUT the given keys as a new version, atomic pointer flip.
+
+    The delete is a left_anti join + full rewrite of the state table — the
+    MERGE ... WHEN MATCHED THEN DELETE analog. Prior versions remain on
+    disk (time travel still shows them) until a retention sweep removes
+    them; a real erasure pipeline follows with a vacuum of expired
+    versions. Returns the number of rows removed.
+    """
+    cur = read_state(spark, state_dir)
+    if cur is None:
+        return 0
+    keyed = keys_df.select(F.col(keys_df.columns[0]).alias(key)).distinct()
+    kept = cur.join(keyed, key, "left_anti")
+    n_before = cur.count()
+    n_after = kept.count()
+    existing = sorted(
+        d for d in os.listdir(state_dir) if d.startswith("v") and d[1:].isdigit()
+    )
+    nxt = (int(existing[-1][1:]) + 1) if existing else 0
+    version = f"v{nxt:010d}"
+    kept.write.mode("overwrite").parquet(os.path.join(state_dir, version))
+    _commit_pointer(state_dir, version)
+    return n_before - n_after

@@ -190,3 +190,39 @@ def test_reference_lifecycle_end_to_end(spark, tmp_path):
     back = load_printers_json(spark, path)
     assert back.count() == 3
     assert {r.ID for r in back.select("ID").collect()} == {"1", "2", "4"}
+
+
+def test_pipeline_runner_order_excludes_and_faults(spark):
+    """Reference §3.1 lifecycle surface: natural step order (a2 < a10),
+    exclude marks kept as skips, failing steps captured not raised."""
+    from printer_etl_hub_spark.plans.pipeline import (
+        natural_key,
+        run_pipeline,
+        summarize,
+    )
+
+    ran = []
+
+    def mk(name):
+        return lambda s: ran.append(name)
+
+    def boom(s):
+        raise ValueError("step exploded")
+
+    steps = {
+        "step10_report": mk("step10_report"),
+        "step2_enrich": mk("step2_enrich"),
+        "step1_ingest": mk("step1_ingest"),
+        "step3_poll": boom,
+    }
+    res = run_pipeline(spark, steps, excludes=["step2_enrich"])
+    assert [r.name for r in res] == [
+        "step1_ingest", "step2_enrich", "step3_poll", "step10_report",
+    ]
+    assert ran == ["step1_ingest", "step10_report"]
+    by = {r.name: r for r in res}
+    assert by["step2_enrich"].skipped and by["step2_enrich"].ok
+    assert not by["step3_poll"].ok and "exploded" in by["step3_poll"].error
+    assert not summarize(res)
+    assert summarize([r for r in res if r.name != "step3_poll"])
+    assert natural_key("a2") < natural_key("a10")

@@ -393,3 +393,33 @@ def test_available_now_backfill_drains_and_stops(spark, events, tmp_path):
         for r in tumbling_counts(events, "5 minutes").collect()
     }
     assert got == want
+
+
+def test_delete_keys_rewrites_state_and_keeps_history(spark, events, tmp_path):
+    """GDPR-style erasure: anti-join rewrite drops the keys from the
+    current version; the pointer flips atomically; prior versions remain
+    time-travelable until vacuumed."""
+    import os
+
+    from printer_etl_hub_spark.streaming.sink import delete_keys, read_state
+    from printer_etl_hub_spark.streaming.sink import merge_last_state
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    base = events.filter(F.col("user_id") < 10).select("user_id", "ts", "event_type")
+    merge_last_state(spark, base, state, "user_id", "ts", 0)
+    before = {r.user_id for r in read_state(spark, state).collect()}
+    assert {0, 1, 2}.issubset(before)
+
+    doomed = spark.createDataFrame([(0,), (1,)], "user_id BIGINT")
+    removed = delete_keys(spark, state, "user_id", doomed)
+    assert removed == 2
+    after = {r.user_id for r in read_state(spark, state).collect()}
+    assert after == before - {0, 1}
+    # history survives: the pre-delete version still contains the keys
+    versions = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert len(versions) >= 2
+    old = spark.read.parquet(os.path.join(state, versions[0]))
+    assert {r.user_id for r in old.collect()} == before
+    # idempotent: deleting again removes nothing
+    assert delete_keys(spark, state, "user_id", doomed) == 0
