@@ -131,3 +131,29 @@ def delete_keys(
     kept.write.mode("overwrite").parquet(os.path.join(state_dir, version))
     _commit_pointer(state_dir, version)
     return n_before - n_after
+
+
+def vacuum(state_dir: str, *, keep_last: int = 2) -> list[str]:
+    """Retention sweep: drop version directories older than the newest
+    ``keep_last``, never touching the currently-committed version. Returns
+    the removed version names. (The delete_keys/time-travel contract:
+    history is readable until vacuumed — this is the vacuum.)"""
+    import shutil
+
+    ptr = os.path.join(state_dir, _POINTER)
+    current = None
+    if os.path.exists(ptr):
+        with open(ptr, encoding="utf-8") as fh:
+            current = fh.read().strip()
+    versions = sorted(
+        d for d in os.listdir(state_dir) if d.startswith("v") and d[1:].isdigit()
+    )
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    if current:
+        keep.add(current)
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(state_dir, v))
+            removed.append(v)
+    return removed

@@ -423,3 +423,29 @@ def test_delete_keys_rewrites_state_and_keeps_history(spark, events, tmp_path):
     assert {r.user_id for r in old.collect()} == before
     # idempotent: deleting again removes nothing
     assert delete_keys(spark, state, "user_id", doomed) == 0
+
+
+def test_vacuum_keeps_current_and_recent(spark, events, tmp_path):
+    import os
+
+    from printer_etl_hub_spark.streaming.sink import (
+        delete_keys,
+        merge_last_state,
+        read_state,
+        vacuum,
+    )
+
+    state = str(tmp_path / "vac_state")
+    os.makedirs(state)
+    base = events.filter(F.col("user_id") < 10).select("user_id", "ts", "event_type")
+    merge_last_state(spark, base, state, "user_id", "ts", 0)
+    for uid in (0, 1, 2):
+        delete_keys(spark, state, "user_id", spark.createDataFrame([(uid,)], "user_id BIGINT"))
+    versions = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert len(versions) == 4
+    removed = vacuum(state, keep_last=2)
+    assert removed == versions[:2]
+    left = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert left == versions[2:]
+    # current still readable after the sweep
+    assert read_state(spark, state).count() > 0
