@@ -238,3 +238,111 @@ def _xpath_string(xml: Column, path: str) -> Column:
     from pyspark.sql.functions import call_function
 
     return call_function("xpath_string", xml, F.lit(path))
+
+
+def status_category_display(cat: Column) -> Column:
+    """F31 LEDM status-category → display string
+    (`adapters/ledm_client.py:111-128`): fixed map, else Python-`capitalize`
+    fallback (first letter upper, rest lower)."""
+    c = F.lower(F.trim(cat))
+    mapping = {
+        "ready": "Ready",
+        "processing": "Processing",
+        "warmup": "Warming up",
+        "attention": "Needs attention",
+        "interventionrequired": "Needs attention",
+        "error": "Error",
+        "idle": "Idle",
+        "sleep": "Sleep",
+    }
+    out = F.concat(F.upper(F.substring(c, 1, 1)), F.substring(c, 2, 2_000_000))
+    for k in sorted(mapping, reverse=True):
+        out = F.when(c == k, F.lit(mapping[k])).otherwise(out)
+    return out
+
+
+def derive_severity_from_problem(problem: Column) -> Column:
+    """F32 keyword severity derivation (`adapters/ews_alerts.py:201-208`,
+    near-dup `adapters/ledm_client.py:149-157`): critical keywords beat
+    warning keywords; empty/null → informational."""
+    p = F.lower(F.coalesce(problem, F.lit("")))
+    crit = ["jam", "door", "open", "cover", "fault", "failure", "error", "empty", "replace"]
+    warn = ["low", "depleted", "almost", "calibrat", "warming", "busy", "sleep", "power saver", "attention"]
+
+    def _any(words):
+        cond = F.lit(False)
+        for w in words:
+            cond = cond | p.contains(w)
+        return cond
+
+    return (
+        F.when(F.trim(p) == "", F.lit("informational"))
+        .when(_any(crit), F.lit("critical"))
+        .when(_any(warn), F.lit("warning"))
+        .otherwise(F.lit("informational"))
+    )
+
+
+def normalize_problem_severity(problem: Column, severity: Column) -> Column:
+    """F33 problem normalization (`adapters/ledm_client.py:159-170`):
+    unknown → (null, informational); consumable-ack / ready phrases
+    (incl. Hebrew מוכן) → Ready; sleep phrases (incl. שינה) → Sleeping;
+    else passthrough. Returns struct(problem, severity)."""
+    p = F.coalesce(problem, F.lit(""))
+    low = F.lower(F.trim(p))
+    ready = (
+        low.contains("ready")
+        & ~low.contains("not ready")
+        & ~low.contains("unready")
+    ) | p.contains("מוכן")
+    sleeping = low.contains("sleep") | low.contains("inpowersave") | p.contains("שינה")
+    return (
+        F.when(
+            low.contains("unknown"),
+            F.struct(
+                F.lit(None).cast("string").alias("problem"),
+                F.lit("informational").alias("severity"),
+            ),
+        )
+        .when(
+            low.contains("acknowledgeconsumablestate") | ready,
+            F.struct(F.lit("Ready").alias("problem"), F.lit("informational").alias("severity")),
+        )
+        .when(
+            sleeping,
+            F.struct(F.lit("Sleeping").alias("problem"), F.lit("informational").alias("severity")),
+        )
+        .otherwise(F.struct(problem.alias("problem"), severity.alias("severity")))
+    )
+
+
+def short_label(desc: Column, catalog_info: Column) -> Column:
+    """F34 short-label mapping (`adapters/ews_alerts.py:173-199`): catalog
+    hit wins (pass the broadcast-joined catalog ``info`` column, null when
+    missed), else the keyword table, else "Check printer"; blank → Normal."""
+    d = F.lower(F.trim(F.coalesce(desc, F.lit(""))))
+    keyword = (
+        F.when(d == "", F.lit("Normal"))
+        .when(d.contains("door"), F.lit("Door open"))
+        .when(d.contains("jam"), F.lit("Paper jam"))
+        .when(d.contains("toner") & d.contains("detect"), F.lit("Toner not detected"))
+        .when(
+            d.contains("toner") & (d.contains("empty") | d.contains("end")),
+            F.lit("Toner empty"),
+        )
+        .when(
+            (d.contains("drum") | d.contains("imaging unit"))
+            & d.contains("not") & d.contains("install"),
+            F.lit("Drum not installed"),
+        )
+        .when(
+            (d.contains("drum") | d.contains("imaging unit"))
+            & (d.contains("end") | d.contains("replace")),
+            F.lit("Replace drum now"),
+        )
+        .when(d.contains("transfer"), F.lit("Transfer roller fault"))
+        .when(d.contains("scanner"), F.lit("Scanner error"))
+        .when(d.contains("fuser"), F.lit("Fuser error"))
+        .otherwise(F.lit("Check printer"))
+    )
+    return F.coalesce(catalog_info, keyword)

@@ -234,3 +234,46 @@ def test_strip_html_and_redact_pii(spark):
         redact_pii(F.col("s")).alias("p")
     ).first()
     assert r2.p == "mail <EMAIL> end"
+
+
+def test_f31_f34_case_mappings(spark):
+    from pyspark.sql import functions as F
+
+    from printer_etl_hub_spark.functions.extract import (
+        derive_severity_from_problem,
+        normalize_problem_severity,
+        short_label,
+        status_category_display,
+    )
+
+    df = spark.range(1)
+
+    def one(col):
+        return df.select(col.alias("v")).first().v
+
+    # F31: fixed map + capitalize fallback
+    assert one(status_category_display(F.lit("ready"))) == "Ready"
+    assert one(status_category_display(F.lit(" InterventionRequired "))) == "Needs attention"
+    assert one(status_category_display(F.lit("mystery"))) == "Mystery"
+
+    # F32: critical beats warning; empty → informational
+    assert one(derive_severity_from_problem(F.lit("Paper JAM in tray"))) == "critical"
+    assert one(derive_severity_from_problem(F.lit("toner low"))) == "warning"
+    assert one(derive_severity_from_problem(F.lit(""))) == "informational"
+    assert one(derive_severity_from_problem(F.lit(None).cast("string"))) == "informational"
+
+    # F33: unknown → null/info; Hebrew ready/sleep; not-ready passthrough
+    r = one(normalize_problem_severity(F.lit("Unknown state"), F.lit("critical")))
+    assert r.problem is None and r.severity == "informational"
+    r = one(normalize_problem_severity(F.lit("המדפסת מוכן"), F.lit("warning")))
+    assert r.problem == "Ready" and r.severity == "informational"
+    r = one(normalize_problem_severity(F.lit("device not ready"), F.lit("warning")))
+    assert r.problem == "device not ready" and r.severity == "warning"
+    r = one(normalize_problem_severity(F.lit("מצב שינה"), F.lit("warning")))
+    assert r.problem == "Sleeping"
+
+    # F34: catalog wins; keyword table; blank → Normal
+    assert one(short_label(F.lit("front door is open"), F.lit(None).cast("string"))) == "Door open"
+    assert one(short_label(F.lit("imaging unit please replace"), F.lit(None).cast("string"))) == "Replace drum now"
+    assert one(short_label(F.lit("anything"), F.lit("From catalog"))) == "From catalog"
+    assert one(short_label(F.lit(""), F.lit(None).cast("string"))) == "Normal"
