@@ -121,7 +121,14 @@ def read_sheet(
         if raw is not None and len(raw) == len(df.columns):
             df = df.toDF(*dedup_headers(raw))
     elif fmt in ("json", "jsonl"):
-        df = spark.read.json(path)
+        # PERMISSIVE + corrupt-record channel: the ingestion analog of the
+        # reference's tolerant parsing (F26) — malformed rows survive as
+        # raw text in _corrupt_record instead of killing the load
+        df = (
+            spark.read.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
     else:
         raise ValueError(f"unsupported fmt {fmt!r}")
 

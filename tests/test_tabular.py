@@ -65,3 +65,20 @@ def test_read_sheet_jsonl(spark, tmp_path):
     p.write_text('{"id": "1", "name": "A"}\n{"id": "2", "name": "B"}\n')
     df = read_sheet(spark, str(p), {"id": [], "name": []}, fmt="jsonl")
     assert sorted((r.id, r.name) for r in df.collect()) == [("1", "A"), ("2", "B")]
+
+
+def test_read_sheet_jsonl_corrupt_record_channel(spark, tmp_path):
+    """Malformed JSONL rows land in _corrupt_record (tolerant-parse F26
+    semantics at ingest) instead of failing the read."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": "1", "name": "A"}\n'
+        "{not json at all}\n"
+        '{"id": "2", "name": "B"}\n'
+    )
+    df = read_sheet(spark, str(p), None, fmt="jsonl", drop_all_null=False)
+    assert "_corrupt_record" in df.columns
+    good = [(r.id, r.name) for r in df.filter("id IS NOT NULL").collect()]
+    bad = [r._corrupt_record for r in df.filter("_corrupt_record IS NOT NULL").collect()]
+    assert sorted(good) == [("1", "A"), ("2", "B")]
+    assert bad == ["{not json at all}"]
