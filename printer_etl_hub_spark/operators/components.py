@@ -51,9 +51,14 @@ def connected_components(
     as their own component). Raises RuntimeError if ``max_iter`` rounds do
     not converge (needs ~log2(diameter) + 2 rounds).
     """
+    # Materialize the edge input ONCE before the symmetrization union — its
+    # two branches would otherwise re-execute the caller's whole pair
+    # pipeline (measured: the q72 near-dup DAG ran twice, ~9s of a 13s run)
+    edges = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
