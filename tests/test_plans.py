@@ -143,3 +143,19 @@ def test_q62_q67_fact_scanned_once(spark):
         df.collect()  # materialize so the reused branch substitutes the cache
         executed = df._jdf.queryExecution().executedPlan().toString()
         assert executed.count("InMemoryTableScan") >= 2, name
+
+
+def test_q80_windows_share_one_exchange(spark):
+    """Both window passes (lag flag + running sum) use the same user
+    partitioning — exactly one shuffle in the plan."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "q80_session_ids", "simple")
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_q79_single_aggregate_scan(spark):
+    """The whole profile (3 cols × 6 stats) computes from ONE aggregation
+    over ONE scan — no per-stat re-references."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "q79_profile", "simple")
+    assert plan.count("lineitem.parquet") == 1, plan[:2500]
