@@ -82,18 +82,21 @@ def connected_components(
             ).alias("component"),
         )
         # pointer jump: component ids ARE node ids, so resolving a label
-        # through the label table halves every chain each round
-        lbl_map = stepped.select(
-            F.col("node").alias("_ln"), F.col("component").alias("_lc")
-        )
-        new_labels = (
-            stepped.join(lbl_map, stepped["component"] == F.col("_ln"), "left")
-            .select(
+        # through the label table halves every chain each round. Skipped in
+        # round 0: near-dup cliques converge on LP alone by round 1 and
+        # never pay the jump join; long chains pay ~one extra round of the
+        # O(log) schedule.
+        if it > 0:
+            lbl_map = stepped.select(
+                F.col("node").alias("_ln"), F.col("component").alias("_lc")
+            )
+            stepped = stepped.join(
+                lbl_map, stepped["component"] == F.col("_ln"), "left"
+            ).select(
                 "node",
                 F.coalesce("_lc", "component").alias("component"),
             )
-            .localCheckpoint(eager=True)  # cut lineage — see module docstring
-        )
+        new_labels = stepped.localCheckpoint(eager=True)  # cut lineage — see module docstring
         # round 0 always changes something (any b-side node adopts a smaller
         # a-side label) — skip its convergence probe, one job per run saved
         changed = 1 if it == 0 else (
