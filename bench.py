@@ -71,32 +71,41 @@ def main() -> None:
     spark.range(1).select(
         F.lower(F.lit("WARMUP")), F.md5(F.lit("x")), F.regexp_replace(F.lit("a b"), r"\s+", " ")
     ).collect()
-    REGISTRY["q01_pricing_summary"].fn(spark, SF_DIR).count()
+    try:
+        REGISTRY["q01_pricing_summary"].fn(spark, SF_DIR).count()
+    except Exception as exc:  # warmup failure must not kill the bench
+        print(f"# warmup failed: {exc}", file=sys.stderr)
 
+    # Fault isolation: one broken query must not zero the whole round's bench
+    # signal — failures are recorded in the JSON and the summary always prints.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        df = REGISTRY[name].fn(spark, SF_DIR)
-        n = df.count()  # full materialization of the result
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        try:
+            df = REGISTRY[name].fn(spark, SF_DIR)
+            n = df.count()  # full materialization of the result
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
 
     sf = None
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

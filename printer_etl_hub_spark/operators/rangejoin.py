@@ -34,13 +34,20 @@ def range_join_bucketed(
     """Inner-join left points to right intervals containing them
     (inclusive bounds). Output: all left columns + all right columns."""
     w = F.lit(width_seconds)
-    lb = left.withColumn("_bucket", (F.col(ts_col).cast("long") / w).cast("long"))
+
+    def _epoch(c: str):
+        # TIMESTAMP_NTZ can't cast straight to long; routing through
+        # TIMESTAMP first is a no-op for regular timestamps and lossless
+        # for NTZ under the engine's pinned UTC session timezone.
+        return F.col(c).cast("timestamp").cast("long")
+
+    lb = left.withColumn("_bucket", (_epoch(ts_col) / w).cast("long"))
     rb = right.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                (F.col(start_col).cast("long") / w).cast("long"),
-                (F.col(end_col).cast("long") / w).cast("long"),
+                (_epoch(start_col) / w).cast("long"),
+                (_epoch(end_col) / w).cast("long"),
             )
         ),
     )

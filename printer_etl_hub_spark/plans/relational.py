@@ -1091,14 +1091,19 @@ def q47_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     ev = t["events"]
-    t0 = ev.agg(F.min("ts")).collect()[0][0]
-    wins = spark.createDataFrame(
-        [
-            (i, t0 + __import__("datetime").timedelta(hours=i),
-             t0 + __import__("datetime").timedelta(hours=i, minutes=20))
-            for i in range(10)
-        ],
-        "w_id int, w_start timestamp, w_end timestamp",
+    # Windows derived relationally (cross of the 1-row min aggregate with a
+    # generated 0..9 sequence) — no driver-side collect, no second full scan
+    # job; mirrors the oracle's CTE shape.
+    wins = (
+        ev.agg(F.min("ts").alias("start0"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("w_id"), "start0"
+        )
+        .select(
+            "w_id",
+            F.expr("start0 + make_interval(0,0,0,0, w_id, 0, 0)").alias("w_start"),
+            F.expr("start0 + make_interval(0,0,0,0, w_id, 20, 0)").alias("w_end"),
+        )
     )
     joined = range_join_bucketed(ev, "ts", wins, "w_start", "w_end", 600)
     return (

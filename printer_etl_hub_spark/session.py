@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Naive parquet timestamp[us] must come back as TIMESTAMP, not
+        # TIMESTAMP_NTZ: NTZ breaks withWatermark (event time requires
+        # TIMESTAMP) and long-casts, and the UTC session makes the two
+        # representations value-identical anyway.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
@@ -72,6 +77,10 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """
     for k, v in {
         "spark.sql.session.timeZone": "UTC",
+        # Runtime-settable: keeps naive parquet timestamps as TIMESTAMP
+        # (not NTZ) even on the driver's own session — NTZ would break
+        # watermarks and epoch casts downstream.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",

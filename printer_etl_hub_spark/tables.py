@@ -75,6 +75,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         for c in _nanos_ts_columns(path):
             if dtypes.get(c) == "bigint":
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # Belt-and-braces vs inferTimestampNTZ: if the session still surfaced
+        # a naive column as TIMESTAMP_NTZ (e.g. the conf was set after a scan
+        # was cached), normalize to TIMESTAMP — lossless under the pinned UTC
+        # session timezone, and it matches how the naive DuckDB oracle reads
+        # the same file.
+        for c, t in df.dtypes:
+            if t == "timestamp_ntz":
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
