@@ -52,15 +52,26 @@ def with_vector_norm(
 
 
 def cosine_topk_bruteforce(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 3
+    df: DataFrame, id_col: str, vec_col: str, k: int = 3, max_n: int = 50_000
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (vec_id, neighbor_id, cos, rn).
 
     Norms are precomputed per side; ranking tie-breaks on neighbor id so the
     result is a total order (deterministic at any parallelism).
+
+    ``max_n`` guards the documented O(n²) theta-join: above it the pair
+    count (n²) stops being a baseline and becomes an outage, so refuse and
+    point at the scale paths instead of silently melting the cluster.
     """
     from pyspark.sql import Window
 
+    n = df.count()
+    if n > max_n:
+        raise ValueError(
+            f"cosine_topk_bruteforce is the O(n²) exactness baseline; "
+            f"input has {n} rows > max_n={max_n}. Use ivf_topk or "
+            f"sign_lsh_pairs for corpus-sized inputs."
+        )
     base = with_vector_norm(df.select(F.col(id_col).alias("vid"), vec_col), vec_col)
     a = base.select(
         F.col("vid").alias("a_id"), F.col("vec_d").alias("a_vec"), F.col("norm").alias("a_norm")

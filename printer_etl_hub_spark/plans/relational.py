@@ -1451,16 +1451,42 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 
 
 # --------------------------------------------------------------------------
-# q76 — mergeable distinct-count rollup (HLL sketch partials)
+# q76 — distinct-count rollup (exact gated output; HLL ladder in helper)
 # --------------------------------------------------------------------------
 def q76_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user / distinct-day rollup per event_type with an EXACT,
+    hash-matchable output. Exact COUNT DISTINCT at scale = dedupe-then-
+    count: one shuffle on (event_type, user_id) with map-side partial
+    dedup, then a tiny per-type count — sets are the exact mergeable
+    partial, unlike raw distinct counts. The HLL sketch ladder (daily
+    sketches merged upward with register-wise max) lives in
+    q76_hll_ladder(); its estimates are engine-specific, so the driver-
+    gated output sticks to exact values and the HLL merge-losslessness
+    claim is pinned by unit test instead."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    users = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    days = (
+        ev.select("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_days"))
+    )
+    return users.join(days, "event_type")
+
+
+def q76_hll_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT DISTINCT as a continuous aggregate: daily HLL sketches of
     user_id per event_type, merged upward with hll_union_agg — the rollup
     RE-AGGREGATES sketches (register-wise max), never recounts rows, so the
     day→total ladder costs O(|sketch|) per group at any scale. HLL merge is
     lossless for same-width sketches: est_users_merged equals
-    est_users_direct exactly (pinned by unit test). Estimator-specific →
-    rows-only driver gate, like q37."""
+    est_users_direct exactly (pinned by unit test)."""
     t = load_tables(spark, sf_dir)
     ev = t["events"]
     daily = ev.groupBy(
@@ -1474,6 +1500,15 @@ def q76_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_users_direct")
     )
     return merged.join(direct, "event_type")
+
+
+Q76_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT date_trunc('day', ts)) AS n_days
+FROM events
+GROUP BY event_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1602,7 +1637,7 @@ RELATIONAL_QUERIES = {
     "q56_date_functions": (q56_date_functions, Q56_SQL),
     "q71_json_harvest": (q71_json_harvest, Q71_SQL),
     "q74_attribution": (q74_attribution, Q74_SQL),
-    "q76_hll_rollup": (q76_hll_rollup, None),
+    "q76_hll_rollup": (q76_hll_rollup, Q76_SQL),
     "q79_profile": (q79_profile, Q79_SQL),
     "q80_session_ids": (q80_session_ids, Q80_SQL),
 }

@@ -294,9 +294,9 @@ def test_hll_rollup_merge_is_lossless(spark):
     estimate exactly (q76's correctness claim)."""
     from conftest import SF_SMOKE
 
-    from printer_etl_hub_spark.plans.relational import q76_hll_rollup
+    from printer_etl_hub_spark.plans.relational import q76_hll_ladder
 
-    rows = q76_hll_rollup(spark, SF_SMOKE).collect()
+    rows = q76_hll_ladder(spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
         assert r.est_users_merged == r.est_users_direct, r
@@ -340,3 +340,35 @@ def test_salted_join_equals_plain_join(spark):
             for r in big.join(small, "k", how).select("k", "payload", "name").collect()
         }
         assert got == want, how
+
+
+def test_bruteforce_topk_refuses_oversized_input(spark):
+    """The O(n²) exactness baseline must refuse corpus-sized frames —
+    above max_n the theta-join is an outage, not a baseline."""
+    import pytest
+
+    from printer_etl_hub_spark.operators.similarity import cosine_topk_bruteforce
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_n"):
+        cosine_topk_bruteforce(df, "doc_id", "embedding", k=2, max_n=5)
+    # At or under the cap it still runs.
+    assert cosine_topk_bruteforce(df, "doc_id", "embedding", k=2, max_n=10).count() > 0
+
+
+def test_registry_gate_window_is_complete_and_oracled():
+    """The driver gates the first 50 REGISTRY entries: every one of them
+    must carry an oracle (no structurally-red rows), and the window must
+    include the whole TPC-H pack plus the LLM-pipeline queries that had
+    no external CORRECTNESS row in rounds 1-2."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.plans.registry import GATE_ORDER
+
+    window = list(REGISTRY)[:50]
+    assert window == GATE_ORDER
+    unoracled = [n for n in window if REGISTRY[n].oracle_sql is None]
+    assert not unoracled, unoracled
+    assert all(f"q{i}_tpch" in "|".join(window) for i in range(57, 71))
