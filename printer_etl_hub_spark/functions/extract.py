@@ -83,6 +83,25 @@ def clamp_pct(col: Column) -> Column:
     return F.least(F.greatest(col, F.lit(0)), F.lit(100))
 
 
+def normalize_supply_label(col: Column) -> Column:
+    """F17 `_normalize_label`: strip non-letters, uppercase, map the color
+    synonyms — BK/K/BLK/BLACK→BK, C/CYAN→C, M/MAGENTA→M, Y/YELLOW→Y; other
+    letter-strings pass through as-is; empty → null.
+
+    Reference: `adapters/brother_toner_web.py:12-24` (the Brother web-scrape
+    path's label column feeding the F16 clamp + F14 percent format).
+    """
+    t = F.upper(F.regexp_replace(col, "[^A-Za-z]", ""))
+    return (
+        F.when(col.isNull() | (t == ""), F.lit(None).cast("string"))
+        .when(t.isin("BK", "K", "BLK", "BLACK"), "BK")
+        .when(t.isin("C", "CYAN"), "C")
+        .when(t.isin("M", "MAGENTA"), "M")
+        .when(t.isin("Y", "YELLOW"), "Y")
+        .otherwise(t)
+    )
+
+
 def severity_tag_snmp(col: Column) -> Column:
     """F18 SNMP severity int → tag: 1→other, 2→unknown, 3→warning, 4→critical.
 

@@ -150,6 +150,139 @@ def read_sheet(
     return df.na.drop("all") if drop_all_null else df
 
 
+#: P10 expected header names (`core/excel/update_from_json.py:140`).
+EXPECTED_REPORT_HEADERS = frozenset(
+    {
+        "id",
+        "status",
+        "black",
+        "cyan",
+        "magenta",
+        "yellow",
+        "error",
+        "severity",
+        "toner type",
+        "type",
+    }
+)
+
+
+def find_header_row(
+    rows: list[list],
+    expected: frozenset[str] | set[str] = EXPECTED_REPORT_HEADERS,
+    max_scan_rows: int = 20,
+) -> tuple[int | None, dict[str, int]]:
+    """P10 header-row detector (`core/excel/update_from_json.py:137-162`).
+
+    Scan the first ≤``max_scan_rows`` rows; each row scores 1 per non-empty
+    cell whose normalized text is an expected header name. A candidate row
+    must contain "id" (case/space-insensitive); the best strictly-higher
+    score wins, first such row on ties. Returns (0-based row index,
+    header-name → 0-based column index) or (None, {}).
+    """
+    best_row: int | None = None
+    best_score = -1
+    best_map: dict[str, int] = {}
+    for r, row in enumerate(rows[:max_scan_rows]):
+        row_map: dict[str, int] = {}
+        score = 0
+        for c, v in enumerate(row):
+            if v is None:
+                continue
+            name = str(v).strip()
+            if not name:
+                continue
+            row_map[name] = c
+            if name.lower() in expected:
+                score += 1
+        if "id" in {k.strip().lower() for k in row_map} and score > best_score:
+            best_row = r
+            best_score = score
+            best_map = row_map
+    if best_row is None:
+        return None, {}
+    return best_row, best_map
+
+
+def _raw_csv_rows(path: str, limit: int) -> list[list[str]]:
+    """First ``limit`` parsed rows of the (first) CSV file — driver-side
+    metadata read, same access pattern as `_raw_csv_headers`."""
+    import csv
+    import glob
+    import itertools
+    import os
+
+    if os.path.isdir(path):
+        cands = sorted(glob.glob(os.path.join(path, "*.csv")))
+    else:
+        cands = sorted(glob.glob(path)) or [path]
+    if not cands or not os.path.isfile(cands[0]):
+        return []
+    with open(cands[0], newline="", encoding="utf-8") as fh:
+        return list(itertools.islice(csv.reader(fh), limit))
+
+
+def read_sheet_detect_header(
+    spark: SparkSession,
+    path: str,
+    spec: dict[str, list[str]] | None = None,
+    *,
+    expected: frozenset[str] | set[str] = EXPECTED_REPORT_HEADERS,
+    drop_all_null: bool = True,
+) -> DataFrame:
+    """S1 scan over a sheet whose header is NOT row 1 (title/banner rows
+    above it) — the P10 path of the S11 report sink
+    (`core/excel/update_from_json.py:137-162` feeding `:187-212`).
+
+    The header row is detected driver-side from the first ≤20 parsed rows
+    (one tiny metadata read); the full scan stays a distributed Spark CSV
+    read with ``header=false``, and the title-row prefix is dropped by
+    file-order row number. Worksheet-shaped inputs are bounded by the
+    workbook format (≤~10^6 rows), so the single global ordering window is
+    metadata-cheap; at lake scale, headers belong in table metadata — this
+    operator exists to ingest the workbook world, not to replace it.
+    """
+    from pyspark.sql import Window
+
+    prefix = _raw_csv_rows(path, 20)
+    header_row, header_map = find_header_row(prefix, expected)
+    if header_row is None:
+        raise ValueError(f"no header row with 'id' found in first 20 rows of {path}")
+    headers = dedup_headers(
+        [h if str(h).strip() else f"_c{i}" for i, h in enumerate(prefix[header_row])]
+    )
+
+    df = spark.read.option("header", "false").csv(path)
+    # monotonically_increasing_id is partition-prefixed and in-partition
+    # sequential, and file-source partitions follow split order — so it is a
+    # valid FILE-ORDER sort key for a narrow CSV scan (no shuffle yet).
+    df = df.withColumn("_mid", F.monotonically_increasing_id())
+    df = (
+        df.withColumn(
+            "_rn", F.row_number().over(Window.orderBy(F.col("_mid"))) - F.lit(1)
+        )
+        .filter(F.col("_rn") > F.lit(header_row))
+        .drop("_mid", "_rn")
+    )
+    if len(headers) == len(df.columns):
+        df = df.toDF(*headers)
+
+    if spec is not None:
+        mapping = resolve_headers(df.columns, spec)
+        df = df.select(
+            *[F.col(f"`{a}`").alias(logical) for logical, a in mapping.items()]
+        )
+    df = df.select(
+        *[
+            F.nullif(F.col(f"`{c}`"), F.lit("")).alias(c)
+            if dict(df.dtypes)[c] == "string"
+            else F.col(f"`{c}`")
+            for c in df.columns
+        ]
+    )
+    return df.na.drop("all") if drop_all_null else df
+
+
 #: Reference sheet specs (`core/excel/import_from_xlsm.py:14-23`) with the
 #: S2 synonym lists (`adapters/employee_source.py:6-42`) — Hebrew included.
 EMPLOYEE_SPEC = {

@@ -277,3 +277,32 @@ def test_f31_f34_case_mappings(spark):
     assert one(short_label(F.lit("imaging unit please replace"), F.lit(None).cast("string"))) == "Replace drum now"
     assert one(short_label(F.lit("anything"), F.lit("From catalog"))) == "From catalog"
     assert one(short_label(F.lit(""), F.lit(None).cast("string"))) == "Normal"
+
+
+def test_normalize_supply_label(spark):
+    """F17 `_normalize_label` (`adapters/brother_toner_web.py:12-24`):
+    strip non-letters, uppercase, synonym-map the four colors; unknown
+    letter-strings pass through; empty/None → null — then F16 clamp and
+    F14 percent format on the matching value column."""
+    from printer_etl_hub_spark.functions.extract import (
+        clamp_pct,
+        normalize_supply_label,
+        pct_with_symbol,
+    )
+
+    rows = [
+        ("BK:", 42), (" k ", 101), ("BLK", -5), ("Black", 7),
+        ("cyan*", 55), ("M", 12), ("Yellow!", 0), ("WASTE", 30),
+        ("123", 10), (None, 10),
+    ]
+    df = spark.createDataFrame(rows, "label string, pct int")
+    out = df.select(
+        normalize_supply_label(F.col("label")).alias("norm"),
+        pct_with_symbol(clamp_pct(F.col("pct"))).alias("pct"),
+    ).collect()
+    got = [(r.norm, r.pct) for r in out]
+    assert got == [
+        ("BK", "42%"), ("BK", "100%"), ("BK", "0%"), ("BK", "7%"),
+        ("C", "55%"), ("M", "12%"), ("Y", "0%"), ("WASTE", "30%"),
+        (None, "10%"), (None, "10%"),
+    ]

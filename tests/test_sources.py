@@ -97,3 +97,91 @@ def test_devicepoll_stream_cycles(spark, tmp_path):
     finally:
         q.stop()
     assert {(r.cycle, r.n) for r in got} == {(1, 10), (2, 10), (3, 10)}
+
+
+GRID_HTML = """
+<div class="x-grid3">
+ <div class="x-grid3-header"><div class="x-grid3-row">
+   <div class="x-grid3-cell-inner">Description</div>
+   <div class="x-grid3-cell-inner">Status Code</div>
+ </div></div>
+ <div class="x-grid3-body">
+  <div class="x-grid3-row">
+    <img src="warn.png" alt="Warning"/>
+    <div class="x-grid3-cell-inner">C4-1234: Cartridge low on toner</div>
+    <div class="x-grid3-cell-inner">C4-1234</div>
+  </div>
+  <div class="x-grid3-row">
+    <div class="x-grid3-cell-inner">Paper jam in tray two assembly</div>
+    <div class="x-grid3-cell-inner">critical</div>
+  </div>
+  <div class="x-grid3-row">
+    <div class="x-grid3-cell-inner">Paper jam in tray two assembly</div>
+    <div class="x-grid3-cell-inner">critical</div>
+  </div>
+ </div>
+</div>
+"""
+
+TR_HTML = """
+<table>
+ <tr><td>Description</td><td>Status Code</td></tr>
+ <tr><td>E2-404 : Fuser unit needs replacement soon</td><td>warning</td></tr>
+ <tr><td><b>Door open</b> on left side</td><td>critical</td></tr>
+</table>
+"""
+
+
+def test_parse_alert_html_grid_and_tr():
+    """F29 reference semantics (`adapters/ews_alerts.py:81-116`): longest
+    cell = description, code split off its head, img-alt severity beats the
+    shortest-cell pick, header rows skipped, order-preserving dedup."""
+    from printer_etl_hub_spark.sources.html_alerts import parse_alert_html
+
+    grid = parse_alert_html(GRID_HTML)
+    assert grid == [
+        {"severity": "Warning", "status_code": "C4-1234",
+         "description": "Cartridge low on toner"},
+        {"severity": "critical", "status_code": "",
+         "description": "Paper jam in tray two assembly"},
+    ]
+    tr = parse_alert_html(TR_HTML)
+    assert tr == [
+        {"severity": "warning", "status_code": "E2-404",
+         "description": "Fuser unit needs replacement soon"},
+        {"severity": "critical", "status_code": "",
+         "description": "Door open on left side"},
+    ]
+    assert parse_alert_html("") == []
+    assert parse_alert_html("<p>no tables here</p>") == []
+
+
+def test_shred_alert_html_feeds_argmax(spark):
+    """F29 mapInPandas stage → A3 argmax: per device, the top alert by
+    (severity rank, has_code, earliest appearance)."""
+    from pyspark.sql import functions as F
+
+    from printer_etl_hub_spark.functions.extract import severity_rank
+    from printer_etl_hub_spark.operators.argmax import argmax_per_group
+    from printer_etl_hub_spark.sources.html_alerts import shred_alert_html
+
+    pages = spark.createDataFrame(
+        [("10.0.0.1", GRID_HTML), ("10.0.0.2", TR_HTML), ("10.0.0.3", None)],
+        "ip string, html string",
+    )
+    alerts = shred_alert_html(pages, "ip", "html")
+    assert alerts.count() == 4  # 2 per page, dedup'd, empty page emits none
+    best = argmax_per_group(
+        alerts,
+        ["ip"],
+        F.struct(
+            severity_rank(F.col("severity")),
+            (F.col("status_code") != "").cast("int"),
+            -F.col("row_idx"),
+        ),
+        {"problem": F.col("description"), "severity": F.col("severity")},
+    )
+    got = {r.ip: (r.problem, r.severity) for r in best.collect()}
+    assert got["10.0.0.1"] == ("Paper jam in tray two assembly", "critical")
+    assert got["10.0.0.2"] == ("Door open on left side", "critical")
+    assert "10.0.0.3" not in got

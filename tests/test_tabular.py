@@ -82,3 +82,51 @@ def test_read_sheet_jsonl_corrupt_record_channel(spark, tmp_path):
     bad = [r._corrupt_record for r in df.filter("_corrupt_record IS NOT NULL").collect()]
     assert sorted(good) == [("1", "A"), ("2", "B")]
     assert bad == ["{not json at all}"]
+
+
+def test_find_header_row_scores_and_requires_id():
+    from printer_etl_hub_spark.sources.tabular import find_header_row
+
+    rows = [
+        ["Fleet report", "", ""],               # title row, no "id"
+        ["Generated 2026-08-13", None, ""],     # banner row
+        ["ID", "Status", "Black"],              # real header (score 3)
+        ["1", "online", "42%"],
+    ]
+    r, m = find_header_row(rows)
+    assert r == 2
+    assert m == {"ID": 0, "Status": 1, "Black": 2}
+    # a row containing "id" but scoring lower must lose to the best scorer
+    rows2 = [["id", "junk"], ["ID", "Status", "Severity"]]
+    r2, _ = find_header_row(rows2)
+    assert r2 == 1
+    # no row with "id" at all → (None, {})
+    assert find_header_row([["a", "b"], ["c"]]) == (None, {})
+
+
+def test_read_sheet_detect_header_skips_title_rows(spark, tmp_path):
+    from printer_etl_hub_spark.sources.tabular import read_sheet_detect_header
+
+    p = tmp_path / "report.csv"
+    p.write_text(
+        "Quarterly fleet report,,\n"
+        "branch: all,,\n"
+        "ID,Status,Black\n"
+        "1,online,42%\n"
+        ",,\n"
+        "2,offline,7%\n",
+        encoding="utf-8",
+    )
+    df = read_sheet_detect_header(spark, str(p))
+    assert df.columns == ["ID", "Status", "Black"]
+    rows = sorted((r.ID, r.Status, r.Black) for r in df.collect())
+    assert rows == [("1", "online", "42%"), ("2", "offline", "7%")]
+
+
+def test_read_sheet_detect_header_no_header_raises(spark, tmp_path):
+    from printer_etl_hub_spark.sources.tabular import read_sheet_detect_header
+
+    p = tmp_path / "bad.csv"
+    p.write_text("just,data\n1,2\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="no header row"):
+        read_sheet_detect_header(spark, str(p))
