@@ -54,22 +54,71 @@ def load_printers_json(spark: SparkSession, path: str) -> DataFrame:
     return out
 
 
+def json_serializer(obj):
+    """F35 serializer rules (`core/excel/import_from_xlsm.py:30-49`):
+    datetime/date/Timestamp → ISO-8601 string, numpy scalars → python
+    scalars with NaN → null, anything else unknown → str. Floats that are
+    NaN also become null (the reference's NaN→None normalization applied
+    at every float, not only numpy's)."""
+    import math
+    from datetime import date, datetime
+
+    if isinstance(obj, (datetime, date)):
+        return obj.isoformat()
+    try:
+        import numpy as _np
+
+        if isinstance(obj, _np.integer):
+            return int(obj)
+        if isinstance(obj, _np.floating):
+            val = float(obj)
+            return None if math.isnan(val) else val
+        if isinstance(obj, _np.bool_):
+            return bool(obj)
+    except Exception:
+        pass
+    if isinstance(obj, float) and math.isnan(obj):
+        return None
+    return str(obj)
+
+
+def _apply_serializer_rules(v):
+    """Recursive pre-pass applying F35 to values json.dump would otherwise
+    emit raw (NaN floats → would serialize as the non-standard ``NaN``
+    token) or reject (datetime). Containers recurse; scalars pass through
+    the rule table."""
+    import math
+    from datetime import date, datetime
+
+    if isinstance(v, dict):
+        return {k: _apply_serializer_rules(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_apply_serializer_rules(x) for x in v]
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    return v
+
+
 def save_printers_json(df: DataFrame, path: str) -> None:
     """S5: export the canonical frame back to the reference document shape.
 
     Atomic tmp+rename like `adapters/json_store.py:15-19`
-    (`ensure_ascii=False, indent=2`). Driver-side by design: this is an edge
-    export of a small fleet, not a data path.
+    (`ensure_ascii=False, indent=2`), with the F35 serializer rules
+    (timestamps → ISO strings, NaN → null) applied on the way out.
+    Driver-side by design: this is an edge export of a small fleet, not a
+    data path.
     """
     groups: dict[str, list] = {g: [] for g in GROUP_KEYS}
     cols = [c for c in df.columns if c not in ("group", "seq")]
     rows = df.select("group", "seq", *cols).orderBy("group", "seq").collect()
     for r in rows:
-        d = r.asDict(recursive=True)
+        d = _apply_serializer_rules(r.asDict(recursive=True))
         g = d.pop("group")
         d.pop("seq", None)
         groups.setdefault(g, []).append({k: v for k, v in d.items() if v is not None})
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(groups, f, ensure_ascii=False, indent=2)
+        json.dump(groups, f, ensure_ascii=False, indent=2, default=json_serializer)
     os.replace(tmp, path)

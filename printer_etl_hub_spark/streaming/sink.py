@@ -26,22 +26,46 @@ from pyspark.sql import functions as F
 _POINTER = "_CURRENT"
 
 
-def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Read the current committed state version (None before first commit)."""
+def _read_pointer(state_dir: str) -> tuple[str | None, int | None]:
+    """Committed (version, last-applied batch id). The second line of the
+    pointer file records which micro-batch produced the version — the
+    replay-detection token; absent (older pointers, delete_keys commits)
+    → None."""
     ptr = os.path.join(state_dir, _POINTER)
     if not os.path.exists(ptr):
-        return None
+        return None, None
     with open(ptr, encoding="utf-8") as fh:
-        version = fh.read().strip()
+        lines = fh.read().strip().splitlines()
+    version = lines[0].strip() if lines else None
+    batch_id = int(lines[1]) if len(lines) > 1 and lines[1].strip().isdigit() else None
+    return version or None, batch_id
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Read the current committed state version (None before first commit)."""
+    version, _ = _read_pointer(state_dir)
+    if version is None:
+        return None
     return spark.read.parquet(os.path.join(state_dir, version))
 
 
-def _commit_pointer(state_dir: str, version: str) -> None:
+def _next_version(state_dir: str) -> str:
+    """Monotonic version allocation (never reuses a directory, so a commit
+    can never read from and overwrite the same files)."""
+    existing = sorted(
+        d for d in os.listdir(state_dir) if d.startswith("v") and d[1:].isdigit()
+    )
+    nxt = (int(existing[-1][1:]) + 1) if existing else 0
+    return f"v{nxt:010d}"
+
+
+def _commit_pointer(state_dir: str, version: str, batch_id: int | None = None) -> None:
     """Atomic pointer flip (tmp + rename), mirroring the reference's commit."""
     ptr = os.path.join(state_dir, _POINTER)
     tmp = ptr + ".tmp"
+    body = version if batch_id is None else f"{version}\n{batch_id}"
     with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(version)
+        fh.write(body)
     os.replace(tmp, ptr)
 
 
@@ -54,7 +78,17 @@ def merge_last_state(
     batch_id: int,
 ) -> None:
     """MERGE one micro-batch into the state table (last ``ts_col`` wins,
-    across the stored state AND within the batch)."""
+    across the stored state AND within the batch).
+
+    Replay-idempotent: foreachBatch re-delivers the last batch after a
+    restart. If the committed pointer already records this ``batch_id``
+    the merge is a no-op; and versions are allocated monotonically (like
+    ``delete_keys``), so even a replay that does re-merge writes a NEW
+    directory — never a read-and-overwrite of the one it is reading.
+    """
+    _, last_bid = _read_pointer(state_dir)
+    if last_bid is not None and last_bid == batch_id:
+        return  # this batch's effect is already committed — replay no-op
     latest = (
         batch_df.groupBy(key)
         .agg(F.max_by(F.struct("*"), F.col(ts_col)).alias("_r"))
@@ -70,9 +104,9 @@ def merge_last_state(
         )
     else:
         merged = latest
-    version = f"v{batch_id:010d}"
+    version = _next_version(state_dir)
     merged.write.mode("overwrite").parquet(os.path.join(state_dir, version))
-    _commit_pointer(state_dir, version)
+    _commit_pointer(state_dir, version, batch_id)
 
 
 def device_state_sink(
@@ -123,11 +157,7 @@ def delete_keys(
     kept = cur.join(keyed, key, "left_anti")
     n_before = cur.count()
     n_after = kept.count()
-    existing = sorted(
-        d for d in os.listdir(state_dir) if d.startswith("v") and d[1:].isdigit()
-    )
-    nxt = (int(existing[-1][1:]) + 1) if existing else 0
-    version = f"v{nxt:010d}"
+    version = _next_version(state_dir)
     kept.write.mode("overwrite").parquet(os.path.join(state_dir, version))
     _commit_pointer(state_dir, version)
     return n_before - n_after

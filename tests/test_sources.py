@@ -185,3 +185,47 @@ def test_shred_alert_html_feeds_argmax(spark):
     assert got["10.0.0.1"] == ("Paper jam in tray two assembly", "critical")
     assert got["10.0.0.2"] == ("Door open on left side", "critical")
     assert "10.0.0.3" not in got
+
+
+def test_json_export_serializer_rules(spark, tmp_path):
+    """F35 (`core/excel/import_from_xlsm.py:30-49`): timestamp columns
+    export as ISO strings, NaN floats become null (dropped with the other
+    nulls), and the document round-trips."""
+    import datetime
+    import json as _json
+
+    from printer_etl_hub_spark.sources.json_store import save_printers_json
+
+    df = spark.createDataFrame(
+        [
+            ("Company_Grouped", 0, "1",
+             datetime.datetime(2026, 8, 13, 9, 30, 0), 1.5),
+            ("Company_Grouped", 1, "2",
+             None, float("nan")),
+        ],
+        "group string, seq long, ID string, seen timestamp, score double",
+    )
+    out = tmp_path / "printers.json"
+    save_printers_json(df, str(out))
+    doc = _json.loads(out.read_text(encoding="utf-8"))
+    rows = doc["Company_Grouped"]
+    assert rows[0]["seen"] == "2026-08-13T09:30:00"
+    assert rows[0]["score"] == 1.5
+    # NaN → null → dropped like every other null (reference drops Nones)
+    assert "seen" not in rows[1] and "score" not in rows[1]
+
+
+def test_json_serializer_scalar_rules():
+    import datetime
+    import math
+
+    import numpy as np
+
+    from printer_etl_hub_spark.sources.json_store import json_serializer
+
+    assert json_serializer(datetime.date(2026, 1, 2)) == "2026-01-02"
+    assert json_serializer(np.int64(7)) == 7
+    assert json_serializer(np.float64(2.5)) == 2.5
+    assert json_serializer(np.float64(math.nan)) is None
+    assert json_serializer(np.bool_(True)) is True
+    assert json_serializer(object()).startswith("<object")

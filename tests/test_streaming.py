@@ -449,3 +449,36 @@ def test_vacuum_keeps_current_and_recent(spark, events, tmp_path):
     assert left == versions[2:]
     # current still readable after the sweep
     assert read_state(spark, state).count() > 0
+
+
+def test_merge_last_state_replay_is_idempotent(spark, events, tmp_path):
+    """foreachBatch re-delivers the last batch after a restart: replaying
+    the same batch_id must leave state AND version history unchanged, and
+    no commit may ever read from and overwrite the same version dir."""
+    import os
+
+    from printer_etl_hub_spark.streaming.sink import merge_last_state, read_state
+
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    b0 = events.limit(50)
+    b1 = events.limit(120)
+
+    merge_last_state(spark, b0, state, "user_id", "ts", 0)
+    merge_last_state(spark, b1, state, "user_id", "ts", 1)
+    versions_before = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    snap = sorted(
+        (r.user_id, r.ts) for r in read_state(spark, state).select("user_id", "ts").collect()
+    )
+
+    # crash-replay: the sink re-runs the already-committed batch 1
+    merge_last_state(spark, b1, state, "user_id", "ts", 1)
+    assert sorted(d for d in os.listdir(state) if d.startswith("v")) == versions_before
+    snap2 = sorted(
+        (r.user_id, r.ts) for r in read_state(spark, state).select("user_id", "ts").collect()
+    )
+    assert snap2 == snap
+
+    # a NEW batch id still applies on top
+    merge_last_state(spark, b0, state, "user_id", "ts", 2)
+    assert len([d for d in os.listdir(state) if d.startswith("v")]) == 3
