@@ -1393,6 +1393,12 @@ def q71_json_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     doc = t["orders"].select("o_orderkey", payload.alias("payload"))
+    # The ladder is narrow (no shuffle at any depth), so its parallelism is
+    # the SCAN's: a small single-file corpus arrives as one partition and
+    # would run the whole CPU-bound parse+explode pipeline on one core.
+    # Spread the (still narrow) doc rows first; at lake scale the scan has
+    # many splits and this repartition coalesces into AQE's plan harmlessly.
+    doc = doc.repartition(spark.sparkContext.defaultParallelism)
     # persist_levels: each ladder level feeds two consumers; caching it is a
     # 4x wall win at 10x scale (14s → 3.7s for 7.5M leaves)
     return harvest_json(doc, "payload", ("o_orderkey",), max_depth=3, persist_levels=True)

@@ -418,6 +418,10 @@ def q33_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = t["documents"].select(
         F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
     )
+    # mapInPandas parallelism = input partitioning; spread the payload rows
+    # so the Python decode stage uses every worker even when the corpus
+    # arrives as one small file (at scale the scan splits naturally).
+    media = media.repartition(spark.sparkContext.defaultParallelism)
     return decode_media(media, "doc_id", "payload")
 
 

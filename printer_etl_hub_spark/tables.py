@@ -34,12 +34,18 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation", "supplier", "part")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
 def _nanos_ts_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't read them
     natively; we read them as long (legacy conf) and convert.
 
     ``path`` may be a single file (driver corpus) or a directory of part
     files (any Spark-written table) — the schema comes from the first part.
+    Cached: corpus files are immutable for a run, and every registry query
+    loads the same tables.
     """
     import glob
     import os
@@ -55,6 +61,15 @@ def _nanos_ts_columns(path: str) -> list[str]:
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 
 
+#: (SparkSession, abs sf_dir) → table dict. DataFrames are lazy logical
+#: plans, so reusing them across registry queries is pure overhead removal
+#: (no re-read of parquet footers, no temp-view churn); the corpus dirs are
+#: immutable for a run. Keyed on the session object so a stopped/new
+#: session never serves stale plans.
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_CACHE_SESSIONS: list[SparkSession] = []  # pin sessions so ids stay unique
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all corpus tables from ``sf_dir`` and register temp views.
 
@@ -62,6 +77,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     truncated to microsecond timestamps with integer division — exactly what
     DuckDB does when it reads the same file, so the oracle agrees.
     """
+    import os
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
     apply_runtime_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
@@ -85,4 +106,6 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 df = df.withColumn(c, F.col(c).cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
-    return out
+    _TABLE_CACHE[key] = out
+    _CACHE_SESSIONS.append(spark)
+    return dict(out)
