@@ -418,10 +418,12 @@ def q33_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = t["documents"].select(
         F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    # mapInPandas parallelism = input partitioning; spread the payload rows
-    # so the Python decode stage uses every worker even when the corpus
-    # arrives as one small file (at scale the scan splits naturally).
-    media = media.repartition(spark.sparkContext.defaultParallelism)
+    # mapInPandas parallelism follows the scan's partitioning. Deliberately
+    # NOT repartitioned here: the payload volume, not the row count, sizes a
+    # decode stage, and this corpus is a few MB — fanning 5000 tiny rows
+    # across 32 Python workers costs more in worker/Arrow setup than the
+    # decode itself (measured 2.3s → 6-8s in the bench). At real multimodal
+    # scale the scan arrives in many splits and parallelism is free.
     return decode_media(media, "doc_id", "payload")
 
 
