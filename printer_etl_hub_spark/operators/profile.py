@@ -46,13 +46,18 @@ def profile_columns(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
         sq = F.col(f"{c}__sumsq").cast("double")
         mean = s / n
         var = (sq - (s * s) / n) / (n - 1)
+        # mean/stddev round to 9 decimals: the decimal partials are exact,
+        # but engines convert decimal→double differently (DuckDB divides the
+        # scaled int by 10^scale, Spark rounds the decimal directly), which
+        # can leave the derived stats 1 ulp apart. 9 digits is far inside
+        # the statistic's meaning and far outside the ulp noise.
         stats = {
             "n": F.col(f"{c}__n").cast("double"),
             "n_distinct": F.col(f"{c}__n_distinct").cast("double"),
             "min": F.col(f"{c}__min"),
             "max": F.col(f"{c}__max"),
-            "mean": mean,
-            "stddev": F.sqrt(var),
+            "mean": F.round(mean, 9),
+            "stddev": F.round(F.sqrt(var), 9),
         }
         for stat, expr in stats.items():
             entries.append(

@@ -1543,8 +1543,8 @@ SELECT '{c}' AS col_name, 'n' AS stat, CAST(count({c}) AS DOUBLE) AS value FROM 
 UNION ALL SELECT '{c}', 'n_distinct', CAST(count(DISTINCT {c}) AS DOUBLE) FROM lineitem
 UNION ALL SELECT '{c}', 'min', CAST(min({c}) AS DOUBLE) FROM lineitem
 UNION ALL SELECT '{c}', 'max', CAST(max({c}) AS DOUBLE) FROM lineitem
-UNION ALL SELECT '{c}', 'mean', {s} / {n} FROM lineitem
-UNION ALL SELECT '{c}', 'stddev', sqrt(({sq} - ({s} * {s}) / {n}) / ({n} - 1)) FROM lineitem
+UNION ALL SELECT '{c}', 'mean', round({s} / {n}, 9) FROM lineitem
+UNION ALL SELECT '{c}', 'stddev', round(sqrt(({sq} - ({s} * {s}) / {n}) / ({n} - 1)), 9) FROM lineitem
 """
 
 

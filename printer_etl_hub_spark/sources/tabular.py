@@ -97,22 +97,52 @@ def _raw_csv_headers(path: str) -> list[str] | None:
         return next(csv.reader(fh), None)
 
 
+def _xlsx_frame(
+    spark: SparkSession, rows: list[list], header_row: int = 0
+) -> DataFrame:
+    """Worksheet rows → all-string DataFrame, headers from ``header_row``
+    (reference-exact `_2` dedup suffixing). Cell values stringify the same
+    way the CSV carrier delivers them (None stays null), so every
+    downstream header/normalization rule is carrier-independent."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if len(rows) <= header_row:
+        raise ValueError("worksheet has no header row")
+    headers = dedup_headers(
+        [
+            str(h) if h is not None and str(h).strip() else f"_c{i}"
+            for i, h in enumerate(rows[header_row])
+        ]
+    )
+    data = [
+        [None if v is None else str(v) for v in r] for r in rows[header_row + 1:]
+    ]
+    schema = StructType([StructField(h, StringType()) for h in headers])
+    return spark.createDataFrame(data, schema)
+
+
 def read_sheet(
     spark: SparkSession,
     path: str,
     spec: dict[str, list[str]] | None = None,
     *,
     fmt: str = "csv",
+    sheet: str | None = None,
     drop_all_null: bool = True,
 ) -> DataFrame:
-    """Spec'd (S1/S2) or inferred (S3) sheet scan over CSV / JSON-lines.
+    """Spec'd (S1/S2) or inferred (S3) sheet scan over CSV / JSON-lines /
+    real XLSX-XLSM workbooks (stdlib zip+XML decoder, ``sources/xlsx.py``).
 
     - spec given → fuzzy-resolve + prune/rename to the logical columns;
     - spec None → keep every header, duplicate headers suffixed ``_2…``;
     - empty strings normalize to null first, then all-null rows drop
       (P6, `core/excel/import_from_xlsm.py:79-84`).
     """
-    if fmt == "csv":
+    if fmt in ("xlsx", "xlsm"):
+        from .xlsx import read_xlsx_rows
+
+        df = _xlsx_frame(spark, read_xlsx_rows(path, sheet))
+    elif fmt == "csv":
         df = spark.read.option("header", "true").csv(path)
         # Spark renames duplicate CSV headers to name0/name1; recover the raw
         # header row (one driver-side metadata read) for reference-exact
@@ -227,6 +257,8 @@ def read_sheet_detect_header(
     path: str,
     spec: dict[str, list[str]] | None = None,
     *,
+    fmt: str = "csv",
+    sheet: str | None = None,
     expected: frozenset[str] | set[str] = EXPECTED_REPORT_HEADERS,
     drop_all_null: bool = True,
 ) -> DataFrame:
@@ -243,6 +275,33 @@ def read_sheet_detect_header(
     operator exists to ingest the workbook world, not to replace it.
     """
     from pyspark.sql import Window
+
+    if fmt in ("xlsx", "xlsm"):
+        # Workbook carrier: the file is a driver-side read by format; detect
+        # and slice in one pass, then hand the frame to the common tail.
+        from .xlsx import read_xlsx_rows
+
+        rows = read_xlsx_rows(path, sheet)
+        header_row, _ = find_header_row(rows, expected)
+        if header_row is None:
+            raise ValueError(
+                f"no header row with 'id' found in first 20 rows of {path}"
+            )
+        df = _xlsx_frame(spark, rows, header_row)
+        if spec is not None:
+            mapping = resolve_headers(df.columns, spec)
+            df = df.select(
+                *[F.col(f"`{a}`").alias(logical) for logical, a in mapping.items()]
+            )
+        df = df.select(
+            *[
+                F.nullif(F.col(f"`{c}`"), F.lit("")).alias(c)
+                if dict(df.dtypes)[c] == "string"
+                else F.col(f"`{c}`")
+                for c in df.columns
+            ]
+        )
+        return df.na.drop("all") if drop_all_null else df
 
     prefix = _raw_csv_rows(path, 20)
     header_row, header_map = find_header_row(prefix, expected)
