@@ -159,3 +159,28 @@ def test_q79_single_aggregate_scan(spark):
     spark.catalog.clearCache()
     plan = plan_of(spark, "q79_profile", "simple")
     assert plan.count("lineitem.parquet") == 1, plan[:2500]
+
+
+#: BroadcastNestedLoopJoin is legitimate ONLY against a tiny/1-row build
+#: side: q31 is the documented O(n²) exactness baseline (max_n-guarded),
+#: q38 broadcast-scores centroids (O(n·c) map stage), q65/q67 are TPC-H
+#: scalar-subquery 1-row broadcasts.
+BNLJ_ALLOWED = {
+    "q31_embedding_topk",
+    "q38_ivf_topk",
+    "q65_tpch_q22",
+    "q67_tpch_q11",
+}
+
+
+def test_no_unintended_nested_loop_joins(spark):
+    """Plan-hygiene sweep over the whole registry: no CartesianProduct
+    anywhere, and BroadcastNestedLoopJoin only where the build side is
+    provably tiny (whitelist above). A join key typo or a lost equi-key
+    silently degrades to a nested loop — the classic 100-TB outage — and
+    this test is the tripwire."""
+    for name in REGISTRY:
+        plan = plan_of(spark, name, "simple")
+        assert "CartesianProduct" not in plan, name
+        if name not in BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in plan, name
