@@ -77,6 +77,100 @@ def printer_error_argmax(alerts: DataFrame) -> DataFrame:
     )
 
 
+def ews_error_pipeline(pages: DataFrame, catalog: DataFrame) -> DataFrame:
+    """S8's HTML fallback end-to-end: scraped alert-table pages → one
+    ``(ip, problem, severity)`` row per device.
+
+    Chain (reference `adapters/ews_alerts.py:259-293`): F29 shred →
+    J8 catalog join for zero-rank alerts → A3 argmax by (rank, has_code,
+    first appearance) → F23 code fallback from the description → catalog-
+    first F34 short label → the EWS normalize (blank/Normal→Ready,
+    sleep→Sleeping) → severity = forced | catalog triage | alert triage.
+    Devices whose page held no alerts report (Ready, informational) —
+    never dropped.
+
+    ``catalog``: (code, status, info) rows; broadcast at both lookups
+    (error catalogs are dimension-sized).
+    """
+    from ..functions.extract import error_code, severity_rank, short_label, triage_three
+    from ..operators.argmax import argmax_per_group
+    from ..sources.html_alerts import shred_alert_html
+
+    alerts = shred_alert_html(pages, "ip", "html")
+    cat_rank_side = F.broadcast(
+        catalog.select(
+            F.col("code").alias("status_code"), F.col("status").alias("_cat_rank_status")
+        )
+    )
+    with_cat = alerts.join(cat_rank_side, "status_code", "left")
+    cat_status_rank = (
+        F.when(F.upper(F.trim(F.col("_cat_rank_status"))) == "CRITICAL", 9)
+        .when(F.upper(F.trim(F.col("_cat_rank_status"))) == "ATTENTION", 5)
+        .when(F.upper(F.trim(F.col("_cat_rank_status"))) == "INFO", 1)
+        .otherwise(0)
+    )
+    r = severity_rank(F.col("severity"))
+    rank = F.when(r != 0, r).otherwise(cat_status_rank)
+    top = argmax_per_group(
+        with_cat,
+        ["ip"],
+        F.struct(
+            rank.alias("rank"),
+            F.nullif(F.col("status_code"), F.lit("")).isNotNull().cast("int").alias("has_code"),
+            (-F.col("row_idx")).alias("neg_idx"),
+        ),
+        {
+            "status_code": F.col("status_code"),
+            "description": F.col("description"),
+            "alert_severity": F.col("severity"),
+        },
+    )
+    code = F.coalesce(
+        F.nullif(F.col("status_code"), F.lit("")), error_code(F.col("description"))
+    )
+    cat_label_side = F.broadcast(
+        catalog.select(
+            F.col("code").alias("_code"),
+            F.col("status").alias("_cat_status"),
+            F.col("info").alias("_cat_info"),
+        )
+    )
+    labeled = (
+        top.withColumn("_code", code)
+        .join(cat_label_side, "_code", "left")
+        .withColumn(
+            "_label",
+            short_label(F.col("description"), F.nullif(F.trim(F.col("_cat_info")), F.lit(""))),
+        )
+        .withColumn(
+            "_base_sev",
+            triage_three(F.coalesce(F.col("_cat_status"), F.col("alert_severity"))),
+        )
+    )
+    low = F.lower(F.trim(F.col("_label")))
+    resolved = labeled.select(
+        "ip",
+        F.when(
+            (low == "") | (low == "normal"),
+            F.struct(F.lit("Ready").alias("problem"), F.lit("informational").alias("severity")),
+        )
+        .when(
+            low.contains("sleep"),
+            F.struct(F.lit("Sleeping").alias("problem"), F.lit("informational").alias("severity")),
+        )
+        .otherwise(
+            F.struct(F.col("_label").alias("problem"), F.col("_base_sev").alias("severity"))
+        )
+        .alias("ps"),
+    ).select("ip", F.col("ps.problem").alias("problem"), F.col("ps.severity").alias("severity"))
+    devices = pages.select(F.col("ip").cast("string").alias("ip")).distinct()
+    return devices.join(resolved, "ip", "left").select(
+        "ip",
+        F.coalesce(F.col("problem"), F.lit("Ready")).alias("problem"),
+        F.coalesce(F.col("severity"), F.lit("informational")).alias("severity"),
+    )
+
+
 def fleet_toner_report(
     printers: DataFrame,
     snmp_walk: DataFrame,

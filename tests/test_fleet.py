@@ -226,3 +226,50 @@ def test_pipeline_runner_order_excludes_and_faults(spark):
     assert not summarize(res)
     assert summarize([r for r in res if r.name != "step3_poll"])
     assert natural_key("a2") < natural_key("a10")
+
+
+def test_ews_error_pipeline_end_to_end(spark):
+    """S8 HTML fallback chain (`adapters/ews_alerts.py:259-293`): shred →
+    catalog-rank fallback → argmax → code fallback → catalog-first label →
+    Ready/Sleeping normalization → severity resolution."""
+    from printer_etl_hub_spark.plans.fleet import ews_error_pipeline
+
+    grid = """
+    <div class="x-grid3-body">
+      <div class="x-grid3-row">
+        <div class="x-grid3-cell-inner">C4-1234 Cartridge is very low</div>
+        <div class="x-grid3-cell-inner">C4-1234</div>
+        <div class="x-grid3-cell-inner">info</div>
+      </div>
+      <div class="x-grid3-row">
+        <div class="x-grid3-cell-inner">Paper jam in tray two area</div>
+        <div class="x-grid3-cell-inner">critical</div>
+      </div>
+    </div>"""
+    sleep_tr = "<table><tr><td>Sleep mode is on right now</td><td>info</td></tr></table>"
+    pages = spark.createDataFrame(
+        [("10.0.0.1", grid), ("10.0.0.2", sleep_tr), ("10.0.0.3", "")],
+        "ip string, html string",
+    )
+    catalog = spark.createDataFrame(
+        [("C4-1234", "ATTENTION", "Toner low")],
+        "code string, status string, info string",
+    )
+    got = {r.ip: (r.problem, r.severity) for r in ews_error_pipeline(pages, catalog).collect()}
+    # critical jam alert outranks the catalog-backed info alert
+    assert got["10.0.0.1"] == ("Paper jam", "critical")
+    # sleep DESCRIPTION isn't in the keyword table; the Sleeping branch
+    # applies to the label (e.g. a catalog info saying "sleep") — reference-
+    # exact result here is the keyword fallback at info severity
+    assert got["10.0.0.2"] == ("Check printer", "informational")
+    # empty page → device still reported, Ready/informational
+    assert got["10.0.0.3"] == ("Ready", "informational")
+
+    # catalog path: only the info alert present → catalog rank + label win
+    only_info = spark.createDataFrame(
+        [("10.0.0.9",
+          '<table><tr><td>C4-1234 Cartridge is very low</td><td>C4-1234</td></tr></table>')],
+        "ip string, html string",
+    )
+    got9 = {r.ip: (r.problem, r.severity) for r in ews_error_pipeline(only_info, catalog).collect()}
+    assert got9["10.0.0.9"] == ("Toner low", "warning")  # ATTENTION → warning
