@@ -104,3 +104,59 @@ def test_s11_merge_to_workbook_flow(spark, tmp_path):
     back = {r[0]: r for r in read_xlsx_rows(dst)[1:]}
     assert back["1"] == ["1", "online", "42%"]
     assert back["2"] == ["2", "offline", "7%"]
+
+
+def test_xlsx_roundtrip_property():
+    """Property: write→read is identity for XML-representable cell values
+    (text incl. Hebrew/CJK/emoji, ints, floats, bools, None gaps)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # XML 1.0 valid text: no C0 controls except \t\n\r, no surrogates.
+    xml_text = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),
+            blacklist_characters="".join(
+                chr(c) for c in range(0x20) if c not in (0x09, 0x0A)
+            )
+            + "\r",  # \r normalizes to \n in XML parsing — exclude
+        ),
+        max_size=40,
+    )
+    cell = st.one_of(
+        st.none(),
+        xml_text,
+        st.integers(min_value=-(10**12), max_value=10**12),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.booleans(),
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        headers=st.lists(xml_text.filter(lambda s: s.strip()), min_size=1, max_size=5),
+        rows=st.lists(st.lists(cell, min_size=5, max_size=5), max_size=6),
+    )
+    def roundtrip(headers, rows):
+        import tempfile
+
+        headers = (headers + ["h2", "h3", "h4", "h5"])[:5]
+        with tempfile.TemporaryDirectory() as d:
+            p = f"{d}/prop.xlsx"
+            write_xlsx(p, headers, rows)
+            got = read_xlsx_rows(p)
+        assert got[0] == list(headers)
+        for want, have in zip(rows, got[1:]):
+            for w, h in zip(want, have):
+                if isinstance(w, float) and w.is_integer():
+                    # numeric cells store the repr; integral floats read
+                    # back as ints (worksheet numbers carry no int/float
+                    # distinction)
+                    assert h == int(w)
+                else:
+                    assert h == w
+        # trailing all-None rows may collapse (no cells written) — only
+        # prefix equality is guaranteed, matching worksheet semantics
+        for r in rows[max(len(got) - 1, 0):]:
+            assert all(v is None for v in r)
+
+    roundtrip()
