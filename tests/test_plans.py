@@ -184,3 +184,33 @@ def test_no_unintended_nested_loop_joins(spark):
         assert "CartesianProduct" not in plan, name
         if name not in BNLJ_ALLOWED:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q37_approx_within_tolerance_of_exact(spark):
+    """q37 is the registry's only oracle-less query (estimator-specific
+    output). Pin it with a tolerance contract instead: approx distinct
+    within 5% of exact per group, approx p50 within the group's [min, max]."""
+    from pyspark.sql import functions as F
+
+    from printer_etl_hub_spark.tables import load_tables
+
+    got = {
+        r.event_type: r
+        for r in REGISTRY["q37_approx_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        a = got[k]
+        assert abs(a.approx_users - e.n_users) <= max(0.05 * e.n_users, 2), k
+        assert float(e.lo) <= float(a.p50_value) <= float(e.hi), k
