@@ -176,6 +176,7 @@ def fleet_toner_report(
     snmp_walk: DataFrame,
     alerts: DataFrame,
     toner_types: DataFrame | None = None,
+    observation=None,
 ) -> DataFrame:
     """One row per printer: canonical ID, status, Black/Cyan/Magenta/Yellow
     remaining %, problem + severity, toner type — the reference's report
@@ -236,7 +237,7 @@ def fleet_toner_report(
         tt = toner_type_display(F.col("tonerType"))
     else:
         tt = F.lit(None).cast("string")
-    return out.select(
+    report = out.select(
         "group",
         canonicalize_id(F.col("ID")).alias("id"),
         dash_if_blank(F.col("ip")).alias("ip"),
@@ -249,3 +250,15 @@ def fleet_toner_report(
         dash_if_blank(F.col("severity")).alias("severity"),
         dash_if_blank(tt).alias("toner_type"),
     )
+    if observation is not None:
+        # A11 poll summary (`plugins/tonerFinder/toner_hp.py:44-94` counters)
+        # as observe() metrics: computed as a free rider on the report's own
+        # job — no second aggregation pass, no extra scan.
+        report = report.observe(
+            observation,
+            F.count(F.lit(1)).alias("processed"),
+            F.sum((F.col("status") == "online").cast("long")).alias("online"),
+            F.sum((F.col("status") == "offline").cast("long")).alias("offline"),
+            F.sum((F.col("severity") == "critical").cast("long")).alias("critical"),
+        )
+    return report

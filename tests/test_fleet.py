@@ -273,3 +273,30 @@ def test_ews_error_pipeline_end_to_end(spark):
     )
     got9 = {r.ip: (r.problem, r.severity) for r in ews_error_pipeline(only_info, catalog).collect()}
     assert got9["10.0.0.9"] == ("Toner low", "warning")  # ATTENTION → warning
+
+
+def test_fleet_report_observe_counters(spark):
+    """A11 poll-summary counters ride the report's own job via observe() —
+    processed/online/offline/critical with no second aggregation pass."""
+    from pyspark.sql import Observation
+
+    printers = spark.createDataFrame(
+        [
+            ("Company_Grouped", "1", "10.0.0.1", "M402dn"),
+            ("Company_Grouped", "2", "0.0.0.0", "M402dn"),  # bad ip → offline
+        ],
+        "group string, ID string, `Printer IP` string, Type string",
+    )
+    walk = spark.createDataFrame(
+        _walk_rows("10.0.0.1", 1, 3, "Black", 19, 0, 60),
+        "ip string, oid string, value string",
+    )
+    alerts = spark.createDataFrame(
+        [("10.0.0.1", 1, 4, "Door open")],
+        "ip string, row_idx int, severity int, description string",
+    )
+    obs = Observation("fleet_poll")
+    rep = fleet_toner_report(printers, walk, alerts, observation=obs)
+    assert rep.count() == 2
+    got = obs.get
+    assert got == {"processed": 2, "online": 1, "offline": 1, "critical": 1}
