@@ -96,15 +96,20 @@ def main() -> None:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         pass
+    # A failed query must never read as a speedup: bill each failure at
+    # 60 s (>10x the slowest healthy query) so the headline total degrades
+    # monotonically with breakage instead of silently dropping the query.
+    penalty = 60.0 * len(errors)
     payload = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings.values()) + penalty, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
     if errors:
         payload["errors"] = errors
+        payload["failed_penalty_sec"] = penalty
     print(json.dumps(payload))
 
 

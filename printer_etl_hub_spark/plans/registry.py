@@ -2,13 +2,16 @@
 
 ``REGISTRY`` insertion order is part of the external contract: the
 correctness driver gates the FIRST 50 entries each round. ``GATE_ORDER``
-makes that window explicit so coverage can be rotated deliberately —
-round 3 front-loads the TPC-H pack (q57–q70) and the LLM-pipeline
-queries (q27–q33, q36–q38, q51, q72–q78) that had no external
-CORRECTNESS row in rounds 1–2, backfilled with a representative spread
-of previously-green queries (including q47, recovered this round).
-Everything not named in GATE_ORDER follows in module order, so the full
-surface stays importable and tested either way.
+makes that window explicit so coverage can be rotated deliberately.
+Round 3 front-loads the queries that had no external CORRECTNESS row in
+rounds 1-2 — the TPC-H pack (q57-q70) and the LLM-pipeline set (q27,
+q28, q29, q30, q31, q32, q38, q33, q36, q51, q72, q73, q75, q77, q78)
+— plus the newly exact-oracled q76; the remaining 20 slots backfill
+with a previously-green spread (q47 first, to evidence the
+timestamp-inference recovery). q37 stays OUTSIDE the window by design:
+its estimator output has no exact oracle (pinned by a tolerance test
+instead), and every gated entry must be able to turn green. Everything not named in GATE_ORDER follows in module order, so
+the full surface stays importable and tested either way.
 """
 
 from __future__ import annotations

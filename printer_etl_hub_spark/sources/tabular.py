@@ -303,6 +303,24 @@ def read_sheet_detect_header(
         )
         return df.na.drop("all") if drop_all_null else df
 
+    # Title-row skipping is a PER-FILE notion; with several files the global
+    # row_number would drop the wrong rows (Spark orders splits by size, not
+    # name) and other files' banner/header rows would survive as data. A
+    # worksheet export is one file — enforce that instead of mis-parsing.
+    import glob as _glob
+    import os as _os
+
+    matches = (
+        sorted(_glob.glob(_os.path.join(path, "*.csv")))
+        if _os.path.isdir(path)
+        else sorted(_glob.glob(path)) or [path]
+    )
+    if len(matches) > 1:
+        raise ValueError(
+            f"read_sheet_detect_header needs a single sheet file; {path} "
+            f"matches {len(matches)} files — detect per file and union"
+        )
+
     prefix = _raw_csv_rows(path, 20)
     header_row, header_map = find_header_row(prefix, expected)
     if header_row is None:

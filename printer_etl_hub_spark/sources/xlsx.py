@@ -188,14 +188,16 @@ def write_xlsx(
         + "".join(body)
         + "</sheetData></worksheet>"
     )
-    el = ET.Element("x")
-    el.text = sheet_name
-    sheet_name_xml = (ET.tostring(el, encoding="unicode"))[3:-4]
+    from xml.sax.saxutils import quoteattr
+
+    # attribute context: quoteattr escapes quotes too (text escaping alone
+    # would let a '"' in the sheet name break out of the attribute)
+    sheet_name_attr = quoteattr(sheet_name)
     workbook_xml = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<workbook xmlns="{_NS[1:-1]}" '
         f'xmlns:r="{_NS_REL[1:-1]}">'
-        f'<sheets><sheet name="{sheet_name_xml}" sheetId="1" r:id="rId1"/></sheets>'
+        f'<sheets><sheet name={sheet_name_attr} sheetId="1" r:id="rId1"/></sheets>'
         "</workbook>"
     )
     rels_ns = "http://schemas.openxmlformats.org/package/2006/relationships"

@@ -86,6 +86,7 @@ def merge_last_state(
     ``delete_keys``), so even a replay that does re-merge writes a NEW
     directory — never a read-and-overwrite of the one it is reading.
     """
+    os.makedirs(state_dir, exist_ok=True)
     _, last_bid = _read_pointer(state_dir)
     if last_bid is not None and last_bid == batch_id:
         return  # this batch's effect is already committed — replay no-op
@@ -159,7 +160,11 @@ def delete_keys(
     n_after = kept.count()
     version = _next_version(state_dir)
     kept.write.mode("overwrite").parquet(os.path.join(state_dir, version))
-    _commit_pointer(state_dir, version)
+    # Carry the last-applied batch id forward: dropping it would disarm the
+    # replay guard, and a crash-replay of that batch would re-merge rows —
+    # resurrecting the keys this call just erased.
+    _, last_bid = _read_pointer(state_dir)
+    _commit_pointer(state_dir, version, last_bid)
     return n_before - n_after
 
 

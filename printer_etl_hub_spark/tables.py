@@ -61,29 +61,37 @@ def _nanos_ts_columns(path: str) -> list[str]:
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 
 
-#: (SparkSession, abs sf_dir) → table dict. DataFrames are lazy logical
-#: plans, so reusing them across registry queries is pure overhead removal
-#: (no re-read of parquet footers, no temp-view churn); the corpus dirs are
-#: immutable for a run. Keyed on the session object so a stopped/new
-#: session never serves stale plans.
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
-_CACHE_SESSIONS: list[SparkSession] = []  # pin sessions so ids stay unique
-
-
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all corpus tables from ``sf_dir`` and register temp views.
 
     TIMESTAMP(NANOS) columns (e.g. ``events.ts``) are read as nano longs and
     truncated to microsecond timestamps with integer division — exactly what
     DuckDB does when it reads the same file, so the oracle agrees.
+
+    Memoized per (session, dir): DataFrames are lazy logical plans, so
+    reusing them across registry queries removes pure overhead (ten parquet
+    footer reads + temp-view churn per query); the corpus dirs are
+    immutable for a run. The cache lives ON the session object, so it dies
+    with the session — no global registry pinning stopped sessions alive.
+    The runtime conf re-applies on every call (cached or not): it is
+    session state a caller may have changed between queries.
     """
     import os
 
-    key = (id(spark), os.path.abspath(sf_dir))
-    cached = _TABLE_CACHE.get(key)
+    apply_runtime_conf(spark)
+    cache: dict[str, dict[str, DataFrame]] | None = getattr(
+        spark, "_peh_table_cache", None
+    )
+    if cache is None:
+        cache = {}
+        try:
+            spark._peh_table_cache = cache  # type: ignore[attr-defined]
+        except AttributeError:
+            pass  # slots-restricted session: fall back to uncached loads
+    key = os.path.abspath(sf_dir)
+    cached = cache.get(key)
     if cached is not None:
         return dict(cached)
-    apply_runtime_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
@@ -106,6 +114,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 df = df.withColumn(c, F.col(c).cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
-    _TABLE_CACHE[key] = out
-    _CACHE_SESSIONS.append(spark)
+    cache[key] = out
     return dict(out)

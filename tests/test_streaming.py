@@ -482,3 +482,29 @@ def test_merge_last_state_replay_is_idempotent(spark, events, tmp_path):
     # a NEW batch id still applies on top
     merge_last_state(spark, b0, state, "user_id", "ts", 2)
     assert len([d for d in os.listdir(state) if d.startswith("v")]) == 3
+
+
+def test_delete_keys_preserves_replay_guard(spark, events, tmp_path):
+    """delete_keys must carry the last-applied batch id through its commit:
+    dropping it would let a crash-replay of the last batch re-merge rows
+    and resurrect just-erased keys."""
+    import os
+
+    from printer_etl_hub_spark.streaming.sink import (
+        delete_keys,
+        merge_last_state,
+        read_state,
+    )
+
+    state = str(tmp_path / "state")
+    b1 = events.limit(100)
+    # fresh (not-yet-created) state dir must also work — no pre-makedirs
+    merge_last_state(spark, b1, state, "user_id", "ts", 1)
+    victims = read_state(spark, state).select("user_id").limit(3)
+    victim_ids = {r.user_id for r in victims.collect()}
+    removed = delete_keys(spark, state, "user_id", victims)
+    assert removed == len(victim_ids)
+    # crash-replay of the already-committed batch 1
+    merge_last_state(spark, b1, state, "user_id", "ts", 1)
+    left = {r.user_id for r in read_state(spark, state).select("user_id").collect()}
+    assert not (left & victim_ids), "erased keys resurrected by replay"

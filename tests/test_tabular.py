@@ -130,3 +130,16 @@ def test_read_sheet_detect_header_no_header_raises(spark, tmp_path):
     p.write_text("just,data\n1,2\n", encoding="utf-8")
     with pytest.raises(ValueError, match="no header row"):
         read_sheet_detect_header(spark, str(p))
+
+
+def test_read_sheet_detect_header_rejects_multifile(spark, tmp_path):
+    """Title-row skipping is per-file; a directory of several CSVs must be
+    rejected, not silently mis-parsed (split order is size-based)."""
+    d = tmp_path / "many"
+    d.mkdir()
+    for n in ("a", "b"):
+        (d / f"{n}.csv").write_text("banner,,\nID,Status\n1,ok\n", encoding="utf-8")
+    from printer_etl_hub_spark.sources.tabular import read_sheet_detect_header
+
+    with pytest.raises(ValueError, match="single sheet file"):
+        read_sheet_detect_header(spark, str(d))

@@ -160,3 +160,12 @@ def test_xlsx_roundtrip_property():
             assert all(v is None for v in r)
 
     roundtrip()
+
+
+def test_write_xlsx_quotes_in_sheet_name(tmp_path):
+    """A double quote in the sheet name lands in an XML attribute — must
+    escape, not corrupt the workbook."""
+    p = str(tmp_path / "q.xlsx")
+    write_xlsx(p, ["a"], [[1]], sheet_name='My "Q1" <Sheet> & Co')
+    assert read_xlsx_rows(p) == [["a"], [1]]
+    assert read_xlsx_rows(p, 'My "Q1" <Sheet> & Co') == [["a"], [1]]
