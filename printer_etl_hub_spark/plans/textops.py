@@ -740,6 +740,139 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0
 """
 
 
+# --------------------------------------------------------------------------
+# q81 — corpus preparation pipeline (the LLM-training-data flow, composed)
+# --------------------------------------------------------------------------
+def q81_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation as ONE job: language gate
+    (q24's lang_id) → quality gate (q25's score ≥ 0.45) → exact dedup
+    (q23's digest, min-doc_id keeper) → near-dup cluster pruning (q29's
+    Jaccard pairs → q72's connected components, keep each cluster's min) →
+    per-doc annotations (token count, quality, q27's fingerprint).
+
+    Each stage is an individually-oracled operator; composing them is the
+    point — a real pipeline runs this as one lazy plan, with the gates
+    filtering BEFORE the expensive pair generation (the same filter-before-
+    fetch discipline as the fleet plan). Shuffle ledger: one window by
+    content digest, one shuffle per Jaccard index build, the CC rounds —
+    everything else is narrow.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from ..functions.text import doc_fingerprint64
+    from ..operators.components import connected_components
+
+    t = load_tables(spark, sf_dir)
+    staged = t["documents"].select(
+        "doc_id", "text", tokenize(F.col("text")).alias("toks")
+    )
+    feats = quality_features(F.col("text"), F.col("toks"))
+    annotated = staged.select(
+        "doc_id",
+        "text",
+        lang_id(F.col("toks")).alias("pred_lang"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality_score"].alias("quality_score"),
+    )
+    gated = annotated.filter(
+        (F.col("pred_lang") == "en") & (F.col("quality_score") >= 0.45)
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    kept = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # consumed by the pair build AND the final projection
+    pairs = ngram_jaccard_pairs(
+        kept.select("doc_id", "text"), "doc_id", "text",
+        threshold=0.8, max_df=_J_MAX_DF,
+    )
+    comp = connected_components(pairs, "a_id", "b_id")
+    out = kept.join(comp, kept["doc_id"] == comp["node"], "left").filter(
+        F.col("node").isNull() | (F.col("component") == F.col("doc_id"))
+    )
+    return out.select(
+        "doc_id",
+        "pred_lang",
+        "n_tokens",
+        "quality_score",
+        doc_fingerprint64(F.col("text")).alias("fp64"),
+    )
+
+
+Q81_SQL = f"""
+WITH t0 AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents
+), base AS (
+  SELECT doc_id, text, toks,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+         CAST({_sql_stop_count('en')} AS BIGINT) AS s_en,
+         CAST({_sql_stop_count('de')} AS BIGINT) AS s_de,
+         CAST({_sql_stop_count('es')} AS BIGINT) AS s_es,
+         CAST({_sql_stop_count('fr')} AS BIGINT) AS s_fr
+  FROM t0
+), scored AS (
+  SELECT doc_id, text, n_tokens,
+         CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'unknown'
+              WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+              WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+              ELSE 'unknown' END AS pred_lang,
+         least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+           + (CASE WHEN n_tokens > 0 THEN CAST(s_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.3
+           + (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END) * 0.3
+           AS quality_score
+  FROM base
+), gated AS (
+  SELECT * FROM scored WHERE pred_lang = 'en' AND quality_score >= 0.45
+), ek AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gated
+), kept AS (
+  SELECT doc_id, text, pred_lang, n_tokens, quality_score FROM ek WHERE rn = 1
+), words AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM kept
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM words WHERE len(w) >= 3
+), posts0 AS (
+  SELECT doc_id, {_sql_md5_60bit('shingle')} AS sh_h
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)
+), freq AS (SELECT sh_h FROM posts0 GROUP BY sh_h HAVING count(*) <= {_J_MAX_DF}),
+posts AS (SELECT p.doc_id, p.sh_h FROM posts0 p JOIN freq USING (sh_h)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM posts GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM posts a JOIN posts b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON a_id = sa.doc_id
+  JOIN sizes sb ON b_id = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+), sym AS (
+  SELECT a_id AS sa, b_id AS sb FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+), reach AS (
+  WITH RECURSIVE walk(node, lab) AS (
+    SELECT sa, sa FROM sym
+    UNION
+    SELECT s.sb, r.lab FROM walk r JOIN sym s ON s.sa = r.node
+  ) SELECT node, min(lab) AS component FROM walk GROUP BY node
+)
+SELECT k.doc_id AS doc_id, k.pred_lang AS pred_lang, k.n_tokens AS n_tokens,
+       k.quality_score AS quality_score,
+       CAST(('0x' || substr(md5(lower(regexp_replace(trim(k.text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fp64
+FROM kept k LEFT JOIN reach r ON r.node = k.doc_id
+WHERE r.node IS NULL OR r.component = k.doc_id
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -761,4 +894,5 @@ TEXT_QUERIES = {
     "q75_stratified_sample": (q75_stratified_sample, Q75_SQL),
     "q77_token_shards": (q77_token_shards, Q77_SQL),
     "q78_decontamination": (q78_decontamination, Q78_SQL),
+    "q81_corpus_prep": (q81_corpus_prep, Q81_SQL),
 }
