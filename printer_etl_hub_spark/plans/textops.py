@@ -873,6 +873,72 @@ WHERE r.node IS NULL OR r.component = k.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q82 — embedding-cosine near-dup DEDUP (pairs → clusters → keepers)
+# --------------------------------------------------------------------------
+_EDUP_MIN_COS = 0.95
+
+
+def q82_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP, not just pair listing: q32's
+    sign-LSH candidate pairs at cos ≥ 0.95 collapse to clusters (q72's
+    connected components) and each vector reports its keeper (the
+    cluster's min vec_id; singletons keep themselves). The standard
+    semantic-dedup step of an embedding-indexed corpus: O(n) bucket
+    assign, in-bucket pair join, iterative min-label — never all-pairs."""
+    from ..operators.components import connected_components
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    pairs = sign_lsh_pairs(
+        emb, "vec_id", "embedding", bits=_LSH_BITS, min_cos=_EDUP_MIN_COS
+    )
+    comp = connected_components(pairs, "a_id", "b_id")
+    return emb.select("vec_id").join(
+        comp, emb["vec_id"] == comp["node"], "left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("keeper_id"),
+        (F.col("component").isNull() | (F.col("component") == F.col("vec_id"))).alias(
+            "is_keeper"
+        ),
+    )
+
+
+Q82_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+         CAST({_bucket_terms} AS INTEGER) AS bucket
+  FROM embeddings
+), n AS (
+  SELECT vec_id, vd, bucket,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_reduce(list_transform(range(1, len(a.vd) + 1), i -> a.vd[i] * b.vd[i]), (x, y) -> x + y)
+           / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), kept AS (
+  SELECT a_id, b_id FROM pairs WHERE cos_sim >= {_EDUP_MIN_COS}
+), sym AS (
+  SELECT a_id AS sa, b_id AS sb FROM kept
+  UNION
+  SELECT b_id, a_id FROM kept
+), comp AS (
+  WITH RECURSIVE walk(node, lab) AS (
+    SELECT sa, sa FROM sym
+    UNION
+    SELECT s.sb, r.lab FROM walk r JOIN sym s ON s.sa = r.node
+  ) SELECT node, min(lab) AS component FROM walk GROUP BY node
+)
+SELECT e.vec_id AS vec_id,
+       coalesce(c.component, e.vec_id) AS keeper_id,
+       (c.node IS NULL OR c.component = e.vec_id) AS is_keeper
+FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -895,4 +961,5 @@ TEXT_QUERIES = {
     "q77_token_shards": (q77_token_shards, Q77_SQL),
     "q78_decontamination": (q78_decontamination, Q78_SQL),
     "q81_corpus_prep": (q81_corpus_prep, Q81_SQL),
+    "q82_embedding_dedup": (q82_embedding_dedup, Q82_SQL),
 }
