@@ -361,9 +361,10 @@ def test_bruteforce_topk_refuses_oversized_input(spark):
 
 def test_registry_gate_window_is_complete_and_oracled():
     """The driver gates the first 50 REGISTRY entries: every one of them
-    must carry an oracle (no structurally-red rows), and the window must
-    include the whole TPC-H pack plus the LLM-pipeline queries that had
-    no external CORRECTNESS row in rounds 1-2."""
+    must carry an oracle (no structurally-red rows). Round 4 leads with
+    the composed-pipeline flagships (q81/q82 — zero external rows
+    before this round) and re-evidences the queries whose newest green
+    row was round 1/2."""
     from printer_etl_hub_spark.plans import REGISTRY
     from printer_etl_hub_spark.plans.registry import GATE_ORDER
 
@@ -371,4 +372,21 @@ def test_registry_gate_window_is_complete_and_oracled():
     assert window == GATE_ORDER
     unoracled = [n for n in window if REGISTRY[n].oracle_sql is None]
     assert not unoracled, unoracled
-    assert all(f"q{i}_tpch" in "|".join(window) for i in range(57, 71))
+    assert window[0] == "q81_corpus_prep"
+    assert window[1] == "q82_embedding_dedup"
+    # The round-1/2-only set must all be re-evidenced this round.
+    stale = {
+        "q02_bad_value_filter", "q03_normalize_projection",
+        "q04_enrichment_join", "q05_postal_split",
+        "q06_pivot_orderstatus", "q07_first_per_slot",
+        "q09_top2_per_group", "q10_dedup_keep_first",
+        "q11_collect_sorted", "q12_point_lookup",
+        "q14_group_representative", "q16_rollup", "q17_setops",
+        "q18_json_extract", "q19_catalog_lookup", "q39_sliding_window",
+        "q40_tpch_q10", "q41_semi_anti_join", "q42_tpch_q18",
+        "q43_exact_percentiles", "q44_tpch_q4", "q45_tpch_q14",
+        "q49_distinct_agg", "q50_cube", "q52_unpivot",
+        "q53_rank_windows", "q54_tpch_q17", "q55_string_agg",
+        "q56_date_functions",
+    }
+    assert stale <= set(window), stale - set(window)
