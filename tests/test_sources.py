@@ -229,3 +229,90 @@ def test_json_serializer_scalar_rules():
     assert json_serializer(np.float64(math.nan)) is None
     assert json_serializer(np.bool_(True)) is True
     assert json_serializer(object()).startswith("<object")
+
+
+BROTHER_COLOR_HTML = """
+<html><body>
+<table id="inkLevel" class="tonerremain">
+ <tbody>
+  <tr><th colspan="4">Toner remaining</th></tr>
+  <tr>
+    <td class="bar"><img src="bar.gif" height="28" width="10"></td>
+    <td class="bar"><img src="bar.gif" style="height: 55px; width:10px"></td>
+    <td class="bar" height="110"></td>
+    <td class="bar" style="height:7px"></td>
+  </tr>
+  <tr><th>BK</th><th>C</th><th>M</th><th>*Y*</th></tr>
+ </tbody>
+</table>
+</body></html>
+"""
+
+BROTHER_MONO_HTML = """
+<table id="inkLevelMono">
+ <tr><th>Toner</th></tr>
+ <tr><td><img src="bar.gif" height="42px"></td></tr>
+ <tr><th>Black</th></tr>
+</table>
+"""
+
+
+def test_parse_brother_toner_html():
+    """S10 reference semantics (`adapters/brother_toner_web.py:38-95`):
+    bar height from img height attr / img style / td height / td style in
+    that order, labels F17-normalized and zipped positionally, heights
+    clamped to [0,100] and rendered "NN%"."""
+    from printer_etl_hub_spark.sources.html_alerts import parse_brother_toner_html
+
+    carts = parse_brother_toner_html(BROTHER_COLOR_HTML)
+    assert carts == [
+        {"cartridge": "Black", "remaining_percent": "28%"},
+        {"cartridge": "Cyan", "remaining_percent": "55%"},
+        {"cartridge": "Magenta", "remaining_percent": "100%"},  # 110 clamped
+        {"cartridge": "Yellow", "remaining_percent": "7%"},
+    ]
+    mono = parse_brother_toner_html(BROTHER_MONO_HTML)
+    assert mono == [{"cartridge": "Black", "remaining_percent": "42%"}]
+    # No level table / malformed table (<3 rows) / empty page → [].
+    assert parse_brother_toner_html("<table id='other'><tr></tr></table>") == []
+    assert parse_brother_toner_html(
+        "<table id='inkLevel'><tr><td></td></tr></table>"
+    ) == []
+    assert parse_brother_toner_html("") == []
+    # Missing img and no td height → None percent, label still reported.
+    no_img = parse_brother_toner_html(
+        "<table id='inkLevel'><tr><th>t</th></tr>"
+        "<tr><td class='bar'></td></tr><tr><th>BK</th></tr></table>"
+    )
+    assert no_img == [{"cartridge": "Black", "remaining_percent": None}]
+    # #inkLevel preferred over #inkLevelMono regardless of document order.
+    both = BROTHER_MONO_HTML + BROTHER_COLOR_HTML
+    assert len(parse_brother_toner_html(both)) == 4
+
+
+def test_brother_toner_cartridges_feeds_fleet(spark):
+    """S10 end-to-end: Brother pages → (ip, cartridges) with the exact
+    shape `fleet_toner_report`'s A7 slot-fill consumes; a page with no
+    level table keeps its device row with an empty array."""
+    from printer_etl_hub_spark.sources.html_alerts import brother_toner_cartridges
+
+    pages = spark.createDataFrame(
+        [
+            ("10.0.0.1", BROTHER_COLOR_HTML),
+            ("10.0.0.2", BROTHER_MONO_HTML),
+            ("10.0.0.3", "<p>login page</p>"),
+        ],
+        "ip string, html string",
+    )
+    out = brother_toner_cartridges(pages)
+    assert [f.name for f in out.schema["cartridges"].dataType.elementType.fields] == [
+        "cartridge",
+        "remaining_percent",
+    ]
+    got = {r.ip: [(c.cartridge, c.remaining_percent) for c in r.cartridges]
+           for r in out.collect()}
+    assert got["10.0.0.1"] == [
+        ("Black", "28%"), ("Cyan", "55%"), ("Magenta", "100%"), ("Yellow", "7%"),
+    ]
+    assert got["10.0.0.2"] == [("Black", "42%")]
+    assert got["10.0.0.3"] == []
