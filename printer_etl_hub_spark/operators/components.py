@@ -22,8 +22,9 @@ serves reads) grows exponentially (measured: 0.5s → 3.5s → 27s → 159s per
 round on a 100-node chain). Checkpointing flattens the plan to a LogicalRDD
 each round — the same lineage-cut every iterative Spark algorithm
 (GraphX/GraphFrames) performs. localCheckpoint is executor-local (lost on
-executor failure); swap for ``checkpoint()`` with a reliable dir on a real
-cluster if retry-safety across rounds matters more than speed.
+executor failure); pass ``checkpoint_dir=`` to use reliable
+``checkpoint()`` on a real cluster when retry-safety across rounds
+matters more than speed.
 
 The convergence probe is a LIMIT-1 existence check, not a full count.
 Non-convergence RAISES — silently returning partial labels would split
@@ -43,6 +44,7 @@ def connected_components(
     dst: str = "b_id",
     *,
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node of the pair graph with its component's minimum id.
 
@@ -50,23 +52,34 @@ def connected_components(
     (singletons never enter the pair stream — callers keep them implicitly
     as their own component). Raises RuntimeError if ``max_iter`` rounds do
     not converge (needs ~log2(diameter) + 2 rounds).
+
+    ``checkpoint_dir``: when set, per-round lineage cuts use RELIABLE
+    ``checkpoint()`` into that directory instead of executor-local
+    ``localCheckpoint()`` — survives executor loss, the right choice on a
+    real cluster where a retried task must not lose a round's labels.
+    Default stays local (fastest, fine on local mode / short jobs).
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # Materialize the edge input ONCE before the symmetrization union — its
     # two branches would otherwise re-execute the caller's whole pair
     # pipeline (measured: the q72 near-dup DAG ran twice, ~9s of a 13s run)
-    edges = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
+    edges = _cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     sym = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
+    labels = _cut(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for it in range(max_iter):
         msgs = (
@@ -96,7 +109,7 @@ def connected_components(
                 "node",
                 F.coalesce("_lc", "component").alias("component"),
             )
-        new_labels = stepped.localCheckpoint(eager=True)  # cut lineage — see module docstring
+        new_labels = _cut(stepped)  # cut lineage — see module docstring
         # round 0 always changes something (any b-side node adopts a smaller
         # a-side label) — skip its convergence probe, one job per run saved
         changed = 1 if it == 0 else (

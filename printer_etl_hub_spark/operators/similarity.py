@@ -52,7 +52,7 @@ def with_vector_norm(
 
 
 def cosine_topk_bruteforce(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 3, max_n: int = 50_000
+    df: DataFrame, id_col: str, vec_col: str, k: int = 3, max_n: int | None = 50_000
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (vec_id, neighbor_id, cos, rn).
 
@@ -61,16 +61,19 @@ def cosine_topk_bruteforce(
 
     ``max_n`` guards the documented O(n²) theta-join: above it the pair
     count (n²) stops being a baseline and becomes an outage, so refuse and
-    point at the scale paths instead of silently melting the cluster.
+    point at the scale paths instead of silently melting the cluster. The
+    probe is ``limit(max_n+1).count()`` — an early-exit scan bounded by
+    max_n rows, never a full count of the caller's plan. ``max_n=None``
+    opts out for callers that have already sized the input.
     """
     from pyspark.sql import Window
 
-    n = df.count()
-    if n > max_n:
+    if max_n is not None and df.limit(max_n + 1).count() > max_n:
         raise ValueError(
             f"cosine_topk_bruteforce is the O(n²) exactness baseline; "
-            f"input has {n} rows > max_n={max_n}. Use ivf_topk or "
-            f"sign_lsh_pairs for corpus-sized inputs."
+            f"input exceeds max_n={max_n} rows. Use ivf_topk or "
+            f"sign_lsh_pairs for corpus-sized inputs, or pass max_n=None "
+            f"after sizing the input yourself."
         )
     base = with_vector_norm(df.select(F.col(id_col).alias("vid"), vec_col), vec_col)
     a = base.select(

@@ -287,6 +287,12 @@ FROM t
 # q31 — brute-force cosine top-k (ANN correctness baseline)
 # --------------------------------------------------------------------------
 def q31_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q31 exists as the ANN correctness ORACLE only — the exact answer the
+    approximate paths (q38 ivf_topk, q32 sign-LSH) are scored against on
+    test-sized corpora. It is NOT a scale path: the O(n²) theta-join is
+    `max_n`-guarded and raises on corpus-sized inputs, pointing users at
+    ivf_topk. Keep it in the registry so the driver can cross-check the
+    exact semantics; route production similarity through q38/q32."""
     t = load_tables(spark, sf_dir)
     return cosine_topk_bruteforce(t["embeddings"], "vec_id", "embedding", k=3)
 
@@ -649,23 +655,45 @@ WHERE stratum_rank <= 20
 def q77_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign documents to ~fixed-token-budget shards: deterministic hash
     order → running token cumsum → shard = floor(preceding_tokens/budget).
-    One window over a hash total order; a doc that straddles a boundary goes
-    to the earlier shard (standard approximate packing). At scale the
-    single global window becomes per-partition packing after a
-    repartitionByRange on the same hash key (same assignment, distributed
-    ranges); the oracle pins the sequential semantics."""
+    A doc that straddles a boundary goes to the earlier shard (standard
+    approximate packing).
+
+    Distributed packing (round 4 — replaces the former global
+    ``Window.orderBy`` single-partition sort): the first md5 byte defines
+    256 contiguous, deterministic ranges of the (h, doc_id) total order —
+    no sampling, no repartitionByRange nondeterminism. The exclusive
+    cumsum decomposes into (a) a per-bucket window (256-way parallel
+    shuffle on the bucket id), plus (b) a per-bucket token-total offset —
+    a 256-row aggregate whose own running sum is driver-trivial and
+    broadcast back. Identical assignment to the sequential form, which
+    the oracle pins; only the tiny offsets aggregate ever passes through
+    a single partition. Two narrow scans of (doc_id, text) instead of a
+    cache — cheaper than pinning the corpus at scale."""
     budget = 2000
     t = load_tables(spark, sf_dir)
     toks = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("bigint")
     h = F.md5(F.col("doc_id").cast("string"))
-    w = Window.orderBy(h, "doc_id").rowsBetween(Window.unboundedPreceding, -1)
     d = t["documents"].select("doc_id", toks.alias("n_toks"), h.alias("_h"))
+    # Lowercase-hex lexicographic order == numeric order of the prefix, so
+    # bucket b holds exactly one contiguous slice of the global hash order.
+    d = d.withColumn("_bucket", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int"))
+    win = (
+        Window.partitionBy("_bucket")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = d.withColumn("_wprev", F.coalesce(F.sum("n_toks").over(win), F.lit(0)))
+    totals = d.groupBy("_bucket").agg(F.sum("n_toks").alias("_btot"))
+    offw = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_btot").over(offw), F.lit(0))
+    ).select("_bucket", "_off")
     return (
-        d.withColumn("_prev", F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+        within.join(F.broadcast(offsets), "_bucket")
         .select(
             "doc_id",
             "n_toks",
-            F.floor(F.col("_prev") / budget).cast("int").alias("shard_id"),
+            F.floor((F.col("_off") + F.col("_wprev")) / budget).cast("int").alias("shard_id"),
         )
     )
 

@@ -214,7 +214,8 @@ def find_header_row(
     best_score = -1
     best_map: dict[str, int] = {}
     for r, row in enumerate(rows[:max_scan_rows]):
-        row_map: dict[str, int] = {}
+        names: list[str] = []
+        cols: list[int] = []
         score = 0
         for c, v in enumerate(row):
             if v is None:
@@ -222,10 +223,15 @@ def find_header_row(
             name = str(v).strip()
             if not name:
                 continue
-            row_map[name] = c
+            names.append(name)
+            cols.append(c)
             if name.lower() in expected:
                 score += 1
-        if "id" in {k.strip().lower() for k in row_map} and score > best_score:
+        # Duplicate headers get the S3 ``_2`` suffix here too, so the map
+        # points every occurrence at its own column instead of the last
+        # occurrence silently winning.
+        row_map = dict(zip(dedup_headers(names), cols))
+        if "id" in {n.strip().lower() for n in names} and score > best_score:
             best_row = r
             best_score = score
             best_map = row_map
@@ -329,7 +335,14 @@ def read_sheet_detect_header(
         [h if str(h).strip() else f"_c{i}" for i, h in enumerate(prefix[header_row])]
     )
 
-    df = spark.read.option("header", "false").csv(path)
+    # Read with an EXPLICIT all-string schema sized to the detected header
+    # row. Inferring the column count from the file's first row would let a
+    # banner/title row narrower than the header (e.g. "Fleet report" with
+    # no commas) silently truncate every later column of all data rows.
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField(h, T.StringType()) for h in headers])
+    df = spark.read.option("header", "false").schema(schema).csv(path)
     # monotonically_increasing_id is partition-prefixed and in-partition
     # sequential, and file-source partitions follow split order — so it is a
     # valid FILE-ORDER sort key for a narrow CSV scan (no shuffle yet).
@@ -341,8 +354,6 @@ def read_sheet_detect_header(
         .filter(F.col("_rn") > F.lit(header_row))
         .drop("_mid", "_rn")
     )
-    if len(headers) == len(df.columns):
-        df = df.toDF(*headers)
 
     if spec is not None:
         mapping = resolve_headers(df.columns, spec)

@@ -91,6 +91,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = os.path.abspath(sf_dir)
     cached = cache.get(key)
     if cached is not None:
+        # Re-point the session temp views at THIS corpus: a session that
+        # loaded a second sf_dir in between left the views (events,
+        # lineitem, ...) on the other corpus, and any spark.sql over those
+        # names would silently read the wrong data. Cheap — view
+        # registration is catalog metadata, no parquet footer reads.
+        for name, df in cached.items():
+            df.createOrReplaceTempView(name)
         return dict(cached)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}

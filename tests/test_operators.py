@@ -289,6 +289,28 @@ def test_connected_components_chain_and_clique(spark):
     }
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= swaps the per-round lineage cut to reliable
+    checkpoint() — same labels, and the round state actually lands in the
+    directory (what survives executor loss on a real cluster)."""
+    import os
+
+    from printer_etl_hub_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a_id BIGINT, b_id BIGINT"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        (r.node, r.component)
+        for r in connected_components(
+            edges, "a_id", "b_id", checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert any(os.scandir(ckpt)), "no checkpoint data written to the reliable dir"
+
+
 def test_hll_rollup_merge_is_lossless(spark):
     """Register-wise HLL merge must reproduce the direct single-pass
     estimate exactly (q76's correctness claim)."""
@@ -357,6 +379,8 @@ def test_bruteforce_topk_refuses_oversized_input(spark):
         cosine_topk_bruteforce(df, "doc_id", "embedding", k=2, max_n=5)
     # At or under the cap it still runs.
     assert cosine_topk_bruteforce(df, "doc_id", "embedding", k=2, max_n=10).count() > 0
+    # max_n=None opts out of the guard (caller has sized the input).
+    assert cosine_topk_bruteforce(df, "doc_id", "embedding", k=2, max_n=None).count() > 0
 
 
 def test_registry_gate_window_is_complete_and_oracled():

@@ -143,3 +143,53 @@ def test_read_sheet_detect_header_rejects_multifile(spark, tmp_path):
 
     with pytest.raises(ValueError, match="single sheet file"):
         read_sheet_detect_header(spark, str(d))
+
+
+def test_read_sheet_detect_header_narrow_banner_keeps_all_columns(spark, tmp_path):
+    """A banner FIRST row with fewer commas than the header must not
+    truncate columns: the read schema comes from the detected header row,
+    never from Spark's first-row inference (round-4 ADVICE fix)."""
+    from printer_etl_hub_spark.sources.tabular import read_sheet_detect_header
+
+    p = tmp_path / "narrow.csv"
+    p.write_text(
+        "Fleet report\n"            # one column wide — no padding commas
+        "ID,Status,Black,Cyan\n"
+        "1,online,42%,13%\n"
+        "2,offline,7%,88%\n",
+        encoding="utf-8",
+    )
+    df = read_sheet_detect_header(spark, str(p))
+    assert df.columns == ["ID", "Status", "Black", "Cyan"]
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [
+        ("1", "online", "42%", "13%"),
+        ("2", "offline", "7%", "88%"),
+    ]
+
+
+def test_find_header_row_dup_headers_map_to_own_columns():
+    """Duplicate header names get the S3 _2 suffix in the returned map so
+    each occurrence points at its own column (round-4 ADVICE fix)."""
+    from printer_etl_hub_spark.sources.tabular import find_header_row
+
+    rows = [["ID", "addr", "addr", "Status"], ["1", "A", "B", "ok"]]
+    r, m = find_header_row(rows)
+    assert r == 0
+    assert m == {"ID": 0, "addr": 1, "addr_2": 2, "Status": 3}
+
+
+def test_load_tables_cache_hit_repoints_temp_views(spark):
+    """After loading a second corpus, a cache-hit load of the first must
+    re-register the session temp views on the first corpus — spark.sql
+    over the view names reads the corpus most recently loaded."""
+    from printer_etl_hub_spark.tables import load_tables
+
+    a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    n_a = load_tables(spark, a)["lineitem"].count()
+    n_b = load_tables(spark, b)["lineitem"].count()
+    assert n_a != n_b
+    load_tables(spark, a)  # cache hit
+    assert spark.sql("SELECT count(*) AS n FROM lineitem").first().n == n_a
+    load_tables(spark, b)  # cache hit, views flip back
+    assert spark.sql("SELECT count(*) AS n FROM lineitem").first().n == n_b
