@@ -114,9 +114,17 @@ def _xlsx_frame(
             for i, h in enumerate(rows[header_row])
         ]
     )
-    data = [
-        [None if v is None else str(v) for v in r] for r in rows[header_row + 1:]
-    ]
+    from datetime import date as _date
+    from datetime import datetime as _datetime
+
+    def _cell_str(v):
+        if v is None:
+            return None
+        if isinstance(v, (_datetime, _date)):
+            return v.isoformat()  # F35 rule: date cells surface as ISO text
+        return str(v)
+
+    data = [[_cell_str(v) for v in r] for r in rows[header_row + 1:]]
     schema = StructType([StructField(h, StringType()) for h in headers])
     return spark.createDataFrame(data, schema)
 

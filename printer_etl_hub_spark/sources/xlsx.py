@@ -11,13 +11,19 @@ to the real workbook format.
 
 Scope (documented honestly):
 - READ: shared/inline/formula-cached strings, numbers, booleans; gaps pad
-  to None; 1904-date-system and number-format-driven date rendering are NOT
-  interpreted (cells read as their raw stored numbers) — the reference's
-  inventory sheets hold strings/ids, and F35 owns date rendering at export.
+  to None. Date cells ARE interpreted (round 4): a numeric cell whose
+  style resolves to a date-rendering number format (built-in ids 14-22,
+  27-36, 45-47, 50-58, or a custom format whose code contains date
+  tokens) converts from its Excel serial through the workbook's epoch
+  (1900 system via the 1899-12-30 base, or 1904 when ``workbookPr
+  date1904`` is set) to ``datetime``/``date`` objects — which then render
+  ISO-8601 through the F35 serializer rules wherever they surface
+  (frame stringification, JSON export, workbook write-back).
 - WRITE: a single-sheet workbook with inline strings/numbers — enough for
-  the S11 report-sink story (MERGE result → workbook). VBA preservation
-  (.xlsm keep_vba) is an in-place patch concern the engine leaves to a
-  driver-side openpyxl post-step where that library exists (SURVEY §2.1).
+  the S11 report-sink story (MERGE result → workbook); datetime/date
+  values write as F35 ISO strings. VBA preservation (.xlsm keep_vba) is
+  an in-place patch concern the engine leaves to a driver-side openpyxl
+  post-step where that library exists (SURVEY §2.1).
 
 Workbook files are driver-sized by format (≤~10^6 rows); parsing is a
 driver-side metadata step, the resulting frame computes distributed.
@@ -79,7 +85,80 @@ def _sheet_targets(zf: zipfile.ZipFile) -> dict[str, str]:
     return out
 
 
-def _cell_value(c: ET.Element, strings: list[str]):
+#: Built-in number-format ids that render as dates/times (ECMA-376 §18.8.30;
+#: 27-36 and 50-58 are the East Asian date variants).
+_DATE_BUILTIN_IDS = (
+    frozenset(range(14, 23))
+    | frozenset(range(27, 37))
+    | frozenset(range(45, 48))
+    | frozenset(range(50, 59))
+)
+
+
+def _is_date_format_code(code: str) -> bool:
+    """True when a custom format code renders a date/time: contains a
+    y/m/d/h/s token outside quoted literals, ``[]`` sections, and escapes
+    (the same heuristic openpyxl/pandas apply)."""
+    code = re.sub(r'"[^"]*"', "", code)
+    code = re.sub(r"\[[^\]]*\]", "", code)
+    code = re.sub(r"\\.", "", code)
+    return bool(re.search(r"[ymdhs]", code, re.I))
+
+
+def _date_style_ids(zf: zipfile.ZipFile) -> frozenset[int]:
+    """Indices into cellXfs (the cell ``s`` attribute) whose number format
+    renders as a date."""
+    try:
+        data = zf.read("xl/styles.xml")
+    except KeyError:
+        return frozenset()
+    root = ET.fromstring(data)
+    custom = {
+        int(nf.get("numFmtId", "-1")): nf.get("formatCode", "")
+        for nf in root.iter(f"{_NS}numFmt")
+    }
+    cellxfs = root.find(f"{_NS}cellXfs")
+    if cellxfs is None:
+        return frozenset()
+    ids = set()
+    for i, xf in enumerate(cellxfs.findall(f"{_NS}xf")):
+        fmt = int(xf.get("numFmtId", "0"))
+        if fmt in _DATE_BUILTIN_IDS or (
+            fmt in custom and _is_date_format_code(custom[fmt])
+        ):
+            ids.add(i)
+    return frozenset(ids)
+
+
+def _workbook_date1904(zf: zipfile.ZipFile) -> bool:
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    pr = wb.find(f"{_NS}workbookPr")
+    return pr is not None and (pr.get("date1904") or "").lower() in ("1", "true")
+
+
+def _serial_to_datetime(num: float, date1904: bool):
+    """Excel serial → datetime (date when the time-of-day is zero).
+
+    1900 system counts from the 1899-12-30 base (the standard conversion
+    that absorbs Excel's phantom 1900-02-29 for serials ≥ 61); 1904 system
+    counts from 1904-01-01. Sub-day fractions round to the nearest
+    millisecond to undo binary float jitter."""
+    from datetime import datetime, timedelta
+
+    epoch = datetime(1904, 1, 1) if date1904 else datetime(1899, 12, 30)
+    ms = round(num * 86400_000)
+    dt = epoch + timedelta(milliseconds=ms)
+    if dt.hour == dt.minute == dt.second == dt.microsecond == 0:
+        return dt.date()
+    return dt
+
+
+def _cell_value(
+    c: ET.Element,
+    strings: list[str],
+    date_styles: frozenset[int] = frozenset(),
+    date1904: bool = False,
+):
     t = c.get("t", "n")
     if t == "inlineStr":
         is_el = c.find(f"{_NS}is")
@@ -99,6 +178,13 @@ def _cell_value(c: ET.Element, strings: list[str]):
     if t == "e":  # error cell (#N/A …) — the reference sees None via pandas
         return None
     num = float(raw)
+    if date_styles:
+        s = c.get("s")
+        if s is not None and int(s) in date_styles and num >= 0:
+            try:
+                return _serial_to_datetime(num, date1904)
+            except (OverflowError, ValueError):
+                pass  # absurd serial: fall through to the raw number
     return int(num) if num.is_integer() else num
 
 
@@ -121,6 +207,8 @@ def read_xlsx_rows(
                 raise KeyError(f"sheet {sheet!r} not in {sorted(targets)}")
             target = targets[sheet]
         strings = _shared_strings(zf)
+        date_styles = _date_style_ids(zf)
+        date1904 = _workbook_date1904(zf)
         root = ET.fromstring(zf.read(target))
         rows: list[list] = []
         max_w = 0
@@ -141,7 +229,7 @@ def read_xlsx_rows(
                 )
                 while len(vals) < col:
                     vals.append(None)
-                vals.append(_cell_value(c, strings))
+                vals.append(_cell_value(c, strings, date_styles, date1904))
                 next_col = col + 1
             rows.append(vals)
             last_row = r_idx
@@ -158,11 +246,16 @@ def write_xlsx(
     sink's portable carrier. Strings escape through ElementTree; numbers
     write as numeric cells; None cells are omitted (read back as None)."""
 
+    from datetime import date as _date
+    from datetime import datetime as _datetime
+
     def _row_xml(r_idx: int, vals: list) -> str:
         cells = []
         for ci, v in enumerate(vals):
             if v is None:
                 continue
+            if isinstance(v, (_datetime, _date)):
+                v = v.isoformat()  # F35 rule: dates export as ISO strings
             ref = ""
             n = ci + 1
             while n:

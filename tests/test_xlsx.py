@@ -169,3 +169,96 @@ def test_write_xlsx_quotes_in_sheet_name(tmp_path):
     write_xlsx(p, ["a"], [[1]], sheet_name='My "Q1" <Sheet> & Co')
     assert read_xlsx_rows(p) == [["a"], [1]]
     assert read_xlsx_rows(p, 'My "Q1" <Sheet> & Co') == [["a"], [1]]
+
+
+def _write_date_workbook(path, date1904=False):
+    """Hand-built workbook exercising date styles: cellXfs 0 = general,
+    1 = built-in date (numFmtId 14), 2 = custom date code (165),
+    3 = custom NON-date code (166, quoted 'd' and [Red] must not trip
+    the heuristic)."""
+    import zipfile
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    pr = '<workbookPr date1904="1"/>' if date1904 else ""
+    workbook = (
+        f'<workbook xmlns="{ns}" xmlns:r="http://schemas.openxmlformats.org/'
+        f'officeDocument/2006/relationships">{pr}'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    styles = (
+        f'<styleSheet xmlns="{ns}">'
+        '<numFmts count="2">'
+        '<numFmt numFmtId="165" formatCode="yyyy\\-mm\\-dd hh:mm"/>'
+        '<numFmt numFmtId="166" formatCode="[Red]0.00&quot;d&quot;"/>'
+        "</numFmts>"
+        '<cellXfs count="4">'
+        '<xf numFmtId="0"/><xf numFmtId="14"/>'
+        '<xf numFmtId="165"/><xf numFmtId="166"/>'
+        "</cellXfs></styleSheet>"
+    )
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" s="1"><v>45170</v></c>'          # 2023-09-01 (1900 system)
+        '<c r="B1" s="2"><v>45170.5</v></c>'        # + 12:00 (custom date fmt)
+        '<c r="C1" s="3"><v>45170</v></c>'          # non-date custom fmt
+        '<c r="D1"><v>45170</v></c>'                # unstyled number
+        "</row></sheetData></worksheet>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'relationships"><Relationship Id="rId1" Type="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/styles.xml", styles)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_read_xlsx_date_cells(tmp_path):
+    """Date-styled serials convert through the workbook epoch to
+    date/datetime; non-date styles and unstyled numbers stay raw."""
+    from datetime import date, datetime
+
+    from printer_etl_hub_spark.sources.xlsx import read_xlsx_rows
+
+    p = str(tmp_path / "dates.xlsx")
+    _write_date_workbook(p)
+    [row] = read_xlsx_rows(p)
+    assert row == [
+        date(2023, 9, 1),
+        datetime(2023, 9, 1, 12, 0),
+        45170,
+        45170,
+    ]
+    # 1904 system shifts the epoch: serial 100 = 1904-04-10.
+    p4 = str(tmp_path / "dates1904.xlsx")
+    _write_date_workbook(p4, date1904=True)
+    [row4] = read_xlsx_rows(p4)
+    assert row4[0] == date(1904, 1, 1).fromordinal(
+        date(1904, 1, 1).toordinal() + 45170
+    )
+
+
+def test_xlsx_date_cells_surface_as_iso_in_frames_and_writeback(spark, tmp_path):
+    """F35 routing: date cells become ISO-8601 strings in the Spark frame
+    and in a workbook written back out (round-trip)."""
+    from datetime import date, datetime
+
+    from printer_etl_hub_spark.sources.tabular import read_sheet
+    from printer_etl_hub_spark.sources.xlsx import read_xlsx_rows, write_xlsx
+
+    # Frame path: a sheet whose data row holds date objects.
+    p = str(tmp_path / "d.xlsx")
+    write_xlsx(p, ["id", "when"], [["1", datetime(2026, 8, 14, 9, 30)]])
+    df = read_sheet(spark, p, fmt="xlsx")
+    assert df.collect()[0].when == "2026-08-14T09:30:00"
+
+    # Write-back round-trip: datetime/date values land as ISO strings.
+    p2 = str(tmp_path / "rt.xlsx")
+    write_xlsx(p2, ["a", "b"], [[date(2026, 1, 2), datetime(2026, 1, 2, 3, 4, 5)]])
+    rows = read_xlsx_rows(p2)
+    assert rows[1] == ["2026-01-02", "2026-01-02T03:04:05"]
