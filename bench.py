@@ -60,6 +60,11 @@ HEADLINE = [
     "q66_tpch_q2",
     "q71_json_harvest",
     "q72_dup_clusters",
+    # Round 4 additions: the composed-pipeline flagships and the
+    # re-implemented distributed shard packing.
+    "q81_corpus_prep",
+    "q82_embedding_dedup",
+    "q77_token_shards",
 ]
 
 
@@ -135,6 +140,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "timing": f"best-of-{k}",
+        "n_queries": len(HEADLINE),
     }
     if errors:
         payload["errors"] = errors

@@ -45,6 +45,7 @@ def connected_components(
     *,
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node of the pair graph with its component's minimum id.
 
@@ -58,6 +59,10 @@ def connected_components(
     ``localCheckpoint()`` — survives executor loss, the right choice on a
     real cluster where a retried task must not lose a round's labels.
     Default stays local (fastest, fine on local mode / short jobs).
+
+    ``stats``: optional dict the call fills with convergence telemetry
+    (``rounds`` = iterations executed, ``edges`` = symmetrized distinct
+    edge count) — the observability hook the scale audit reads.
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -121,6 +126,9 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = it + 1
+                stats["edges"] = sym.count()
             sym.unpersist()
             return labels
     sym.unpersist()

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Adversarial scale audit for the dedup / connected-components path.
+
+Builds a 10x clone of the sf0.1 corpus in tmpfs with SHIFTED ids and
+IDENTICAL text/embeddings — every document becomes a 10-way near-dup, the
+worst case for pair generation (a naive all-pairs near-dup would inflate
+quadratically; the banded/inverted-index paths must stay linear in the
+clone factor). Then runs the three cluster-heavy flagship queries (q72
+dup clusters, q81 corpus prep, q82 embedding dedup) against the clone and
+records wall-time, pair counts, cluster counts, and CC rounds-to-converge.
+
+Usage:
+    python scripts/scale_audit.py            # builds clone if missing, runs
+    SCALE_DIR=/dev/shm/peh_scale10x COPIES=10 python scripts/scale_audit.py
+
+Output: one JSON line with every measurement (the source for SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get("SCALE_DIR", "/dev/shm/peh_scale10x")
+COPIES = int(os.environ.get("COPIES", "10"))
+OFFSET = 10_000_000  # id shift per copy; far above any real id
+
+UNCHANGED = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events",
+)
+
+
+def build_clone() -> None:
+    """sf0.1 → DST: 8 tables copied byte-identical, documents/embeddings
+    replicated COPIES times with shifted ids (same text/vectors)."""
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    for t in UNCHANGED:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + c.i * {OFFSET} AS doc_id, d.text, d.lang,
+                 d.source, d.n_chars
+          FROM '{SRC}/documents.parquet' d,
+               (SELECT unnest(range({COPIES})) AS i) c
+          ORDER BY doc_id
+        ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.vec_id + c.i * {OFFSET} AS vec_id, e.embedding, e.label
+          FROM '{SRC}/embeddings.parquet' e,
+               (SELECT unnest(range({COPIES})) AS i) c
+          ORDER BY vec_id
+        ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
+def main() -> None:
+    if not os.path.exists(f"{DST}/documents.parquet"):
+        build_clone()
+
+    from pyspark.sql import functions as F
+
+    from printer_etl_hub_spark.operators.components import connected_components
+    from printer_etl_hub_spark.operators.dedup import ngram_jaccard_pairs
+    from printer_etl_hub_spark.operators.similarity import sign_lsh_pairs
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.plans.textops import _EDUP_MIN_COS, _J_MAX_DF, _LSH_BITS
+    from printer_etl_hub_spark.session import get_spark
+    from printer_etl_hub_spark.tables import load_tables
+
+    spark = get_spark("scale-audit")
+    # Warmup off the clock (same as bench.py): one-time ICU/codegen init.
+    spark.range(1).select(F.lower(F.lit("W")), F.md5(F.lit("x"))).collect()
+
+    out: dict = {
+        "clone": {"src": SRC, "dst": DST, "copies": COPIES},
+        "rows": {},
+        "queries": {},
+        "cc": {},
+    }
+    t = load_tables(spark, DST)
+    out["rows"]["documents"] = t["documents"].count()
+    out["rows"]["embeddings"] = t["embeddings"].count()
+
+    for name in ("q72_dup_clusters", "q81_corpus_prep", "q82_embedding_dedup"):
+        t0 = time.perf_counter()
+        n = REGISTRY[name].fn(spark, DST).count()
+        out["queries"][name] = {
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "result_rows": n,
+        }
+        print(f"# {name}: {out['queries'][name]}", file=sys.stderr)
+
+    # CC telemetry on the two pair graphs (rounds-to-converge, edge counts,
+    # cluster counts) — the numbers that show convergence stays O(log) and
+    # pair generation stays linear-in-clone-factor under 10-way duplication.
+    jac_pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+    )
+    stats: dict = {}
+    comp = connected_components(jac_pairs, "a_id", "b_id", stats=stats)
+    out["cc"]["jaccard"] = {
+        "pairs": jac_pairs.count(),
+        "sym_edges": stats.get("edges"),
+        "rounds": stats.get("rounds"),
+        "clusters": comp.select("component").distinct().count(),
+        "clustered_docs": comp.count(),
+    }
+    print(f"# cc/jaccard: {out['cc']['jaccard']}", file=sys.stderr)
+
+    lsh_pairs = sign_lsh_pairs(
+        t["embeddings"], "vec_id", "embedding", bits=_LSH_BITS, min_cos=_EDUP_MIN_COS
+    )
+    stats2: dict = {}
+    comp2 = connected_components(lsh_pairs, "a_id", "b_id", stats=stats2)
+    out["cc"]["embedding"] = {
+        "pairs": lsh_pairs.count(),
+        "sym_edges": stats2.get("edges"),
+        "rounds": stats2.get("rounds"),
+        "clusters": comp2.select("component").distinct().count(),
+        "clustered_vecs": comp2.count(),
+    }
+    print(f"# cc/embedding: {out['cc']['embedding']}", file=sys.stderr)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
