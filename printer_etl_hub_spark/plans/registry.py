@@ -102,7 +102,9 @@ GATE_ORDER = [
     "q33_multimodal_decode",
     "q38_ivf_topk",
     "q71_json_harvest",
-    "q74_attribution",
+    # New this round: the S10 Brother scrape driven to an exact external
+    # oracle — the only §2 operator that had no drivable correctness row.
+    "q83_brother_toner",
 ]
 
 # Import-time contract checks. Explicit raises (not assert) so the

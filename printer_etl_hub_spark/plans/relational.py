@@ -1599,6 +1599,87 @@ FROM flagged
 """
 
 
+# --------------------------------------------------------------------------
+# q83 — S10 Brother toner scrape, end-to-end with an external oracle
+# --------------------------------------------------------------------------
+def q83_brother_toner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S10 web-scrape path driven to an exact external oracle: canned
+    Brother ``/general/status.html`` pages are constructed JVM-side from
+    ``customer`` rows (deterministic bar heights, a missing-img slot every
+    11th device-slot, the mono table for every 5th device), shredded by the
+    real regex parse inside ``brother_toner_cartridges`` (Arrow-batched
+    mapInPandas), and exploded to per-slot rows. The oracle computes the
+    same cartridges directly with arithmetic — so the HTML parse itself
+    (height attr read, clamp, F17 label map, mono-table fallback) is what
+    the comparison verifies. Reference: `adapters/brother_toner_web.py:38-95`.
+    """
+    from ..sources.html_alerts import brother_toner_cartridges
+
+    t = load_tables(spark, sf_dir)
+    key = F.col("c_custkey").cast("bigint")
+
+    def td(i: int):
+        h = (key * (i + 3)) % 130
+        return F.when(
+            (key + i) % 11 == 0, F.lit('<td class="bar"></td>')
+        ).otherwise(
+            F.format_string('<td class="bar"><img src="b.gif" height="%d"></td>', h)
+        )
+
+    color_page = F.concat(
+        F.lit(
+            '<html><body><table id="inkLevel"><tbody>'
+            '<tr><th colspan="4">Toner remaining</th></tr><tr>'
+        ),
+        td(0), td(1), td(2), td(3),
+        F.lit("</tr><tr><th>BK</th><th>C</th><th>M</th><th>Y</th></tr>"
+              "</tbody></table></body></html>"),
+    )
+    mono_page = F.format_string(
+        '<html><table id="inkLevelMono"><tr><th>Toner</th></tr>'
+        '<tr><td><img src="b.gif" height="%d"></td></tr>'
+        "<tr><th>BLK</th></tr></table></html>",
+        (key * 3) % 130,
+    )
+    pages = t["customer"].select(
+        key.cast("string").alias("ip"),
+        F.when(key % 5 == 0, mono_page).otherwise(color_page).alias("html"),
+    )
+    carts = brother_toner_cartridges(pages)
+    return carts.select(
+        F.col("ip").alias("device_id"),
+        F.posexplode("cartridges").alias("slot", "c"),
+    ).select(
+        "device_id",
+        "slot",
+        F.col("c.cartridge").alias("cartridge"),
+        F.col("c.remaining_percent").alias("remaining_percent"),
+    )
+
+
+Q83_SQL = """
+WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS key FROM customer),
+color AS (
+  SELECT key, i.slot AS slot,
+         CASE i.slot WHEN 0 THEN 'Black' WHEN 1 THEN 'Cyan'
+              WHEN 2 THEN 'Magenta' ELSE 'Yellow' END AS cartridge,
+         CASE WHEN (key + i.slot) % 11 = 0 THEN NULL
+              ELSE CAST(LEAST((key * (i.slot + 3)) % 130, 100) AS VARCHAR) || '%'
+         END AS remaining_percent
+  FROM c, (SELECT unnest(range(4)) AS slot) i
+  WHERE key % 5 <> 0
+),
+mono AS (
+  SELECT key, 0 AS slot, 'Black' AS cartridge,
+         CAST(LEAST((key * 3) % 130, 100) AS VARCHAR) || '%' AS remaining_percent
+  FROM c WHERE key % 5 = 0
+)
+SELECT CAST(key AS VARCHAR) AS device_id, CAST(slot AS INT) AS slot,
+       cartridge, remaining_percent
+FROM (SELECT * FROM color UNION ALL SELECT * FROM mono)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1646,4 +1727,5 @@ RELATIONAL_QUERIES = {
     "q76_hll_rollup": (q76_hll_rollup, Q76_SQL),
     "q79_profile": (q79_profile, Q79_SQL),
     "q80_session_ids": (q80_session_ids, Q80_SQL),
+    "q83_brother_toner": (q83_brother_toner, Q83_SQL),
 }

@@ -967,6 +967,78 @@ FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# q84 — repetition-based quality metrics (Gopher-style filters)
+# --------------------------------------------------------------------------
+def q84_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics, the standard Gopher/MassiveText-
+    style quality gates for training corpora: duplicate-word fraction,
+    duplicate-2-gram fraction, and the frequency share of the most common
+    2-gram.
+
+    Deliberately computed as pure per-row ARRAY expressions (array_distinct,
+    transform, filter, array_max) — zero shuffle, whole-stage codegen,
+    perfectly scan-parallel at any corpus size. The top-gram count is
+    O(distinct·len) per row, bounded by document length — the cost lives
+    with the row, never with the corpus (the alternative explode→groupBy
+    would pay two corpus-wide shuffles for the same numbers).
+    """
+    t = load_tables(spark, sf_dir)
+    w = tokenize(F.col("text"))
+    d = t["documents"].select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    # word 2-grams (element_at is 1-based)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+        ),
+    )
+    d = d.withColumn("g", grams)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("g"),
+            lambda x: F.size(F.filter("g", lambda y: y == x)),
+        )
+    )
+    n_words = F.size("w").cast("bigint")
+    n_grams = F.size("g").cast("bigint")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(1.0 - F.size(F.array_distinct("w")) / n_words, 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(1.0 - F.size(F.array_distinct("g")) / n_grams, 6).alias(
+            "dup_2gram_frac"
+        ),
+        F.round(top_cnt / n_grams, 6).alias("top_2gram_frac"),
+    )
+
+
+Q84_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, w,
+         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g
+  FROM words WHERE len(w) >= 2
+), gram_counts AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(g) AS gram FROM base)
+  GROUP BY doc_id, gram
+), tops AS (
+  SELECT doc_id, max(cnt) AS top_cnt FROM gram_counts GROUP BY doc_id
+)
+SELECT b.doc_id AS doc_id,
+       CAST(len(b.w) AS BIGINT) AS n_words,
+       round(1.0 - CAST(len(list_distinct(b.w)) AS DOUBLE) / len(b.w), 6) AS dup_word_frac,
+       round(1.0 - CAST(len(list_distinct(b.g)) AS DOUBLE) / len(b.g), 6) AS dup_2gram_frac,
+       round(CAST(t.top_cnt AS DOUBLE) / len(b.g), 6) AS top_2gram_frac
+FROM base b JOIN tops t USING (doc_id)
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -990,4 +1062,5 @@ TEXT_QUERIES = {
     "q78_decontamination": (q78_decontamination, Q78_SQL),
     "q81_corpus_prep": (q81_corpus_prep, Q81_SQL),
     "q82_embedding_dedup": (q82_embedding_dedup, Q82_SQL),
+    "q84_repetition_quality": (q84_repetition_quality, Q84_SQL),
 }
