@@ -1039,6 +1039,165 @@ FROM base b JOIN tops t USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# q85 — context-window chunking (doc → fixed-token chunks with stride)
+# --------------------------------------------------------------------------
+def q85_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into fixed-size token chunks with overlap — the
+    standard context-window preparation step before tokenizer packing
+    (chunk k covers tokens [k·stride, k·stride + size)).
+
+    Narrow until the final posexplode (per-row chunk_starts array →
+    slice), no shuffle at all: chunking is embarrassingly parallel and
+    must stay that way at corpus scale. The chunk text re-joins with
+    single spaces (tokens already split on whitespace), so the output is
+    byte-deterministic; chunk_md5 gives downstream exact-dedup a ready
+    key without re-reading the text.
+    """
+    size, stride = 64, 48  # tokens per chunk / start-to-start distance
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", tokenize(F.col("text")).alias("w")
+    ).filter(F.size("w") >= 1)
+    # Start offsets 0, stride, 2·stride… while start < n_tokens; the last
+    # chunk may be short (never empty).
+    n_chunks = F.floor((F.size("w") - 1) / stride) + 1
+    starts = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")), lambda k: k * stride
+    )
+    e = d.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_doc_tokens"),
+        F.col("w"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    )
+    chunk = F.slice(F.col("w"), F.col("start") + 1, size)
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "n_doc_tokens",
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+Q85_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+), d AS (
+  SELECT doc_id, w, len(w) AS n,
+         CAST(floor((len(w) - 1) / 48) AS INT) + 1 AS n_chunks
+  FROM words WHERE len(w) >= 1
+), e AS (
+  SELECT doc_id, n, w, CAST(k.k AS INT) AS chunk_id, k.k * 48 AS start
+  FROM d, LATERAL (SELECT unnest(range(n_chunks)) AS k) k
+)
+SELECT doc_id, chunk_id, CAST(n AS BIGINT) AS n_doc_tokens,
+       CAST(len(list_slice(w, start + 1, start + 64)) AS BIGINT) AS n_chunk_tokens,
+       md5(list_aggregate(list_slice(w, start + 1, start + 64), 'string_agg', ' ')) AS chunk_md5
+FROM e
+"""
+
+
+# --------------------------------------------------------------------------
+# q86 — exact 13-gram collision decontamination (GPT-3-style)
+# --------------------------------------------------------------------------
+def q86_ngram_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n-gram contamination check, the classic eval-leakage sweep:
+    an eval document is contaminated when ANY of its 13-grams appears
+    verbatim anywhere in the train corpus. Complements q78's
+    Jaccard-threshold decontamination with the exact-collision method.
+
+    Plan: per-doc distinct md5'd 13-grams (narrow fold) → train side
+    reduced to a DISTINCT gram set → equi-join eval postings against it on
+    the hash → per-eval-doc collision counts, zero-collision docs kept by
+    left join. Three key-bounded shuffles (train distinct, gram join, doc
+    agg); the join key is a 32-char digest, never document text, so
+    shuffle width is independent of document size — the property that
+    keeps this runnable across a 100 TB train corpus.
+    """
+    n = 13
+    t = load_tables(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    w = tokenize(F.col("text"))
+    # Total expression (guarded, not relying on the row filter): Catalyst
+    # may collapse the filter and projection into one stage and evaluate
+    # this for short docs too, where the unguarded sequence would run
+    # DESCENDING through 0 and slice(…, 0) throws.
+    grams = F.when(
+        F.size("w") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, n))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = (
+        t["documents"]
+        .select("doc_id", w.alias("w"), F.pmod(h, 2).alias("_par"))
+        .filter(F.size("w") >= n)
+        .select("doc_id", "_par", grams.alias("grams"))
+    )
+    train_grams = (
+        d.filter(F.col("_par") == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    eval_docs = d.filter(F.col("_par") == 1).select(
+        "doc_id", F.size("grams").cast("bigint").alias("n_grams"), "grams"
+    )
+    eval_posts = eval_docs.select("doc_id", F.explode("grams").alias("g"))
+    hits = (
+        eval_posts.join(train_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_collided"))
+    )
+    return (
+        eval_docs.select("doc_id", "n_grams")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_collided", F.lit(0)).cast("bigint").alias("n_collided"),
+            F.round(
+                F.coalesce("n_collided", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("collision_frac"),
+        )
+    )
+
+
+Q86_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS par
+  FROM documents
+), g AS (
+  SELECT doc_id, par,
+         list_distinct(list_transform(range(1, len(w) - 11),
+           i -> md5(list_aggregate(list_slice(w, i, i + 12), 'string_agg', ' ')))) AS grams
+  FROM d WHERE len(w) >= 13
+), train_grams AS (
+  SELECT DISTINCT unnest(grams) AS gr FROM g WHERE par = 0
+), eval_docs AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, grams FROM g WHERE par = 1
+), posts AS (
+  SELECT doc_id, unnest(grams) AS gr FROM eval_docs
+), hits AS (
+  SELECT p.doc_id, count(*) AS n_collided
+  FROM posts p JOIN train_grams t ON p.gr = t.gr
+  GROUP BY p.doc_id
+)
+SELECT e.doc_id AS doc_id, e.n_grams AS n_grams,
+       CAST(COALESCE(h.n_collided, 0) AS BIGINT) AS n_collided,
+       round(CAST(COALESCE(h.n_collided, 0) AS DOUBLE) / e.n_grams, 6) AS collision_frac
+FROM eval_docs e LEFT JOIN hits h ON e.doc_id = h.doc_id
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -1063,4 +1222,6 @@ TEXT_QUERIES = {
     "q81_corpus_prep": (q81_corpus_prep, Q81_SQL),
     "q82_embedding_dedup": (q82_embedding_dedup, Q82_SQL),
     "q84_repetition_quality": (q84_repetition_quality, Q84_SQL),
+    "q85_chunk_windows": (q85_chunk_windows, Q85_SQL),
+    "q86_ngram_collision": (q86_ngram_collision, Q86_SQL),
 }
