@@ -177,6 +177,7 @@ def fleet_toner_report(
     alerts: DataFrame,
     toner_types: DataFrame | None = None,
     observation=None,
+    cartridges: DataFrame | None = None,
 ) -> DataFrame:
     """One row per printer: canonical ID, status, Black/Cyan/Magenta/Yellow
     remaining %, problem + severity, toner type — the reference's report
@@ -185,13 +186,19 @@ def fleet_toner_report(
     Printers with bad IPs are REPORTED (offline), not dropped — the filter
     gates the expensive telemetry path only, mirroring the reference's
     filter-before-fetch (`plugins/tonerFinder/toner_hp.py:75-80`).
+
+    ``cartridges``: optional pre-built ``(ip, cartridges)`` frame replacing
+    the SNMP pivot — the S10 Brother web-scrape path
+    (``sources/html_alerts.py::brother_toner_cartridges``) plugs in here,
+    mirroring the reference's per-vendor adapter dispatch
+    (`plugins/tonerFinder/toner_hp.py` vs `brother_toner_web.py`).
     """
     ip = F.coalesce(F.col("Printer IP"), F.col("IP") if "IP" in printers.columns else F.lit(None))
     base = printers.withColumn("ip", F.trim(ip)).withColumn(
         "bad_ip", is_bad_value(F.col("ip"))
     )
 
-    carts = snmp_toner_cartridges(snmp_walk)
+    carts = cartridges if cartridges is not None else snmp_toner_cartridges(snmp_walk)
     errors = printer_error_argmax(alerts)
 
     j = base.join(carts, "ip", "left").join(errors, "ip", "left")

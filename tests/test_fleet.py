@@ -300,3 +300,45 @@ def test_fleet_report_observe_counters(spark):
     assert rep.count() == 2
     got = obs.get
     assert got == {"processed": 2, "online": 1, "offline": 1, "critical": 1}
+
+
+def test_brother_scrape_feeds_fleet_report(spark):
+    """S10 composition: Brother status pages → cartridges frame → the same
+    fleet report as the SNMP path (per-vendor adapter dispatch, reference
+    plugins/tonerFinder dispatch shape). A device whose page has no level
+    table stays online with '-' percents; a bad-IP device reports offline."""
+    from printer_etl_hub_spark.plans.fleet import fleet_toner_report
+    from printer_etl_hub_spark.sources.html_alerts import brother_toner_cartridges
+
+    page = (
+        '<table id="inkLevel"><tr><th colspan="2">T</th></tr>'
+        '<tr><td><img height="61"></td><td><img height="120"></td></tr>'
+        "<tr><th>BK</th><th>C</th></tr></table>"
+    )
+    printers = spark.createDataFrame(
+        [
+            ("Company_Grouped", "1001", "10.0.0.1", "HL-L8360"),
+            ("Company_Grouped", "1002", "10.0.0.2", "HL-L8360"),
+            ("Company_Grouped", "1003", "0.0.0.0", "HL-L8360"),  # bad ip
+        ],
+        "group string, ID string, `Printer IP` string, Type string",
+    )
+    pages = spark.createDataFrame(
+        [("10.0.0.1", page), ("10.0.0.2", "<p>login</p>"), ("0.0.0.0", "")],
+        "ip string, html string",
+    )
+    alerts = spark.createDataFrame(
+        [], "ip string, row_idx int, severity int, description string"
+    )
+    walk = spark.createDataFrame([], "ip string, oid string, value string")
+    rep = {
+        r["id"]: r
+        for r in fleet_toner_report(
+            printers, walk, alerts, cartridges=brother_toner_cartridges(pages)
+        ).collect()
+    }
+    r1 = rep["1001"]
+    assert (r1["status"], r1["black_pct"], r1["cyan_pct"]) == ("online", "61%", "100%")
+    r2 = rep["1002"]  # page without a level table: online, no readings
+    assert (r2["status"], r2["black_pct"]) == ("online", "-")
+    assert rep["1003"]["status"] == "offline"
