@@ -986,13 +986,19 @@ def q84_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     w = tokenize(F.col("text"))
     d = t["documents"].select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
-    # word 2-grams (element_at is 1-based)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("w") - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+    # word 2-grams (element_at is 1-based). Guarded total: if Catalyst
+    # collapses this projection into the filter stage, the expression may
+    # evaluate on 1-token rows where the unguarded sequence would run
+    # descending into element_at(w, 0).
+    grams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     d = d.withColumn("g", grams)
     top_cnt = F.array_max(
         F.transform(
@@ -1060,11 +1066,15 @@ def q85_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokenize(F.col("text")).alias("w")
     ).filter(F.size("w") >= 1)
     # Start offsets 0, stride, 2·stride… while start < n_tokens; the last
-    # chunk may be short (never empty).
+    # chunk may be short (never empty). Guarded total (see q84/q86): on a
+    # collapsed empty-array row the unguarded sequence would run descending.
     n_chunks = F.floor((F.size("w") - 1) / stride) + 1
-    starts = F.transform(
-        F.sequence(F.lit(0), (n_chunks - 1).cast("int")), lambda k: k * stride
-    )
+    starts = F.when(
+        F.size("w") >= 1,
+        F.transform(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")), lambda k: k * stride
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     e = d.select(
         "doc_id",
         F.size("w").cast("bigint").alias("n_doc_tokens"),

@@ -245,3 +245,160 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         }
         want = set(uf_components(edges).items())
         assert got == want
+
+
+def test_repetition_and_chunking_match_python(spark):
+    """q84 repetition metrics and q85 chunk geometry vs pure-Python
+    references over adversarial docs (all-same tokens, single token,
+    exactly-chunk-sized, high repetition, unicode)."""
+    import math
+
+    docs = [
+        "a a a a a a a a",                      # max repetition
+        "one",                                  # single token (no 2-grams → excluded from q84)
+        "a b " * 32,                            # exactly 64 tokens
+        "x y " * 33,                            # 66 tokens → chunk boundary straddle
+        " ".join(f"t{i}" for i in range(200)),  # all distinct
+        "שלום עולם שלום עולם שלום",             # unicode bigram repeats
+        "p q r " * 40,                          # 120 tokens, period-3
+    ]
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # --- q84 semantics over this frame (reuse the registry fn's body via a
+    # direct rebuild so we don't need a parquet dir)
+    from printer_etl_hub_spark.functions.text import tokenize
+
+    w = tokenize(F.col("text"))
+    d = df.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+        ),
+    )
+    d = d.withColumn("g", grams)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("g"), lambda x: F.size(F.filter("g", lambda y: y == x))
+        )
+    )
+    got = {
+        r.doc_id: (r.dup_word, r.dup_2gram, r.top_2gram)
+        for r in d.select(
+            "doc_id",
+            F.round(1.0 - F.size(F.array_distinct("w")) / F.size("w"), 6).alias("dup_word"),
+            F.round(1.0 - F.size(F.array_distinct("g")) / F.size("g"), 6).alias("dup_2gram"),
+            F.round(top_cnt / F.size("g"), 6).alias("top_2gram"),
+        ).collect()
+    }
+    for i, doc in enumerate(rows):
+        toks = doc[1].strip().lower().split()
+        if len(toks) < 2:
+            assert i not in got
+            continue
+        g = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        want = (
+            round(1.0 - len(set(toks)) / len(toks), 6),
+            round(1.0 - len(set(g)) / len(g), 6),
+            round(max(g.count(x) for x in set(g)) / len(g), 6),
+        )
+        assert all(math.isclose(a, b, abs_tol=1e-9) for a, b in zip(got[i], want)), (i, got[i], want)
+
+    # --- q85 chunk geometry: starts at 0, stride, …; last chunk short but
+    # never empty; chunk token counts cover the doc exactly once per window.
+    size, stride = 64, 48
+    starts_of = lambda n: list(range(0, n, stride)) if n >= 1 else []
+    chunked = (
+        df.select("doc_id", tokenize(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 1)
+        .select(
+            "doc_id",
+            "w",
+            F.size("w").alias("n"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (F.floor((F.size("w") - 1) / stride)).cast("int")),
+                    lambda k: k * stride,
+                )
+            ).alias("chunk_id", "start"),
+        )
+        .select("doc_id", "n", "chunk_id", F.size(F.slice("w", F.col("start") + 1, size)).alias("clen"))
+    )
+    by_doc: dict = {}
+    for r in chunked.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.clen, r.n))
+    for i, doc in enumerate(rows):
+        toks = doc[1].strip().lower().split()
+        if not toks:
+            continue
+        chunks = sorted(by_doc[i])
+        starts = starts_of(len(toks))
+        assert len(chunks) == len(starts), (i, chunks)
+        for (cid, clen, n), s in zip(chunks, starts):
+            assert clen == min(size, len(toks) - s) and clen >= 1, (i, cid, clen)
+
+
+def test_ngram_collision_matches_python(spark):
+    """q86 collision counting vs a brute-force Python set intersection on
+    small synthetic corpora with planted verbatim overlaps."""
+    base = " ".join(f"w{i}" for i in range(30))            # 30 tokens
+    overlap13 = " ".join(f"w{i}" for i in range(5, 18))    # a 13-gram of base
+    docs = [
+        (0, base),                                          # train (parity depends on md5)
+        (1, overlap13 + " zzz qqq " + " ".join(f"u{i}" for i in range(10))),
+        (2, " ".join(f"v{i}" for i in range(20))),          # disjoint
+        (3, base),                                          # duplicate of base
+        (4, "short doc under thirteen tokens"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    from printer_etl_hub_spark.functions.text import tokenize
+    import hashlib
+
+    n = 13
+    parity = lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 2
+    py_grams = {}
+    for i, t in docs:
+        toks = t.strip().lower().split()
+        py_grams[i] = {
+            " ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)
+        } if len(toks) >= n else set()
+    train = set().union(*[py_grams[i] for i, _ in docs if parity(i) == 0]) if any(
+        parity(i) == 0 for i, _ in docs
+    ) else set()
+    want = {
+        i: (len(py_grams[i]), len(py_grams[i] & train))
+        for i, _ in docs
+        if parity(i) == 1 and py_grams[i]
+    }
+
+    # Rebuild the q86 plan over this frame (same expressions as the registry fn).
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint")
+    w = tokenize(F.col("text"))
+    grams = F.when(
+        F.size("w") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, n))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = (
+        df.select("doc_id", w.alias("w"), F.pmod(h, 2).alias("_par"))
+        .filter(F.size("w") >= n)
+        .select("doc_id", "_par", grams.alias("grams"))
+    )
+    train_g = d.filter(F.col("_par") == 0).select(F.explode("grams").alias("g")).distinct()
+    ev = d.filter(F.col("_par") == 1).select("doc_id", F.size("grams").alias("ng"), "grams")
+    hits = (
+        ev.select("doc_id", F.explode("grams").alias("g"))
+        .join(train_g, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    got = {
+        r.doc_id: (r.ng, r.nc or 0)
+        for r in ev.select("doc_id", "ng").join(hits, "doc_id", "left").collect()
+    }
+    assert got == want, (got, want)
