@@ -97,7 +97,13 @@ def main() -> None:
     out["rows"]["documents"] = t["documents"].count()
     out["rows"]["embeddings"] = t["embeddings"].count()
 
-    for name in ("q72_dup_clusters", "q81_corpus_prep", "q82_embedding_dedup"):
+    for name in (
+        "q72_dup_clusters",
+        "q81_corpus_prep",
+        "q82_embedding_dedup",
+        "q77_token_shards",
+        "q86_ngram_collision",
+    ):
         t0 = time.perf_counter()
         n = REGISTRY[name].fn(spark, DST).count()
         out["queries"][name] = {
