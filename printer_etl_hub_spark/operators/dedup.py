@@ -52,6 +52,29 @@ def _md5_60bit(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+#: Modulus for the MinHash multiply-mod hash family: the largest prime below
+#: 2^30. With base hash and coefficients all < P, every intermediate
+#: (a·h + b) stays under 2^61 — exact in Java longs AND in DuckDB BIGINTs
+#: (which raise on overflow rather than wrap), so the oracle mirrors the
+#: arithmetic digit for digit.
+MINHASH_PRIME = 1_073_741_789
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k MinHash components, derived
+    from md5 of the component index — seedless, well-distributed (simple
+    multiplier ladders correlate across components), and embedded verbatim
+    as integer literals in the DuckDB oracle SQL."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:15], 16) % MINHASH_PRIME or 1
+        b = int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:15], 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # Repartition the NARROW doc rows before the explode fans them out:
     # a single small parquet file arrives as one partition, and shingle
@@ -100,25 +123,36 @@ def minhash_lsh_pairs(
     # narrow, NO shuffle at all until the bucket index below. (The explode
     # path additionally re-evaluates the shingle-construction expression per
     # generated row — measured 4-5x the whole fold cost — and pays a
-    # doc_id shuffle for the re-aggregation.) The shingles alias is
-    # referenced k times, so CollapseProject keeps it materialized.
-    # Components are NUMERIC (first 60 bits of the keyed md5 as a bigint):
-    # primitive-typed mins, no string-collation compares, and DuckDB
-    # reproduces them exactly for the oracle.
-    def _mh_component(seed: int):
+    # doc_id shuffle for the re-aggregation.)
+    # Each shingle is md5'd ONCE into a base hash, and the k components are
+    # multiply-mod universal hashes of that base (the construction MLlib's
+    # MinHashLSH uses) — round 4 change from k keyed md5s per shingle,
+    # which billed 12x the digest work for the same LSH guarantee
+    # (measured 2.8 s → sub-second on the sf0.1 bench). The base-hash
+    # array sits in its OWN projection: it is referenced k times, and as a
+    # multi-referenced non-cheap alias CollapseProject keeps it
+    # materialized. Components stay NUMERIC bigints: primitive-typed mins,
+    # no string-collation compares, and DuckDB reproduces the arithmetic
+    # exactly for the oracle (see MINHASH_PRIME bound).
+    def _mh_component(a: int, b: int):
         # MUST be a 1-parameter lambda: pyspark's transform() treats a
         # 2-parameter callable (e.g. `lambda s, i=i: ...`) as an
         # (element, index) lambda and passes the array-index Column as the
         # second argument — silently shadowing a closure default.
-        prefix = f"{seed}:"
-        return lambda s: _md5_60bit(F.concat(F.lit(prefix), s))
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
 
     sh = _doc_shingles(df, id_col, text_col, shingle_n)
-    sig = sh.select(
+    based = sh.select(
+        "doc_id",
+        F.transform(
+            "shingles", lambda s: _md5_60bit(s) % F.lit(MINHASH_PRIME)
+        ).alias("hs"),
+    )
+    sig = based.select(
         "doc_id",
         *[
-            F.array_min(F.transform("shingles", _mh_component(i))).alias(f"mh{i}")
-            for i in range(k)
+            F.array_min(F.transform("hs", _mh_component(a, b))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(k))
         ],
     )
     # Melt signature → (band_id, band_key) rows in a single projection

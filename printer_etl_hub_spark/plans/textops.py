@@ -194,9 +194,14 @@ def _sql_md5_60bit(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+# Mirrors operators/dedup.py: one 60-bit md5 base per shingle reduced mod
+# MINHASH_PRIME, then k multiply-mod components with the same coefficients.
+from ..operators.dedup import MINHASH_PRIME as _MH_P
+from ..operators.dedup import minhash_coeffs as _mh_coeffs
+
 _mh_cols = ",\n         ".join(
-    f"list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('{i}:' || s), 1, 15)) AS BIGINT))) AS mh{i}"
-    for i in range(_MH_K)
+    f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MH_P})) AS mh{i}"
+    for i, (a, b) in enumerate(_mh_coeffs(_MH_K))
 )
 _band_selects = "\n  UNION ALL\n".join(
     f"  SELECT doc_id, {b} AS band_id, "
@@ -207,9 +212,14 @@ _band_selects = "\n  UNION ALL\n".join(
 Q28_SQL = f"""
 WITH words AS ({_SQL_WORDS}),
 sh AS ({_SQL_SHINGLES}),
+based AS (
+  SELECT doc_id,
+         list_transform(sh, s -> {_sql_md5_60bit('s')} % {_MH_P}) AS hs
+  FROM sh
+),
 sig AS (
   SELECT doc_id, {_mh_cols}
-  FROM sh
+  FROM based
 ),
 banded AS (
 {_band_selects}

