@@ -1218,6 +1218,75 @@ FROM eval_docs e LEFT JOIN hits h ON e.doc_id = h.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q87 — corpus mixture re-weighting (per-language epoch factors)
+# --------------------------------------------------------------------------
+#: Target mixture: epochs per document by language. >1 upsamples by
+#: repetition, <1 downsamples by hash-rate — the standard way a training
+#: run rebalances a corpus toward a target distribution.
+MIXTURE_WEIGHTS = {"en": 1.5, "de": 0.8, "es": 0.6, "fr": 0.6, "zh": 0.3}
+
+
+def q87_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture re-weighting: each document appears
+    ``floor(w)`` times plus one more when its hash draw falls under
+    ``frac(w)`` (w = its language's epoch weight). Upsampling is realized
+    as replicated rows with a ``copy_id`` — what a sequence-packing stage
+    downstream actually consumes — and the hash draw makes the sample
+    identical across retries, engines, and cluster sizes (no RNG).
+
+    Fully narrow: a when-ladder for the weight, one md5 per doc, one
+    explode for the copies. No shuffle at any corpus size.
+    """
+    t = load_tables(spark, sf_dir)
+    w_expr = F.lit(0.0)
+    for lang, wt in MIXTURE_WEIGHTS.items():
+        w_expr = F.when(F.col("lang") == lang, F.lit(float(wt))).otherwise(w_expr)
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1_000_000
+    ) / 1_000_000.0
+    n_copies = (
+        F.floor("w").cast("int")
+        + (F.col("draw") < (F.col("w") - F.floor("w"))).cast("int")
+    )
+    d = (
+        t["documents"]
+        .select("doc_id", "lang", w_expr.alias("w"), draw.alias("draw"))
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") >= 1)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_copies",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_id"),
+    )
+
+
+_mix_cases = " ".join(
+    f"WHEN lang = '{lang}' THEN {wt}" for lang, wt in MIXTURE_WEIGHTS.items()
+)
+Q87_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CASE {_mix_cases} ELSE 0.0 END AS w,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000)
+           / 1000000.0 AS draw
+  FROM documents
+), c AS (
+  SELECT doc_id, lang,
+         CAST(floor(w) AS INT)
+           + CASE WHEN draw < w - floor(w) THEN 1 ELSE 0 END AS n_copies
+  FROM d
+)
+SELECT doc_id, lang, n_copies, CAST(k.k + 1 AS INT) AS copy_id
+FROM c, LATERAL (SELECT unnest(range(n_copies)) AS k) k
+WHERE n_copies >= 1
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -1244,4 +1313,5 @@ TEXT_QUERIES = {
     "q84_repetition_quality": (q84_repetition_quality, Q84_SQL),
     "q85_chunk_windows": (q85_chunk_windows, Q85_SQL),
     "q86_ngram_collision": (q86_ngram_collision, Q86_SQL),
+    "q87_mixture_sample": (q87_mixture_sample, Q87_SQL),
 }
