@@ -1287,6 +1287,66 @@ WHERE n_copies >= 1
 """
 
 
+# --------------------------------------------------------------------------
+# q88 — per-label embedding centroids (IVF training / cluster-quality stats)
+# --------------------------------------------------------------------------
+def q88_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space, long format: one row per
+    (label, dim) with the component mean, vector count, and mean L2 norm —
+    the primitive behind IVF coarse-quantizer training and embedding
+    cluster-quality dashboards.
+
+    One posexplode (64 rows per vector) + one groupBy (label, dim) with
+    map-side partial aggregation — the same shape at any corpus size.
+    Component sums run through decimal(25,6) (plans/common.py) so the
+    distributed partial-agg order can't wiggle the low float bits vs the
+    oracle.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vd"),
+    )
+    norm = F.sqrt(F.aggregate("vd", F.lit(0.0), lambda a, x: a + x * x))
+    ex = e.select(
+        "label", norm.alias("nrm"), F.posexplode("vd").alias("dim", "v")
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            dsum(F.col("v")).alias("s"),
+            dsum(F.col("nrm")).alias("sn"),
+        )
+        .select(
+            "label",
+            "dim",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.round(F.col("s") / F.col("n_vecs"), 6).alias("centroid"),
+            F.round(F.col("sn") / F.col("n_vecs"), 6).alias("mean_norm"),
+        )
+    )
+
+
+Q88_SQL = f"""
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), n AS (
+  SELECT label, vd,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), ex AS (
+  SELECT label, nrm, CAST(d.i - 1 AS INT) AS dim, vd[d.i] AS val
+  FROM n, LATERAL (SELECT unnest(range(1, len(vd) + 1)) AS i) d
+)
+SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+       round({sql_dsum('val')} / count(*), 6) AS centroid,
+       round({sql_dsum('nrm')} / count(*), 6) AS mean_norm
+FROM ex GROUP BY label, dim
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -1314,4 +1374,5 @@ TEXT_QUERIES = {
     "q85_chunk_windows": (q85_chunk_windows, Q85_SQL),
     "q86_ngram_collision": (q86_ngram_collision, Q86_SQL),
     "q87_mixture_sample": (q87_mixture_sample, Q87_SQL),
+    "q88_label_centroids": (q88_label_centroids, Q88_SQL),
 }
