@@ -80,31 +80,31 @@ GATE_ORDER = [
     "q54_tpch_q17",
     "q55_string_agg",
     "q56_date_functions",
-    # Backfill from the round-3-green set. First the three queries whose
-    # implementation changes this round (distributed shard packing,
-    # brute-force guard rework, CC checkpoint option) so the changes
-    # get external re-verification, then a cross-family spread.
+    # Queries whose implementation changed this round (distributed shard
+    # packing, brute-force guard rework, CC checkpoint option, the
+    # MinHash multiply-mod family) — external re-verification required.
     "q77_token_shards",
     "q31_embedding_topk",
     "q72_dup_clusters",
-    "q76_hll_rollup",
-    "q47_range_join",
+    "q28_minhash_lsh",
+    # New this round — zero external rows anywhere else: the S10 Brother
+    # scrape's exact oracle and the five added pipeline ops.
+    "q83_brother_toner",
+    "q84_repetition_quality",
+    "q85_chunk_windows",
+    "q86_ngram_collision",
+    "q87_mixture_sample",
+    "q88_label_centroids",
+    # Cross-family backfill from the round-3-green set.
     "q01_pricing_summary",
     "q08_severity_argmax",
     "q13_merge_upsert",
     "q15_window_running",
-    "q20_events_tumbling",
     "q21_sessionize",
-    "q22_asof_last_click",
     "q23_dedup_exact",
-    "q28_minhash_lsh",
     "q29_ngram_jaccard",
-    "q33_multimodal_decode",
     "q38_ivf_topk",
     "q71_json_harvest",
-    # New this round: the S10 Brother scrape driven to an exact external
-    # oracle — the only §2 operator that had no drivable correctness row.
-    "q83_brother_toner",
 ]
 
 # Import-time contract checks. Explicit raises (not assert) so the
