@@ -104,9 +104,11 @@ def main() -> None:
     k = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_K", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    flaky: dict[str, str] = {}
     for name in HEADLINE:
         attempts: list[float] = []
         last_err: str | None = None
+        fails = 0
         n = None
         for _ in range(k):
             t0 = time.perf_counter()
@@ -115,11 +117,17 @@ def main() -> None:
                 n = df.count()  # full materialization of the result
                 attempts.append(time.perf_counter() - t0)
             except Exception as exc:
+                fails += 1
                 last_err = f"{type(exc).__name__}: {exc}"[:500]
         if attempts:
             timings[name] = round(min(attempts), 3)
             all_t = "/".join(f"{t:.3f}" for t in attempts)
             print(f"# {name}: {timings[name]:.3f}s [{all_t}] ({n} rows)", file=sys.stderr)
+            if fails:
+                # A query that fails SOME attempts must not read as clean —
+                # intermittent breakage is a bug signal, not timing noise.
+                flaky[name] = f"{fails}/{k} attempts failed: {last_err}"
+                print(f"# {name}: FLAKY {flaky[name]}", file=sys.stderr)
         else:
             errors[name] = last_err or "unknown"
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
@@ -145,6 +153,8 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
         payload["failed_penalty_sec"] = penalty
+    if flaky:
+        payload["flaky"] = flaky
     print(json.dumps(payload))
 
 

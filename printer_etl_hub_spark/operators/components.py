@@ -55,20 +55,36 @@ def connected_components(
     not converge (needs ~log2(diameter) + 2 rounds).
 
     ``checkpoint_dir``: when set, per-round lineage cuts use RELIABLE
-    ``checkpoint()`` into that directory instead of executor-local
+    ``checkpoint()`` under that directory instead of executor-local
     ``localCheckpoint()`` — survives executor loss, the right choice on a
     real cluster where a retried task must not lose a round's labels.
-    Default stays local (fastest, fine on local mode / short jobs).
+    Checkpoint data does NOT accumulate per round: each round writes to
+    its own subdirectory and the previous round's subdirectory is deleted
+    as soon as nothing references it (Spark itself only cleans checkpoints
+    with ``spark.cleaner.referenceTracking.cleanCheckpoints=true``, which
+    defaults to false). On return, ``cc-base`` (the edge input) and the
+    final round's subdirectory remain — delete ``checkpoint_dir`` when
+    done consuming the result. NOTE: ``setCheckpointDir`` is
+    SparkContext-GLOBAL; this call leaves it pointing into
+    ``checkpoint_dir``, so concurrent checkpoint users of the same context
+    should set their own dir. Default stays local (fastest, fine on local
+    mode / short jobs).
 
     ``stats``: optional dict the call fills with convergence telemetry
     (``rounds`` = iterations executed, ``edges`` = symmetrized distinct
     edge count) — the observability hook the scale audit reads.
     """
-    if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    sc = edges.sparkSession.sparkContext
 
-    def _cut(df: DataFrame) -> DataFrame:
+    def _rm(path_str: str) -> None:
+        jvm = edges.sparkSession._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = p.getFileSystem(edges.sparkSession._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+
+    def _cut(df: DataFrame, subdir: str = "cc-base") -> DataFrame:
         if checkpoint_dir is not None:
+            sc.setCheckpointDir(f"{checkpoint_dir}/{subdir}")
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
@@ -85,7 +101,7 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-    )
+    )  # initial labels live in cc-base alongside the edges
     for it in range(max_iter):
         msgs = (
             sym.join(labels, sym["a"] == labels["node"])
@@ -114,7 +130,7 @@ def connected_components(
                 "node",
                 F.coalesce("_lc", "component").alias("component"),
             )
-        new_labels = _cut(stepped)  # cut lineage — see module docstring
+        new_labels = _cut(stepped, f"cc-round-{it}")  # cut lineage — see module docstring
         # round 0 always changes something (any b-side node adopts a smaller
         # a-side label) — skip its convergence probe, one job per run saved
         changed = 1 if it == 0 else (
@@ -124,6 +140,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # The previous ROUND's checkpoint is dead once this round is
+        # materialized and the probe (which joins old vs new) has run:
+        # sym recomputes from the cc-base edges, never from round files.
+        if checkpoint_dir is not None and it >= 1:
+            _rm(f"{checkpoint_dir}/cc-round-{it - 1}")
         labels = new_labels
         if changed == 0:
             if stats is not None:

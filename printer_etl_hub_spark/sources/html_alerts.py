@@ -151,8 +151,13 @@ def shred_alert_html(df: DataFrame, key_col: str, html_col: str) -> DataFrame:
 #: Reference `adapters/brother_toner_web.py:10` — normalized code → display.
 BROTHER_COLOR_PRETTY = {"BK": "Black", "K": "Black", "C": "Cyan", "M": "Magenta", "Y": "Yellow"}
 
+# The id must END at the match (quote, whitespace, or '>') — the reference
+# does an exact-id find, and without the boundary an unrelated
+# #inkLevelSettings table would shadow the real level grid.
 _BROTHER_TABLE_RE = re.compile(
-    r'<table[^>]*\bid\s*=\s*["\']?(inkLevel(?:Mono)?)["\']?[^>]*>(.*?)</table>',
+    r'<table[^>]*\bid\s*=\s*(?:"(inkLevel(?:Mono)?)"'
+    r"|'(inkLevel(?:Mono)?)'"
+    r"|(inkLevel(?:Mono)?)(?=[\s>]))[^>]*>(.*?)</table>",
     re.I | re.S,
 )
 _TR_FULL_RE = re.compile(r"<tr[^>]*>(.*?)</tr>", re.I | re.S)
@@ -165,15 +170,34 @@ _NON_ALPHA_RE = re.compile(r"[^A-Za-z]")
 
 
 def _attr(attrs: str, name: str) -> str | None:
-    """Value of an HTML attribute inside a raw attribute string."""
+    """Value of an HTML attribute inside a raw attribute string.
+
+    The name must not be preceded by a word char or '-': ``\\b`` alone
+    matches between ``data-`` and ``height``, which would let a
+    ``data-height`` attribute shadow the real ``height``.
+    """
     m = re.search(
-        r'\b' + name + r'\s*=\s*("([^"]*)"|\'([^\']*)\'|([^\s>]+))', attrs, re.I
+        r'(?<![-\w])' + name + r'\s*=\s*("([^"]*)"|\'([^\']*)\'|([^\s>]+))',
+        attrs,
+        re.I,
     )
     if not m:
         return None
     return m.group(2) if m.group(2) is not None else (
         m.group(3) if m.group(3) is not None else m.group(4)
     )
+
+
+def _brother_table(html: str):
+    """(id, body) of the preferred ink-level table, or None."""
+    best = None
+    for m in _BROTHER_TABLE_RE.finditer(html):
+        tid = (m.group(1) or m.group(2) or m.group(3)).lower()
+        if tid == "inklevel":
+            return tid, m.group(4)  # exact #inkLevel always wins
+        if best is None:
+            best = (tid, m.group(4))
+    return best
 
 
 def normalize_supply_label_py(text: str) -> str | None:
@@ -239,17 +263,11 @@ def parse_brother_toner_html(html: str) -> list[dict[str, str | None]]:
     """
     if not html:
         return []
-    t = _BROTHER_TABLE_RE.search(html)
-    if t is None:
+    found = _brother_table(html)
+    if found is None:
         return []
-    # Prefer #inkLevel over #inkLevelMono when both are present, matching
-    # the reference's two-step find.
-    if t.group(1).lower() == "inklevelmono":
-        for cand in _BROTHER_TABLE_RE.finditer(html):
-            if cand.group(1).lower() == "inklevel":
-                t = cand
-                break
-    rows = _TR_FULL_RE.findall(t.group(2))
+    _tid, body = found
+    rows = _TR_FULL_RE.findall(body)
     if len(rows) < 3:
         return []
     heights = [
@@ -258,6 +276,10 @@ def parse_brother_toner_html(html: str) -> list[dict[str, str | None]]:
     labels = [
         normalize_supply_label_py(_text(body)) for _attrs, body in _TH_FULL_RE.findall(rows[2])
     ]
+    # Reference-exact quirk (`adapters/brother_toner_web.py:90-92`): None
+    # labels are filtered BEFORE the positional zip with heights, so a
+    # non-alphabetic spacer <th> shifts the pairing by one column — the
+    # reference does exactly this, and its behavior is the spec.
     labels = [x for x in labels if x]
     cartridges: list[dict[str, str | None]] = []
     for code, val in zip(labels, heights):

@@ -117,11 +117,13 @@ def _xlsx_frame(
     from datetime import date as _date
     from datetime import datetime as _datetime
 
+    from .json_store import json_serializer
+
     def _cell_str(v):
         if v is None:
             return None
         if isinstance(v, (_datetime, _date)):
-            return v.isoformat()  # F35 rule: date cells surface as ISO text
+            return json_serializer(v)  # the one F35 date→ISO rule
         return str(v)
 
     data = [[_cell_str(v) for v in r] for r in rows[header_row + 1:]]
@@ -336,7 +338,10 @@ def read_sheet_detect_header(
         )
 
     prefix = _raw_csv_rows(path, 20)
-    header_row, header_map = find_header_row(prefix, expected)
+    # The name→column map is part of find_header_row's P10 contract (and
+    # unit-tested); this caller rebuilds headers from the FULL row below
+    # because unnamed columns also need _cN placeholders.
+    header_row, _ = find_header_row(prefix, expected)
     if header_row is None:
         raise ValueError(f"no header row with 'id' found in first 20 rows of {path}")
     headers = dedup_headers(

@@ -98,11 +98,17 @@ _DATE_BUILTIN_IDS = (
 def _is_date_format_code(code: str) -> bool:
     """True when a custom format code renders a date/time: contains a
     y/m/d/h/s token outside quoted literals, ``[]`` sections, and escapes
-    (the same heuristic openpyxl/pandas apply)."""
-    code = re.sub(r'"[^"]*"', "", code)
-    code = re.sub(r"\[[^\]]*\]", "", code)
-    code = re.sub(r"\\.", "", code)
-    return bool(re.search(r"[ymdhs]", code, re.I))
+    (the same heuristic openpyxl/pandas apply).
+
+    ELAPSED formats (``[h]:mm:ss``, ``[mm]:ss`` …) are durations, not
+    dates — converting a 732-elapsed-hours cell through the date epoch
+    would destroy the value — so a bracketed time token disqualifies."""
+    stripped = re.sub(r'"[^"]*"', "", code)
+    if re.search(r"\[(h+|m+|s+)\]", stripped, re.I):
+        return False
+    stripped = re.sub(r"\[[^\]]*\]", "", stripped)
+    stripped = re.sub(r"\\.", "", stripped)
+    return bool(re.search(r"[ymdhs]", stripped, re.I))
 
 
 def _date_style_ids(zf: zipfile.ZipFile) -> frozenset[int]:
@@ -255,7 +261,9 @@ def write_xlsx(
             if v is None:
                 continue
             if isinstance(v, (_datetime, _date)):
-                v = v.isoformat()  # F35 rule: dates export as ISO strings
+                from .json_store import json_serializer
+
+                v = json_serializer(v)  # the one F35 date→ISO rule
             ref = ""
             n = ci + 1
             while n:

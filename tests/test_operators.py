@@ -308,7 +308,12 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
-    assert any(os.scandir(ckpt)), "no checkpoint data written to the reliable dir"
+    subdirs = sorted(e.name for e in os.scandir(ckpt))
+    assert "cc-base" in subdirs, subdirs
+    # Per-round data must NOT accumulate: only the FINAL round's
+    # subdirectory survives (retired rounds are deleted as they die).
+    rounds = [d for d in subdirs if d.startswith("cc-round-")]
+    assert len(rounds) == 1, subdirs
 
 
 def test_hll_rollup_merge_is_lossless(spark):

@@ -316,3 +316,47 @@ def test_brother_toner_cartridges_feeds_fleet(spark):
     ]
     assert got["10.0.0.2"] == [("Black", "42%")]
     assert got["10.0.0.3"] == []
+
+
+def test_parse_brother_toner_html_review_hardening():
+    """Round-4 review fixes: exact-id table match (no #inkLevelSettings
+    shadowing), data-height must not shadow height, and the documented
+    reference-exact filter-then-zip pairing for spacer labels."""
+    from printer_etl_hub_spark.sources.html_alerts import parse_brother_toner_html
+
+    # An unrelated table whose id merely STARTS with inkLevel is ignored.
+    shadow = (
+        "<table id='inkLevelSettings'><tr><th>x</th></tr>"
+        "<tr><td><img height='99'></td></tr><tr><th>BK</th></tr></table>"
+    )
+    assert parse_brother_toner_html(shadow) == []
+    # ...and it must not shadow a real #inkLevel appearing after it.
+    real = (
+        "<table id='inkLevel'><tr><th>t</th></tr>"
+        "<tr><td><img height='42'></td></tr><tr><th>BK</th></tr></table>"
+    )
+    assert parse_brother_toner_html(shadow + real) == [
+        {"cartridge": "Black", "remaining_percent": "42%"}
+    ]
+    # data-height must not be read as the height attribute.
+    data_attr = (
+        "<table id='inkLevel'><tr><th>t</th></tr>"
+        "<tr><td><img src='x' data-height='5' height='42'></td></tr>"
+        "<tr><th>BK</th></tr></table>"
+    )
+    assert parse_brother_toner_html(data_attr) == [
+        {"cartridge": "Black", "remaining_percent": "42%"}
+    ]
+    # Reference-exact quirk: a non-alphabetic spacer <th> is filtered
+    # BEFORE the zip, shifting the label/height pairing by one column —
+    # `adapters/brother_toner_web.py:90-92` behaves identically.
+    spacer = (
+        "<table id='inkLevel'><tr><th>t</th></tr>"
+        "<tr><td><img height='10'></td><td><img height='20'></td>"
+        "<td><img height='30'></td></tr>"
+        "<tr><th>&#160;</th><th>BK</th><th>C</th></tr></table>"
+    )
+    assert parse_brother_toner_html(spacer) == [
+        {"cartridge": "Black", "remaining_percent": "10%"},
+        {"cartridge": "Cyan", "remaining_percent": "20%"},
+    ]

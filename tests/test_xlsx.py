@@ -262,3 +262,42 @@ def test_xlsx_date_cells_surface_as_iso_in_frames_and_writeback(spark, tmp_path)
     write_xlsx(p2, ["a", "b"], [[date(2026, 1, 2), datetime(2026, 1, 2, 3, 4, 5)]])
     rows = read_xlsx_rows(p2)
     assert rows[1] == ["2026-01-02", "2026-01-02T03:04:05"]
+
+
+def test_elapsed_duration_formats_stay_numeric(tmp_path):
+    """[h]:mm:ss-style ELAPSED formats are durations, not dates: the cell
+    must keep its raw serial number (round-4 review fix)."""
+    import zipfile
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    workbook = (
+        f'<workbook xmlns="{ns}" xmlns:r="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    styles = (
+        f'<styleSheet xmlns="{ns}">'
+        '<numFmts count="1"><numFmt numFmtId="165" formatCode="[h]:mm:ss"/></numFmts>'
+        '<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="165"/></cellXfs>'
+        "</styleSheet>"
+    )
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" s="1"><v>30.5</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'relationships"><Relationship Id="rId1" Type="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    p = str(tmp_path / "dur.xlsx")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/styles.xml", styles)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    from printer_etl_hub_spark.sources.xlsx import read_xlsx_rows
+
+    assert read_xlsx_rows(p) == [[30.5]]
