@@ -1347,6 +1347,77 @@ FROM ex GROUP BY label, dim
 """
 
 
+# --------------------------------------------------------------------------
+# q89 — unigram-frequency quality signals (CCNet-style common-ness filter)
+# --------------------------------------------------------------------------
+def q89_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-frequency statistics against the corpus's own
+    unigram table: mean token probability and the rarest token's
+    probability — the algebraic core of a CCNet-style LM/perplexity
+    quality filter (documents full of corpus-rare tokens score low and
+    are triage candidates).
+
+    Deliberately log-free: transcendental functions are not bit-portable
+    across engines, so the oracle-gated form stays in exact integer
+    arithmetic until one final IEEE division — sum of bigint counts per
+    doc, divided by n_toks·total once. Two key-bounded shuffles (unigram
+    count, per-doc agg) plus one token-keyed join and a 1-row scalar
+    broadcast for the corpus total.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("cnt").alias("sum_cnt"),
+            F.min("cnt").alias("min_cnt"),
+        )
+    )
+    return per_doc.join(F.broadcast(total)).select(
+        "doc_id",
+        "n_toks",
+        F.round(
+            F.col("sum_cnt").cast("double")
+            / (F.col("n_toks") * F.col("total")).cast("double"),
+            9,
+        ).alias("mean_tok_p"),
+        F.round(
+            F.col("min_cnt").cast("double") / F.col("total").cast("double"), 9
+        ).alias("min_tok_p"),
+    )
+
+
+Q89_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+), freq AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), total AS (
+  SELECT SUM(cnt) AS total FROM freq
+), per_doc AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         SUM(f.cnt) AS sum_cnt, MIN(f.cnt) AS min_cnt
+  FROM toks t JOIN freq f USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_toks,
+       round(CAST(sum_cnt AS DOUBLE) / CAST(n_toks * total AS DOUBLE), 9) AS mean_tok_p,
+       round(CAST(min_cnt AS DOUBLE) / CAST(total AS DOUBLE), 9) AS min_tok_p
+FROM per_doc, total
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -1375,4 +1446,5 @@ TEXT_QUERIES = {
     "q86_ngram_collision": (q86_ngram_collision, Q86_SQL),
     "q87_mixture_sample": (q87_mixture_sample, Q87_SQL),
     "q88_label_centroids": (q88_label_centroids, Q88_SQL),
+    "q89_unigram_commonness": (q89_unigram_commonness, Q89_SQL),
 }

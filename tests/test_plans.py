@@ -172,6 +172,7 @@ BNLJ_ALLOWED = {
     "q38_ivf_topk",
     "q65_tpch_q22",
     "q67_tpch_q11",
+    "q89_unigram_commonness",  # 1-row corpus-total scalar broadcast
 }
 
 
