@@ -95,14 +95,15 @@ GATE_ORDER = [
     "q86_ngram_collision",
     "q87_mixture_sample",
     "q88_label_centroids",
-    # Cross-family backfill from the round-3-green set.
+    "q89_unigram_commonness",
+    # Cross-family backfill from the round-3-green set. (q29's pair
+    # machinery is externally exercised via q72/q81 regardless.)
     "q01_pricing_summary",
     "q08_severity_argmax",
     "q13_merge_upsert",
     "q15_window_running",
     "q21_sessionize",
     "q23_dedup_exact",
-    "q29_ngram_jaccard",
     "q38_ivf_topk",
     "q71_json_harvest",
 ]
