@@ -802,7 +802,15 @@ def q81_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     t = load_tables(spark, sf_dir)
-    staged = t["documents"].select(
+    # Spread the narrow annotation stage across cores BEFORE the heavy
+    # per-doc expressions: a small corpus arrives as one parquet split, and
+    # without this the lang/quality gates run single-threaded ahead of the
+    # window exchange (measured 10.6 s -> ~1 s on the 10x clone). Same
+    # precedent as _doc_shingles' pre-explode spread.
+    spread = t["documents"].repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    staged = spread.select(
         "doc_id", "text", tokenize(F.col("text")).alias("toks")
     )
     feats = quality_features(F.col("text"), F.col("toks"))
