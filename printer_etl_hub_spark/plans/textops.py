@@ -791,7 +791,8 @@ def q81_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each stage is an individually-oracled operator; composing them is the
     point — a real pipeline runs this as one lazy plan, with the gates
     filtering BEFORE the expensive pair generation (the same filter-before-
-    fetch discipline as the fleet plan). Shuffle ledger: one window by
+    fetch discipline as the fleet plan). Shuffle ledger: the load-balancing
+    doc_id repartition ahead of the annotation stage, one window by
     content digest, one shuffle per Jaccard index build, the CC rounds —
     everything else is narrow.
     """
@@ -1372,11 +1373,18 @@ def q89_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, per-doc agg) plus one token-keyed join and a 1-row scalar
     broadcast for the corpus total.
     """
+    from pyspark import StorageLevel
+
     t = load_tables(spark, sf_dir)
+    # Persist the exploded token stream: it feeds BOTH the unigram build
+    # and the join probe side, and without the pin the scan+tokenize+
+    # explode subtree executes twice (the same single-materialization
+    # discipline as the dedup operators' shingle index).
     toks = (
         t["documents"]
         .select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
         .filter(F.col("tok") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
