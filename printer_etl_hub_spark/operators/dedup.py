@@ -369,3 +369,58 @@ def ngram_jaccard_cross(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def segment_dedup(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int = 10
+) -> DataFrame:
+    """Sub-document (CCNet paragraph-style) dedup: segment each document
+    into fixed ``seg_tokens``-token spans, hash each span, keep only the
+    corpus-wide FIRST occurrence of every distinct span (ordered by
+    document id, then span position), and rebuild documents from their
+    surviving spans. Mirrors the paragraph-hash dedup of CCNet
+    (Wenzek et al. 2020) with a fixed-width span standing in for the
+    newline-delimited paragraph.
+
+    Returns one row per document:
+    ``(id, n_segs, n_kept, kept_frac, kept_text)``.
+
+    Plan shape: narrow segmentation (sequence + slice), one key-bounded
+    shuffle on the span hash for the keep-first window (shuffle rows are
+    ≤ seg_tokens wide), one shuffle back on the document id; re-assembly
+    is per-document ``array_sort(collect_list(struct))``, never a global
+    sort.
+    """
+    from pyspark.sql import Window
+
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    starts = F.sequence(F.lit(1), F.size("w"), F.lit(seg_tokens))
+    segs = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, seg_tokens))
+    )
+    ex = df.select(F.col(id_col).alias("_id"), w.alias("w")).select(
+        "_id", F.posexplode(segs).alias("seg_idx", "seg")
+    )
+    win = Window.partitionBy(F.md5("seg")).orderBy("_id", "seg_idx")
+    ranked = ex.withColumn("rn", F.row_number().over(win))
+    kept_struct = F.when(F.col("rn") == 1, F.struct(F.col("seg_idx"), F.col("seg")))
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+                ),
+            ).alias("kept_text"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_segs",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_segs"), 6).alias("kept_frac"),
+            "kept_text",
+        )
+    )

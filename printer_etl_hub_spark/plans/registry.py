@@ -96,16 +96,17 @@ GATE_ORDER = [
     "q87_mixture_sample",
     "q88_label_centroids",
     "q89_unigram_commonness",
+    "q90_bloom_decontam",
+    "q91_segment_dedup",
+    "q92_tfidf_topk",
+    "q93_lloyd_step",
     # Cross-family backfill from the round-3-green set. (q29's pair
-    # machinery is externally exercised via q72/q81 regardless.)
-    "q01_pricing_summary",
+    # machinery is externally exercised via q72/q81 regardless; q01/q13/
+    # q23/q71 rotated out this edit — all r3-green and on the bench path.)
     "q08_severity_argmax",
-    "q13_merge_upsert",
     "q15_window_running",
     "q21_sessionize",
-    "q23_dedup_exact",
     "q38_ivf_topk",
-    "q71_json_harvest",
 ]
 
 # Import-time contract checks. Explicit raises (not assert) so the

@@ -22,6 +22,7 @@ from ..operators.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    segment_dedup,
     simhash_docs,
 )
 from ..operators.multimodal import decode_media
@@ -1434,6 +1435,402 @@ FROM per_doc, total
 """
 
 
+# --------------------------------------------------------------------------
+# q90 — Bloom-filter decontamination (portable bit layout, exact oracle)
+# --------------------------------------------------------------------------
+#: Bloom geometry: m bits across 32-bit words, k md5-derived hash probes.
+#: m = 2^20 over the sf-scale train gram counts keeps the false-positive
+#: rate negligible but NON-zero by design — the oracle reproduces the same
+#: bit layout, so even false positives compare exactly.
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 3
+
+
+def q90_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q86's exact 13-gram decontamination sweep, re-run through a Bloom
+    filter — the memory shape that survives a 100 TB train corpus. The
+    train side collapses from a distinct-gram table (unbounded) to a fixed
+    ``m``-bit array; the probe side never joins against train grams at
+    all, only against the ≤ m/32-row bit-word table.
+
+    Spark 4 does not expose ``bloom_filter_agg`` in the public function
+    registry, so the filter is built from first principles in pure column
+    ops — which buys something the built-in could never give: the k bit
+    positions are md5-derived (``md5(gram_digest || ':' || j) % m``), so
+    DuckDB computes the IDENTICAL bit array and the oracle is exact
+    including false positives. Word layout is 32 bits/word to keep every
+    mask positive in both engines' BIGINT (no sign-bit portability edge).
+
+    Shuffle ledger: train distinct (digest-keyed), bit_or groupBy on ≤
+    32 Ki word ids (tiny), per-(doc, gram) probe agg, per-doc agg. The
+    word-table probe join is broadcast — the whole train corpus's
+    footprint in the probe stage is 128 KiB of bitmap.
+    """
+    n = 13
+    t = load_tables(spark, sf_dir)
+    par = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "bigint"
+        ),
+        2,
+    )
+    w = tokenize(F.col("text"))
+    grams = F.when(
+        F.size("w") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, n))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = (
+        t["documents"]
+        .select("doc_id", w.alias("w"), par.alias("_par"))
+        .filter(F.size("w") >= n)
+        .select("doc_id", "_par", grams.alias("grams"))
+    )
+
+    def _pos(g, j: int):
+        raw = F.conv(
+            F.substring(F.md5(F.concat(g, F.lit(f":{j}"))), 1, 15), 16, 10
+        ).cast("bigint")
+        return raw % F.lit(BLOOM_M_BITS)
+
+    train = d.filter(F.col("_par") == 0).select(F.explode("grams").alias("g")).distinct()
+    bits = train.select(
+        F.explode(F.array(*[_pos(F.col("g"), j) for j in range(BLOOM_K)])).alias("pos")
+    )
+    words = (
+        bits.select(
+            (F.col("pos") / 32).cast("bigint").alias("word"),
+            # shiftleft's amount arg is int-only in the python API — the
+            # column-valued shift has to go through the SQL expression.
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+
+    eval_docs = d.filter(F.col("_par") == 1).select(
+        "doc_id", F.size("grams").cast("bigint").alias("n_grams"), "grams"
+    )
+    probes = eval_docs.select(
+        "doc_id", F.explode("grams").alias("g")
+    ).select(
+        "doc_id",
+        "g",
+        F.posexplode(F.array(*[_pos(F.col("g"), j) for j in range(BLOOM_K)])).alias(
+            "j", "pos"
+        ),
+    ).select(
+        "doc_id",
+        "g",
+        (F.col("pos") / 32).cast("bigint").alias("word"),
+        (F.col("pos") % 32).cast("int").alias("bit"),
+    )
+    hit = F.when(
+        F.col("mask").isNotNull()
+        & (F.expr("shiftright(mask, bit)").bitwiseAND(F.lit(1)) == 1),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per_gram = (
+        probes.join(F.broadcast(words), "word", "left")
+        .select("doc_id", "g", hit.alias("hit"))
+        .groupBy("doc_id", "g")
+        .agg(F.sum("hit").alias("k_hits"))
+    )
+    flagged = (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum((F.col("k_hits") == BLOOM_K).cast("int")).cast("bigint").alias(
+                "n_flagged"
+            )
+        )
+    )
+    return (
+        eval_docs.select("doc_id", "n_grams")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_flagged", F.lit(0)).cast("bigint").alias("n_flagged"),
+            F.round(F.coalesce("n_flagged", F.lit(0)) / F.col("n_grams"), 6).alias(
+                "flagged_frac"
+            ),
+        )
+    )
+
+
+def _sql_bloom_pos(g: str, j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({g} || ':{j}'), 1, 15)) AS BIGINT) % {BLOOM_M_BITS}"
+    )
+
+
+Q90_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS par
+  FROM documents
+), g AS (
+  SELECT doc_id, par,
+         list_distinct(list_transform(range(1, len(w) - 11),
+           i -> md5(list_aggregate(list_slice(w, i, i + 12), 'string_agg', ' ')))) AS grams
+  FROM d WHERE len(w) >= 13
+), train AS (
+  SELECT DISTINCT unnest(grams) AS gr FROM g WHERE par = 0
+), bits AS (
+  SELECT {_sql_bloom_pos('gr', 0)} AS pos FROM train
+  UNION ALL SELECT {_sql_bloom_pos('gr', 1)} FROM train
+  UNION ALL SELECT {_sql_bloom_pos('gr', 2)} FROM train
+), words AS (
+  SELECT pos // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS mask
+  FROM bits GROUP BY pos // 32
+), eval_docs AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, grams FROM g WHERE par = 1
+), probes AS (
+  SELECT doc_id, gr, p.pos // 32 AS word, CAST(p.pos % 32 AS INT) AS bit
+  FROM (SELECT doc_id, unnest(grams) AS gr FROM eval_docs),
+       LATERAL (
+         SELECT unnest([{_sql_bloom_pos('gr', 0)}, {_sql_bloom_pos('gr', 1)},
+                        {_sql_bloom_pos('gr', 2)}]) AS pos
+       ) p
+), per_gram AS (
+  SELECT doc_id, gr,
+         SUM(CASE WHEN w.mask IS NOT NULL AND ((w.mask >> bit) & 1) = 1
+                  THEN 1 ELSE 0 END) AS k_hits
+  FROM probes LEFT JOIN words w USING (word)
+  GROUP BY doc_id, gr
+), flagged AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN k_hits = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+  FROM per_gram GROUP BY doc_id
+)
+SELECT e.doc_id AS doc_id, e.n_grams AS n_grams,
+       CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+       round(CAST(COALESCE(f.n_flagged, 0) AS DOUBLE) / e.n_grams, 6) AS flagged_frac
+FROM eval_docs e LEFT JOIN flagged f ON e.doc_id = f.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q91 — segment-level corpus dedup (CCNet paragraph-hash dedup)
+# --------------------------------------------------------------------------
+#: Segment width in tokens. CCNet dedups on paragraph hashes; this corpus
+#: has no newlines, so the segmentation unit is a fixed 10-token span —
+#: the same hash-keep-first-occurrence machinery either way.
+SEGMENT_TOKENS = 10
+
+
+def q91_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup, CCNet-style: split every document into
+    fixed-width token segments, hash each, and keep only the corpus-wide
+    FIRST occurrence of every distinct segment (ordered by doc_id, then
+    position). Documents come back rebuilt from their surviving segments
+    plus retention stats — the op that strips boilerplate headers/footers
+    repeated across millions of pages without dropping whole documents.
+
+    Shape (see `operators/dedup.py::segment_dedup`): one narrow
+    segmentation pass, one key-bounded shuffle on the segment hash, one
+    shuffle back on doc_id; re-assembly is per-document
+    ``array_sort(collect_list(struct))``, never a global sort.
+    """
+    t = load_tables(spark, sf_dir)
+    return segment_dedup(t["documents"], "doc_id", "text", SEGMENT_TOKENS)
+
+
+Q91_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+), seg AS (
+  SELECT doc_id,
+         CAST((s.i - 1) / {SEGMENT_TOKENS} AS INT) AS seg_idx,
+         list_aggregate(list_slice(w, s.i, s.i + {SEGMENT_TOKENS - 1}),
+                        'string_agg', ' ') AS seg
+  FROM d, LATERAL (
+    SELECT unnest(range(1, len(w) + 1, {SEGMENT_TOKENS})) AS i
+  ) s
+), ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+  FROM seg
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       round(CAST(count(*) FILTER (WHERE rn = 1) AS DOUBLE) / count(*), 6) AS kept_frac,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS kept_text
+FROM ranked GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q92 — TF-IDF top terms per document
+# --------------------------------------------------------------------------
+def q92_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword/topic signal
+    a curation pipeline uses for domain tagging and mixture audits.
+
+    Log-free IDF: the ranking uses ``tf · N / df`` — order-equivalent to
+    ``tf · log(N/df)`` for fixed tf... it is NOT, so the plain rational
+    form IS the definition here (monotone in tf and in N/df, exactly
+    portable: integer products under 2^53 divide bit-identically in IEEE
+    on both engines, where a transcendental log would not).
+
+    Shuffles: tf groupBy (doc, term), df groupBy term (derived FROM tf —
+    the token stream is scanned once), term-keyed join, per-doc top-k
+    window. N arrives as a 1-row broadcast.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(nd))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("score", 6).alias("tfidf"),
+            "rn",
+        )
+    )
+
+
+Q92_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf * n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
+  FROM tf t JOIN dfreq d USING (term), nd n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(score, 6) AS tfidf, rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q93 — one Lloyd (k-means) refinement step over the embedding space
+# --------------------------------------------------------------------------
+#: Seed count for the refinement step: the k lowest-vec_id vectors.
+LLOYD_K = 8
+
+
+def q93_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration — the assign + re-estimate step that trains an
+    IVF coarse quantizer (`operators/similarity.py::ivf_topk` consumes
+    exactly this): assign every vector to its nearest seed centroid by
+    squared L2, then recompute each centroid as the member mean.
+
+    The k seeds are the lowest-``vec_id`` vectors (deterministic, no RNG)
+    and arrive broadcast; assignment is a broadcast nested-loop over k=8
+    rows — n·k narrow comparisons, NO shuffle until the per-vector argmin,
+    which is a map-side-combinable ``min(struct(dist, seed_id, vec))``
+    groupBy, not a window. Distances fold left-to-right so the oracle's
+    ``list_reduce`` reproduces them bit-for-bit; the (dist, seed_id)
+    struct prefix makes ties deterministic.
+
+    Iterating this to convergence is the driver-loop pattern documented in
+    `operators/components.py` (checkpoint per round); one gated step keeps
+    the oracle exact.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vd"),
+    )
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(LLOYD_K)
+        .select(F.col("vec_id").alias("seed_id"), F.col("vd").alias("sd"))
+    )
+    dist = F.aggregate(
+        F.zip_with("vd", "sd", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        e.join(F.broadcast(seeds))
+        .select("vec_id", F.struct(dist.alias("dist"), "seed_id", "vd").alias("cand"))
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("best"))
+        .select(
+            F.col("best.seed_id").alias("cluster_id"),
+            F.col("best.vd").alias("vd"),
+        )
+    )
+    ex = best.select("cluster_id", F.posexplode("vd").alias("dim", "v"))
+    return (
+        ex.groupBy("cluster_id", "dim")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"), dsum(F.col("v")).alias("s"))
+        .select(
+            "cluster_id",
+            "dim",
+            "n_vecs",
+            F.round(F.col("s") / F.col("n_vecs"), 6).alias("centroid"),
+        )
+    )
+
+
+Q93_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS seed_id, vd AS sd FROM v ORDER BY vec_id LIMIT {LLOYD_K}
+), pairs AS (
+  SELECT vec_id, vd, seed_id,
+         list_reduce(
+           list_transform(range(1, len(vd) + 1),
+                          i -> (vd[i] - sd[i]) * (vd[i] - sd[i])),
+           (a, b) -> a + b) AS dist
+  FROM v CROSS JOIN seeds
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, seed_id) AS rn
+  FROM pairs
+), assigned AS (
+  SELECT seed_id AS cluster_id, vd FROM ranked WHERE rn = 1
+), ex AS (
+  SELECT cluster_id, CAST(d.i - 1 AS INT) AS dim, vd[d.i] AS v
+  FROM assigned, LATERAL (SELECT unnest(range(1, len(vd) + 1)) AS i) d
+)
+SELECT cluster_id, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+       round({sql_dsum('v')} / count(*), 6) AS centroid
+FROM ex GROUP BY cluster_id, dim
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -1463,4 +1860,8 @@ TEXT_QUERIES = {
     "q87_mixture_sample": (q87_mixture_sample, Q87_SQL),
     "q88_label_centroids": (q88_label_centroids, Q88_SQL),
     "q89_unigram_commonness": (q89_unigram_commonness, Q89_SQL),
+    "q90_bloom_decontam": (q90_bloom_decontam, Q90_SQL),
+    "q91_segment_dedup": (q91_segment_dedup, Q91_SQL),
+    "q92_tfidf_topk": (q92_tfidf_topk, Q92_SQL),
+    "q93_lloyd_step": (q93_lloyd_step, Q93_SQL),
 }

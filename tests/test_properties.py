@@ -402,3 +402,93 @@ def test_ngram_collision_matches_python(spark):
         for r in ev.select("doc_id", "ng").join(hits, "doc_id", "left").collect()
     }
     assert got == want, (got, want)
+
+
+def test_segment_dedup_matches_python(spark):
+    """q91's operator vs a brute-force Python keep-first-occurrence over
+    small corpora with planted repeated segments."""
+    from printer_etl_hub_spark.operators.dedup import segment_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))          # exactly one segment
+    docs = [
+        (0, boiler + " " + " ".join(f"x{i}" for i in range(13))),
+        (1, boiler + " " + " ".join(f"y{i}" for i in range(7))),   # repeats boiler
+        (2, " ".join(f"z{i}" for i in range(4))),                  # short tail only
+        (3, boiler),                                               # all-duplicate doc
+        (4, " ".join(f"x{i}" for i in range(13))),         # tail differs from doc 0's
+    ]
+    seen: set[str] = set()
+    want = {}
+    for i, t in docs:
+        toks = t.strip().lower().split()
+        segs = [" ".join(toks[j:j + 10]) for j in range(0, len(toks), 10)]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        want[i] = (len(segs), len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept, r.kept_text)
+        for r in segment_dedup(df, "doc_id", "text").collect()
+    }
+    assert got == want, (got, want)
+    # Corpus-level conservation: total kept == number of distinct segments.
+    assert sum(v[1] for v in got.values()) == len(seen)
+
+
+def test_bloom_flags_are_superset_of_exact_collisions(spark):
+    """q90's Bloom filter admits false positives but NEVER false
+    negatives: per eval doc, n_flagged >= q86's exact n_collided, over
+    the identical doc set and gram counts."""
+    from conftest import SF_SMOKE
+    from printer_etl_hub_spark.plans import REGISTRY
+
+    exact = {
+        r.doc_id: (r.n_grams, r.n_collided)
+        for r in REGISTRY["q86_ngram_collision"].fn(spark, SF_SMOKE).collect()
+    }
+    bloom = {
+        r.doc_id: (r.n_grams, r.n_flagged)
+        for r in REGISTRY["q90_bloom_decontam"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(bloom)
+    for doc, (ng, nc) in exact.items():
+        bg, bf = bloom[doc]
+        assert bg == ng, (doc, ng, bg)
+        assert bf >= nc, f"doc {doc}: bloom flagged {bf} < exact {nc} (false negative)"
+
+
+def test_lloyd_step_matches_numpy(spark):
+    """q93's assign + re-estimate vs a numpy reference at smoke scale:
+    identical nearest-seed assignment counts and centroids to 1e-6."""
+    import numpy as np
+
+    from conftest import SF_SMOKE
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.plans.textops import LLOYD_K
+    from printer_etl_hub_spark.tables import load_tables
+
+    rows = (
+        load_tables(spark, SF_SMOKE)["embeddings"]
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    seed_ids = sorted(vecs)[:LLOYD_K]
+    seeds = np.stack([vecs[i] for i in seed_ids])
+    assign: dict[int, list[np.ndarray]] = {}
+    for vid in sorted(vecs):
+        d = ((seeds - vecs[vid]) ** 2).sum(axis=1)
+        best = seed_ids[int(np.argmin(d))]  # ties: lowest seed_id via argmin order
+        assign.setdefault(best, []).append(vecs[vid])
+
+    got = REGISTRY["q93_lloyd_step"].fn(spark, SF_SMOKE).collect()
+    got_counts = {r.cluster_id: r.n_vecs for r in got if r.dim == 0}
+    want_counts = {cid: len(members) for cid, members in assign.items()}
+    assert got_counts == want_counts
+    for r in got:
+        want_c = float(np.stack(assign[r.cluster_id]).mean(axis=0)[r.dim])
+        assert abs(r.centroid - want_c) < 1e-6, (r.cluster_id, r.dim)
