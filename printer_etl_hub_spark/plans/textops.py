@@ -1484,11 +1484,17 @@ def q90_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    from pyspark import StorageLevel
+
+    # Persist the gram build: it feeds BOTH the train bitmap and the eval
+    # probe side, and the md5 13-gram transform is the expensive subtree —
+    # without the pin each branch re-tokenizes the whole corpus.
     d = (
         t["documents"]
         .select("doc_id", w.alias("w"), par.alias("_par"))
         .filter(F.size("w") >= n)
         .select("doc_id", "_par", grams.alias("grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def _pos(g, j: int):
@@ -1672,23 +1678,32 @@ def q92_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the classic keyword/topic signal
     a curation pipeline uses for domain tagging and mixture audits.
 
-    Log-free IDF: the ranking uses ``tf · N / df`` — order-equivalent to
-    ``tf · log(N/df)`` for fixed tf... it is NOT, so the plain rational
-    form IS the definition here (monotone in tf and in N/df, exactly
-    portable: integer products under 2^53 divide bit-identically in IEEE
-    on both engines, where a transcendental log would not).
+    Log-free IDF: the score is defined as ``tf · N / df`` rather than the
+    textbook ``tf · log(N/df)``. A transcendental log is not bit-portable
+    across engines; the rational form is (integer products under 2^53
+    divide bit-identically in IEEE), keeps the same monotonicity in each
+    factor, and so stays exactly oracle-comparable.
 
     Shuffles: tf groupBy (doc, term), df groupBy term (derived FROM tf —
     the token stream is scanned once), term-keyed join, per-doc top-k
     window. N arrives as a 1-row broadcast.
     """
     t = load_tables(spark, sf_dir)
+    from pyspark import StorageLevel
+
     toks = (
         t["documents"]
         .select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
         .filter(F.col("term") != "")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Persist tf: it is both the probe side of the term join AND the input
+    # dfreq derives from — unpinned, the scan+tokenize+groupBy subtree
+    # would execute twice (q89's single-materialization discipline).
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
