@@ -65,6 +65,12 @@ HEADLINE = [
     "q81_corpus_prep",
     "q82_embedding_dedup",
     "q77_token_shards",
+    # Round 4 second batch: bloom decontamination, segment-level dedup,
+    # TF-IDF, and the Lloyd refinement step.
+    "q90_bloom_decontam",
+    "q91_segment_dedup",
+    "q92_tfidf_topk",
+    "q93_lloyd_step",
 ]
 
 
@@ -103,6 +109,7 @@ def main() -> None:
     # the query's actual cost, so round-over-round deltas are signal.
     k = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_K", "2")))
     timings: dict[str, float] = {}
+    all_attempts: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     flaky: dict[str, str] = {}
     for name in HEADLINE:
@@ -121,6 +128,7 @@ def main() -> None:
                 last_err = f"{type(exc).__name__}: {exc}"[:500]
         if attempts:
             timings[name] = round(min(attempts), 3)
+            all_attempts[name] = [round(t, 3) for t in attempts]
             all_t = "/".join(f"{t:.3f}" for t in attempts)
             print(f"# {name}: {timings[name]:.3f}s [{all_t}] ({n} rows)", file=sys.stderr)
             if fails:
@@ -148,6 +156,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "timing": f"best-of-{k}",
+        # Full per-attempt spread: this host shows 2-5x wall-clock noise
+        # under multi-core load, so the spread is the evidence that a big
+        # per-query number is an outlier rather than a regression.
+        "attempts": all_attempts,
         "n_queries": len(HEADLINE),
     }
     if errors:
