@@ -103,6 +103,8 @@ def main() -> None:
         "q82_embedding_dedup",
         "q77_token_shards",
         "q86_ngram_collision",
+        "q90_bloom_decontam",
+        "q91_segment_dedup",
     ):
         t0 = time.perf_counter()
         n = REGISTRY[name].fn(spark, DST).count()

@@ -173,6 +173,8 @@ BNLJ_ALLOWED = {
     "q65_tpch_q22",
     "q67_tpch_q11",
     "q89_unigram_commonness",  # 1-row corpus-total scalar broadcast
+    "q92_tfidf_topk",  # 1-row doc-count scalar broadcast
+    "q93_lloyd_step",  # k=8-row broadcast seed table (by-design nested loop)
 }
 
 
@@ -217,3 +219,38 @@ def test_q37_approx_within_tolerance_of_exact(spark):
         a = got[k]
         assert abs(a.approx_users - e.n_users) <= max(0.05 * e.n_users, 2), k
         assert float(e.lo) <= float(a.p50_value) <= float(e.hi), k
+
+
+def test_q90_bloom_probe_is_broadcast_and_single_gram_build(spark):
+    """The probe side must join the word bitmap via broadcast (the whole
+    train corpus reaches the probe stage as a ≤128 KiB bitmap, never a
+    gram table), and the persisted gram build must serve both branches
+    (InMemoryTableScan on each, not a re-tokenize)."""
+    spark.catalog.clearCache()
+    df = REGISTRY["q90_bloom_decontam"].fn(spark, SF_SMOKE)
+    df.collect()  # materialize so cache substitution is visible
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed
+    assert executed.count("InMemoryTableScan") >= 2, executed[:2000]
+
+
+def test_q92_tf_built_once(spark):
+    """tf feeds both the df derivation and the term-join probe side; the
+    persist must make both read the cache instead of re-running the
+    scan+tokenize+groupBy subtree."""
+    spark.catalog.clearCache()
+    df = REGISTRY["q92_tfidf_topk"].fn(spark, SF_SMOKE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("InMemoryTableScan") >= 2, executed[:2000]
+
+
+def test_q91_segment_dedup_no_global_sort(spark):
+    """Reassembly is per-document collect_list+array_sort; a global Sort
+    (single-partition ordering of the whole segment stream) must not
+    appear outside window-local sorts."""
+    plan = plan_of(spark, "q91_segment_dedup", "simple")
+    # Window sorts print as 'Sort [... md5(seg ...' scoped by the hash
+    # partitioning; a scale-killing global sort would print with a
+    # SinglePartition exchange.
+    assert "SinglePartition" not in plan, plan[:3000]
