@@ -245,3 +245,103 @@ def sign_lsh_pairs(
         pairs.select("a_id", "b_id", "bucket", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cos)
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-9,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the trainer behind
+    `ivf_topk`'s coarse quantizer (its docstring defers centroid TRAINING
+    here; the id-seeded variant stays the oracle-reproducible default).
+
+    Driver-loop iterative pattern (same discipline as
+    `operators/components.py`): the corpus-sized side stays distributed —
+    one broadcast nested-loop assign (n·k narrow comparisons) plus one
+    map-side-combinable ``min(struct)`` argmin per round — while the
+    k-row centroid table round-trips through the driver
+    (``k·dim`` doubles, index-sized by definition, the same driver-sized
+    state every Spark k-means keeps). Lineage does NOT grow per round:
+    each round's plan is (persisted base) ⋈ (literal centroids), so no
+    checkpoint is needed, unlike CC's self-referencing joins.
+
+    Seeding is deterministic — the ``k`` lowest-``id_col`` vectors, as in
+    `plans/textops.py::q93_lloyd_step` — so a fixed ``max_iter`` run is
+    bit-reproducible (centroid means go through decimal(25,6) partial
+    sums; per-row double arithmetic is IEEE-identical across engines).
+    Clusters that lose all members keep their previous centroid.
+
+    Returns a k-row DataFrame ``(cluster_id, centroid array<double>,
+    n_members)`` — cluster ids are 0..k-1 in seed (ascending id) order,
+    ``n_members`` from the final assignment. ``stats`` (optional dict)
+    receives ``iterations`` and ``last_shift`` (max squared centroid
+    displacement of the final round; ≤ tol means converged).
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vd"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    seeds = base.orderBy("vid").limit(k).collect()
+    cents: dict[int, list[float]] = {i: list(r.vd) for i, r in enumerate(seeds)}
+    counts: dict[int, int] = {i: 0 for i in cents}
+    it_done, shift = 0, float("inf")
+    for _ in range(max_iter):
+        cdf = spark.createDataFrame(
+            [(cid, vec) for cid, vec in cents.items()],
+            "cluster_id int, cvec array<double>",
+        )
+        dist = F.aggregate(
+            F.zip_with("vd", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            base.join(F.broadcast(cdf))
+            .select(
+                "vid", F.struct(dist.alias("dist"), "cluster_id", "vd").alias("cand")
+            )
+            .groupBy("vid")
+            .agg(F.min("cand").alias("best"))
+            .select(
+                F.col("best.cluster_id").alias("cid"), F.col("best.vd").alias("vd")
+            )
+        )
+        rows = (
+            assigned.select("cid", F.posexplode("vd").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.sum(F.col("v").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias("m"),
+            )
+            .collect()  # k·dim rows — index-sized driver state, by design
+        )
+        new_cents = {cid: list(vec) for cid, vec in cents.items()}
+        counts = {cid: 0 for cid in cents}
+        for r in rows:
+            new_cents[r.cid][r.dim] = r.m
+            counts[r.cid] = r.n
+        shift = max(
+            sum((a - b) * (a - b) for a, b in zip(cents[cid], new_cents[cid]))
+            for cid in cents
+        )
+        cents = new_cents
+        it_done += 1
+        if shift <= tol:
+            break
+    if stats is not None:
+        stats["iterations"] = it_done
+        stats["last_shift"] = shift
+    base.unpersist()
+    return spark.createDataFrame(
+        [(cid, cents[cid], counts[cid]) for cid in sorted(cents)],
+        "cluster_id int, centroid array<double>, n_members bigint",
+    )

@@ -100,10 +100,11 @@ GATE_ORDER = [
     "q91_segment_dedup",
     "q92_tfidf_topk",
     "q93_lloyd_step",
+    "q94_kmeans_train",
     # Cross-family backfill from the round-3-green set. (q29's pair
-    # machinery is externally exercised via q72/q81 regardless; q01/q13/
-    # q23/q71 rotated out this edit — all r3-green and on the bench path.)
-    "q08_severity_argmax",
+    # machinery is externally exercised via q72/q81 regardless; q01/q08/
+    # q13/q23/q71 rotated out this edit — all r3-green and on the bench
+    # path.)
     "q15_window_running",
     "q21_sessionize",
     "q38_ivf_topk",

@@ -1846,6 +1846,81 @@ FROM ex GROUP BY cluster_id, dim
 """
 
 
+# --------------------------------------------------------------------------
+# q94 — k-means training, two fixed Lloyd iterations (IVF index build)
+# --------------------------------------------------------------------------
+def q94_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`operators/similarity.py::kmeans_fit` pinned to exactly TWO Lloyd
+    iterations — the full iterative trainer is convergence-stopped (not
+    SQL-expressible), but a fixed iteration count unrolls into a finite
+    CTE chain, so the driver-loop pattern itself gets an exact external
+    oracle: seeds → assign → decimal-exact means → assign → means.
+
+    Output is long-format like q93: (cluster_id, dim, n_members,
+    centroid), n_members from the final assignment; clusters that lose
+    every member keep their previous centroid with n_members = 0.
+    """
+    from ..operators.similarity import kmeans_fit
+
+    t = load_tables(spark, sf_dir)
+    fitted = kmeans_fit(
+        t["embeddings"], "vec_id", "embedding", k=LLOYD_K, max_iter=2, tol=0.0
+    )
+    return fitted.select(
+        "cluster_id",
+        "n_members",
+        F.posexplode("centroid").alias("dim", "c"),
+    ).select("cluster_id", "dim", "n_members", F.round("c", 6).alias("centroid"))
+
+
+def _sql_lloyd_round(cent_table: str, a_name: str, c_name: str) -> str:
+    """One unrolled Lloyd round: assign against ``cent_table``, then
+    decimal-exact component means rebuilt into centroid arrays (empty
+    clusters keep their previous centroid)."""
+    return f"""{a_name}_pairs AS (
+  SELECT vec_id, vd, cluster_id,
+         list_reduce(
+           list_transform(range(1, len(vd) + 1),
+                          i -> (vd[i] - cvec[i]) * (vd[i] - cvec[i])),
+           (a, b) -> a + b) AS dist
+  FROM v CROSS JOIN {cent_table}
+), {a_name} AS (
+  SELECT cluster_id, vd FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+    FROM {a_name}_pairs
+  ) WHERE rn = 1
+), {c_name}_means AS (
+  SELECT cluster_id, CAST(d.i - 1 AS INT) AS dim,
+         CAST(SUM(CAST(vd[d.i] AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m,
+         count(*) AS n
+  FROM {a_name}, LATERAL (SELECT unnest(range(1, len(vd) + 1)) AS i) d
+  GROUP BY cluster_id, d.i
+), {c_name}_arr AS (
+  SELECT cluster_id, list(m ORDER BY dim) AS cvec, min(n) AS n_members
+  FROM {c_name}_means GROUP BY cluster_id
+), {c_name} AS (
+  SELECT p.cluster_id, COALESCE(a.cvec, p.cvec) AS cvec,
+         COALESCE(a.n_members, 0) AS n_members
+  FROM {cent_table} p LEFT JOIN {c_name}_arr a USING (cluster_id)
+)"""
+
+
+Q94_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), cents0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, vd AS cvec
+  FROM v ORDER BY vec_id LIMIT {LLOYD_K}
+), {_sql_lloyd_round('cents0', 'a1', 'c1')},
+{_sql_lloyd_round('c1', 'a2', 'c2')}
+SELECT cluster_id, CAST(d.i - 1 AS INT) AS dim,
+       CAST(n_members AS BIGINT) AS n_members,
+       round(cvec[d.i], 6) AS centroid
+FROM c2, LATERAL (SELECT unnest(range(1, len(cvec) + 1)) AS i) d
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -1879,4 +1954,5 @@ TEXT_QUERIES = {
     "q91_segment_dedup": (q91_segment_dedup, Q91_SQL),
     "q92_tfidf_topk": (q92_tfidf_topk, Q92_SQL),
     "q93_lloyd_step": (q93_lloyd_step, Q93_SQL),
+    "q94_kmeans_train": (q94_kmeans_train, Q94_SQL),
 }

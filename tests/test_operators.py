@@ -419,3 +419,41 @@ def test_registry_gate_window_is_complete_and_oracled():
         "q56_date_functions",
     }
     assert stale <= set(window), stale - set(window)
+
+
+def test_kmeans_fit_converges_on_separated_blobs(spark):
+    """Three well-separated blobs: the driver-loop Lloyd trainer must
+    stop before max_iter (shift <= tol), recover the blob means exactly
+    (each blob's points are symmetric around its center), and keep an
+    empty cluster's seed centroid with n_members=0."""
+    from printer_etl_hub_spark.operators.similarity import kmeans_fit
+
+    # 3 blobs of 4 points each around (0,0), (100,0), (0,100) — and k=4,
+    # so one seed-cluster must end up empty (all four seeds come from the
+    # first blob but three survive as blob winners).
+    def blob(cx, cy, base_id):
+        off = [(-1.0, 0.0), (1.0, 0.0), (0.0, -1.0), (0.0, 1.0)]
+        return [(base_id + i, [cx + dx, cy + dy]) for i, (dx, dy) in enumerate(off)]
+
+    rows = blob(0.0, 0.0, 0) + blob(100.0, 0.0, 10) + blob(0.0, 100.0, 20)
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    stats: dict = {}
+    out = {
+        r.cluster_id: (list(r.centroid), r.n_members)
+        for r in kmeans_fit(
+            df, "vec_id", "embedding", k=4, max_iter=15, tol=1e-12, stats=stats
+        ).collect()
+    }
+    assert stats["iterations"] < 15 and stats["last_shift"] <= 1e-12, stats
+    assert len(out) == 4
+    centroids = {tuple(round(x, 6) for x in c) for c, _ in out.values()}
+    # All four seeds start inside blob 0, so the two far blobs must each
+    # capture exactly one migrated centroid at the blob mean; blob 0 ends
+    # split between the remaining two seeds (k-means local optimum).
+    assert {(100.0, 0.0), (0.0, 100.0)} <= centroids, out
+    assert sum(n for _, n in out.values()) == 12, out
+    # Conservation: the member-weighted centroid mean equals the global
+    # data mean — each centroid is exactly its members' mean.
+    for d in range(2):
+        weighted = sum(c[d] * n for c, n in out.values()) / 12
+        assert abs(weighted - 100.0 / 3) < 1e-9, (d, weighted, out)
