@@ -107,6 +107,7 @@ def ivf_topk(
     k: int = 3,
     n_centroids: int | None = None,
     n_probe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine neighbors.
 
@@ -119,8 +120,9 @@ def ivf_topk(
 
     Index build: centroids are the vectors of the ``n_centroids`` smallest
     ids — a deterministic seeding so the DuckDB oracle reproduces the cell
-    partition exactly; production swaps in KMeans centroids (pyspark.ml)
-    without changing any plan shape below. Every vector scores against the
+    partition exactly; pass ``centroids=`` (a ``kmeans_fit`` result:
+    (cluster_id, centroid) rows) to swap in TRAINED centroids without
+    changing any plan shape below. Every vector scores against the
     broadcast centroid set once (an O(n·c) map stage, no shuffle): rank 1
     assigns the vector to its cell, ranks ≤ n_probe form its probe list.
 
@@ -134,19 +136,25 @@ def ivf_topk(
     from pyspark.sql import Window
 
     base = with_vector_norm(df.select(F.col(id_col).alias("vid"), vec_col), vec_col)
-    if n_centroids is None:
-        import math
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("cluster_id").cast("bigint").alias("cent_id"),
+            F.transform("centroid", lambda x: x.cast("double")).alias("c_vec"),
+        ).withColumn("c_norm", _norm(F.col("c_vec")))
+    else:
+        if n_centroids is None:
+            import math
 
-        n_centroids = max(16, math.isqrt(max(base.count(), 1) - 1) + 1)
-    cents = (
-        base.orderBy("vid")
-        .limit(n_centroids)
-        .select(
-            F.col("vid").alias("cent_id"),
-            F.col("vec_d").alias("c_vec"),
-            F.col("norm").alias("c_norm"),
+            n_centroids = max(16, math.isqrt(max(base.count(), 1) - 1) + 1)
+        cents = (
+            base.orderBy("vid")
+            .limit(n_centroids)
+            .select(
+                F.col("vid").alias("cent_id"),
+                F.col("vec_d").alias("c_vec"),
+                F.col("norm").alias("c_norm"),
+            )
         )
-    )
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vid",
         "vec_d",

@@ -457,3 +457,27 @@ def test_kmeans_fit_converges_on_separated_blobs(spark):
     for d in range(2):
         weighted = sum(c[d] * n for c, n in out.values()) / 12
         assert abs(weighted - 100.0 / 3) < 1e-9, (d, weighted, out)
+
+
+def test_ivf_topk_accepts_trained_centroids(spark):
+    """ivf_topk(centroids=kmeans_fit(...)) — the trained-quantizer path:
+    same output shape as the id-seeded build, and exact twins must still
+    find each other at rank 1 with cos_sim 1.0 (twins share a cell under
+    ANY quantizer since they score identically against every centroid)."""
+    import random
+
+    from printer_etl_hub_spark.operators.similarity import ivf_topk, kmeans_fit
+
+    rng = random.Random(7)
+    originals = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    rows = originals + [(i + 100, vec[:]) for i, vec in originals]  # exact twins
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = kmeans_fit(df, "vec_id", "embedding", k=4, max_iter=5)
+    out = ivf_topk(df, "vec_id", "embedding", k=2, n_probe=2, centroids=cents)
+    top1 = {r.vec_id: (r.neighbor_id, r.cos_sim) for r in out.collect() if r.rn == 1}
+    assert len(top1) == 60
+    for vid, (nid, cos) in top1.items():
+        twin = vid + 100 if vid < 100 else vid - 100
+        assert nid == twin and cos == 1.0, (vid, nid, cos)
