@@ -101,12 +101,12 @@ GATE_ORDER = [
     "q92_tfidf_topk",
     "q93_lloyd_step",
     "q94_kmeans_train",
-    # Cross-family backfill from the round-3-green set. (q29's pair
-    # machinery is externally exercised via q72/q81 regardless; q01/q08/
-    # q13/q23/q71 rotated out this edit — all r3-green and on the bench
-    # path.)
-    "q15_window_running",
-    "q21_sessionize",
+    "q95_quality_deciles",
+    "q96_source_leakage",
+    # q38 stays for re-verification: ivf_topk gained the trained-centroids
+    # parameter this round. (The rest of the r3-green backfill — q01/q08/
+    # q13/q15/q21/q23/q71 — rotated out across this round's edits; all are
+    # r3-green and on the bench or local-suite path regardless.)
     "q38_ivf_topk",
 ]
 

@@ -1921,6 +1921,164 @@ FROM c2, LATERAL (SELECT unnest(range(1, len(cvec) + 1)) AS i) d
 """
 
 
+# --------------------------------------------------------------------------
+# q95 — quality-decile stratification (distributed exact ranking)
+# --------------------------------------------------------------------------
+def q95_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank every document by its q25 quality score and aggregate per
+    decile — the sampling-pyramid view a curation run uses to set
+    quality cutoffs ("drop the bottom two deciles, upsample the top").
+
+    Deciles are RANK-based (``floor((rank-1)·10/N)``), not
+    interpolated-threshold-based: the rank is pure integer arithmetic
+    over a total order (score, doc_id), so it is exactly portable, where
+    Spark's percentile() and DuckDB's quantile_cont interpolate with
+    differently-ordered float ops and can disagree in the low bits right
+    at a cutoff.
+
+    The global rank uses q77's distributed-packing shape, NOT a
+    single-partition window: repartitionByRange on the sort key, a
+    per-partition row_number (range partitions are globally ordered), and
+    a broadcast partition-offset table — every stage parallel, the only
+    tiny object the ≤n_partitions offset row set. At 100 TB, raise the
+    range-partition count with the corpus; nothing else changes.
+    """
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    staged = d.select("doc_id", "text", tokenize(F.col("text")).alias("toks"))
+    score = quality_features(F.col("text"), F.col("toks"))["quality_score"]
+    scored = staged.select("doc_id", score.alias("q"))
+    parted = (
+        scored.repartitionByRange(32, "q", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds sizes AND ranks
+    )
+    lw = Window.partitionBy("pid").orderBy("q", "doc_id")
+    local = parted.withColumn("lrn", F.row_number().over(lw))
+    sizes = parted.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    ow = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "pid", F.coalesce(F.sum("cnt").over(ow), F.lit(0)).alias("off")
+    )
+    nrow = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    ranked = (
+        local.join(F.broadcast(offsets), "pid")
+        .join(F.broadcast(nrow))
+        .select(
+            "doc_id",
+            "q",
+            (F.col("off") + F.col("lrn")).alias("rank"),
+            "n_total",
+        )
+    )
+    # Integer division only: float `/` then a bigint cast diverges across
+    # engines (Spark truncates the cast, DuckDB rounds it).
+    decile = (F.expr("((rank - 1) * 10) DIV n_total") + 1).cast("int")
+    return (
+        ranked.select(decile.alias("decile"), "q")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("q"), 6).alias("min_score"),
+            F.round(F.max("q"), 6).alias("max_score"),
+            F.round(dsum(F.col("q")) / F.count(F.lit(1)), 6).alias("mean_score"),
+        )
+    )
+
+
+Q95_SQL = rf"""
+WITH t0 AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+         CAST({_sql_stop_count('en')} AS BIGINT) AS stop_en
+  FROM t0
+), feats AS (
+  SELECT doc_id,
+         least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         + CASE WHEN n_tokens > 0 THEN CAST(stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 0.3
+         + CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 0.3
+           AS q
+  FROM base
+), ranked AS (
+  SELECT q, row_number() OVER (ORDER BY q, doc_id) AS rank,
+         count(*) OVER () AS n_total
+  FROM feats
+)
+SELECT CAST(((rank - 1) * 10) // n_total + 1 AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(q), 6) AS min_score,
+       round(max(q), 6) AS max_score,
+       round({sql_dsum('q')} / count(*), 6) AS mean_score
+FROM ranked GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q96 — cross-source duplication leakage matrix
+# --------------------------------------------------------------------------
+def q96_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources copy from which: for every exact-duplicate content
+    digest that appears in ≥2 distinct sources, count the digest toward
+    each unordered source pair. The curation dashboard that tells you
+    "src3 is 80% mirrored from src0 — dedup them together, and weight
+    provenance accordingly".
+
+    Pair generation is per-digest over the digest's distinct SOURCE set
+    (≤ n_sources per digest, a constant), never over the documents — one
+    digest groupBy plus a narrow combination explode, so the shuffle is
+    digest-keyed and the pair fan-out is bounded by n_sources² per
+    digest regardless of how many documents share the content.
+    """
+    t = load_tables(spark, sf_dir)
+    per_dig = (
+        t["documents"]
+        .select(F.md5("text").alias("dig"), "source")
+        .groupBy("dig")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = per_dig.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("srcs"), i + 2, F.size("srcs")),
+                        lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_digests"))
+    )
+
+
+Q96_SQL = """
+WITH per_dig AS (
+  SELECT md5(text) AS dig, list_sort(list_distinct(list(source))) AS srcs
+  FROM documents GROUP BY md5(text)
+  HAVING len(list_distinct(list(source))) >= 2
+)
+SELECT srcs[i.i] AS src_a, srcs[j.j] AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared_digests
+FROM per_dig,
+     LATERAL (SELECT unnest(range(1, len(srcs) + 1)) AS i) i,
+     LATERAL (SELECT unnest(range(1, len(srcs) + 1)) AS j) j
+WHERE j.j > i.i
+GROUP BY 1, 2
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -1955,4 +2113,6 @@ TEXT_QUERIES = {
     "q92_tfidf_topk": (q92_tfidf_topk, Q92_SQL),
     "q93_lloyd_step": (q93_lloyd_step, Q93_SQL),
     "q94_kmeans_train": (q94_kmeans_train, Q94_SQL),
+    "q95_quality_deciles": (q95_quality_deciles, Q95_SQL),
+    "q96_source_leakage": (q96_source_leakage, Q96_SQL),
 }

@@ -157,3 +157,48 @@ def test_q77_token_shards_distributed_no_global_sort(spark):
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
     assert final.count("Exchange SinglePartition") <= 1, final
     assert "hashpartitioning(_bucket" in final, final
+
+
+def test_q95_deciles_distributed_no_global_sort(spark):
+    """q95's rank must (a) equal the sequential single-window ntile-style
+    assignment exactly and (b) keep the document rows out of any
+    single-partition exchange — only the ≤32-row partition-offset window
+    may run on one partition. Same scale discipline as q77."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from printer_etl_hub_spark.functions.text import quality_features, tokenize
+    from printer_etl_hub_spark.plans.textops import q95_quality_deciles
+    from printer_etl_hub_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    got = q95_quality_deciles(spark, sf)
+
+    t = load_tables(spark, sf)
+    staged = t["documents"].select(
+        "doc_id", "text", tokenize(F.col("text")).alias("toks")
+    )
+    score = quality_features(F.col("text"), F.col("toks"))["quality_score"]
+    seq = (
+        staged.select("doc_id", score.alias("q"))
+        .withColumn("rank", F.row_number().over(Window.orderBy("q", "doc_id")))
+        .withColumn("n_total", F.count(F.lit(1)).over(Window.partitionBy()))
+        .select(
+            (F.expr("((rank - 1) * 10) DIV n_total") + 1).cast("int").alias("decile"),
+            "q",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("q"), 6).alias("min_score"),
+            F.round(F.max("q"), 6).alias("max_score"),
+        )
+    )
+    g = {r.decile: (r.n_docs, r.min_score, r.max_score) for r in got.collect()}
+    w = {r.decile: (r.n_docs, r.min_score, r.max_score) for r in seq.collect()}
+    assert g == w, (g, w)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange SinglePartition") <= 1, final
+    assert "rangepartitioning(q" in final, final
