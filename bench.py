@@ -71,6 +71,10 @@ HEADLINE = [
     "q91_segment_dedup",
     "q92_tfidf_topk",
     "q93_lloyd_step",
+    "q94_kmeans_train",
+    "q95_quality_deciles",
+    "q96_source_leakage",
+    "q97_sequence_spans",
 ]
 
 

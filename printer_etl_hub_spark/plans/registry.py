@@ -49,9 +49,10 @@ GATE_ORDER = [
     # external CORRECTNESS rows. Lead with them.
     "q81_corpus_prep",
     "q82_embedding_dedup",
-    # Re-evidence: the 29 queries whose newest external green row is
-    # round 1/2 (rotated out of the round-3 window).
-    "q02_bad_value_filter",
+    # Re-evidence: the queries whose newest external green row is
+    # round 1/2 (rotated out of the round-3 window). q02 yielded its slot
+    # to q97 (zero external rows beats two-round-old green; q02's filter
+    # family stays covered via q19/q03 and the local suite).
     "q03_normalize_projection",
     "q04_enrichment_join",
     "q05_postal_split",
@@ -103,6 +104,7 @@ GATE_ORDER = [
     "q94_kmeans_train",
     "q95_quality_deciles",
     "q96_source_leakage",
+    "q97_sequence_spans",
     # q38 stays for re-verification: ivf_topk gained the trained-centroids
     # parameter this round. (The rest of the r3-green backfill — q01/q08/
     # q13/q15/q21/q23/q71 — rotated out across this round's edits; all are

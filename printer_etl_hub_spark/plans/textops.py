@@ -2079,6 +2079,95 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q97 — training-sequence span map (the step after q77's sharding)
+# --------------------------------------------------------------------------
+#: Packed sequence length in tokens (a typical context-window size).
+SEQ_TOKENS = 2048
+
+
+def q97_sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the token stream into fixed ``SEQ_TOKENS`` training sequences
+    and emit the (document, sequence) span map — for each document, which
+    sequences its tokens land in and at what offsets. This is the
+    attention-boundary metadata a packed-pretraining dataloader consumes
+    (sequence k holds tokens [tok_start, tok_start+n_in) of doc d).
+
+    Same distributed exclusive prefix sum as q77 (md5-prefix buckets +
+    offset broadcast — no single-partition sort of the corpus), then a
+    narrow explode over each doc's touched sequence range. Every
+    expression is integer arithmetic (DIV / greatest / least), so the
+    sequential-window oracle matches bit-for-bit.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("bigint")
+    h = F.md5(F.col("doc_id").cast("string"))
+    d = t["documents"].select("doc_id", toks.alias("n_toks"), h.alias("_h"))
+    d = d.withColumn("_bucket", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int"))
+    win = (
+        Window.partitionBy("_bucket")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = d.withColumn("_wprev", F.coalesce(F.sum("n_toks").over(win), F.lit(0)))
+    totals = d.groupBy("_bucket").agg(F.sum("n_toks").alias("_btot"))
+    offw = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_btot").over(offw), F.lit(0))
+    ).select("_bucket", "_off")
+    packed = (
+        within.join(F.broadcast(offsets), "_bucket")
+        .select("doc_id", "n_toks", (F.col("_off") + F.col("_wprev")).alias("off"))
+        .filter(F.col("n_toks") > 0)
+    )
+    spans = packed.select(
+        "doc_id",
+        "n_toks",
+        "off",
+        F.explode(
+            F.sequence(
+                F.expr(f"off DIV {SEQ_TOKENS}"),
+                F.expr(f"(off + n_toks - 1) DIV {SEQ_TOKENS}"),
+            )
+        ).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("off"), F.col("seq_id") * SEQ_TOKENS)
+    seg_end = F.least(F.col("off") + F.col("n_toks"), (F.col("seq_id") + 1) * SEQ_TOKENS)
+    return spans.select(
+        "doc_id",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        (seg_start - F.col("off")).cast("bigint").alias("tok_start"),
+        (seg_end - seg_start).cast("bigint").alias("n_in_seq"),
+    )
+
+
+Q97_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), p AS (
+  SELECT doc_id, n_toks,
+         CAST(COALESCE(SUM(n_toks) OVER (
+           ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS off
+  FROM d
+), e AS (
+  SELECT doc_id, n_toks, off,
+         off // {SEQ_TOKENS} AS s0,
+         (off + n_toks - 1) // {SEQ_TOKENS} AS s1
+  FROM p WHERE n_toks > 0
+)
+SELECT doc_id,
+       CAST(s.s AS BIGINT) AS seq_id,
+       CAST(greatest(off, s.s * {SEQ_TOKENS}) - off AS BIGINT) AS tok_start,
+       CAST(least(off + n_toks, (s.s + 1) * {SEQ_TOKENS})
+            - greatest(off, s.s * {SEQ_TOKENS}) AS BIGINT) AS n_in_seq
+FROM e, LATERAL (SELECT unnest(range(s0, s1 + 1)) AS s) s
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -2115,4 +2204,5 @@ TEXT_QUERIES = {
     "q94_kmeans_train": (q94_kmeans_train, Q94_SQL),
     "q95_quality_deciles": (q95_quality_deciles, Q95_SQL),
     "q96_source_leakage": (q96_source_leakage, Q96_SQL),
+    "q97_sequence_spans": (q97_sequence_spans, Q97_SQL),
 }

@@ -175,6 +175,7 @@ BNLJ_ALLOWED = {
     "q89_unigram_commonness",  # 1-row corpus-total scalar broadcast
     "q92_tfidf_topk",  # 1-row doc-count scalar broadcast
     "q93_lloyd_step",  # k=8-row broadcast seed table (by-design nested loop)
+    "q95_quality_deciles",  # 1-row corpus-count scalar broadcast
 }
 
 

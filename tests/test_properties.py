@@ -492,3 +492,40 @@ def test_lloyd_step_matches_numpy(spark):
     for r in got:
         want_c = float(np.stack(assign[r.cluster_id]).mean(axis=0)[r.dim])
         assert abs(r.centroid - want_c) < 1e-6, (r.cluster_id, r.dim)
+
+
+def test_segment_dedup_random_corpora_vs_python(spark):
+    """Randomized corpora (tiny vocab → heavy span collisions, ragged
+    lengths incl. sub-span docs) against the Python keep-first-occurrence
+    reference — one batched Spark round-trip for all corpora."""
+    import random
+
+    from printer_etl_hub_spark.operators.dedup import segment_dedup
+
+    rng = random.Random(42)
+    rows = []
+    want = {}
+    did = 0
+    for _ in range(6):  # independent corpora, separated by id ranges
+        seen: set[str] = set()
+        base = did
+        for _ in range(rng.randint(2, 8)):
+            n = rng.randint(1, 35)
+            toks = [f"w{rng.randint(0, 3)}" for _ in range(n)]
+            # plant exact repeats of earlier docs' prefixes sometimes
+            text = " ".join(toks)
+            rows.append((did, base, text))
+            segs = [" ".join(toks[j:j + 10]) for j in range(0, len(toks), 10)]
+            kept = [s for s in segs if s not in seen and not seen.add(s)]
+            want[did] = (len(segs), len(kept), " ".join(kept))
+            did += 1
+    # Each corpus runs separately (keep-first is corpus-global state).
+    df = spark.createDataFrame(rows, "doc_id bigint, corpus bigint, text string")
+    for base in sorted({r[1] for r in rows}):
+        sub = df.filter(F.col("corpus") == base).drop("corpus")
+        got = {
+            r.doc_id: (r.n_segs, r.n_kept, r.kept_text)
+            for r in segment_dedup(sub, "doc_id", "text").collect()
+        }
+        assert got == {k: v for k, v in want.items() if k in got}, base
+        assert set(got) == {r[0] for r in rows if r[1] == base}
