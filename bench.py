@@ -122,6 +122,14 @@ def main() -> None:
         fails = 0
         n = None
         for _ in range(k):
+            # Drop cached blocks from prior attempts/queries: several
+            # queries persist() a shared subtree, and Spark's CacheManager
+            # would substitute the attempt-1 cache into attempt 2's
+            # identical plan — silently turning best-of-k into a
+            # warm-cache number for exactly the persisting queries while
+            # every other query pays full cost. Each attempt must bill
+            # the query's real cold cost (its own persist included).
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:
                 df = REGISTRY[name].fn(spark, SF_DIR)

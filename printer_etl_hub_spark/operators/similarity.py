@@ -298,6 +298,15 @@ def kmeans_fit(
         F.transform(vec_col, lambda x: x.cast("double")).alias("vd"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    try:
+        return _kmeans_loop(spark, base, k, max_iter, tol, stats)
+    finally:
+        # Release the pinned corpus on EVERY path — a mid-training failure
+        # must not leave the double-cast base cached for the session.
+        base.unpersist()
+
+
+def _kmeans_loop(spark, base, k, max_iter, tol, stats):
     seeds = base.orderBy("vid").limit(k).collect()
     cents: dict[int, list[float]] = {i: list(r.vd) for i, r in enumerate(seeds)}
     counts: dict[int, int] = {i: 0 for i in cents}
@@ -348,7 +357,6 @@ def kmeans_fit(
     if stats is not None:
         stats["iterations"] = it_done
         stats["last_shift"] = shift
-    base.unpersist()
     return spark.createDataFrame(
         [(cid, cents[cid], counts[cid]) for cid in sorted(cents)],
         "cluster_id int, centroid array<double>, n_members bigint",

@@ -663,30 +663,25 @@ WHERE stratum_rank <= 20
 # --------------------------------------------------------------------------
 # q77 — token-budget sharding (sequence packing for training runs)
 # --------------------------------------------------------------------------
-def q77_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign documents to ~fixed-token-budget shards: deterministic hash
-    order → running token cumsum → shard = floor(preceding_tokens/budget).
-    A doc that straddles a boundary goes to the earlier shard (standard
-    approximate packing).
+def _bucketed_token_prefix_sum(documents: DataFrame) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum of per-document token counts over
+    the deterministic (md5(doc_id), doc_id) total order — the scale
+    machinery shared by q77 (shard packing) and q97 (sequence spans).
 
-    Distributed packing (round 4 — replaces the former global
-    ``Window.orderBy`` single-partition sort): the first md5 byte defines
-    256 contiguous, deterministic ranges of the (h, doc_id) total order —
-    no sampling, no repartitionByRange nondeterminism. The exclusive
-    cumsum decomposes into (a) a per-bucket window (256-way parallel
-    shuffle on the bucket id), plus (b) a per-bucket token-total offset —
-    a 256-row aggregate whose own running sum is driver-trivial and
-    broadcast back. Identical assignment to the sequential form, which
-    the oracle pins; only the tiny offsets aggregate ever passes through
-    a single partition. Two narrow scans of (doc_id, text) instead of a
-    cache — cheaper than pinning the corpus at scale."""
-    budget = 2000
-    t = load_tables(spark, sf_dir)
+    The first md5 byte defines 256 contiguous, deterministic ranges of
+    the total order (lowercase-hex lexicographic order == numeric order
+    of the prefix, so bucket b holds exactly one contiguous slice) — no
+    sampling, no repartitionByRange nondeterminism. The cumsum decomposes
+    into (a) a per-bucket window (256-way parallel shuffle on the bucket
+    id) plus (b) a per-bucket token-total offset — a 256-row aggregate
+    whose own running sum is driver-trivial and broadcast back.
+
+    Returns (doc_id, n_toks, off) with ``off`` = tokens strictly before
+    this document in the global order.
+    """
     toks = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("bigint")
     h = F.md5(F.col("doc_id").cast("string"))
-    d = t["documents"].select("doc_id", toks.alias("n_toks"), h.alias("_h"))
-    # Lowercase-hex lexicographic order == numeric order of the prefix, so
-    # bucket b holds exactly one contiguous slice of the global hash order.
+    d = documents.select("doc_id", toks.alias("n_toks"), h.alias("_h"))
     d = d.withColumn("_bucket", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int"))
     win = (
         Window.partitionBy("_bucket")
@@ -699,13 +694,30 @@ def q77_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = totals.withColumn(
         "_off", F.coalesce(F.sum("_btot").over(offw), F.lit(0))
     ).select("_bucket", "_off")
-    return (
-        within.join(F.broadcast(offsets), "_bucket")
-        .select(
-            "doc_id",
-            "n_toks",
-            F.floor((F.col("_off") + F.col("_wprev")) / budget).cast("int").alias("shard_id"),
-        )
+    return within.join(F.broadcast(offsets), "_bucket").select(
+        "doc_id", "n_toks", (F.col("_off") + F.col("_wprev")).alias("off")
+    )
+
+
+def q77_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to ~fixed-token-budget shards: deterministic hash
+    order → running token cumsum → shard = floor(preceding_tokens/budget).
+    A doc that straddles a boundary goes to the earlier shard (standard
+    approximate packing).
+
+    Distributed packing (round 4 — replaces the former global
+    ``Window.orderBy`` single-partition sort): see
+    ``_bucketed_token_prefix_sum`` — identical assignment to the
+    sequential form, which the oracle pins; only the tiny offsets
+    aggregate ever passes through a single partition. Two narrow scans
+    of (doc_id, text) instead of a cache — cheaper than pinning the
+    corpus at scale."""
+    budget = 2000
+    t = load_tables(spark, sf_dir)
+    return _bucketed_token_prefix_sum(t["documents"]).select(
+        "doc_id",
+        "n_toks",
+        F.floor(F.col("off") / budget).cast("int").alias("shard_id"),
     )
 
 
@@ -1475,6 +1487,11 @@ def q90_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         2,
     )
     w = tokenize(F.col("text"))
+    # The >= n guard looks redundant next to the row filter below, but is
+    # NOT dead: Catalyst may collapse the filter and projection into one
+    # stage and evaluate this expression for short docs too, where the
+    # unguarded sequence would run DESCENDING through 0 and slice() throws
+    # (same rationale documented at q86).
     grams = F.when(
         F.size("w") >= n,
         F.array_distinct(
@@ -1962,7 +1979,9 @@ def q95_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = sizes.select(
         "pid", F.coalesce(F.sum("cnt").over(ow), F.lit(0)).alias("off")
     )
-    nrow = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    # n_total from the (persisted) partition sizes — not a third scan of
+    # the documents table.
+    nrow = sizes.agg(F.sum("cnt").alias("n_total"))
     ranked = (
         local.join(F.broadcast(offsets), "pid")
         .join(F.broadcast(nrow))
@@ -2093,33 +2112,15 @@ def q97_sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     attention-boundary metadata a packed-pretraining dataloader consumes
     (sequence k holds tokens [tok_start, tok_start+n_in) of doc d).
 
-    Same distributed exclusive prefix sum as q77 (md5-prefix buckets +
-    offset broadcast — no single-partition sort of the corpus), then a
-    narrow explode over each doc's touched sequence range. Every
-    expression is integer arithmetic (DIV / greatest / least), so the
+    Shares q77's distributed exclusive prefix sum
+    (``_bucketed_token_prefix_sum`` — md5-prefix buckets + offset
+    broadcast, no single-partition sort of the corpus), then a narrow
+    explode over each doc's touched sequence range. Every expression is
+    integer arithmetic (DIV / greatest / least), so the
     sequential-window oracle matches bit-for-bit.
     """
     t = load_tables(spark, sf_dir)
-    toks = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("bigint")
-    h = F.md5(F.col("doc_id").cast("string"))
-    d = t["documents"].select("doc_id", toks.alias("n_toks"), h.alias("_h"))
-    d = d.withColumn("_bucket", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int"))
-    win = (
-        Window.partitionBy("_bucket")
-        .orderBy("_h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    within = d.withColumn("_wprev", F.coalesce(F.sum("n_toks").over(win), F.lit(0)))
-    totals = d.groupBy("_bucket").agg(F.sum("n_toks").alias("_btot"))
-    offw = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "_off", F.coalesce(F.sum("_btot").over(offw), F.lit(0))
-    ).select("_bucket", "_off")
-    packed = (
-        within.join(F.broadcast(offsets), "_bucket")
-        .select("doc_id", "n_toks", (F.col("_off") + F.col("_wprev")).alias("off"))
-        .filter(F.col("n_toks") > 0)
-    )
+    packed = _bucketed_token_prefix_sum(t["documents"]).filter(F.col("n_toks") > 0)
     spans = packed.select(
         "doc_id",
         "n_toks",
