@@ -75,6 +75,7 @@ HEADLINE = [
     "q95_quality_deciles",
     "q96_source_leakage",
     "q97_sequence_spans",
+    "q98_bpe_pairs",
 ]
 
 

@@ -2169,6 +2169,72 @@ FROM e, LATERAL (SELECT unnest(range(s0, s1 + 1)) AS s) s
 """
 
 
+# --------------------------------------------------------------------------
+# q98 — BPE merge-step pair counting (tokenizer-training primitive)
+# --------------------------------------------------------------------------
+def q98_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step: count adjacent character-pair occurrences
+    across the corpus and rank the merge candidates — the inner loop of
+    byte-pair-encoding tokenizer training (the full trainer repeats this
+    with the winning pair merged; one step is the oracle-gated unit, the
+    same fixed-iteration discipline as q94).
+
+    Cost discipline: pair generation runs over the DISTINCT token
+    vocabulary weighted by token frequency, not over every token
+    occurrence — the expensive explode is vocab-sized (sublinear in the
+    corpus), and the only corpus-sized shuffle is the initial token
+    count. Top-20 with a (count desc, pair asc) total order.
+    """
+    t = load_tables(spark, sf_dir)
+    vocab = (
+        t["documents"]
+        .select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("n_occurrences")
+    )
+    win = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 20)
+        .select("pair", "n_occurrences", "rank")
+    )
+
+
+Q98_SQL = r"""
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE length(tok) >= 2
+), vocab AS (
+  SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+), pairs AS (
+  SELECT substr(tok, CAST(i.i AS INT), 2) AS pair, freq
+  FROM vocab, LATERAL (SELECT unnest(range(1, length(tok))) AS i) i
+), counted AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+  FROM pairs GROUP BY pair
+)
+SELECT pair, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS INT) AS rank
+FROM counted
+QUALIFY rank <= 20
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -2206,4 +2272,5 @@ TEXT_QUERIES = {
     "q95_quality_deciles": (q95_quality_deciles, Q95_SQL),
     "q96_source_leakage": (q96_source_leakage, Q96_SQL),
     "q97_sequence_spans": (q97_sequence_spans, Q97_SQL),
+    "q98_bpe_pairs": (q98_bpe_pairs, Q98_SQL),
 }
