@@ -105,6 +105,8 @@ def main() -> None:
         "q86_ngram_collision",
         "q90_bloom_decontam",
         "q91_segment_dedup",
+        "q97_sequence_spans",
+        "q98_bpe_pairs",
     ):
         t0 = time.perf_counter()
         n = REGISTRY[name].fn(spark, DST).count()
