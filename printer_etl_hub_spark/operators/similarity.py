@@ -308,6 +308,15 @@ def kmeans_fit(
 
 def _kmeans_loop(spark, base, k, max_iter, tol, stats):
     seeds = base.orderBy("vid").limit(k).collect()
+    if not seeds:
+        # Empty corpus (or an all-empty partition range at scale): no
+        # clusters to train — return the empty frame, never raise.
+        if stats is not None:
+            stats["iterations"] = 0
+            stats["last_shift"] = 0.0
+        return spark.createDataFrame(
+            [], "cluster_id int, centroid array<double>, n_members bigint"
+        )
     cents: dict[int, list[float]] = {i: list(r.vd) for i, r in enumerate(seeds)}
     counts: dict[int, int] = {i: 0 for i in cents}
     it_done, shift = 0, float("inf")

@@ -1,0 +1,52 @@
+"""Degenerate-input sweep: every registry query over an EMPTY corpus.
+
+At 100 TB scale, empty partitions, empty date ranges, and freshly-created
+(zero-row) tables are routine; a query that throws on zero rows is a
+production outage, not an edge case. Each query must PLAN and EXECUTE over
+all-empty tables and return a (possibly empty) result — never raise.
+
+The empty corpus is schema-identical parquet (written from the sf0.001
+files with a false predicate) so scans, casts, and timestamp handling all
+exercise the real code paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from printer_etl_hub_spark.plans import REGISTRY
+
+EMPTY_DIR = "/tmp/peh_empty_corpus"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def empty_dir():
+    if not os.path.exists(f"{EMPTY_DIR}/documents.parquet"):
+        os.makedirs(EMPTY_DIR, exist_ok=True)
+        con = duckdb.connect()
+        src = "/root/testdata/sf0.001"
+        for t in TABLES:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet' WHERE 1=0) "
+                f"TO '{EMPTY_DIR}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return EMPTY_DIR
+
+
+def test_every_query_survives_an_empty_corpus(spark, empty_dir):
+    failures = {}
+    for name, spec in REGISTRY.items():
+        try:
+            n = spec.fn(spark, empty_dir).count()
+            assert n >= 0
+        except Exception as exc:  # collect all, report once
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+    assert not failures, failures
