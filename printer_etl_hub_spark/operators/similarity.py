@@ -293,10 +293,17 @@ def kmeans_fit(
     from pyspark import StorageLevel
 
     spark = df.sparkSession
-    base = df.select(
-        F.col(id_col).alias("vid"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("vd"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("vd"),
+        )
+        # NULL vectors carry no geometry: a NULL seed would crash the
+        # driver-side centroid copy, and a NULL member would poison the
+        # distance fold. Drop them — same posture as the ANN operators.
+        .filter(F.col("vd").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     try:
         return _kmeans_loop(spark, base, k, max_iter, tol, stats)

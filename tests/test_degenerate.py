@@ -50,3 +50,52 @@ def test_every_query_survives_an_empty_corpus(spark, empty_dir):
         except Exception as exc:  # collect all, report once
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
     assert not failures, failures
+
+
+NULLS_DIR = "/tmp/peh_nulls_corpus"
+
+
+@pytest.fixture(scope="module")
+def nulls_dir():
+    """sf0.001 with NULLs injected into every nullable 'content' column:
+    odd-id documents lose text, odd-id embeddings lose their vector,
+    every third document loses lang, every third event loses value."""
+    if not os.path.exists(f"{NULLS_DIR}/documents.parquet"):
+        os.makedirs(NULLS_DIR, exist_ok=True)
+        con = duckdb.connect()
+        src = "/root/testdata/sf0.001"
+        tweaks = {
+            "documents": (
+                "SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN NULL ELSE text END AS text, "
+                "CASE WHEN doc_id % 3 = 1 THEN NULL ELSE lang END AS lang, source, n_chars"
+            ),
+            "embeddings": (
+                "SELECT vec_id, CASE WHEN vec_id % 2 = 1 THEN NULL ELSE embedding END AS embedding, label"
+            ),
+            "events": (
+                "SELECT * REPLACE (CASE WHEN event_id % 3 = 1 THEN NULL ELSE value END AS value)"
+            ),
+        }
+        for t in TABLES:
+            sel = tweaks.get(t, "SELECT *")
+            con.execute(
+                f"COPY ({sel} FROM '{src}/{t}.parquet') "
+                f"TO '{NULLS_DIR}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return NULLS_DIR
+
+
+def test_every_query_survives_null_content(spark, nulls_dir):
+    """NULL text/vector/lang/value rows must never crash a query — at
+    scale they are a certainty, and a null-intolerant expression (e.g.
+    size(NULL) = -1 feeding sequence()) is a corpus-wide job failure.
+    Semantics over nulls are each query's business; this sweep only pins
+    'plans, executes, returns'."""
+    failures = {}
+    for name, spec in REGISTRY.items():
+        try:
+            n = spec.fn(spark, nulls_dir).count()
+            assert n >= 0
+        except Exception as exc:
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+    assert not failures, failures
