@@ -80,3 +80,62 @@ def test_simhash_token_hash_matches_duckdb(spark, duck):
         for s in STRINGS
     ]
     assert got == want
+
+
+#: Scripts that lower/trim/split/md5 IDENTICALLY in Spark and DuckDB —
+#: the portability envelope of every text-keyed oracle gate.
+PORTABLE_TEXTS = [
+    "שָׁלוֹם עוֹלָם printer דוח",          # Hebrew incl. niqqud
+    "日本語 テスト 中文 文档",                 # CJK
+    "emoji \U0001F600 mixed ascii",
+    "café naïve résumé ümlaut",
+    "STRASSE ß GROSS",                     # U+00DF stays ß under lower()
+    "MiXeD Case   runs\tof whitespace",
+]
+
+#: Known cross-engine CASE-MAPPING divergences: Spark lowercases with full
+#: ICU rules (dotted İ → i + combining dot; word-final Σ → ς), DuckDB with
+#: simple 1:1 folding (İ → i; Σ → σ everywhere). NOT an engine bug — both
+#: are defensible Unicode behaviors — but corpora containing these code
+#: points will NOT oracle-match on text-derived keys. Pinned so an engine
+#: upgrade that silently changes either side is caught.
+DIVERGENT_TEXTS = ["İstanbul", "ΣΙΣΥΦΟΣ"]
+
+
+def test_text_digest_pipeline_portable_scripts(spark, duck):
+    """The full q23-style content digest (md5 over lower/trim) and the
+    tokenizer length must agree bit-for-bit across engines on every
+    portable script family."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(PORTABLE_TEXTS)], "i int, s string"
+    )
+    got = {
+        r.i: (r.dig, r.n)
+        for r in df.select(
+            "i",
+            F.md5(F.lower(F.trim("s"))).alias("dig"),
+            F.size(F.split(F.trim(F.lower("s")), r"\s+")).alias("n"),
+        ).collect()
+    }
+    for i, s in enumerate(PORTABLE_TEXTS):
+        dig, n = duck.execute(
+            r"SELECT md5(lower(trim(?))), len(regexp_split_to_array(trim(lower(?)), '\s+'))",
+            [s, s],
+        ).fetchone()
+        assert got[i] == (dig, n), (s, got[i], (dig, n))
+
+
+def test_known_case_mapping_divergences_still_diverge(spark, duck):
+    """İ and final Σ lower() differently in Spark (full ICU) vs DuckDB
+    (simple folding). If either engine changes this, text-keyed oracles
+    must be re-audited — so the divergence itself is the pinned fact."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(DIVERGENT_TEXTS)], "i int, s string"
+    )
+    got = {r.i: r.lo for r in df.select("i", F.lower("s").alias("lo")).collect()}
+    for i, s in enumerate(DIVERGENT_TEXTS):
+        duck_lo = duck.execute("SELECT lower(?)", [s]).fetchone()[0]
+        assert got[i] != duck_lo, (
+            f"{s!r}: engines now AGREE ({got[i]!r}) — portability envelope "
+            f"widened; update PORTABLE_TEXTS and re-audit text-keyed oracles"
+        )
