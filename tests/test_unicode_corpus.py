@@ -1,0 +1,80 @@
+"""Cross-engine oracle sweep over a MULTILINGUAL corpus.
+
+The sf corpora are ASCII; this sweep re-runs the most text-keyed oracle
+comparisons over Hebrew/CJK/Cyrillic/Korean/emoji/accented text
+(scripts/build_unicode_corpus.py) so the md5/tokenize/regex paths are
+pinned portable on real multibyte content, not just ASCII. The FULL
+97-query sweep also passes over this corpus (verified round 4); CI runs
+the text-keyed subset to bound suite time — widen via
+``SPARK_GRAFT_TEST_SF=/tmp/peh_unicode_corpus pytest tests/test_oracle_diff.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from printer_etl_hub_spark.plans import REGISTRY
+
+#: The queries whose oracle keys derive from document TEXT (digest, shingle,
+#: token, segment, or pair keys) — the surface multibyte content stresses.
+TEXT_KEYED = [
+    "q23_dedup_exact",
+    "q26_token_count",
+    "q27_fingerprint",
+    "q28_minhash_lsh",
+    "q29_ngram_jaccard",
+    "q30_simhash",
+    "q72_dup_clusters",
+    "q73_corpus_clean",
+    "q91_segment_dedup",
+    "q96_source_leakage",
+    "q98_bpe_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def uni_dir():
+    from build_unicode_corpus import build
+
+    dst = "/tmp/peh_unicode_corpus"
+    if not os.path.exists(f"{dst}/documents.parquet"):
+        build(dst)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def uni_duck(uni_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{uni_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", TEXT_KEYED)
+def test_text_keyed_query_matches_oracle_on_unicode(name, spark, uni_dir, uni_duck):
+    from test_oracle_diff import _cells_equal, _normalize
+
+    spec = REGISTRY[name]
+    got = spec.fn(spark, uni_dir).toPandas()
+    want = uni_duck.execute(spec.oracle_sql).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want), f"{name} rows {len(got)} vs {len(want)}"
+    g, w = _normalize(got), _normalize(want)
+    for c in g.columns:
+        bad = [
+            (i, x, y)
+            for i, (x, y) in enumerate(zip(g[c].tolist(), w[c].tolist()))
+            if not _cells_equal(x, y)
+        ][:5]
+        assert not bad, f"{name}.{c} first diffs: {bad}"
