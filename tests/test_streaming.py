@@ -565,3 +565,40 @@ def test_device_state_sink_restart_with_checkpoint(spark, events, tmp_path):
         assert victim[0] not in got, "erased key resurrected across restart"
         want = want - {victim[0]}
     assert got == want
+
+
+def test_corpus_ingest_stream_equals_batch_digest_set(spark, tmp_path):
+    """Streaming corpus ingestion admits exactly the batch pipeline's
+    distinct digests (keeper identity is arrival-order dependent on a
+    stream; the admitted digest SET is the deterministic contract), and
+    every admitted row passes the quality gate."""
+    from printer_etl_hub_spark.streaming.corpus import corpus_ingest_stream
+    from printer_etl_hub_spark.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    # Two files → at least two micro-batches under maxFilesPerTrigger=1,
+    # so dedup state genuinely carries across batches.
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+    out = corpus_ingest_stream(stream, min_quality=0.45)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("corpus_ingest_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM corpus_ingest_out").collect()
+    finally:
+        q.stop()
+
+    batch = {r.dig for r in corpus_ingest_stream(docs, min_quality=0.45).collect()}
+    assert {r.dig for r in got} == batch
+    assert len(got) == len(batch)  # one emission per digest, no dupes
+    assert all(r.quality_score >= 0.45 for r in got)
