@@ -262,6 +262,7 @@ def kmeans_fit(
     k: int = 8,
     max_iter: int = 10,
     tol: float = 1e-9,
+    seeding: str = "lowest_id",
     stats: dict | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column — the trainer behind
@@ -278,10 +279,19 @@ def kmeans_fit(
     each round's plan is (persisted base) ⋈ (literal centroids), so no
     checkpoint is needed, unlike CC's self-referencing joins.
 
-    Seeding is deterministic — the ``k`` lowest-``id_col`` vectors, as in
-    `plans/textops.py::q93_lloyd_step` — so a fixed ``max_iter`` run is
-    bit-reproducible (centroid means go through decimal(25,6) partial
-    sums; per-row double arithmetic is IEEE-identical across engines).
+    Seeding is deterministic either way (no RNG, so a fixed ``max_iter``
+    run is bit-reproducible; centroid means go through decimal(25,6)
+    partial sums and per-row double arithmetic is IEEE-identical across
+    engines). ``seeding="lowest_id"`` takes the ``k`` lowest-``id_col``
+    vectors, as in `plans/textops.py::q93_lloyd_step` — cheap and
+    oracle-reproducible, but all k seeds can land in one dense region.
+    ``seeding="farthest"`` is the deterministic k-means++ analogue
+    (farthest-first traversal): start from the lowest-id vector, then
+    repeatedly add the vector maximizing its distance to the nearest
+    chosen seed (ties → lowest id) — k-1 extra distributed passes
+    (max(struct) aggregations, no shuffle of the corpus), in exchange
+    for seeds that span the space and an assignment that recovers
+    well-separated clusters Lloyd alone cannot un-split.
     Clusters that lose all members keep their previous centroid.
 
     Returns a k-row DataFrame ``(cluster_id, centroid array<double>,
@@ -305,16 +315,52 @@ def kmeans_fit(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    if seeding not in ("lowest_id", "farthest"):
+        raise ValueError(f"seeding must be 'lowest_id' or 'farthest', got {seeding!r}")
     try:
-        return _kmeans_loop(spark, base, k, max_iter, tol, stats)
+        return _kmeans_loop(spark, base, k, max_iter, tol, stats, seeding)
     finally:
         # Release the pinned corpus on EVERY path — a mid-training failure
         # must not leave the double-cast base cached for the session.
         base.unpersist()
 
 
-def _kmeans_loop(spark, base, k, max_iter, tol, stats):
-    seeds = base.orderBy("vid").limit(k).collect()
+def _farthest_first_seeds(base, k):
+    """Deterministic farthest-first traversal: k-1 distributed max-min
+    passes, each a map-side-combinable max(struct) over the corpus with
+    the current seed set broadcast as literals. Returns collected rows in
+    selection order."""
+    first = base.orderBy("vid").limit(1).collect()
+    if not first:
+        return []
+    chosen = [first[0]]
+    for _ in range(k - 1):
+        # min distance to ANY chosen seed, per vector; pick the argmax.
+        min_d = None
+        for s in chosen:
+            d = F.aggregate(
+                F.zip_with("vd", F.lit(s.vd).cast("array<double>"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            min_d = d if min_d is None else F.least(min_d, d)
+        far = (
+            base.select(F.struct(min_d.alias("d"), (-F.col("vid")).alias("nvid"), "vid", "vd").alias("c"))
+            .agg(F.max("c").alias("m"))
+            .select("m.d", "m.vid", "m.vd")
+            .collect()[0]
+        )
+        if far.d == 0.0:
+            break  # fewer than k distinct points — stop early
+        chosen.append(far)
+    return chosen
+
+
+def _kmeans_loop(spark, base, k, max_iter, tol, stats, seeding="lowest_id"):
+    if seeding == "farthest":
+        seeds = _farthest_first_seeds(base, k)
+    else:
+        seeds = base.orderBy("vid").limit(k).collect()
     if not seeds:
         # Empty corpus (or an all-empty partition range at scale): no
         # clusters to train — return the empty frame, never raise.

@@ -482,3 +482,27 @@ def test_ivf_topk_accepts_trained_centroids(spark):
     for vid, (nid, cos) in top1.items():
         twin = vid + 100 if vid < 100 else vid - 100
         assert nid == twin and cos == 1.0, (vid, nid, cos)
+
+
+def test_kmeans_farthest_seeding_recovers_separated_blobs(spark):
+    """With all low ids inside one blob, lowest_id seeding provably
+    splits it (see the test above); farthest-first traversal must place
+    one seed per blob and recover the three exact blob means."""
+    from printer_etl_hub_spark.operators.similarity import kmeans_fit
+
+    def blob(cx, cy, base_id):
+        off = [(-1.0, 0.0), (1.0, 0.0), (0.0, -1.0), (0.0, 1.0)]
+        return [(base_id + i, [cx + dx, cy + dy]) for i, (dx, dy) in enumerate(off)]
+
+    rows = blob(0.0, 0.0, 0) + blob(100.0, 0.0, 10) + blob(0.0, 100.0, 20)
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    stats: dict = {}
+    out = {
+        tuple(round(x, 6) for x in r.centroid): r.n_members
+        for r in kmeans_fit(
+            df, "vec_id", "embedding", k=3, max_iter=10, tol=1e-12,
+            seeding="farthest", stats=stats,
+        ).collect()
+    }
+    assert stats["last_shift"] <= 1e-12
+    assert out == {(0.0, 0.0): 4, (100.0, 0.0): 4, (0.0, 100.0): 4}, out
