@@ -76,6 +76,7 @@ HEADLINE = [
     "q96_source_leakage",
     "q97_sequence_spans",
     "q98_bpe_pairs",
+    "q99_corpus_datasheet",
 ]
 
 

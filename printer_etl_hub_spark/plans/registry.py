@@ -50,11 +50,10 @@ GATE_ORDER = [
     "q81_corpus_prep",
     "q82_embedding_dedup",
     # Re-evidence: the queries whose newest external green row is
-    # round 1/2 (rotated out of the round-3 window). q02/q03 yielded
-    # their slots to q97/q98 (zero external rows beats two-round-old
-    # green; the filter/projection family stays covered via q19 and the
-    # local suite, and both rotate back next round).
-    "q04_enrichment_join",
+    # round 1/2 (rotated out of the round-3 window). q02/q03/q04 yielded
+    # their slots to q97/q98/q99 (zero external rows beats two-round-old
+    # green; those three stay covered by unit tests + the local suite,
+    # and rotate back next round).
     "q05_postal_split",
     "q06_pivot_orderstatus",
     "q07_first_per_slot",
@@ -106,6 +105,7 @@ GATE_ORDER = [
     "q96_source_leakage",
     "q97_sequence_spans",
     "q98_bpe_pairs",
+    "q99_corpus_datasheet",
     # q38 stays for re-verification: ivf_topk gained the trained-centroids
     # parameter this round. (The rest of the r3-green backfill — q01/q08/
     # q13/q15/q21/q23/q71 — rotated out across this round's edits; all are

@@ -2235,6 +2235,89 @@ QUALIFY rank <= 20
 """
 
 
+# --------------------------------------------------------------------------
+# q99 — corpus datasheet (the "data card" metric block, one pass)
+# --------------------------------------------------------------------------
+def q99_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-level numbers a dataset card reports — document and
+    token totals, exact-duplicate rate, language spread, quality mean,
+    median length — computed in ONE aggregation over one scan (the q79
+    single-pass profiling discipline applied to the documents corpus).
+
+    Long format (metric, value): every metric is a column of the same
+    Aggregate node, so adding a metric never adds a scan. Counts surface
+    as doubles for the uniform value column; means go through
+    decimal-exact sums; the median uses the exact interpolated
+    percentile (q43's portability note: round 6 pins the low bits).
+    """
+    t = load_tables(spark, sf_dir)
+    staged = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("dig"),
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_toks"),
+        quality_features(F.col("text"), tokenize(F.col("text")))[
+            "quality_score"
+        ].alias("q"),
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.countDistinct("dig").alias("distinct_digests"),
+        F.countDistinct("lang").alias("n_langs"),
+        dsum(F.col("q")).alias("q_sum"),
+        F.expr("percentile(n_toks, 0.5)").alias("p50_toks"),
+    )
+    m = F.create_map(
+        F.lit("n_docs"), F.col("n_docs").cast("double"),
+        F.lit("total_tokens"), F.col("total_tokens").cast("double"),
+        F.lit("distinct_digests"), F.col("distinct_digests").cast("double"),
+        F.lit("dup_frac"),
+        F.round(1.0 - F.col("distinct_digests") / F.col("n_docs"), 6),
+        F.lit("n_langs"), F.col("n_langs").cast("double"),
+        F.lit("mean_quality"), F.round(F.col("q_sum") / F.col("n_docs"), 6),
+        F.lit("p50_tokens"), F.round("p50_toks", 6),
+    )
+    return agg.select(F.explode(m).alias("metric", "value"))
+
+
+Q99_SQL = rf"""
+WITH t0 AS (
+  SELECT doc_id, lang, text, md5(text) AS dig,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, lang, dig,
+         CAST(len(toks) AS BIGINT) AS n_toks,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+         CAST({_sql_stop_count('en')} AS BIGINT) AS stop_en
+  FROM t0
+), staged AS (
+  SELECT doc_id, lang, dig, n_toks,
+         least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.4
+         + CASE WHEN n_toks > 0 THEN CAST(stop_en AS DOUBLE) / CAST(n_toks AS DOUBLE) ELSE 0.0 END * 0.3
+         + CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 0.3 AS q
+  FROM base
+), agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(n_toks) AS DOUBLE) AS total_tokens,
+         CAST(count(DISTINCT dig) AS DOUBLE) AS distinct_digests,
+         CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+         {sql_dsum('q')} AS q_sum,
+         quantile_cont(n_toks, 0.5) AS p50_toks
+  FROM staged
+)
+SELECT u.metric AS metric, u.value AS value FROM agg, LATERAL (
+  SELECT unnest(['n_docs', 'total_tokens', 'distinct_digests', 'dup_frac',
+                 'n_langs', 'mean_quality', 'p50_tokens']) AS metric,
+         unnest([n_docs, total_tokens, distinct_digests,
+                 round(1.0 - distinct_digests / n_docs, 6),
+                 n_langs, round(q_sum / n_docs, 6), round(p50_toks, 6)]) AS value
+) u
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -2273,4 +2356,5 @@ TEXT_QUERIES = {
     "q96_source_leakage": (q96_source_leakage, Q96_SQL),
     "q97_sequence_spans": (q97_sequence_spans, Q97_SQL),
     "q98_bpe_pairs": (q98_bpe_pairs, Q98_SQL),
+    "q99_corpus_datasheet": (q99_corpus_datasheet, Q99_SQL),
 }

@@ -404,10 +404,9 @@ def test_registry_gate_window_is_complete_and_oracled():
     assert window[0] == "q81_corpus_prep"
     assert window[1] == "q82_embedding_dedup"
     # The round-1/2-only set must all be re-evidenced this round.
-    # (q02/q03 yielded their slots to q97/q98 late in round 4 —
+    # (q02/q03/q04 yielded their slots to q97/q98/q99 late in round 4 —
     # zero-external-row queries outrank two-round-old green; registry.py.)
-    stale = {
-        "q04_enrichment_join", "q05_postal_split",
+    stale = { "q05_postal_split",
         "q06_pivot_orderstatus", "q07_first_per_slot",
         "q09_top2_per_group", "q10_dedup_keep_first",
         "q11_collect_sorted", "q12_point_lookup",
