@@ -2272,10 +2272,16 @@ def q99_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("n_docs"), F.col("n_docs").cast("double"),
         F.lit("total_tokens"), F.col("total_tokens").cast("double"),
         F.lit("distinct_digests"), F.col("distinct_digests").cast("double"),
+        # n_docs = 0 (empty corpus / empty partition range) must yield
+        # NULL metrics, not a divide-by-zero job failure.
         F.lit("dup_frac"),
-        F.round(1.0 - F.col("distinct_digests") / F.col("n_docs"), 6),
+        F.when(
+            F.col("n_docs") > 0,
+            F.round(1.0 - F.col("distinct_digests") / F.col("n_docs"), 6),
+        ),
         F.lit("n_langs"), F.col("n_langs").cast("double"),
-        F.lit("mean_quality"), F.round(F.col("q_sum") / F.col("n_docs"), 6),
+        F.lit("mean_quality"),
+        F.when(F.col("n_docs") > 0, F.round(F.col("q_sum") / F.col("n_docs"), 6)),
         F.lit("p50_tokens"), F.round("p50_toks", 6),
     )
     return agg.select(F.explode(m).alias("metric", "value"))
@@ -2312,8 +2318,10 @@ SELECT u.metric AS metric, u.value AS value FROM agg, LATERAL (
   SELECT unnest(['n_docs', 'total_tokens', 'distinct_digests', 'dup_frac',
                  'n_langs', 'mean_quality', 'p50_tokens']) AS metric,
          unnest([n_docs, total_tokens, distinct_digests,
-                 round(1.0 - distinct_digests / n_docs, 6),
-                 n_langs, round(q_sum / n_docs, 6), round(p50_toks, 6)]) AS value
+                 CASE WHEN n_docs > 0 THEN round(1.0 - distinct_digests / n_docs, 6) END,
+                 n_langs,
+                 CASE WHEN n_docs > 0 THEN round(q_sum / n_docs, 6) END,
+                 round(p50_toks, 6)]) AS value
 ) u
 """
 
