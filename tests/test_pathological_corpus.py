@@ -1,0 +1,82 @@
+"""Boundary-shape oracle sweep: pathological document shapes vs DuckDB.
+
+Exercises the arithmetic edges a uniform corpus never hits — token
+counts exactly AT the n-gram/segment boundaries, a 5 000-token outlier
+document, single-character and whitespace-only-adjacent text, a 30-way
+duplicate block, regex metacharacters. The FULL 98-query sweep passes
+over this corpus (verified round 4, ~85 s); CI runs the
+boundary-sensitive subset. Widen via
+``SPARK_GRAFT_TEST_SF=/tmp/peh_pathological_corpus pytest tests/test_oracle_diff.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from printer_etl_hub_spark.plans import REGISTRY
+
+#: Queries whose expressions have hard token-count boundaries (gram
+#: windows, segment slicing, span packing, pair generation) or per-row
+#: costs that scale with document length.
+BOUNDARY_SENSITIVE = [
+    "q23_dedup_exact",
+    "q26_token_count",
+    "q29_ngram_jaccard",
+    "q73_corpus_clean",
+    "q77_token_shards",
+    "q84_repetition_quality",
+    "q85_chunk_windows",
+    "q86_ngram_collision",
+    "q91_segment_dedup",
+    "q96_source_leakage",
+    "q97_sequence_spans",
+    "q98_bpe_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def patho_dir():
+    from build_pathological_corpus import build
+
+    dst = "/tmp/peh_pathological_corpus"
+    if not os.path.exists(f"{dst}/documents.parquet"):
+        build(dst)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def patho_duck(patho_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{patho_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", BOUNDARY_SENSITIVE)
+def test_boundary_query_matches_oracle_on_pathological(name, spark, patho_dir, patho_duck):
+    from test_oracle_diff import _cells_equal, _normalize
+
+    spec = REGISTRY[name]
+    got = spec.fn(spark, patho_dir).toPandas()
+    want = patho_duck.execute(spec.oracle_sql).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want), f"{name} rows {len(got)} vs {len(want)}"
+    g, w = _normalize(got), _normalize(want)
+    for c in g.columns:
+        bad = [
+            (i, x, y)
+            for i, (x, y) in enumerate(zip(g[c].tolist(), w[c].tolist()))
+            if not _cells_equal(x, y)
+        ][:5]
+        assert not bad, f"{name}.{c} first diffs: {bad}"
