@@ -137,3 +137,51 @@ def test_open_ticket_multi_match_returns_candidates(spark, tmp_path):
     assert isinstance(got, list) and {r["c_custkey"] for r in got} == {1, 2}
     # nothing written on ambiguity
     assert not list(tmp_path.glob("*.eml"))
+
+
+def test_convert_flows_roundtrip(spark, tmp_path):
+    """§3.3 footnote converters composed: draft workbook → promote → scan
+    → JSON store; then JSON updates → MERGE → versioned backup → new
+    workbook; re-scan shows merged values and the backup preserves the
+    pre-merge bytes."""
+    from printer_etl_hub_spark.plans.convert import convert_to_excel, convert_to_json
+    from printer_etl_hub_spark.sources.tabular import read_sheet
+    from printer_etl_hub_spark.sources.xlsx import write_xlsx
+
+    draft = str(tmp_path / "draft.xlsx")
+    prod = str(tmp_path / "prod.xlsx")
+    jpath = str(tmp_path / "printers.json")
+    write_xlsx(draft, ["id", "status", "black"], [[1, "online", 80], [2, "offline", 10]])
+
+    # sheet scan is schema-on-read: ids come back as strings (S1/S3)
+    df = convert_to_json(spark, draft, prod, jpath)
+    assert sorted(r["id"] for r in df.collect()) == ["1", "2"]
+    assert (tmp_path / "prod.xlsx").exists()
+    import json as _json
+
+    store = _json.loads((tmp_path / "printers.json").read_text())
+    assert [r["id"] for r in store["Company_Grouped"]] == ["1", "2"]  # seq order
+
+    # A (grouped) JSON store now drives a MERGE back into the workbook.
+    updates = {"Company_Grouped": [
+        {"id": 1, "status": "error", "black": 5},
+        {"id": 3, "status": "online", "black": 99},
+    ]}
+    (tmp_path / "updates.json").write_text(_json.dumps(updates))
+    merged = convert_to_excel(
+        spark, str(tmp_path / "updates.json"), prod,
+        key="id", update_cols=["status", "black"],
+        backup_dir=str(tmp_path / "bak"),
+    )
+    got = {r["id"]: (r["status"], r["black"]) for r in merged.collect()}
+    # matched row updated; unmatched target row kept; new json id ignored
+    # (MERGE WHEN MATCHED semantics — inserts are S4->report rebuild, not here)
+    assert got["1"] == ("error", 5) and got["2"] == ("offline", 10), got
+    assert "3" not in got and 3 not in got
+
+    back = read_sheet(spark, prod, fmt="xlsx")
+    assert {r["id"]: r["black"] for r in back.collect()} == {"1": "5", "2": "10"}
+    baks = list((tmp_path / "bak").glob("v0001_*"))
+    assert len(baks) == 1
+    pre = read_sheet(spark, str(baks[0]), fmt="xlsx")
+    assert {r["id"]: r["black"] for r in pre.collect()} == {"1": "80", "2": "10"}
