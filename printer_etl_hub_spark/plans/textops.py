@@ -2326,6 +2326,157 @@ SELECT u.metric AS metric, u.value AS value FROM agg, LATERAL (
 """
 
 
+# --------------------------------------------------------------------------
+# q100 — SemDeDup: semantic dedup via k-means cluster partitioning
+# --------------------------------------------------------------------------
+#: In-cluster cosine threshold. SemDeDup proper prunes at ~0.95+ on web
+#: corpora; the synthetic embeddings are near-orthogonal (max pairwise
+#: cos ≈ 0.51), so the gate pins the machinery at a threshold the corpus
+#: actually crosses. The knob, not the pipeline, is corpus-specific.
+_SEM_TAU = 0.35
+
+
+def q100_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    removal that clusters FIRST and pays the quadratic pair cost only
+    WITHIN clusters — k-means partition (the q94 trainer, 2 Lloyd rounds
+    so the oracle unrolls exactly), per-cluster cosine pairs ≥ τ,
+    connected components, one keeper (min vec_id) per duplicate group.
+
+    This is the scale-complement to q82's sign-LSH dedup: LSH buckets by
+    random hyperplanes; SemDeDup buckets by LEARNED cluster structure, so
+    near-dups concentrate in the same cell and the in-cluster join is the
+    whole search space. At 100 TB, k grows with the corpus (k ∝ n/target
+    cluster size), keeping per-cluster pair counts bounded: assignment is
+    a broadcast n·k nested loop (no shuffle until the map-side-combinable
+    min(struct) argmin), the pair join shuffles on int cluster_id only,
+    and CC is O(log n) pointer-jumping rounds. Nothing is ever all-pairs.
+
+    Output: (vec_id, cluster_id, keeper_id, is_keeper) — NULL-embedding
+    rows carry no geometry and are excluded (same posture as kmeans_fit).
+    """
+    from pyspark import StorageLevel
+
+    from ..operators.components import connected_components
+    from ..operators.similarity import kmeans_fit
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=LLOYD_K, max_iter=2, tol=0.0)
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vd"),
+    ).filter(F.col("vd").isNotNull())
+    dist = F.aggregate(
+        F.zip_with("vd", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("vd", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    assigned = (
+        v.join(F.broadcast(cents.select("cluster_id", "centroid")))
+        .select(
+            "vec_id", F.struct(dist.alias("dist"), "cluster_id", "vd").alias("cand")
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.cluster_id").alias("cluster_id"),
+            F.col("best.vd").alias("vd"),
+        )
+        .select("vec_id", "cluster_id", "vd", nrm.alias("nrm"))
+        # Feeds both pair sides AND the final projection — compute once.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cluster_id").alias("cl"),
+        F.col("vd").alias("avd"),
+        F.col("nrm").alias("anrm"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster_id").alias("cl"),
+        F.col("vd").alias("bvd"),
+        F.col("nrm").alias("bnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("avd", "bvd", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cl")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(dot / (F.col("anrm") * F.col("bnrm")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _SEM_TAU)
+    )
+    comp = connected_components(pairs.select("a_id", "b_id"), "a_id", "b_id")
+    return assigned.join(comp, assigned["vec_id"] == comp["node"], "left").select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("keeper_id"),
+        (F.col("component").isNull() | (F.col("component") == F.col("vec_id"))).alias(
+            "is_keeper"
+        ),
+    )
+
+
+Q100_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings WHERE embedding IS NOT NULL
+), cents0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, vd AS cvec
+  FROM v ORDER BY vec_id LIMIT {LLOYD_K}
+), {_sql_lloyd_round('cents0', 'a1', 'c1')},
+{_sql_lloyd_round('c1', 'a2', 'c2')},
+f_pairs AS (
+  SELECT vec_id, vd, cluster_id,
+         list_reduce(
+           list_transform(range(1, len(vd) + 1),
+                          i -> (vd[i] - cvec[i]) * (vd[i] - cvec[i])),
+           (a, b) -> a + b) AS dist
+  FROM v CROSS JOIN c2
+), assigned AS (
+  SELECT vec_id, vd, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+    FROM f_pairs
+  ) WHERE rn = 1
+), nw AS (
+  SELECT vec_id, cluster_id, vd,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM assigned
+), cand AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_reduce(list_transform(range(1, len(a.vd) + 1), i -> a.vd[i] * b.vd[i]), (x, y) -> x + y)
+           / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM nw a JOIN nw b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+), kept AS (
+  SELECT a_id, b_id FROM cand WHERE cos_sim >= {_SEM_TAU}
+), sym AS (
+  SELECT a_id AS sa, b_id AS sb FROM kept
+  UNION
+  SELECT b_id, a_id FROM kept
+), comp AS (
+  WITH RECURSIVE walk(node, lab) AS (
+    SELECT sa, sa FROM sym
+    UNION
+    SELECT s.sb, r.lab FROM walk r JOIN sym s ON s.sa = r.node
+  ) SELECT node, min(lab) AS component FROM walk GROUP BY node
+)
+SELECT n.vec_id AS vec_id, n.cluster_id AS cluster_id,
+       coalesce(c.component, n.vec_id) AS keeper_id,
+       (c.node IS NULL OR c.component = n.vec_id) AS is_keeper
+FROM nw n LEFT JOIN comp c ON c.node = n.vec_id
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -2365,4 +2516,5 @@ TEXT_QUERIES = {
     "q97_sequence_spans": (q97_sequence_spans, Q97_SQL),
     "q98_bpe_pairs": (q98_bpe_pairs, Q98_SQL),
     "q99_corpus_datasheet": (q99_corpus_datasheet, Q99_SQL),
+    "q100_semantic_dedup": (q100_semantic_dedup, Q100_SQL),
 }
