@@ -423,3 +423,166 @@ def _kmeans_loop(spark, base, k, max_iter, tol, stats, seeding="lowest_id"):
         [(cid, cents[cid], counts[cid]) for cid in sorted(cents)],
         "cluster_id int, centroid array<double>, n_members bigint",
     )
+
+
+def pq_train_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    codebooks_out: dict | None = None,
+) -> DataFrame:
+    """Product quantization (Jégou et al., PAMI 2011): split each vector
+    into ``m`` contiguous subspaces, train an independent ``k``-code
+    codebook per subspace, and encode every vector as ``m`` small code
+    ids. A 64-dim float32 vector becomes 4 bytes — the memory-compression
+    step that makes billion-vector ANN (IVF-PQ / FAISS-style) fit on a
+    cluster at 100 TB corpus scale.
+
+    Training is ONE job per Lloyd round for ALL subspaces at once: the
+    exploded (id, sub, sub-vector) table joins the broadcast ``m·k``-row
+    codebook on the int ``sub`` key, the argmin is a map-side-combinable
+    ``min(struct)``, and the decimal-exact component means group by
+    (sub, code, dim) — never one training job per subspace. Codebooks
+    round-trip through the driver between rounds (``m·k·dim`` doubles,
+    index-sized — the kmeans_fit discipline, so lineage never grows).
+
+    Deterministic end to end: seeds are the sub-vectors of the ``k``
+    lowest-``id_col`` rows, ties in the argmin break on code id, and
+    means use decimal(25,6) partial sums — so a fixed ``iters`` run is
+    bit-reproducible and SQL-unrollable (the q101 oracle). Codes that
+    lose every member keep their previous centroid. Vectors are assumed
+    uniform-length; the ``dim % m`` remainder dims are dropped from every
+    subspace symmetrically (dsub = dim // m).
+
+    Returns (id_col, sub, code). ``codebooks_out`` (optional dict)
+    receives ``{(sub, code): [centroid floats]}`` after training — the
+    input `pq_adc_topk` needs.
+    """
+    spark = df.sparkSession
+    base = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            _as_double(F.col(vec_col)).alias("vd"),
+        )
+        .filter(F.col("vd").isNotNull())
+    )
+    from pyspark import StorageLevel
+
+    dsub = F.expr(f"size(vd) DIV {m}")
+    sv = (
+        base.withColumn("sub", F.explode(F.sequence(F.lit(0), F.lit(m - 1))))
+        .select(
+            "vid",
+            "sub",
+            F.slice("vd", F.col("sub") * dsub + 1, dsub).alias("svd"),
+        )
+        # Feeds one assignment pass per round plus the final encode.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seeds = base.orderBy("vid").limit(k).collect()
+    if not seeds:
+        return sv.select(
+            F.col("vid").alias(id_col), "sub", F.lit(0).cast("int").alias("code")
+        ).limit(0)
+    books: dict[tuple[int, int], list[float]] = {}
+    for code, r in enumerate(seeds):
+        d = len(r.vd) // m
+        for sub in range(m):
+            books[(sub, code)] = list(r.vd[sub * d : (sub + 1) * d])
+
+    def _assign(cdf):
+        dist = F.aggregate(
+            F.zip_with("svd", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            sv.join(F.broadcast(cdf), "sub")
+            .select(
+                "vid",
+                "sub",
+                F.struct(dist.alias("dist"), "code", "svd").alias("cand"),
+            )
+            .groupBy("vid", "sub")
+            .agg(F.min("cand").alias("best"))
+        )
+
+    def _cdf():
+        return spark.createDataFrame(
+            [(sub, code, vec) for (sub, code), vec in books.items()],
+            "sub int, code int, cvec array<double>",
+        )
+
+    for _ in range(iters):
+        assigned = _assign(_cdf()).select(
+            "sub", F.col("best.code").alias("code"), F.col("best.svd").alias("svd")
+        )
+        rows = (
+            assigned.select("sub", "code", F.posexplode("svd").alias("dim", "v"))
+            .groupBy("sub", "code", "dim")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(25,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mn")
+            )
+            .collect()  # m·k·dsub rows — index-sized driver state
+        )
+        new_books = {key: list(vec) for key, vec in books.items()}
+        for r in rows:
+            new_books[(r.sub, r.code)][r.dim] = r.mn
+        books = new_books
+    if codebooks_out is not None:
+        codebooks_out.update(books)
+    return (
+        _assign(_cdf())
+        .select(
+            F.col("vid").alias(id_col),
+            "sub",
+            F.col("best.code").alias("code"),
+        )
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: dict,
+    query_vec: list[float],
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact, every database vector is its reconstruction from ``codebooks``
+    (the `pq_train_encode` out-param), and the squared distance is the
+    sum over subspaces of a PRE-COMPUTED (sub, code) → partial-distance
+    lookup — ``m·k`` driver-side float ops per query, then one broadcast
+    equi-join on (sub, code) and one sum per id. No vector arithmetic
+    touches the corpus at query time; the codes table (m small ints per
+    vector) is all that is scanned — the whole point of PQ at 100 TB.
+    """
+    spark = codes.sparkSession
+    m = 1 + max(sub for sub, _ in codebooks)
+    d = sum(len(codebooks[(sub, 0)]) for sub in range(m))
+    if len(query_vec) < d:
+        raise ValueError(f"query_vec has {len(query_vec)} dims; codebooks span {d}")
+    lut, off = [], 0
+    for sub in range(m):
+        dsub = len(codebooks[(sub, 0)])
+        qs = query_vec[off : off + dsub]
+        for code in range(1 + max(c for s, c in codebooks if s == sub)):
+            cv = codebooks[(sub, code)]
+            lut.append(
+                (sub, code, float(sum((a - b) * (a - b) for a, b in zip(qs, cv))))
+            )
+        off += dsub
+    ldf = spark.createDataFrame(lut, "sub int, code int, pdist double")
+    return (
+        codes.join(F.broadcast(ldf), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("pdist").alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

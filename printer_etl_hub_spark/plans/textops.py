@@ -2477,6 +2477,97 @@ FROM nw n LEFT JOIN comp c ON c.node = n.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# q101 — product-quantization encode (the memory-compressed ANN path)
+# --------------------------------------------------------------------------
+_PQ_M = 4  # subspaces (64-dim embeddings → 16 dims each)
+_PQ_K = 8  # codes per subspace
+
+
+def q101_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`operators/similarity.py::pq_train_encode` under the exact gate:
+    product-quantization codebooks (per-subspace k-means, 2 Lloyd rounds
+    so the oracle unrolls) and the per-vector code assignment. PQ is how
+    billion-vector ANN fits in memory — each 64-dim vector compresses to
+    ``m`` one-byte codes (here 4 bytes, 64×), and `pq_adc_topk` answers
+    queries from a (sub, code) lookup table without touching a single
+    float of the corpus. Training runs ONE distributed job per round for
+    all subspaces together (sub is part of the group key), not a job per
+    subspace."""
+    from ..operators.similarity import pq_train_encode
+
+    t = load_tables(spark, sf_dir)
+    return pq_train_encode(
+        t["embeddings"], "vec_id", "embedding", m=_PQ_M, k=_PQ_K, iters=2
+    )
+
+
+def _sql_pq_round(cent_table: str, a_name: str, c_name: str) -> str:
+    """One unrolled PQ Lloyd round over ``sv`` (vec_id, sub, svd), all
+    subspaces at once — `_sql_lloyd_round` with ``sub`` in every key."""
+    return f"""{a_name}_pairs AS (
+  SELECT s.vec_id, s.sub, s.svd, c.code,
+         list_reduce(
+           list_transform(range(1, len(s.svd) + 1),
+                          i -> (s.svd[i] - c.cvec[i]) * (s.svd[i] - c.cvec[i])),
+           (a, b) -> a + b) AS dist
+  FROM sv s JOIN {cent_table} c ON c.sub = s.sub
+), {a_name} AS (
+  SELECT sub, code, svd FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM {a_name}_pairs
+  ) WHERE rn = 1
+), {c_name}_means AS (
+  SELECT sub, code, CAST(d.i - 1 AS INT) AS dim,
+         CAST(SUM(CAST(svd[d.i] AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m
+  FROM {a_name}, LATERAL (SELECT unnest(range(1, len(svd) + 1)) AS i) d
+  GROUP BY sub, code, d.i
+), {c_name}_arr AS (
+  SELECT sub, code, list(m ORDER BY dim) AS cvec
+  FROM {c_name}_means GROUP BY sub, code
+), {c_name} AS (
+  SELECT p.sub, p.code, COALESCE(a.cvec, p.cvec) AS cvec
+  FROM {cent_table} p LEFT JOIN {c_name}_arr a ON a.sub = p.sub AND a.code = p.code
+)"""
+
+
+Q101_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings WHERE embedding IS NOT NULL
+), subs AS (
+  SELECT CAST(unnest(range(0, {_PQ_M})) AS INT) AS sub
+), sv AS (
+  SELECT vec_id, sub,
+         list_slice(vd, sub * (len(vd) // {_PQ_M}) + 1,
+                        (sub + 1) * (len(vd) // {_PQ_M})) AS svd
+  FROM v CROSS JOIN subs
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vd
+  FROM v ORDER BY vec_id LIMIT {_PQ_K}
+), cents0 AS (
+  SELECT g.sub, s.code,
+         list_slice(s.vd, g.sub * (len(s.vd) // {_PQ_M}) + 1,
+                          (g.sub + 1) * (len(s.vd) // {_PQ_M})) AS cvec
+  FROM seeds s CROSS JOIN subs g
+), {_sql_pq_round('cents0', 'pa1', 'pc1')},
+{_sql_pq_round('pc1', 'pa2', 'pc2')},
+enc AS (
+  SELECT s.vec_id, s.sub, c.code,
+         list_reduce(
+           list_transform(range(1, len(s.svd) + 1),
+                          i -> (s.svd[i] - c.cvec[i]) * (s.svd[i] - c.cvec[i])),
+           (a, b) -> a + b) AS dist
+  FROM sv s JOIN pc2 c ON c.sub = s.sub
+)
+SELECT vec_id, sub, code FROM (
+  SELECT vec_id, sub, code,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+  FROM enc
+) WHERE rn = 1
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -2517,4 +2608,5 @@ TEXT_QUERIES = {
     "q98_bpe_pairs": (q98_bpe_pairs, Q98_SQL),
     "q99_corpus_datasheet": (q99_corpus_datasheet, Q99_SQL),
     "q100_semantic_dedup": (q100_semantic_dedup, Q100_SQL),
+    "q101_pq_encode": (q101_pq_encode, Q101_SQL),
 }

@@ -505,3 +505,45 @@ def test_kmeans_farthest_seeding_recovers_separated_blobs(spark):
     }
     assert stats["last_shift"] <= 1e-12
     assert out == {(0.0, 0.0): 4, (100.0, 0.0): 4, (0.0, 100.0): 4}, out
+
+
+def test_pq_encode_compresses_and_adc_matches_reconstruction(spark):
+    """PQ codes reconstruct through the codebooks, and ADC top-k equals
+    exact distances against the reconstructed vectors (same partial sums,
+    different association order → tolerance compare; ties share codes so
+    ordering agrees exactly)."""
+    from printer_etl_hub_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_encode,
+    )
+
+    rows = [
+        (i, [((i * 37 + j * 11) % 23) / 7.0 for j in range(8)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    books: dict = {}
+    codes = pq_train_encode(df, "vid", "vec", m=2, k=4, iters=2, codebooks_out=books)
+    collected = codes.collect()
+    assert len(collected) == 40  # 20 vectors x 2 subspaces
+    assert {(r.vid, r.sub) for r in collected} == {
+        (i, s) for i in range(20) for s in range(2)
+    }
+    code_map = {(r.vid, r.sub): r.code for r in collected}
+
+    q = [0.3 * j for j in range(8)]
+    top = pq_adc_topk(codes, books, q, "vid", k=5).collect()
+    dists = {}
+    for i in range(20):
+        rec = books[(0, code_map[(i, 0)])] + books[(1, code_map[(i, 1)])]
+        dists[i] = sum((a - b) * (a - b) for a, b in zip(q, rec))
+    expect = sorted(dists.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+    assert [r.vid for r in top] == [v for v, _ in expect]
+    for r, (_, ed) in zip(top, expect):
+        assert abs(r.adc_dist - ed) < 1e-9
+
+
+def test_pq_encode_empty_input_returns_empty(spark):
+    from printer_etl_hub_spark.operators.similarity import pq_train_encode
+
+    df = spark.createDataFrame([], "vid long, vec array<double>")
+    assert pq_train_encode(df, "vid", "vec", m=2, k=4).count() == 0
