@@ -2568,6 +2568,152 @@ SELECT vec_id, sub, code FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q102 — leakage-safe train/eval split (near-dup clusters stay together)
+# --------------------------------------------------------------------------
+def q102_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split that cannot leak near-duplicates
+    across the boundary: q29's near-dup pairs collapse to clusters (q72's
+    connected components), every document maps to its cluster
+    representative (min doc_id; singletons to themselves), and the split
+    decision hashes the REPRESENTATIVE — so a whole duplicate group lands
+    on one side by construction, the failure mode a plain per-doc hash
+    split has (one clone in train, its twin in eval = memorized eval).
+
+    The split is the q75 md5 idiom (no RNG: retries, re-runs, and engines
+    agree): md5(group_id) mod 10 < 9 → train, else eval. At 100 TB the
+    added cost over a naive split is exactly the dedup pair graph + CC
+    that the pipeline already computes (q81) — reuse its output and the
+    split is a projection."""
+    from ..operators.components import connected_components
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+    )
+    comp = connected_components(pairs, "a_id", "b_id")
+    base = d.select("doc_id").join(comp, d["doc_id"] == comp["node"], "left")
+    rep = F.coalesce(F.col("component"), F.col("doc_id"))
+    h = F.conv(F.substring(F.md5(rep.cast("string")), 1, 15), 16, 10).cast("bigint")
+    return base.select(
+        "doc_id",
+        rep.alias("group_id"),
+        F.when(F.pmod(h, 10) < 9, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+
+
+Q102_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT a_id, b_id FROM ({Q29_SQL}) q),
+sym AS (
+  SELECT a_id AS sa, b_id AS sb FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(node, lab) AS (
+  SELECT sa, sa FROM sym
+  UNION
+  SELECT s.sb, r.lab FROM reach r JOIN sym s ON s.sa = r.node
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+SELECT d.doc_id AS doc_id,
+       coalesce(c.component, d.doc_id) AS group_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 9
+            THEN 'train' ELSE 'eval' END AS split
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q103 — Kneser-Ney n-gram count prep (KenLM-style LM training tables)
+# --------------------------------------------------------------------------
+def q103_kn_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count tables Kneser-Ney smoothing needs (the KenLM/CCNet
+    quality-filter training path): per vocabulary word, the raw unigram
+    count, the LEFT continuation count N1+(·w) — how many distinct
+    predecessors the word follows, the numerator of KN's lower-order
+    distribution — and the RIGHT continuation count N1+(w·) that sizes
+    the backoff weight λ(w). Building these tables is the distributed,
+    corpus-sized part of LM training; the smoothing arithmetic downstream
+    is vocab-sized.
+
+    Shape: one explode+groupBy for unigrams, one for bigrams (map-side
+    combinable counts, the only corpus-wide shuffles), then both
+    continuation counts read the ALREADY-DISTINCT bigram table — bounded
+    by vocab², independent of corpus size. All-integer output, exactly
+    portable."""
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(tokenize(F.col("text")).alias("w"))
+    uni = (
+        d.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_unigram"))
+    )
+    # Guarded like q84: an unguarded sequence(1, size-1) evaluates
+    # descending on 1-token rows if Catalyst collapses the projection.
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("w"), i).alias("u"),
+                F.element_at(F.col("w"), i + 1).alias("v"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+    big = (
+        d.select(F.explode(bigrams).alias("p"))
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_uv"))
+        # Feeds BOTH continuation aggregations — compute the corpus-wide
+        # shuffle once.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cl = big.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("n_cont_left"))
+    cr = big.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("n_cont_right"))
+    return (
+        uni.join(cl, uni["word"] == cl["v"], "left")
+        .drop("v")
+        .join(cr, uni["word"] == cr["u"], "left")
+        .drop("u")
+        .select(
+            "word",
+            "n_unigram",
+            F.coalesce("n_cont_left", F.lit(0)).cast("bigint").alias("n_cont_left"),
+            F.coalesce("n_cont_right", F.lit(0)).cast("bigint").alias("n_cont_right"),
+        )
+    )
+
+
+Q103_SQL = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+), uni AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_unigram
+  FROM (SELECT unnest(w) AS word FROM toks)
+  GROUP BY word
+), big AS (
+  SELECT w[d.i] AS u, w[d.i + 1] AS v
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) d
+  GROUP BY w[d.i], w[d.i + 1]
+), cl AS (
+  SELECT v AS word, CAST(count(*) AS BIGINT) AS n_cont_left FROM big GROUP BY v
+), cr AS (
+  SELECT u AS word, CAST(count(*) AS BIGINT) AS n_cont_right FROM big GROUP BY u
+)
+SELECT uni.word AS word, uni.n_unigram AS n_unigram,
+       CAST(COALESCE(cl.n_cont_left, 0) AS BIGINT) AS n_cont_left,
+       CAST(COALESCE(cr.n_cont_right, 0) AS BIGINT) AS n_cont_right
+FROM uni LEFT JOIN cl USING (word) LEFT JOIN cr USING (word)
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -2609,4 +2755,6 @@ TEXT_QUERIES = {
     "q99_corpus_datasheet": (q99_corpus_datasheet, Q99_SQL),
     "q100_semantic_dedup": (q100_semantic_dedup, Q100_SQL),
     "q101_pq_encode": (q101_pq_encode, Q101_SQL),
+    "q102_leakage_safe_split": (q102_leakage_safe_split, Q102_SQL),
+    "q103_kn_ngram_stats": (q103_kn_ngram_stats, Q103_SQL),
 }

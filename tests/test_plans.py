@@ -255,3 +255,20 @@ def test_q91_segment_dedup_no_global_sort(spark):
     # partitioning; a scale-killing global sort would print with a
     # SinglePartition exchange.
     assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_leakage_safe_split_keeps_groups_together(spark):
+    """q102's contract: every near-dup group lands entirely in ONE split —
+    the invariant a per-doc hash split violates."""
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["q102_leakage_safe_split"].fn(spark, SF_SMOKE)
+    mixed = (
+        out.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert mixed == 0
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "eval"} and "train" in splits
