@@ -77,6 +77,12 @@ HEADLINE = [
     "q97_sequence_spans",
     "q98_bpe_pairs",
     "q99_corpus_datasheet",
+    # Round 4 third batch: SemDeDup, PQ encode, the leakage-safe split,
+    # and the Kneser-Ney count prep.
+    "q100_semantic_dedup",
+    "q101_pq_encode",
+    "q102_leakage_safe_split",
+    "q103_kn_ngram_stats",
 ]
 
 

@@ -5,9 +5,11 @@ correctness driver gates the FIRST 50 entries each round. ``GATE_ORDER``
 makes that window explicit so coverage can be rotated deliberately.
 Round 4 leads with the two composed-pipeline flagships (q81 corpus
 prep, q82 embedding dedup) which postdate the round-3 gate run and have
-no external CORRECTNESS row yet, then re-evidences the 29 queries whose
-newest external green row is round 1/2 (q02-q07, q09-q12, q14, q16-q19,
-q39-q45, q49-q50, q52-q56). The remaining 19 slots backfill from the
+no external CORRECTNESS row yet, then the mid-round additions
+(q100-q103), then re-evidences the queries whose newest external green
+row is round 1/2 (q10-q12, q14, q16-q19, q39-q45, q49-q50, q52-q56;
+q02-q07/q09 yielded their slots to newer zero-row queries and rotate
+back next round). The remaining 19 slots backfill from the
 round-3-green set, front-loading the queries whose implementation
 changes this round (q77 distributed shard packing, q31 guard rework,
 q72 checkpoint option) so the changes are externally re-verified.
@@ -49,15 +51,18 @@ GATE_ORDER = [
     # external CORRECTNESS rows. Lead with them.
     "q81_corpus_prep",
     "q82_embedding_dedup",
+    # Mid-round additions with zero external rows anywhere: SemDeDup,
+    # PQ encode, the leakage-safe split, and the Kneser-Ney count prep.
+    "q100_semantic_dedup",
+    "q101_pq_encode",
+    "q102_leakage_safe_split",
+    "q103_kn_ngram_stats",
     # Re-evidence: the queries whose newest external green row is
     # round 1/2 (rotated out of the round-3 window). q02/q03/q04 yielded
-    # their slots to q97/q98/q99 (zero external rows beats two-round-old
-    # green; those three stay covered by unit tests + the local suite,
-    # and rotate back next round).
-    "q05_postal_split",
-    "q06_pivot_orderstatus",
-    "q07_first_per_slot",
-    "q09_top2_per_group",
+    # their slots to q97/q98/q99, and q05/q06/q07/q09 to q100-q103
+    # (zero external rows beats two-round-old green; all stay covered by
+    # unit tests + the local oracle-diff suite, and rotate back next
+    # round).
     "q10_dedup_keep_first",
     "q11_collect_sorted",
     "q12_point_lookup",
