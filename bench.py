@@ -83,6 +83,7 @@ HEADLINE = [
     "q101_pq_encode",
     "q102_leakage_safe_split",
     "q103_kn_ngram_stats",
+    "q104_bm25_topk",
 ]
 
 

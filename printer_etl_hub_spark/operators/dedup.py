@@ -424,3 +424,100 @@ def segment_dedup(
             "kept_text",
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    tau: float,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means (`operators/similarity.py::kmeans_fit`,
+    deterministic seeding, ``iters`` Lloyd rounds), generate cosine pairs
+    only WITHIN clusters, collapse pairs ≥ ``tau`` to connected
+    components, and report one keeper (min id) per duplicate group.
+
+    ``k`` is THE scale knob: per-cluster pair cost is (n/k)² per cluster,
+    so k ∝ n (or k = √n for a balanced n^1.5 total) keeps the pair join
+    bounded as the corpus grows — never all-pairs. The gated registry
+    form (q101's neighbor q100) pins k so the oracle can unroll; scale
+    callers pass k sized to their corpus.
+
+    Returns (id_col, cluster_id, keeper_id, is_keeper); NULL-embedding
+    rows are excluded (no geometry — kmeans_fit posture).
+    """
+    from pyspark import StorageLevel
+
+    from .components import connected_components
+    from .similarity import kmeans_fit
+
+    cents = kmeans_fit(df, id_col, vec_col, k=k, max_iter=iters, tol=0.0)
+    v = df.select(
+        F.col(id_col).alias("_sid"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vd"),
+    ).filter(F.col("vd").isNotNull())
+    dist = F.aggregate(
+        F.zip_with("vd", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("vd", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    assigned = (
+        v.join(F.broadcast(cents.select("cluster_id", "centroid")))
+        .select(
+            "_sid", F.struct(dist.alias("dist"), "cluster_id", "vd").alias("cand")
+        )
+        .groupBy("_sid")
+        .agg(F.min("cand").alias("best"))
+        .select(
+            "_sid",
+            F.col("best.cluster_id").alias("cluster_id"),
+            F.col("best.vd").alias("vd"),
+        )
+        .select("_sid", "cluster_id", "vd", nrm.alias("nrm"))
+        # Feeds both pair sides AND the final projection — compute once.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = assigned.select(
+        F.col("_sid").alias("a_id"),
+        F.col("cluster_id").alias("cl"),
+        F.col("vd").alias("avd"),
+        F.col("nrm").alias("anrm"),
+    )
+    b = assigned.select(
+        F.col("_sid").alias("b_id"),
+        F.col("cluster_id").alias("cl"),
+        F.col("vd").alias("bvd"),
+        F.col("nrm").alias("bnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("avd", "bvd", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cl")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dot / (F.col("anrm") * F.col("bnrm")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= tau)
+    )
+    comp = connected_components(pairs.select("a_id", "b_id"), "a_id", "b_id")
+    return assigned.join(comp, assigned["_sid"] == comp["node"], "left").select(
+        F.col("_sid").alias(id_col),
+        "cluster_id",
+        F.coalesce(F.col("component"), F.col("_sid")).alias("keeper_id"),
+        (F.col("component").isNull() | (F.col("component") == F.col("_sid"))).alias(
+            "is_keeper"
+        ),
+    )

@@ -2354,76 +2354,16 @@ def q100_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (vec_id, cluster_id, keeper_id, is_keeper) — NULL-embedding
     rows carry no geometry and are excluded (same posture as kmeans_fit).
+    The gate pins k = LLOYD_K so the oracle unrolls; scale callers use
+    `operators/dedup.py::semantic_dedup` directly with k sized to the
+    corpus (k ∝ n keeps per-cluster pairs bounded — the scale audit runs
+    it at k = √n on the 10x clone).
     """
-    from pyspark import StorageLevel
-
-    from ..operators.components import connected_components
-    from ..operators.similarity import kmeans_fit
+    from ..operators.dedup import semantic_dedup
 
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
-    cents = kmeans_fit(emb, "vec_id", "embedding", k=LLOYD_K, max_iter=2, tol=0.0)
-    v = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("vd"),
-    ).filter(F.col("vd").isNotNull())
-    dist = F.aggregate(
-        F.zip_with("vd", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform("vd", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    assigned = (
-        v.join(F.broadcast(cents.select("cluster_id", "centroid")))
-        .select(
-            "vec_id", F.struct(dist.alias("dist"), "cluster_id", "vd").alias("cand")
-        )
-        .groupBy("vec_id")
-        .agg(F.min("cand").alias("best"))
-        .select(
-            "vec_id",
-            F.col("best.cluster_id").alias("cluster_id"),
-            F.col("best.vd").alias("vd"),
-        )
-        .select("vec_id", "cluster_id", "vd", nrm.alias("nrm"))
-        # Feeds both pair sides AND the final projection — compute once.
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("cluster_id").alias("cl"),
-        F.col("vd").alias("avd"),
-        F.col("nrm").alias("anrm"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("cluster_id").alias("cl"),
-        F.col("vd").alias("bvd"),
-        F.col("nrm").alias("bnrm"),
-    )
-    dot = F.aggregate(
-        F.zip_with("avd", "bvd", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.join(b, "cl")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.round(dot / (F.col("anrm") * F.col("bnrm")), 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= _SEM_TAU)
-    )
-    comp = connected_components(pairs.select("a_id", "b_id"), "a_id", "b_id")
-    return assigned.join(comp, assigned["vec_id"] == comp["node"], "left").select(
-        "vec_id",
-        "cluster_id",
-        F.coalesce(F.col("component"), F.col("vec_id")).alias("keeper_id"),
-        (F.col("component").isNull() | (F.col("component") == F.col("vec_id"))).alias(
-            "is_keeper"
-        ),
+    return semantic_dedup(
+        t["embeddings"], "vec_id", "embedding", k=LLOYD_K, tau=_SEM_TAU, iters=2
     )
 
 
@@ -2714,6 +2654,97 @@ FROM uni LEFT JOIN cl USING (word) LEFT JOIN cr USING (word)
 """
 
 
+# --------------------------------------------------------------------------
+# q104 — BM25 ranked retrieval (inverted-index scoring, rational idf)
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("vector", "merge", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 20
+
+
+def q104_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed query — the keyword-side
+    complement to the embedding ANN path (q38/q101): tf from a term-
+    filtered explode (the isin gate runs BEFORE the shuffle, so the
+    shuffle carries only query-term postings, not the corpus), df from
+    the postings themselves, document lengths and corpus stats joined
+    broadcast. At 100 TB the per-query cost is proportional to the
+    postings of the query terms — the inverted-index property — never to
+    the corpus.
+
+    Portability variant: idf is the RATIONAL core (N - df + 0.5)/(df + 0.5)
+    rather than its logarithm — ln() is the one libm call engines may
+    disagree on in the last ulp (same posture as q92's log-free IDF).
+    Per-term scores quantize through decimal(25,6) before the per-doc sum
+    (plans/common.py::dsum), so ranking ties and hash compares are exact
+    across engines. Ranking is (score DESC, doc_id) — total order.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", tokenize(F.col("text")).alias("w"))
+    dl = d.select("doc_id", F.size("w").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("w").alias("word"))
+        .filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl
+    )
+    ts = (idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0))) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", ts.alias("ts"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(dsum(F.col("ts")), 6).alias("bm25"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPN)
+    )
+
+
+_bm25_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+Q104_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(w) AS word FROM d)
+  WHERE word IN ({_bm25_in})
+  GROUP BY doc_id, word
+), dfreq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+), term AS (
+  SELECT t.doc_id,
+         (((s.n_docs - f.df + 0.5) / (f.df + 0.5))
+          * (t.tf * {_BM25_K1 + 1.0}))
+         / (t.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * l.dl
+              / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS ts
+  FROM tf t JOIN dfreq f USING (word) JOIN dl l USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, round({sql_dsum('ts')}, 6) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM term GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPN}
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -2757,4 +2788,5 @@ TEXT_QUERIES = {
     "q101_pq_encode": (q101_pq_encode, Q101_SQL),
     "q102_leakage_safe_split": (q102_leakage_safe_split, Q102_SQL),
     "q103_kn_ngram_stats": (q103_kn_ngram_stats, Q103_SQL),
+    "q104_bm25_topk": (q104_bm25_topk, Q104_SQL),
 }

@@ -107,6 +107,9 @@ def main() -> None:
         "q91_segment_dedup",
         "q97_sequence_spans",
         "q98_bpe_pairs",
+        "q101_pq_encode",
+        "q102_leakage_safe_split",
+        "q103_kn_ngram_stats",
     ):
         t0 = time.perf_counter()
         n = REGISTRY[name].fn(spark, DST).count()
@@ -146,6 +149,30 @@ def main() -> None:
         "clustered_vecs": comp2.count(),
     }
     print(f"# cc/embedding: {out['cc']['embedding']}", file=sys.stderr)
+
+    # SemDeDup at its SCALE posture: k = √n (not the oracle-pinned k=8 of
+    # q100), so per-cluster pair counts stay bounded under the 10-way
+    # duplication — the knob the operator docstring prescribes for growth.
+    import math
+
+    from printer_etl_hub_spark.operators.dedup import semantic_dedup
+
+    n_vecs = out["rows"]["embeddings"]
+    k_scale = max(8, math.isqrt(max(n_vecs, 1)))
+    t0 = time.perf_counter()
+    sem = semantic_dedup(
+        t["embeddings"], "vec_id", "embedding", k=k_scale, tau=0.95, iters=2
+    )
+    keepers = sem.filter("is_keeper").count()
+    out["semantic_dedup"] = {
+        "k": k_scale,
+        "tau": 0.95,
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "vectors": n_vecs,
+        "keepers": keepers,
+        "pruned": n_vecs - keepers,
+    }
+    print(f"# semantic_dedup: {out['semantic_dedup']}", file=sys.stderr)
 
     print(json.dumps(out))
 

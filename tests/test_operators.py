@@ -405,10 +405,9 @@ def test_registry_gate_window_is_complete_and_oracled():
     assert window[1] == "q82_embedding_dedup"
     # The round-1/2-only set must all be re-evidenced this round.
     # (q02/q03/q04 yielded their slots to q97/q98/q99 late in round 4,
-    # and q05/q06/q07/q09 to q100-q103 — zero-external-row queries
+    # and q05/q06/q07/q09/q10 to q100-q104 — zero-external-row queries
     # outrank two-round-old green; registry.py.)
     stale = {
-        "q10_dedup_keep_first",
         "q11_collect_sorted", "q12_point_lookup",
         "q14_group_representative", "q16_rollup", "q17_setops",
         "q18_json_extract", "q19_catalog_lookup", "q39_sliding_window",
