@@ -78,12 +78,14 @@ HEADLINE = [
     "q98_bpe_pairs",
     "q99_corpus_datasheet",
     # Round 4 third batch: SemDeDup, PQ encode, the leakage-safe split,
-    # and the Kneser-Ney count prep.
+    # the Kneser-Ney count prep, BM25 retrieval, and Count-Min heavy
+    # hitters.
     "q100_semantic_dedup",
     "q101_pq_encode",
     "q102_leakage_safe_split",
     "q103_kn_ngram_stats",
     "q104_bm25_topk",
+    "q105_cms_heavy_hitters",
 ]
 
 

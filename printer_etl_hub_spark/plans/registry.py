@@ -6,9 +6,9 @@ makes that window explicit so coverage can be rotated deliberately.
 Round 4 leads with the two composed-pipeline flagships (q81 corpus
 prep, q82 embedding dedup) which postdate the round-3 gate run and have
 no external CORRECTNESS row yet, then the mid-round additions
-(q100-q103), then re-evidences the queries whose newest external green
-row is round 1/2 (q11-q12, q14, q16-q19, q39-q45, q49-q50, q52-q56;
-q02-q07/q09/q10 yielded their slots to newer zero-row queries and rotate
+(q100-q105), then re-evidences the queries whose newest external green
+row is round 1/2 (q12, q14, q16-q19, q39-q45, q49-q50, q52-q56;
+q02-q07/q09-q11 yielded their slots to newer zero-row queries and rotate
 back next round). The remaining 19 slots backfill from the
 round-3-green set, front-loading the queries whose implementation
 changes this round (q77 distributed shard packing, q31 guard rework,
@@ -52,20 +52,20 @@ GATE_ORDER = [
     "q81_corpus_prep",
     "q82_embedding_dedup",
     # Mid-round additions with zero external rows anywhere: SemDeDup,
-    # PQ encode, the leakage-safe split, the Kneser-Ney count prep, and
-    # BM25 retrieval.
+    # PQ encode, the leakage-safe split, the Kneser-Ney count prep, BM25
+    # retrieval, and Count-Min heavy hitters.
     "q100_semantic_dedup",
     "q101_pq_encode",
     "q102_leakage_safe_split",
     "q103_kn_ngram_stats",
     "q104_bm25_topk",
+    "q105_cms_heavy_hitters",
     # Re-evidence: the queries whose newest external green row is
     # round 1/2 (rotated out of the round-3 window). q02/q03/q04 yielded
-    # their slots to q97/q98/q99, and q05/q06/q07/q09/q10 to q100-q104
+    # their slots to q97/q98/q99, and q05/q06/q07/q09/q10/q11 to q100-q105
     # (zero external rows beats two-round-old green; all stay covered by
     # unit tests + the local oracle-diff suite, and rotate back next
     # round).
-    "q11_collect_sorted",
     "q12_point_lookup",
     "q14_group_representative",
     "q16_rollup",

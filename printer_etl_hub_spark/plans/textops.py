@@ -2745,6 +2745,78 @@ ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPN}
 """
 
 
+# --------------------------------------------------------------------------
+# q105 — Count-Min sketch heavy hitters (fixed-memory frequency estimates)
+# --------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 256
+_CMS_TOPN = 20
+
+
+def q105_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via `operators/cms.py` — the frequency member
+    of the sketch family (q76 HLL distinct, q90 Bloom membership): build
+    the d×w counter grid over the raw token stream (shuffle width d·w,
+    CONSTANT in corpus and vocabulary size), probe it for every distinct
+    token, rank by estimate. ``true_cnt`` rides along as the audit
+    column — the CMS overestimate property (est ≥ true, error ≤ (e/w)·N)
+    is what the paired property test pins; at 100 TB you keep the grid
+    and drop the exact count, that's the point.
+
+    The whole pipeline is exactly portable: md5-derived cell indices,
+    integer counters — the oracle rebuilds the grid cell-for-cell, so
+    even the ESTIMATES compare hash-exact."""
+    from ..operators.cms import cms_build, cms_estimate
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    from pyspark import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)  # feeds grid + vocab
+    sketch = cms_build(toks, "word", depth=_CMS_D, width=_CMS_W)
+    vocab = toks.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    est = cms_estimate(sketch, vocab, "word", depth=_CMS_D, width=_CMS_W)
+    return (
+        est.select("word", "est_cnt", "true_cnt")
+        .orderBy(F.desc("est_cnt"), "word")
+        .limit(_CMS_TOPN)
+    )
+
+
+Q105_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+), rows_i AS (
+  SELECT CAST(unnest(range({_CMS_D})) AS INT) AS i
+), hashes AS (
+  SELECT t.word, r.i,
+         CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.word), 1, 8)) AS BIGINT) % {_CMS_W} AS col
+  FROM toks t CROSS JOIN rows_i r
+), sketch AS (
+  SELECT i, col, CAST(count(*) AS BIGINT) AS c FROM hashes GROUP BY i, col
+), vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY word
+), probes AS (
+  SELECT v.word, v.true_cnt,
+         COALESCE(s.c, 0) AS c
+  FROM vocab v CROSS JOIN rows_i r
+  LEFT JOIN sketch s
+    ON s.i = r.i
+   AND s.col = CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || v.word), 1, 8)) AS BIGINT) % {_CMS_W}
+), est AS (
+  SELECT word, CAST(min(c) AS BIGINT) AS est_cnt, min(true_cnt) AS true_cnt
+  FROM probes GROUP BY word
+)
+SELECT word, est_cnt, true_cnt FROM est
+ORDER BY est_cnt DESC, word LIMIT {_CMS_TOPN}
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -2789,4 +2861,5 @@ TEXT_QUERIES = {
     "q102_leakage_safe_split": (q102_leakage_safe_split, Q102_SQL),
     "q103_kn_ngram_stats": (q103_kn_ngram_stats, Q103_SQL),
     "q104_bm25_topk": (q104_bm25_topk, Q104_SQL),
+    "q105_cms_heavy_hitters": (q105_cms_heavy_hitters, Q105_SQL),
 }

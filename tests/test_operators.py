@@ -405,10 +405,10 @@ def test_registry_gate_window_is_complete_and_oracled():
     assert window[1] == "q82_embedding_dedup"
     # The round-1/2-only set must all be re-evidenced this round.
     # (q02/q03/q04 yielded their slots to q97/q98/q99 late in round 4,
-    # and q05/q06/q07/q09/q10 to q100-q104 — zero-external-row queries
+    # and q05/q06/q07/q09-q11 to q100-q105 — zero-external-row queries
     # outrank two-round-old green; registry.py.)
     stale = {
-        "q11_collect_sorted", "q12_point_lookup",
+        "q12_point_lookup",
         "q14_group_representative", "q16_rollup", "q17_setops",
         "q18_json_extract", "q19_catalog_lookup", "q39_sliding_window",
         "q40_tpch_q10", "q41_semi_anti_join", "q42_tpch_q18",
@@ -546,3 +546,35 @@ def test_pq_encode_empty_input_returns_empty(spark):
 
     df = spark.createDataFrame([], "vid long, vec array<double>")
     assert pq_train_encode(df, "vid", "vec", m=2, k=4).count() == 0
+
+
+def test_cms_overestimates_and_bounds_error(spark):
+    """Count-Min property: est >= true for EVERY item, and the total
+    overshoot respects the (e/w)*N bound with room to spare on a small
+    stream."""
+    from printer_etl_hub_spark.operators.cms import cms_build, cms_estimate
+
+    rows = [(f"tok{i % 13}",) for i in range(500)]
+    items = spark.createDataFrame(rows, "word string")
+    sketch = cms_build(items, "word", depth=4, width=64)
+    vocab = items.groupBy("word").count().withColumnRenamed("count", "true_cnt")
+    est = cms_estimate(sketch, vocab, "word", depth=4, width=64).collect()
+    assert len(est) == 13
+    for r in est:
+        assert r.est_cnt >= r.true_cnt, (r.word, r.est_cnt, r.true_cnt)
+        # e/w * N with w=64, N=500 → ~21; generous cap at 2x bound
+        assert r.est_cnt - r.true_cnt <= 42
+    # grid is fixed-size: at most depth*width cells regardless of stream
+    assert sketch.count() <= 4 * 64
+
+
+def test_cms_estimate_zero_for_unseen_item(spark):
+    from printer_etl_hub_spark.operators.cms import cms_build, cms_estimate
+
+    items = spark.createDataFrame([("a",), ("b",)], "word string")
+    sketch = cms_build(items, "word", depth=4, width=256)
+    cand = spark.createDataFrame([("zebra-unseen",)], "word string")
+    [r] = cms_estimate(sketch, cand, "word", depth=4, width=256).collect()
+    # with w=256 and only 2 items, at least one of the 4 probed cells is
+    # almost surely untouched → min() sees a 0
+    assert r.est_cnt == 0
