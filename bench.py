@@ -86,6 +86,7 @@ HEADLINE = [
     "q103_kn_ngram_stats",
     "q104_bm25_topk",
     "q105_cms_heavy_hitters",
+    "q106_jl_project",
 ]
 
 

@@ -586,3 +586,73 @@ def pq_adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def _jl_signs(in_dim: int, out_dim: int, seed_tag: str) -> list[list[float]]:
+    """Deterministic ±1 projection matrix, out_dim rows × in_dim cols —
+    the sign of md5(f"{seed_tag}:{j}:{i}")'s first hex digit's low bit.
+    Computed ONCE driver-side and embedded as literals in both the Spark
+    plan and the SQL oracle (no runtime hashing; the matrix IS the
+    shared constant)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed_tag}:{j}:{i}".encode()).hexdigest()[0], 16) % 2
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    seed_tag: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: dim reduction that preserves
+    pairwise distances within (1 ± ε) for ε ≈ √(ln n / out_dim) — the
+    standard front-end that makes the downstream ANN stack (sign-LSH
+    buckets, PQ subspaces, k-means assignment) pay out_dim instead of
+    in_dim per comparison at 100 TB. Achlioptas (2003) showed ±1 entries
+    suffice; a deterministic md5-derived matrix keeps the engine's
+    no-RNG reproducibility discipline.
+
+    Each output component is a sequential left-fold dot with one ±1 row,
+    scaled by 1/out_dim^0.5 — here the scale divides by the EXACT integer
+    out_dim via sqrt-free (dot/√k)² preserving trick being unnecessary:
+    we divide by a Python-computed float sqrt constant, identical in the
+    SQL oracle because the literal itself is shared. Narrow, zero
+    shuffle, whole-stage codegen.
+
+    Returns (id_col, proj array<double>). Rows whose vector is NULL or
+    shorter than ``in_dim`` are dropped (no geometry to project); longer
+    vectors project their first ``in_dim`` components.
+    """
+    signs = _jl_signs(in_dim, out_dim, seed_tag)
+    scale = 1.0 / (out_dim ** 0.5)
+    v = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_vd"),
+    ).filter(F.col("_vd").isNotNull() & (F.size("_vd") >= in_dim))
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.slice("_vd", 1, in_dim),
+                    F.array(*[F.lit(s) for s in row]),
+                    lambda x, r: x * r,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale)
+        )
+        for row in signs
+    ]
+    return v.select(F.col(id_col), F.array(*comps).alias("proj"))

@@ -2817,6 +2817,62 @@ ORDER BY est_cnt DESC, word LIMIT {_CMS_TOPN}
 """
 
 
+# --------------------------------------------------------------------------
+# q106 — Johnson-Lindenstrauss projection (ANN front-end dim reduction)
+# --------------------------------------------------------------------------
+_JL_IN = 64
+_JL_OUT = 16  # 1/sqrt(16) = 0.25: the scale is exactly representable
+
+
+def q106_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`operators/similarity.py::jl_project` under the exact gate:
+    64-dim embeddings → 16-dim sign projections (Achlioptas ±1 matrix,
+    deterministic md5-derived, embedded as shared literals in plan AND
+    oracle). This is the ANN front-end at 100 TB — LSH bucketing, PQ,
+    and k-means assignment all pay per-dimension per comparison, so a
+    4× reduction is a 4× cut on every downstream distance fold. Narrow,
+    zero-shuffle, whole-stage codegen."""
+    from ..operators.similarity import jl_project
+
+    t = load_tables(spark, sf_dir)
+    out = jl_project(
+        t["embeddings"], "vec_id", "embedding", in_dim=_JL_IN, out_dim=_JL_OUT
+    )
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("dim", "v")
+    ).select("vec_id", "dim", F.round("v", 6).alias("proj"))
+
+
+def _q106_sql() -> str:
+    from ..operators.similarity import _jl_signs
+
+    signs = _jl_signs(_JL_IN, _JL_OUT, "jl")
+    scale = repr(1.0 / (_JL_OUT ** 0.5))
+    comps = []
+    for j, row in enumerate(signs):
+        # Explicit left-assoc chain == the Spark fold's order (0.0 + x1*s1
+        # + x2*s2 ... with 0.0+a = a exactly).
+        terms = " + ".join(
+            f"vd[{i + 1}] * {'1.0' if s > 0 else '-1.0'}" for i, s in enumerate(row)
+        )
+        comps.append(f"round(({terms}) * {scale}, 6)")
+    unnest_vals = ", ".join(comps)
+    dims = ", ".join(str(j) for j in range(_JL_OUT))
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= {_JL_IN}
+)
+SELECT vec_id, u.dim AS dim, u.proj AS proj FROM v, LATERAL (
+  SELECT unnest([{dims}]) AS dim, unnest([{unnest_vals}]) AS proj
+) u
+"""
+
+
+Q106_SQL = _q106_sql()
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -2862,4 +2918,5 @@ TEXT_QUERIES = {
     "q103_kn_ngram_stats": (q103_kn_ngram_stats, Q103_SQL),
     "q104_bm25_topk": (q104_bm25_topk, Q104_SQL),
     "q105_cms_heavy_hitters": (q105_cms_heavy_hitters, Q105_SQL),
+    "q106_jl_project": (q106_jl_project, Q106_SQL),
 }

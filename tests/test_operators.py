@@ -578,3 +578,36 @@ def test_cms_estimate_zero_for_unseen_item(spark):
     # with w=256 and only 2 items, at least one of the 4 probed cells is
     # almost surely untouched → min() sees a 0
     assert r.est_cnt == 0
+
+
+def test_jl_projection_preserves_relative_distances(spark):
+    """JL property sanity: after a 64→16 sign projection, the NEAREST
+    original pair stays much closer than the FARTHEST one (distance
+    ordering is approximately preserved — the distortion the lemma
+    bounds), and the projection is deterministic."""
+    from printer_etl_hub_spark.operators.similarity import jl_project
+
+    rows = [
+        (1, [1.0] * 64),
+        (2, [1.0] * 63 + [1.1]),           # near-twin of 1
+        (3, [(-1.0) ** i * 5.0 for i in range(64)]),  # far from both
+    ]
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    out = {r.vid: r.proj for r in jl_project(df, "vid", "vec", 64, 16).collect()}
+    assert all(len(v) == 16 for v in out.values())
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    assert d2(out[1], out[2]) < d2(out[1], out[3]) / 10
+    out2 = {r.vid: r.proj for r in jl_project(df, "vid", "vec", 64, 16).collect()}
+    assert out == out2
+
+
+def test_jl_projection_drops_short_and_null_vectors(spark):
+    from printer_etl_hub_spark.operators.similarity import jl_project
+
+    rows = [(1, [1.0] * 64), (2, [1.0] * 10), (3, None)]
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    got = jl_project(df, "vid", "vec", 64, 16).collect()
+    assert [r.vid for r in got] == [1]

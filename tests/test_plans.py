@@ -176,6 +176,8 @@ BNLJ_ALLOWED = {
     "q92_tfidf_topk",  # 1-row doc-count scalar broadcast
     "q93_lloyd_step",  # k=8-row broadcast seed table (by-design nested loop)
     "q95_quality_deciles",  # 1-row corpus-count scalar broadcast
+    "q100_semantic_dedup",  # k=8-row broadcast centroid table (q93's class)
+    "q104_bm25_topk",  # 1-row corpus-stats (N, avgdl) scalar broadcast
 }
 
 
