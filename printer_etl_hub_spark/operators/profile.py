@@ -68,3 +68,48 @@ def profile_columns(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
                 )
             )
     return wide.select(F.explode(F.array(*entries)).alias("kv")).select("kv.*")
+
+
+def hot_keys(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Top-``k`` most frequent values of a key column with counts and
+    corpus share — the pre-flight skew diagnosis that decides whether a
+    join/agg on this key needs `operators/skewjoin.py::salted_join` or
+    the q36 salted two-stage agg. One map-side-combinable groupBy, a
+    1-row total broadcast, a bounded top-k: cost is one shuffle of the
+    distinct keys regardless of corpus size.
+
+    Returns (key, cnt, share) ordered by (cnt DESC, key) — a share
+    above ~1/shuffle-partitions on a single key is the smoking gun.
+    """
+    counts = (
+        df.select(F.col(col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(k)
+    )
+
+
+def partition_histogram(df: DataFrame) -> DataFrame:
+    """Rows per physical partition — detects a skewed layout (one fat
+    partition = one straggler task) BEFORE an expensive stage runs on
+    it. Diagnostic-only: the numbers depend on the current partitioning,
+    not on the data semantics (so no oracle; pin with unit tests).
+
+    Returns (partition_id, n_rows) ordered by partition_id.
+    """
+    return (
+        df.select(F.spark_partition_id().alias("partition_id"))
+        .groupBy("partition_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("partition_id")
+    )

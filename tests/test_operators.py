@@ -611,3 +611,23 @@ def test_jl_projection_drops_short_and_null_vectors(spark):
     df = spark.createDataFrame(rows, "vid long, vec array<double>")
     got = jl_project(df, "vid", "vec", 64, 16).collect()
     assert [r.vid for r in got] == [1]
+
+
+def test_hot_keys_finds_skewed_key_with_share(spark):
+    from printer_etl_hub_spark.operators.profile import hot_keys
+
+    rows = [("hot",)] * 80 + [(f"k{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "user string")
+    top = hot_keys(df, "user", k=3).collect()
+    assert top[0].key == "hot" and top[0].cnt == 80
+    assert abs(top[0].share - 0.8) < 1e-9
+    assert top[1].cnt == 1  # everything else is flat
+
+
+def test_partition_histogram_counts_all_rows(spark):
+    from printer_etl_hub_spark.operators.profile import partition_histogram
+
+    df = spark.range(1000).repartition(8)
+    hist = partition_histogram(df).collect()
+    assert sum(r.n_rows for r in hist) == 1000
+    assert len(hist) <= 8

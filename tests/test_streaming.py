@@ -602,3 +602,45 @@ def test_corpus_ingest_stream_equals_batch_digest_set(spark, tmp_path):
     assert {r.dig for r in got} == batch
     assert len(got) == len(batch)  # one emission per digest, no dupes
     assert all(r.quality_score >= 0.45 for r in got)
+
+
+def test_cms_build_stream_equals_batch_grid(spark, tmp_path):
+    """The CMS grid is a pure mergeable sum, so `cms_build` runs
+    UNCHANGED as a streaming aggregation — the final complete-mode grid
+    over file-replayed micro-batches must equal the batch grid cell for
+    cell (the same merge property the q76 HLL partials rely on)."""
+    from pyspark.sql import functions as F
+
+    from printer_etl_hub_spark.operators.cms import cms_build
+    from printer_etl_hub_spark.tables import load_tables
+
+    toks = (
+        load_tables(spark, "/root/testdata/sf0.001")["documents"]
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
+    )
+    src = str(tmp_path / "toks_src")
+    toks.repartition(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        cms_build(stream, "word", depth=4, width=64)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_stream_grid")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.i, r.col): r.c
+            for r in spark.sql("SELECT * FROM cms_stream_grid").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.i, r.col): r.c
+        for r in cms_build(spark.read.parquet(src), "word", depth=4, width=64).collect()
+    }
+    assert got == want
