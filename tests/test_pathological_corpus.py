@@ -37,6 +37,12 @@ BOUNDARY_SENSITIVE = [
     "q96_source_leakage",
     "q97_sequence_spans",
     "q98_bpe_pairs",
+    # Round-4 additions with token-count boundaries (bigram windows need
+    # >= 2 tokens; CMS/BM25 hash every raw token incl. the empty-string
+    # token of blank text):
+    "q103_kn_ngram_stats",
+    "q104_bm25_topk",
+    "q105_cms_heavy_hitters",
 ]
 
 

@@ -35,6 +35,10 @@ TEXT_KEYED = [
     "q91_segment_dedup",
     "q96_source_leakage",
     "q98_bpe_pairs",
+    # Round-4 additions whose oracle keys hash or tokenize raw text:
+    "q102_leakage_safe_split",
+    "q103_kn_ngram_stats",
+    "q105_cms_heavy_hitters",
 ]
 
 
