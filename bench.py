@@ -87,6 +87,7 @@ HEADLINE = [
     "q104_bm25_topk",
     "q105_cms_heavy_hitters",
     "q106_jl_project",
+    "q107_pq_adc_topk",
 ]
 
 

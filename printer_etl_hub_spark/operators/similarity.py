@@ -582,7 +582,12 @@ def pq_adc_topk(
     return (
         codes.join(F.broadcast(ldf), ["sub", "code"])
         .groupBy(id_col)
-        .agg(F.sum("pdist").alias("adc_dist"))
+        # Quantized-exact sum (plans/common.py discipline): the m partial
+        # distances arrive in nondeterministic partition order, and a raw
+        # double sum would wobble in the low bits run-to-run AND against
+        # the SQL oracle. decimal(25,6) partials make the total — and
+        # therefore the top-k ORDER — bit-stable everywhere.
+        .agg(F.sum(F.col("pdist").cast("decimal(25,6)")).cast("double").alias("adc_dist"))
         .orderBy("adc_dist", id_col)
         .limit(k)
     )

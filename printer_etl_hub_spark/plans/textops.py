@@ -2471,8 +2471,10 @@ def _sql_pq_round(cent_table: str, a_name: str, c_name: str) -> str:
 )"""
 
 
-Q101_SQL = f"""
-WITH v AS (
+#: Shared CTE chain: NULL-filtered vectors → subspace split → seed
+#: codebooks → two unrolled PQ Lloyd rounds → final code assignment.
+#: Q101 selects the codes; Q107 keeps going into the ADC scoring.
+_PQ_PREFIX_SQL = f"""v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
   FROM embeddings WHERE embedding IS NOT NULL
 ), subs AS (
@@ -2499,12 +2501,17 @@ enc AS (
                           i -> (s.svd[i] - c.cvec[i]) * (s.svd[i] - c.cvec[i])),
            (a, b) -> a + b) AS dist
   FROM sv s JOIN pc2 c ON c.sub = s.sub
-)
-SELECT vec_id, sub, code FROM (
-  SELECT vec_id, sub, code,
-         row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
-  FROM enc
-) WHERE rn = 1
+), pq_codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM enc
+  ) WHERE rn = 1
+)"""
+
+Q101_SQL = f"""
+WITH {_PQ_PREFIX_SQL}
+SELECT vec_id, sub, code FROM pq_codes
 """
 
 
@@ -2873,6 +2880,65 @@ SELECT vec_id, u.dim AS dim, u.proj AS proj FROM v, LATERAL (
 Q106_SQL = _q106_sql()
 
 
+# --------------------------------------------------------------------------
+# q107 — PQ + ADC end-to-end: index build then query, exactly gated
+# --------------------------------------------------------------------------
+#: Fixed query vector: exact quarter multiples so the literal is the same
+#: double in Python, Spark, and DuckDB.
+_ADC_QUERY = [0.25 * ((j * 7) % 9 - 4) for j in range(64)]
+_ADC_TOPN = 10
+
+
+def q107_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full compressed-ANN query path under one exact gate: train PQ
+    codebooks and encode the corpus (q101), then answer a top-k query by
+    asymmetric distance — an m·k lookup table built driver-side from the
+    codebooks, one broadcast equi-join on (sub, code), one quantized-
+    exact sum per vector. At query time the corpus contributes ONLY its
+    code table (m small ints per vector); no corpus float is touched —
+    the property that lets a 100 TB embedding store answer queries from
+    RAM. Ranking is (adc_dist, vec_id), bit-stable across engines via
+    the decimal-quantized partial sums."""
+    from ..operators.similarity import pq_adc_topk, pq_train_encode
+
+    t = load_tables(spark, sf_dir)
+    books: dict = {}
+    codes = pq_train_encode(
+        t["embeddings"], "vec_id", "embedding",
+        m=_PQ_M, k=_PQ_K, iters=2, codebooks_out=books,
+    )
+    if not books:  # empty corpus: nothing indexed, nothing to rank
+        return codes.select("vec_id", F.lit(0.0).alias("adc_dist")).limit(0)
+    out = pq_adc_topk(codes, books, _ADC_QUERY, "vec_id", k=_ADC_TOPN)
+    return out.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
+_adc_q_sql = "[" + ", ".join(repr(v) for v in _ADC_QUERY) + "]"
+Q107_SQL = f"""
+WITH {_PQ_PREFIX_SQL},
+lutq AS (
+  SELECT c.sub, c.code,
+         list_reduce(
+           list_transform(range(1, len(c.cvec) + 1),
+                          i -> (c.qs[i] - c.cvec[i]) * (c.qs[i] - c.cvec[i])),
+           (a, b) -> a + b) AS pdist
+  FROM (
+    SELECT sub, code, cvec,
+           list_slice({_adc_q_sql}, sub * len(cvec) + 1,
+                      (sub + 1) * len(cvec)) AS qs
+    FROM pc2
+  ) c
+), scored AS (
+  SELECT k.vec_id,
+         CAST(SUM(CAST(l.pdist AS DECIMAL(25,6))) AS DOUBLE) AS adc_dist
+  FROM pq_codes k JOIN lutq l ON l.sub = k.sub AND l.code = k.code
+  GROUP BY k.vec_id
+)
+SELECT vec_id, round(adc_dist, 6) AS adc_dist
+FROM scored ORDER BY adc_dist, vec_id LIMIT {_ADC_TOPN}
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -2919,4 +2985,5 @@ TEXT_QUERIES = {
     "q104_bm25_topk": (q104_bm25_topk, Q104_SQL),
     "q105_cms_heavy_hitters": (q105_cms_heavy_hitters, Q105_SQL),
     "q106_jl_project": (q106_jl_project, Q106_SQL),
+    "q107_pq_adc_topk": (q107_pq_adc_topk, Q107_SQL),
 }

@@ -538,7 +538,9 @@ def test_pq_encode_compresses_and_adc_matches_reconstruction(spark):
     expect = sorted(dists.items(), key=lambda kv: (kv[1], kv[0]))[:5]
     assert [r.vid for r in top] == [v for v, _ in expect]
     for r, (_, ed) in zip(top, expect):
-        assert abs(r.adc_dist - ed) < 1e-9
+        # the operator's per-vector sum quantizes partials at 1e-6
+        # (cross-engine determinism), so compare at that granularity
+        assert abs(r.adc_dist - ed) < 1e-5
 
 
 def test_pq_encode_empty_input_returns_empty(spark):
