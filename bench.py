@@ -88,6 +88,7 @@ HEADLINE = [
     "q105_cms_heavy_hitters",
     "q106_jl_project",
     "q107_pq_adc_topk",
+    "q108_incremental_minhash",
 ]
 
 

@@ -96,6 +96,90 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     ).select("doc_id", word_shingles(F.col("toks"), n).alias("shingles"))
 
 
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The MinHash LSH band INDEX for a corpus: (id, band_id, band_key),
+    one row per document per band. This is the artifact a production
+    dedup pipeline STORES (parquet, partitioned/bucketed by band_key):
+    history is indexed once, and each new crawl increment only computes
+    its own signatures and equi-joins against the stored index —
+    incremental cost proportional to the new batch, never a re-scan of
+    history. `minhash_lsh_pairs` derives in-corpus pairs from this same
+    index; `minhash_index_join` derives cross-corpus (new vs history)
+    candidates.
+
+    Fully narrow until the caller's bucket join: shingles → one md5 base
+    per shingle → k multiply-mod components (array folds) → band keys.
+    Deterministic, so a SQL oracle reproduces every key.
+    """
+    assert k % bands == 0, "k must divide into equal bands"
+    rows_per_band = k // bands
+
+    def _mh_component(a: int, b: int):
+        # 1-parameter lambda — see minhash_lsh_pairs for the transform()
+        # two-parameter trap.
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    sh = _doc_shingles(df, id_col, text_col, shingle_n)
+    based = sh.select(
+        "doc_id",
+        F.transform(
+            "shingles", lambda s: _md5_60bit(s) % F.lit(MINHASH_PRIME)
+        ).alias("hs"),
+    )
+    sig = based.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hs", _mh_component(a, b))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(k))
+        ],
+    )
+    stack_args = []
+    for b in range(bands):
+        cols = " , '|', ".join(
+            f"cast(mh{i} as string)" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        stack_args.append(f"{b}, concat({cols})")
+    return (
+        sig.selectExpr(
+            "doc_id", f"stack({bands}, {', '.join(stack_args)}) AS (band_id, band_sig)"
+        )
+        .filter(F.col("band_sig").isNotNull())
+        .select(
+            F.col("doc_id").alias(id_col),
+            "band_id",
+            _md5_60bit(F.col("band_sig")).alias("band_key"),
+        )
+    )
+
+
+def minhash_index_join(
+    new_index: DataFrame,
+    hist_index: DataFrame,
+    new_id: str = "new_id",
+    hist_id: str = "hist_id",
+) -> DataFrame:
+    """Cross-corpus candidate pairs from two `minhash_band_index` frames:
+    a new batch's index equi-joined against the STORED history index on
+    (band_id, band_key). Only cross pairs are generated — history never
+    pays its own quadratic fan-out (the q78 decontamination discipline),
+    and the join cost tracks the NEW batch's bucket occupancy, which is
+    the whole incremental-ingest story at 100 TB."""
+    n = new_index.select(
+        F.col(new_index.columns[0]).alias(new_id), "band_id", "band_key"
+    )
+    h = hist_index.select(
+        F.col(hist_index.columns[0]).alias(hist_id), "band_id", "band_key"
+    )
+    return n.join(h, ["band_id", "band_key"]).select(new_id, hist_id).distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -116,67 +200,12 @@ def minhash_lsh_pairs(
     join; per-bucket pair explosion is the classic LSH tradeoff — tune
     (k, bands) for the target similarity threshold.
     """
-    assert k % bands == 0, "k must divide into equal bands"
-    rows_per_band = k // bands
-    # Signature = per-doc ARRAY FOLD, not explode+groupBy: array_min over a
-    # transform evaluates each of the k components once per doc row — fully
-    # narrow, NO shuffle at all until the bucket index below. (The explode
-    # path additionally re-evaluates the shingle-construction expression per
-    # generated row — measured 4-5x the whole fold cost — and pays a
-    # doc_id shuffle for the re-aggregation.)
-    # Each shingle is md5'd ONCE into a base hash, and the k components are
-    # multiply-mod universal hashes of that base (the construction MLlib's
-    # MinHashLSH uses) — round 4 change from k keyed md5s per shingle,
-    # which billed 12x the digest work for the same LSH guarantee
-    # (measured 2.8 s → sub-second on the sf0.1 bench). The base-hash
-    # array sits in its OWN projection: it is referenced k times, and as a
-    # multi-referenced non-cheap alias CollapseProject keeps it
-    # materialized. Components stay NUMERIC bigints: primitive-typed mins,
-    # no string-collation compares, and DuckDB reproduces the arithmetic
-    # exactly for the oracle (see MINHASH_PRIME bound).
-    def _mh_component(a: int, b: int):
-        # MUST be a 1-parameter lambda: pyspark's transform() treats a
-        # 2-parameter callable (e.g. `lambda s, i=i: ...`) as an
-        # (element, index) lambda and passes the array-index Column as the
-        # second argument — silently shadowing a closure default.
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
-
-    sh = _doc_shingles(df, id_col, text_col, shingle_n)
-    based = sh.select(
-        "doc_id",
-        F.transform(
-            "shingles", lambda s: _md5_60bit(s) % F.lit(MINHASH_PRIME)
-        ).alias("hs"),
-    )
-    sig = based.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("hs", _mh_component(a, b))).alias(f"mh{i}")
-            for i, (a, b) in enumerate(minhash_coeffs(k))
-        ],
-    )
-    # Melt signature → (band_id, band_key) rows in a single projection
-    # (stack), instead of a union that would recompute sig per band. The
-    # band key is re-hashed to a bigint so the candidate self-join stays on
-    # primitive-typed keys end to end (string join keys sort/compare
-    # through collation in Spark 4 — avoid them in the hot path).
-    # concat (NOT concat_ws): a doc with no shingles has null mins, and
-    # null-propagating concat gives it a null band_sig → null band_key →
-    # dropped by the filter below. (concat_ws would silently fold all empty
-    # docs into one giant shared bucket.) The filter sits on the stack
-    # generator's OUTPUT, so it cannot be pushed into the fold expressions.
-    stack_args = []
-    for b in range(bands):
-        cols = " , '|', ".join(
-            f"cast(mh{i} as string)" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-        )
-        stack_args.append(f"{b}, concat({cols})")
-    banded = (
-        sig.selectExpr(
-            "doc_id", f"stack({bands}, {', '.join(stack_args)}) AS (band_id, band_sig)"
-        )
-        .filter(F.col("band_sig").isNotNull())
-        .select("doc_id", "band_id", _md5_60bit(F.col("band_sig")).alias("band_key"))
+    # Signature/banding discipline (array folds, one md5 base per shingle,
+    # multiply-mod components, primitive-typed band keys, null-band drop)
+    # lives in minhash_band_index — the same index a production pipeline
+    # stores for incremental ingest.
+    banded = minhash_band_index(df, id_col, text_col, k, bands, shingle_n).select(
+        F.col(id_col).alias("doc_id"), "band_id", "band_key"
     )
     # Bucket inverted index + double-explode pair generation (a flatMap),
     # NOT a self-join: a self-join's build side would re-evaluate the whole

@@ -2939,6 +2939,62 @@ FROM scored ORDER BY adc_dist, vec_id LIMIT {_ADC_TOPN}
 """
 
 
+# --------------------------------------------------------------------------
+# q108 — incremental ingest dedup: new batch vs the stored MinHash index
+# --------------------------------------------------------------------------
+def q108_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ingest flow at 100 TB: history is MinHash-band-
+    indexed ONCE (`operators/dedup.py::minhash_band_index` — the artifact
+    you store, parquet-bucketed by band_key), and each new crawl batch
+    computes only its own signatures and equi-joins the stored index
+    (`minhash_index_join`). Cross pairs only — history never pays its own
+    quadratic fan-out, and the per-batch cost tracks the BATCH, not the
+    corpus. The gate splits documents by md5 parity (q78's discipline):
+    even → history, odd → the arriving batch."""
+    from ..operators.dedup import minhash_band_index, minhash_index_join
+
+    t = load_tables(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    d = t["documents"].withColumn("_par", F.pmod(h, 2))
+    hist = d.filter(F.col("_par") == 0).drop("_par")
+    new = d.filter(F.col("_par") == 1).drop("_par")
+    hi = minhash_band_index(hist, "doc_id", "text", k=_MH_K, bands=_MH_BANDS)
+    ni = minhash_band_index(new, "doc_id", "text", k=_MH_K, bands=_MH_BANDS)
+    return minhash_index_join(ni, hi, new_id="new_id", hist_id="hist_id")
+
+
+Q108_SQL = f"""
+WITH words AS ({_SQL_WORDS}),
+sh AS ({_SQL_SHINGLES}),
+based AS (
+  SELECT doc_id,
+         list_transform(sh, s -> {_sql_md5_60bit('s')} % {_MH_P}) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, {_mh_cols}
+  FROM based
+),
+banded AS (
+{_band_selects}
+),
+keyed AS (
+  SELECT doc_id, band_id, {_sql_md5_60bit('band_sig')} AS band_key FROM banded
+),
+par AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS p
+  FROM documents
+)
+SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS hist_id
+FROM keyed a JOIN par pa ON pa.doc_id = a.doc_id AND pa.p = 1
+JOIN keyed b ON b.band_id = a.band_id AND b.band_key = a.band_key
+JOIN par pb ON pb.doc_id = b.doc_id AND pb.p = 0
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -2986,4 +3042,5 @@ TEXT_QUERIES = {
     "q105_cms_heavy_hitters": (q105_cms_heavy_hitters, Q105_SQL),
     "q106_jl_project": (q106_jl_project, Q106_SQL),
     "q107_pq_adc_topk": (q107_pq_adc_topk, Q107_SQL),
+    "q108_incremental_minhash": (q108_incremental_minhash, Q108_SQL),
 }

@@ -633,3 +633,24 @@ def test_partition_histogram_counts_all_rows(spark):
     hist = partition_histogram(df).collect()
     assert sum(r.n_rows for r in hist) == 1000
     assert len(hist) <= 8
+
+
+def test_minhash_index_join_finds_only_cross_corpus_pairs(spark):
+    """The stored-index flow: a new batch joined against the history
+    index yields exactly the in-corpus LSH pairs that CROSS the split —
+    and nothing within either side."""
+    from printer_etl_hub_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_index_join,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    hist = df.filter("doc_id = 1")
+    new = df.filter("doc_id >= 2")
+    hi = minhash_band_index(hist, "doc_id", "text", k=12, bands=4)
+    ni = minhash_band_index(new, "doc_id", "text", k=12, bands=4)
+    cross = {
+        (r.new_id, r.hist_id) for r in minhash_index_join(ni, hi).collect()
+    }
+    # docs 1 and 2 are near-dups (shared shingle bands); 3 is unrelated
+    assert cross == {(2, 1)}
