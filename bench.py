@@ -89,6 +89,7 @@ HEADLINE = [
     "q106_jl_project",
     "q107_pq_adc_topk",
     "q108_incremental_minhash",
+    "q109_scd2_merge",
 ]
 
 

@@ -13,6 +13,7 @@ the merge is a single scan of the target with no shuffle.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,3 +58,95 @@ def merge_upsert(
             matched = matched | F.col(rename[c]).isNotNull()
         out_cols.append(matched.alias(changed_flag))
     return joined.select(*out_cols)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    batch_date: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    current_col: str = "is_current",
+    open_end: str = "9999-12-31",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge: apply a snapshot of
+    ``updates`` (key + tracked attrs) to a versioned dimension, keeping
+    FULL history — the warehouse pattern behind every
+    as-of-reconstructable dimension (reference parity: the S11 report
+    upsert overwrites in place; SCD2 is its history-keeping sibling,
+    composing with S12's versioned sink for time travel).
+
+    Row fates, decided by ONE left join of current rows to updates:
+    - changed (any tracked attr differs, null-safe): current row closes
+      (``effective_to = batch_date``, current=false) AND a new current
+      version inserts at ``batch_date``;
+    - unchanged / key absent from updates: carried through untouched;
+    - brand-new key: inserted as the first current version;
+    - historical (already-closed) rows: never touched.
+
+    Open versions carry ``open_end`` (default 9999-12-31) rather than a
+    NULL end date — the standard warehouse sentinel, and it keeps every
+    engine/pandas representation of the column comparable (NULL dates
+    render as None/NaT inconsistently across the oracle boundary).
+
+    Scale: one equi-join on the key (broadcast when the update batch is
+    dimension-batch-sized, the common case) + unions — no window over
+    the dimension, so history depth never enters the cost. Deterministic
+    output for a given (dim, updates, batch_date): exactly oracle-able.
+    """
+    hist = dim.filter(~F.col(current_col))
+    cur = dim.filter(F.col(current_col))
+    up = updates.select(key, *attrs)
+    upd = up.select(
+        F.col(key).alias("_k"), *[F.col(a).alias(f"_u_{a}") for a in attrs]
+    )
+    joined = cur.join(F.broadcast(upd), cur[key] == F.col("_k"), "left")
+    changed_pred = F.col("_k").isNotNull() & ~reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in attrs],
+    )
+    dim_cols = dim.columns
+    # current rows that survive as-is (unchanged or not in the batch)
+    keep_cur = joined.filter(~changed_pred).select(*dim_cols)
+    # current rows whose version closes at the batch date
+    closed = joined.filter(changed_pred).select(
+        *[
+            F.lit(batch_date).cast(dim.schema[to_col].dataType).alias(c)
+            if c == to_col
+            else (F.lit(False).alias(c) if c == current_col else F.col(c))
+            for c in dim_cols
+        ]
+    )
+    # replacement versions for changed keys
+    def _new_version(src_key, attr_src):
+        return [
+            F.col(src_key).alias(c)
+            if c == key
+            else (
+                attr_src(c)
+                if c in attrs
+                else (
+                    F.lit(batch_date).cast(dim.schema[from_col].dataType).alias(c)
+                    if c == from_col
+                    else (
+                        F.lit(open_end).cast(dim.schema[to_col].dataType).alias(c)
+                        if c == to_col
+                        else F.lit(True).alias(c)
+                    )
+                )
+            )
+            for c in dim_cols
+        ]
+
+    replaced = joined.filter(changed_pred).select(
+        *_new_version("_k", lambda c: F.col(f"_u_{c}").alias(c))
+    )
+    # brand-new keys: in updates, absent from the current dimension
+    fresh = upd.join(
+        cur.select(F.col(key).alias("_ck")), F.col("_k") == F.col("_ck"), "left_anti"
+    ).select(*_new_version("_k", lambda c: F.col(f"_u_{c}").alias(c)))
+    return hist.unionByName(keep_cur).unionByName(closed).unionByName(
+        replaced
+    ).unionByName(fresh)

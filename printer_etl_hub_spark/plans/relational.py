@@ -1680,6 +1680,91 @@ FROM (SELECT * FROM color UNION ALL SELECT * FROM mono)
 """
 
 
+# --------------------------------------------------------------------------
+# q109 — SCD Type-2 dimension merge (full-history upsert)
+# --------------------------------------------------------------------------
+_SCD2_ATTRS = ["c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def q109_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`operators/upsert.py::scd2_apply` under the exact gate: the
+    customer dimension as a versioned SCD2 table (one open version per
+    key) receives a snapshot batch where every 7th key changed segment
+    and balance and every 13th key is brand-new — changed keys close
+    their version at the batch date and insert a replacement; unchanged
+    and absent keys pass through untouched. One broadcast key join +
+    unions; history depth never enters the cost."""
+    from ..operators.upsert import scd2_apply
+
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    dim = c.select(
+        "c_custkey",
+        *_SCD2_ATTRS,
+        F.lit("2025-01-01").cast("date").alias("effective_from"),
+        F.lit("9999-12-31").cast("date").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("RELOCATED").alias("c_mktsegment"),
+    )
+    fresh = c.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + F.lit(100000)).alias("c_custkey"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return scd2_apply(
+        dim, changed.unionByName(fresh), "c_custkey", _SCD2_ATTRS, "2026-01-01"
+    )
+
+
+Q109_SQL = """
+WITH dim AS (
+  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+         DATE '2025-01-01' AS effective_from,
+         DATE '9999-12-31' AS effective_to,
+         TRUE AS is_current
+  FROM customer
+), upd AS (
+  SELECT c_custkey, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+         'RELOCATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 100000, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 13 = 0
+), cur AS (
+  SELECT * FROM dim WHERE is_current
+), j AS (
+  SELECT c.*, u.c_custkey AS uk, u.c_nationkey AS un, u.c_acctbal AS ua,
+         u.c_mktsegment AS um,
+         (u.c_custkey IS NOT NULL AND NOT (
+            c.c_nationkey IS NOT DISTINCT FROM u.c_nationkey
+            AND c.c_acctbal IS NOT DISTINCT FROM u.c_acctbal
+            AND c.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment)) AS chg
+  FROM cur c LEFT JOIN upd u ON u.c_custkey = c.c_custkey
+)
+SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+       effective_from, effective_to, is_current
+FROM j WHERE NOT chg
+UNION ALL
+SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+       effective_from, DATE '2026-01-01', FALSE
+FROM j WHERE chg
+UNION ALL
+SELECT uk, un, ua, um, DATE '2026-01-01', DATE '9999-12-31', TRUE
+FROM j WHERE chg
+UNION ALL
+SELECT u.c_custkey, u.c_nationkey, u.c_acctbal, u.c_mktsegment,
+       DATE '2026-01-01', DATE '9999-12-31', TRUE
+FROM upd u LEFT JOIN cur c ON c.c_custkey = u.c_custkey
+WHERE c.c_custkey IS NULL
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1728,4 +1813,5 @@ RELATIONAL_QUERIES = {
     "q79_profile": (q79_profile, Q79_SQL),
     "q80_session_ids": (q80_session_ids, Q80_SQL),
     "q83_brother_toner": (q83_brother_toner, Q83_SQL),
+    "q109_scd2_merge": (q109_scd2_merge, Q109_SQL),
 }

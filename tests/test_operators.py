@@ -654,3 +654,34 @@ def test_minhash_index_join_finds_only_cross_corpus_pairs(spark):
     }
     # docs 1 and 2 are near-dups (shared shingle bands); 3 is unrelated
     assert cross == {(2, 1)}
+
+
+def test_scd2_apply_history_and_idempotence(spark):
+    """SCD2 contract: a changed key closes its version and inserts a
+    replacement, history survives later batches untouched, and applying
+    the SAME batch twice is a no-op (the second pass sees no attr
+    diffs)."""
+    from pyspark.sql import functions as F
+
+    from printer_etl_hub_spark.operators.upsert import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "k int, v string"
+    ).select(
+        "k", "v",
+        F.lit("2025-01-01").cast("date").alias("effective_from"),
+        F.lit("9999-12-31").cast("date").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    batch = spark.createDataFrame([(1, "A2"), (3, "C")], "k int, v string")
+    out1 = scd2_apply(dim, batch, "k", ["v"], "2026-01-01")
+    rows = {(r.k, r.v, str(r.effective_to), r.is_current) for r in out1.collect()}
+    assert rows == {
+        (1, "A", "2026-01-01", False),   # closed old version
+        (1, "A2", "9999-12-31", True),   # replacement
+        (2, "B", "9999-12-31", True),    # untouched
+        (3, "C", "9999-12-31", True),    # brand-new key
+    }
+    out2 = scd2_apply(out1, batch, "k", ["v"], "2026-06-01")
+    rows2 = {(r.k, r.v, str(r.effective_to), r.is_current) for r in out2.collect()}
+    assert rows2 == rows  # same snapshot again → no version churn
