@@ -90,6 +90,8 @@ HEADLINE = [
     "q107_pq_adc_topk",
     "q108_incremental_minhash",
     "q109_scd2_merge",
+    "q111_event_funnel",
+    "q112_cohort_retention",
 ]
 
 

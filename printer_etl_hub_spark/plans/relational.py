@@ -1765,6 +1765,168 @@ WHERE c.c_custkey IS NULL
 """
 
 
+# --------------------------------------------------------------------------
+# q110 — as-of dimension reconstruction over the SCD2 history
+# --------------------------------------------------------------------------
+def q110_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff query of SCD2: reconstruct the dimension EXACTLY as it
+    stood on a date — one half-open interval predicate over the q109
+    version table (`from <= d < to`; the 9999-12-31 sentinel makes open
+    versions ordinary rows, no NULL handling in the predicate). As-of
+    2026-06-01 every 7th customer shows its RELOCATED replacement and
+    the 13th-key inserts are present — history answered without a
+    window, a self-join, or a scan of anything but the version table."""
+    dim = q109_scd2_merge(spark, sf_dir)
+    d = F.lit("2026-06-01").cast("date")
+    return dim.filter(
+        (F.col("effective_from") <= d) & (d < F.col("effective_to"))
+    ).select("c_custkey", *_SCD2_ATTRS)
+
+
+Q110_SQL = f"""
+SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+FROM ({Q109_SQL}) v
+WHERE v.effective_from <= DATE '2026-06-01'
+  AND DATE '2026-06-01' < v.effective_to
+"""
+
+
+# --------------------------------------------------------------------------
+# q111 — event funnel (view → click → purchase, ordered)
+# --------------------------------------------------------------------------
+_FUNNEL = ["view", "click", "purchase"]
+
+
+def q111_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel depth per user — the ClickHouse-windowFunnel-style
+    product-analytics op: step N counts only if it happens STRICTLY
+    after the user's matched step N-1 (earliest-match greedy, which is
+    depth-optimal). Three chained min aggregations, each a map-side-
+    combinable groupBy on user_id followed by a strict-inequality
+    filter — no window over the event stream, no per-user sort, and the
+    per-step frames shrink monotonically (only users who reached step
+    N-1 are joined for step N). Output (user_id, depth 0-3)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "ts", "event_type").filter(
+        F.col("event_type").isin(*_FUNNEL)
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == _FUNNEL[1])
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == _FUNNEL[2])
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    base = t["events"].select("user_id").distinct()
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        base.join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select("user_id", depth.cast("int").alias("funnel_depth"))
+    )
+
+
+Q111_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM ev e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM ev e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT b.user_id,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS funnel_depth
+FROM (SELECT DISTINCT user_id FROM events) b
+LEFT JOIN s1 ON s1.user_id = b.user_id
+LEFT JOIN s2 ON s2.user_id = b.user_id
+LEFT JOIN s3 ON s3.user_id = b.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q112 — cohort retention (signup week × activity week)
+# --------------------------------------------------------------------------
+def q112_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort-retention triangle: users grouped by FIRST-signup week
+    (the cohort), counted as retained in each subsequent week they show
+    ANY activity. Two aggregations — first-signup per user (map-side
+    min), then distinct (cohort, week_offset, user) — and integer-only
+    week arithmetic (date_diff DIV 7) so the offsets are exactly
+    portable. Output (cohort_week, week_n, n_users)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_ts"))
+    )
+    act = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("act_ts"))
+    week_n = (
+        F.datediff(F.col("act_ts").cast("date"), F.col("cohort_ts").cast("date"))
+        / F.lit(7)
+    ).cast("int")
+    return (
+        act.join(signup, "user_id")
+        .filter(F.col("act_ts") >= F.col("cohort_ts"))
+        .select(
+            F.col("cohort_ts").cast("date").alias("cohort_week"),
+            week_n.alias("week_n"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+Q112_SQL = """
+WITH signup AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), act AS (
+  SELECT user_id, date_trunc('week', ts) AS act_ts FROM events
+), marked AS (
+  SELECT DISTINCT CAST(s.cohort_ts AS DATE) AS cohort_week,
+         CAST(date_diff('day', CAST(s.cohort_ts AS DATE), CAST(a.act_ts AS DATE)) // 7 AS INT) AS week_n,
+         a.user_id
+  FROM act a JOIN signup s ON s.user_id = a.user_id
+  WHERE a.act_ts >= s.cohort_ts
+)
+SELECT cohort_week, week_n, CAST(count(*) AS BIGINT) AS n_users
+FROM marked GROUP BY cohort_week, week_n
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -1814,4 +1976,7 @@ RELATIONAL_QUERIES = {
     "q80_session_ids": (q80_session_ids, Q80_SQL),
     "q83_brother_toner": (q83_brother_toner, Q83_SQL),
     "q109_scd2_merge": (q109_scd2_merge, Q109_SQL),
+    "q110_scd2_asof": (q110_scd2_asof, Q110_SQL),
+    "q111_event_funnel": (q111_event_funnel, Q111_SQL),
+    "q112_cohort_retention": (q112_cohort_retention, Q112_SQL),
 }
