@@ -1717,8 +1717,17 @@ def q109_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         "c_mktsegment",
     )
-    return scd2_apply(
+    out = scd2_apply(
         dim, changed.unionByName(fresh), "c_custkey", _SCD2_ATTRS, "2026-01-01"
+    )
+    # Gate rendering: DATE columns reach pandas as object(date) from Spark
+    # but datetime64 from DuckDB — render as strings (the ts_str
+    # convention) so the differential compare sees one representation.
+    return out.select(
+        "c_custkey", *_SCD2_ATTRS,
+        F.col("effective_from").cast("string").alias("effective_from"),
+        F.col("effective_to").cast("string").alias("effective_to"),
+        "is_current",
     )
 
 
@@ -1748,18 +1757,19 @@ WITH dim AS (
   FROM cur c LEFT JOIN upd u ON u.c_custkey = c.c_custkey
 )
 SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
-       effective_from, effective_to, is_current
+       CAST(effective_from AS VARCHAR) AS effective_from,
+       CAST(effective_to AS VARCHAR) AS effective_to, is_current
 FROM j WHERE NOT chg
 UNION ALL
 SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
-       effective_from, DATE '2026-01-01', FALSE
+       CAST(effective_from AS VARCHAR), '2026-01-01', FALSE
 FROM j WHERE chg
 UNION ALL
-SELECT uk, un, ua, um, DATE '2026-01-01', DATE '9999-12-31', TRUE
+SELECT uk, un, ua, um, '2026-01-01', '9999-12-31', TRUE
 FROM j WHERE chg
 UNION ALL
 SELECT u.c_custkey, u.c_nationkey, u.c_acctbal, u.c_mktsegment,
-       DATE '2026-01-01', DATE '9999-12-31', TRUE
+       '2026-01-01', '9999-12-31', TRUE
 FROM upd u LEFT JOIN cur c ON c.c_custkey = u.c_custkey
 WHERE c.c_custkey IS NULL
 """
@@ -1777,7 +1787,9 @@ def q110_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 13th-key inserts are present — history answered without a
     window, a self-join, or a scan of anything but the version table."""
     dim = q109_scd2_merge(spark, sf_dir)
-    d = F.lit("2026-06-01").cast("date")
+    d = F.lit("2026-06-01")
+    # ISO yyyy-MM-dd strings order lexicographically == chronologically,
+    # so the half-open predicate works on the gate's string rendering.
     return dim.filter(
         (F.col("effective_from") <= d) & (d < F.col("effective_to"))
     ).select("c_custkey", *_SCD2_ATTRS)
@@ -1786,8 +1798,8 @@ def q110_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q110_SQL = f"""
 SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
 FROM ({Q109_SQL}) v
-WHERE v.effective_from <= DATE '2026-06-01'
-  AND DATE '2026-06-01' < v.effective_to
+WHERE v.effective_from <= '2026-06-01'
+  AND '2026-06-01' < v.effective_to
 """
 
 
@@ -1899,7 +1911,7 @@ def q112_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         act.join(signup, "user_id")
         .filter(F.col("act_ts") >= F.col("cohort_ts"))
         .select(
-            F.col("cohort_ts").cast("date").alias("cohort_week"),
+            F.col("cohort_ts").cast("date").cast("string").alias("cohort_week"),
             week_n.alias("week_n"),
             "user_id",
         )
@@ -1916,7 +1928,7 @@ WITH signup AS (
 ), act AS (
   SELECT user_id, date_trunc('week', ts) AS act_ts FROM events
 ), marked AS (
-  SELECT DISTINCT CAST(s.cohort_ts AS DATE) AS cohort_week,
+  SELECT DISTINCT CAST(CAST(s.cohort_ts AS DATE) AS VARCHAR) AS cohort_week,
          CAST(date_diff('day', CAST(s.cohort_ts AS DATE), CAST(a.act_ts AS DATE)) // 7 AS INT) AS week_n,
          a.user_id
   FROM act a JOIN signup s ON s.user_id = a.user_id
