@@ -274,3 +274,13 @@ def test_leakage_safe_split_keeps_groups_together(spark):
     assert mixed == 0
     splits = {r.split for r in out.select("split").distinct().collect()}
     assert splits <= {"train", "eval"} and "train" in splits
+
+
+def test_funnel_plan_has_no_window_or_global_sort(spark):
+    """q111's design claim: funnel depth via chained min-aggregations —
+    the plan must contain no Window operator and no global Sort over the
+    event stream (a window-based funnel pays a per-user sort of every
+    event; the chained-min form only shuffles shrinking aggregates)."""
+    plan = plan_of(spark, "q111_event_funnel", "simple")
+    assert "Window" not in plan, plan[:2000]
+    assert "Sort" not in plan, plan[:2000]
