@@ -90,6 +90,7 @@ HEADLINE = [
     "q107_pq_adc_topk",
     "q108_incremental_minhash",
     "q109_scd2_merge",
+    "q110_scd2_asof",
     "q111_event_funnel",
     "q112_cohort_retention",
 ]
@@ -128,17 +129,20 @@ def main() -> None:
     # produces 2-4x outliers (round 3 billed q72 at 10.95 s against a
     # reproduced 3.21 s); the min of k runs is the low-noise estimator of
     # the query's actual cost, so round-over-round deltas are signal.
+    #
+    # Attempts are INTERLEAVED round-robin across the headline set
+    # (attempt 1 of every query, then attempt 2 of every query): the
+    # host's degraded phases last minutes, so back-to-back attempts of
+    # the same query both land inside one phase and best-of-k can't
+    # absorb it (round 4 billed q90 at 11.7/12.9 s in both attempts
+    # against a reproduced 1.7 s). With attempts minutes apart, one
+    # degraded window can hit at most one attempt per query.
     k = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_K", "2")))
-    timings: dict[str, float] = {}
     all_attempts: dict[str, list[float]] = {}
-    errors: dict[str, str] = {}
-    flaky: dict[str, str] = {}
-    for name in HEADLINE:
-        attempts: list[float] = []
-        last_err: str | None = None
-        fails = 0
-        n = None
-        for _ in range(k):
+    rows: dict[str, int] = {}
+    fail_msgs: dict[str, list[str]] = {}
+    for attempt in range(k):
+        for name in HEADLINE:
             # Drop cached blocks from prior attempts/queries: several
             # queries persist() a shared subtree, and Spark's CacheManager
             # would substitute the attempt-1 cache into attempt 2's
@@ -150,23 +154,34 @@ def main() -> None:
             t0 = time.perf_counter()
             try:
                 df = REGISTRY[name].fn(spark, SF_DIR)
-                n = df.count()  # full materialization of the result
-                attempts.append(time.perf_counter() - t0)
+                rows[name] = df.count()  # full materialization of the result
+                dt = time.perf_counter() - t0
+                all_attempts.setdefault(name, []).append(round(dt, 3))
+                print(f"# [{attempt + 1}/{k}] {name}: {dt:.3f}s", file=sys.stderr)
             except Exception as exc:
-                fails += 1
-                last_err = f"{type(exc).__name__}: {exc}"[:500]
+                msg = f"{type(exc).__name__}: {exc}"[:500]
+                fail_msgs.setdefault(name, []).append(msg)
+                print(f"# [{attempt + 1}/{k}] {name}: FAILED {msg}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    flaky: dict[str, str] = {}
+    for name in HEADLINE:
+        attempts = all_attempts.get(name, [])
         if attempts:
             timings[name] = round(min(attempts), 3)
-            all_attempts[name] = [round(t, 3) for t in attempts]
             all_t = "/".join(f"{t:.3f}" for t in attempts)
-            print(f"# {name}: {timings[name]:.3f}s [{all_t}] ({n} rows)", file=sys.stderr)
-            if fails:
+            print(
+                f"# {name}: {timings[name]:.3f}s [{all_t}] ({rows.get(name)} rows)",
+                file=sys.stderr,
+            )
+            if name in fail_msgs:
                 # A query that fails SOME attempts must not read as clean —
                 # intermittent breakage is a bug signal, not timing noise.
-                flaky[name] = f"{fails}/{k} attempts failed: {last_err}"
+                flaky[name] = f"{len(fail_msgs[name])}/{k} attempts failed: {fail_msgs[name][-1]}"
                 print(f"# {name}: FLAKY {flaky[name]}", file=sys.stderr)
         else:
-            errors[name] = last_err or "unknown"
+            errors[name] = (fail_msgs.get(name) or ["unknown"])[-1]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
 
     sf = None
@@ -184,19 +199,37 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "timing": f"best-of-{k}",
-        # Full per-attempt spread: this host shows 2-5x wall-clock noise
-        # under multi-core load, so the spread is the evidence that a big
-        # per-query number is an outlier rather than a regression.
-        "attempts": all_attempts,
+        "timing": f"best-of-{k}-interleaved",
         "n_queries": len(HEADLINE),
     }
     if errors:
-        payload["errors"] = errors
+        payload["n_failed"] = len(errors)
         payload["failed_penalty_sec"] = penalty
     if flaky:
-        payload["flaky"] = flaky
-    print(json.dumps(payload))
+        payload["n_flaky"] = len(flaky)
+    # Full per-attempt spread, failure detail, and flaky attribution go to
+    # a SIDECAR file + stderr, NEVER the stdout summary: the driver stores
+    # only an output tail, and round 4's single JSON line (58 queries ×
+    # per-attempt spreads) outgrew that tail and came back parsed:null.
+    # The final stdout line must stay compact (~2 KB) and LAST.
+    detail = {
+        "attempts": all_attempts,
+        "rows": rows,
+        "errors": errors,
+        "flaky": flaky,
+        "sf_dir": SF_DIR,
+        "k": k,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as exc:  # sidecar is best-effort; summary must still print
+        print(f"# sidecar write failed: {exc}", file=sys.stderr)
+    sys.stderr.flush()
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":

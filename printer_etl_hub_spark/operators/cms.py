@@ -41,17 +41,30 @@ def _cms_col(item: Column, i: Column, width: int) -> Column:
     )
 
 
-def cms_build(items: DataFrame, col: str, depth: int = 4, width: int = 256) -> DataFrame:
+def cms_build(
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
     """Build the d×w counter grid over an item column (one row per
     occurrence). One explode(d) + one groupBy on (i, col) — shuffle
     width is d·w groups, independent of corpus size. Returns
-    (i, col, c)."""
+    (i, col, c).
+
+    ``weight_col``: when the caller already holds PRE-AGGREGATED counts
+    (one row per distinct item + a count column), pass that column and
+    each item increments its cells by the weight — the resulting grid is
+    cell-for-cell identical to building from the raw occurrence stream,
+    but the explode fans out over the vocabulary instead of the corpus."""
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1)
     return (
-        items.select(F.col(col).alias("_item"))
+        items.select(F.col(col).alias("_item"), w.alias("_w"))
         .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))))
-        .select("i", _cms_col(F.col("_item"), F.col("i"), width).alias("col"))
+        .select("i", _cms_col(F.col("_item"), F.col("i"), width).alias("col"), "_w")
         .groupBy("i", "col")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum("_w").cast("bigint").alias("c"))
     )
 
 

@@ -542,7 +542,7 @@ def semantic_dedup(
         .filter(F.col("cos_sim") >= tau)
     )
     comp = connected_components(pairs.select("a_id", "b_id"), "a_id", "b_id")
-    return assigned.join(comp, assigned["_sid"] == comp["node"], "left").select(
+    out = assigned.join(comp, assigned["_sid"] == comp["node"], "left").select(
         F.col("_sid").alias(id_col),
         "cluster_id",
         F.coalesce(F.col("component"), F.col("_sid")).alias("keeper_id"),
@@ -550,3 +550,13 @@ def semantic_dedup(
             "is_keeper"
         ),
     )
+    # CC already materialized comp (lineage-cut), so the final join is
+    # the cache's LAST consumer — materialize the narrow (4-column)
+    # result and release the wide vector cache immediately instead of
+    # leaking it for the life of the SparkSession (the operator is
+    # already eager via the training loop + CC rounds; localCheckpoint
+    # blocks are freed by the ContextCleaner once the result is
+    # unreferenced, unlike catalog-cache entries).
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist(blocking=False)
+    return out

@@ -484,6 +484,7 @@ def pq_train_encode(
     )
     seeds = base.orderBy("vid").limit(k).collect()
     if not seeds:
+        sv.unpersist(blocking=False)
         return sv.select(
             F.col("vid").alias(id_col), "sub", F.lit(0).cast("int").alias("code")
         ).limit(0)
@@ -537,7 +538,7 @@ def pq_train_encode(
         books = new_books
     if codebooks_out is not None:
         codebooks_out.update(books)
-    return (
+    out = (
         _assign(_cdf())
         .select(
             F.col("vid").alias(id_col),
@@ -545,6 +546,14 @@ def pq_train_encode(
             F.col("best.code").alias("code"),
         )
     )
+    # The final encode is the cache's last consumer: materialize the
+    # narrow (id, sub, code) result — n·m small ints, the whole point of
+    # PQ — and release the sub-vector cache instead of leaking it for
+    # the session's lifetime. The operator is already eager (one collect
+    # per training round).
+    out = out.localCheckpoint(eager=True)
+    sv.unpersist(blocking=False)
+    return out
 
 
 def pq_adc_topk(

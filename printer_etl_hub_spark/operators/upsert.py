@@ -70,6 +70,7 @@ def scd2_apply(
     to_col: str = "effective_to",
     current_col: str = "is_current",
     open_end: str = "9999-12-31",
+    check_unique: bool = True,
 ) -> DataFrame:
     """Slowly-changing-dimension Type 2 merge: apply a snapshot of
     ``updates`` (key + tracked attrs) to a versioned dimension, keeping
@@ -95,7 +96,30 @@ def scd2_apply(
     dimension-batch-sized, the common case) + unions — no window over
     the dimension, so history depth never enters the cost. Deterministic
     output for a given (dim, updates, batch_date): exactly oracle-able.
+
+    HARD PRECONDITION: ``updates`` must be unique on ``key``. A duplicate
+    key would fan out through the left join — duplicated closed rows and
+    multiple simultaneous open versions, silently breaking the
+    one-open-version invariant. ``check_unique=True`` (default) enforces
+    this with one small aggregation job over the batch (batch-sized, not
+    dimension-sized — negligible at any scale); pass ``check_unique=False``
+    only when the caller proves uniqueness by construction.
     """
+    if not attrs:
+        raise ValueError("scd2_apply: attrs must name at least one tracked column")
+    if check_unique:
+        dup = (
+            updates.groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"scd2_apply: updates batch has duplicate key {key}="
+                f"{dup[0][key]!r} — SCD2 requires one row per key per batch"
+            )
     hist = dim.filter(~F.col(current_col))
     cur = dim.filter(F.col(current_col))
     up = updates.select(key, *attrs)

@@ -1711,11 +1711,20 @@ def q109_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
         F.lit("RELOCATED").alias("c_mktsegment"),
     )
-    fresh = c.filter(F.col("c_custkey") % 13 == 0).select(
-        (F.col("c_custkey") + F.lit(100000)).alias("c_custkey"),
-        "c_nationkey",
-        "c_acctbal",
-        "c_mktsegment",
+    # Fresh keys start past max(c_custkey) — a fixed offset (the old
+    # +100000) collides with real custkeys at sf>=1 (150k customers),
+    # which would hand scd2_apply a duplicate-key batch. The max is a
+    # broadcast scalar: one tiny agg, no shuffle of the fact side.
+    maxk = c.agg(F.max("c_custkey").alias("_maxk"))
+    fresh = (
+        c.filter(F.col("c_custkey") % 13 == 0)
+        .crossJoin(F.broadcast(maxk))
+        .select(
+            (F.col("c_custkey") + F.col("_maxk")).alias("c_custkey"),
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
     )
     out = scd2_apply(
         dim, changed.unionByName(fresh), "c_custkey", _SCD2_ATTRS, "2026-01-01"
@@ -1743,7 +1752,8 @@ WITH dim AS (
          'RELOCATED' AS c_mktsegment
   FROM customer WHERE c_custkey % 7 = 0
   UNION ALL
-  SELECT c_custkey + 100000, c_nationkey, c_acctbal, c_mktsegment
+  SELECT c_custkey + (SELECT max(c_custkey) FROM customer),
+         c_nationkey, c_acctbal, c_mktsegment
   FROM customer WHERE c_custkey % 13 = 0
 ), cur AS (
   SELECT * FROM dim WHERE is_current

@@ -2618,23 +2618,37 @@ def q103_kn_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.u", "p.v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_uv"))
-        # Feeds BOTH continuation aggregations — compute the corpus-wide
-        # shuffle once.
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cl = big.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("n_cont_left"))
-    cr = big.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("n_cont_right"))
-    return (
-        uni.join(cl, uni["word"] == cl["v"], "left")
-        .drop("v")
-        .join(cr, uni["word"] == cr["u"], "left")
-        .drop("u")
-        .select(
-            "word",
-            "n_unigram",
-            F.coalesce("n_cont_left", F.lit(0)).cast("bigint").alias("n_cont_left"),
-            F.coalesce("n_cont_right", F.lit(0)).cast("bigint").alias("n_cont_right"),
+    # Both continuation counts in ONE pass over the distinct-bigram
+    # table: each bigram row contributes a left-context event to v and a
+    # right-context event to u; a single groupBy(word) with conditional
+    # sums replaces the former two groupBys + two joins — and leaves
+    # ``big`` with a single consumer, so the round-4 session-lifetime
+    # persist is gone entirely.
+    cont = (
+        big.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("L").alias("s"), F.col("v").alias("word")),
+                    F.struct(F.lit("R").alias("s"), F.col("u").alias("word")),
+                )
+            ).alias("e")
         )
+        .groupBy(F.col("e.word").alias("word"))
+        .agg(
+            F.sum(F.when(F.col("e.s") == "L", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cont_left"),
+            F.sum(F.when(F.col("e.s") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cont_right"),
+        )
+    )
+    return uni.join(cont, "word", "left").select(
+        "word",
+        "n_unigram",
+        F.coalesce("n_cont_left", F.lit(0)).cast("bigint").alias("n_cont_left"),
+        F.coalesce("n_cont_right", F.lit(0)).cast("bigint").alias("n_cont_right"),
     )
 
 
@@ -2772,19 +2786,25 @@ def q105_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The whole pipeline is exactly portable: md5-derived cell indices,
     integer counters — the oracle rebuilds the grid cell-for-cell, so
-    even the ESTIMATES compare hash-exact."""
+    even the ESTIMATES compare hash-exact.
+
+    Plan shape: ONE pass over the token stream (the vocab groupBy);
+    the grid then builds FROM the vocab via ``cms_build(weight_col=)``
+    — cell-for-cell identical to building from raw occurrences, but the
+    d-fold explode fans out over the vocabulary instead of the corpus,
+    and the token stream has a single consumer (no persist to leak for
+    the life of the session)."""
     from ..operators.cms import cms_build, cms_estimate
 
     t = load_tables(spark, sf_dir)
     toks = t["documents"].select(
         F.explode(tokenize(F.col("text"))).alias("word")
     )
-    from pyspark import StorageLevel
-
-    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)  # feeds grid + vocab
-    sketch = cms_build(toks, "word", depth=_CMS_D, width=_CMS_W)
     vocab = toks.groupBy("word").agg(
         F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    sketch = cms_build(
+        vocab, "word", depth=_CMS_D, width=_CMS_W, weight_col="true_cnt"
     )
     est = cms_estimate(sketch, vocab, "word", depth=_CMS_D, width=_CMS_W)
     return (

@@ -685,3 +685,48 @@ def test_scd2_apply_history_and_idempotence(spark):
     out2 = scd2_apply(out1, batch, "k", ["v"], "2026-06-01")
     rows2 = {(r.k, r.v, str(r.effective_to), r.is_current) for r in out2.collect()}
     assert rows2 == rows  # same snapshot again → no version churn
+
+
+def test_scd2_apply_rejects_duplicate_keys_and_empty_attrs(spark):
+    """A duplicate key in the batch would fan out through the left join
+    into multiple open versions — the guard must raise, not corrupt the
+    dimension. Empty attrs is a caller bug, not a silent no-op."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from printer_etl_hub_spark.operators.upsert import scd2_apply
+
+    dim = spark.createDataFrame([(1, "A")], "k int, v string").select(
+        "k", "v",
+        F.lit("2025-01-01").cast("date").alias("effective_from"),
+        F.lit("9999-12-31").cast("date").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    dup = spark.createDataFrame([(1, "A2"), (1, "A3")], "k int, v string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        scd2_apply(dim, dup, "k", ["v"], "2026-01-01")
+    # check_unique=False is the caller's explicit acceptance of the
+    # precondition — the guard job must not run (no raise here).
+    scd2_apply(dim, dup, "k", ["v"], "2026-01-01", check_unique=False)
+    with pytest.raises(ValueError, match="attrs"):
+        scd2_apply(dim, spark.createDataFrame([(1, "A2")], "k int, v string"), "k", [], "2026-01-01")
+
+
+def test_cms_build_weighted_equals_raw(spark):
+    """cms_build(weight_col=) over pre-aggregated counts must reproduce
+    the raw-occurrence grid cell-for-cell (the q105 single-pass form)."""
+    from pyspark.sql import functions as F
+
+    from printer_etl_hub_spark.operators.cms import cms_build
+
+    raw = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), ("c",), ("c",)], "w string"
+    )
+    agg = raw.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    g1 = {(r.i, r.col): r.c for r in cms_build(raw, "w", depth=3, width=16).collect()}
+    g2 = {
+        (r.i, r.col): r.c
+        for r in cms_build(agg, "w", depth=3, width=16, weight_col="n").collect()
+    }
+    assert g1 == g2 and g1
