@@ -6,6 +6,7 @@ from .dedup import (  # noqa: F401
     dedup_exact,
     minhash_band_index,
     minhash_index_join,
+    minhash_index_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     semantic_dedup,

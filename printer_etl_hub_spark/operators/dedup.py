@@ -207,14 +207,25 @@ def minhash_lsh_pairs(
     banded = minhash_band_index(df, id_col, text_col, k, bands, shingle_n).select(
         F.col(id_col).alias("doc_id"), "band_id", "band_key"
     )
-    # Bucket inverted index + double-explode pair generation (a flatMap),
-    # NOT a self-join: a self-join's build side would re-evaluate the whole
-    # scan→shingle→signature pipeline a second time (no exchange reuse
-    # across a broadcast boundary). One shuffle on the bucket key, the
-    # expensive subtree exists once. A bucket of d docs emits C(d,2) pairs —
-    # the LSH design keeps d small; a degenerate hot bucket (all-identical
-    # docs at corpus scale) is the classic blowup, so cap it with
-    # max_bucket if the corpus has pathological duplication.
+    return minhash_index_pairs(banded, max_bucket=max_bucket)
+
+
+def minhash_index_pairs(
+    index: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """In-corpus candidate pairs from a `minhash_band_index` frame (first
+    column = doc id). Bucket inverted index + double-explode pair
+    generation (a flatMap), NOT a self-join: a self-join's build side
+    would re-evaluate the whole scan→shingle→signature pipeline a second
+    time (no exchange reuse across a broadcast boundary). One shuffle on
+    the bucket key, the expensive subtree exists once. A bucket of d docs
+    emits C(d,2) pairs — the LSH design keeps d small; a degenerate hot
+    bucket (all-identical docs at corpus scale) is the classic blowup, so
+    cap it with ``max_bucket`` if the corpus has pathological
+    duplication."""
+    banded = index.select(
+        F.col(index.columns[0]).alias("doc_id"), "band_id", "band_key"
+    )
     grouped = banded.groupBy("band_id", "band_key").agg(
         F.collect_list("doc_id").alias("ds")
     )

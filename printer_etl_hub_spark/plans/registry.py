@@ -3,21 +3,37 @@
 ``REGISTRY`` insertion order is part of the external contract: the
 correctness driver gates the FIRST 50 entries each round. ``GATE_ORDER``
 makes that window explicit so coverage can be rotated deliberately.
-Round 4 leads with the two composed-pipeline flagships (q81 corpus
-prep, q82 embedding dedup) which postdate the round-3 gate run and have
-no external CORRECTNESS row yet, then the mid-round additions
-(q100-q105), then re-evidences the queries whose newest external green
-row is round 1/2 (q12, q14, q16-q19, q39-q45, q49-q50, q52-q56;
-q02-q07/q09-q11 yielded their slots to newer zero-row queries and rotate
-back next round). The remaining 19 slots backfill from the
-round-3-green set, front-loading the queries whose implementation
-changes this round (q77 distributed shard packing, q31 guard rework,
-q72 checkpoint option) so the changes are externally re-verified.
+
+Round-5 window (staleness-driven rotation, per the round-4 plan):
+1. q106-q112 — the seven operators that landed after the round-4 window
+   filled; implemented + oracled but with ZERO external CORRECTNESS
+   rows (judge-verified locally in round 4). They lead.
+2. q02-q07/q09-q11 — rotate back as promised in round 4; their newest
+   external green row is round 2.
+3. q100/q101/q103/q105 (+q109 in group 1) — re-verification of the
+   queries whose implementation changed THIS round (cache-release
+   materialization in SemDeDup/PQ, the q103 single-pass continuation
+   counts, the q105 vocab-weighted CMS build, the q109 max-derived
+   fresh keys).
+4. Backfill from the round-3-green set (45 queries, all equally stale).
+   The 15 deferred to round 6 are TPC-H-pack queries (q35, q57-q70):
+   textbook SQL with the strongest local coverage (exact oracle-diff
+   suite + property tests) and zero implementation drift since round 3
+   — the lowest-risk deferral. New round-5 queries displace from the
+   BOTTOM of group 4.
+
 q37 stays OUTSIDE the window by design: its estimator output has no
 exact oracle (pinned by a tolerance test instead), and every gated
 entry must be able to turn green. Everything not named in GATE_ORDER
 follows in module order, so the full surface stays importable and
 tested either way.
+
+Rotation ledger (newest external green per query, as of r4):
+r4: q12-q19(6), q28, q31, q38-q45, q49-q56(8), q72, q77, q81-q105;
+r3: q01, q08, q13, q15, q20-q27, q29, q30, q32-q36, q46-q48, q51,
+    q57-q70, q71, q73-q76, q78-q80;
+r2: q02-q07, q09-q11; never: q106-q112 (gated this round), q37 (by
+design).
 """
 
 from __future__ import annotations
@@ -46,77 +62,62 @@ _ALL: dict[str, tuple] = {
 
 #: First 50 = the driver's correctness window for this round.
 GATE_ORDER = [
-    # Flagship composed pipelines — committed after the round-3 gate
-    # ran, so these are the only implemented+oracled queries with zero
-    # external CORRECTNESS rows. Lead with them.
-    "q81_corpus_prep",
-    "q82_embedding_dedup",
-    # Mid-round additions with zero external rows anywhere: SemDeDup,
-    # PQ encode, the leakage-safe split, the Kneser-Ney count prep, BM25
-    # retrieval, and Count-Min heavy hitters.
+    # -- group 1: zero external rows (landed after the r4 window filled)
+    "q106_jl_project",
+    "q107_pq_adc_topk",
+    "q108_incremental_minhash",
+    "q109_scd2_merge",
+    "q110_scd2_asof",
+    "q111_event_funnel",
+    "q112_cohort_retention",
+    # -- group 2: rotate back, newest green = round 2
+    "q02_bad_value_filter",
+    "q03_normalize_projection",
+    "q04_enrichment_join",
+    "q05_postal_split",
+    "q06_pivot_orderstatus",
+    "q07_first_per_slot",
+    "q09_top2_per_group",
+    "q10_dedup_keep_first",
+    "q11_collect_sorted",
+    # -- group 3: implementation changed this round, re-verify
     "q100_semantic_dedup",
     "q101_pq_encode",
-    "q102_leakage_safe_split",
     "q103_kn_ngram_stats",
-    "q104_bm25_topk",
     "q105_cms_heavy_hitters",
-    # Re-evidence: the queries whose newest external green row is
-    # round 1/2 (rotated out of the round-3 window). q02/q03/q04 yielded
-    # their slots to q97/q98/q99, and q05/q06/q07/q09/q10/q11 to q100-q105
-    # (zero external rows beats two-round-old green; all stay covered by
-    # unit tests + the local oracle-diff suite, and rotate back next
-    # round).
-    "q12_point_lookup",
-    "q14_group_representative",
-    "q16_rollup",
-    "q17_setops",
-    "q18_json_extract",
-    "q19_catalog_lookup",
-    "q39_sliding_window",
-    "q40_tpch_q10",
-    "q41_semi_anti_join",
-    "q42_tpch_q18",
-    "q43_exact_percentiles",
-    "q44_tpch_q4",
-    "q45_tpch_q14",
-    "q49_distinct_agg",
-    "q50_cube",
-    "q52_unpivot",
-    "q53_rank_windows",
-    "q54_tpch_q17",
-    "q55_string_agg",
-    "q56_date_functions",
-    # Queries whose implementation changed this round (distributed shard
-    # packing, brute-force guard rework, CC checkpoint option, the
-    # MinHash multiply-mod family) — external re-verification required.
-    "q77_token_shards",
-    "q31_embedding_topk",
-    "q72_dup_clusters",
-    "q28_minhash_lsh",
-    # New this round — zero external rows anywhere else: the S10 Brother
-    # scrape's exact oracle and the five added pipeline ops.
-    "q83_brother_toner",
-    "q84_repetition_quality",
-    "q85_chunk_windows",
-    "q86_ngram_collision",
-    "q87_mixture_sample",
-    "q88_label_centroids",
-    "q89_unigram_commonness",
-    "q90_bloom_decontam",
-    "q91_segment_dedup",
-    "q92_tfidf_topk",
-    "q93_lloyd_step",
-    "q94_kmeans_train",
-    "q95_quality_deciles",
-    "q96_source_leakage",
-    "q97_sequence_spans",
-    "q98_bpe_pairs",
-    "q99_corpus_datasheet",
-    # q38 stays for re-verification: ivf_topk gained the trained-centroids
-    # parameter this round. (The rest of the r3-green backfill — q01/q08/
-    # q13/q15/q21/q23/q71 — rotated out across this round's edits; all are
-    # r3-green and on the bench or local-suite path regardless.)
-    "q38_ivf_topk",
+    # -- group 4: round-3-green backfill (TPC-H pack q35/q57-q70
+    #    deferred to round 6; new round-5 queries displace from here,
+    #    bottom first)
+    "q01_pricing_summary",
+    "q08_severity_argmax",
+    "q13_merge_upsert",
+    "q15_window_running",
+    "q20_events_tumbling",
+    "q21_sessionize",
+    "q22_asof_last_click",
+    "q23_dedup_exact",
+    "q24_lang_id",
+    "q25_quality_score",
+    "q26_token_count",
+    "q27_fingerprint",
+    "q29_ngram_jaccard",
+    "q30_simhash",
+    "q32_embedding_lsh",
+    "q33_multimodal_decode",
+    "q34_tpch_q3",
+    "q36_salted_agg",
+    "q46_asof_join",
+    "q47_range_join",
+    "q48_hypertable_rollup",
+    "q51_token_topk",
+    "q71_json_harvest",
+    "q73_corpus_clean",
+    "q74_attribution",
+    "q75_stratified_sample",
+    "q76_hll_rollup",
+    "q78_decontamination",
+    "q79_profile",
+    "q80_session_ids",
 ]
 
 # Import-time contract checks. Explicit raises (not assert) so the

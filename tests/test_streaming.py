@@ -644,3 +644,74 @@ def test_cms_build_stream_equals_batch_grid(spark, tmp_path):
         for r in cms_build(spark.read.parquet(src), "word", depth=4, width=64).collect()
     }
     assert got == want
+
+
+def test_minhash_ingest_sink_stream_equals_batch(spark, tmp_path):
+    """Incremental MinHash ingest: streaming a corpus through the
+    foreachBatch sink in micro-batches must discover EXACTLY the batch
+    pipeline's candidate-pair set, and the stored band index must equal
+    the one-shot index — regardless of how the corpus was split. Also
+    pins the exactly-once idiom: re-delivering a batch overwrites its own
+    partition instead of duplicating rows."""
+    from printer_etl_hub_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_pairs,
+    )
+    from printer_etl_hub_spark.streaming.corpus import minhash_ingest_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    index_dir = str(tmp_path / "mh_index")
+    pairs_dir = str(tmp_path / "mh_pairs")
+    sink = minhash_ingest_sink(index_dir, pairs_dir, k=12, bands=4)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_pairs = {
+        (r.a_id, r.b_id) for r in spark.read.parquet(pairs_dir).collect()
+    }
+    want_pairs = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=4).collect()
+    }
+    assert got_pairs == want_pairs and want_pairs  # non-trivial corpus
+
+    got_idx = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in spark.read.parquet(index_dir).collect()
+    }
+    want_idx = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in minhash_band_index(docs, "doc_id", "text", k=12, bands=4).collect()
+    }
+    assert got_idx == want_idx
+    # index grew across >=2 micro-batches (per-batch partition dirs)
+    batch_ids = {
+        r.batch_id for r in spark.read.parquet(index_dir).select("batch_id").collect()
+    }
+    assert len(batch_ids) >= 2
+
+    # at-least-once re-delivery: replaying the LAST batch must be a no-op
+    last = max(batch_ids)
+    replay = spark.read.parquet(f"{index_dir}/batch_id={last}")
+    n_idx = spark.read.parquet(index_dir).count()
+    n_pairs = spark.read.parquet(pairs_dir).count()
+    # rebuild the original batch frame (ids recorded in its own partition)
+    batch_docs = docs.join(
+        replay.select(F.col("doc_id").alias("_rid")).distinct(),
+        docs["doc_id"] == F.col("_rid"),
+    ).drop("_rid")
+    sink(batch_docs, last)
+    assert spark.read.parquet(index_dir).count() == n_idx
+    assert spark.read.parquet(pairs_dir).count() == n_pairs
