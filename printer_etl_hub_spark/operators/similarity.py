@@ -291,7 +291,12 @@ def kmeans_fit(
     chosen seed (ties → lowest id) — k-1 extra distributed passes
     (max(struct) aggregations, no shuffle of the corpus), in exchange
     for seeds that span the space and an assignment that recovers
-    well-separated clusters Lloyd alone cannot un-split.
+    well-separated clusters Lloyd alone cannot un-split. Its k-1
+    SEQUENTIAL driver jobs make it a small-k tool only; at SemDeDup's
+    k ∝ n posture use ``seeding="kmeans_par"`` — k-means|| (Bahmani
+    2012) oversampling in a FIXED number of distributed rounds
+    (~2 jobs/round + 1 weighting pass, independent of k), deterministic
+    via the repo's md5 draw, reduced driver-side to k weighted seeds.
     Clusters that lose all members keep their previous centroid.
 
     Returns a k-row DataFrame ``(cluster_id, centroid array<double>,
@@ -315,14 +320,144 @@ def kmeans_fit(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    if seeding not in ("lowest_id", "farthest"):
-        raise ValueError(f"seeding must be 'lowest_id' or 'farthest', got {seeding!r}")
+    if seeding not in ("lowest_id", "farthest", "kmeans_par"):
+        raise ValueError(
+            "seeding must be 'lowest_id', 'farthest' or 'kmeans_par', "
+            f"got {seeding!r}"
+        )
     try:
         return _kmeans_loop(spark, base, k, max_iter, tol, stats, seeding)
     finally:
         # Release the pinned corpus on EVERY path — a mid-training failure
         # must not leave the double-cast base cached for the session.
         base.unpersist()
+
+
+def _kmeans_parallel_seeds(base, k, rounds=5, oversample=2.0, stats=None):
+    """k-means|| seeding (Bahmani et al., "Scalable k-means++", VLDB
+    2012): O(``rounds``) DISTRIBUTED passes instead of farthest-first's
+    k-1 sequential driver jobs — the difference between 5 and 1000+
+    sequential jobs at SemDeDup's k ∝ n posture.
+
+    Each round: (1) one aggregation computes the current cost
+    ψ = Σ d²(x, C); (2) each point joins the round's sampling gate
+    independently with probability min(1, ℓ·d²(x,C)/ψ), ℓ =
+    ``oversample``·k — expected ℓ new candidates per round, sampled in
+    ONE distributed filter. Randomness is the repo's deterministic md5
+    draw (md5(round ':' vid) → uniform in [0,1)), so the seed set is
+    bit-reproducible run to run and engine to engine. A final pass
+    weights every candidate by the number of points it is nearest to,
+    and the weighted candidate set (O(k·rounds) rows, driver-sized)
+    reduces to k seeds with a deterministic weighted k-means++ MAP rule
+    (argmax of weight·d² instead of a draw, ties → lowest id) — pure
+    driver arithmetic, zero extra jobs.
+
+    Returns rows shaped like the other seeders (vid, vd), in selection
+    order. ``stats`` receives ``seeding_rounds`` and
+    ``seeding_candidates``.
+    """
+    first = base.orderBy("vid").limit(1).collect()
+    if not first:
+        return []
+    cand = {first[0].vid: list(first[0].vd)}
+    spark = base.sparkSession
+    ell = max(1.0, oversample * k)
+
+    def _cand_df():
+        rows = [(vid, vec) for vid, vec in sorted(cand.items())]
+        vid_t = base.schema["vid"].dataType.simpleString()
+        return spark.createDataFrame(rows, f"cvid {vid_t}, cvec array<double>")
+
+    d2 = F.aggregate(
+        F.zip_with("vd", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for rnd in range(rounds):
+        dmin = (
+            base.join(F.broadcast(_cand_df()))
+            .select("vid", d2.alias("d"))
+            .groupBy("vid")
+            .agg(F.min("d").alias("dmin"))
+        )
+        psi = dmin.agg(F.sum("dmin").alias("s")).collect()[0].s
+        if psi is None or psi <= 0.0:
+            break  # every point coincides with a candidate — done
+        draw = (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"kmpar:{rnd}:"), F.col("vid").cast("string")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(1000000),
+            )
+            / 1000000.0
+        )
+        picked = (
+            dmin.filter(draw < F.least(F.lit(1.0), F.lit(ell) * F.col("dmin") / F.lit(psi)))
+            .join(base, "vid")
+            .select("vid", "vd")
+            .collect()  # expected ~ell rows — candidate-sized, by design
+        )
+        for r in picked:
+            cand[r.vid] = list(r.vd)
+    # Weight candidates by the size of their nearest-neighbor cell.
+    weights = {vid: 0 for vid in cand}
+    wrows = (
+        base.join(F.broadcast(_cand_df()))
+        .select("vid", F.struct(d2.alias("d"), "cvid").alias("c"))
+        .groupBy("vid")
+        .agg(F.min("c").alias("best"))
+        .groupBy(F.col("best.cvid").alias("cvid"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    for r in wrows:
+        weights[r.cvid] = r.w
+    if stats is not None:
+        stats["seeding_rounds"] = rounds
+        stats["seeding_candidates"] = len(cand)
+    # Driver-side deterministic weighted k-means++ MAP reduction to k.
+    order = sorted(cand, key=lambda v: (-weights[v], v))
+    chosen_ids = [order[0]]
+    rest = [v for v in order[1:]]
+    mind = {
+        v: sum((a - b) * (a - b) for a, b in zip(cand[v], cand[chosen_ids[0]]))
+        for v in rest
+    }
+    while len(chosen_ids) < k and rest:
+        nxt = max(rest, key=lambda v: (weights[v] * mind[v], -_id_rank(v)))
+        if weights[nxt] * mind[nxt] <= 0.0:
+            break  # remaining candidates are duplicates of chosen seeds
+        chosen_ids.append(nxt)
+        rest.remove(nxt)
+        for v in rest:
+            d = sum((a - b) * (a - b) for a, b in zip(cand[v], cand[nxt]))
+            if d < mind[v]:
+                mind[v] = d
+
+    class _Row:
+        __slots__ = ("vid", "vd")
+
+        def __init__(self, vid, vd):
+            self.vid = vid
+            self.vd = vd
+
+    return [_Row(v, cand[v]) for v in chosen_ids]
+
+
+def _id_rank(v):
+    """Total order for tie-breaks across int and string id types."""
+    return v if isinstance(v, (int, float)) else int.from_bytes(str(v).encode()[:8].ljust(8, b"\0"), "big")
 
 
 def _farthest_first_seeds(base, k):
@@ -359,6 +494,8 @@ def _farthest_first_seeds(base, k):
 def _kmeans_loop(spark, base, k, max_iter, tol, stats, seeding="lowest_id"):
     if seeding == "farthest":
         seeds = _farthest_first_seeds(base, k)
+    elif seeding == "kmeans_par":
+        seeds = _kmeans_parallel_seeds(base, k, stats=stats)
     else:
         seeds = base.orderBy("vid").limit(k).collect()
     if not seeds:

@@ -2518,37 +2518,62 @@ SELECT vec_id, sub, code FROM pq_codes
 # --------------------------------------------------------------------------
 # q102 — leakage-safe train/eval split (near-dup clusters stay together)
 # --------------------------------------------------------------------------
-def q102_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    components: DataFrame | None = None,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    train_mod: int = 10,
+    train_lt: int = 9,
+) -> DataFrame:
     """Deterministic train/eval split that cannot leak near-duplicates
-    across the boundary: q29's near-dup pairs collapse to clusters (q72's
-    connected components), every document maps to its cluster
-    representative (min doc_id; singletons to themselves), and the split
-    decision hashes the REPRESENTATIVE — so a whole duplicate group lands
-    on one side by construction, the failure mode a plain per-doc hash
-    split has (one clone in train, its twin in eval = memorized eval).
+    across the boundary: near-dup pairs collapse to clusters (connected
+    components), every document maps to its cluster representative (min
+    id; singletons to themselves), and the split decision hashes the
+    REPRESENTATIVE — so a whole duplicate group lands on one side by
+    construction, the failure mode a plain per-doc hash split has (one
+    clone in train, its twin in eval = memorized eval).
 
-    The split is the q75 md5 idiom (no RNG: retries, re-runs, and engines
-    agree): md5(group_id) mod 10 < 9 → train, else eval. At 100 TB the
-    added cost over a naive split is exactly the dedup pair graph + CC
-    that the pipeline already computes (q81) — reuse its output and the
-    split is a projection."""
-    from ..operators.components import connected_components
+    ``components``: a precomputed ``(node, component)`` frame — pass the
+    CC output the dedup pipeline (q81/q72) already produced and the
+    split is ONE left join + a projection; no pair graph is rebuilt.
+    When omitted, the pair graph (n-gram Jaccard at ``threshold``) and
+    CC are computed here — identical output either way (pinned by a
+    unit test).
 
-    t = load_tables(spark, sf_dir)
-    d = t["documents"]
-    pairs = ngram_jaccard_pairs(
-        d, "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
-    )
-    comp = connected_components(pairs, "a_id", "b_id")
-    base = d.select("doc_id").join(comp, d["doc_id"] == comp["node"], "left")
-    rep = F.coalesce(F.col("component"), F.col("doc_id"))
+    The split is the q75 md5 idiom (no RNG: retries, re-runs, and
+    engines agree): md5(group_id) mod ``train_mod`` < ``train_lt`` →
+    train, else eval."""
+    if components is None:
+        from ..operators.components import connected_components
+
+        pairs = ngram_jaccard_pairs(
+            docs, id_col, text_col, threshold=threshold, max_df=max_df
+        )
+        components = connected_components(pairs, "a_id", "b_id")
+    comp = components.select("node", "component")
+    base = docs.select(id_col).join(comp, docs[id_col] == comp["node"], "left")
+    rep = F.coalesce(F.col("component"), F.col(id_col))
     h = F.conv(F.substring(F.md5(rep.cast("string")), 1, 15), 16, 10).cast("bigint")
     return base.select(
-        "doc_id",
+        id_col,
         rep.alias("group_id"),
-        F.when(F.pmod(h, 10) < 9, F.lit("train"))
+        F.when(F.pmod(h, train_mod) < train_lt, F.lit("train"))
         .otherwise(F.lit("eval"))
         .alias("split"),
+    )
+
+
+def q102_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`leakage_safe_split` under the exact gate — q29's pair graph,
+    q72's components, the q75 md5 split gate. At 100 TB callers pass
+    ``components=`` from the dedup pipeline's existing CC output and the
+    split is a projection."""
+    t = load_tables(spark, sf_dir)
+    return leakage_safe_split(
+        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
     )
 
 

@@ -506,6 +506,52 @@ def test_kmeans_farthest_seeding_recovers_separated_blobs(spark):
     assert out == {(0.0, 0.0): 4, (100.0, 0.0): 4, (0.0, 100.0): 4}, out
 
 
+def test_kmeans_parallel_seeding_recovers_blobs_and_is_deterministic(spark):
+    """k-means|| seeding must (a) place seeds across well-separated blobs
+    (the failure mode lowest_id provably has), (b) be bit-deterministic
+    across runs (md5 draws, no RNG), and (c) run a FIXED number of
+    seeding rounds independent of k — the scale contract that replaces
+    farthest-first's k-1 sequential jobs."""
+    from printer_etl_hub_spark.operators.similarity import kmeans_fit
+
+    def blob(cx, cy, base_id):
+        off = [(-1.0, 0.0), (1.0, 0.0), (0.0, -1.0), (0.0, 1.0)]
+        return [(base_id + i, [cx + dx, cy + dy]) for i, (dx, dy) in enumerate(off)]
+
+    rows = blob(0.0, 0.0, 0) + blob(100.0, 0.0, 10) + blob(0.0, 100.0, 20)
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    stats: dict = {}
+    got1 = kmeans_fit(
+        df, "vec_id", "embedding", k=3, max_iter=10, tol=1e-12,
+        seeding="kmeans_par", stats=stats,
+    ).collect()
+    out = {tuple(round(x, 6) for x in r.centroid): r.n_members for r in got1}
+    assert out == {(0.0, 0.0): 4, (100.0, 0.0): 4, (0.0, 100.0): 4}, out
+    assert stats["seeding_rounds"] == 5  # fixed, not k-dependent
+    assert stats["seeding_candidates"] >= 3
+    got2 = kmeans_fit(
+        df, "vec_id", "embedding", k=3, max_iter=10, tol=1e-12,
+        seeding="kmeans_par",
+    ).collect()
+    assert sorted(map(str, got1)) == sorted(map(str, got2))  # bit-stable
+
+
+def test_kmeans_parallel_seeding_handles_degenerate_corpora(spark):
+    """All-identical points: psi=0 after the first candidate, the round
+    loop exits early, and training returns one populated cluster (the
+    MAP reduction must not pad with duplicate seeds)."""
+    from printer_etl_hub_spark.operators.similarity import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(6)], "vec_id bigint, embedding array<double>"
+    )
+    got = kmeans_fit(
+        df, "vec_id", "embedding", k=3, max_iter=4, seeding="kmeans_par"
+    ).collect()
+    assert len(got) == 1 and got[0].n_members == 6
+    assert [round(x, 6) for x in got[0].centroid] == [1.0, 2.0]
+
+
 def test_pq_encode_compresses_and_adc_matches_reconstruction(spark):
     """PQ codes reconstruct through the codebooks, and ADC top-k equals
     exact distances against the reconstructed vectors (same partial sums,
@@ -730,3 +776,31 @@ def test_cms_build_weighted_equals_raw(spark):
         for r in cms_build(agg, "w", depth=3, width=16, weight_col="n").collect()
     }
     assert g1 == g2 and g1
+
+
+def test_leakage_safe_split_reuses_precomputed_components(spark):
+    """The components= path must be a pure projection over the supplied
+    CC table and produce EXACTLY the same split as the self-computing
+    path — the q81-reuse contract the docstring promises."""
+    from printer_etl_hub_spark.operators.components import connected_components
+    from printer_etl_hub_spark.operators.dedup import ngram_jaccard_pairs
+    from printer_etl_hub_spark.plans.textops import _J_MAX_DF, leakage_safe_split
+    from printer_etl_hub_spark.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF)
+    comp = connected_components(pairs, "a_id", "b_id")
+    fed = {
+        (r.doc_id, r.group_id, r.split)
+        for r in leakage_safe_split(docs, components=comp).collect()
+    }
+    self_computed = {
+        (r.doc_id, r.group_id, r.split)
+        for r in leakage_safe_split(docs, threshold=0.8, max_df=_J_MAX_DF).collect()
+    }
+    assert fed == self_computed and fed
+    # every duplicate group lands entirely on one side
+    by_group: dict = {}
+    for _, g, s in fed:
+        by_group.setdefault(g, set()).add(s)
+    assert all(len(v) == 1 for v in by_group.values())
