@@ -473,6 +473,8 @@ def semantic_dedup(
     k: int,
     tau: float,
     iters: int = 2,
+    seeding: str = "lowest_id",
+    stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with k-means (`operators/similarity.py::kmeans_fit`,
@@ -484,7 +486,11 @@ def semantic_dedup(
     so k ∝ n (or k = √n for a balanced n^1.5 total) keeps the pair join
     bounded as the corpus grows — never all-pairs. The gated registry
     form (q101's neighbor q100) pins k so the oracle can unroll; scale
-    callers pass k sized to their corpus.
+    callers pass k sized to their corpus AND ``seeding="kmeans_par"`` —
+    at k ∝ n the default lowest-id seeds are fine for dedup (Lloyd only
+    partitions the pair search), but farthest-first would be k-1
+    sequential jobs; k-means|| keeps seeding a fixed number of
+    distributed rounds (``stats`` passes through to `kmeans_fit`).
 
     Returns (id_col, cluster_id, keeper_id, is_keeper); NULL-embedding
     rows are excluded (no geometry — kmeans_fit posture).
@@ -494,7 +500,10 @@ def semantic_dedup(
     from .components import connected_components
     from .similarity import kmeans_fit
 
-    cents = kmeans_fit(df, id_col, vec_col, k=k, max_iter=iters, tol=0.0)
+    cents = kmeans_fit(
+        df, id_col, vec_col, k=k, max_iter=iters, tol=0.0,
+        seeding=seeding, stats=stats,
+    )
     v = df.select(
         F.col(id_col).alias("_sid"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("vd"),

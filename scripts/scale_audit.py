@@ -156,17 +156,34 @@ def main() -> None:
     import math
 
     from printer_etl_hub_spark.operators.dedup import semantic_dedup
+    from printer_etl_hub_spark.operators.similarity import kmeans_fit
 
     n_vecs = out["rows"]["embeddings"]
     k_scale = max(8, math.isqrt(max(n_vecs, 1)))
+    # Baseline: the k-means TRAIN cost alone at the same k/seeding — the
+    # round-4 verdict's yardstick for the seeding fix (SemDeDup total
+    # should land within ~2x of this, not be dominated by seeding jobs).
+    train_stats: dict = {}
+    t0 = time.perf_counter()
+    kmeans_fit(
+        t["embeddings"], "vec_id", "embedding", k=k_scale, max_iter=2,
+        tol=0.0, seeding="kmeans_par", stats=train_stats,
+    ).count()
+    train_wall = round(time.perf_counter() - t0, 2)
+    sem_stats: dict = {}
     t0 = time.perf_counter()
     sem = semantic_dedup(
-        t["embeddings"], "vec_id", "embedding", k=k_scale, tau=0.95, iters=2
+        t["embeddings"], "vec_id", "embedding", k=k_scale, tau=0.95,
+        iters=2, seeding="kmeans_par", stats=sem_stats,
     )
     keepers = sem.filter("is_keeper").count()
     out["semantic_dedup"] = {
         "k": k_scale,
         "tau": 0.95,
+        "seeding": "kmeans_par",
+        "seeding_rounds": sem_stats.get("seeding_rounds"),
+        "seeding_candidates": sem_stats.get("seeding_candidates"),
+        "kmeans_train_sec": train_wall,
         "wall_sec": round(time.perf_counter() - t0, 2),
         "vectors": n_vecs,
         "keepers": keepers,

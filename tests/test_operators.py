@@ -804,3 +804,32 @@ def test_leakage_safe_split_reuses_precomputed_components(spark):
     for _, g, s in fed:
         by_group.setdefault(g, set()).add(s)
     assert all(len(v) == 1 for v in by_group.values())
+
+
+def test_semantic_dedup_kmeans_par_recovers_duplicate_structure(spark):
+    """Identical vectors always share a cluster regardless of seeding, so
+    the keeper structure of an exact-duplicate corpus is seeding-
+    invariant: kmeans_par must recover exactly one keeper per duplicate
+    group, matching the default-seeded run."""
+    from printer_etl_hub_spark.operators.dedup import semantic_dedup
+
+    rows = []
+    for g in range(5):
+        # orthogonal one-hot directions: cross-group cosine is exactly 0,
+        # so only true copies can pair at any tau
+        vec = [2.0 if d == g else 0.0 for d in range(5)]
+        for c in range(4):
+            rows.append((g * 100 + c, vec))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    stats: dict = {}
+    par = semantic_dedup(
+        df, "vec_id", "embedding", k=4, tau=0.999, iters=2,
+        seeding="kmeans_par", stats=stats,
+    ).collect()
+    assert stats["seeding_rounds"] == 5
+    keepers = {r.vec_id for r in par if r.is_keeper}
+    assert keepers == {0, 100, 200, 300, 400}
+    default = semantic_dedup(
+        df, "vec_id", "embedding", k=4, tau=0.999, iters=2
+    ).collect()
+    assert {r.vec_id for r in default if r.is_keeper} == keepers
