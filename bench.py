@@ -93,6 +93,14 @@ HEADLINE = [
     "q110_scd2_asof",
     "q111_event_funnel",
     "q112_cohort_retention",
+    # Round 5 additions: SQ8 quantization, the ANN recall harness, the
+    # domain cap, bigram-LM scoring, epoch up-sampling, hard negatives.
+    "q113_sq8_quantize",
+    "q114_ann_recall",
+    "q115_domain_cap",
+    "q116_bigram_lm_score",
+    "q117_epoch_upsample",
+    "q118_hard_negatives",
 ]
 
 

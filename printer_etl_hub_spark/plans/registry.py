@@ -62,7 +62,8 @@ _ALL: dict[str, tuple] = {
 
 #: First 50 = the driver's correctness window for this round.
 GATE_ORDER = [
-    # -- group 1: zero external rows (landed after the r4 window filled)
+    # -- group 1: zero external rows (landed after the r4 window filled,
+    #    plus the round-5 additions q113-q118)
     "q106_jl_project",
     "q107_pq_adc_topk",
     "q108_incremental_minhash",
@@ -70,6 +71,12 @@ GATE_ORDER = [
     "q110_scd2_asof",
     "q111_event_funnel",
     "q112_cohort_retention",
+    "q113_sq8_quantize",
+    "q114_ann_recall",
+    "q115_domain_cap",
+    "q116_bigram_lm_score",
+    "q117_epoch_upsample",
+    "q118_hard_negatives",
     # -- group 2: rotate back, newest green = round 2
     "q02_bad_value_filter",
     "q03_normalize_projection",
@@ -87,7 +94,7 @@ GATE_ORDER = [
     "q105_cms_heavy_hitters",
     # -- group 4: round-3-green backfill (TPC-H pack q35/q57-q70
     #    deferred to round 6; new round-5 queries displace from here,
-    #    bottom first)
+    #    bottom first — q74-q76/q78-q80 displaced by q113-q118)
     "q01_pricing_summary",
     "q08_severity_argmax",
     "q13_merge_upsert",
@@ -112,12 +119,6 @@ GATE_ORDER = [
     "q51_token_topk",
     "q71_json_harvest",
     "q73_corpus_clean",
-    "q74_attribution",
-    "q75_stratified_sample",
-    "q76_hll_rollup",
-    "q78_decontamination",
-    "q79_profile",
-    "q80_session_ids",
 ]
 
 # Import-time contract checks. Explicit raises (not assert) so the

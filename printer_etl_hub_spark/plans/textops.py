@@ -3040,6 +3040,419 @@ JOIN par pb ON pb.doc_id = b.doc_id AND pb.p = 0
 """
 
 
+# --------------------------------------------------------------------------
+# q113 — int8 scalar quantization of the embedding corpus (SQ8)
+# --------------------------------------------------------------------------
+def q113_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization — the simplest vector-compression step a
+    100 TB embedding store applies before PQ (q101) is worth its
+    training cost: per-DIMENSION global [min, max] (one map-side-
+    combinable aggregation whose output is dim-sized, broadcast back),
+    then each component encodes to an int8 bucket
+    floor((v - mn)·255/(mx - mn)). 4x memory cut, zero training state,
+    exact integer output — and the decode (mn + code·(mx-mn)/255) needs
+    only the 64-row stats table.
+
+    Shape: one posexplode + groupBy(dim) (partial agg reduces every
+    partition to ≤dim rows before the shuffle), one broadcast hash join
+    on the int dim key, all arithmetic identical IEEE doubles in both
+    engines."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "v"
+        ),
+    )
+    stats = e.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.lit(255).cast("bigint"),
+            F.floor(
+                (F.col("v") - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))
+            ),
+        )
+    )
+    return e.join(F.broadcast(stats), "dim").select(
+        "vec_id", "dim", code.cast("int").alias("code")
+    )
+
+
+Q113_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(d.i - 1 AS INT) AS dim, CAST(embedding[d.i] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) d
+), s AS (
+  SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim
+)
+SELECT e.vec_id AS vec_id, e.dim AS dim,
+       CAST(CASE WHEN s.mx = s.mn THEN 0
+                 ELSE least(255, CAST(floor((e.v - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT))
+            END AS INT) AS code
+FROM e JOIN s USING (dim)
+"""
+
+
+# --------------------------------------------------------------------------
+# q114 — ANN recall evaluation: IVF top-k scored against exact top-k
+# --------------------------------------------------------------------------
+def q114_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval harness every ANN deployment needs: per-query recall of
+    the IVF index (q38's exact configuration) against the brute-force
+    ground truth (q31). Measure, don't guess — the (c, n_probe) knobs
+    are tuned BY this number, and at 100 TB you run it on a sampled
+    query set against the full index. Output (vec_id, n_hits, k_found,
+    recall): all-integer counts plus one final IEEE division, so the
+    quality metric itself is oracle-exact."""
+    t = load_tables(spark, sf_dir)
+    ex = cosine_topk_bruteforce(
+        t["embeddings"], "vec_id", "embedding", k=3, max_n=None
+    )
+    iv = ivf_topk(
+        t["embeddings"], "vec_id", "embedding",
+        k=3, n_centroids=_IVF_C, n_probe=_IVF_PROBE,
+    ).select("vec_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        ex.select("vec_id", "neighbor_id")
+        .join(iv, ["vec_id", "neighbor_id"], "left")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            F.count(F.lit(1)).cast("bigint").alias("k_found"),
+        )
+        .select(
+            "vec_id",
+            "n_hits",
+            "k_found",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("k_found").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+Q114_SQL = f"""
+WITH ex AS ({Q31_SQL}), iv AS ({Q38_SQL})
+SELECT ex.vec_id AS vec_id,
+       CAST(sum(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(count(*) AS BIGINT) AS k_found,
+       round(CAST(sum(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM ex LEFT JOIN iv
+  ON iv.vec_id = ex.vec_id AND iv.neighbor_id = ex.neighbor_id
+GROUP BY ex.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q115 — per-domain quality cap (data-mixture curation)
+# --------------------------------------------------------------------------
+_DOMAIN_CAP = 100
+
+
+def q115_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap, quality-ranked — the curation step that
+    stops one crawl domain from dominating the mixture: rank every
+    document within its source by quality score (q25's exact features),
+    keep the top ``_DOMAIN_CAP``, and carry the running token total so a
+    downstream token-budget cut is a filter, not another pass. Both
+    window functions share ONE partitioning (source) and one sort, so
+    the plan pays a single exchange; at 100 TB the partition key is the
+    domain — the natural unit of skew, handled by AQE."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    staged = d.select(
+        "doc_id", "source", "text", tokenize(F.col("text")).alias("toks")
+    )
+    feats = quality_features(F.col("text"), F.col("toks"))
+    scored = staged.select(
+        "doc_id",
+        "source",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality_score"].alias("quality_score"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(wsum).cast("bigint"))
+        .filter(F.col("rk") <= _DOMAIN_CAP)
+        .select(
+            "doc_id",
+            "source",
+            "rk",
+            "n_tokens",
+            "cum_tokens",
+            F.round("quality_score", 6).alias("quality_score"),
+        )
+    )
+
+
+Q115_SQL = f"""
+WITH q AS ({Q25_SQL}), scored AS (
+  SELECT d.doc_id, d.source, q.n_tokens, q.quality_score
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+), ranked AS (
+  SELECT doc_id, source, n_tokens, quality_score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id) AS rk,
+         CAST(sum(n_tokens) OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, rk, n_tokens, cum_tokens,
+       round(quality_score, 6) AS quality_score
+FROM ranked WHERE rk <= {_DOMAIN_CAP}
+"""
+
+
+# --------------------------------------------------------------------------
+# q116 — bigram-LM document scoring (CCNet-style fluency proxy)
+# --------------------------------------------------------------------------
+def q116_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram MLE probability p(w_i | w_{i-1}) =
+    n(u,v)/n(u·) under the corpus's own bigram model — the conditional-
+    probability sibling of q89's unigram commonness and the fluency
+    proxy a CCNet-style quality pipeline thresholds on (documents whose
+    word PAIRS are corpus-rare read as disfluent even when every word is
+    common). Log-free by design: probabilities are rationals of bigint
+    counts, summed through decimal(25,6) partials, one final division —
+    exactly portable.
+
+    Shape: ONE pass over the token stream builds the per-(doc, u, v)
+    counts; the corpus bigram table and the prefix totals both derive
+    from that already-aggregated frame (vocab²-bounded, never
+    corpus-sized), and the probe side re-reads the same shuffle
+    (exchange reuse — the q105 discipline, no session-lifetime persist)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", tokenize(F.col("text")).alias("w"))
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("w"), i).alias("u"),
+                F.element_at(F.col("w"), i + 1).alias("v"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+    db = (
+        d.select("doc_id", F.explode(bigrams).alias("p"))
+        .select("doc_id", "p.u", "p.v")
+        .groupBy("doc_id", "u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_duv"))
+    )
+    big = db.groupBy("u", "v").agg(F.sum("c_duv").cast("bigint").alias("n_uv"))
+    nu = big.groupBy("u").agg(F.sum("n_uv").cast("bigint").alias("n_u"))
+    p = F.col("n_uv").cast("double") / F.col("n_u").cast("double")
+    per = (
+        db.join(big, ["u", "v"])
+        .join(nu, "u")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_duv").cast("bigint").alias("n_bigrams"),
+            F.round(
+                dsum(F.col("c_duv").cast("double") * p)
+                / F.sum("c_duv").cast("double"),
+                6,
+            ).alias("mean_p"),
+        )
+    )
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.coalesce("mean_p", F.lit(0.0)).alias("mean_p"),
+        )
+    )
+
+
+Q116_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+), db AS (
+  SELECT doc_id, w[d.i] AS u, w[d.i + 1] AS v, CAST(count(*) AS BIGINT) AS c_duv
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) d
+  GROUP BY doc_id, w[d.i], w[d.i + 1]
+), big AS (
+  SELECT u, v, CAST(sum(c_duv) AS BIGINT) AS n_uv FROM db GROUP BY u, v
+), nu AS (
+  SELECT u, CAST(sum(n_uv) AS BIGINT) AS n_u FROM big GROUP BY u
+), per AS (
+  SELECT db.doc_id,
+         CAST(sum(db.c_duv) AS BIGINT) AS n_bigrams,
+         round({sql_dsum('CAST(db.c_duv AS DOUBLE) * (CAST(big.n_uv AS DOUBLE) / CAST(nu.n_u AS DOUBLE))')}
+               / CAST(sum(db.c_duv) AS DOUBLE), 6) AS mean_p
+  FROM db JOIN big USING (u, v) JOIN nu USING (u)
+  GROUP BY db.doc_id
+)
+SELECT d.doc_id AS doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       COALESCE(per.mean_p, 0.0) AS mean_p
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q117 — deterministic epoch up-sampling (data-mixture replication)
+# --------------------------------------------------------------------------
+def q117_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional domain up-sampling — the mixture step that turns "2.5
+    epochs of src3" into a materialized training stream: every document
+    replicates floor(r) times and one extra copy is admitted by the q75
+    md5 gate with probability frac(r), so the EXPECTED multiplicity is
+    exactly r and the realized one is deterministic per document (no
+    RNG; re-runs, engines agree). The replication factor here derives
+    from the source index (1.0 + (idx mod 4)·0.5 → 1.0/1.5/2.0/2.5);
+    production passes its tuned per-domain weights.
+
+    Shape: pure narrow explode — zero shuffles, output size = Σ
+    multiplicities. At 100 TB up-sampling is exactly this: a flatMap,
+    never a join."""
+    t = load_tables(spark, sf_dir)
+    idx = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int")
+    m = idx % 4  # r = 1 + m * 0.5 -> floor(r) = 1 + (m - m%2)/2, frac in {0, .5}
+    base = t["documents"].select(
+        "doc_id",
+        "source",
+        (F.lit(1) + (m - m % 2) / F.lit(2)).cast("int").alias("n_base"),
+        (m % 2 * 500000).alias("frac_m"),  # frac(r) in millionths, exact int
+    )
+    draw = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("up:"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(1000000),
+    )
+    withn = base.select(
+        "doc_id",
+        "source",
+        (F.col("n_base") + F.when(draw < F.col("frac_m"), 1).otherwise(0)).alias("n"),
+    )
+    return withn.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("copy_idx"),
+    )
+
+
+Q117_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 4 AS m
+  FROM documents
+), withn AS (
+  SELECT doc_id, source,
+         (1 + m // 2)
+         + (CASE WHEN CAST(('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+                      < (m % 2) * 500000
+                 THEN 1 ELSE 0 END) AS n
+  FROM base
+)
+SELECT doc_id, source, CAST(c.copy_idx AS INT) AS copy_idx
+FROM withn, LATERAL (SELECT unnest(range(0, n)) AS copy_idx) c
+"""
+
+
+# --------------------------------------------------------------------------
+# q118 — hard-negative mining for contrastive training
+# --------------------------------------------------------------------------
+_HN_TOPK = 5
+_HN_EVERY = 50
+
+
+def q118_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op: for each
+    query vector (a deterministic 1/50 sample), the top-5 most-similar
+    vectors with a DIFFERENT label. High-cosine wrong-label neighbors
+    are exactly the negatives a retrieval/embedding trainer needs; the
+    label column plays the role of the supervision signal.
+
+    Shape: the query batch broadcasts (batch-sized by construction) and
+    the corpus scans ONCE against it — O(n·|Q|) scored pairs, a window
+    per query for the top-k. At 100 TB you shard the query set and
+    rerun; the corpus-side cost is one scan per shard, and the same
+    plan accepts an IVF-pruned candidate join (q38) when |Q| grows."""
+    t = load_tables(spark, sf_dir)
+    base = t["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vd"),
+        "label",
+    ).filter(F.col("vd").isNotNull())
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("vd", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    corpus = base.select("vec_id", "vd", "label", nrm.alias("nr"))
+    queries = corpus.filter(F.col("vec_id") % _HN_EVERY == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vd").alias("q_vd"),
+        F.col("label").alias("q_label"),
+        F.col("nr").alias("q_nr"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_vd", "vd", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .filter(
+            (F.col("label") != F.col("q_label")) & (F.col("vec_id") != F.col("q_id"))
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            "label",
+            (dot / (F.col("q_nr") * F.col("nr"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HN_TOPK)
+        .select("q_id", "neg_id", "label", F.round("cos_sim", 6).alias("cos_sim"), "rn")
+    )
+
+
+Q118_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd, label
+  FROM embeddings WHERE embedding IS NOT NULL
+), n AS (
+  SELECT vec_id, vd, label,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nr
+  FROM v
+), q AS (
+  SELECT vec_id AS q_id, vd AS q_vd, label AS q_label, nr AS q_nr
+  FROM n WHERE vec_id % {_HN_EVERY} = 0
+), scored AS (
+  SELECT q.q_id, n.vec_id AS neg_id, n.label,
+         {_SQL_DOT.format(a='q.q_vd', b='n.vd')} / (q.q_nr * n.nr) AS cos_sim
+  FROM n CROSS JOIN q
+  WHERE n.label <> q.q_label AND n.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, neg_id, label, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, neg_id) AS rn
+  FROM scored
+)
+SELECT q_id, neg_id, label, round(cos_sim, 6) AS cos_sim, rn
+FROM ranked WHERE rn <= {_HN_TOPK}
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -3088,4 +3501,10 @@ TEXT_QUERIES = {
     "q106_jl_project": (q106_jl_project, Q106_SQL),
     "q107_pq_adc_topk": (q107_pq_adc_topk, Q107_SQL),
     "q108_incremental_minhash": (q108_incremental_minhash, Q108_SQL),
+    "q113_sq8_quantize": (q113_sq8_quantize, Q113_SQL),
+    "q114_ann_recall": (q114_ann_recall, Q114_SQL),
+    "q115_domain_cap": (q115_domain_cap, Q115_SQL),
+    "q116_bigram_lm_score": (q116_bigram_lm_score, Q116_SQL),
+    "q117_epoch_upsample": (q117_epoch_upsample, Q117_SQL),
+    "q118_hard_negatives": (q118_hard_negatives, Q118_SQL),
 }

@@ -180,6 +180,8 @@ BNLJ_ALLOWED = {
     "q104_bm25_topk",  # 1-row corpus-stats (N, avgdl) scalar broadcast
     "q109_scd2_merge",  # 1-row max(c_custkey) scalar broadcast (fresh-key base)
     "q110_scd2_asof",  # composes q109 (same scalar broadcast)
+    "q114_ann_recall",  # composes q31's guarded theta-join ground truth
+    "q118_hard_negatives",  # query-batch-sized broadcast (1/50 sample), corpus scans once
 }
 
 
