@@ -3239,18 +3239,30 @@ def q116_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+    # The explicit isnotnull matches the filter the final join pushes into
+    # the probe branch — with it present in EVERY branch the three db
+    # subtrees canonicalize identically and AQE's exchange reuse computes
+    # the corpus-sized shuffle ONCE (asserted by the q116 plan test).
     db = (
-        d.select("doc_id", F.explode(bigrams).alias("p"))
+        d.filter(F.col("doc_id").isNotNull())
+        .select("doc_id", F.explode(bigrams).alias("p"))
         .select("doc_id", "p.u", "p.v")
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .groupBy("doc_id", "u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_duv"))
     )
     big = db.groupBy("u", "v").agg(F.sum("c_duv").cast("bigint").alias("n_uv"))
-    nu = big.groupBy("u").agg(F.sum("n_uv").cast("bigint").alias("n_u"))
+    # Prefix totals n(u·) as a WINDOW over the bigram table, not a third
+    # derivation: a separate groupBy+join would re-derive the whole
+    # corpus subtree (plans are trees — only exchange reuse deduplicates,
+    # and it can't across a groupBy boundary). The window shuffles the
+    # vocab²-bounded bigram table once, nothing corpus-sized.
+    bigw = big.withColumn(
+        "n_u", F.sum("n_uv").over(Window.partitionBy("u")).cast("bigint")
+    )
     p = F.col("n_uv").cast("double") / F.col("n_u").cast("double")
     per = (
-        db.join(big, ["u", "v"])
-        .join(nu, "u")
+        db.join(bigw, ["u", "v"])
         .groupBy("doc_id")
         .agg(
             F.sum("c_duv").cast("bigint").alias("n_bigrams"),
@@ -3279,17 +3291,20 @@ WITH toks AS (
 ), db AS (
   SELECT doc_id, w[d.i] AS u, w[d.i + 1] AS v, CAST(count(*) AS BIGINT) AS c_duv
   FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) d
+  WHERE doc_id IS NOT NULL AND w[d.i] IS NOT NULL AND w[d.i + 1] IS NOT NULL
   GROUP BY doc_id, w[d.i], w[d.i + 1]
 ), big AS (
   SELECT u, v, CAST(sum(c_duv) AS BIGINT) AS n_uv FROM db GROUP BY u, v
-), nu AS (
-  SELECT u, CAST(sum(n_uv) AS BIGINT) AS n_u FROM big GROUP BY u
+), bigw AS (
+  SELECT u, v, n_uv,
+         CAST(sum(n_uv) OVER (PARTITION BY u) AS BIGINT) AS n_u
+  FROM big
 ), per AS (
   SELECT db.doc_id,
          CAST(sum(db.c_duv) AS BIGINT) AS n_bigrams,
-         round({sql_dsum('CAST(db.c_duv AS DOUBLE) * (CAST(big.n_uv AS DOUBLE) / CAST(nu.n_u AS DOUBLE))')}
+         round({sql_dsum('CAST(db.c_duv AS DOUBLE) * (CAST(bigw.n_uv AS DOUBLE) / CAST(bigw.n_u AS DOUBLE))')}
                / CAST(sum(db.c_duv) AS DOUBLE), 6) AS mean_p
-  FROM db JOIN big USING (u, v) JOIN nu USING (u)
+  FROM db JOIN bigw USING (u, v)
   GROUP BY db.doc_id
 )
 SELECT d.doc_id AS doc_id,

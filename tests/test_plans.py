@@ -163,6 +163,25 @@ def test_q79_single_aggregate_scan(spark):
     assert plan.count("lineitem.parquet") == 1, plan[:2500]
 
 
+def test_q116_single_corpus_pass_via_exchange_reuse(spark):
+    """q116's corpus-sized subtree (scan → bigram explode → (doc,u,v)
+    shuffle) must execute ONCE: the probe branch and the bigram-table
+    branch canonicalize identically (explicit isnotnull filters match
+    the join-pushed ones) so AQE's exchange reuse dedupes them, and the
+    prefix totals are a window over the bigram table, not a third
+    derivation. Executed-plan assertion — reuse only appears at runtime."""
+    spark.catalog.clearCache()
+    df = REGISTRY["q116_bigram_lm_score"].fn(spark, SF_SMOKE)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert final.count("ReusedExchange") >= 1, final[:3000]
+    # one corpus text scan + the narrow doc_id scan of the final left join
+    assert final.count("text#") and final.count("Scan parquet") <= 2, final[:3000]
+
+
 #: BroadcastNestedLoopJoin is legitimate ONLY against a tiny/1-row build
 #: side: q31 is the documented O(n²) exactness baseline (max_n-guarded),
 #: q38 broadcast-scores centroids (O(n·c) map stage), q65/q67 are TPC-H
