@@ -101,6 +101,7 @@ HEADLINE = [
     "q116_bigram_lm_score",
     "q117_epoch_upsample",
     "q118_hard_negatives",
+    "q119_shared_substring_runs",
 ]
 
 

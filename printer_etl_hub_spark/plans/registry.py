@@ -77,6 +77,7 @@ GATE_ORDER = [
     "q116_bigram_lm_score",
     "q117_epoch_upsample",
     "q118_hard_negatives",
+    "q119_shared_substring_runs",
     # -- group 2: rotate back, newest green = round 2
     "q02_bad_value_filter",
     "q03_normalize_projection",
@@ -94,7 +95,7 @@ GATE_ORDER = [
     "q105_cms_heavy_hitters",
     # -- group 4: round-3-green backfill (TPC-H pack q35/q57-q70
     #    deferred to round 6; new round-5 queries displace from here,
-    #    bottom first — q74-q76/q78-q80 displaced by q113-q118)
+    #    bottom first — q73-q76/q78-q80 displaced by q113-q119)
     "q01_pricing_summary",
     "q08_severity_argmax",
     "q13_merge_upsert",
@@ -118,7 +119,6 @@ GATE_ORDER = [
     "q48_hypertable_rollup",
     "q51_token_topk",
     "q71_json_harvest",
-    "q73_corpus_clean",
 ]
 
 # Import-time contract checks. Explicit raises (not assert) so the

@@ -3468,6 +3468,114 @@ FROM ranked WHERE rn <= {_HN_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# q119 — maximal shared-substring runs (contamination span diagnostics)
+# --------------------------------------------------------------------------
+_RUN_N = 13
+
+
+def q119_shared_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination SPANS, not just collisions: q86 tells you WHETHER an
+    eval document shares a verbatim 13-gram with the train corpus; this
+    reports the maximal shared SUBSTRING runs per (eval, train) document
+    pair — the Lee-et-al.-style diagnostic that distinguishes one shared
+    idiom from a wholesale copied paragraph. Matched gram positions from
+    the digest equi-join collapse into runs with gaps-and-islands window
+    math on the match DIAGONAL (e_pos − t_pos): consecutive positions on
+    one diagonal are one contiguous shared substring of
+    run_grams + n − 1 tokens.
+
+    Scale shape: the join is q86's digest equi-join (32-char keys,
+    shuffle width independent of document size); the islands window
+    partitions by (eval_doc, train_doc, diagonal) — bounded by the MATCH
+    volume, never the corpus. A pathological shared boilerplate gram
+    fans out like any inverted-index join; cap with a q29-style max_df
+    on the digest when the corpus needs it."""
+    n = _RUN_N
+    t = load_tables(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    w = tokenize(F.col("text"))
+    gp = F.when(
+        F.size("w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, n))).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    d = (
+        t["documents"]
+        .select("doc_id", w.alias("w"), F.pmod(h, 2).alias("_par"))
+        .filter(F.size("w") >= n)
+        .select("doc_id", "_par", F.explode(gp).alias("p"))
+        .select("doc_id", "_par", F.col("p.pos").alias("pos"), F.col("p.g").alias("g"))
+    )
+    ev = d.filter(F.col("_par") == 1).select(
+        F.col("doc_id").alias("e_doc"), F.col("pos").alias("e_pos"), "g"
+    )
+    tr = d.filter(F.col("_par") == 0).select(
+        F.col("doc_id").alias("t_doc"), F.col("pos").alias("t_pos"), "g"
+    )
+    m = ev.join(tr, "g").select(
+        "e_doc", "t_doc", "e_pos", "t_pos", (F.col("e_pos") - F.col("t_pos")).alias("diag")
+    )
+    wisl = Window.partitionBy("e_doc", "t_doc", "diag").orderBy("e_pos")
+    runs = (
+        m.withColumn("island", F.col("e_pos") - F.row_number().over(wisl))
+        .groupBy("e_doc", "t_doc", "diag", "island")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("run_grams"))
+    )
+    return runs.groupBy("e_doc", "t_doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.sum("run_grams").cast("bigint").alias("n_matched_grams"),
+        F.max("run_grams").cast("bigint").alias("max_run_grams"),
+        (F.max("run_grams") + F.lit(n - 1)).cast("bigint").alias("max_run_tokens"),
+    ).select(
+        F.col("e_doc").alias("eval_doc"),
+        F.col("t_doc").alias("train_doc"),
+        "n_runs",
+        "n_matched_grams",
+        "max_run_grams",
+        "max_run_tokens",
+    )
+
+
+Q119_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS par
+  FROM documents
+), g AS (
+  SELECT doc_id, par, CAST(s.i AS INT) AS pos,
+         md5(list_aggregate(list_slice(w, s.i, s.i + {_RUN_N - 1}), 'string_agg', ' ')) AS g
+  FROM w, LATERAL (SELECT unnest(range(1, len(w) - {_RUN_N - 2})) AS i) s
+  WHERE len(w) >= {_RUN_N}
+), m AS (
+  SELECT e.doc_id AS e_doc, t.doc_id AS t_doc, e.pos AS e_pos, t.pos AS t_pos,
+         e.pos - t.pos AS diag
+  FROM g e JOIN g t ON t.g = e.g
+  WHERE e.par = 1 AND t.par = 0
+), isl AS (
+  SELECT e_doc, t_doc, diag, e_pos,
+         e_pos - row_number() OVER (PARTITION BY e_doc, t_doc, diag ORDER BY e_pos) AS island
+  FROM m
+), runs AS (
+  SELECT e_doc, t_doc, diag, island, CAST(count(*) AS BIGINT) AS run_grams
+  FROM isl GROUP BY e_doc, t_doc, diag, island
+)
+SELECT e_doc AS eval_doc, t_doc AS train_doc,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(run_grams) AS BIGINT) AS n_matched_grams,
+       CAST(max(run_grams) AS BIGINT) AS max_run_grams,
+       CAST(max(run_grams) + {_RUN_N - 1} AS BIGINT) AS max_run_tokens
+FROM runs GROUP BY e_doc, t_doc
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -3522,4 +3630,5 @@ TEXT_QUERIES = {
     "q116_bigram_lm_score": (q116_bigram_lm_score, Q116_SQL),
     "q117_epoch_upsample": (q117_epoch_upsample, Q117_SQL),
     "q118_hard_negatives": (q118_hard_negatives, Q118_SQL),
+    "q119_shared_substring_runs": (q119_shared_substring_runs, Q119_SQL),
 }
