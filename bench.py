@@ -102,6 +102,7 @@ HEADLINE = [
     "q117_epoch_upsample",
     "q118_hard_negatives",
     "q119_shared_substring_runs",
+    "q120_bpe_apply",
 ]
 
 

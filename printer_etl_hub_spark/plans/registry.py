@@ -78,6 +78,7 @@ GATE_ORDER = [
     "q117_epoch_upsample",
     "q118_hard_negatives",
     "q119_shared_substring_runs",
+    "q120_bpe_apply",
     # -- group 2: rotate back, newest green = round 2
     "q02_bad_value_filter",
     "q03_normalize_projection",
@@ -95,7 +96,7 @@ GATE_ORDER = [
     "q105_cms_heavy_hitters",
     # -- group 4: round-3-green backfill (TPC-H pack q35/q57-q70
     #    deferred to round 6; new round-5 queries displace from here,
-    #    bottom first — q73-q76/q78-q80 displaced by q113-q119)
+    #    bottom first — q71/q73-q76/q78-q80 displaced by q113-q120)
     "q01_pricing_summary",
     "q08_severity_argmax",
     "q13_merge_upsert",
@@ -118,7 +119,6 @@ GATE_ORDER = [
     "q47_range_join",
     "q48_hypertable_rollup",
     "q51_token_topk",
-    "q71_json_harvest",
 ]
 
 # Import-time contract checks. Explicit raises (not assert) so the

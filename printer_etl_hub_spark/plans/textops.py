@@ -3576,6 +3576,83 @@ FROM runs GROUP BY e_doc, t_doc
 """
 
 
+# --------------------------------------------------------------------------
+# q120 — greedy BPE tokenizer APPLICATION with a pinned merge table
+# --------------------------------------------------------------------------
+#: Pinned merge rules in training-rank order (the q98 pair-count step is
+#: the trainer; these are the composition a trained table would hold for
+#: this corpus's vocabulary — 'table' and 'value' assemble char by char).
+_BPE_MERGES = [
+    ("t", "a"), ("l", "e"), ("b", "le"), ("ta", "ble"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+]
+
+
+def q120_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the other half of q98's BPE trainer: encode
+    every word with a pinned merge table, rules applied in training-rank
+    order as leftmost-non-overlapping string replaces (each rule twice,
+    which resolves boundary-sharing repeats up to 4 deep; a production
+    encoder loops each rule to fixpoint). Output per document: symbol
+    count before merges, subword count after, and the compression ratio
+    — the number a tokenizer-budget planner actually consumes.
+
+    Exactness: replace() is leftmost-non-overlapping in BOTH engines, so
+    the greedy merge sequence — including its divergence from
+    pair-priority BPE on pathological repeats — is bit-identical across
+    the oracle boundary. Shape: one token explode, all merge folds
+    narrow per-row string ops in whole-stage codegen, one final
+    groupBy(doc_id)."""
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    s = F.concat(F.lit(" "), F.regexp_replace(F.col("tok"), r"(.)", r"$1 "))
+    for a, b in _BPE_MERGES:
+        for _ in range(2):  # twice per rule — see docstring
+            s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    enc = toks.select(
+        "doc_id",
+        F.length("tok").cast("bigint").alias("n_sym"),
+        F.size(F.split(F.trim(s), " ")).cast("bigint").alias("n_sub"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.sum("n_sym").cast("bigint").alias("n_symbols"),
+        F.sum("n_sub").cast("bigint").alias("n_subwords"),
+        F.round(
+            F.sum("n_sub").cast("double") / F.sum("n_sym").cast("double"), 6
+        ).alias("compression"),
+    )
+
+
+def _sql_bpe_chain() -> str:
+    expr = "' ' || regexp_replace(tok, '(.)', '\\1 ', 'g')"
+    for a, b in _BPE_MERGES:
+        for _ in range(2):
+            expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return expr
+
+
+Q120_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), enc AS (
+  SELECT doc_id,
+         CAST(length(tok) AS BIGINT) AS n_sym,
+         CAST(len(regexp_split_to_array(trim({_sql_bpe_chain()}), ' ')) AS BIGINT) AS n_sub
+  FROM toks WHERE length(tok) > 0
+)
+SELECT doc_id,
+       CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       round(CAST(sum(n_sub) AS DOUBLE) / CAST(sum(n_sym) AS DOUBLE), 6) AS compression
+FROM enc GROUP BY doc_id
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -3631,4 +3708,5 @@ TEXT_QUERIES = {
     "q117_epoch_upsample": (q117_epoch_upsample, Q117_SQL),
     "q118_hard_negatives": (q118_hard_negatives, Q118_SQL),
     "q119_shared_substring_runs": (q119_shared_substring_runs, Q119_SQL),
+    "q120_bpe_apply": (q120_bpe_apply, Q120_SQL),
 }
