@@ -390,10 +390,10 @@ def test_bruteforce_topk_refuses_oversized_input(spark):
 
 def test_registry_gate_window_is_complete_and_oracled():
     """The driver gates the first 50 REGISTRY entries: every one of them
-    must carry an oracle (no structurally-red rows). Round 4 leads with
-    the composed-pipeline flagships (q81/q82 — zero external rows
-    before this round) and re-evidences the queries whose newest green
-    row was round 1/2."""
+    must carry an oracle (no structurally-red rows). Round 5 leads with
+    the zero-external-row set (q106-q112 from late round 4 plus this
+    round's q113-q120), rotates back the round-2-green q02-q11 family,
+    and re-verifies the queries whose implementation changed this round."""
     from printer_etl_hub_spark.plans import REGISTRY
     from printer_etl_hub_spark.plans.registry import GATE_ORDER
 
@@ -401,23 +401,29 @@ def test_registry_gate_window_is_complete_and_oracled():
     assert window == GATE_ORDER
     unoracled = [n for n in window if REGISTRY[n].oracle_sql is None]
     assert not unoracled, unoracled
-    assert window[0] == "q81_corpus_prep"
-    assert window[1] == "q82_embedding_dedup"
-    # The round-1/2-only set must all be re-evidenced this round.
-    # (q02/q03/q04 yielded their slots to q97/q98/q99 late in round 4,
-    # and q05/q06/q07/q09-q11 to q100-q105 — zero-external-row queries
-    # outrank two-round-old green; registry.py.)
+    # zero-external-row queries lead the window
+    zero_row = [
+        "q106_jl_project", "q107_pq_adc_topk", "q108_incremental_minhash",
+        "q109_scd2_merge", "q110_scd2_asof", "q111_event_funnel",
+        "q112_cohort_retention", "q113_sq8_quantize", "q114_ann_recall",
+        "q115_domain_cap", "q116_bigram_lm_score", "q117_epoch_upsample",
+        "q118_hard_negatives", "q119_shared_substring_runs", "q120_bpe_apply",
+    ]
+    assert window[: len(zero_row)] == zero_row
+    # the round-2-green set rotates back, as round 4 promised
     stale = {
-        "q12_point_lookup",
-        "q14_group_representative", "q16_rollup", "q17_setops",
-        "q18_json_extract", "q19_catalog_lookup", "q39_sliding_window",
-        "q40_tpch_q10", "q41_semi_anti_join", "q42_tpch_q18",
-        "q43_exact_percentiles", "q44_tpch_q4", "q45_tpch_q14",
-        "q49_distinct_agg", "q50_cube", "q52_unpivot",
-        "q53_rank_windows", "q54_tpch_q17", "q55_string_agg",
-        "q56_date_functions",
+        "q02_bad_value_filter", "q03_normalize_projection",
+        "q04_enrichment_join", "q05_postal_split", "q06_pivot_orderstatus",
+        "q07_first_per_slot", "q09_top2_per_group", "q10_dedup_keep_first",
+        "q11_collect_sorted",
     }
     assert stale <= set(window), stale - set(window)
+    # implementation-changed queries re-verify externally this round
+    changed = {
+        "q100_semantic_dedup", "q101_pq_encode", "q103_kn_ngram_stats",
+        "q105_cms_heavy_hitters",
+    }
+    assert changed <= set(window), changed - set(window)
 
 
 def test_kmeans_fit_converges_on_separated_blobs(spark):
