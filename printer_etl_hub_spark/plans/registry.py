@@ -5,9 +5,11 @@ correctness driver gates the FIRST 50 entries each round. ``GATE_ORDER``
 makes that window explicit so coverage can be rotated deliberately.
 
 Round-5 window (staleness-driven rotation, per the round-4 plan):
-1. q106-q112 — the seven operators that landed after the round-4 window
-   filled; implemented + oracled but with ZERO external CORRECTNESS
-   rows (judge-verified locally in round 4). They lead.
+1. q106-q120 — the zero-external-row set: the seven operators that
+   landed after the round-4 window filled (judge-verified locally in
+   round 4) plus this round's eight additions (q113 SQ8, q114 ANN
+   recall, q115 domain cap, q116 bigram LM, q117 epoch upsample, q118
+   hard negatives, q119 substring runs, q120 BPE apply). They lead.
 2. q02-q07/q09-q11 — rotate back as promised in round 4; their newest
    external green row is round 2.
 3. q100/q101/q103/q105 (+q109 in group 1) — re-verification of the
@@ -16,11 +18,11 @@ Round-5 window (staleness-driven rotation, per the round-4 plan):
    counts, the q105 vocab-weighted CMS build, the q109 max-derived
    fresh keys).
 4. Backfill from the round-3-green set (45 queries, all equally stale).
-   The 15 deferred to round 6 are TPC-H-pack queries (q35, q57-q70):
-   textbook SQL with the strongest local coverage (exact oracle-diff
-   suite + property tests) and zero implementation drift since round 3
-   — the lowest-risk deferral. New round-5 queries displace from the
-   BOTTOM of group 4.
+   Deferred to round 6: the TPC-H pack (q35, q57-q70 — textbook SQL
+   with the strongest local coverage and zero drift since round 3) and
+   the group-4 bottom displaced by the round-5 additions (q71,
+   q73-q76, q78-q80 — all covered by the local oracle-diff suite and
+   unit tests every session). Round 6 should lead with THOSE.
 
 q37 stays OUTSIDE the window by design: its estimator output has no
 exact oracle (pinned by a tolerance test instead), and every gated
