@@ -21,9 +21,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q01_pricing_summary"].fn(spark, SMOKE_SF_DIR)
 
 
+def _gate_wrapped(name: str, fn: Callable) -> Callable[[SparkSession, str], DataFrame]:
+    """Release the PREVIOUS query's persisted frames at entry to the next
+    one: several operators persist() a shared subtree that the returned
+    lazy frame still references (so they cannot unpersist before the
+    caller's action), and across a 50-query gate session those caches
+    would otherwise accumulate for the SparkSession's lifetime. Clearing
+    at call entry is safe — the prior query's result was already
+    materialized by the harness — and is the same idiom bench.py uses
+    per attempt."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    run.__name__ = name
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator/query from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: _gate_wrapped(name, spec.fn) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
