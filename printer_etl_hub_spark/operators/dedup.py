@@ -534,18 +534,28 @@ def semantic_dedup(
         # Feeds both pair sides AND the final projection — compute once.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # The pair join's INPUT shuffle is cluster-table-sized but its OUTPUT
+    # explodes quadratically per cluster — exactly the shape AQE's
+    # coalescing mis-sizes (it sees ~100 MB of shuffle input and folds
+    # the join to 1-2 partitions, serializing the quadratic work onto
+    # one task; measured as a 25+ min 1.4-core stall at the 10x audit
+    # scale vs minutes when spread). Explicit repartition(N, cl) on both
+    # sides pins the partitioning — AQE never coalesces user-specified
+    # repartitions — so per-cluster pair work spreads across the
+    # executor fleet.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     a = assigned.select(
         F.col("_sid").alias("a_id"),
         F.col("cluster_id").alias("cl"),
         F.col("vd").alias("avd"),
         F.col("nrm").alias("anrm"),
-    )
+    ).repartition(n_part, F.col("cl"))
     b = assigned.select(
         F.col("_sid").alias("b_id"),
         F.col("cluster_id").alias("cl"),
         F.col("vd").alias("bvd"),
         F.col("nrm").alias("bnrm"),
-    )
+    ).repartition(n_part, F.col("cl"))
     dot = F.aggregate(
         F.zip_with("avd", "bvd", lambda x, y: x * y),
         F.lit(0.0),
