@@ -231,6 +231,14 @@ def minhash_index_pairs(
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("ds") <= max_bucket)
+    # Spread the bucket rows BEFORE the quadratic double-explode: AQE
+    # coalesces the bucket aggregation's read by its (small) input size,
+    # which would serialize the C(d,2) pair fan-out of every bucket onto
+    # a couple of tasks. A round-robin repartition of the compact bucket
+    # rows is cheap and never coalesced.
+    grouped = grouped.repartition(
+        index.sparkSession.sparkContext.defaultParallelism
+    )
     pairs = (
         grouped.select(F.explode("ds").alias("a_id"), F.col("ds"))
         .select("a_id", F.explode("ds").alias("b_id"))

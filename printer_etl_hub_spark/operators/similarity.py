@@ -183,7 +183,15 @@ def ivf_topk(
         "vid", F.col("vec_d").alias("q_vec"), F.col("norm").alias("q_norm"),
         F.col("cent_id").alias("cell"),
     )
-    cand = probes.join(cells, "cell").filter(F.col("vid") != F.col("m_id"))
+    # Same AQE-coalescing guard as the LSH/SemDeDup pair joins: the cell
+    # join's output is n·n_probe·(n/c) rows from a modest input shuffle —
+    # pin the partitioning so the candidate scoring spreads.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        probes.repartition(n_part, F.col("cell"))
+        .join(cells.repartition(n_part, F.col("cell")), "cell")
+        .filter(F.col("vid") != F.col("m_id"))
+    )
     cos = (_dot(F.col("q_vec"), F.col("m_vec")) / (F.col("q_norm") * F.col("m_norm"))).alias(
         "cos_sim"
     )
@@ -233,18 +241,24 @@ def sign_lsh_pairs(
     base = base.withColumn("bucket", sign_bucket(F.col("vec_d"), bits)).persist(
         StorageLevel.MEMORY_AND_DISK
     )  # both self-join sides read this — compute the norms/buckets once
+    # Pin the bucket-join partitioning: the join's OUTPUT explodes with
+    # Σ bucket_size² while its input shuffle is corpus-sized, so AQE's
+    # input-sized coalescing can serialize the pair generation onto a
+    # couple of tasks (the semantic_dedup stall class). User-specified
+    # repartitions are never coalesced.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     a = base.select(
         F.col("vid").alias("a_id"),
         F.col("bucket"),
         F.col("vec_d").alias("a_vec"),
         F.col("norm").alias("a_norm"),
-    )
+    ).repartition(n_part, F.col("bucket"))
     b = base.select(
         F.col("vid").alias("b_id"),
         F.col("bucket").alias("b_bucket"),
         F.col("vec_d").alias("b_vec"),
         F.col("norm").alias("b_norm"),
-    )
+    ).repartition(n_part, F.col("b_bucket"))
     pairs = a.join(
         b, (F.col("bucket") == F.col("b_bucket")) & (F.col("a_id") < F.col("b_id"))
     )
