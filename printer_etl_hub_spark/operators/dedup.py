@@ -512,10 +512,16 @@ def semantic_dedup(
         df, id_col, vec_col, k=k, max_iter=iters, tol=0.0,
         seeding=seeding, stats=stats,
     )
-    v = df.select(
-        F.col(id_col).alias("_sid"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("vd"),
-    ).filter(F.col("vd").isNotNull())
+    v = (
+        # Spread first: the assignment fold and the norm computation run
+        # at the scan's parallelism otherwise (see kmeans_fit).
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("_sid"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("vd"),
+        )
+        .filter(F.col("vd").isNotNull())
+    )
     dist = F.aggregate(
         F.zip_with("vd", "centroid", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),

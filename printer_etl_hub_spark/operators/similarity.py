@@ -323,7 +323,13 @@ def kmeans_fit(
 
     spark = df.sparkSession
     base = (
-        df.select(
+        # Spread BEFORE the per-round map work: vector corpora often
+        # arrive as one or two fat parquet files, and every training
+        # round's n·k distance fold inherits the scan's partitioning —
+        # measured as a whole audit run pinned to ~1 core. Same
+        # discipline as with_vector_norm.
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(
             F.col(id_col).alias("vid"),
             F.transform(vec_col, lambda x: x.cast("double")).alias("vd"),
         )
@@ -614,7 +620,10 @@ def pq_train_encode(
     """
     spark = df.sparkSession
     base = (
-        df.select(
+        # Spread first — the per-round assignment folds inherit this
+        # partitioning (see kmeans_fit).
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(
             F.col(id_col).alias("vid"),
             _as_double(F.col(vec_col)).alias("vd"),
         )
