@@ -533,17 +533,15 @@ def semantic_dedup(
         )
     )
     assigned = (
+        # Slim argmin (see kmeans_fit): the vector joins back after the
+        # min collapses the n·k fan-out instead of riding inside every
+        # candidate struct.
         v.join(F.broadcast(cents.select("cluster_id", "centroid")))
-        .select(
-            "_sid", F.struct(dist.alias("dist"), "cluster_id", "vd").alias("cand")
-        )
+        .select("_sid", F.struct(dist.alias("dist"), "cluster_id").alias("cand"))
         .groupBy("_sid")
         .agg(F.min("cand").alias("best"))
-        .select(
-            "_sid",
-            F.col("best.cluster_id").alias("cluster_id"),
-            F.col("best.vd").alias("vd"),
-        )
+        .select("_sid", F.col("best.cluster_id").alias("cluster_id"))
+        .join(v, "_sid")
         .select("_sid", "cluster_id", "vd", nrm.alias("nrm"))
         # Feeds both pair sides AND the final projection — compute once.
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -540,16 +540,20 @@ def _kmeans_loop(spark, base, k, max_iter, tol, stats, seeding="lowest_id"):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        # Argmin over SLIM (dist, cluster_id) candidate rows — carrying vd
+        # inside the min-struct copies the full vector into every n·k
+        # fan-out row (measured: ~45 GB of transient row volume at the
+        # 10x audit's k=447), so the vector joins back AFTER the argmin
+        # collapses the fan-out to n rows. Tie-breaks unchanged: (dist,
+        # cluster_id) already totally ordered the candidates.
         assigned = (
             base.join(F.broadcast(cdf))
-            .select(
-                "vid", F.struct(dist.alias("dist"), "cluster_id", "vd").alias("cand")
-            )
+            .select("vid", F.struct(dist.alias("dist"), "cluster_id").alias("cand"))
             .groupBy("vid")
             .agg(F.min("cand").alias("best"))
-            .select(
-                F.col("best.cluster_id").alias("cid"), F.col("best.vd").alias("vd")
-            )
+            .select("vid", F.col("best.cluster_id").alias("cid"))
+            .join(base, "vid")
+            .select("cid", "vd")
         )
         rows = (
             assigned.select("cid", F.posexplode("vd").alias("dim", "v"))
@@ -655,6 +659,9 @@ def pq_train_encode(
             books[(sub, code)] = list(r.vd[sub * d : (sub + 1) * d])
 
     def _assign(cdf):
+        # Slim argmin — see kmeans_fit: the sub-vector joins back after
+        # the min collapses the m·n·k fan-out, instead of riding inside
+        # every candidate struct.
         dist = F.aggregate(
             F.zip_with("svd", "cvec", lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
@@ -662,11 +669,7 @@ def pq_train_encode(
         )
         return (
             sv.join(F.broadcast(cdf), "sub")
-            .select(
-                "vid",
-                "sub",
-                F.struct(dist.alias("dist"), "code", "svd").alias("cand"),
-            )
+            .select("vid", "sub", F.struct(dist.alias("dist"), "code").alias("cand"))
             .groupBy("vid", "sub")
             .agg(F.min("cand").alias("best"))
         )
@@ -678,8 +681,11 @@ def pq_train_encode(
         )
 
     for _ in range(iters):
-        assigned = _assign(_cdf()).select(
-            "sub", F.col("best.code").alias("code"), F.col("best.svd").alias("svd")
+        assigned = (
+            _assign(_cdf())
+            .select("vid", "sub", F.col("best.code").alias("code"))
+            .join(sv, ["vid", "sub"])
+            .select("sub", "code", "svd")
         )
         rows = (
             assigned.select("sub", "code", F.posexplode("svd").alias("dim", "v"))
