@@ -394,11 +394,16 @@ def _kmeans_parallel_seeds(base, k, rounds=5, oversample=2.0, stats=None):
         lambda acc, x: acc + x,
     )
     for rnd in range(rounds):
+        # Materialize the slim per-point distances ONCE per round: both
+        # the cost aggregation and the sampling filter read dmin, and
+        # without the cut the n·|C| distance pass would run twice per
+        # round. n rows x 16 B — executor-local, freed by GC.
         dmin = (
             base.join(F.broadcast(_cand_df()))
             .select("vid", d2.alias("d"))
             .groupBy("vid")
             .agg(F.min("d").alias("dmin"))
+            .localCheckpoint(eager=True)
         )
         psi = dmin.agg(F.sum("dmin").alias("s")).collect()[0].s
         if psi is None or psi <= 0.0:
