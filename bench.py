@@ -103,6 +103,12 @@ HEADLINE = [
     "q118_hard_negatives",
     "q119_shared_substring_runs",
     "q120_bpe_apply",
+    # Round 5 second batch: C4-style boilerplate excision, winnowing
+    # fingerprints, DSIR importance scores, vocab-coverage audit.
+    "q121_boilerplate_filter",
+    "q122_winnowing",
+    "q123_dsir_importance",
+    "q124_vocab_coverage",
 ]
 
 

@@ -3,6 +3,7 @@
 from .argmax import argmax_per_group, top_k_per_group  # noqa: F401
 from .cms import cms_build, cms_estimate  # noqa: F401
 from .dedup import (  # noqa: F401
+    boilerplate_filter,
     dedup_exact,
     minhash_band_index,
     minhash_index_join,
@@ -11,6 +12,7 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     semantic_dedup,
     simhash_docs,
+    winnow_fingerprints,
 )
 from .pivot import first_per_slot_pivot, varbind_pivot  # noqa: F401
 from .profile import hot_keys, partition_histogram, profile_columns  # noqa: F401

@@ -602,3 +602,156 @@ def semantic_dedup(
     out = out.localCheckpoint(eager=True)
     assigned.unpersist(blocking=False)
     return out
+
+
+def boilerplate_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 10,
+    max_doc_df: int = 2,
+) -> DataFrame:
+    """C4-style boilerplate removal by DOCUMENT frequency: segment each
+    document into fixed ``seg_tokens``-token spans, count how many
+    DISTINCT documents each span occurs in, and drop EVERY occurrence of
+    any span present in more than ``max_doc_df`` documents (C4 dropped
+    any line occurring in >= 3 pages of the crawl; ref behavior class:
+    corpus cleanup before training). The complement of
+    :func:`segment_dedup`: that keeps the FIRST occurrence of a repeated
+    span; this drops all of them, because a span repeated across many
+    documents is boilerplate, not content.
+
+    Returns one row per document:
+    ``(id, n_segs, n_kept, kept_frac, kept_text)``.
+
+    Plan shape: narrow segmentation, one key-bounded shuffle for the
+    per-span distinct-document count (span hash is the key, rows are
+    hash-wide), one hash-keyed left join back onto the postings, one
+    shuffle to the document id for re-assembly. Nothing is quadratic:
+    cost tracks total spans, the df table tracks DISTINCT spans.
+    """
+    from pyspark import StorageLevel
+
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    starts = F.sequence(F.lit(1), F.size("w"), F.lit(seg_tokens))
+    segs = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, seg_tokens))
+    )
+    ex = (
+        df.select(F.col(id_col).alias("_id"), w.alias("w"))
+        .select("_id", F.posexplode(segs).alias("seg_idx", "seg"))
+        .withColumn("seg_h", F.md5("seg"))
+        # Feeds BOTH the df-count build and the probe side — pin it so the
+        # scan+segment subtree runs once (cache released at next gate
+        # entry, per __spark_entry__._gate_wrapped).
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    common = (
+        ex.groupBy("seg_h")
+        .agg(F.count_distinct(F.col("_id")).alias("doc_df"))
+        .filter(F.col("doc_df") > max_doc_df)
+        .select("seg_h", F.lit(1).alias("_drop"))
+    )
+    marked = ex.join(common, "seg_h", "left")
+    kept_struct = F.when(
+        F.col("_drop").isNull(), F.struct(F.col("seg_idx"), F.col("seg"))
+    )
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.sum(F.col("_drop").isNull().cast("int")).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+                ),
+            ).alias("kept_text"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_segs",
+            "n_kept",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_segs").cast("double"), 6
+            ).alias("kept_frac"),
+            "kept_text",
+        )
+    )
+
+
+#: Winnowing position shift: fingerprints pack (hash, position) into one
+#: bigint as ``hash * 2^20 + (2^20 - 1 - pos)`` so a single window MIN
+#: implements the robust-winnowing rule (min hash, ties -> rightmost
+#: position). Caps document length at 2^20 grams; wider documents need a
+#: wider shift (and a >32-bit hash would then overflow the bigint).
+_WINNOW_SHIFT = 1 << 20
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD 2003, the MOSS algorithm): hash every ``k``-char gram of the
+    whitespace-stripped lowercased text, slide a window of ``w``
+    consecutive gram hashes, and in each window select the minimum hash
+    (ties -> rightmost occurrence). The distinct selected (hash, pos)
+    pairs are the document's fingerprint set: any shared substring of
+    length >= k + w - 1 between two documents is GUARANTEED to share at
+    least one fingerprint, with expected density 2/(w+1) — the local
+    fingerprinting scheme plagiarism/near-dup scanners use so matches
+    survive insertions and reordering that break global MinHash.
+
+    Returns the selected fingerprints, one row per distinct selection:
+    ``(id, fp_hash, fp_pos)``.
+
+    Plan shape: narrow gram generation + a per-document window min (the
+    window partition is the document — bounded by document length, never
+    corpus size) + a distinct on (id, packed). Zero joins; hash is the
+    32-bit md5 prefix so the DuckDB oracle replays selections exactly.
+    """
+    s = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", "")
+    n_grams = F.greatest(F.length("s") - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.conv(F.substring(F.md5(F.substring("s", i, k)), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        ),
+    )
+    ex = (
+        df.select(F.col(id_col).alias("_id"), s.alias("s"))
+        .filter(F.length("s") >= k + w - 1)
+        .select("_id", F.length("s").alias("_len"), F.explode(grams).alias("g"))
+        .select(
+            "_id",
+            "_len",
+            F.col("g.pos").alias("pos"),
+            (
+                F.col("g.h") * F.lit(_WINNOW_SHIFT)
+                + (F.lit(_WINNOW_SHIFT - 1) - F.col("g.pos"))
+            ).alias("packed"),
+        )
+    )
+    from pyspark.sql import Window
+
+    frame = (
+        Window.partitionBy("_id").orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        ex.withColumn("sel", F.min("packed").over(frame))
+        # only full windows: window i covers grams i..i+w-1
+        .filter(F.col("pos") <= F.col("_len") - (k - 1) - (w - 1))
+        .select("_id", "sel")
+        .distinct()
+    )
+    return sel.select(
+        F.col("_id").alias(id_col),
+        F.col("sel").cast("bigint").alias("packed"),
+        F.expr(f"sel div {_WINNOW_SHIFT}").cast("bigint").alias("fp_hash"),
+        (
+            F.lit(_WINNOW_SHIFT - 1) - F.pmod(F.col("sel"), F.lit(_WINNOW_SHIFT))
+        ).cast("bigint").alias("fp_pos"),
+    )

@@ -19,11 +19,13 @@ from ..functions.text import (
     tokenize,
 )
 from ..operators.dedup import (
+    boilerplate_filter,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     segment_dedup,
     simhash_docs,
+    winnow_fingerprints,
 )
 from ..operators.multimodal import decode_media
 from ..operators.similarity import cosine_topk_bruteforce, ivf_topk, sign_lsh_pairs
@@ -3653,6 +3655,293 @@ FROM enc GROUP BY doc_id
 """
 
 
+
+# --------------------------------------------------------------------------
+# q121 — boilerplate removal by document frequency (C4-style)
+# --------------------------------------------------------------------------
+#: A span occurring in MORE THAN this many distinct documents is dropped
+#: everywhere (C4's rule: any line on >= 3 pages of the crawl is
+#: boilerplate).
+_BP_MAX_DOC_DF = 2
+
+
+def q121_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate excision, C4-style: any fixed-width token
+    span occurring in more than ``_BP_MAX_DOC_DF`` DISTINCT documents is
+    dropped from EVERY document that contains it. The complement of
+    q91's keep-first segment dedup — a span repeated across many pages
+    is navigation/footer boilerplate, and keeping even one copy pollutes
+    the training mix. Returns per-document retention stats plus the
+    rebuilt text.
+
+    Shape (see `operators/dedup.py::boilerplate_filter`): one span-hash
+    shuffle for the distinct-document count, one hash-keyed join back,
+    one doc-keyed re-assembly — cost tracks total spans, never spans².
+    """
+    t = load_tables(spark, sf_dir)
+    return boilerplate_filter(
+        t["documents"], "doc_id", "text", SEGMENT_TOKENS, _BP_MAX_DOC_DF
+    )
+
+
+Q121_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+), seg AS (
+  SELECT doc_id,
+         CAST((s.i - 1) / {SEGMENT_TOKENS} AS INT) AS seg_idx,
+         list_aggregate(list_slice(w, s.i, s.i + {SEGMENT_TOKENS - 1}),
+                        'string_agg', ' ') AS seg
+  FROM d, LATERAL (
+    SELECT unnest(range(1, len(w) + 1, {SEGMENT_TOKENS})) AS i
+  ) s
+), dfc AS (
+  SELECT md5(seg) AS seg_h, count(DISTINCT doc_id) AS doc_df FROM seg GROUP BY 1
+), marked AS (
+  SELECT seg.doc_id, seg.seg_idx, seg.seg,
+         dfc.doc_df > {_BP_MAX_DOC_DF} AS is_bp
+  FROM seg JOIN dfc ON md5(seg.seg) = dfc.seg_h
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(*) FILTER (WHERE NOT is_bp) AS BIGINT) AS n_kept,
+       round(CAST(count(*) FILTER (WHERE NOT is_bp) AS DOUBLE) / count(*), 6)
+         AS kept_frac,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE NOT is_bp), '')
+         AS kept_text
+FROM marked GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q122 — winnowing fingerprints (Schleimer-Wilkerson-Aiken / MOSS)
+# --------------------------------------------------------------------------
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+
+def q122_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection over every document: k-char gram
+    hashes, a w-hash sliding window, min hash per window with ties to
+    the rightmost position (robust winnowing). Guarantees any shared
+    substring of >= k+w-1 chars between two documents shares a
+    fingerprint, at ~2/(w+1) density — the local fingerprinting front
+    end for plagiarism-class near-dup detection where MinHash's global
+    signature washes out short copied spans.
+
+    Output is the raw fingerprint set (doc, packed, fp_hash, fp_pos) —
+    per-row evidence that both engines select IDENTICAL (hash, position)
+    pairs, not just equal counts. Shape: narrow gram generation, one
+    per-document window min (partition = document, bounded by document
+    length), one distinct. Zero joins.
+    """
+    t = load_tables(spark, sf_dir)
+    return winnow_fingerprints(
+        t["documents"], "doc_id", "text", _WINNOW_K, _WINNOW_W
+    )
+
+
+Q122_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', '', 'g') AS s
+  FROM documents
+), g AS (
+  SELECT doc_id, length(s) AS len, CAST(s2.i AS INT) AS pos,
+         CAST(('0x' || substr(md5(substr(s, CAST(s2.i AS INT), {_WINNOW_K})), 1, 8))
+              AS BIGINT) AS h
+  FROM d, LATERAL (SELECT unnest(range(1, length(s) - {_WINNOW_K - 2})) AS i) s2
+  WHERE length(s) >= {_WINNOW_K + _WINNOW_W - 1}
+), sel AS (
+  SELECT DISTINCT doc_id,
+         min(h * {1 << 20} + ({(1 << 20) - 1} - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS sel
+  FROM g
+  QUALIFY pos <= len - {_WINNOW_K - 1} - {_WINNOW_W - 1}
+)
+SELECT doc_id, CAST(sel AS BIGINT) AS packed,
+       CAST(sel // {1 << 20} AS BIGINT) AS fp_hash,
+       CAST({(1 << 20) - 1} - (sel % {1 << 20}) AS BIGINT) AS fp_pos
+FROM sel
+"""
+
+
+# --------------------------------------------------------------------------
+# q123 — DSIR-style hashed-bigram importance scores
+# --------------------------------------------------------------------------
+#: Hash-bucket count for the bigram feature space (DSIR, Xie et al. 2023,
+#: uses 10k buckets at corpus scale; 1024 keeps the broadcast tiny here).
+_DSIR_BUCKETS = 1024
+
+
+def q123_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance scores, DSIR-shaped: hash every bigram
+    into a fixed bucket space, build the TARGET distribution's bucket
+    counts from the in-domain slice (here lang='en'), and score every
+    raw document by the target mass its own bigrams land on. High
+    scorers look like the target domain — the distributed core of
+    importance-resampling data selection (Xie et al., NeurIPS 2023).
+
+    Deliberately log-free (q89/q92's idiom): the published estimator
+    scores with log-ratios of target/raw bucket probabilities; a
+    transcendental log is not bit-portable across engines, so the gated
+    form keeps the integer target-mass dot product and one final IEEE
+    division — same ranking signal within a fixed corpus, exactly
+    reproducible.
+
+    Shape: narrow bigram generation, one groupBy over ``_DSIR_BUCKETS``
+    keys for the target histogram (constant-width shuffle), a BROADCAST
+    join of that histogram onto the gram stream (map-side, no shuffle),
+    one doc-keyed agg. The histogram is bucket-count-sized — constant in
+    corpus size, the whole point of hashed features.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", "lang", tokenize(F.col("text")).alias("w")
+    ).filter(F.size("w") >= 2)
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 2)),
+            )
+        ).alias("g"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(_DSIR_BUCKETS),
+        ),
+    )
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    target = (
+        grams.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    return (
+        grams.join(F.broadcast(target), "bucket", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("t_cnt"), F.lit(0))).cast("bigint").alias("raw_score"),
+            F.round(
+                F.sum(F.coalesce(F.col("t_cnt"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("score_per_gram"),
+        )
+    )
+
+
+Q123_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(w[CAST(s.i AS INT)] || ' ' || w[CAST(s.i AS INT) + 1]),
+                              1, 15)) AS BIGINT) % {_DSIR_BUCKETS} AS bucket
+  FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+  WHERE len(w) >= 2
+), t AS (
+  SELECT bucket, count(*) AS t_cnt FROM g WHERE lang = 'en' GROUP BY bucket
+)
+SELECT g.doc_id, g.lang,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(COALESCE(t.t_cnt, 0)) AS BIGINT) AS raw_score,
+       round(CAST(sum(COALESCE(t.t_cnt, 0)) AS DOUBLE) / count(*), 6)
+         AS score_per_gram
+FROM g LEFT JOIN t USING (bucket)
+GROUP BY g.doc_id, g.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q124 — tokenizer-vocabulary coverage / OOV audit
+# --------------------------------------------------------------------------
+#: Vocabulary size for the coverage audit (this corpus has ~31 distinct
+#: tokens, so 16 leaves a real OOV tail; production vocabularies are
+#: 32k-256k and the plan is identical).
+_VOCAB_K = 16
+
+
+def q124_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: derive the top-``_VOCAB_K`` corpus
+    vocabulary (count desc, token asc — deterministic at the cutoff),
+    then measure per document how much of its token stream that
+    vocabulary covers and how many distinct out-of-vocabulary types
+    remain. The pre-flight a tokenizer-budget owner runs before
+    committing a vocab size: OOV rate is the fraction of the corpus that
+    will shatter into bytes/UNKs.
+
+    Shape: one token-count shuffle, a bounded top-k
+    (TakeOrderedAndProject — never a global sort of the postings), a
+    BROADCAST vocab join onto the token stream, one doc-keyed agg with
+    an exact distinct-OOV count.
+    """
+    t = load_tables(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("inv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum(F.col("inv").isNotNull().cast("int")).cast("bigint").alias("n_covered"),
+            F.count_distinct(
+                F.when(F.col("inv").isNull(), F.col("tok"))
+            ).cast("bigint").alias("n_distinct_oov"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.col("inv").isNotNull().cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+Q124_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+), vc AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+), vocab AS (
+  SELECT tok, 1 AS inv FROM vc ORDER BY n DESC, tok LIMIT {_VOCAB_K}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(count(*) FILTER (WHERE v.inv IS NOT NULL) AS BIGINT) AS n_covered,
+       CAST(count(DISTINCT t.tok) FILTER (WHERE v.inv IS NULL) AS BIGINT)
+         AS n_distinct_oov,
+       round(1.0 - CAST(count(*) FILTER (WHERE v.inv IS NOT NULL) AS DOUBLE)
+                   / count(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -3709,4 +3998,8 @@ TEXT_QUERIES = {
     "q118_hard_negatives": (q118_hard_negatives, Q118_SQL),
     "q119_shared_substring_runs": (q119_shared_substring_runs, Q119_SQL),
     "q120_bpe_apply": (q120_bpe_apply, Q120_SQL),
+    "q121_boilerplate_filter": (q121_boilerplate_filter, Q121_SQL),
+    "q122_winnowing": (q122_winnowing, Q122_SQL),
+    "q123_dsir_importance": (q123_dsir_importance, Q123_SQL),
+    "q124_vocab_coverage": (q124_vocab_coverage, Q124_SQL),
 }

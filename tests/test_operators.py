@@ -839,3 +839,80 @@ def test_semantic_dedup_kmeans_par_recovers_duplicate_structure(spark):
         df, "vec_id", "embedding", k=4, tau=0.999, iters=2
     ).collect()
     assert {r.vec_id for r in default if r.is_keeper} == keepers
+
+
+def test_boilerplate_filter_drops_common_spans_everywhere(spark):
+    """A span in > max_doc_df distinct documents disappears from ALL of
+    them (q91's keep-first dedup would have kept the first copy); spans
+    at or under the threshold survive untouched."""
+    from printer_etl_hub_spark.operators.dedup import boilerplate_filter
+
+    footer = " ".join(f"f{i}" for i in range(10))  # one full 10-token span
+    rows = [
+        (1, f"{footer} a b c d e f g h i j"),
+        (2, f"{footer} k l m n o p q r s t"),
+        (3, f"{footer} u v w x y z aa bb cc dd"),
+        (4, "solo1 solo2 solo3 solo4 solo5 solo6 solo7 solo8 solo9 solo10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_filter(df, "doc_id", "text", 10, 2).collect()
+    }
+    assert len(out) == 4
+    for d in (1, 2, 3):
+        assert out[d].n_segs == 2
+        assert out[d].n_kept == 1
+        assert footer not in out[d].kept_text
+    assert out[4].n_kept == 1 and out[4].kept_text.startswith("solo1")
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    """Winnowing's contract (Schleimer et al. 2003 thm 1): two documents
+    sharing a substring of length >= k + w - 1 chars share at least one
+    selected fingerprint HASH — even when the copy sits at different
+    positions inside otherwise-different documents."""
+    from printer_etl_hub_spark.operators.dedup import winnow_fingerprints
+
+    copied = "xxcopiedblockyy"  # 15 chars >= k + w - 1 = 11
+    rows = [
+        (1, f"aaaaaaaaaaaaaaaaaa{copied}bbbbbbbb"),
+        (2, f"cc{copied}dddddddddddddddddddddddd"),
+        (3, "entirely unrelated content with no shared block at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fp = winnow_fingerprints(df, "doc_id", "text", k=8, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2], "shared >=k+w-1 substring must share a fingerprint"
+    # density sanity: selections are a strict subset of the windows
+    n_windows = {d: len(t.replace(" ", "")) - 8 + 1 - 3 for d, t in
+                 ((r[0], r[1]) for r in rows)}
+    for d, hashes in by_doc.items():
+        assert 0 < len(hashes) <= n_windows[d]
+
+
+def test_winnow_fingerprints_positions_decode_and_tie_rightmost(spark):
+    """The packed encoding round-trips: every fingerprint's (hash, pos)
+    re-hashes to the k-gram at that position, and a text that repeats
+    one gram (hash tie inside a window) selects the RIGHTMOST tied
+    occurrence — the robust-winnowing rule."""
+    from printer_etl_hub_spark.operators.dedup import winnow_fingerprints
+
+    text = "abcdefgh" * 4  # heavy self-repetition => guaranteed hash ties
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    fp = winnow_fingerprints(df, "doc_id", "text", k=8, w=4).collect()
+    import hashlib
+
+    s = text
+    for r in fp:
+        gram = s[r.fp_pos - 1 : r.fp_pos - 1 + 8]
+        want = int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+        assert r.fp_hash == want
+        assert r.packed == r.fp_hash * (1 << 20) + ((1 << 20) - 1 - r.fp_pos)
+    # every window of w=4 consecutive grams contains a selected position
+    n_windows = len(s) - 8 + 1 - 3
+    sel_pos = sorted({r.fp_pos for r in fp})
+    for wstart in range(1, n_windows + 1):
+        assert any(wstart <= p <= wstart + 3 for p in sel_pos)

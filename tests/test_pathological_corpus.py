@@ -43,6 +43,14 @@ BOUNDARY_SENSITIVE = [
     "q103_kn_ngram_stats",
     "q104_bm25_topk",
     "q105_cms_heavy_hitters",
+    # Round-5 additions with span/gram/window boundaries: q121 slices
+    # fixed-width segments, q122's char-gram + winnow window needs
+    # >= k+w-1 chars, q123's bigram window needs >= 2 tokens, q124
+    # joins the raw token stream against a cutoff-tie-broken vocab.
+    "q121_boilerplate_filter",
+    "q122_winnowing",
+    "q123_dsir_importance",
+    "q124_vocab_coverage",
 ]
 
 

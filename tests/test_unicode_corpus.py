@@ -39,6 +39,10 @@ TEXT_KEYED = [
     "q102_leakage_safe_split",
     "q103_kn_ngram_stats",
     "q105_cms_heavy_hitters",
+    # Round-5 additions keyed on span hashes / char grams / bigram hashes:
+    "q121_boilerplate_filter",
+    "q122_winnowing",
+    "q123_dsir_importance",
 ]
 
 
