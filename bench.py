@@ -109,6 +109,9 @@ HEADLINE = [
     "q122_winnowing",
     "q123_dsir_importance",
     "q124_vocab_coverage",
+    "q125_overlap_stitch",
+    "q126_lsh_recall",
+    "q127_source_divergence",
 ]
 
 

@@ -3942,6 +3942,281 @@ GROUP BY t.doc_id
 """
 
 
+
+# --------------------------------------------------------------------------
+# q125 — chunk-overlap stitch detection (crawl-shard boundary artifacts)
+# --------------------------------------------------------------------------
+#: Boundary width in tokens. 2 keeps collisions observable on this small
+#: shared-vocabulary corpus; a production crawl uses ~50, where a match
+#: is near-certainly a real continuation.
+_STITCH_K = 2
+
+
+def q125_overlap_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-overlap artifact detection: find ordered document pairs
+    where A's LAST ``_STITCH_K`` tokens equal B's FIRST ``_STITCH_K``
+    tokens — the signature of a crawl/extraction pipeline that sharded
+    one page into overlapping chunks. Downstream either re-stitches the
+    pair or drops the duplicated boundary before training.
+
+    Shape: per-document prefix/suffix hashes (narrow), one equi-join on
+    the 32-char boundary digest. Both join sides are PINNED to an
+    explicit hash repartition on the digest: boundary keys are natural
+    skew magnets (every page of a template site can end with the same
+    footer tokens) and the join's output is quadratic per key while its
+    input shuffle is tiny — exactly the shape AQE would coalesce onto
+    one task (the r5 SemDeDup lesson).
+    """
+    t = load_tables(spark, sf_dir)
+    k = _STITCH_K
+    n_part = spark.sparkContext.defaultParallelism
+    w = tokenize(F.col("text"))
+    b = (
+        t["documents"]
+        .select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice("w", 1, k))).alias("pref_h"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), F.size("w") - (k - 1), k))
+            ).alias("suff_h"),
+            F.concat_ws(" ", F.slice(F.col("w"), F.size("w") - (k - 1), k)).alias(
+                "boundary"
+            ),
+        )
+    )
+    up = b.select(
+        F.col("doc_id").alias("upstream_doc"), F.col("suff_h").alias("bh"), "boundary"
+    ).repartition(n_part, F.col("bh"))
+    down = b.select(F.col("doc_id").alias("downstream_doc"), F.col("pref_h").alias("bh")).repartition(
+        n_part, F.col("bh")
+    )
+    return (
+        up.join(down, "bh")
+        .filter(F.col("upstream_doc") != F.col("downstream_doc"))
+        .select("upstream_doc", "downstream_doc", "boundary")
+    )
+
+
+Q125_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+), b AS (
+  SELECT doc_id,
+         md5(list_aggregate(list_slice(w, 1, {_STITCH_K}), 'string_agg', ' ')) AS pref_h,
+         md5(list_aggregate(list_slice(w, len(w) - {_STITCH_K - 1}, len(w)),
+                            'string_agg', ' ')) AS suff_h,
+         list_aggregate(list_slice(w, len(w) - {_STITCH_K - 1}, len(w)),
+                        'string_agg', ' ') AS boundary
+  FROM d WHERE len(w) >= {_STITCH_K}
+)
+SELECT a.doc_id AS upstream_doc, c.doc_id AS downstream_doc, a.boundary
+FROM b a JOIN b c ON a.suff_h = c.pref_h AND a.doc_id <> c.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q126 — MinHash-LSH recall harness vs exact n-gram Jaccard
+# --------------------------------------------------------------------------
+def q126_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-side twin of q114's ANN recall harness: every EXACT
+    near-dup pair (q29's n-gram Jaccard >= 0.8, same max_df cap) tagged
+    with whether q28's MinHash-LSH banding actually surfaced it as a
+    candidate. The (k, bands) knobs of a dedup deployment are tuned BY
+    this table — at 100 TB you run it on a sampled shard against the
+    production band configuration and read the recall before committing
+    a corpus-wide job. Per-pair rows (not one summary scalar) so the
+    oracle pins every individual hit/miss, and the plan stays join-keyed
+    with no single-row cross join.
+
+    Shape: both pair generators are the existing band-bucket /
+    postings-join operators (nothing all-pairs); the tag is one LEFT
+    join on the (a_id, b_id) pair key.
+    """
+    t = load_tables(spark, sf_dir)
+    truth = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+    )
+    cand = minhash_lsh_pairs(t["documents"], "doc_id", "text").select(
+        "a_id", "b_id", F.lit(1).alias("_hit")
+    )
+    return truth.join(cand, ["a_id", "b_id"], "left").select(
+        "a_id",
+        "b_id",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.coalesce(F.col("_hit"), F.lit(0)).cast("bigint").alias("lsh_hit"),
+    )
+
+
+Q126_SQL = f"""
+WITH truth AS ({Q29_SQL}), cand AS ({Q28_SQL})
+SELECT truth.a_id, truth.b_id,
+       round(truth.jaccard, 6) AS jaccard,
+       CAST(CASE WHEN cand.a_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS lsh_hit
+FROM truth LEFT JOIN cand
+  ON cand.a_id = truth.a_id AND cand.b_id = truth.b_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q127 — per-source token-distribution divergence (domain drift audit)
+# --------------------------------------------------------------------------
+def q127_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity of each source's token distribution
+    against the REST of the corpus — the drift audit a mixture owner
+    runs when a crawl source changes character (template rollout,
+    spam influx) before it poisons the training mix. Per source:
+    chi2 = sum_tok N*(a*n2 - b*n1)^2 / (n1*n2*(a+b)) with a = the
+    source's count, b = everyone else's, n1/n2 the stream sizes.
+
+    Exactness: per-token contributions are single IEEE expressions
+    (bit-identical across engines); the sum over tokens goes through
+    plans/common.py::dsum decimals. Tokens the source never emits enter
+    in CLOSED FORM — their contribution reduces to N*n1/n2 * b, so one
+    bigint subtraction replaces a source x vocab grid expansion (the
+    grid is the scale trap at a real vocabulary).
+
+    Shape: one (source, tok) groupBy, one tok groupBy re-agg off it,
+    a tok-keyed join, and a ~|sources|-row broadcast for the stream
+    sizes. Top contributing token per source via a per-source window
+    over the (bounded) per-source token set.
+    """
+    t = load_tables(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    st = (
+        t["documents"]
+        .select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = st.groupBy("tok").agg(F.sum("a").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("a").alias("n1"))
+    grand = ns.agg(F.sum("n1").alias("nn"))
+    ns = ns.join(F.broadcast(grand)).withColumn("n2", F.col("nn") - F.col("n1"))
+    j = (
+        st.join(tot, "tok")
+        .join(F.broadcast(ns), "source")
+        .withColumn("b", F.col("c_t") - F.col("a"))
+        .withColumn(
+            "contrib",
+            F.when(
+                F.col("n2") > 0,
+                F.col("nn").cast("double")
+                * (
+                    F.col("a").cast("double") * F.col("n2").cast("double")
+                    - F.col("b").cast("double") * F.col("n1").cast("double")
+                )
+                * (
+                    F.col("a").cast("double") * F.col("n2").cast("double")
+                    - F.col("b").cast("double") * F.col("n1").cast("double")
+                )
+                / (
+                    F.col("n1").cast("double")
+                    * F.col("n2").cast("double")
+                    * (F.col("a") + F.col("b")).cast("double")
+                ),
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("contrib").desc(), F.col("tok").asc()
+    )
+    top = (
+        j.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("tok").alias("top_token"),
+                F.round("contrib", 6).alias("top_contrib"))
+    )
+    agg = j.groupBy("source").agg(
+        F.max("n1").cast("bigint").alias("n_tokens"),
+        F.max("n2").cast("bigint").alias("n_rest"),
+        dsum(F.col("contrib")).alias("_present"),
+        F.sum("b").cast("bigint").alias("_b_present"),
+        F.max("nn").alias("_nn"),
+    )
+    return (
+        agg.withColumn(
+            "_zero",
+            F.when(
+                F.col("n_rest") > 0,
+                F.col("_nn").cast("double")
+                * F.col("n_tokens").cast("double")
+                * (F.col("n_rest") - F.col("_b_present")).cast("double")
+                / F.col("n_rest").cast("double"),
+            ),
+        )
+        .join(top, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_rest",
+            F.round(F.col("_present") + F.col("_zero"), 6).alias("chi2"),
+            "top_token",
+            "top_contrib",
+        )
+    )
+
+
+Q127_SQL = rf"""
+WITH st AS (
+  SELECT source, tok, count(*) AS a
+  FROM (SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY source, tok
+), tot AS (
+  SELECT tok, sum(a) AS c_t FROM st GROUP BY tok
+), ns0 AS (
+  SELECT source, sum(a) AS n1 FROM st GROUP BY source
+), ns AS (
+  SELECT source, n1, (SELECT sum(n1) FROM ns0) AS nn,
+         (SELECT sum(n1) FROM ns0) - n1 AS n2
+  FROM ns0
+), j AS (
+  SELECT st.source, st.tok, st.a, tot.c_t - st.a AS b, ns.n1, ns.n2, ns.nn,
+         CASE WHEN ns.n2 > 0 THEN
+           CAST(ns.nn AS DOUBLE)
+           * (CAST(st.a AS DOUBLE) * CAST(ns.n2 AS DOUBLE)
+              - CAST(tot.c_t - st.a AS DOUBLE) * CAST(ns.n1 AS DOUBLE))
+           * (CAST(st.a AS DOUBLE) * CAST(ns.n2 AS DOUBLE)
+              - CAST(tot.c_t - st.a AS DOUBLE) * CAST(ns.n1 AS DOUBLE))
+           / (CAST(ns.n1 AS DOUBLE) * CAST(ns.n2 AS DOUBLE)
+              * CAST(st.a + tot.c_t - st.a AS DOUBLE))
+         END AS contrib
+  FROM st JOIN tot USING (tok) JOIN ns USING (source)
+), top AS (
+  SELECT source, tok AS top_token, round(contrib, 6) AS top_contrib
+  FROM (SELECT source, tok, contrib,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY contrib DESC, tok ASC) AS rn
+        FROM j)
+  WHERE rn = 1
+), agg AS (
+  SELECT source,
+         CAST(max(n1) AS BIGINT) AS n_tokens,
+         CAST(max(n2) AS BIGINT) AS n_rest,
+         {sql_dsum('contrib')} AS present,
+         CAST(sum(b) AS BIGINT) AS b_present,
+         max(nn) AS nn
+  FROM j GROUP BY source
+)
+SELECT agg.source, agg.n_tokens, agg.n_rest,
+       round(agg.present
+             + CASE WHEN agg.n_rest > 0 THEN
+                 CAST(agg.nn AS DOUBLE) * CAST(agg.n_tokens AS DOUBLE)
+                 * CAST(agg.n_rest - agg.b_present AS DOUBLE)
+                 / CAST(agg.n_rest AS DOUBLE)
+               END, 6) AS chi2,
+       top.top_token, top.top_contrib
+FROM agg JOIN top USING (source)
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -4002,4 +4277,7 @@ TEXT_QUERIES = {
     "q122_winnowing": (q122_winnowing, Q122_SQL),
     "q123_dsir_importance": (q123_dsir_importance, Q123_SQL),
     "q124_vocab_coverage": (q124_vocab_coverage, Q124_SQL),
+    "q125_overlap_stitch": (q125_overlap_stitch, Q125_SQL),
+    "q126_lsh_recall": (q126_lsh_recall, Q126_SQL),
+    "q127_source_divergence": (q127_source_divergence, Q127_SQL),
 }

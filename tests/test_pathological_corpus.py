@@ -51,6 +51,12 @@ BOUNDARY_SENSITIVE = [
     "q122_winnowing",
     "q123_dsir_importance",
     "q124_vocab_coverage",
+    # q125's prefix/suffix slices sit AT the token-count boundary; q126
+    # composes the q28/q29 pair generators; q127's zero-cell closed form
+    # must hold when a source's token set is disjoint from the rest.
+    "q125_overlap_stitch",
+    "q126_lsh_recall",
+    "q127_source_divergence",
 ]
 
 

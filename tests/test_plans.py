@@ -201,6 +201,7 @@ BNLJ_ALLOWED = {
     "q110_scd2_asof",  # composes q109 (same scalar broadcast)
     "q114_ann_recall",  # composes q31's guarded theta-join ground truth
     "q118_hard_negatives",  # query-batch-sized broadcast (1/50 sample), corpus scans once
+    "q127_source_divergence",  # 1-row grand-total scalar broadcast (q89's class)
 }
 
 

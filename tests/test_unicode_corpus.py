@@ -43,6 +43,8 @@ TEXT_KEYED = [
     "q121_boilerplate_filter",
     "q122_winnowing",
     "q123_dsir_importance",
+    "q125_overlap_stitch",
+    "q126_lsh_recall",
 ]
 
 
