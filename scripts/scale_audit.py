@@ -110,6 +110,19 @@ def main() -> None:
         "q101_pq_encode",
         "q102_leakage_safe_split",
         "q103_kn_ngram_stats",
+        # Round-5 second wave. Adversarial notes under 10-way cloning:
+        # q119's digest join fans out ~copies^2/4 across the parity split
+        # plus full-diagonal self-matches between clones; q121 must drop
+        # EVERY span (all spans now sit in >= 10 docs > max_doc_df=2) so
+        # result stays one row per doc with n_kept=0; q122 is narrow and
+        # must scale linearly; q126's truth/candidate pair sets are the
+        # group-bounded q28/q29 generators; q127 is two key-bounded aggs
+        # regardless of clone factor.
+        "q119_shared_substring_runs",
+        "q121_boilerplate_filter",
+        "q122_winnowing",
+        "q126_lsh_recall",
+        "q127_source_divergence",
     ):
         t0 = time.perf_counter()
         n = REGISTRY[name].fn(spark, DST).count()
