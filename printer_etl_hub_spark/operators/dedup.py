@@ -705,53 +705,49 @@ def winnow_fingerprints(
     Returns the selected fingerprints, one row per distinct selection:
     ``(id, fp_hash, fp_pos)``.
 
-    Plan shape: narrow gram generation + a per-document window min (the
-    window partition is the document — bounded by document length, never
-    corpus size) + a distinct on (id, packed). Zero joins; hash is the
-    32-bit md5 prefix so the DuckDB oracle replays selections exactly.
+    Plan shape: ZERO-shuffle narrow pipeline. Winnowing is a
+    per-document computation, so the whole selection runs in the array
+    domain of one row — gram hashes via transform, window minima via
+    array_min over w-wide slices, per-document dedup via array_distinct
+    — and only the SELECTED fingerprints (density 2/(w+1)) are ever
+    exploded into rows. The first cut used a per-document window
+    function instead; correct, but it shuffled and sorted every gram
+    row (47 M rows at the 10x audit, 129 s) for what one row can
+    compute locally — the array form audits at a few seconds. Memory
+    per row is O(doc chars); the 2^20-gram position cap of the packed
+    encoding bounds it at ~8 MB. Ties -> rightmost comes from packing
+    (hash, pos) as ``hash * 2^20 + (2^20 - 1 - pos)`` so a single MIN
+    picks min-hash-then-max-pos; hash is the 32-bit md5 prefix so the
+    DuckDB oracle replays selections exactly.
     """
     s = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", "")
-    n_grams = F.greatest(F.length("s") - (k - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.conv(F.substring(F.md5(F.substring("s", i, k)), 1, 8), 16, 10)
-            .cast("bigint")
-            .alias("h"),
-        ),
+    base = df.select(F.col(id_col).alias("_id"), s.alias("s")).filter(
+        F.length("s") >= k + w - 1
     )
-    ex = (
-        df.select(F.col(id_col).alias("_id"), s.alias("s"))
-        .filter(F.length("s") >= k + w - 1)
-        .select("_id", F.length("s").alias("_len"), F.explode(grams).alias("g"))
-        .select(
-            "_id",
-            "_len",
-            F.col("g.pos").alias("pos"),
-            (
-                F.col("g.h") * F.lit(_WINNOW_SHIFT)
-                + (F.lit(_WINNOW_SHIFT - 1) - F.col("g.pos"))
-            ).alias("packed"),
+    n_grams = F.length("s") - (k - 1)
+    packed = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("s").substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("bigint")
+        * F.lit(_WINNOW_SHIFT)
+        + (F.lit(_WINNOW_SHIFT - 1) - i),
+    )
+    sels = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_packed") - (w - 1)),
+            lambda j: F.array_min(F.slice(F.col("_packed"), j, w)),
         )
     )
-    from pyspark.sql import Window
-
-    frame = (
-        Window.partitionBy("_id").orderBy("pos").rowsBetween(Window.currentRow, w - 1)
-    )
-    sel = (
-        ex.withColumn("sel", F.min("packed").over(frame))
-        # only full windows: window i covers grams i..i+w-1
-        .filter(F.col("pos") <= F.col("_len") - (k - 1) - (w - 1))
-        .select("_id", "sel")
-        .distinct()
-    )
-    return sel.select(
-        F.col("_id").alias(id_col),
-        F.col("sel").cast("bigint").alias("packed"),
-        F.expr(f"sel div {_WINNOW_SHIFT}").cast("bigint").alias("fp_hash"),
-        (
-            F.lit(_WINNOW_SHIFT - 1) - F.pmod(F.col("sel"), F.lit(_WINNOW_SHIFT))
-        ).cast("bigint").alias("fp_pos"),
+    return (
+        base.select("_id", packed.alias("_packed"))
+        .select("_id", F.explode(sels).alias("sel"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("sel").cast("bigint").alias("packed"),
+            F.expr(f"sel div {_WINNOW_SHIFT}").cast("bigint").alias("fp_hash"),
+            (
+                F.lit(_WINNOW_SHIFT - 1) - F.pmod(F.col("sel"), F.lit(_WINNOW_SHIFT))
+            ).cast("bigint").alias("fp_pos"),
+        )
     )
