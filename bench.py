@@ -112,6 +112,11 @@ HEADLINE = [
     "q125_overlap_stitch",
     "q126_lsh_recall",
     "q127_source_divergence",
+    # Round 5 third batch: time-series subsequence search, tokenizer
+    # fertility by language, T5-style span corruption.
+    "q128_ts_pattern_search",
+    "q129_tokenizer_fertility",
+    "q130_span_corruption",
 ]
 
 

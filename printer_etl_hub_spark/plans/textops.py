@@ -4217,6 +4217,317 @@ FROM agg JOIN top USING (source)
 """
 
 
+
+# --------------------------------------------------------------------------
+# q128 — z-normalized subsequence pattern search over the event stream
+# --------------------------------------------------------------------------
+#: Window length and the z-space query pattern (an up-ramp): the
+#: UCR-suite-style subsequence search shape (cf. "Time Series Similarity
+#: Search for Streaming Data in Distributed Systems", EDBT 2019).
+_TS_M = 8
+_TS_PATTERN = ("-1.2", "-0.8", "-0.4", "0.0", "0.4", "0.8", "1.2", "1.6")
+
+
+def q128_ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-normalized sliding-window pattern match over the event
+    value series: find each user's closest length-8 subsequence to a
+    pinned z-space query pattern (squared Euclidean after per-window
+    z-normalization) — the subsequence-similarity primitive behind
+    anomaly/motif search on metric streams. At 100 TB the per-entity
+    series is the partition grain (a user's history fits a row group);
+    unbounded single entities get range-bucketed by time first.
+
+    Exactness: sums/means/variance per window go through the proven
+    sequential-left-fold idiom (Spark ``F.aggregate`` ↔ DuckDB
+    ``list_reduce`` — bit-identical), sqrt is IEEE-correctly-rounded in
+    both engines, and constant windows are excluded on the VARIANCE
+    (never sqrt-of-negative NaN, whose comparison semantics differ by
+    engine mood). Ranking orders by the UNROUNDED distance.
+
+    Shape: one groupBy(user) with an ordered collect (bounded by the
+    entity's history), a narrow explode of window starts (rows = events,
+    not events x m), per-row fold arithmetic in the JVM, one per-user
+    top-1 window over the (tiny) per-user candidate set.
+    """
+    t = load_tables(spark, sf_dir)
+    m = _TS_M
+    md = float(m)
+    pat = F.array(*[F.lit(float(x)) for x in _TS_PATTERN])
+    ser = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("ev")
+        )
+        .select("user_id", F.transform("ev", lambda e: e["value"]).alias("v"))
+        .filter(F.size("v") >= m)
+    )
+    win = F.transform(
+        F.sequence(F.lit(1), F.size("v") - (m - 1)),
+        lambda j: F.struct(j.alias("start"), F.slice("v", j, m).alias("w")),
+    )
+    ex = (
+        ser.select("user_id", F.explode(win).alias("wn"))
+        .select(
+            "user_id",
+            F.col("wn.start").cast("int").alias("start_pos"),
+            F.col("wn.w").alias("w"),
+        )
+        .withColumn("s1", F.aggregate("w", F.lit(0.0), lambda a, x: a + x))
+        .withColumn("s2", F.aggregate("w", F.lit(0.0), lambda a, x: a + x * x))
+        .withColumn("mu", F.col("s1") / F.lit(md))
+        .withColumn("var", F.col("s2") / F.lit(md) - F.col("mu") * F.col("mu"))
+        .filter(F.col("var") > 1e-12)
+        .withColumn("sd", F.sqrt("var"))
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(m)),
+                F.lit(0.0),
+                lambda a, i: a
+                + (
+                    (F.element_at(F.col("w"), i) - F.col("mu")) / F.col("sd")
+                    - F.element_at(pat, i)
+                )
+                * (
+                    (F.element_at(F.col("w"), i) - F.col("mu")) / F.col("sd")
+                    - F.element_at(pat, i)
+                ),
+            ),
+        )
+    )
+    rn = Window.partitionBy("user_id").orderBy(
+        F.col("dist").asc(), F.col("start_pos").asc()
+    )
+    return (
+        ex.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "start_pos",
+            F.round("dist", 6).alias("zdist"),
+        )
+    )
+
+
+_SQL_TS_PAT = "[" + ", ".join(_TS_PATTERN) + "]"
+
+Q128_SQL = f"""
+WITH ser AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS v
+  FROM events GROUP BY user_id
+), ex AS (
+  SELECT user_id, CAST(s.j AS INT) AS start_pos,
+         list_slice(v, s.j, s.j + {_TS_M - 1}) AS w
+  FROM ser, LATERAL (SELECT unnest(range(1, len(v) - {_TS_M - 2})) AS j) s
+  WHERE len(v) >= {_TS_M}
+), st AS (
+  SELECT user_id, start_pos, w,
+         list_reduce(w, (a, b) -> a + b) / {_TS_M}.0 AS mu,
+         list_reduce(list_transform(w, x -> x * x), (a, b) -> a + b)
+           / {_TS_M}.0 AS m2
+  FROM ex
+), fin AS (
+  SELECT user_id, start_pos, w, mu, sqrt(m2 - mu * mu) AS sd
+  FROM st WHERE m2 - mu * mu > 1e-12
+), d AS (
+  SELECT user_id, start_pos,
+         list_reduce(list_transform(range(1, {_TS_M + 1}),
+           i -> ((w[CAST(i AS INT)] - mu) / sd - {_SQL_TS_PAT}[CAST(i AS INT)])
+              * ((w[CAST(i AS INT)] - mu) / sd - {_SQL_TS_PAT}[CAST(i AS INT)])),
+           (a, b) -> a + b) AS dist
+  FROM fin
+)
+SELECT user_id, start_pos, round(dist, 6) AS zdist
+FROM (SELECT user_id, start_pos, dist,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY dist ASC, start_pos ASC) AS rn
+      FROM d)
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q129 — tokenizer fertility by language (multilingual tokenizer audit)
+# --------------------------------------------------------------------------
+def q129_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: apply q120's pinned BPE merge
+    table to every word, then aggregate subwords-per-word and
+    subwords-per-symbol BY LANGUAGE — the standard multilingual-equity
+    audit (a tokenizer trained on English fragments low-resource
+    languages into many more subwords per word, inflating their
+    effective sequence length and training cost). One scan, narrow
+    codegen'd merge folds, one languages-sized aggregate.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select("lang", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    s = F.concat(F.lit(" "), F.regexp_replace(F.col("tok"), r"(.)", r"$1 "))
+    for a, b in _BPE_MERGES:
+        for _ in range(2):  # q120's fixpoint-depth convention
+            s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    enc = toks.select(
+        "lang",
+        F.length("tok").cast("bigint").alias("n_sym"),
+        F.size(F.split(F.trim(s), " ")).cast("bigint").alias("n_sub"),
+    )
+    return enc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_sym").cast("bigint").alias("n_symbols"),
+        F.sum("n_sub").cast("bigint").alias("n_subwords"),
+        F.round(
+            F.sum("n_sub").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_sub").cast("double") / F.sum("n_sym").cast("double"), 6
+        ).alias("compression"),
+    )
+
+
+Q129_SQL = rf"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), enc AS (
+  SELECT lang,
+         CAST(length(tok) AS BIGINT) AS n_sym,
+         CAST(len(regexp_split_to_array(trim({_sql_bpe_chain()}), ' ')) AS BIGINT) AS n_sub
+  FROM toks WHERE length(tok) > 0
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility,
+       round(CAST(sum(n_sub) AS DOUBLE) / CAST(sum(n_sym) AS DOUBLE), 6) AS compression
+FROM enc GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q130 — T5-style span-corruption prep (deterministic mask selection)
+# --------------------------------------------------------------------------
+#: Span width in tokens and the mask rate denominator: a span is masked
+#: when md5(doc_id # span_idx) ≡ 0 (mod 7) — ~14 %, near T5's 15 %.
+_CORRUPT_SPAN = 3
+_CORRUPT_MOD = 7
+
+
+def q130_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption pretraining prep (T5/UL2 class): partition each
+    document into consecutive fixed-width token spans, deterministically
+    mask ~1/7 of them keyed on md5(doc_id, span_idx), and emit the
+    corrupted INPUT (masked spans replaced by a sentinel) plus the
+    TARGET (the masked spans, in order) with retention stats. The
+    deterministic hash gate makes the corruption reproducible across
+    epochs/engines — no RNG state to ship.
+
+    Shape: fully narrow — segmentation, mask flags, and both output
+    strings are per-row array expressions (zip_with + filter + concat);
+    zero shuffles, zero joins.
+    """
+    t = load_tables(spark, sf_dir)
+    n = _CORRUPT_SPAN
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    starts = F.sequence(F.lit(1), F.size("w"), F.lit(n))
+    segs = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n))
+    )
+    d = t["documents"].select("doc_id", w.alias("w")).select(
+        "doc_id", segs.alias("segs")
+    )
+    idx = F.sequence(F.lit(0), F.size("segs") - 1)
+    flags = F.transform(
+        idx,
+        lambda i: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit("#"), i.cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(_CORRUPT_MOD),
+        )
+        == 0,
+    )
+    d = d.select("doc_id", "segs", flags.alias("flags"))
+    input_text = F.concat_ws(
+        " ",
+        F.zip_with(
+            "segs", "flags", lambda s, fl: F.when(fl, F.lit("<extra_id>")).otherwise(s)
+        ),
+    )
+    target_text = F.concat_ws(
+        " ",
+        F.filter(
+            F.zip_with("segs", "flags", lambda s, fl: F.when(fl, s)),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    n_masked = F.size(F.filter("flags", lambda x: x))
+    return d.select(
+        "doc_id",
+        F.size("segs").cast("bigint").alias("n_spans"),
+        n_masked.cast("bigint").alias("n_masked"),
+        F.round(
+            n_masked.cast("double") / F.size("segs").cast("double"), 6
+        ).alias("masked_frac"),
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+    )
+
+
+Q130_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+), seg AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(w) + 1, {_CORRUPT_SPAN}),
+           i -> list_aggregate(list_slice(w, CAST(i AS INT),
+                                          CAST(i AS INT) + {_CORRUPT_SPAN - 1}),
+                               'string_agg', ' ')) AS segs
+  FROM d
+), fl AS (
+  SELECT doc_id, segs,
+         list_transform(
+           range(0, len(segs)),
+           i -> CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+                                         CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+                % {_CORRUPT_MOD} = 0) AS flags
+  FROM seg
+)
+SELECT doc_id,
+       CAST(len(segs) AS BIGINT) AS n_spans,
+       CAST(len(list_filter(flags, x -> x)) AS BIGINT) AS n_masked,
+       round(CAST(len(list_filter(flags, x -> x)) AS DOUBLE) / len(segs), 6)
+         AS masked_frac,
+       list_aggregate(
+         list_transform(range(1, len(segs) + 1),
+           i -> CASE WHEN flags[CAST(i AS INT)] THEN '<extra_id>'
+                     ELSE segs[CAST(i AS INT)] END),
+         'string_agg', ' ') AS input_text,
+       COALESCE(list_aggregate(
+         list_filter(list_transform(range(1, len(segs) + 1),
+           i -> CASE WHEN flags[CAST(i AS INT)] THEN segs[CAST(i AS INT)] END),
+           x -> x IS NOT NULL),
+         'string_agg', ' '), '') AS target_text
+FROM fl
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -4280,4 +4591,7 @@ TEXT_QUERIES = {
     "q125_overlap_stitch": (q125_overlap_stitch, Q125_SQL),
     "q126_lsh_recall": (q126_lsh_recall, Q126_SQL),
     "q127_source_divergence": (q127_source_divergence, Q127_SQL),
+    "q128_ts_pattern_search": (q128_ts_pattern_search, Q128_SQL),
+    "q129_tokenizer_fertility": (q129_tokenizer_fertility, Q129_SQL),
+    "q130_span_corruption": (q130_span_corruption, Q130_SQL),
 }

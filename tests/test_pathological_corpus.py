@@ -57,6 +57,10 @@ BOUNDARY_SENSITIVE = [
     "q125_overlap_stitch",
     "q126_lsh_recall",
     "q127_source_divergence",
+    # q129 folds the BPE merge chain over boundary-length tokens; q130's
+    # span grid sits AT the segment-width boundary.
+    "q129_tokenizer_fertility",
+    "q130_span_corruption",
 ]
 
 

@@ -45,6 +45,8 @@ TEXT_KEYED = [
     "q123_dsir_importance",
     "q125_overlap_stitch",
     "q126_lsh_recall",
+    "q129_tokenizer_fertility",
+    "q130_span_corruption",
 ]
 
 
