@@ -21,12 +21,13 @@ Round-5 window (staleness-driven rotation, per the round-4 plan):
    Deferred to round 6: the TPC-H pack (q35, q57-q70 — textbook SQL
    with the strongest local coverage and zero drift since round 3) and
    the group-4 bottom displaced by the round-5 additions (q71,
-   q73-q76, q78-q80 by q113-q120; q33/q34/q36/q46/q47/q48/q51 by
-   q121-q127 — all covered by the local oracle-diff suite and unit
-   tests every session). Round 6 should lead with THOSE.
-5. q121-q127 (the round-5 second wave: boilerplate excision,
+   q73-q76, q78-q80 by q113-q120; q33/q34/q36/q46/q47/q48/q51 and
+   q29/q30/q32 by q121-q130 — all covered by the local oracle-diff
+   suite and unit tests every session). Round 6 should lead with THOSE.
+5. q121-q130 (the round-5 second/third waves: boilerplate excision,
    winnowing, DSIR importance, vocab coverage, overlap stitching, LSH
-   recall, source divergence) — never externally gated, so they take
+   recall, source divergence, TS subsequence search, tokenizer
+   fertility, span corruption) — never externally gated, so they take
    the bottom of this round's window.
 
 q37 stays OUTSIDE the window by design: its estimator output has no
@@ -39,8 +40,8 @@ Rotation ledger (newest external green per query, as of r4):
 r4: q12-q19(6), q28, q31, q38-q45, q49-q56(8), q72, q77, q81-q105;
 r3: q01, q08, q13, q15, q20-q27, q29, q30, q32-q36, q46-q48, q51,
     q57-q70, q71, q73-q76, q78-q80;
-r2: q02-q07, q09-q11; never: q106-q127 (q106-q120 + the second-wave
-q121-q127 are all gated this round), q37 (by design).
+r2: q02-q07, q09-q11; never: q106-q130 (q106-q120 + the later waves
+q121-q130 are all gated this round), q37 (by design).
 """
 
 from __future__ import annotations
@@ -116,12 +117,12 @@ GATE_ORDER = [
     "q25_quality_score",
     "q26_token_count",
     "q27_fingerprint",
-    "q29_ngram_jaccard",
-    "q30_simhash",
-    "q32_embedding_lsh",
-    # -- group 5: the round-5 second wave (q121-q127) — never externally
+    # -- group 5: the round-5 new waves (q121-q130) — never externally
     #    gated; they take the bottom of the window, displacing the
-    #    r3-green q33/q34/q36/q46/q47/q48/q51 to the round-6 backfill.
+    #    r3-green q33/q34/q36/q46/q47/q48/q51 and q29/q30/q32 to the
+    #    round-6 backfill. q29's exact truth CTE chain is re-evidenced
+    #    THROUGH q126's oracle this round; q32's sign-LSH carries an r4
+    #    row via q82.
     "q121_boilerplate_filter",
     "q122_winnowing",
     "q123_dsir_importance",
@@ -129,6 +130,9 @@ GATE_ORDER = [
     "q125_overlap_stitch",
     "q126_lsh_recall",
     "q127_source_divergence",
+    "q128_ts_pattern_search",
+    "q129_tokenizer_fertility",
+    "q130_span_corruption",
 ]
 
 # Import-time contract checks. Explicit raises (not assert) so the
