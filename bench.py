@@ -117,6 +117,7 @@ HEADLINE = [
     "q128_ts_pattern_search",
     "q129_tokenizer_fertility",
     "q130_span_corruption",
+    "q131_winnow_matches",
 ]
 
 

@@ -13,6 +13,7 @@ from .dedup import (  # noqa: F401
     semantic_dedup,
     simhash_docs,
     winnow_fingerprints,
+    winnow_match_pairs,
 )
 from .pivot import first_per_slot_pivot, varbind_pivot  # noqa: F401
 from .profile import hot_keys, partition_histogram, profile_columns  # noqa: F401

@@ -751,3 +751,62 @@ def winnow_fingerprints(
             ).cast("bigint").alias("fp_pos"),
         )
     )
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprint
+    HASHES — the MOSS-style match step over :func:`winnow_fingerprints`'
+    selections. Because winnowing guarantees any shared substring of
+    >= k+w-1 chars shares a fingerprint, a pair's ``n_shared`` lower-
+    bounds its count of independently-copied regions — the ranking
+    plagiarism/near-dup triage actually uses.
+
+    Returns ``(a_id, b_id, n_shared)`` with a_id < b_id.
+
+    Plan shape: per-doc distinct fingerprint sets (narrow — the
+    fingerprint op is zero-shuffle), one equi-join on fp_hash, one pair
+    groupBy. Both join sides are pinned to an explicit repartition on
+    the hash: a boilerplate fingerprint shared by m documents fans out
+    m^2 pairs from a tiny shuffle input — the quadratic-output shape
+    AQE would coalesce onto one task. ``max_bucket`` drops
+    stop-fingerprints (> max_bucket docs) before the join, the same cap
+    as the Jaccard path's ``max_df``.
+    """
+    fp = (
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select(F.col(id_col).alias("_id"), "fp_hash")
+        .distinct()
+    )
+    if max_bucket is not None:
+        from pyspark import StorageLevel
+
+        fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+        keep = (
+            fp.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") <= max_bucket)
+            .select("fp_hash")
+        )
+        fp = fp.join(keep, "fp_hash", "left_semi")
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    a = fp.select(F.col("_id").alias("a_id"), "fp_hash").repartition(
+        n_part, F.col("fp_hash")
+    )
+    b = fp.select(F.col("_id").alias("b_id"), "fp_hash").repartition(
+        n_part, F.col("fp_hash")
+    )
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -26,6 +26,7 @@ from ..operators.dedup import (
     segment_dedup,
     simhash_docs,
     winnow_fingerprints,
+    winnow_match_pairs,
 )
 from ..operators.multimodal import decode_media
 from ..operators.similarity import cosine_topk_bruteforce, ivf_topk, sign_lsh_pairs
@@ -4528,6 +4529,43 @@ FROM fl
 """
 
 
+
+# --------------------------------------------------------------------------
+# q131 — winnowing match pairs (MOSS-style copied-region triage)
+# --------------------------------------------------------------------------
+_WN_MIN_SHARED = 2
+
+
+def q131_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= 2 winnowing fingerprint hashes — q122's
+    match step (`operators/dedup.py::winnow_match_pairs`). n_shared
+    lower-bounds the number of independently-copied >= k+w-1-char
+    regions between the pair, the triage ranking a copied-content
+    reviewer works down. Also the batch reference for the streaming
+    `winnow_ingest_sink` (stream ≡ batch pinned in test_streaming).
+
+    Shape: zero-shuffle fingerprinting, one hash equi-join pinned to an
+    explicit repartition (quadratic-output AQE guard), one pair groupBy.
+    """
+    t = load_tables(spark, sf_dir)
+    return winnow_match_pairs(
+        t["documents"], "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W, min_shared=_WN_MIN_SHARED,
+    )
+
+
+Q131_SQL = f"""
+WITH fps AS ({Q122_SQL}), fp AS (
+  SELECT DISTINCT doc_id, fp_hash FROM fps
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_WN_MIN_SHARED}
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -4594,4 +4632,5 @@ TEXT_QUERIES = {
     "q128_ts_pattern_search": (q128_ts_pattern_search, Q128_SQL),
     "q129_tokenizer_fertility": (q129_tokenizer_fertility, Q129_SQL),
     "q130_span_corruption": (q130_span_corruption, Q130_SQL),
+    "q131_winnow_matches": (q131_winnow_matches, Q131_SQL),
 }

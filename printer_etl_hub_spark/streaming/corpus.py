@@ -148,3 +148,91 @@ def minhash_ingest_sink(
         idx.write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
 
     return _sink
+
+
+def winnow_ingest_sink(
+    index_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    min_quality: float | None = None,
+):
+    """foreachBatch sink: incremental WINNOWING match against a stored
+    fingerprint index — the substring-level sibling of
+    ``minhash_ingest_sink`` (that one catches whole-document near-dups;
+    this one catches copied REGIONS, the plagiarism/boilerplate-reuse
+    signal, via `operators/dedup.py::winnow_fingerprints`).
+
+    Per micro-batch: optional quality gate; the batch's distinct
+    (doc, fp_hash) fingerprint set (zero-shuffle op, cost tracks the
+    batch); cross matches = batch fingerprints equi-joined against the
+    STORED index grouped to pair counts (history never pays its own
+    fan-out, and because the earlier member's FULL fingerprint set is
+    already stored, the pair's n_shared is complete in the batch where
+    its later member arrives — so the match log needs no cross-batch
+    merge); in-batch matches the same way within the batch; append the
+    batch's fingerprints and matches under ``batch_id=<n>`` partitions
+    with overwrite (the re-delivery idempotence idiom shared by every
+    sink here, and the reason the history read excludes the batch's own
+    partition).
+
+    Equivalence contract (pinned by ``tests/test_streaming.py``): after
+    any micro-batch partitioning, the match log equals
+    ``winnow_match_pairs(whole_corpus)`` with the same (k, w,
+    min_shared), and the stored fingerprint set equals the one-shot
+    ``winnow_fingerprints`` distinct-hash set.
+    """
+    from ..operators.dedup import winnow_fingerprints
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df
+        if min_quality is not None:
+            feats = quality_features(F.col(text_col), tokenize(F.col(text_col)))
+            docs = docs.filter(feats["quality_score"] >= F.lit(min_quality))
+        fpb = (
+            winnow_fingerprints(docs, id_col, text_col, k=k, w=w)
+            .select(id_col, "fp_hash")
+            .distinct()
+            .localCheckpoint(eager=True)  # feeds history join, self join, write
+        )
+        try:
+            hist = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("batch_id") != F.lit(int(batch_id)))
+                .select(F.col(id_col).alias("_h"), "fp_hash")
+            )
+        except Exception:  # first batch: no index yet
+            hist = None
+        if hist is not None:
+            cross = (
+                fpb.select(F.col(id_col).alias("_n"), "fp_hash")
+                .join(hist, "fp_hash")
+                .groupBy("_n", "_h")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+                .filter(F.col("n_shared") >= min_shared)
+                .select(
+                    F.least("_n", "_h").alias("a_id"),
+                    F.greatest("_n", "_h").alias("b_id"),
+                    "n_shared",
+                )
+            )
+        else:
+            cross = None
+        ina = fpb.select(F.col(id_col).alias("a_id"), "fp_hash")
+        inb_side = fpb.select(F.col(id_col).alias("b_id"), "fp_hash")
+        inb = (
+            ina.join(inb_side, "fp_hash")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+        pairs = inb if cross is None else inb.unionByName(cross)
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
+        fpb.write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
+
+    return _sink

@@ -61,6 +61,8 @@ BOUNDARY_SENSITIVE = [
     # span grid sits AT the segment-width boundary.
     "q129_tokenizer_fertility",
     "q130_span_corruption",
+    # q131 self-joins the winnow fingerprint sets of boundary-shaped docs.
+    "q131_winnow_matches",
 ]
 
 

@@ -715,3 +715,77 @@ def test_minhash_ingest_sink_stream_equals_batch(spark, tmp_path):
     sink(batch_docs, last)
     assert spark.read.parquet(index_dir).count() == n_idx
     assert spark.read.parquet(pairs_dir).count() == n_pairs
+
+
+def test_winnow_ingest_sink_stream_equals_batch(spark, tmp_path):
+    """Incremental winnowing ingest: streaming the corpus through the
+    foreachBatch sink must discover EXACTLY the batch
+    winnow_match_pairs set (with identical n_shared counts — the pair
+    is logged complete in the batch where its later member arrives),
+    and the stored fingerprint index must equal the one-shot distinct
+    fingerprint set. Re-delivering the last batch is a no-op."""
+    from printer_etl_hub_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+    from printer_etl_hub_spark.streaming.corpus import winnow_ingest_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    index_dir = str(tmp_path / "wn_index")
+    pairs_dir = str(tmp_path / "wn_pairs")
+    sink = winnow_ingest_sink(index_dir, pairs_dir, k=8, w=4, min_shared=2)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_pairs = {
+        (r.a_id, r.b_id, r.n_shared)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    want_pairs = {
+        (r.a_id, r.b_id, r.n_shared)
+        for r in winnow_match_pairs(
+            docs, "doc_id", "text", k=8, w=4, min_shared=2
+        ).collect()
+    }
+    assert got_pairs == want_pairs and want_pairs  # non-trivial corpus
+
+    got_idx = {
+        (r.doc_id, r.fp_hash) for r in spark.read.parquet(index_dir).collect()
+    }
+    want_idx = {
+        (r.doc_id, r.fp_hash)
+        for r in winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .collect()
+    }
+    assert got_idx == want_idx
+    batch_ids = {
+        r.batch_id for r in spark.read.parquet(index_dir).select("batch_id").collect()
+    }
+    assert len(batch_ids) >= 2
+
+    # at-least-once re-delivery of the LAST batch must be a no-op
+    last = max(batch_ids)
+    replay = spark.read.parquet(f"{index_dir}/batch_id={last}")
+    n_idx = spark.read.parquet(index_dir).count()
+    n_pairs = spark.read.parquet(pairs_dir).count()
+    batch_docs = docs.join(
+        replay.select(F.col("doc_id").alias("_rid")).distinct(),
+        docs["doc_id"] == F.col("_rid"),
+    ).drop("_rid")
+    sink(batch_docs, last)
+    assert spark.read.parquet(index_dir).count() == n_idx
+    assert spark.read.parquet(pairs_dir).count() == n_pairs

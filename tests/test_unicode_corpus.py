@@ -47,6 +47,7 @@ TEXT_KEYED = [
     "q126_lsh_recall",
     "q129_tokenizer_fertility",
     "q130_span_corruption",
+    "q131_winnow_matches",
 ]
 
 
