@@ -118,6 +118,7 @@ HEADLINE = [
     "q129_tokenizer_fertility",
     "q130_span_corruption",
     "q131_winnow_matches",
+    "q132_pagerank",
 ]
 
 

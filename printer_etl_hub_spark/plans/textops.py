@@ -4566,6 +4566,112 @@ HAVING count(*) >= {_WN_MIN_SHARED}
 """
 
 
+
+# --------------------------------------------------------------------------
+# q132 — PageRank over the near-dup graph (pinned-iteration unroll)
+# --------------------------------------------------------------------------
+_PR_ITERS = 3
+
+
+def q132_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the exact near-dup graph (q29's Jaccard pairs as
+    undirected edges): the duplicate-graph CENTRALITY signal — a
+    document whose rank concentrates sits at the middle of a copy
+    cluster (canonical-source candidate), complementary to q72's flat
+    component labels. Simplified-PR variant: dangling mass is not
+    redistributed (isolated docs keep the 0.15/N base), standard for
+    in-corpus triage rankings.
+
+    Iteration count is PINNED at 3 and the driver loop unrolls to
+    DataFrame joins, so the DuckDB oracle is the same computation as
+    3 chained CTEs (q94's trainer-unroll idiom). Exactness: per-edge
+    contributions pr/deg are single IEEE divisions; the per-node
+    incoming sum goes through decimal(38,18) (order-insensitive, 1e-18
+    quantization identical in both engines); 0.15/0.85 enter as DOUBLE
+    literals on both sides (DuckDB decimal-literal trap avoided).
+
+    Scale shape per iteration: one src-keyed join shuffle + one
+    dst-keyed agg — ranks are node-sized (never broadcast at scale),
+    edges persist once and reuse their exchange across iterations. The
+    3-round cost is the CC operator's class, not an open-ended loop.
+    """
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    nn = t["documents"].count()
+    if nn == 0:
+        return spark.createDataFrame([], "doc_id bigint, pagerank double")
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+    )
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = t["documents"].select(F.col("doc_id").alias("node"))
+    ranks = nodes.withColumn("pr", F.lit(1.0 / nn))
+    base = 0.15 / nn
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select("dst", (F.col("pr") / F.col("deg").cast("double")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base) + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("pr", 9).alias("pagerank")
+    )
+
+
+def _sql_pr_round(prev: str, out: str) -> str:
+    return f"""{out}_c AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(r.pr / CAST(e.deg AS DOUBLE) AS DECIMAL(38,18)))
+              AS DOUBLE) AS s
+  FROM ed e JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst
+), {out} AS (
+  SELECT n.node,
+         CAST(0.15 AS DOUBLE) / nn.nn
+           + CAST(0.85 AS DOUBLE) * COALESCE(c.s, CAST(0.0 AS DOUBLE)) AS pr
+  FROM nodes n CROSS JOIN nnode nn
+  LEFT JOIN {out}_c c ON c.node = n.node
+)"""
+
+
+Q132_SQL = f"""
+WITH pairs AS ({Q29_SQL}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, deg.deg FROM edges e JOIN deg ON e.src = deg.src),
+nnode AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+r0 AS (SELECT n.node, CAST(1.0 AS DOUBLE) / nn.nn AS pr
+       FROM nodes n CROSS JOIN nnode nn),
+{_sql_pr_round("r0", "r1")},
+{_sql_pr_round("r1", "r2")},
+{_sql_pr_round("r2", "r3")}
+SELECT node AS doc_id, round(pr, 9) AS pagerank FROM r3
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -4633,4 +4739,5 @@ TEXT_QUERIES = {
     "q129_tokenizer_fertility": (q129_tokenizer_fertility, Q129_SQL),
     "q130_span_corruption": (q130_span_corruption, Q130_SQL),
     "q131_winnow_matches": (q131_winnow_matches, Q131_SQL),
+    "q132_pagerank": (q132_pagerank, Q132_SQL),
 }

@@ -63,6 +63,9 @@ BOUNDARY_SENSITIVE = [
     "q130_span_corruption",
     # q131 self-joins the winnow fingerprint sets of boundary-shaped docs.
     "q131_winnow_matches",
+    # q132 iterates over the near-dup edge set the 30-way duplicate
+    # block generates (dense clique + isolated nodes in one graph).
+    "q132_pagerank",
 ]
 
 

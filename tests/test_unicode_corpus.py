@@ -48,6 +48,7 @@ TEXT_KEYED = [
     "q129_tokenizer_fertility",
     "q130_span_corruption",
     "q131_winnow_matches",
+    "q132_pagerank",
 ]
 
 
