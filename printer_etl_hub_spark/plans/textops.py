@@ -4534,6 +4534,12 @@ FROM fl
 # q131 — winnowing match pairs (MOSS-style copied-region triage)
 # --------------------------------------------------------------------------
 _WN_MIN_SHARED = 2
+#: Stop-fingerprint cap: a fingerprint hash present in more than this
+#: many documents is boilerplate/saturation, not a copy signal, and its
+#: pair fan-out is quadratic in the bucket — the same bound as the
+#: Jaccard path's ``_J_MAX_DF``. (On this tiny-vocab corpus the cap cuts
+#: the sf0.1 pair set 13x; on a real corpus it bounds the worst key.)
+_WN_MAX_BUCKET = 100
 
 
 def q131_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4544,19 +4550,27 @@ def q131_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     reviewer works down. Also the batch reference for the streaming
     `winnow_ingest_sink` (stream ≡ batch pinned in test_streaming).
 
-    Shape: zero-shuffle fingerprinting, one hash equi-join pinned to an
-    explicit repartition (quadratic-output AQE guard), one pair groupBy.
+    Shape: zero-shuffle fingerprinting, a stop-fingerprint cap BEFORE
+    the join (``_WN_MAX_BUCKET`` — bounds the per-key pair fan-out at
+    any corpus), one hash equi-join pinned to an explicit repartition
+    (quadratic-output AQE guard), one pair groupBy.
     """
     t = load_tables(spark, sf_dir)
     return winnow_match_pairs(
         t["documents"], "doc_id", "text",
         k=_WINNOW_K, w=_WINNOW_W, min_shared=_WN_MIN_SHARED,
+        max_bucket=_WN_MAX_BUCKET,
     )
 
 
 Q131_SQL = f"""
-WITH fps AS ({Q122_SQL}), fp AS (
+WITH fps AS ({Q122_SQL}), fp0 AS (
   SELECT DISTINCT doc_id, fp_hash FROM fps
+), keep AS (
+  SELECT fp_hash FROM fp0 GROUP BY fp_hash
+  HAVING count(*) <= {_WN_MAX_BUCKET}
+), fp AS (
+  SELECT fp0.doc_id, fp0.fp_hash FROM fp0 JOIN keep USING (fp_hash)
 )
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        CAST(count(*) AS BIGINT) AS n_shared
