@@ -123,6 +123,12 @@ def main() -> None:
         "q122_winnowing",
         "q126_lsh_recall",
         "q127_source_divergence",
+        # q131's stop-fingerprint cap must bound the pair fan-out under
+        # 10-way duplication (a bucket of m docs becomes 10m — buckets
+        # past the cap drop instead of fanning 100x); q132 is 3 pinned
+        # join+agg rounds over the clone's amplified edge set.
+        "q131_winnow_matches",
+        "q132_pagerank",
     ):
         t0 = time.perf_counter()
         n = REGISTRY[name].fn(spark, DST).count()

@@ -311,3 +311,79 @@ def test_funnel_plan_has_no_window_or_global_sort(spark):
     # "Sort" — that would also match SortMergeJoin/SortAggregate and fail
     # on a legitimate planner/AQE shift to a sort-merge join on user_id.
     assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_q127_closed_form_zero_cells_equal_full_grid(spark, tmp_path):
+    """q127 folds the chi-square contribution of tokens a source never
+    emits in CLOSED FORM (N*n1/n2 * missing_b) instead of expanding the
+    source x vocab grid. The DuckDB oracle shares that formula, so the
+    gate can't catch an algebra error in it — this test recomputes the
+    statistic from the FULL grid in plain Python (including a source
+    whose token set is disjoint from everyone else's) and pins
+    equality to 1e-9 relative."""
+    import duckdb
+    from collections import Counter
+
+    from printer_etl_hub_spark.plans import REGISTRY
+
+    docs = [
+        (1, "alpha beta alpha gamma", "en", "srcA", 22),
+        (2, "beta beta delta alpha", "en", "srcA", 21),
+        (3, "gamma delta delta beta alpha", "en", "srcB", 27),
+        # srcC's tokens are disjoint from srcA/srcB — every other
+        # source's token hits srcC only through the zero-cell term and
+        # vice versa, the exact path the closed form covers.
+        (4, "omega psi omega chi psi psi", "en", "srcC", 26),
+    ]
+    src_dir = str(tmp_path / "chi")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", docs)
+    import os
+
+    os.makedirs(src_dir, exist_ok=True)
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        con.execute(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' WHERE 1=0) "
+            f"TO '{src_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(f"COPY d TO '{src_dir}/documents.parquet' (FORMAT PARQUET)")
+
+    got = {
+        r.source: r for r in REGISTRY["q127_source_divergence"].fn(spark, src_dir).collect()
+    }
+
+    # full-grid reference in plain Python
+    per_src: dict[str, Counter] = {}
+    for _, text, _, source, _ in docs:
+        per_src.setdefault(source, Counter()).update(text.split())
+    vocab = set()
+    for c in per_src.values():
+        vocab |= set(c)
+    totals = Counter()
+    for c in per_src.values():
+        totals.update(c)
+    nn = sum(totals.values())
+    for source, c in per_src.items():
+        n1 = sum(c.values())
+        n2 = nn - n1
+        chi2 = 0.0
+        for tok in sorted(vocab):
+            a = c.get(tok, 0)
+            b = totals[tok] - a
+            if a + b == 0:
+                continue
+            chi2 += nn * (a * n2 - b * n1) ** 2 / (n1 * n2 * (a + b))
+        row = got[source]
+        assert row.n_tokens == n1 and row.n_rest == n2
+        # q127 rounds to 6 dp and sums per-token contributions through
+        # decimal(25,6) (0.5e-6 quantization per token) — tolerance covers
+        # that; an algebra error in the closed form would be O(1).
+        assert abs(row.chi2 - chi2) <= 1e-4 * max(1.0, abs(chi2)), (
+            source, row.chi2, chi2
+        )
