@@ -119,6 +119,8 @@ HEADLINE = [
     "q130_span_corruption",
     "q131_winnow_matches",
     "q132_pagerank",
+    "q133_lexical_diversity",
+    "q134_vocab_growth",
 ]
 
 

@@ -4686,6 +4686,164 @@ SELECT node AS doc_id, round(pr, 9) AS pagerank FROM r3
 """
 
 
+
+# --------------------------------------------------------------------------
+# q133 — lexical diversity (TTR + Simpson repeat probability)
+# --------------------------------------------------------------------------
+def q133_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and the Simpson
+    repeat probability sum c_i(c_i-1) / (n(n-1)) — the probability two
+    random token draws are the same type. Low-diversity documents
+    (template spam, keyword stuffing) filter out on this axis where
+    q84's adjacent-repetition metrics miss scattered repeats. Entirely
+    log-free by construction (unlike Shannon entropy, which is not
+    bit-portable): integer products, one final IEEE division.
+
+    Shape: one (doc, tok) count shuffle, one doc re-agg derived from it.
+    """
+    t = load_tables(spark, sf_dir)
+    tf = (
+        t["documents"]
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("_rep"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("ttr"),
+            F.when(
+                F.col("n_tokens") > 1,
+                F.round(
+                    F.col("_rep").cast("double")
+                    / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double"),
+                    6,
+                ),
+            ).alias("simpson"),
+        )
+    )
+
+
+Q133_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       CASE WHEN n_tokens > 1 THEN
+         round(CAST(rep AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 6)
+       END AS simpson
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# q134 — vocabulary growth curve (Heaps-law audit over corpus prefixes)
+# --------------------------------------------------------------------------
+_VG_BUCKETS = 10
+
+
+def q134_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth over corpus prefixes: bucket documents into 10
+    id-ordered slices, count the NEW token types first seen in each
+    slice, and emit the cumulative vocabulary curve — the Heaps-law
+    diagnostic a tokenizer-budget owner reads before freezing a vocab
+    (a curve still climbing steeply at the corpus edge means the vocab
+    will be stale next crawl).
+
+    Scale shape: first-occurrence is min(doc_id) per token (one
+    key-bounded shuffle — never a sort of the corpus); bucketing is
+    ARITHMETIC on the id against a 1-row max broadcast (no ntile — a
+    global ntile would single-partition-sort every document); the
+    running sum runs over the 10-row bucket table.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    mx = t["documents"].agg(F.max("doc_id").alias("mx"))
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    fb = first.join(F.broadcast(mx)).select(
+        F.least(
+            F.lit(_VG_BUCKETS - 1),
+            F.expr(f"CAST(first_doc * {_VG_BUCKETS} DIV (mx + 1) AS BIGINT)"),
+        ).alias("bucket")
+    )
+    new_types = fb.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_types")
+    )
+    docs_b = (
+        t["documents"]
+        .join(F.broadcast(mx))
+        .select(
+            F.least(
+                F.lit(_VG_BUCKETS - 1),
+                F.expr(f"CAST(doc_id * {_VG_BUCKETS} DIV (mx + 1) AS BIGINT)"),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    win = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs_b.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+        )
+        .withColumn("cum_types", F.sum("new_types").over(win).cast("bigint"))
+    )
+
+
+Q134_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+), mx AS (SELECT max(doc_id) AS mx FROM documents),
+first AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok),
+nt AS (
+  SELECT least({_VG_BUCKETS - 1}, first_doc * {_VG_BUCKETS} // (mx.mx + 1)) AS bucket,
+         CAST(count(*) AS BIGINT) AS new_types
+  FROM first CROSS JOIN mx GROUP BY 1
+), db AS (
+  SELECT least({_VG_BUCKETS - 1}, doc_id * {_VG_BUCKETS} // (mx.mx + 1)) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents CROSS JOIN mx GROUP BY 1
+)
+SELECT db.bucket, db.n_docs,
+       CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+       CAST(sum(COALESCE(nt.new_types, 0))
+              OVER (ORDER BY db.bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_types
+FROM db LEFT JOIN nt ON nt.bucket = db.bucket
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -4754,4 +4912,6 @@ TEXT_QUERIES = {
     "q130_span_corruption": (q130_span_corruption, Q130_SQL),
     "q131_winnow_matches": (q131_winnow_matches, Q131_SQL),
     "q132_pagerank": (q132_pagerank, Q132_SQL),
+    "q133_lexical_diversity": (q133_lexical_diversity, Q133_SQL),
+    "q134_vocab_growth": (q134_vocab_growth, Q134_SQL),
 }

@@ -66,6 +66,10 @@ BOUNDARY_SENSITIVE = [
     # q132 iterates over the near-dup edge set the 30-way duplicate
     # block generates (dense clique + isolated nodes in one graph).
     "q132_pagerank",
+    # q133's Simpson index hits the n<=1 token-count guard; q134's
+    # arithmetic bucketing must hold at the id extremes.
+    "q133_lexical_diversity",
+    "q134_vocab_growth",
 ]
 
 

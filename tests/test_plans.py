@@ -202,6 +202,7 @@ BNLJ_ALLOWED = {
     "q114_ann_recall",  # composes q31's guarded theta-join ground truth
     "q118_hard_negatives",  # query-batch-sized broadcast (1/50 sample), corpus scans once
     "q127_source_divergence",  # 1-row grand-total scalar broadcast (q89's class)
+    "q134_vocab_growth",  # 1-row max(doc_id) scalar broadcast (q89's class)
 }
 
 

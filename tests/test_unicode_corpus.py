@@ -49,6 +49,8 @@ TEXT_KEYED = [
     "q130_span_corruption",
     "q131_winnow_matches",
     "q132_pagerank",
+    "q133_lexical_diversity",
+    "q134_vocab_growth",
 ]
 
 
