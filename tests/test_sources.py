@@ -393,3 +393,35 @@ def test_corpus_write_read_roundtrip_and_pruning(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PartitionFilters" in plan and "pred_lang" in plan.split("PartitionFilters")[1][:200], plan[:3000]
+
+
+def test_corpus_io_orc_and_json_roundtrip(spark, tmp_path):
+    """Multi-format corpus materialization: the same hive-partitioned
+    layout round-trips through orc and json (values exact, partition
+    pruning still plan-visible on orc), and an unsupported format (avro
+    needs the external jar this container lacks) raises explicitly
+    instead of failing deep inside a Spark job."""
+    import pytest
+
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.sources.corpus_io import read_corpus, write_corpus
+
+    out = REGISTRY["q81_corpus_prep"].fn(spark, "/root/testdata/sf0.001")
+    cols = out.columns
+    want = sorted(map(tuple, out.collect()))
+
+    for fmt in ("orc", "json"):
+        path = str(tmp_path / f"corpus_{fmt}")
+        write_corpus(out, path, partition_by=("pred_lang",), fmt=fmt)
+        back = read_corpus(spark, path, fmt=fmt)
+        got = sorted(map(tuple, back.select(*cols).collect()))
+        assert got == want, fmt
+
+    orc_back = read_corpus(spark, str(tmp_path / "corpus_orc"), fmt="orc")
+    plan = orc_back.filter(F.col("pred_lang") == "en")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+
+    with pytest.raises(ValueError, match="avro"):
+        write_corpus(out, str(tmp_path / "nope"), fmt="avro")
