@@ -121,6 +121,11 @@ HEADLINE = [
     "q132_pagerank",
     "q133_lexical_diversity",
     "q134_vocab_growth",
+    # Round 5 fourth batch: quality-aware survivorship, decontaminated
+    # split, and the drop ledger.
+    "q135_quality_keeper",
+    "q136_decontaminated_split",
+    "q137_drop_ledger",
 ]
 
 

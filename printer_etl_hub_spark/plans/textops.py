@@ -4844,6 +4844,265 @@ FROM db LEFT JOIN nt ON nt.bucket = db.bucket
 """
 
 
+
+# --------------------------------------------------------------------------
+# q135 — quality-aware dedup survivorship (keep the BEST doc per cluster)
+# --------------------------------------------------------------------------
+def q135_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: label every document with its
+    near-dup cluster (q72's connected components over the exact Jaccard
+    graph) and keep the HIGHEST-QUALITY member per cluster (q25's score,
+    ties to the lowest id) — what production dedup actually ships, where
+    min-id keepers (q72/SemDeDup's default) throw away the cleanest copy
+    whenever it arrived late. Singleton docs are their own cluster and
+    always keep.
+
+    Shape: the pair+CC cost is q72's (group-bounded pairs, O(log n)
+    pointer-jumping rounds); quality is a narrow per-row expression; the
+    keeper pick is one per-cluster window over cluster-sized groups.
+    Ranking uses the UNROUNDED score (IEEE-identical per row in both
+    engines); the emitted score is rounded for display.
+    """
+    from ..operators.components import connected_components
+
+    t = load_tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+    )
+    comp = connected_components(pairs.select("a_id", "b_id"), "a_id", "b_id")
+    staged = t["documents"].select(
+        "doc_id", "text", tokenize(F.col("text")).alias("toks")
+    )
+    feats = quality_features(F.col("text"), F.col("toks"))
+    dq = staged.select("doc_id", feats["quality_score"].alias("qs"))
+    j = dq.join(comp, dq["doc_id"] == comp["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        "qs",
+    )
+    win = Window.partitionBy("component").orderBy(
+        F.col("qs").desc(), F.col("doc_id").asc()
+    )
+    return j.withColumn("rn", F.row_number().over(win)).select(
+        "doc_id",
+        "component",
+        F.round("qs", 6).alias("quality_score"),
+        (F.col("rn") == 1).alias("is_keeper"),
+    )
+
+
+Q135_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT a_id, b_id FROM ({Q29_SQL}) q),
+sym AS (
+  SELECT a_id AS sa, b_id AS sb FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(node, lab) AS (
+  SELECT sa, sa FROM sym
+  UNION
+  SELECT s.sb, r.lab FROM reach r JOIN sym s ON s.sa = r.node
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+qual AS (SELECT doc_id, quality_score AS qs FROM ({Q25_SQL}) q)
+SELECT doc_id, component, round(qs, 6) AS quality_score, rn = 1 AS is_keeper
+FROM (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, q.qs,
+         row_number() OVER (
+           PARTITION BY COALESCE(c.component, d.doc_id)
+           ORDER BY q.qs DESC, d.doc_id ASC) AS rn
+  FROM documents d
+  JOIN qual q ON q.doc_id = d.doc_id
+  LEFT JOIN comp c ON c.node = d.doc_id
+)
+"""
+
+
+
+# --------------------------------------------------------------------------
+# q136 — decontaminated train/eval split (assign, then excise collisions)
+# --------------------------------------------------------------------------
+_SPLIT_N = 13  # verbatim-overlap gram width (q86's standard)
+
+
+def q136_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of held-out hygiene: q102 keeps DUPLICATE GROUPS
+    on one side of the split; this one assigns an 80/20 train/eval split
+    by id hash, then EXCISES from train every document sharing a
+    verbatim 13-gram with any eval document (q86's collision machinery
+    pointed at the split boundary). Output: every document with its
+    final disposition — ``eval``, ``train``, or ``train_dropped`` — the
+    table a training job's reader filters on.
+
+    Shape: the split gate is a narrow md5 expression; contamination is
+    ONE distinct-digest semi-join (train grams against the DISTINCT
+    eval gram set — never doc x doc); disposition is a projection.
+    """
+    n = _SPLIT_N
+    t = load_tables(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    d = t["documents"].select(
+        "doc_id", tokenize(F.col("text")).alias("w"), F.pmod(h, 10).alias("_b")
+    )
+    d = d.withColumn("split", F.when(F.col("_b") < 8, F.lit("train")).otherwise(F.lit("eval")))
+    grams = d.filter(F.size("w") >= n).select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, n))),
+            )
+        ).alias("g"),
+    )
+    eval_g = grams.filter(F.col("split") == "eval").select("g").distinct()
+    dirty = (
+        grams.filter(F.col("split") == "train")
+        .join(eval_g, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_dirty", F.lit(1))
+    )
+    return d.join(dirty, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("split") == "eval", F.lit("eval"))
+        .when(F.col("_dirty").isNotNull(), F.lit("train_dropped"))
+        .otherwise(F.lit("train"))
+        .alias("disposition"),
+    )
+
+
+Q136_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 10 < 8
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+), grams AS (
+  SELECT doc_id, split,
+         md5(list_aggregate(list_slice(w, CAST(s.i AS INT),
+                                       CAST(s.i AS INT) + {_SPLIT_N - 1}),
+                            'string_agg', ' ')) AS g
+  FROM d, LATERAL (SELECT unnest(range(1, len(w) - {_SPLIT_N - 2})) AS i) s
+  WHERE len(w) >= {_SPLIT_N}
+), eval_g AS (
+  SELECT DISTINCT g FROM grams WHERE split = 'eval'
+), dirty AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE split = 'train' AND g IN (SELECT g FROM eval_g)
+)
+SELECT d.doc_id,
+       CASE WHEN d.split = 'eval' THEN 'eval'
+            WHEN dirty.doc_id IS NOT NULL THEN 'train_dropped'
+            ELSE 'train' END AS disposition
+FROM d LEFT JOIN dirty ON dirty.doc_id = d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q137 — drop ledger: every document's FIRST applicable drop reason
+# --------------------------------------------------------------------------
+#: Ledger thresholds (the composing queries' own knobs).
+_LEDGER_MIN_QUALITY = 0.45
+_LEDGER_MIN_KEPT_FRAC = 0.5
+
+
+def q137_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explainability table every corpus pipeline owes its users:
+    one row per document with its FIRST applicable drop reason in
+    precedence order — ``exact_dup`` (not the min-id keeper of its
+    content digest), ``near_dup`` (in a Jaccard cluster, not the min-id
+    keeper), ``boilerplate`` (q121 keeps < 50 % of its spans),
+    ``low_quality`` (q25 score below 0.45) — or ``kept``. A mixture
+    audit sums this ledger instead of re-deriving four operators'
+    outputs; a takedown/debug request greps it for one id.
+
+    Shape: four operator subtrees the registry already prices
+    (digest groupBy; group-bounded pairs + CC; span-hash df filter;
+    narrow quality expression) joined back on doc_id, disposition as
+    one CASE projection.
+    """
+    from ..operators.components import connected_components
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    # exact-dup keeper: min doc_id per content digest
+    keeper = (
+        docs.select("doc_id", F.md5("text").alias("dig"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("dig").orderBy("doc_id")),
+        )
+        .select("doc_id", (F.col("rn") == 1).alias("is_first"))
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF)
+    comp = connected_components(pairs.select("a_id", "b_id"), "a_id", "b_id")
+    bp = boilerplate_filter(docs, "doc_id", "text", SEGMENT_TOKENS, _BP_MAX_DOC_DF).select(
+        "doc_id", "kept_frac"
+    )
+    staged = docs.select("doc_id", "text", tokenize(F.col("text")).alias("toks"))
+    feats = quality_features(F.col("text"), F.col("toks"))
+    qual = staged.select("doc_id", feats["quality_score"].alias("qs"))
+    j = (
+        docs.select("doc_id")
+        .join(keeper, "doc_id")
+        .join(comp, F.col("doc_id") == comp["node"], "left")
+        .join(bp, "doc_id")
+        .join(qual, "doc_id")
+    )
+    return j.select(
+        "doc_id",
+        F.when(~F.col("is_first"), F.lit("exact_dup"))
+        .when(
+            F.col("component").isNotNull() & (F.col("component") != F.col("doc_id")),
+            F.lit("near_dup"),
+        )
+        .when(F.col("kept_frac") < _LEDGER_MIN_KEPT_FRAC, F.lit("boilerplate"))
+        .when(F.col("qs") < _LEDGER_MIN_QUALITY, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+        .alias("reason"),
+    )
+
+
+Q137_SQL = f"""
+WITH RECURSIVE
+keeper AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_first
+  FROM documents
+),
+pairs AS (SELECT a_id, b_id FROM ({Q29_SQL}) q),
+sym AS (
+  SELECT a_id AS sa, b_id AS sb FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(node, lab) AS (
+  SELECT sa, sa FROM sym
+  UNION
+  SELECT s.sb, r.lab FROM reach r JOIN sym s ON s.sa = r.node
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+bp AS (SELECT doc_id, kept_frac FROM ({Q121_SQL}) q),
+qual AS (SELECT doc_id, quality_score AS qs FROM ({Q25_SQL}) q)
+SELECT d.doc_id,
+       CASE WHEN NOT k.is_first THEN 'exact_dup'
+            WHEN c.component IS NOT NULL AND c.component <> d.doc_id THEN 'near_dup'
+            WHEN bp.kept_frac < {_LEDGER_MIN_KEPT_FRAC} THEN 'boilerplate'
+            WHEN q.qs < {_LEDGER_MIN_QUALITY} THEN 'low_quality'
+            ELSE 'kept' END AS reason
+FROM documents d
+JOIN keeper k ON k.doc_id = d.doc_id
+LEFT JOIN comp c ON c.node = d.doc_id
+JOIN bp ON bp.doc_id = d.doc_id
+JOIN qual q ON q.doc_id = d.doc_id
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -4914,4 +5173,7 @@ TEXT_QUERIES = {
     "q132_pagerank": (q132_pagerank, Q132_SQL),
     "q133_lexical_diversity": (q133_lexical_diversity, Q133_SQL),
     "q134_vocab_growth": (q134_vocab_growth, Q134_SQL),
+    "q135_quality_keeper": (q135_quality_keeper, Q135_SQL),
+    "q136_decontaminated_split": (q136_decontaminated_split, Q136_SQL),
+    "q137_drop_ledger": (q137_drop_ledger, Q137_SQL),
 }

@@ -70,6 +70,11 @@ BOUNDARY_SENSITIVE = [
     # arithmetic bucketing must hold at the id extremes.
     "q133_lexical_diversity",
     "q134_vocab_growth",
+    # q135-q137 compose CC/gram/segment subtrees over the duplicate
+    # block and the boundary-length docs.
+    "q135_quality_keeper",
+    "q136_decontaminated_split",
+    "q137_drop_ledger",
 ]
 
 

@@ -51,6 +51,9 @@ TEXT_KEYED = [
     "q132_pagerank",
     "q133_lexical_diversity",
     "q134_vocab_growth",
+    "q135_quality_keeper",
+    "q136_decontaminated_split",
+    "q137_drop_ledger",
 ]
 
 
