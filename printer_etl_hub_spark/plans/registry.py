@@ -21,14 +21,21 @@ Round-5 window (staleness-driven rotation, per the round-4 plan):
    Deferred to round 6: the TPC-H pack (q35, q57-q70 — textbook SQL
    with the strongest local coverage and zero drift since round 3) and
    the group-4 bottom displaced by the round-5 additions (q71,
-   q73-q76, q78-q80 by q113-q120; q33/q34/q36/q46/q47/q48/q51 and
-   q29/q30/q32 by q121-q130 — all covered by the local oracle-diff
-   suite and unit tests every session). Round 6 should lead with THOSE.
-5. q121-q130 (the round-5 second/third waves: boilerplate excision,
-   winnowing, DSIR importance, vocab coverage, overlap stitching, LSH
-   recall, source divergence, TS subsequence search, tokenizer
-   fertility, span corruption) — never externally gated, so they take
-   the bottom of this round's window.
+   q73-q76, q78-q80 by q113-q120; q33/q34/q36/q46/q47/q48/q51,
+   q29/q30/q32, and q20-q24/q26/q27 by q121-q137 — all covered by the
+   local oracle-diff suite and unit tests every session). Round 6
+   should lead with THOSE.
+5. q121-q137 (the round-5 later waves: boilerplate excision,
+   winnowing + match pairs, DSIR importance, vocab coverage, overlap
+   stitching, LSH recall, source divergence, TS subsequence search,
+   tokenizer fertility, span corruption, PageRank, lexical diversity,
+   Heaps curve, quality keeper, decontaminated split, drop ledger) —
+   never externally gated, so they take the bottom of this round's
+   window. The last displacements (q20-q24/q26/q27, all r3-green) are
+   re-evidenced through this round's gated compositions where their
+   semantics compose (q23 exact-dedup keeper ⊂ q137; q25's score is
+   kept in-window and is also ⊂ q135/q137) and by the batch≡stream
+   equivalence tests (q20/q21).
 
 q37 stays OUTSIDE the window by design: its estimator output has no
 exact oracle (pinned by a tolerance test instead), and every gated
@@ -40,8 +47,8 @@ Rotation ledger (newest external green per query, as of r4):
 r4: q12-q19(6), q28, q31, q38-q45, q49-q56(8), q72, q77, q81-q105;
 r3: q01, q08, q13, q15, q20-q27, q29, q30, q32-q36, q46-q48, q51,
     q57-q70, q71, q73-q76, q78-q80;
-r2: q02-q07, q09-q11; never: q106-q130 (q106-q120 + the later waves
-q121-q130 are all gated this round), q37 (by design).
+r2: q02-q07, q09-q11; never: q106-q137 (all gated this round), q37
+(by design).
 """
 
 from __future__ import annotations
@@ -109,14 +116,7 @@ GATE_ORDER = [
     "q08_severity_argmax",
     "q13_merge_upsert",
     "q15_window_running",
-    "q20_events_tumbling",
-    "q21_sessionize",
-    "q22_asof_last_click",
-    "q23_dedup_exact",
-    "q24_lang_id",
     "q25_quality_score",
-    "q26_token_count",
-    "q27_fingerprint",
     # -- group 5: the round-5 new waves (q121-q130) — never externally
     #    gated; they take the bottom of the window, displacing the
     #    r3-green q33/q34/q36/q46/q47/q48/q51 and q29/q30/q32 to the
@@ -133,6 +133,13 @@ GATE_ORDER = [
     "q128_ts_pattern_search",
     "q129_tokenizer_fertility",
     "q130_span_corruption",
+    "q131_winnow_matches",
+    "q132_pagerank",
+    "q133_lexical_diversity",
+    "q134_vocab_growth",
+    "q135_quality_keeper",
+    "q136_decontaminated_split",
+    "q137_drop_ledger",
 ]
 
 # Import-time contract checks. Explicit raises (not assert) so the
