@@ -388,3 +388,25 @@ def test_q127_closed_form_zero_cells_equal_full_grid(spark, tmp_path):
         assert abs(row.chi2 - chi2) <= 1e-4 * max(1.0, abs(chi2)), (
             source, row.chi2, chi2
         )
+
+
+def test_q122_winnowing_zero_shuffle(spark):
+    """The array-domain winnowing rewrite's claim is structural: gram
+    hashing, window minima, and per-doc dedup all happen inside one
+    row's higher-order functions — the plan must contain NO Exchange
+    and NO Window operator (the first cut's window form shuffled every
+    gram row; this test keeps it from coming back)."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "q122_winnowing", "simple")
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+
+
+def test_q130_span_corruption_zero_shuffle(spark):
+    """Span corruption is fully narrow (segmentation, mask flags, and
+    both output strings are per-row array expressions): no Exchange,
+    no join, no Window anywhere in the plan."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "q130_span_corruption", "simple")
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Join" not in plan and "Window" not in plan, plan[:1500]
