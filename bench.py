@@ -126,6 +126,7 @@ HEADLINE = [
     "q135_quality_keeper",
     "q136_decontaminated_split",
     "q137_drop_ledger",
+    "q138_adc_recall",
 ]
 
 

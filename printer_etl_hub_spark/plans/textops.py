@@ -5103,6 +5103,65 @@ JOIN qual q ON q.doc_id = d.doc_id
 """
 
 
+
+# --------------------------------------------------------------------------
+# q138 — PQ/ADC recall harness vs the exact distance ranking
+# --------------------------------------------------------------------------
+def q138_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the PQ family's eval loop (q114 scores IVF, this scores
+    the compressed path): every vector in the TRUE top-10 by exact
+    squared distance to the pinned query, tagged with whether q107's
+    ADC ranking surfaced it. The (m, k) compression knobs are tuned BY
+    this table — quantization error is invisible in q107's own exact
+    gate (which pins the ADC arithmetic, not its fidelity). Per-row
+    tags, no single-row cross join; the exact side is one narrow scan +
+    a bounded TakeOrdered, never an n x n join.
+    """
+    t = load_tables(spark, sf_dir)
+    q = F.array(*[F.lit(float(v)) for v in _ADC_QUERY])
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dist = F.aggregate(
+        F.zip_with(F.col("vd"), q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    ex = (
+        t["embeddings"]
+        .select("vec_id", vd.alias("vd"))
+        .select("vec_id", dist.alias("true_dist"))
+        .orderBy(F.col("true_dist").asc(), F.col("vec_id").asc())
+        .limit(_ADC_TOPN)
+    )
+    adc = q107_pq_adc_topk(spark, sf_dir).select("vec_id", F.lit(1).alias("_hit"))
+    return ex.join(adc, "vec_id", "left").select(
+        "vec_id",
+        F.round("true_dist", 6).alias("true_dist"),
+        F.coalesce(F.col("_hit"), F.lit(0)).cast("bigint").alias("adc_hit"),
+    )
+
+
+Q138_SQL = f"""
+WITH adc AS ({Q107_SQL}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), exd AS (
+  SELECT vec_id,
+         list_reduce(list_transform(range(1, len(vd) + 1),
+           i -> (vd[CAST(i AS INT)] - {_adc_q_sql}[CAST(i AS INT)])
+              * (vd[CAST(i AS INT)] - {_adc_q_sql}[CAST(i AS INT)])),
+           (a, b) -> a + b) AS true_dist
+  FROM v
+), ex AS (
+  SELECT vec_id, true_dist FROM exd
+  ORDER BY true_dist ASC, vec_id ASC LIMIT {_ADC_TOPN}
+)
+SELECT ex.vec_id, round(ex.true_dist, 6) AS true_dist,
+       CAST(CASE WHEN adc.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS adc_hit
+FROM ex LEFT JOIN adc ON adc.vec_id = ex.vec_id
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -5176,4 +5235,5 @@ TEXT_QUERIES = {
     "q135_quality_keeper": (q135_quality_keeper, Q135_SQL),
     "q136_decontaminated_split": (q136_decontaminated_split, Q136_SQL),
     "q137_drop_ledger": (q137_drop_ledger, Q137_SQL),
+    "q138_adc_recall": (q138_adc_recall, Q138_SQL),
 }
