@@ -127,6 +127,8 @@ HEADLINE = [
     "q136_decontaminated_split",
     "q137_drop_ledger",
     "q138_adc_recall",
+    "q139_quality_trend",
+    "q140_crop_pairs",
 ]
 
 

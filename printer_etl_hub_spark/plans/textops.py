@@ -5162,6 +5162,144 @@ FROM ex LEFT JOIN adc ON adc.vec_id = ex.vec_id
 """
 
 
+
+# --------------------------------------------------------------------------
+# q139 — per-source quality trend (distributed least squares)
+# --------------------------------------------------------------------------
+def q139_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is a source's quality drifting? Per-source least-squares slope of
+    q25's quality score over arrival order (doc_id as the order proxy):
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). The monitoring number a
+    crawl operator alerts on — a negative slope on a big source means
+    the recent crawl is polluting the mix and the cutoff knob needs to
+    move BEFORE the next training run ingests it.
+
+    Exactness: the x-sums (ids) go through decimal(38,0) — Spark's
+    bigint SUM overflows where DuckDB silently widens to HUGEINT, so
+    both engines are pinned to the same 128-bit-exact lane; the y/xy
+    sums use the dsum decimal idiom; the slope assembly is one shared
+    IEEE expression. n < 2 or constant-x groups yield NULL, not a
+    division error. Shape: one narrow quality pass, ONE partial-aggable
+    groupBy(source) — no window, no sort, mergeable at any scale.
+    """
+    t = load_tables(spark, sf_dir)
+    staged = t["documents"].select(
+        "doc_id", "source", "text", tokenize(F.col("text")).alias("toks")
+    )
+    feats = quality_features(F.col("text"), F.col("toks"))
+    d = staged.select(
+        "source",
+        F.col("doc_id").alias("x"),
+        feats["quality_score"].alias("y"),
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n").cast("double") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        F.col("n").cast("double") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / den
+    return agg.select(
+        "source",
+        "n",
+        F.when(den > 0, F.round(slope, 9)).alias("slope"),
+        F.when(
+            den > 0,
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n").cast("double"), 6),
+        ).alias("intercept"),
+        F.round(F.col("sy") / F.col("n").cast("double"), 6).alias("mean_quality"),
+    )
+
+
+Q139_SQL = f"""
+WITH qual AS (
+  SELECT q.doc_id, d.source, q.quality_score AS y
+  FROM ({Q25_SQL}) q JOIN documents d ON d.doc_id = q.doc_id
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(doc_id * doc_id AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         {sql_dsum('y')} AS sy,
+         {sql_dsum('CAST(doc_id AS DOUBLE) * y')} AS sxy
+  FROM qual GROUP BY source
+)
+SELECT source, n,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+         round((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx), 9)
+       END AS slope,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+         round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+               / CAST(n AS DOUBLE), 6)
+       END AS intercept,
+       round(sy / CAST(n AS DOUBLE), 6) AS mean_quality
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# q140 — contrastive crop pairs (SimCSE/CLIP-style positive generation)
+# --------------------------------------------------------------------------
+#: Crop fraction numerator over 10: each view keeps ceil(0.6·n) tokens.
+_CROP_TENTHS = 6
+_CROP_MIN_TOKENS = 5
+
+
+def q140_crop_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pretraining positives without augmentation RNG: two
+    deterministic overlapping crops per document (first 60 % of tokens /
+    last 60 %) as the anchor/positive pair, plus the overlap width the
+    loss-weighting reads. The standard self-supervised positive-pair
+    generator, made reproducible — re-running the pipeline regenerates
+    byte-identical pairs, so a resumed training run sees the same data.
+
+    Fully narrow: per-row slices and integer ceil arithmetic
+    ((6n+9) DIV 10 — no float rounding at the boundary), zero shuffles.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", tokenize(F.col("text")).alias("w")
+    ).filter(F.size("w") >= _CROP_MIN_TOKENS)
+    crop = F.expr(f"CAST((size(w) * {_CROP_TENTHS} + 9) DIV 10 AS INT)")
+    d = d.withColumn("crop", crop)
+    return d.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.col("crop").cast("bigint").alias("crop_tokens"),
+        (F.lit(2) * F.col("crop") - F.size("w")).cast("bigint").alias("overlap_tokens"),
+        F.concat_ws(" ", F.slice(F.col("w"), 1, F.col("crop"))).alias("anchor_text"),
+        F.concat_ws(
+            " ",
+            F.slice(F.col("w"), F.size("w") - F.col("crop") + 1, F.col("crop")),
+        ).alias("positive_text"),
+    )
+
+
+Q140_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, w, CAST((len(w) * {_CROP_TENTHS} + 9) // 10 AS INT) AS crop
+  FROM d WHERE len(w) >= {_CROP_MIN_TOKENS}
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(crop AS BIGINT) AS crop_tokens,
+       CAST(2 * crop - len(w) AS BIGINT) AS overlap_tokens,
+       list_aggregate(list_slice(w, 1, crop), 'string_agg', ' ') AS anchor_text,
+       list_aggregate(list_slice(w, len(w) - crop + 1, len(w)), 'string_agg', ' ')
+         AS positive_text
+FROM c
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -5236,4 +5374,6 @@ TEXT_QUERIES = {
     "q136_decontaminated_split": (q136_decontaminated_split, Q136_SQL),
     "q137_drop_ledger": (q137_drop_ledger, Q137_SQL),
     "q138_adc_recall": (q138_adc_recall, Q138_SQL),
+    "q139_quality_trend": (q139_quality_trend, Q139_SQL),
+    "q140_crop_pairs": (q140_crop_pairs, Q140_SQL),
 }

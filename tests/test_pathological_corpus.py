@@ -75,6 +75,8 @@ BOUNDARY_SENSITIVE = [
     "q135_quality_keeper",
     "q136_decontaminated_split",
     "q137_drop_ledger",
+    # q140's ceil-crop slices sit AT the token-count boundary.
+    "q140_crop_pairs",
 ]
 
 

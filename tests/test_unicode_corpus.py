@@ -54,6 +54,7 @@ TEXT_KEYED = [
     "q135_quality_keeper",
     "q136_decontaminated_split",
     "q137_drop_ledger",
+    "q140_crop_pairs",
 ]
 
 
