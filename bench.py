@@ -229,11 +229,16 @@ def main() -> None:
     # 60 s (>10x the slowest healthy query) so the headline total degrades
     # monotonically with breakage instead of silently dropping the query.
     penalty = 60.0 * len(errors)
+    # Only the 10 slowest queries ride in the stdout payload: the driver
+    # captures a 2,000-char output TAIL, and the full per-query dict
+    # (87 entries, 2,383 chars in round 5) overflows it => parsed:null.
+    # The complete dict lives in BENCH_DETAIL.json.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     payload = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()) + penalty, 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": slowest,
         "sf": sf,
         "timing": f"best-of-{k}-interleaved",
         "n_queries": len(HEADLINE),
@@ -265,7 +270,16 @@ def main() -> None:
     except OSError as exc:  # sidecar is best-effort; summary must still print
         print(f"# sidecar write failed: {exc}", file=sys.stderr)
     sys.stderr.flush()
-    print(json.dumps(payload, separators=(",", ":")))
+    line = json.dumps(payload, separators=(",", ":"))
+    # Hard ceiling: the driver tails 2,000 chars of stdout; the summary
+    # line must fit in it WHOLE or the round's bench record is lost
+    # (happened in rounds 4 AND 5). Shed detail keys until it fits.
+    for shed in ("queries", "failed_penalty_sec", "timing"):
+        if len(line) <= 1500:
+            break
+        payload.pop(shed, None)
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
