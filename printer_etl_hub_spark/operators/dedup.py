@@ -721,6 +721,20 @@ def winnow_fingerprints(
     DuckDB oracle replays selections exactly.
     """
     s = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", "")
+    # Loud failure on documents the packed (hash, pos) encoding cannot
+    # represent: > 2^20 grams would drive the position term negative and
+    # silently corrupt the window-min selection. Embedded in the string
+    # expression itself (not a standalone assert column) so Catalyst's
+    # column pruning can never drop the check.
+    s = F.when(
+        F.length(s) - (k - 1) >= F.lit(_WINNOW_SHIFT),
+        F.raise_error(
+            F.lit(
+                "winnow_fingerprints: document exceeds 2^20 grams; the packed"
+                " (hash, pos) encoding would corrupt fingerprint selection"
+            )
+        ).cast("string"),
+    ).otherwise(s)
     base = df.select(F.col(id_col).alias("_id"), s.alias("s")).filter(
         F.length("s") >= k + w - 1
     )

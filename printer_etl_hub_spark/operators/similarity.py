@@ -52,7 +52,12 @@ def with_vector_norm(
 
 
 def cosine_topk_bruteforce(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 3, max_n: int | None = 50_000
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    max_n: int | None = 50_000,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (vec_id, neighbor_id, cos, rn).
 
@@ -65,6 +70,13 @@ def cosine_topk_bruteforce(
     probe is ``limit(max_n+1).count()`` — an early-exit scan bounded by
     max_n rows, never a full count of the caller's plan. ``max_n=None``
     opts out for callers that have already sized the input.
+
+    ``queries`` restricts the QUERY side (the rows whose top-k is
+    computed) to a subset frame of the same (id, vec) shape; neighbor
+    candidates still come from the full ``df``. This is the 100x recall-
+    harness path: exact ground truth for a deterministic query SAMPLE
+    costs |queries|·|df|, not |df|², and the results for any query in
+    the sample are bit-identical to the full run's.
     """
     from pyspark.sql import Window
 
@@ -76,7 +88,12 @@ def cosine_topk_bruteforce(
             f"after sizing the input yourself."
         )
     base = with_vector_norm(df.select(F.col(id_col).alias("vid"), vec_col), vec_col)
-    a = base.select(
+    qbase = base
+    if queries is not None:
+        qbase = with_vector_norm(
+            queries.select(F.col(id_col).alias("vid"), vec_col), vec_col
+        )
+    a = qbase.select(
         F.col("vid").alias("a_id"), F.col("vec_d").alias("a_vec"), F.col("norm").alias("a_norm")
     )
     b = base.select(

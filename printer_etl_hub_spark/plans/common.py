@@ -34,3 +34,45 @@ def sql_dsum(expr: str) -> str:
 def ts_str(col: Column, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
     """Render a timestamp as a string (UTC session) — engine-portable output."""
     return F.date_format(col, fmt)
+
+
+def md5_sample_gate(col: Column, frac: float, salt: str = "sample") -> Column:
+    """Deterministic membership gate keeping ~``frac`` of distinct values:
+    md5(value:salt) mod 1e6 < frac·1e6. The sampling knob the recall
+    harnesses (q114/q126/q138) use so their EXACT ground-truth side
+    prices at sample size, not corpus size, at 100x — deterministic (no
+    RNG, so reruns and oracles see the same sample) and value-keyed (the
+    same id samples in or out regardless of partitioning)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(f":{salt}"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(1_000_000)) < F.lit(int(round(frac * 1_000_000)))
+
+
+def materialize_release(out, *pinned):
+    """Cache-hygiene idiom for a plan that persists a shared subtree its
+    RETURNED frame still references: eagerly localCheckpoint the (narrow)
+    result — one materialization, while the pin is alive — then release
+    the pinned input(s). Library callers composing these plans outside
+    the gate/bench harnesses (which clearCache at entry) would otherwise
+    accumulate session-lifetime catalog caches; checkpoint RDD blocks by
+    contrast are freed by the ContextCleaner once the result is
+    unreferenced. (Same idiom as operators/dedup.py::semantic_dedup.)
+    """
+    # Stash the PRE-checkpoint physical plan (cache substitution still
+    # active) for the plan-hygiene tests: the returned frame's own plan
+    # collapses to the checkpoint scan, which would blind the
+    # BNLJ/cache-reuse tripwires for exactly these queries.
+    global LAST_MATERIALIZED_PLAN
+    LAST_MATERIALIZED_PLAN = out._jdf.queryExecution().executedPlan().toString()
+    out = out.localCheckpoint(eager=True)
+    for p in pinned:
+        p.unpersist(blocking=False)
+    return out
+
+
+#: Physical plan (string) of the most recent materialize_release call,
+#: captured before the checkpoint collapsed it. Test-introspection only.
+LAST_MATERIALIZED_PLAN: str | None = None

@@ -31,7 +31,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import decode_media
 from ..operators.similarity import cosine_topk_bruteforce, ivf_topk, sign_lsh_pairs
 from ..tables import load_tables
-from .common import dsum, sql_dsum
+from .common import dsum, materialize_release, md5_sample_gate, sql_dsum
 
 # DuckDB shingle/token CTEs shared by several oracles (word 3-grams,
 # mirroring functions/text.py::word_shingles).
@@ -856,13 +856,14 @@ def q81_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = kept.join(comp, kept["doc_id"] == comp["node"], "left").filter(
         F.col("node").isNull() | (F.col("component") == F.col("doc_id"))
     )
-    return out.select(
+    res = out.select(
         "doc_id",
         "pred_lang",
         "n_tokens",
         "quality_score",
         doc_fingerprint64(F.col("text")).alias("fp64"),
     )
+    return materialize_release(res, kept)
 
 
 Q81_SQL = f"""
@@ -1413,7 +1414,7 @@ def q89_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cnt").alias("min_cnt"),
         )
     )
-    return per_doc.join(F.broadcast(total)).select(
+    res = per_doc.join(F.broadcast(total)).select(
         "doc_id",
         "n_toks",
         F.round(
@@ -1425,6 +1426,7 @@ def q89_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("min_cnt").cast("double") / F.col("total").cast("double"), 9
         ).alias("min_tok_p"),
     )
+    return materialize_release(res, toks)
 
 
 Q89_SQL = r"""
@@ -1574,7 +1576,7 @@ def q90_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return (
+    res = (
         eval_docs.select("doc_id", "n_grams")
         .join(flagged, "doc_id", "left")
         .select(
@@ -1586,6 +1588,7 @@ def q90_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return materialize_release(res, d)
 
 
 def _sql_bloom_pos(g: str, j: int) -> str:
@@ -1735,7 +1738,7 @@ def q92_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     win = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
-    return (
+    res = (
         scored.withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= 3)
         .select(
@@ -1747,6 +1750,7 @@ def q92_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+    return materialize_release(res, tf)
 
 
 Q92_SQL = r"""
@@ -2947,6 +2951,17 @@ def q107_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the property that lets a 100 TB embedding store answer queries from
     RAM. Ranking is (adc_dist, vec_id), bit-stable across engines via
     the decimal-quantized partial sums."""
+    return _pq_adc_ranked(spark, sf_dir).select(
+        "vec_id", F.round("adc_dist", 6).alias("adc_dist")
+    )
+
+
+def _pq_adc_ranked(spark: SparkSession, sf_dir: str, id_gate=None) -> DataFrame:
+    """q107's ADC ranking with an optional id predicate applied to the
+    CODE table before the top-k: the PQ index (codebooks + codes) is the
+    fixed full-corpus artifact, but a recall harness evaluating a
+    sampled sub-corpus ranks only the sampled codes (q138's
+    sample_frac path)."""
     from ..operators.similarity import pq_adc_topk, pq_train_encode
 
     t = load_tables(spark, sf_dir)
@@ -2957,8 +2972,9 @@ def q107_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not books:  # empty corpus: nothing indexed, nothing to rank
         return codes.select("vec_id", F.lit(0.0).alias("adc_dist")).limit(0)
-    out = pq_adc_topk(codes, books, _ADC_QUERY, "vec_id", k=_ADC_TOPN)
-    return out.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+    if id_gate is not None:
+        codes = codes.filter(id_gate)
+    return pq_adc_topk(codes, books, _ADC_QUERY, "vec_id", k=_ADC_TOPN)
 
 
 _adc_q_sql = "[" + ", ".join(repr(v) for v in _ADC_QUERY) + "]"
@@ -3099,22 +3115,44 @@ FROM e JOIN s USING (dim)
 # --------------------------------------------------------------------------
 # q114 — ANN recall evaluation: IVF top-k scored against exact top-k
 # --------------------------------------------------------------------------
-def q114_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q114_ann_recall(
+    spark: SparkSession, sf_dir: str, sample_frac: float = 1.0
+) -> DataFrame:
     """The eval harness every ANN deployment needs: per-query recall of
     the IVF index (q38's exact configuration) against the brute-force
     ground truth (q31). Measure, don't guess — the (c, n_probe) knobs
     are tuned BY this number, and at 100 TB you run it on a sampled
     query set against the full index. Output (vec_id, n_hits, k_found,
     recall): all-integer counts plus one final IEEE division, so the
-    quality metric itself is oracle-exact."""
+    quality metric itself is oracle-exact.
+
+    ``sample_frac`` < 1 evaluates a deterministic md5 sample of the
+    QUERY set (plans/common.py::md5_sample_gate on vec_id): the exact
+    ground-truth side prices at |sample|·|corpus| instead of |corpus|²,
+    and the IVF probe side filters to the same queries — the 100x
+    path. Candidates stay the FULL corpus on both sides, so every
+    sampled query's row is bit-identical to the frac=1.0 run's (the
+    oracle gate runs at frac=1.0, unchanged)."""
     t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qset = None
+    gate = None
+    if sample_frac < 1.0:
+        gate = md5_sample_gate(F.col("vec_id"), sample_frac, salt="annq")
+        qset = emb.filter(gate)
     ex = cosine_topk_bruteforce(
-        t["embeddings"], "vec_id", "embedding", k=3, max_n=None
+        emb, "vec_id", "embedding", k=3, max_n=None, queries=qset
     )
     iv = ivf_topk(
-        t["embeddings"], "vec_id", "embedding",
+        emb, "vec_id", "embedding",
         k=3, n_centroids=_IVF_C, n_probe=_IVF_PROBE,
-    ).select("vec_id", "neighbor_id", F.lit(1).alias("_hit"))
+    )
+    if gate is not None:
+        # Same predicate on the probe output: it pushes through the
+        # rank window (vec_id is the partition key) and the cell join,
+        # so the approximate side also prices at sample size.
+        iv = iv.filter(md5_sample_gate(F.col("vec_id"), sample_frac, salt="annq"))
+    iv = iv.select("vec_id", "neighbor_id", F.lit(1).alias("_hit"))
     return (
         ex.select("vec_id", "neighbor_id")
         .join(iv, ["vec_id", "neighbor_id"], "left")
@@ -3824,7 +3862,7 @@ def q123_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("t_cnt"))
     )
-    return (
+    res = (
         grams.join(F.broadcast(target), "bucket", "left")
         .groupBy("doc_id", "lang")
         .agg(
@@ -3837,6 +3875,7 @@ def q123_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score_per_gram"),
         )
     )
+    return materialize_release(res, grams)
 
 
 Q123_SQL = rf"""
@@ -3901,7 +3940,7 @@ def q124_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_VOCAB_K)
         .select("tok", F.lit(1).alias("inv"))
     )
-    return (
+    res = (
         toks.join(F.broadcast(vocab), "tok", "left")
         .groupBy("doc_id")
         .agg(
@@ -3918,6 +3957,7 @@ def q124_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+    return materialize_release(res, toks)
 
 
 Q124_SQL = rf"""
@@ -4020,7 +4060,9 @@ FROM b a JOIN b c ON a.suff_h = c.pref_h AND a.doc_id <> c.doc_id
 # --------------------------------------------------------------------------
 # q126 — MinHash-LSH recall harness vs exact n-gram Jaccard
 # --------------------------------------------------------------------------
-def q126_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q126_lsh_recall(
+    spark: SparkSession, sf_dir: str, sample_frac: float = 1.0
+) -> DataFrame:
     """The text-side twin of q114's ANN recall harness: every EXACT
     near-dup pair (q29's n-gram Jaccard >= 0.8, same max_df cap) tagged
     with whether q28's MinHash-LSH banding actually surfaced it as a
@@ -4034,12 +4076,28 @@ def q126_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: both pair generators are the existing band-bucket /
     postings-join operators (nothing all-pairs); the tag is one LEFT
     join on the (a_id, b_id) pair key.
-    """
+
+    ``sample_frac`` < 1 runs the whole harness over a deterministic md5
+    DOCUMENT sample (plans/common.py::md5_sample_gate on doc_id) — the
+    "sampled shard" path above, made explicit: both the exact-Jaccard
+    truth and the LSH candidate generator see the same sub-corpus, so
+    the recall estimate prices at sample size (the truth side's
+    postings join is the expensive one). Document-level sampling, not
+    pair-level: a pair is in-sample iff BOTH members are, which keeps
+    every retained pair's jaccard arithmetic self-contained. max_df
+    document frequencies are computed over the sample (the same
+    semantics as running the harness on a shard). The oracle gate runs
+    at frac=1.0, unchanged."""
     t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    if sample_frac < 1.0:
+        docs = docs.filter(
+            md5_sample_gate(F.col("doc_id"), sample_frac, salt="lshdoc")
+        )
     truth = ngram_jaccard_pairs(
-        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+        docs, "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
     )
-    cand = minhash_lsh_pairs(t["documents"], "doc_id", "text").select(
+    cand = minhash_lsh_pairs(docs, "doc_id", "text").select(
         "a_id", "b_id", F.lit(1).alias("_hit")
     )
     return truth.join(cand, ["a_id", "b_id"], "left").select(
@@ -4140,7 +4198,7 @@ def q127_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("b").cast("bigint").alias("_b_present"),
         F.max("nn").alias("_nn"),
     )
-    return (
+    res = (
         agg.withColumn(
             "_zero",
             F.when(
@@ -4161,6 +4219,7 @@ def q127_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_contrib",
         )
     )
+    return materialize_release(res, st, j)
 
 
 Q127_SQL = rf"""
@@ -4645,9 +4704,10 @@ def q132_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(base) + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("pr"),
         )
-    return ranks.select(
+    res = ranks.select(
         F.col("node").alias("doc_id"), F.round("pr", 9).alias("pagerank")
     )
+    return materialize_release(res, edges, ed)
 
 
 def _sql_pr_round(prev: str, out: str) -> str:
@@ -5107,7 +5167,9 @@ JOIN qual q ON q.doc_id = d.doc_id
 # --------------------------------------------------------------------------
 # q138 — PQ/ADC recall harness vs the exact distance ranking
 # --------------------------------------------------------------------------
-def q138_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q138_adc_recall(
+    spark: SparkSession, sf_dir: str, sample_frac: float = 1.0
+) -> DataFrame:
     """Closes the PQ family's eval loop (q114 scores IVF, this scores
     the compressed path): every vector in the TRUE top-10 by exact
     squared distance to the pinned query, tagged with whether q107's
@@ -5116,8 +5178,20 @@ def q138_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate (which pins the ADC arithmetic, not its fidelity). Per-row
     tags, no single-row cross join; the exact side is one narrow scan +
     a bounded TakeOrdered, never an n x n join.
+
+    ``sample_frac`` < 1 evaluates fidelity over a deterministic md5
+    sub-corpus (md5_sample_gate on vec_id): the exact scan AND the ADC
+    ranking both run over the sampled codes — the PQ index itself stays
+    the fixed full-corpus artifact (codebooks trained on everything),
+    so the number still measures the production quantizer. The oracle
+    gate runs at frac=1.0, unchanged.
     """
     t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    gate = None
+    if sample_frac < 1.0:
+        gate = md5_sample_gate(F.col("vec_id"), sample_frac, salt="adcs")
+        emb = emb.filter(gate)
     q = F.array(*[F.lit(float(v)) for v in _ADC_QUERY])
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dist = F.aggregate(
@@ -5126,13 +5200,15 @@ def q138_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x,
     )
     ex = (
-        t["embeddings"]
+        emb
         .select("vec_id", vd.alias("vd"))
         .select("vec_id", dist.alias("true_dist"))
         .orderBy(F.col("true_dist").asc(), F.col("vec_id").asc())
         .limit(_ADC_TOPN)
     )
-    adc = q107_pq_adc_topk(spark, sf_dir).select("vec_id", F.lit(1).alias("_hit"))
+    adc = _pq_adc_ranked(spark, sf_dir, id_gate=gate).select(
+        "vec_id", F.lit(1).alias("_hit")
+    )
     return ex.join(adc, "vec_id", "left").select(
         "vec_id",
         F.round("true_dist", 6).alias("true_dist"),
@@ -5195,7 +5271,7 @@ def q139_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("double").alias("sxx"),
         dsum(F.col("y")).alias("sy"),
         dsum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
     )
@@ -5223,7 +5299,7 @@ WITH qual AS (
   SELECT source,
          CAST(count(*) AS BIGINT) AS n,
          CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(doc_id * doc_id AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(doc_id AS DECIMAL(38,0)) * doc_id) AS DOUBLE) AS sxx,
          {sql_dsum('y')} AS sy,
          {sql_dsum('CAST(doc_id AS DOUBLE) * y')} AS sxy
   FROM qual GROUP BY source

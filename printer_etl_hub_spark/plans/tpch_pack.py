@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_tables
-from .common import dsum, sql_dsum
+from .common import dsum, materialize_release, sql_dsum
 
 _TS = "timestamp"
 
@@ -276,11 +276,12 @@ def q62_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
-    return (
+    res = (
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_max_rev"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+    return materialize_release(res, rev)
 
 
 Q62_SQL = f"""
@@ -542,12 +543,13 @@ def q67_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     total = grouped.agg(F.sum("_pv_dec").cast("double").alias("_total_value"))
-    return (
+    res = (
         grouped.withColumn("part_value", F.col("_pv_dec").cast("double"))
         .join(F.broadcast(total))
         .filter(F.col("part_value") > F.lit(0.001) * F.col("_total_value"))
         .select("l_partkey", "part_value")
     )
+    return materialize_release(res, grouped)
 
 
 Q67_SQL = f"""

@@ -24,6 +24,32 @@ from pyspark.sql import functions as F
 from ..functions.text import quality_features, tokenize
 
 
+def _read_history(spark, path: str, batch_id: int) -> DataFrame | None:
+    """Stored-index history read for an ingest sink, excluding the batch's
+    own partition (re-delivery idempotence — the partition may already
+    hold this batch's rows). Returns ``None`` ONLY when the index
+    genuinely does not exist yet (first batch). Every OTHER failure —
+    transient FS error, corrupt footer, permission problem — re-raises
+    so the batch FAILS and retries, instead of silently treating a
+    readable-but-broken history as empty and permanently dropping that
+    batch's cross-batch pairs from the log (the exactly-once contract
+    depends on each pair being discovered in its later member's batch;
+    there is no second chance)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as exc:
+        get_code = getattr(exc, "getCondition", None) or exc.getErrorClass
+        code = get_code() or ""
+        if code in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
+            not code and "Path does not exist" in str(exc)
+        ):
+            return None
+        raise
+    return df.filter(F.col("batch_id") != F.lit(int(batch_id)))
+
+
 def corpus_ingest_stream(
     docs: DataFrame,
     min_quality: float = 0.45,
@@ -89,6 +115,14 @@ def minhash_ingest_sink(
     ``minhash_lsh_pairs(whole_corpus)`` and the stored index equals
     ``minhash_band_index(whole_corpus)``.
 
+    ``max_bucket`` caps bucket fan-out using counts over the COMBINED
+    corpus-so-far index (batch ∪ stored history), so a hot bucket never
+    fans out against history. Exact stream≡batch equivalence holds at
+    ``max_bucket=None``; with a cap, corpus-so-far counts are ≤ the
+    final batch-run counts, so the stream's pair log is a superset of
+    the capped batch run's (equal whenever each bucket crosses the cap
+    before its first surviving pair member arrives).
+
     Exactly-once on at-least-once delivery: each batch writes its rows
     under ``<dir>/batch_id=<n>`` with overwrite, so a foreachBatch
     re-delivery after restart replaces its own partition instead of
@@ -118,22 +152,46 @@ def minhash_ingest_sink(
         idx = minhash_band_index(
             docs, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n
         ).localCheckpoint(eager=True)  # feeds 3 consumers; batch-sized
-        try:
-            # Exclude this batch's OWN partition from the history read:
-            # on an at-least-once re-delivery the partition already holds
-            # the batch's rows, and joining a batch against itself via
-            # "history" would mint self-pairs and duplicate the in-batch
-            # pairs. Partition pruning makes the exclusion free.
-            hist = (
-                spark.read.parquet(index_dir)
-                .filter(F.col("batch_id") != F.lit(int(batch_id)))
-                .select(id_col, "band_id", "band_key")
-            )
-        except Exception:  # first batch: no index yet
-            hist = None
+        hist = _read_history(spark, index_dir, batch_id)
         if hist is not None:
+            hist = hist.select(id_col, "band_id", "band_key")
+        inb_idx, cross_new, cross_hist = idx, idx, hist
+        if max_bucket is not None:
+            # Bucket cap over the COMBINED corpus-so-far index (batch ∪
+            # stored history): a bucket that went hot in an earlier batch
+            # must not fan out against every future batch — capping only
+            # the in-batch side (the pre-r6 behavior) left the history
+            # cross join quadratic in the stored bucket size. Counts are
+            # corpus-so-far, so the capped stream mirrors the batch
+            # ``minhash_lsh_pairs(corpus, max_bucket)`` semantics as the
+            # counts converge (exact equivalence holds at
+            # max_bucket=None, or whenever a bucket crosses the cap
+            # before its first surviving pair member arrives).
+            combined = idx.select("band_id", "band_key")
+            if hist is not None:
+                combined = combined.unionByName(hist.select("band_id", "band_key"))
+            keep = (
+                combined.groupBy("band_id", "band_key")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .filter(F.col("n_docs") <= max_bucket)
+                .select("band_id", "band_key")
+            )
+            inb_idx = idx.join(keep, ["band_id", "band_key"], "left_semi")
+            cross_new = inb_idx
+            if hist is not None:
+                cross_hist = hist.join(keep, ["band_id", "band_key"], "left_semi")
+        if cross_hist is not None:
+            # Pin both sides of the quadratic-output bucket join: AQE
+            # sizes the post-shuffle read by the (small) index input and
+            # would coalesce the pair fan-out onto 1-2 tasks.
+            n_part = spark.sparkContext.defaultParallelism
             cross = (
-                minhash_index_join(idx, hist, new_id="_n", hist_id="_h")
+                minhash_index_join(
+                    cross_new.repartition(n_part, F.col("band_key")),
+                    cross_hist.repartition(n_part, F.col("band_key")),
+                    new_id="_n",
+                    hist_id="_h",
+                )
                 .select(
                     F.least("_n", "_h").alias("a_id"),
                     F.greatest("_n", "_h").alias("b_id"),
@@ -142,7 +200,7 @@ def minhash_ingest_sink(
             )
         else:
             cross = None
-        inb = minhash_index_pairs(idx, max_bucket=max_bucket)
+        inb = minhash_index_pairs(inb_idx)
         pairs = inb if cross is None else inb.unionByName(cross).distinct()
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
         idx.write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
@@ -159,6 +217,7 @@ def winnow_ingest_sink(
     w: int = 4,
     min_shared: int = 2,
     min_quality: float | None = None,
+    max_bucket: int | None = None,
 ):
     """foreachBatch sink: incremental WINNOWING match against a stored
     fingerprint index — the substring-level sibling of
@@ -184,6 +243,15 @@ def winnow_ingest_sink(
     ``winnow_match_pairs(whole_corpus)`` with the same (k, w,
     min_shared), and the stored fingerprint set equals the one-shot
     ``winnow_fingerprints`` distinct-hash set.
+
+    ``max_bucket`` drops stop-fingerprints using document counts over
+    the COMBINED corpus-so-far set (batch ∪ stored history) — the 10x
+    audit measured ~650 M projected pairs for the uncapped batch
+    sibling vs 2.58 M capped, and a hot fingerprint in the STORED index
+    is exactly the shape that otherwise fans out against every future
+    batch. Same cap-equivalence caveat as ``minhash_ingest_sink``:
+    exact stream≡batch equality at ``max_bucket=None``; under a cap the
+    stream's log is a superset of the capped batch run's.
     """
     from ..operators.dedup import winnow_fingerprints
 
@@ -199,18 +267,40 @@ def winnow_ingest_sink(
             .distinct()
             .localCheckpoint(eager=True)  # feeds history join, self join, write
         )
-        try:
-            hist = (
-                spark.read.parquet(index_dir)
-                .filter(F.col("batch_id") != F.lit(int(batch_id)))
-                .select(F.col(id_col).alias("_h"), "fp_hash")
-            )
-        except Exception:  # first batch: no index yet
-            hist = None
+        hist = _read_history(spark, index_dir, batch_id)
         if hist is not None:
+            hist = hist.select(F.col(id_col).alias("_h"), "fp_hash")
+        fpb_j, hist_j = fpb, hist
+        if max_bucket is not None:
+            # Stop-fingerprint cap over the COMBINED corpus-so-far set
+            # (batch ∪ stored history), mirroring the batch operator's
+            # ``winnow_match_pairs(max_bucket=...)``: a boilerplate
+            # fingerprint that accumulated in the stored index must not
+            # fan out against every future batch (the 10x audit measured
+            # ~650 M projected pairs uncapped vs 2.58 M capped for the
+            # batch sibling).
+            combined = fpb.select("fp_hash")
+            if hist is not None:
+                combined = combined.unionByName(hist.select("fp_hash"))
+            keep = (
+                combined.groupBy("fp_hash")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .filter(F.col("n_docs") <= max_bucket)
+                .select("fp_hash")
+            )
+            fpb_j = fpb.join(keep, "fp_hash", "left_semi")
+            if hist is not None:
+                hist_j = hist.join(keep, "fp_hash", "left_semi")
+        # Pin every side of the quadratic-output fingerprint joins: AQE
+        # sizes the post-shuffle read by the (small) fingerprint input
+        # and would coalesce the pair fan-out onto 1-2 tasks (the same
+        # shape fix as the batch winnow_match_pairs).
+        n_part = spark.sparkContext.defaultParallelism
+        if hist_j is not None:
             cross = (
-                fpb.select(F.col(id_col).alias("_n"), "fp_hash")
-                .join(hist, "fp_hash")
+                fpb_j.select(F.col(id_col).alias("_n"), "fp_hash")
+                .repartition(n_part, F.col("fp_hash"))
+                .join(hist_j.repartition(n_part, F.col("fp_hash")), "fp_hash")
                 .groupBy("_n", "_h")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
                 .filter(F.col("n_shared") >= min_shared)
@@ -222,8 +312,12 @@ def winnow_ingest_sink(
             )
         else:
             cross = None
-        ina = fpb.select(F.col(id_col).alias("a_id"), "fp_hash")
-        inb_side = fpb.select(F.col(id_col).alias("b_id"), "fp_hash")
+        ina = fpb_j.select(F.col(id_col).alias("a_id"), "fp_hash").repartition(
+            n_part, F.col("fp_hash")
+        )
+        inb_side = fpb_j.select(F.col(id_col).alias("b_id"), "fp_hash").repartition(
+            n_part, F.col("fp_hash")
+        )
         inb = (
             ina.join(inb_side, "fp_hash")
             .filter(F.col("a_id") < F.col("b_id"))

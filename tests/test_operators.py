@@ -916,3 +916,23 @@ def test_winnow_fingerprints_positions_decode_and_tie_rightmost(spark):
     sel_pos = sorted({r.fp_pos for r in fp})
     for wstart in range(1, n_windows + 1):
         assert any(wstart <= p <= wstart + 3 for p in sel_pos)
+
+
+def test_winnow_fingerprints_oversized_doc_fails_loudly(spark):
+    """The packed (hash, pos) encoding caps documents at 2^20 grams; a
+    longer document used to silently corrupt the window-min selection
+    (negative position term). It must now raise, not mis-fingerprint
+    (round-6 advice item #2)."""
+    import pytest
+
+    from printer_etl_hub_spark.operators.dedup import winnow_fingerprints
+
+    big = "x" * 1_050_000  # > 2^20 grams after whitespace stripping
+    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    with pytest.raises(Exception, match=r"2\^20 grams"):
+        winnow_fingerprints(df, "doc_id", "text", k=8, w=4).collect()
+    # a normal document still fingerprints fine through the guard
+    ok = spark.createDataFrame(
+        [(2, "a perfectly ordinary document body")], "doc_id long, text string"
+    )
+    assert winnow_fingerprints(ok, "doc_id", "text", k=8, w=4).count() > 0

@@ -15,8 +15,19 @@ from conftest import SF_SMOKE
 def plan_of(spark, name: str, mode: str = "formatted") -> str:
     # "formatted" for readable sections (PushedFilters/ReadSchema);
     # "simple" for NODE COUNTING — formatted prints every node twice
-    # (tree line + detail section)
+    # (tree line + detail section).
+    #
+    # Queries that route through plans/common.py::materialize_release
+    # return a checkpoint scan whose own plan is opaque; for those, the
+    # helper stashed the real pre-checkpoint physical plan — inspect
+    # THAT, so the plan tripwires (BNLJ sweep, no-Python sweep) stay
+    # live for exactly the persisting queries.
+    from printer_etl_hub_spark.plans import common
+
+    common.LAST_MATERIALIZED_PLAN = None
     df = REGISTRY[name].fn(spark, SF_SMOKE)
+    if common.LAST_MATERIALIZED_PLAN is not None:
+        return common.LAST_MATERIALIZED_PLAN
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     )
@@ -139,12 +150,16 @@ def test_q62_q67_fact_scanned_once(spark):
     the fact aggregation. (A cached relation prints its child plan, so
     counting 'lineitem.parquet' in the text overcounts — assert the cache
     substitution itself.)"""
+    from printer_etl_hub_spark.plans import common
+
     for name in ("q62_tpch_q15", "q67_tpch_q11"):
         spark.catalog.clearCache()
-        df = REGISTRY[name].fn(spark, SF_SMOKE)
-        df.collect()  # materialize so the reused branch substitutes the cache
-        executed = df._jdf.queryExecution().executedPlan().toString()
-        assert executed.count("InMemoryTableScan") >= 2, name
+        common.LAST_MATERIALIZED_PLAN = None
+        REGISTRY[name].fn(spark, SF_SMOKE)
+        # the query materializes + releases its cache on return; the
+        # pre-checkpoint plan (cache substitution visible) was stashed
+        executed = common.LAST_MATERIALIZED_PLAN
+        assert executed is not None and executed.count("InMemoryTableScan") >= 2, name
 
 
 def test_q80_windows_share_one_exchange(spark):
@@ -254,11 +269,13 @@ def test_q90_bloom_probe_is_broadcast_and_single_gram_build(spark):
     train corpus reaches the probe stage as a ≤128 KiB bitmap, never a
     gram table), and the persisted gram build must serve both branches
     (InMemoryTableScan on each, not a re-tokenize)."""
+    from printer_etl_hub_spark.plans import common
+
     spark.catalog.clearCache()
-    df = REGISTRY["q90_bloom_decontam"].fn(spark, SF_SMOKE)
-    df.collect()  # materialize so cache substitution is visible
-    executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in executed
+    common.LAST_MATERIALIZED_PLAN = None
+    REGISTRY["q90_bloom_decontam"].fn(spark, SF_SMOKE)
+    executed = common.LAST_MATERIALIZED_PLAN
+    assert executed is not None and "BroadcastHashJoin" in executed
     assert executed.count("InMemoryTableScan") >= 2, executed[:2000]
 
 
@@ -266,11 +283,13 @@ def test_q92_tf_built_once(spark):
     """tf feeds both the df derivation and the term-join probe side; the
     persist must make both read the cache instead of re-running the
     scan+tokenize+groupBy subtree."""
+    from printer_etl_hub_spark.plans import common
+
     spark.catalog.clearCache()
-    df = REGISTRY["q92_tfidf_topk"].fn(spark, SF_SMOKE)
-    df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()
-    assert executed.count("InMemoryTableScan") >= 2, executed[:2000]
+    common.LAST_MATERIALIZED_PLAN = None
+    REGISTRY["q92_tfidf_topk"].fn(spark, SF_SMOKE)
+    executed = common.LAST_MATERIALIZED_PLAN
+    assert executed is not None and executed.count("InMemoryTableScan") >= 2, executed[:2000]
 
 
 def test_q91_segment_dedup_no_global_sort(spark):

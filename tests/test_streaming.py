@@ -789,3 +789,90 @@ def test_winnow_ingest_sink_stream_equals_batch(spark, tmp_path):
     sink(batch_docs, last)
     assert spark.read.parquet(index_dir).count() == n_idx
     assert spark.read.parquet(pairs_dir).count() == n_pairs
+
+
+def _winnow_cap_corpus(spark):
+    """14 docs: 12 share a long substring S whose interior fingerprints
+    are hot (count 12), 2 share a cold substring T (count 2), 1 is
+    unique filler. With max_bucket=5 every S fingerprint is over the cap
+    from the FIRST batch (6 occurrences), so the capped stream and the
+    capped batch run agree exactly."""
+    S = "sharedhotboilerplateregionrepeatedacrossmanydocuments"
+    T = "coldpairsubstringsharedbyexactlytwodocs"
+    rows = [(i, S + f"uniquetail{i:03d}") for i in range(12)]
+    rows.append((100, T + "firstcarrier"))
+    rows.append((101, T + "secondcarrierdifferent"))
+    rows.append((200, "entirelyunrelatedsingletondocumentcontent"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_ingest_sink_capped_equals_batch_and_no_history_fanout(spark, tmp_path):
+    """The round-6 cap fix: max_bucket applies to bucket counts over the
+    UNION of batch + stored history, so a hot fingerprint that lives in
+    the stored index does NOT fan out against later batches — and with a
+    corpus whose hot buckets cross the cap inside the first batch, the
+    capped stream's match log equals the capped batch run's exactly."""
+    from printer_etl_hub_spark.operators.dedup import winnow_match_pairs
+    from printer_etl_hub_spark.streaming.corpus import winnow_ingest_sink
+
+    docs = _winnow_cap_corpus(spark)
+    index_dir = str(tmp_path / "wc_index")
+    pairs_dir = str(tmp_path / "wc_pairs")
+    sink = winnow_ingest_sink(
+        index_dir, pairs_dir, k=8, w=4, min_shared=2, max_bucket=5
+    )
+    # drive the sink directly with controlled batch composition:
+    # batch 0 = 6 hot docs + T1; batch 1 = the rest
+    b0 = docs.filter((F.col("doc_id") < 6) | (F.col("doc_id") == 100))
+    b1 = docs.join(b0.select("doc_id"), "doc_id", "left_anti")
+    sink(b0, 0)
+    sink(b1, 1)
+
+    got = {
+        (r.a_id, r.b_id, r.n_shared)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    want = {
+        (r.a_id, r.b_id, r.n_shared)
+        for r in winnow_match_pairs(
+            docs, "doc_id", "text", k=8, w=4, min_shared=2, max_bucket=5
+        ).collect()
+    }
+    assert got == want
+    # the cold pair was found ACROSS batches (T1 in history, T2 later)
+    assert any(a == 100 and b == 101 for (a, b, _) in got)
+    # hot fingerprints in the stored history did not fan out: no pair
+    # between hot docs anywhere in the log
+    assert not any(a < 12 and b < 12 for (a, b, _) in got)
+
+
+def test_ingest_sink_corrupt_history_fails_batch(spark, tmp_path):
+    """A history index that EXISTS but cannot be read must fail the
+    micro-batch (so it retries), never be silently treated as empty —
+    that would permanently drop the batch's cross-batch pairs from the
+    log (round-6 advice item #1)."""
+    import pytest
+
+    from printer_etl_hub_spark.streaming.corpus import (
+        minhash_ingest_sink,
+        winnow_ingest_sink,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some document text for the ingest corrupt history test")],
+        "doc_id long, text string",
+    )
+    for name, mk in (
+        ("wn", lambda i, p: winnow_ingest_sink(i, p, k=8, w=4)),
+        ("mh", lambda i, p: minhash_ingest_sink(i, p, k=12, bands=4)),
+    ):
+        index_dir = tmp_path / f"{name}_index" / "batch_id=0"
+        index_dir.mkdir(parents=True)
+        (index_dir / "part-00000.parquet").write_bytes(b"this is not parquet")
+        sink = mk(str(tmp_path / f"{name}_index"), str(tmp_path / f"{name}_pairs"))
+        with pytest.raises(Exception):
+            sink(docs, 1)
+        # and the batch wrote nothing: the pair log must not exist
+        import os
+
+        assert not os.path.exists(str(tmp_path / f"{name}_pairs"))
