@@ -16,6 +16,7 @@ from ..functions.text import (
     doc_fingerprint64,
     lang_id,
     quality_features,
+    stopword_count,
     tokenize,
 )
 from ..operators.dedup import (
@@ -5376,6 +5377,439 @@ FROM c
 """
 
 
+
+# --------------------------------------------------------------------------
+# q141 — Gopher quality rules (Rae et al. 2021, Appendix A1.1)
+# --------------------------------------------------------------------------
+#: Word-count bracket, scaled to this corpus (Gopher: [50, 100_000]).
+_GOPHER_MIN_WORDS = 30
+_GOPHER_MAX_WORDS = 400
+#: Mean-word-length bracket (Gopher: [3, 10]).
+_GOPHER_MIN_MWL = 3.0
+_GOPHER_MAX_MWL = 10.0
+#: Required-stopword set: a document must contain >= 2 distinct members.
+#: Gopher's published set is the/be/to/of/and/that/have/with; substituted
+#: with the engine's English stopword table (functions/text.py) so the
+#: rule discriminates on this corpus's vocabulary — the rule SHAPE
+#: (>= 2 distinct members of a fixed closed-class set) is the spec.
+_GOPHER_REQ_STOPS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def q141_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-based quality filter (Rae et al. 2021, A1.1) as
+    per-document audit flags: word-count bracket, mean-word-length
+    bracket, symbol-to-word ratio (# and ellipsis), fraction of words
+    containing an alphabetic character, and the required-stopword rule
+    (>= 2 distinct of the/be/to/of/and/that/have/with). Emitting the
+    individual rule verdicts (not just the AND) is what a curation
+    operator actually reads: the marginal drop rate of each rule is the
+    knob-tuning signal. Complements q25's continuous score (ref
+    behavior class: corpus gating before training) — these are the
+    published hard rules.
+
+    Exactness: all-integer counts; mean word length is the exact
+    (chars - (tokens-1)) / tokens shared with quality_features; symbol
+    counts via leftmost-non-overlapping replace() (identical in both
+    engines, the q120 idiom). Shape: one narrow pass, zero shuffles —
+    the filter is a map at any scale, and streams unchanged (pure
+    Column expressions, the corpus_ingest_stream contract).
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", "text", tokenize(F.col("text")).alias("toks")
+    )
+    n_tokens = F.size("toks").cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    mwl = F.when(
+        n_tokens > 0,
+        (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_hash = n_chars - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ell = (
+        n_chars - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    sym_ratio = F.when(
+        n_tokens > 0,
+        (n_hash + n_ell).cast("double") / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(F.col("toks"), lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.when(
+        n_tokens > 0, alpha_words.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    req = F.size(
+        F.array_distinct(
+            F.filter(F.col("toks"), lambda x: x.isin(*_GOPHER_REQ_STOPS))
+        )
+    ).cast("bigint")
+    r_words = n_tokens.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    r_mwl = (mwl >= _GOPHER_MIN_MWL) & (mwl <= _GOPHER_MAX_MWL)
+    r_sym = sym_ratio <= 0.1
+    r_alpha = alpha_frac >= 0.8
+    r_stops = req >= 2
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        req.alias("n_req_stopwords"),
+        r_words.cast("int").alias("ok_words"),
+        r_mwl.cast("int").alias("ok_mwl"),
+        r_sym.cast("int").alias("ok_symbols"),
+        r_alpha.cast("int").alias("ok_alpha"),
+        r_stops.cast("int").alias("ok_stopwords"),
+        (r_words & r_mwl & r_sym & r_alpha & r_stops).cast("int").alias("keep"),
+    )
+
+
+_req_sql = ", ".join(f"'{w}'" for w in _GOPHER_REQ_STOPS)
+Q141_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+           AS alpha_words,
+         CAST(len(list_distinct(list_filter(toks, x -> x IN ({_req_sql}))))
+              AS BIGINT) AS req
+  FROM d
+), f AS (
+  SELECT doc_id, n_words, req,
+         CASE WHEN n_words > 0
+              THEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+              ELSE 0.0 END AS mwl,
+         CASE WHEN n_words > 0
+              THEN CAST(n_hash + n_ell AS DOUBLE) / n_words
+              ELSE 0.0 END AS sym_ratio,
+         CASE WHEN n_words > 0
+              THEN CAST(alpha_words AS DOUBLE) / n_words
+              ELSE 0.0 END AS alpha_frac
+  FROM m
+)
+SELECT doc_id, n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(sym_ratio, 6) AS symbol_ratio,
+       round(alpha_frac, 6) AS alpha_word_frac,
+       req AS n_req_stopwords,
+       CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS} AS INT)
+         AS ok_words,
+       CAST(mwl >= {_GOPHER_MIN_MWL} AND mwl <= {_GOPHER_MAX_MWL} AS INT) AS ok_mwl,
+       CAST(sym_ratio <= 0.1 AS INT) AS ok_symbols,
+       CAST(alpha_frac >= 0.8 AS INT) AS ok_alpha,
+       CAST(req >= 2 AS INT) AS ok_stopwords,
+       CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+            AND mwl >= {_GOPHER_MIN_MWL} AND mwl <= {_GOPHER_MAX_MWL}
+            AND sym_ratio <= 0.1 AND alpha_frac >= 0.8 AND req >= 2 AS INT) AS keep
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# q142 — repetition fractions (Rae et al. 2021 repetition filters)
+# --------------------------------------------------------------------------
+def q142_repetition_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText repetition filters, token-n-gram form: per
+    document, (a) the fraction of tokens covered by the single most
+    frequent word BIGRAM (count·2 / n_tokens, tie -> lexicographically
+    smallest bigram so the report is deterministic), and (b) the
+    fraction of word-TRIGRAM occurrences whose trigram repeats within
+    the document. Template spam and keyword stuffing light up both
+    axes where q133's type-token ratio can stay unremarkable. (Rae et
+    al. define character-coverage variants; the occurrence-fraction
+    form used here is exactly specified and integer-exact, which is
+    what the cross-engine gate needs.)
+
+    Shape: two explode -> (doc, gram) count shuffles (postings-bounded,
+    the q103 discipline) + one per-doc window over the counted bigram
+    table for the deterministic argmax; everything re-aggregates to one
+    row per document.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", tokenize(F.col("text")).alias("w")
+    )
+
+    def _grams(n: int):
+        return F.when(
+            F.size("w") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = d.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
+    bg = (
+        d.select("doc_id", F.explode(_grams(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("g").asc())
+    top = (
+        bg.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("g").alias("top_bigram"),
+            F.col("cnt").cast("bigint").alias("top_bigram_count"),
+        )
+    )
+    tg = (
+        d.select("doc_id", F.explode(_grams(3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_trigrams"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_tri"),
+        )
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .join(tg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_bigram",
+            F.coalesce("top_bigram_count", F.lit(0)).cast("bigint").alias(
+                "top_bigram_count"
+            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce("top_bigram_count", F.lit(0)).cast("double")
+                    * 2.0
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+            F.when(
+                F.coalesce("n_trigrams", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_dup_tri").cast("double")
+                    / F.col("n_trigrams").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
+
+
+Q142_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM d
+), bg AS (
+  SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g,
+         count(*) AS cnt
+  FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+  WHERE len(w) >= 2
+  GROUP BY doc_id, g
+), top AS (
+  SELECT doc_id, g AS top_bigram, CAST(cnt AS BIGINT) AS top_bigram_count
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, g ASC) AS rn FROM bg)
+  WHERE rn = 1
+), tgc AS (
+  SELECT doc_id,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' '
+           || w[CAST(i AS INT) + 2] AS g,
+         count(*) AS cnt
+  FROM d, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 3
+  GROUP BY doc_id, g
+), tg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_tri
+  FROM tgc GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, t.top_bigram,
+       CAST(COALESCE(t.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       CASE WHEN b.n_tokens > 0
+            THEN round(CAST(COALESCE(t.top_bigram_count, 0) AS DOUBLE) * 2.0
+                       / b.n_tokens, 6)
+            ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN COALESCE(g.n_trigrams, 0) > 0
+            THEN round(CAST(g.n_dup_tri AS DOUBLE) / g.n_trigrams, 6)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM base b LEFT JOIN top t USING (doc_id) LEFT JOIN tg g USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q143 — interpolated Kneser-Ney bigram scoring (the KenLM filter applied)
+# --------------------------------------------------------------------------
+#: Absolute discount (the standard KN default).
+_KN_D = 0.75
+
+
+def q143_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applies the language model q103 builds counts for: per document,
+    the mean interpolated Kneser-Ney bigram probability
+    ``P(v|u) = max(c(uv)-D,0)/c(u·) + (D·N1+(u·)/c(u·)) · N1+(·v)/B``
+    (D = 0.75, B = distinct bigram count) over the document's bigram
+    stream, plus the rarest transition. This is the CCNet/KenLM-style
+    fluency filter — documents whose transitions the corpus LM finds
+    improbable are the mojibake/spam tail. The score is the arithmetic
+    MEAN probability, not log-perplexity: log() is not bit-portable
+    across engines (the q133 discipline), and the ranking it induces is
+    what the filter thresholds on.
+
+    Exactness: every per-bigram probability is one fixed-order IEEE
+    expression over integer counts (identical in both engines); the
+    mean goes through dsum; the min compares unrounded doubles.
+    Shape: one corpus bigram groupBy, two vocab-sized stat aggs derived
+    from it, a postings-bounded (u,v) join back onto the doc stream,
+    and ONE 1-row broadcast (B) — the q89 scalar class. Every stage is
+    partial-aggregable; nothing is quadratic.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", tokenize(F.col("text")).alias("w"))
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("w"), i).alias("u"),
+                F.element_at(F.col("w"), i + 1).alias("v"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+    doc_bg = d.select("doc_id", F.explode(bigrams).alias("p")).select(
+        "doc_id", "p.u", "p.v"
+    )
+    big = doc_bg.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n_uv"))
+    ustats = big.groupBy("u").agg(
+        F.sum("n_uv").alias("ctx"), F.count(F.lit(1)).alias("ncr")
+    )
+    vstats = big.groupBy("v").agg(F.count(F.lit(1)).alias("ncl"))
+    btot = big.agg(F.count(F.lit(1)).alias("b"))
+    D = F.lit(_KN_D)
+    ctx_d = F.col("ctx").cast("double")
+    term1 = F.greatest(
+        F.col("n_uv").cast("double") - D, F.lit(0.0)
+    ) / ctx_d
+    term2 = ((D * F.col("ncr").cast("double")) / ctx_d) * (
+        F.col("ncl").cast("double") / F.col("b").cast("double")
+    )
+    scored = (
+        doc_bg.join(big, ["u", "v"])
+        .join(ustats, "u")
+        .join(vstats, "v")
+        .join(F.broadcast(btot))
+        .select("doc_id", (term1 + term2).alias("p"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            dsum(F.col("p")) / F.count(F.lit(1)).cast("double"), 9
+        ).alias("mean_kn_p"),
+        F.round(F.min("p"), 9).alias("min_kn_p"),
+    )
+
+
+Q143_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+), doc_bg AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS u, w[CAST(i AS INT) + 1] AS v
+  FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+  WHERE len(w) >= 2
+), big AS (
+  SELECT u, v, count(*) AS n_uv FROM doc_bg GROUP BY u, v
+), ustats AS (
+  SELECT u, sum(n_uv) AS ctx, count(*) AS ncr FROM big GROUP BY u
+), vstats AS (
+  SELECT v, count(*) AS ncl FROM big GROUP BY v
+), bt AS (
+  SELECT count(*) AS b FROM big
+), scored AS (
+  SELECT g.doc_id,
+         (greatest(CAST(big.n_uv AS DOUBLE) - CAST({_KN_D} AS DOUBLE), 0.0)
+            / CAST(ustats.ctx AS DOUBLE))
+         + ((CAST({_KN_D} AS DOUBLE) * CAST(ustats.ncr AS DOUBLE))
+              / CAST(ustats.ctx AS DOUBLE))
+           * (CAST(vstats.ncl AS DOUBLE) / CAST(bt.b AS DOUBLE)) AS p
+  FROM doc_bg g
+  JOIN big USING (u, v) JOIN ustats USING (u) JOIN vstats USING (v)
+  CROSS JOIN bt
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round({sql_dsum('p')} / count(*), 9) AS mean_kn_p,
+       round(min(p), 9) AS min_kn_p
+FROM scored GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q144 — language-ID confidence margin (ambiguity audit for q24)
+# --------------------------------------------------------------------------
+def q144_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How sure is the language classifier? Per document: q24's argmax
+    prediction plus the top-two stopword scores and their margin. The
+    routing signal a multilingual pipeline needs — docs with margin
+    <= 1 (or no stopword hits at all) go to the expensive model-based
+    classifier instead of trusting the heuristic; everything else skips
+    it. Integer scores, so the margin is exact. Zero shuffles — the
+    audit is a map, streamable unchanged.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", "lang", tokenize(F.col("text")).alias("toks")
+    )
+    scores = [stopword_count(F.col("toks"), lang) for lang in ("en", "de", "es", "fr")]
+    arr = F.array_sort(F.array(*[c.cast("bigint") for c in scores]))
+    best = F.element_at(arr, 4)
+    second = F.element_at(arr, 3)
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_id(F.col("toks")).alias("pred_lang"),
+        best.alias("best_score"),
+        second.alias("second_score"),
+        (best - second).cast("bigint").alias("margin"),
+        ((best <= 0) | ((best - second) <= 1)).cast("int").alias("needs_review"),
+    )
+
+
+Q144_SQL = rf"""
+WITH toks AS ({_SQL_TOKS}),
+scored AS (
+  SELECT doc_id, lang,
+         {_sql_stop_count('en')} AS s_en, {_sql_stop_count('de')} AS s_de,
+         {_sql_stop_count('es')} AS s_es, {_sql_stop_count('fr')} AS s_fr
+  FROM toks
+), ranked AS (
+  SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+         list_sort([CAST(s_en AS BIGINT), CAST(s_de AS BIGINT),
+                    CAST(s_es AS BIGINT), CAST(s_fr AS BIGINT)]) AS a
+  FROM scored
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'unknown'
+            WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+            ELSE 'unknown' END AS pred_lang,
+       a[4] AS best_score,
+       a[3] AS second_score,
+       CAST(a[4] - a[3] AS BIGINT) AS margin,
+       CAST(a[4] <= 0 OR (a[4] - a[3]) <= 1 AS INT) AS needs_review
+FROM ranked
+"""
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -5452,4 +5886,8 @@ TEXT_QUERIES = {
     "q138_adc_recall": (q138_adc_recall, Q138_SQL),
     "q139_quality_trend": (q139_quality_trend, Q139_SQL),
     "q140_crop_pairs": (q140_crop_pairs, Q140_SQL),
+    "q141_gopher_rules": (q141_gopher_rules, Q141_SQL),
+    "q142_repetition_fractions": (q142_repetition_fractions, Q142_SQL),
+    "q143_kn_score": (q143_kn_score, Q143_SQL),
+    "q144_langid_margin": (q144_langid_margin, Q144_SQL),
 }

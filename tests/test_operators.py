@@ -390,10 +390,11 @@ def test_bruteforce_topk_refuses_oversized_input(spark):
 
 def test_registry_gate_window_is_complete_and_oracled():
     """The driver gates the first 50 REGISTRY entries: every one of them
-    must carry an oracle (no structurally-red rows). Round 5 leads with
-    the zero-external-row set (q106-q112 from late round 4 plus this
-    round's q113-q120), rotates back the round-2-green q02-q11 family,
-    and re-verifies the queries whose implementation changed this round."""
+    must carry an oracle (no structurally-red rows). Round 6 executes
+    the round-5 ledger plan: q138-q140 (zero external rows) lead, the
+    TPC-H pack and the r5-displaced r3-green backfill repay the oldest
+    evidence, and the queries whose implementation changed this round
+    re-verify externally."""
     from printer_etl_hub_spark.plans import REGISTRY
     from printer_etl_hub_spark.plans.registry import GATE_ORDER
 
@@ -402,26 +403,21 @@ def test_registry_gate_window_is_complete_and_oracled():
     unoracled = [n for n in window if REGISTRY[n].oracle_sql is None]
     assert not unoracled, unoracled
     # zero-external-row queries lead the window
-    zero_row = [
-        "q106_jl_project", "q107_pq_adc_topk", "q108_incremental_minhash",
-        "q109_scd2_merge", "q110_scd2_asof", "q111_event_funnel",
-        "q112_cohort_retention", "q113_sq8_quantize", "q114_ann_recall",
-        "q115_domain_cap", "q116_bigram_lm_score", "q117_epoch_upsample",
-        "q118_hard_negatives", "q119_shared_substring_runs", "q120_bpe_apply",
-    ]
+    zero_row = ["q138_adc_recall", "q139_quality_trend", "q140_crop_pairs"]
     assert window[: len(zero_row)] == zero_row
-    # the round-2-green set rotates back, as round 4 promised
+    # the oldest evidence (r3-green TPC-H pack + displaced backfill)
     stale = {
-        "q02_bad_value_filter", "q03_normalize_projection",
-        "q04_enrichment_join", "q05_postal_split", "q06_pivot_orderstatus",
-        "q07_first_per_slot", "q09_top2_per_group", "q10_dedup_keep_first",
-        "q11_collect_sorted",
+        "q35_tpch_q5", "q57_tpch_q6", "q70_tpch_q12", "q71_json_harvest",
+        "q74_attribution", "q80_session_ids", "q33_multimodal_decode",
+        "q46_asof_join", "q29_ngram_jaccard", "q20_events_tumbling",
+        "q23_dedup_exact", "q27_fingerprint",
     }
     assert stale <= set(window), stale - set(window)
     # implementation-changed queries re-verify externally this round
     changed = {
-        "q100_semantic_dedup", "q101_pq_encode", "q103_kn_ngram_stats",
-        "q105_cms_heavy_hitters",
+        "q114_ann_recall", "q126_lsh_recall", "q123_dsir_importance",
+        "q81_corpus_prep", "q92_tfidf_topk", "q127_source_divergence",
+        "q132_pagerank", "q139_quality_trend", "q62_tpch_q15", "q67_tpch_q11",
     }
     assert changed <= set(window), changed - set(window)
 
