@@ -251,7 +251,10 @@ def q29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q29_SQL = f"""
+def _sql_jaccard_pairs(threshold: float) -> str:
+    """The q29 exact-Jaccard pair CTE chain, threshold-parameterized —
+    q146's sweep reuses it at 0.5."""
+    return f"""
 WITH words AS ({_SQL_WORDS}),
 sh AS ({_SQL_SHINGLES}),
 posts0 AS (
@@ -271,8 +274,11 @@ SELECT a_id, b_id,
 FROM inter
 JOIN sizes sa ON a_id = sa.doc_id
 JOIN sizes sb ON b_id = sb.doc_id
-WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {threshold}
 """
+
+
+Q29_SQL = _sql_jaccard_pairs(0.8)
 
 
 # --------------------------------------------------------------------------
@@ -5810,6 +5816,298 @@ SELECT doc_id, lang,
 FROM ranked
 """
 
+
+# --------------------------------------------------------------------------
+# q145 — temperature-scaled source mixture weights (data-mixing table)
+# --------------------------------------------------------------------------
+def q145_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing table every multi-source pretraining run starts
+    from: per source, its token mass and the temperature-scaled sampling
+    weight w_i = c_i^alpha / sum_j c_j^alpha with alpha = 0.5 — up-weights
+    small sources against the head domain (the multilingual/multi-corpus
+    sampling rule of mBERT/XLM-R and the Pile's mixing chapter). alpha =
+    0.5 specifically because x^0.5 = sqrt(x) is correctly-rounded IEEE in
+    both engines, so the oracle is exact where a libm pow() would drift in
+    the last bit. ``epochs`` is how many passes over the source one
+    corpus-sized token budget implies at that weight — > 1 means the
+    source repeats (the up-sampling q117 materializes).
+
+    Shape: one partial-aggable groupBy(source) + two 1-row broadcasts
+    (corpus totals) — mergeable at any scale; ~|sources| output rows.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "source", F.size(tokenize(F.col("text"))).cast("bigint").alias("n_toks")
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )
+    per = per.withColumn("sq", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = per.agg(
+        dsum(F.col("sq")).alias("sq_total"),
+        F.sum("n_tokens").cast("bigint").alias("tok_total"),
+    )
+    w = F.col("sq") / F.col("sq_total")
+    return per.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w, 9).alias("weight"),
+        F.round(
+            (F.col("tok_total").cast("double") * w)
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("epochs"),
+    )
+
+
+Q145_SQL = rf"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), sq AS (
+  SELECT source, n_docs, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS sq FROM per
+), tot AS (
+  SELECT {sql_dsum('sq')} AS sq_total, CAST(sum(n_tokens) AS BIGINT) AS tok_total
+  FROM sq
+)
+SELECT source, n_docs, n_tokens,
+       round(sq / sq_total, 9) AS weight,
+       round((CAST(tok_total AS DOUBLE) * (sq / sq_total))
+             / CAST(n_tokens AS DOUBLE), 6) AS epochs
+FROM sq CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
+# q146 — dedup threshold sensitivity sweep (one pass, five thresholds)
+# --------------------------------------------------------------------------
+_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def q146_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does moving the near-dup threshold cost? Pair and document
+    counts at five Jaccard cutoffs from ONE exact pair table (computed
+    once at the lowest threshold, the same postings join + max_df cap as
+    q29) — the sensitivity table a dedup owner reads before committing a
+    corpus-wide threshold, instead of re-running the pair job five
+    times. Also reports the mean Jaccard above each cutoff (dsum-exact).
+
+    Shape: the pair generation dominates and runs once; the sweep is two
+    grouped aggregations over the (small) pair table — one pair-level,
+    one over the exploded pair-member ids for the distinct-doc count —
+    joined on the threshold. Output: 5 rows.
+    """
+    t = load_tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text",
+        threshold=min(_SWEEP_THRESHOLDS), max_df=_J_MAX_DF,
+    )
+    thr = F.explode(
+        F.array(*[F.lit(float(x)) for x in _SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    tagged = pairs.select(thr, "a_id", "b_id", "jaccard").filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    pair_agg = tagged.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(dsum(F.col("jaccard")) / F.count(F.lit(1)).cast("double"), 9)
+        .alias("mean_jaccard"),
+    )
+    doc_agg = (
+        tagged.select(
+            "threshold", F.explode(F.array("a_id", "b_id")).alias("doc")
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("doc").cast("bigint").alias("n_docs_involved"))
+    )
+    return (
+        pair_agg.join(doc_agg, "threshold")
+        .select(
+            F.round("threshold", 2).alias("threshold"),
+            "n_pairs",
+            "n_docs_involved",
+            "mean_jaccard",
+        )
+    )
+
+
+_sweep_sql_list = ", ".join(
+    f"CAST({x} AS DOUBLE)" for x in _SWEEP_THRESHOLDS
+)
+Q146_SQL = f"""
+WITH pairs AS ({_sql_jaccard_pairs(min(_SWEEP_THRESHOLDS))}),
+tagged AS (
+  SELECT t.threshold, p.a_id, p.b_id, p.jaccard
+  FROM pairs p, LATERAL (SELECT unnest([{_sweep_sql_list}]) AS threshold) t
+  WHERE p.jaccard >= t.threshold
+), pair_agg AS (
+  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+         round({sql_dsum('jaccard')} / count(*), 9) AS mean_jaccard
+  FROM tagged GROUP BY threshold
+), doc_agg AS (
+  SELECT threshold, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_involved
+  FROM (SELECT threshold, unnest([a_id, b_id]) AS doc FROM tagged)
+  GROUP BY threshold
+)
+SELECT round(p.threshold, 2) AS threshold, p.n_pairs, d.n_docs_involved,
+       p.mean_jaccard
+FROM pair_agg p JOIN doc_agg d USING (threshold)
+"""
+
+
+# --------------------------------------------------------------------------
+# q147 — per-document n-gram novelty (corpus saturation, doc level)
+# --------------------------------------------------------------------------
+def q147_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does each document add that the corpus (in doc_id
+    arrival order) hasn't seen? Per document: its distinct word-trigram
+    count and the fraction of those trigrams whose FIRST corpus
+    occurrence is this document. The doc-granular saturation signal
+    behind "is this crawl still contributing?" decisions — q134's Heaps
+    curve aggregates the same phenomenon corpus-wide; this ranks the
+    individual documents a dedup pass should look at first (novelty ~ 0
+    means everything here already exists elsewhere).
+
+    Shape: explode -> per-doc distinct (one (doc, gram) shuffle), one
+    gram-keyed MIN aggregation for first occurrence, one join back on
+    the gram key, one doc re-agg. Postings-bounded at every stage;
+    first-occurrence via min(doc_id) is order-insensitive and exact.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", tokenize(F.col("text")).alias("w"))
+    grams = F.when(
+        F.size("w") >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = d.select("doc_id", F.explode(grams).alias("g"))
+    first = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        dg.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_distinct_grams").cast("double"),
+                6,
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+Q147_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+), dg AS (
+  SELECT DISTINCT doc_id,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' '
+           || w[CAST(i AS INT) + 2] AS g
+  FROM d, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 3
+), first AS (
+  SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g
+)
+SELECT dg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_distinct_grams,
+       CAST(sum(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty_frac
+FROM dg JOIN first f USING (g)
+GROUP BY dg.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q148 — per-source length moments (one-pass distributed skewness)
+# --------------------------------------------------------------------------
+def q148_length_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution in ONE pass: mean,
+    population variance, and skewness of the token count from exact
+    decimal power sums (Σx, Σx², Σx³). A long right tail (positive
+    skew) on a source usually means concatenated/stitched pages (q125's
+    artifact) — the shape signal a histogram shows but a mean hides,
+    computed without a second pass or a sort.
+
+    Exactness: power sums are 128-bit decimal on BOTH engines (Spark
+    bigint SUM overflow vs DuckDB HUGEINT widening — the q139 lesson;
+    products cast to decimal BEFORE multiplying); the moment assembly
+    is a fixed-order IEEE expression; var^(3/2) via var·sqrt(var), not
+    libm pow. Shape: one partial-aggable groupBy(source).
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "source", F.size(tokenize(F.col("text"))).cast("bigint").alias("x")
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).cast("double").alias("s1"),
+        F.sum(xd * F.col("x")).cast("double").alias("s2"),
+        F.sum(xd * F.col("x") * F.col("x")).cast("double").alias("s3"),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("s1") / n_d
+    var = (F.col("s2") - (F.col("s1") * F.col("s1")) / n_d) / n_d
+    skew = (
+        F.col("s3") / n_d
+        - F.lit(3.0) * mean * (F.col("s2") / n_d)
+        + F.lit(2.0) * mean * mean * mean
+    ) / (var * F.sqrt(var))
+    return agg.select(
+        "source",
+        "n",
+        F.round(mean, 6).alias("mean_tokens"),
+        F.round(var, 6).alias("var_tokens"),
+        F.when(var > 0, F.round(skew, 6)).alias("skew_tokens"),
+    )
+
+
+Q148_SQL = rf"""
+WITH d AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS x
+  FROM documents
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x) AS DOUBLE) AS s3
+  FROM d GROUP BY source
+)
+SELECT source, n,
+       round(s1 / n, 6) AS mean_tokens,
+       round((s2 - (s1 * s1) / n) / n, 6) AS var_tokens,
+       CASE WHEN (s2 - (s1 * s1) / n) / n > 0 THEN
+         round((s3 / n
+                - CAST(3.0 AS DOUBLE) * (s1 / n) * (s2 / n)
+                + CAST(2.0 AS DOUBLE) * (s1 / n) * (s1 / n) * (s1 / n))
+               / (((s2 - (s1 * s1) / n) / n)
+                  * sqrt((s2 - (s1 * s1) / n) / n)), 6)
+       END AS skew_tokens
+FROM agg
+"""
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -5890,4 +6188,8 @@ TEXT_QUERIES = {
     "q142_repetition_fractions": (q142_repetition_fractions, Q142_SQL),
     "q143_kn_score": (q143_kn_score, Q143_SQL),
     "q144_langid_margin": (q144_langid_margin, Q144_SQL),
+    "q145_mixture_weights": (q145_mixture_weights, Q145_SQL),
+    "q146_threshold_sweep": (q146_threshold_sweep, Q146_SQL),
+    "q147_ngram_novelty": (q147_ngram_novelty, Q147_SQL),
+    "q148_length_moments": (q148_length_moments, Q148_SQL),
 }
