@@ -129,6 +129,17 @@ HEADLINE = [
     "q138_adc_recall",
     "q139_quality_trend",
     "q140_crop_pairs",
+    # Round 6 additions: Gopher rules, repetition fractions, KN scoring,
+    # lang-ID margin, mixture weights, threshold sweep, n-gram novelty,
+    # length moments.
+    "q141_gopher_rules",
+    "q142_repetition_fractions",
+    "q143_kn_score",
+    "q144_langid_margin",
+    "q145_mixture_weights",
+    "q146_threshold_sweep",
+    "q147_ngram_novelty",
+    "q148_length_moments",
 ]
 
 
@@ -279,6 +290,16 @@ def main() -> None:
             break
         payload.pop(shed, None)
         line = json.dumps(payload, separators=(",", ":"))
+    # Final fallback: GUARANTEE the line fits the driver's tail window no
+    # matter what future keys get added — rebuild from the minimal scalar
+    # set (counts only, no per-query text) if shedding wasn't enough.
+    if len(line) > 1500:
+        minimal = {
+            k: payload[k]
+            for k in ("metric", "value", "unit", "sf", "n_queries", "n_failed", "n_flaky")
+            if k in payload
+        }
+        line = json.dumps(minimal, separators=(",", ":"))
     print(line)
 
 

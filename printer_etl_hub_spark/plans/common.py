@@ -64,15 +64,24 @@ def materialize_release(out, *pinned):
     # Stash the PRE-checkpoint physical plan (cache substitution still
     # active) for the plan-hygiene tests: the returned frame's own plan
     # collapses to the checkpoint scan, which would blind the
-    # BNLJ/cache-reuse tripwires for exactly these queries.
+    # BNLJ/cache-reuse tripwires for exactly these queries. Gated behind
+    # CAPTURE_PLANS (test-only): production calls skip the plan
+    # stringification entirely — it forces physical planning eagerly and
+    # mutates a module global, neither of which belongs on the hot path.
     global LAST_MATERIALIZED_PLAN
-    LAST_MATERIALIZED_PLAN = out._jdf.queryExecution().executedPlan().toString()
+    if CAPTURE_PLANS:
+        LAST_MATERIALIZED_PLAN = out._jdf.queryExecution().executedPlan().toString()
     out = out.localCheckpoint(eager=True)
     for p in pinned:
         p.unpersist(blocking=False)
     return out
 
 
+#: Test-only switch: the plan-hygiene suite flips this on so
+#: materialize_release captures the pre-checkpoint physical plan.
+#: Default False — production callers pay nothing for the introspection.
+CAPTURE_PLANS: bool = False
+
 #: Physical plan (string) of the most recent materialize_release call,
-#: captured before the checkpoint collapsed it. Test-introspection only.
+#: captured before the checkpoint collapsed it (only when CAPTURE_PLANS).
 LAST_MATERIALIZED_PLAN: str | None = None

@@ -4,30 +4,25 @@
 correctness driver gates the FIRST 50 entries each round. ``GATE_ORDER``
 makes that window explicit so coverage can be rotated deliberately.
 
-Round-6 window (executes the round-5 ledger plan exactly — VERDICT r5
-"Next round" item #2):
-1. q138-q140 — zero external rows (landed after the round-5 window
-   filled; judge-verified locally in round 5). They lead. q139's id
-   arithmetic was additionally widened to decimal(38,0) this round
-   (ADVICE r5), so its row is also a changed-impl re-verify.
-2. The TPC-H pack q35, q57-q70 — newest external green was round 3,
-   the oldest evidence in the registry. q62/q67 also changed this
-   round (cache-release materialization), so their rows double as
-   changed-impl re-verification.
-3. The round-5-displaced backfill, all r3-green: q71, q73-q76,
-   q78-q80; q33/q34/q36/q46/q47/q48/q51; q29/q30/q32; q20-q24/q26/
-   q27. q74 is the streaming family's external evidence row (VERDICT
-   item #7): its batch plan is the one the stream-stream join shares.
-4. Changed-implementation re-verify (7 slots): q114/q126 (sample_frac
-   knob added — default path must stay bit-identical), q123 (persist
-   released via materialize_release), q81/q92/q127/q132 (same
-   cache-release change). q89/q90/q124 carry the identical change
-   class but did not fit the window — covered by the local
-   oracle-diff suite, named here so round 7 rotates them in.
+Round-7 window (executes the round-6 ledger plan exactly — VERDICT r6
+"Next round" items #2 and #6):
+1. q141-q148 — zero external rows (landed after the round-6 window
+   filled; judge-verified exact locally in round 6). They lead.
+2. Changed-impl deferrals q89/q90/q124 — carried the round-6
+   materialize_release change without a window slot (named in the
+   round-6 docstring); q90/q124 additionally bench-regressed ~2.2x in
+   r6, so their rows double as re-verification after the re-measure.
+3. q108_incremental_minhash — the streaming family's external evidence
+   row (VERDICT r6 item #6): its batch flow is the one the hardened
+   minhash_ingest_sink shares (band index, bucket caps, pair dedup).
+4. The oldest-r4 backfill, numeric order, filling the remaining 38
+   slots: q12, q14, q16-q19, q28, q31, q38-q45, q49/q50/q52-q56, q72,
+   q77, q82-q88, q91, q93-q97. Displaced to round 8: q98, q99, q102,
+   q104 (still r4-green; lead the next backfill).
 
-Round-6 additions (q141+) land OUTSIDE the window (it is full with
-staleness repayment) — the same deferral q106-q112 and q138-q140 took;
-they are judge-verified locally this round and lead round 7's window.
+Round-7 additions (q149+) land OUTSIDE the window (it is full with
+staleness repayment) — the same deferral q106-q112, q138-q140, and
+q141-q148 took; they are locally oracle-verified and lead round 8.
 
 q37 stays OUTSIDE the window by design: its estimator output has no
 exact oracle (pinned by a tolerance test instead), and every gated
@@ -35,16 +30,17 @@ entry must be able to turn green. Everything not named in GATE_ORDER
 follows in module order, so the full surface stays importable and
 tested either way.
 
-Rotation ledger (newest external green per query, as of the END of r5,
-verified against CORRECTNESS_r01-r05):
-r5: q01, q02-q07, q08, q09-q11, q13, q15, q25, q100, q101, q103,
-    q105, q106-q137;
-r4: q12, q14, q16-q19, q28, q31, q38-q45, q49-q56, q72, q77,
-    q81-q99, q102, q104;
-r3: q20-q24, q26, q27, q29, q30, q32-q36, q46-q48, q51, q57-q71,
-    q73-q76, q78-q80;
-never: q138-q140 (gated THIS round), q37 (by design), q141+ (land
-this round, lead round 7).
+Rotation ledger (newest external green per query, as of the END of r6,
+verified against CORRECTNESS_r01-r06):
+r6: q20-q24, q26, q27, q29, q30, q32-q36, q46-q48, q51, q57-q71,
+    q73-q76, q78-q80, q81, q92, q114, q123, q126, q127, q132,
+    q138-q140;
+r5: q01-q11, q13, q15, q25, q100, q101, q103, q105-q113, q115-q122,
+    q124, q125, q128-q131, q133-q137;
+r4: q12, q14, q16-q19, q28, q31, q38-q45, q49, q50, q52-q56, q72,
+    q77, q82-q91, q93-q99, q102, q104;
+never: q37 (by design), q141-q148 (gated THIS round — round 7), q149+
+    (land this round, lead round 8).
 """
 
 from __future__ import annotations
@@ -73,62 +69,61 @@ _ALL: dict[str, tuple] = {
 
 #: First 50 = the driver's correctness window for this round.
 GATE_ORDER = [
-    # -- group 1: zero external rows (landed after the r5 window filled)
-    "q138_adc_recall",
-    "q139_quality_trend",
-    "q140_crop_pairs",
-    # -- group 2: the TPC-H pack, newest green = round 3 (oldest in the
-    #    registry); q62/q67 double as changed-impl re-verify
-    "q35_tpch_q5",
-    "q57_tpch_q6",
-    "q58_tpch_q7",
-    "q59_tpch_q8",
-    "q60_tpch_q9",
-    "q61_tpch_q13",
-    "q62_tpch_q15",
-    "q63_tpch_q19",
-    "q64_tpch_q21",
-    "q65_tpch_q22",
-    "q66_tpch_q2",
-    "q67_tpch_q11",
-    "q68_tpch_q16",
-    "q69_tpch_q20",
-    "q70_tpch_q12",
-    # -- group 3: the r5-displaced backfill, all r3-green. q74 is the
-    #    streaming family's external evidence row.
-    "q71_json_harvest",
-    "q73_corpus_clean",
-    "q74_attribution",
-    "q75_stratified_sample",
-    "q76_hll_rollup",
-    "q78_decontamination",
-    "q79_profile",
-    "q80_session_ids",
-    "q33_multimodal_decode",
-    "q34_tpch_q3",
-    "q36_salted_agg",
-    "q46_asof_join",
-    "q47_range_join",
-    "q48_hypertable_rollup",
-    "q51_token_topk",
-    "q29_ngram_jaccard",
-    "q30_simhash",
-    "q32_embedding_lsh",
-    "q20_events_tumbling",
-    "q21_sessionize",
-    "q22_asof_last_click",
-    "q23_dedup_exact",
-    "q24_lang_id",
-    "q26_token_count",
-    "q27_fingerprint",
-    # -- group 4: implementation changed this round, re-verify
-    "q114_ann_recall",
-    "q126_lsh_recall",
-    "q123_dsir_importance",
-    "q81_corpus_prep",
-    "q92_tfidf_topk",
-    "q127_source_divergence",
-    "q132_pagerank",
+    # -- group 1: zero external rows (landed after the r6 window filled)
+    "q141_gopher_rules",
+    "q142_repetition_fractions",
+    "q143_kn_score",
+    "q144_langid_margin",
+    "q145_mixture_weights",
+    "q146_threshold_sweep",
+    "q147_ngram_novelty",
+    "q148_length_moments",
+    # -- group 2: changed-impl deferrals from r6 (materialize_release)
+    "q89_unigram_commonness",
+    "q90_bloom_decontam",
+    "q124_vocab_coverage",
+    # -- group 3: streaming family's external evidence row (VERDICT r6 #6)
+    "q108_incremental_minhash",
+    # -- group 4: oldest-r4 backfill, numeric order (q98/q99/q102/q104
+    #    displaced to round 8)
+    "q12_point_lookup",
+    "q14_group_representative",
+    "q16_rollup",
+    "q17_setops",
+    "q18_json_extract",
+    "q19_catalog_lookup",
+    "q28_minhash_lsh",
+    "q31_embedding_topk",
+    "q38_ivf_topk",
+    "q39_sliding_window",
+    "q40_tpch_q10",
+    "q41_semi_anti_join",
+    "q42_tpch_q18",
+    "q43_exact_percentiles",
+    "q44_tpch_q4",
+    "q45_tpch_q14",
+    "q49_distinct_agg",
+    "q50_cube",
+    "q52_unpivot",
+    "q53_rank_windows",
+    "q54_tpch_q17",
+    "q55_string_agg",
+    "q56_date_functions",
+    "q72_dup_clusters",
+    "q77_token_shards",
+    "q82_embedding_dedup",
+    "q83_brother_toner",
+    "q84_repetition_quality",
+    "q85_chunk_windows",
+    "q86_ngram_collision",
+    "q87_mixture_sample",
+    "q88_label_centroids",
+    "q91_segment_dedup",
+    "q93_lloyd_step",
+    "q94_kmeans_train",
+    "q95_quality_deciles",
+    "q96_source_leakage",
+    "q97_sequence_spans",
 ]
 
 # Import-time contract checks. Explicit raises (not assert) so the

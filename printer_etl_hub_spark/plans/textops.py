@@ -5406,7 +5406,9 @@ def q141_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document audit flags: word-count bracket, mean-word-length
     bracket, symbol-to-word ratio (# and ellipsis), fraction of words
     containing an alphabetic character, and the required-stopword rule
-    (>= 2 distinct of the/be/to/of/and/that/have/with). Emitting the
+    (>= 2 distinct members of ``_GOPHER_REQ_STOPS`` — the engine's
+    substituted closed-class set; see the constant's comment for why it
+    differs from Gopher's published words). Emitting the
     individual rule verdicts (not just the AND) is what a curation
     operator actually reads: the marginal drop rate of each rule is the
     knob-tuning signal. Complements q25's continuous score (ref

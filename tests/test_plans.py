@@ -8,8 +8,13 @@ from __future__ import annotations
 import re
 
 from printer_etl_hub_spark.plans import REGISTRY
+from printer_etl_hub_spark.plans import common as _common
 
 from conftest import SF_SMOKE
+
+# The plan tripwires need materialize_release's pre-checkpoint plan;
+# production leaves the capture off (plans/common.py::CAPTURE_PLANS).
+_common.CAPTURE_PLANS = True
 
 
 def plan_of(spark, name: str, mode: str = "formatted") -> str:
@@ -218,6 +223,8 @@ BNLJ_ALLOWED = {
     "q118_hard_negatives",  # query-batch-sized broadcast (1/50 sample), corpus scans once
     "q127_source_divergence",  # 1-row grand-total scalar broadcast (q89's class)
     "q134_vocab_growth",  # 1-row max(doc_id) scalar broadcast (q89's class)
+    "q143_kn_score",  # 1-row corpus-total scalar broadcast (q89's class)
+    "q145_mixture_weights",  # two 1-row total scalar broadcasts (q89's class)
 }
 
 

@@ -13,6 +13,8 @@ size. Contracts pinned here:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from printer_etl_hub_spark.plans.common import md5_sample_gate
@@ -60,8 +62,13 @@ def test_q114_sampled_exact_side_restricts_query_side(spark):
     restriction."""
     df = q114_ann_recall(spark, SF_SMOKE, sample_frac=0.5)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    join_at = plan.find("NOT (vid")  # the a_id != b_id theta-join condition
-    assert join_at != -1, plan[:3000]
+    # Anchor on the Join NODE carrying the a_id != b_id condition (a line
+    # containing both "Join" and a negated vid equality) rather than the
+    # exact literal "NOT (vid" — plan-printing details vary across Spark
+    # versions but a theta-join prints as a Join node with its condition.
+    m = re.search(r"Join\b[^\n]*NOT[^\n]*vid", plan)
+    assert m, plan[:3000]
+    join_at = m.start()
     assert "pmod" in plan[join_at:], plan[join_at : join_at + 3000]
     full_plan = (
         q114_ann_recall(spark, SF_SMOKE)._jdf.queryExecution().optimizedPlan().toString()
