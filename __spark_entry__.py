@@ -32,7 +32,10 @@ def _gate_wrapped(name: str, fn: Callable) -> Callable[[SparkSession, str], Data
     per attempt."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from printer_etl_hub_spark.plans.common import flush_pending_release
+
         spark.catalog.clearCache()
+        flush_pending_release()  # drop deferred pin references too
         return fn(spark, sf_dir)
 
     run.__name__ = name

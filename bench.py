@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from printer_etl_hub_spark.plans import REGISTRY  # noqa: E402
+from printer_etl_hub_spark.plans.common import flush_pending_release  # noqa: E402
 from printer_etl_hub_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -198,6 +199,7 @@ def main() -> None:
             # every other query pays full cost. Each attempt must bill
             # the query's real cold cost (its own persist included).
             spark.catalog.clearCache()
+            flush_pending_release()  # drop deferred pin references too
             t0 = time.perf_counter()
             try:
                 df = REGISTRY[name].fn(spark, SF_DIR)

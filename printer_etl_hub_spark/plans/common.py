@@ -53,28 +53,47 @@ def md5_sample_gate(col: Column, frac: float, salt: str = "sample") -> Column:
 
 def materialize_release(out, *pinned):
     """Cache-hygiene idiom for a plan that persists a shared subtree its
-    RETURNED frame still references: eagerly localCheckpoint the (narrow)
-    result — one materialization, while the pin is alive — then release
-    the pinned input(s). Library callers composing these plans outside
-    the gate/bench harnesses (which clearCache at entry) would otherwise
-    accumulate session-lifetime catalog caches; checkpoint RDD blocks by
-    contrast are freed by the ContextCleaner once the result is
-    unreferenced. (Same idiom as operators/dedup.py::semantic_dedup.)
+    RETURNED frame still references: DEFER the release. The pins stay
+    registered until the NEXT materialize_release call (or an explicit
+    :func:`flush_pending_release`), so the caller's first action on
+    ``out`` still reads the cache — the persist materializes once, inside
+    that action — and nothing outlives one query in a session that keeps
+    calling queries. The gate/bench harnesses additionally clearCache at
+    query entry, which makes the later unpersist a no-op.
+
+    Why not materialize eagerly here (the round-6 mechanism)? Measured at
+    sf0.1 best-of-3: an eager ``localCheckpoint`` OR ``persist+count`` of
+    the result costs 2-4.5x wall-clock on node-/doc-cardinality outputs
+    (q132 0.79s lazy vs 3.5s eager; q90 1.19 vs 2.8; q124 0.54 vs 1.0)
+    because it materializes EVERY output column in an extra pass, while
+    the caller's own action usually prunes columns / aggregates. The
+    deferred form keeps the r5 wall-clock exactly and still bounds cache
+    lifetime to one query.
     """
-    # Stash the PRE-checkpoint physical plan (cache substitution still
-    # active) for the plan-hygiene tests: the returned frame's own plan
-    # collapses to the checkpoint scan, which would blind the
-    # BNLJ/cache-reuse tripwires for exactly these queries. Gated behind
-    # CAPTURE_PLANS (test-only): production calls skip the plan
-    # stringification entirely — it forces physical planning eagerly and
+    # Stash the physical plan (cache substitution visible as
+    # InMemoryRelation/InMemoryTableScan nodes) for the plan-hygiene
+    # tests. Gated behind CAPTURE_PLANS (test-only): production calls
+    # skip the stringification — it forces physical planning eagerly and
     # mutates a module global, neither of which belongs on the hot path.
     global LAST_MATERIALIZED_PLAN
     if CAPTURE_PLANS:
         LAST_MATERIALIZED_PLAN = out._jdf.queryExecution().executedPlan().toString()
-    out = out.localCheckpoint(eager=True)
-    for p in pinned:
-        p.unpersist(blocking=False)
+    flush_pending_release()
+    _PENDING_RELEASE.extend(pinned)
     return out
+
+
+def flush_pending_release() -> None:
+    """Unpersist every pin deferred by :func:`materialize_release`.
+    Harness entry points call this (or ``clearCache``) between queries;
+    unpersisting an already-cleared frame is a no-op."""
+    while _PENDING_RELEASE:
+        _PENDING_RELEASE.pop().unpersist(blocking=False)
+
+
+#: Pins whose release is deferred until the next materialize_release
+#: call / explicit flush — at most one query's pins at any time.
+_PENDING_RELEASE: list = []
 
 
 #: Test-only switch: the plan-hygiene suite flips this on so
