@@ -141,6 +141,17 @@ HEADLINE = [
     "q146_threshold_sweep",
     "q147_ngram_novelty",
     "q148_length_moments",
+    # Round 7 additions: PII density, label outliers, effective tokens,
+    # minhash calibration, cross-lingual dups, rare tokens, degree
+    # histogram, quality-dup crosstab.
+    "q149_pii_density",
+    "q150_label_outliers",
+    "q151_effective_tokens",
+    "q152_minhash_calibration",
+    "q153_crosslingual_dups",
+    "q154_rare_tokens",
+    "q155_degree_histogram",
+    "q156_quality_dup_crosstab",
 ]
 
 

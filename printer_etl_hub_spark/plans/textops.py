@@ -6110,6 +6110,603 @@ SELECT source, n,
 FROM agg
 """
 
+# --------------------------------------------------------------------------
+# q149 — PII density audit (counts per document, pre-redaction review)
+# --------------------------------------------------------------------------
+def q149_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII density per document: counts of email / IPv4 / phone-shaped
+    spans plus an any_pii flag — the audit a privacy review runs BEFORE
+    choosing a redaction policy (q73 is the redaction itself; this is
+    the measurement that sizes it). Scans the same deterministically-
+    dirtied payload q73 cleans, so both engines count the identical
+    string with known plants.
+
+    Exactness: the three regexes are q73's cross-dialect set; counting
+    via regexp_extract_all is leftmost-non-overlapping in both engines.
+    NULL text folds to '' (coalesce in BOTH engines) so counts stay
+    integers, never -1/NULL. Shape: zero-shuffle narrow map — a pure
+    filter stage at any corpus size, stream-safe.
+    """
+    t = load_tables(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.lit('<p class="x">'),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p> &amp; contact: user"),
+        sid,
+        F.lit("@example.com or 10.0.0.1 tel +1 (555) 0101-"),
+        sid,
+    )
+    def _n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(dirty, F.lit(pat), 0)).cast("bigint")
+
+    n_email = _n(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    n_ip = _n(r"([0-9]{1,3}\.){3}[0-9]{1,3}")
+    n_phone = _n(r"\+?[0-9][0-9()\- ]{7,}[0-9]")
+    return t["documents"].select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+        ((n_email + n_ip + n_phone) > 0).alias("any_pii"),
+    )
+
+
+Q149_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         '<p class="x">' || coalesce(text, '') || '</p> &amp; contact: user'
+         || CAST(doc_id AS VARCHAR)
+         || '@example.com or 10.0.0.1 tel +1 (555) 0101-' || CAST(doc_id AS VARCHAR) AS d
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(d, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(d, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+       (len(regexp_extract_all(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(d, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
+        + len(regexp_extract_all(d, '\+?[0-9][0-9()\- ]{7,}[0-9]'))) > 0 AS any_pii
+FROM dirty
+"""
+
+
+# --------------------------------------------------------------------------
+# q150 — per-label centroid-distance outliers (embedding QA)
+# --------------------------------------------------------------------------
+def q150_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 vectors farthest from their label's centroid — the embedding
+    quality audit that surfaces mislabeled / corrupted vectors before
+    they poison ANN training (label centroids are q88's primitive; this
+    consumes them). Centroid components are computed once (posexplode +
+    groupBy(label, dim) with decimal-exact sums), assembled into a
+    label-count-sized array table, and BROADCAST back onto the vectors —
+    the per-vector distance pass is then a zero-shuffle map, and the
+    final ranking windows over tiny per-label groups.
+
+    Exactness: centroid components rounded to 6 before the distance (so
+    both engines fold identical doubles); the squared-diff fold is the
+    sequential left fold (F.aggregate ↔ list_reduce, bit-identical);
+    ranking by UNROUNDED distance with vec_id tiebreak.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vd"),
+    )
+    ex = e.select("label", F.posexplode("vd").alias("dim", "v"))
+    cent = ex.groupBy("label", "dim").agg(
+        (dsum(F.col("v")) / F.count(F.lit(1))).alias("craw")
+    )
+    carr = (
+        cent.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.round("craw", 6).alias("c")))
+            ).alias("sc")
+        )
+        .select("label", F.transform("sc", lambda s: s["c"]).alias("cvec"))
+    )
+    j = e.join(F.broadcast(carr), "label")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("vd", "cvec", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    return (
+        j.select("label", "vec_id", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", F.round("dist", 6).alias("dist"), "rn")
+    )
+
+
+Q150_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), ex AS (
+  SELECT label, CAST(d.i - 1 AS INT) AS dim, vd[d.i] AS val
+  FROM v, LATERAL (SELECT unnest(range(1, len(vd) + 1)) AS i) d
+), cent AS (
+  SELECT label, dim, round({sql_dsum('val')} / count(*), 6) AS c
+  FROM ex GROUP BY label, dim
+), carr AS (
+  SELECT label, list(c ORDER BY dim) AS cvec FROM cent GROUP BY label
+), dist AS (
+  SELECT v.label, v.vec_id,
+         sqrt(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(vd) + 1),
+                            i -> (vd[i] - cvec[i]) * (vd[i] - cvec[i]))),
+           (a, b) -> a + b)) AS dist
+  FROM v JOIN carr USING (label)
+), ranked AS (
+  SELECT label, vec_id, dist,
+         row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id ASC) AS rn
+  FROM dist
+)
+SELECT label, vec_id, round(dist, 6) AS dist, rn FROM ranked WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q151 — effective token counts per source after dedup (data-card metric)
+# --------------------------------------------------------------------------
+def q151_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EFFECTIVE token budget: total tokens, tokens surviving
+    exact dedup (q23's min-doc-per-digest keeper), and tokens surviving
+    near-dup cluster dedup (q72's component keeper; singletons keep
+    themselves) — the number a mixture designer actually feeds the
+    sampler, since raw token counts overstate duplicated sources. Both
+    dedup passes reuse the engine's gated primitives; the final rollup
+    is one partial-aggable groupBy(source).
+
+    Scale: digest keeper = one digest-keyed shuffle; cluster keeper =
+    the capped q29 pair graph + O(log) CC — nothing quadratic. Oracle
+    composes Q72's recursive-CTE fixpoint verbatim (the q137 idiom).
+    """
+    from ..operators.components import connected_components
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tok"),
+        F.md5(F.col("text")).alias("dg"),
+    )
+    keeper = d.groupBy("dg").agg(F.min("doc_id").alias("keeper_id"))
+    comp = connected_components(
+        ngram_jaccard_pairs(
+            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+        ),
+        "a_id",
+        "b_id",
+    )
+    lab = d.join(comp, d["doc_id"] == comp["node"], "left").select(
+        d["doc_id"],
+        "source",
+        "n_tok",
+        "dg",
+        F.coalesce(F.col("component"), d["doc_id"]).alias("cluster"),
+    )
+    ckeep = lab.groupBy("cluster").agg(F.min("doc_id").alias("ckeeper_id"))
+    full = lab.join(keeper, "dg").join(ckeep, "cluster")
+    return (
+        full.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").alias("toks_total"),
+            F.sum(F.when(F.col("doc_id") == F.col("keeper_id"), F.col("n_tok")).otherwise(F.lit(0))).alias("toks_exact_dedup"),
+            F.sum(F.when(F.col("doc_id") == F.col("ckeeper_id"), F.col("n_tok")).otherwise(F.lit(0))).alias("toks_neardup_dedup"),
+        )
+        .select("source", "n_docs", "toks_total", "toks_exact_dedup", "toks_neardup_dedup")
+    )
+
+
+Q151_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok,
+         md5(text) AS dg
+  FROM documents
+), keeper AS (
+  SELECT dg, min(doc_id) AS keeper_id FROM d GROUP BY dg
+), comp AS (
+  SELECT * FROM ({Q72_SQL}) c
+), lab AS (
+  SELECT d.doc_id, d.source, d.n_tok, d.dg,
+         coalesce(c.component, d.doc_id) AS cluster
+  FROM d LEFT JOIN comp c ON d.doc_id = c.node
+), ckeep AS (
+  SELECT cluster, min(doc_id) AS ckeeper_id FROM lab GROUP BY cluster
+)
+SELECT l.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(l.n_tok) AS BIGINT) AS toks_total,
+       CAST(SUM(CASE WHEN l.doc_id = k.keeper_id THEN l.n_tok ELSE 0 END) AS BIGINT) AS toks_exact_dedup,
+       CAST(SUM(CASE WHEN l.doc_id = ck.ckeeper_id THEN l.n_tok ELSE 0 END) AS BIGINT) AS toks_neardup_dedup
+FROM lab l JOIN keeper k USING (dg) JOIN ckeep ck USING (cluster)
+GROUP BY l.source
+"""
+
+
+# --------------------------------------------------------------------------
+# q152 — MinHash estimator calibration vs true Jaccard (LSH QA harness)
+# --------------------------------------------------------------------------
+def q152_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every q28 LSH candidate pair: the MinHash ESTIMATE of Jaccard
+    (fraction of agreeing signature components, k=12) next to the TRUE
+    shingle Jaccard and the absolute error — the calibration table that
+    tells you whether (k, bands) is tuned for the corpus before you
+    trust the sketch at 100 TB. Signatures are computed ONCE (persisted;
+    released via the deferred materialize_release idiom): band keys,
+    candidate pairs, and both per-pair joins all read the same frame.
+
+    Exactness: signature arithmetic is the q28 multiply-mod family
+    (exact in 64-bit on both engines); true Jaccard via
+    array_intersect on distinct 60-bit shingle hashes (set semantics
+    identical cross-engine); est/true are small-integer ratios.
+
+    Scale: pair count is LSH-bounded (the q28 posture); the shingle-
+    hash arrays ride the pair joins only for docs that appear in a
+    candidate pair, and the bucket double-explode uses the
+    repartition-pinned minhash_index_pairs path.
+    """
+    from ..operators.dedup import _md5_60bit, _doc_shingles, minhash_index_pairs
+
+    t = load_tables(spark, sf_dir)
+    sh = _doc_shingles(t["documents"], "doc_id", "text", 3)
+    based = sh.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform("shingles", lambda s: _md5_60bit(s) % F.lit(_MH_P))
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    def _mh_comp(a: int, b: int):
+        # 1-parameter lambda via factory — default-arg binding would make
+        # transform() see a 3-parameter callable (the arity trap noted in
+        # operators/dedup.py::minhash_band_index).
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_P)
+
+    sig = based.select(
+        "doc_id",
+        "hs",
+        F.array(
+            *[
+                F.array_min(F.transform("hs", _mh_comp(a, b)))
+                for a, b in _mh_coeffs(_MH_K)
+            ]
+        ).alias("sig"),
+    ).persist()
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        _md5_60bit(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[i].cast("string")
+                                    for i in range(b * _MH_RPB, (b + 1) * _MH_RPB)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    pairs = minhash_index_pairs(banded)
+    a_side = sig.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("sa"), F.col("hs").alias("ha")
+    )
+    b_side = sig.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("sb"), F.col("hs").alias("hb")
+    )
+    j = pairs.join(a_side, "a_id").join(b_side, "b_id")
+    n_match = F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    true_j = inter.cast("double") / (
+        F.size("ha") + F.size("hb") - inter
+    ).cast("double")
+    est_j = n_match.cast("double") / F.lit(float(_MH_K))
+    res = j.select(
+        "a_id",
+        "b_id",
+        F.round(est_j, 6).alias("est_jaccard"),
+        F.round(true_j, 6).alias("true_jaccard"),
+        F.round(F.abs(est_j - true_j), 6).alias("abs_err"),
+    )
+    return materialize_release(res, sig)
+
+
+Q152_SQL = f"""
+WITH words AS ({_SQL_WORDS}),
+sh AS ({_SQL_SHINGLES}),
+based AS (
+  SELECT doc_id,
+         list_distinct(list_transform(sh, s -> {_sql_md5_60bit('s')} % {_MH_P})) AS hs
+  FROM sh WHERE len(sh) > 0
+),
+sig0 AS (
+  SELECT doc_id, hs, {_mh_cols}
+  FROM (SELECT doc_id, hs, hs AS hs2 FROM based) b
+),
+sig AS (
+  SELECT doc_id, hs,
+         [{", ".join(f"mh{i}" for i in range(_MH_K))}] AS sigl
+  FROM sig0
+),
+banded AS (
+{_band_selects.replace("FROM sig", "FROM sig0")}
+),
+keyed AS (
+  SELECT doc_id, band_id, {_sql_md5_60bit('band_sig')} AS band_key FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM keyed a JOIN keyed b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT p.a_id, p.b_id,
+         len(list_filter(range(1, {_MH_K} + 1), i -> sa.sigl[i] = sb.sigl[i])) AS n_match,
+         len(list_intersect(sa.hs, sb.hs)) AS n_inter,
+         len(sa.hs) AS na, len(sb.hs) AS nb
+  FROM pairs p
+  JOIN sig sa ON p.a_id = sa.doc_id
+  JOIN sig sb ON p.b_id = sb.doc_id
+)
+SELECT a_id, b_id,
+       round(CAST(n_match AS DOUBLE) / {float(_MH_K)}, 6) AS est_jaccard,
+       round(CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE), 6) AS true_jaccard,
+       round(abs(CAST(n_match AS DOUBLE) / {float(_MH_K)}
+                 - CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE)), 6) AS abs_err
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# q153 — cross-lingual duplicate pairs (SimHash-identical, different lang)
+# --------------------------------------------------------------------------
+_X_MAX_BUCKET = 50  # identical-simhash bucket cap: bounds the pair fan-out
+
+
+def q153_crosslingual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with IDENTICAL 16-bit SimHash but different language
+    labels — the triage list for cross-lingual contamination (machine-
+    translated mirrors, copy-paste across language splits) that a
+    per-language dedup pass structurally misses. Bucket-grouped
+    double-explode on the signature (the minhash_index_pairs discipline:
+    collect per-signature doc lists, cap degenerate buckets at
+    ``_X_MAX_BUCKET``, spread before the quadratic fan-out) — never a
+    corpus self-join.
+
+    Exactness: q30's md5-derived SimHash; the cap and the a<b ordering
+    are value-deterministic. Lang NULLs drop via the inequality.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", "lang")
+    sh = simhash_docs(t["documents"], "doc_id", "text").join(d, "doc_id")
+    grouped = sh.groupBy("simhash").agg(
+        F.collect_list(F.struct("doc_id", "lang")).alias("ds")
+    )
+    grouped = grouped.filter(F.size("ds") <= _X_MAX_BUCKET).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = (
+        grouped.select("simhash", F.explode("ds").alias("a"), F.col("ds"))
+        .select("simhash", "a", F.explode("ds").alias("b"))
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & (F.col("a.lang") != F.col("b.lang")))
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        F.col("a.lang").alias("lang_a"),
+        F.col("b.lang").alias("lang_b"),
+        "simhash",
+    )
+
+
+Q153_SQL = f"""
+WITH sig AS ({Q30_SQL}),
+freq AS (
+  SELECT simhash FROM sig GROUP BY simhash HAVING count(*) <= {_X_MAX_BUCKET}
+),
+capped AS (
+  SELECT s.doc_id, s.simhash, d.lang
+  FROM sig s JOIN freq USING (simhash) JOIN documents d USING (doc_id)
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang AS lang_a, b.lang AS lang_b,
+       a.simhash AS simhash
+FROM capped a JOIN capped b
+  ON a.simhash = b.simhash AND a.doc_id < b.doc_id AND a.lang <> b.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q154 — rarest-k tokens per source (tail-vocabulary audit)
+# --------------------------------------------------------------------------
+def q154_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5 lowest-document-frequency tokens each source contributes
+    (ties broken lexicographically) — the tail-vocabulary audit that
+    surfaces OCR noise, encoding damage, and source-specific jargon
+    before tokenizer training freezes the vocab (complements q124's
+    coverage and q51's head-of-distribution view).
+
+    Shape: distinct (doc, token) postings → token-keyed df count →
+    distinct (source, token) → token-keyed join → per-source window
+    over source-sized groups. All shuffles are postings-bounded; the
+    df table is vocabulary-sized.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "source",
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok"),
+    )
+    df_tab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    src_tok = toks.select("source", "tok").distinct()
+    w = Window.partitionBy("source").orderBy(F.asc("df"), F.asc("tok"))
+    return (
+        src_tok.join(df_tab, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "tok", "df", "rn")
+    )
+
+
+Q154_SQL = rf"""
+WITH toks AS (
+  SELECT source, doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tok
+  FROM documents
+), df_tab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok
+), src_tok AS (
+  SELECT DISTINCT source, tok FROM toks
+), ranked AS (
+  SELECT s.source, s.tok, d.df,
+         row_number() OVER (PARTITION BY s.source ORDER BY d.df ASC, s.tok ASC) AS rn
+  FROM src_tok s JOIN df_tab d USING (tok)
+)
+SELECT source, tok, df, rn FROM ranked WHERE rn <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# q155 — near-dup graph degree histogram (dedup-pressure profile)
+# --------------------------------------------------------------------------
+def q155_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the q29 near-dup graph: how many documents
+    have exactly d near-duplicate partners → (degree, n_docs). The
+    one-page answer to "is duplication a few huge families or many
+    small ones?" — the shape that decides between cluster-keeper dedup
+    (q135) and threshold tuning (q146). Two tiny aggregations over the
+    already-capped pair table; cost is pair-table-sized regardless of
+    corpus size.
+    """
+    t = load_tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+    )
+    nodes = pairs.select(F.col("a_id").alias("node")).unionAll(
+        pairs.select(F.col("b_id").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select("degree", "n_docs")
+    )
+
+
+Q155_SQL = f"""
+WITH pairs AS ({Q29_SQL}),
+nodes AS (
+  SELECT a_id AS node FROM pairs UNION ALL SELECT b_id FROM pairs
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM nodes GROUP BY node
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs FROM deg GROUP BY degree
+"""
+
+
+# --------------------------------------------------------------------------
+# q156 — quality × duplication crosstab (curation dashboard cell counts)
+# --------------------------------------------------------------------------
+def q156_quality_dup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tabulation of quality-score bucket (5 fixed buckets of
+    q25's composite score) against duplication class (exact duplicate /
+    near-duplicate / unique) — the two-axis view that answers "is my
+    duplication concentrated in junk I'd drop anyway?" before spending
+    a dedup pass. Duplication classes reuse the gated primitives:
+    exact = q23's digest has >1 copy; near = member of a q72 component
+    (and not exact); else unique.
+
+    Exactness: the bucket is floor(score·5) clamped to 4 — score
+    arithmetic is q25's fixed-order IEEE expression, identical in both
+    engines, and the floor of an identical double is identical. Shape:
+    digest counts (one shuffle), capped pair graph + CC, then ONE
+    group-by over ≤15 cells.
+    """
+    from ..operators.components import connected_components
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", "text", tokenize(F.col("text")).alias("toks")
+    )
+    feats = quality_features(F.col("text"), F.col("toks"))
+    scored = d.select("doc_id", F.md5("text").alias("dg"), feats["quality_score"].alias("q"))
+    digests = scored.groupBy("dg").agg(F.count(F.lit(1)).alias("n_copies"))
+    comp = connected_components(
+        ngram_jaccard_pairs(
+            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+        ),
+        "a_id",
+        "b_id",
+    )
+    j = (
+        scored.join(digests, "dg")
+        .join(comp, scored["doc_id"] == comp["node"], "left")
+    )
+    dup_class = (
+        F.when(F.col("n_copies") > 1, F.lit("exact"))
+        .when(F.col("node").isNotNull(), F.lit("near"))
+        .otherwise(F.lit("unique"))
+    )
+    qb = F.least(F.floor(F.col("q") * 5).cast("int"), F.lit(4))
+    return (
+        j.select(qb.alias("quality_bucket"), dup_class.alias("dup_class"))
+        .groupBy("quality_bucket", "dup_class")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select("quality_bucket", "dup_class", "n_docs")
+    )
+
+
+Q156_SQL = rf"""
+WITH t0 AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+), base AS (
+  SELECT doc_id, md5(text) AS dg,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+         CAST({_sql_stop_count('en')} AS BIGINT) AS stop_en
+  FROM t0
+), scored AS (
+  SELECT doc_id, dg,
+         least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         + (CASE WHEN n_tokens > 0 THEN CAST(stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.3
+         + (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END) * 0.3 AS q
+  FROM base
+), digests AS (
+  SELECT dg, count(*) AS n_copies FROM scored GROUP BY dg
+), comp AS (
+  SELECT * FROM ({Q72_SQL}) c
+), j AS (
+  SELECT s.doc_id, s.q, g.n_copies, c.node
+  FROM scored s JOIN digests g USING (dg)
+  LEFT JOIN comp c ON s.doc_id = c.node
+)
+SELECT least(CAST(floor(q * 5) AS INT), 4) AS quality_bucket,
+       CASE WHEN n_copies > 1 THEN 'exact'
+            WHEN node IS NOT NULL THEN 'near'
+            ELSE 'unique' END AS dup_class,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM j
+GROUP BY 1, 2
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -6194,4 +6791,12 @@ TEXT_QUERIES = {
     "q146_threshold_sweep": (q146_threshold_sweep, Q146_SQL),
     "q147_ngram_novelty": (q147_ngram_novelty, Q147_SQL),
     "q148_length_moments": (q148_length_moments, Q148_SQL),
+    "q149_pii_density": (q149_pii_density, Q149_SQL),
+    "q150_label_outliers": (q150_label_outliers, Q150_SQL),
+    "q151_effective_tokens": (q151_effective_tokens, Q151_SQL),
+    "q152_minhash_calibration": (q152_minhash_calibration, Q152_SQL),
+    "q153_crosslingual_dups": (q153_crosslingual_dups, Q153_SQL),
+    "q154_rare_tokens": (q154_rare_tokens, Q154_SQL),
+    "q155_degree_histogram": (q155_degree_histogram, Q155_SQL),
+    "q156_quality_dup_crosstab": (q156_quality_dup_crosstab, Q156_SQL),
 }

@@ -79,6 +79,7 @@ def main() -> None:
     from printer_etl_hub_spark.operators.dedup import ngram_jaccard_pairs
     from printer_etl_hub_spark.operators.similarity import sign_lsh_pairs
     from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.plans.common import flush_pending_release
     from printer_etl_hub_spark.plans.textops import _EDUP_MIN_COS, _J_MAX_DF, _LSH_BITS
     from printer_etl_hub_spark.session import get_spark
     from printer_etl_hub_spark.tables import load_tables
@@ -129,7 +130,40 @@ def main() -> None:
         # join+agg rounds over the clone's amplified edge set.
         "q131_winnow_matches",
         "q132_pagerank",
+        # Round-7 extension (VERDICT r6 item #5). Adversarial notes under
+        # 10-way cloning: q135 keeps ONE doc per 10-way cluster (argmax on
+        # the unrounded score — deterministic keeper count); q136's
+        # decontamination semi-join probes a distinct-digest set that does
+        # NOT grow with the clone factor; q137 composes four already-
+        # priced subtrees and must REUSE the capped near-dup pair join
+        # (not re-derive it); q138's exact side is a narrow TakeOrdered,
+        # ADC a broadcast-codebook join. q141/q144/q145/q148 are
+        # zero-shuffle maps / source-sized aggs (linear by construction,
+        # included as regression tripwires); q142's gram shuffles are
+        # postings-bounded; q143's bigram tables hit 10x-amplified
+        # hot-word skew (AQE skew-join territory — the audit pins wall +
+        # rows); q146 generates pairs ONCE at the lowest cutoff with the
+        # q29 max_df cap (the sweep itself is two small aggs); q147's
+        # gram-keyed novelty join carries 10x postings against a
+        # distinct-gram first-occurrence side.
+        "q135_quality_keeper",
+        "q136_decontaminated_split",
+        "q137_drop_ledger",
+        "q138_adc_recall",
+        "q141_gopher_rules",
+        "q142_repetition_fractions",
+        "q143_kn_score",
+        "q144_langid_margin",
+        "q145_mixture_weights",
+        "q146_threshold_sweep",
+        "q147_ngram_novelty",
+        "q148_length_moments",
     ):
+        # Independent per-query cost: queries that persist shared
+        # subtrees defer their pin release (plans/common.py) — clear
+        # between measurements so no query reads a predecessor's cache.
+        spark.catalog.clearCache()
+        flush_pending_release()
         t0 = time.perf_counter()
         n = REGISTRY[name].fn(spark, DST).count()
         out["queries"][name] = {
@@ -137,6 +171,32 @@ def main() -> None:
             "result_rows": n,
         }
         print(f"# {name}: {out['queries'][name]}", file=sys.stderr)
+
+    # The recall harnesses at their 100x operating point: sample_frac=0.1
+    # prices the EXACT ground-truth side at |sample|·|corpus| instead of
+    # |corpus|² (round-6 advice #4's knob, measured here for the first
+    # time at 10x — VERDICT r6 priority shape). Deterministic md5 gate:
+    # result rows identical across runs.
+    from printer_etl_hub_spark.plans.textops import (
+        q114_ann_recall,
+        q126_lsh_recall,
+        q138_adc_recall,
+    )
+
+    for hname, hfn in (
+        ("q114_ann_recall", q114_ann_recall),
+        ("q126_lsh_recall", q126_lsh_recall),
+        ("q138_adc_recall", q138_adc_recall),
+    ):
+        spark.catalog.clearCache()
+        flush_pending_release()
+        t0 = time.perf_counter()
+        n = hfn(spark, DST, sample_frac=0.1).count()
+        out["queries"][f"{hname}@frac0.1"] = {
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "result_rows": n,
+        }
+        print(f"# {hname}@frac0.1: {out['queries'][f'{hname}@frac0.1']}", file=sys.stderr)
 
     # CC telemetry on the two pair graphs (rounds-to-converge, edge counts,
     # cluster counts) — the numbers that show convergence stays O(log) and

@@ -390,11 +390,11 @@ def test_bruteforce_topk_refuses_oversized_input(spark):
 
 def test_registry_gate_window_is_complete_and_oracled():
     """The driver gates the first 50 REGISTRY entries: every one of them
-    must carry an oracle (no structurally-red rows). Round 6 executes
-    the round-5 ledger plan: q138-q140 (zero external rows) lead, the
-    TPC-H pack and the r5-displaced r3-green backfill repay the oldest
-    evidence, and the queries whose implementation changed this round
-    re-verify externally."""
+    must carry an oracle (no structurally-red rows). Round 7 executes
+    the round-6 ledger plan: q141-q148 (zero external rows) lead, the
+    r6 changed-impl deferrals (q89/q90/q124) and the streaming family's
+    evidence row (q108) follow, and the oldest-r4 backfill fills the
+    rest."""
     from printer_etl_hub_spark.plans import REGISTRY
     from printer_etl_hub_spark.plans.registry import GATE_ORDER
 
@@ -403,23 +403,23 @@ def test_registry_gate_window_is_complete_and_oracled():
     unoracled = [n for n in window if REGISTRY[n].oracle_sql is None]
     assert not unoracled, unoracled
     # zero-external-row queries lead the window
-    zero_row = ["q138_adc_recall", "q139_quality_trend", "q140_crop_pairs"]
-    assert window[: len(zero_row)] == zero_row
-    # the oldest evidence (r3-green TPC-H pack + displaced backfill)
+    zero_row = [f"q{n}_" for n in range(141, 149)]
+    assert [w[: len(p)] for w, p in zip(window, zero_row)] == zero_row
+    # changed-impl deferrals + the streaming family's evidence row
+    assert window[8:12] == [
+        "q89_unigram_commonness",
+        "q90_bloom_decontam",
+        "q124_vocab_coverage",
+        "q108_incremental_minhash",
+    ]
+    # the oldest evidence (r4-green backfill, numeric order)
     stale = {
-        "q35_tpch_q5", "q57_tpch_q6", "q70_tpch_q12", "q71_json_harvest",
-        "q74_attribution", "q80_session_ids", "q33_multimodal_decode",
-        "q46_asof_join", "q29_ngram_jaccard", "q20_events_tumbling",
-        "q23_dedup_exact", "q27_fingerprint",
+        "q12_point_lookup", "q14_group_representative", "q28_minhash_lsh",
+        "q31_embedding_topk", "q38_ivf_topk", "q43_exact_percentiles",
+        "q54_tpch_q17", "q72_dup_clusters", "q83_brother_toner",
+        "q91_segment_dedup", "q94_kmeans_train", "q97_sequence_spans",
     }
     assert stale <= set(window), stale - set(window)
-    # implementation-changed queries re-verify externally this round
-    changed = {
-        "q114_ann_recall", "q126_lsh_recall", "q123_dsir_importance",
-        "q81_corpus_prep", "q92_tfidf_topk", "q127_source_divergence",
-        "q132_pagerank", "q139_quality_trend", "q62_tpch_q15", "q67_tpch_q11",
-    }
-    assert changed <= set(window), changed - set(window)
 
 
 def test_kmeans_fit_converges_on_separated_blobs(spark):
