@@ -99,7 +99,15 @@ def cosine_topk_bruteforce(
     b = base.select(
         F.col("vid").alias("b_id"), F.col("vec_d").alias("b_vec"), F.col("norm").alias("b_norm")
     )
-    pairs = a.join(b, F.col("a_id") != F.col("b_id"))
+    # The theta join is a BroadcastNestedLoopJoin and its PARALLELISM is
+    # the streamed side's partition count — a single-file corpus arrives
+    # as 1-2 partitions and serializes the whole O(|a|·|b|) dot-product
+    # stage onto 1-2 cores (measured at the 10x audit: 158 s for a
+    # 2k x 20k sampled run, ~0.25 cores utilized). Broadcast the QUERY
+    # side explicitly (max_n-guarded, so it is bounded) and round-robin
+    # the candidate side to full parallelism before the join.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pairs = b.repartition(par).join(F.broadcast(a), F.col("a_id") != F.col("b_id"))
     cos = (_dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))).alias(
         "cos_sim"
     )
