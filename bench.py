@@ -152,6 +152,17 @@ HEADLINE = [
     "q154_rare_tokens",
     "q155_degree_histogram",
     "q156_quality_dup_crosstab",
+    # Round 7 second batch: collocations, lang-ID confusion, OOV curve,
+    # sentence stats, template prefixes, length percentiles, incremental
+    # exact dedup, IVF balance.
+    "q157_collocations",
+    "q158_langid_confusion",
+    "q159_oov_curve",
+    "q160_sentence_stats",
+    "q161_template_prefixes",
+    "q162_length_percentiles",
+    "q163_incremental_exact_dedup",
+    "q164_ivf_balance",
 ]
 
 

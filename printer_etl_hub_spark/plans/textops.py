@@ -6707,6 +6707,477 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q157 — top-k collocations by log-free lift (phrase-mining primitive)
+# --------------------------------------------------------------------------
+def q157_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations ranked by a log-free lift
+    statistic, n_xy²/(n_x·n_y) — monotone in PMI² but exactly
+    computable cross-engine (PMI's log is libm-dependent; the ratio is
+    one fixed-order double expression). The phrase-mining primitive
+    behind tokenizer merge seeding and stop-phrase lists. n_xy ≥ 5
+    floor kills hapax noise.
+
+    Scale: bigram + unigram tables are token-keyed groupBys (postings-
+    bounded); the score join is vocabulary-sized; top-20 is a
+    distributed TakeOrdered, never a single-partition sort. All-double
+    score arithmetic — a bigint n_x·n_y product would overflow at
+    corpus scale where Spark wraps and DuckDB raises (cross-engine
+    divergence class), so both engines multiply doubles.
+    """
+    t = load_tables(spark, sf_dir)
+    d = (
+        t["documents"]
+        .select(tokenize(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    pairs = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i.cast("int")).alias("x"),
+                    F.element_at("toks", (i + 1).cast("int")).alias("y"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    bic = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    uni = (
+        t["documents"]
+        .select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    j = (
+        bic.filter(F.col("n_xy") >= 5)
+        .join(uni.select(F.col("tok").alias("x"), F.col("c").alias("n_x")), "x")
+        .join(uni.select(F.col("tok").alias("y"), F.col("c").alias("n_y")), "y")
+    )
+    score = (
+        F.col("n_xy").cast("double")
+        * F.col("n_xy").cast("double")
+        / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+    )
+    return (
+        j.select("x", "y", "n_xy", "n_x", "n_y", score.alias("lift_raw"))
+        .orderBy(F.desc("lift_raw"), F.asc("x"), F.asc("y"))
+        .limit(20)
+        .select(
+            "x", "y", "n_xy", "n_x", "n_y", F.round("lift_raw", 6).alias("lift")
+        )
+    )
+
+
+Q157_SQL = rf"""
+WITH words AS ({_SQL_WORDS}),
+bi AS (
+  SELECT w[i] AS x, w[i + 1] AS y
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM words WHERE len(w) >= 2)
+), bic AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM bi GROUP BY x, y
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(w) AS tok FROM words) GROUP BY tok
+), j AS (
+  SELECT b.x, b.y, b.n_xy, ux.c AS n_x, uy.c AS n_y,
+         CAST(b.n_xy AS DOUBLE) * CAST(b.n_xy AS DOUBLE)
+         / (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)) AS lift_raw
+  FROM bic b JOIN uni ux ON b.x = ux.tok JOIN uni uy ON b.y = uy.tok
+  WHERE b.n_xy >= 5
+)
+SELECT x, y, n_xy, n_x, n_y, round(lift_raw, 6) AS lift
+FROM j ORDER BY lift_raw DESC, x ASC, y ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q158 — language-ID confusion matrix (labeled lang × predicted lang)
+# --------------------------------------------------------------------------
+def q158_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q24 classifier's confusion matrix against the corpus's lang
+    labels: (lang, pred_lang, n_docs) — the one table that says WHERE
+    the router misroutes (q144 says how confidently). One zero-shuffle
+    classification pass + one ≤|langs|²-cell groupBy."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "lang", tokenize(F.col("text")).alias("toks")
+    ).select("lang", lang_id(F.col("toks")).alias("pred_lang"))
+    return d.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+Q158_SQL = f"""
+WITH toks AS ({_SQL_TOKS}),
+scored AS (
+  SELECT lang,
+         {_sql_stop_count('en')} AS s_en, {_sql_stop_count('de')} AS s_de,
+         {_sql_stop_count('es')} AS s_es, {_sql_stop_count('fr')} AS s_fr
+  FROM toks
+), pred AS (
+  SELECT lang,
+         CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'unknown'
+              WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+              WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+              ELSE 'unknown' END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, pred_lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q159 — OOV-rate curve over vocabulary-size cutoffs (tokenizer sizing)
+# --------------------------------------------------------------------------
+_OOV_CUTOFFS = (100, 500, 1000, 2000, 5000)
+
+
+def q159_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary token rate as a function of vocabulary size:
+    for each cutoff N, the fraction of corpus token OCCURRENCES not
+    covered by the top-N tokens (frequency-ranked, ties lexicographic).
+    The sizing curve a tokenizer budget decision reads — q124 audits
+    one fixed vocab, this sweeps the knob.
+
+    Scale: the token-count table is vocabulary-sized; the top-max(N)
+    head is a distributed TakeOrdered (5 000 rows), ranked locally;
+    the corpus total is a 1-row broadcast (whitelisted scalar class)
+    and the sweep is a 5-row broadcast against the head — cost is
+    head-sized, never corpus- or vocab-sized.
+    """
+    t = load_tables(spark, sf_dir)
+    tc = (
+        t["documents"]
+        .select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+    )
+    top = tc.orderBy(F.desc("tc"), F.asc("tok")).limit(max(_OOV_CUTOFFS))
+    w = Window.orderBy(F.desc("tc"), F.asc("tok"))
+    ranked = top.withColumn("rk", F.row_number().over(w))
+    total = tc.agg(F.sum("tc").alias("total_tokens"))
+    cuts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in _OOV_CUTOFFS])).alias("vocab_size")
+    )
+    covered = (
+        cuts.join(F.broadcast(ranked), F.col("rk") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.sum("tc").cast("bigint").alias("covered_tokens"))
+    )
+    return (
+        covered.join(F.broadcast(total))
+        .select(
+            F.col("vocab_size").cast("int").alias("vocab_size"),
+            "covered_tokens",
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+Q159_SQL = rf"""
+WITH tc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tc
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents)
+  GROUP BY tok
+), ranked AS (
+  SELECT tok, tc, row_number() OVER (ORDER BY tc DESC, tok ASC) AS rk
+  FROM tc ORDER BY tc DESC, tok ASC LIMIT {max(_OOV_CUTOFFS)}
+), total AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS total_tokens FROM tc
+), cuts AS (
+  SELECT unnest([{", ".join(str(n) for n in _OOV_CUTOFFS)}]) AS vocab_size
+), covered AS (
+  SELECT c.vocab_size, CAST(SUM(r.tc) AS BIGINT) AS covered_tokens
+  FROM cuts c JOIN ranked r ON r.rk <= c.vocab_size
+  GROUP BY c.vocab_size
+)
+SELECT CAST(v.vocab_size AS INT) AS vocab_size, v.covered_tokens, t.total_tokens,
+       round(CAST(1.0 AS DOUBLE) - CAST(v.covered_tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE), 6) AS oov_rate
+FROM covered v CROSS JOIN total t
+"""
+
+
+# --------------------------------------------------------------------------
+# q160 — per-document sentence statistics (C4-style sentence rules input)
+# --------------------------------------------------------------------------
+def q160_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats per document: sentence count, mean and
+    max tokens per sentence — the inputs to C4-class sentence rules
+    (≥3-sentence docs, terminal-punctuation lines) and a chunking-policy
+    knob. Split on [.!?]+ runs, empty segments dropped. Pure array
+    expressions per row — zero shuffle, stream-safe.
+
+    Exactness: both engines split with the same regex, filter blank
+    segments identically, and count tokens with the shared whitespace
+    tokenizer; the mean is one integer-ratio division. NULL text folds
+    to '' (0 sentences)."""
+    t = load_tables(spark, sf_dir)
+    sents = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"[.!?]+"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    stoks = F.transform(
+        sents, lambda s: F.size(F.split(F.trim(F.lower(s)), r"\s+")).cast("bigint")
+    )
+    n_sent = F.size(sents).cast("bigint")
+    tot = F.aggregate(stoks, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return t["documents"].select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        F.when(
+            n_sent > 0,
+            F.round(tot.cast("double") / n_sent.cast("double"), 6),
+        ).alias("mean_sentence_tokens"),
+        F.when(n_sent > 0, F.array_max(stoks)).alias("max_sentence_tokens"),
+    )
+
+
+Q160_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[.!?]+'),
+                     x -> length(trim(x)) > 0) AS sents
+  FROM documents
+), st AS (
+  SELECT doc_id, sents,
+         list_transform(sents,
+           x -> CAST(len(regexp_split_to_array(trim(lower(x)), '\s+')) AS BIGINT)) AS stoks
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CASE WHEN len(sents) > 0 THEN
+         round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), stoks), (a, b) -> a + b) AS DOUBLE)
+               / CAST(len(sents) AS DOUBLE), 6)
+       END AS mean_sentence_tokens,
+       CASE WHEN len(sents) > 0 THEN list_max(stoks) END AS max_sentence_tokens
+FROM st
+"""
+
+
+# --------------------------------------------------------------------------
+# q161 — template-prefix groups (boilerplate family detection)
+# --------------------------------------------------------------------------
+_PREFIX_TOKENS = 10
+
+
+def q161_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents sharing an identical first-10-token prefix, grouped:
+    (prefix_md5, n_docs, keeper_id) for groups of ≥2 — the cheap
+    template/mirror detector (generated pages share openings long
+    before they share full content; q121 excises repeated SPANS, this
+    flags repeated HEADS). Docs shorter than the prefix are excluded —
+    they'd group on trivially-short heads. One digest-keyed shuffle,
+    wide text never travels.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= _PREFIX_TOKENS)
+    pref = F.md5(F.concat_ws(" ", F.slice("toks", 1, _PREFIX_TOKENS)))
+    return (
+        d.select("doc_id", pref.alias("prefix_md5"))
+        .groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+Q161_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+), pref AS (
+  SELECT doc_id, md5(array_to_string(list_slice(w, 1, {_PREFIX_TOKENS}), ' ')) AS prefix_md5
+  FROM toks WHERE len(w) >= {_PREFIX_TOKENS}
+)
+SELECT prefix_md5, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_id
+FROM pref GROUP BY prefix_md5 HAVING count(*) >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q162 — per-source document-length percentiles (SLA / chunk-policy table)
+# --------------------------------------------------------------------------
+def q162_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated token-count percentiles per source (p10 / p50 /
+    p90 / p99) — the length-SLA table that sizes context-window and
+    chunking policy per source (q148 gives moments; tails need
+    quantiles). The q43 idiom: Spark percentile() ↔ DuckDB
+    quantile_cont interpolate identically, rounded(6) for the hash
+    gate. Per-source buffering is the documented bound — at open-ended
+    scale swap approx_percentile (q37's mergeable path)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "source", F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.expr("percentile(n_tok, 0.1)"), 6).alias("p10"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_tok, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_tok, 0.99)"), 6).alias("p99"),
+    )
+
+
+Q162_SQL = r"""
+WITH d AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_tok, 0.1), 6) AS p10,
+       round(quantile_cont(n_tok, 0.5), 6) AS p50,
+       round(quantile_cont(n_tok, 0.9), 6) AS p90,
+       round(quantile_cont(n_tok, 0.99), 6) AS p99
+FROM d GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q163 — incremental exact dedup: new batch vs stored history digests
+# --------------------------------------------------------------------------
+def q163_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q108's exact sibling — the first gate of the production ingest
+    flow: each arriving document checked against (a) the STORED history
+    digest set (one distinct-digest semi-join; history never re-scans
+    its text) and (b) its own batch (min-doc keeper per digest). Output
+    per new doc: content digest, hit_history, batch_keeper. The
+    md5-parity split (q78's discipline) plays history vs batch.
+
+    Scale: the history side collapses to a distinct digest column —
+    the artifact you store bucketed by digest; per-batch cost tracks
+    the batch. Both flags are one digest-keyed shuffle each."""
+    t = load_tables(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    d = t["documents"].select(
+        "doc_id", F.md5(F.col("text")).alias("content_md5"), F.pmod(h, 2).alias("_par")
+    )
+    hist = d.filter(F.col("_par") == 0).select("content_md5").distinct()
+    new = d.filter(F.col("_par") == 1).select("doc_id", "content_md5")
+    keep = new.groupBy("content_md5").agg(F.min("doc_id").alias("keeper_id"))
+    hist_hit = hist.withColumn("_hit", F.lit(1))
+    return (
+        new.join(hist_hit, "content_md5", "left")
+        .join(keep, "content_md5")
+        .select(
+            "doc_id",
+            "content_md5",
+            (F.coalesce(F.col("_hit"), F.lit(0)) == 1).alias("hit_history"),
+            (F.col("doc_id") == F.col("keeper_id")).alias("batch_keeper"),
+        )
+    )
+
+
+Q163_SQL = """
+WITH d AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS par
+  FROM documents
+), hist AS (
+  SELECT DISTINCT content_md5 FROM d WHERE par = 0
+), new AS (
+  SELECT doc_id, content_md5 FROM d WHERE par = 1
+), keep AS (
+  SELECT content_md5, min(doc_id) AS keeper_id FROM new GROUP BY content_md5
+)
+SELECT n.doc_id, n.content_md5,
+       (h.content_md5 IS NOT NULL) AS hit_history,
+       (n.doc_id = k.keeper_id) AS batch_keeper
+FROM new n
+LEFT JOIN hist h USING (content_md5)
+JOIN keep k USING (content_md5)
+"""
+
+
+# --------------------------------------------------------------------------
+# q164 — IVF cell-occupancy balance (index-health audit)
+# --------------------------------------------------------------------------
+def q164_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy of every IVF cell under q38's exact index configuration
+    (c=16, deterministic smallest-id centroid seed): (cell, n_members).
+    Skewed cells are hot partitions at query time AND recall holes —
+    this is the audit that says whether the coarse quantizer needs
+    retraining (q94) before the index ships. Assignment is an O(n·c)
+    broadcast map + ONE map-side-combinable argmax agg (max(struct)) —
+    no per-vector window, no n·c shuffle.
+
+    Exactness: per-(vector, centroid) cosine is IEEE-identical; argmax
+    by (cos desc, cent_id asc) is max(struct(cos, -cent_id)) — the
+    identical assignment the oracle's rank-1 window picks."""
+    from ..operators.similarity import with_vector_norm
+
+    t = load_tables(spark, sf_dir)
+    base = with_vector_norm(
+        t["embeddings"].select(F.col("vec_id").alias("vid"), "embedding"),
+        "embedding",
+    )
+    cents = (
+        base.orderBy("vid")
+        .limit(_IVF_C)
+        .select(
+            F.col("vid").alias("cent_id"),
+            F.col("vec_d").alias("c_vec"),
+            F.col("norm").alias("c_nrm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("vec_d", "c_vec", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = base.join(F.broadcast(cents)).select(
+        "vid",
+        F.col("cent_id"),
+        (dot / (F.col("norm") * F.col("c_nrm"))).alias("c_cos"),
+    )
+    assign = scored.groupBy("vid").agg(
+        F.max(F.struct(F.col("c_cos"), (-F.col("cent_id")).alias("neg"))).alias("m")
+    )
+    return (
+        assign.select((-F.col("m.neg")).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    )
+
+
+Q164_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+), n AS (
+  SELECT vec_id, vd,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), cents AS (
+  SELECT vec_id AS cent_id, vd AS c_vec, nrm AS c_nrm FROM n
+  ORDER BY vec_id LIMIT {_IVF_C}
+), scored AS (
+  SELECT n.vec_id, c.cent_id,
+         {_SQL_DOT.format(a='n.vd', b='c.c_vec')} / (n.nrm * c.c_nrm) AS c_cos
+  FROM n CROSS JOIN cents c
+), ranked AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cent_id ASC) AS crn
+  FROM scored
+)
+SELECT cent_id AS cell, CAST(count(*) AS BIGINT) AS n_members
+FROM ranked WHERE crn = 1 GROUP BY cent_id
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -6799,4 +7270,12 @@ TEXT_QUERIES = {
     "q154_rare_tokens": (q154_rare_tokens, Q154_SQL),
     "q155_degree_histogram": (q155_degree_histogram, Q155_SQL),
     "q156_quality_dup_crosstab": (q156_quality_dup_crosstab, Q156_SQL),
+    "q157_collocations": (q157_collocations, Q157_SQL),
+    "q158_langid_confusion": (q158_langid_confusion, Q158_SQL),
+    "q159_oov_curve": (q159_oov_curve, Q159_SQL),
+    "q160_sentence_stats": (q160_sentence_stats, Q160_SQL),
+    "q161_template_prefixes": (q161_template_prefixes, Q161_SQL),
+    "q162_length_percentiles": (q162_length_percentiles, Q162_SQL),
+    "q163_incremental_exact_dedup": (q163_incremental_exact_dedup, Q163_SQL),
+    "q164_ivf_balance": (q164_ivf_balance, Q164_SQL),
 }

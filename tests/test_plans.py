@@ -225,6 +225,8 @@ BNLJ_ALLOWED = {
     "q134_vocab_growth",  # 1-row max(doc_id) scalar broadcast (q89's class)
     "q143_kn_score",  # 1-row corpus-total scalar broadcast (q89's class)
     "q145_mixture_weights",  # two 1-row total scalar broadcasts (q89's class)
+    "q159_oov_curve",  # 5-row cutoff + 1-row total broadcasts (q89's class)
+    "q164_ivf_balance",  # 16-row broadcast centroid table (q93's class)
 }
 
 
