@@ -5716,10 +5716,18 @@ def q143_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(btot))
         .select("doc_id", (term1 + term2).alias("p"))
     )
+    # decimal(38,18) sums, NOT the default decimal(25,6) dsum: KN
+    # probabilities are small dyadic-flavored ratios (D=0.75 over integer
+    # counts) that land within 1 ulp of exact 6-decimal ties, where
+    # Spark's repr-based double->decimal cast and DuckDB's binary-value
+    # cast round OPPOSITE ways (found by the pathological-corpus sweep:
+    # p=0.020312499999999997 vs the exact tie 0.0203125). At scale 18
+    # the half-ulp ambiguity is ~1e-18 — invisible after round(mean, 9).
+    p18 = F.col("p").cast("decimal(38,18)")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(
-            dsum(F.col("p")) / F.count(F.lit(1)).cast("double"), 9
+            F.sum(p18).cast("double") / F.count(F.lit(1)).cast("double"), 9
         ).alias("mean_kn_p"),
         F.round(F.min("p"), 9).alias("min_kn_p"),
     )
@@ -5754,7 +5762,7 @@ WITH d AS (
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams,
-       round({sql_dsum('p')} / count(*), 9) AS mean_kn_p,
+       round(CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE) / count(*), 9) AS mean_kn_p,
        round(min(p), 9) AS min_kn_p
 FROM scored GROUP BY doc_id
 """

@@ -77,6 +77,26 @@ BOUNDARY_SENSITIVE = [
     "q137_drop_ledger",
     # q140's ceil-crop slices sit AT the token-count boundary.
     "q140_crop_pairs",
+    # Round-6 wave: q142's dup-n-gram windows need >= n tokens; q143's
+    # bigram tables need >= 2; q146 composes the pair generator at its
+    # lowest cutoff; q147's gram windows sit at the 3-token boundary;
+    # q148's skew guard hits 1-doc sources (variance 0).
+    "q142_repetition_fractions",
+    "q143_kn_score",
+    "q146_threshold_sweep",
+    "q147_ngram_novelty",
+    "q148_length_moments",
+    # Round-7 wave: q151/q155/q156 compose the pair generator + CC over
+    # the 30-way duplicate block; q152's shingle sets need >= 3 words;
+    # q157's bigrams need >= 2 tokens; q160 splits at punctuation-run
+    # boundaries; q161 slices exactly-10-token prefixes.
+    "q151_effective_tokens",
+    "q152_minhash_calibration",
+    "q155_degree_histogram",
+    "q156_quality_dup_crosstab",
+    "q157_collocations",
+    "q160_sentence_stats",
+    "q161_template_prefixes",
 ]
 
 

@@ -55,6 +55,23 @@ TEXT_KEYED = [
     "q136_decontaminated_split",
     "q137_drop_ledger",
     "q140_crop_pairs",
+    # Round-6/7 waves keyed on raw text, char counts, or token hashes —
+    # multibyte text stresses length() vs codepoints, replace() symbol
+    # counting, md5-of-text digests, and token-keyed joins:
+    "q141_gopher_rules",
+    "q142_repetition_fractions",
+    "q143_kn_score",
+    "q147_ngram_novelty",
+    "q149_pii_density",
+    "q151_effective_tokens",
+    "q152_minhash_calibration",
+    "q153_crosslingual_dups",
+    "q154_rare_tokens",
+    "q155_degree_histogram",
+    "q157_collocations",
+    "q160_sentence_stats",
+    "q161_template_prefixes",
+    "q163_incremental_exact_dedup",
 ]
 
 
