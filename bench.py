@@ -163,6 +163,17 @@ HEADLINE = [
     "q162_length_percentiles",
     "q163_incremental_exact_dedup",
     "q164_ivf_balance",
+    # Round 7 third batch: PQ distortion, char classes, source vocab
+    # overlap, event-rate anomalies, burstiness, cluster spread, LSH
+    # bucket stats, quality histogram.
+    "q165_pq_distortion",
+    "q166_char_class_profile",
+    "q167_source_vocab_overlap",
+    "q168_event_rate_anomaly",
+    "q169_token_burstiness",
+    "q170_cluster_spread",
+    "q171_band_bucket_stats",
+    "q172_quality_histogram",
 ]
 
 

@@ -32,7 +32,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import decode_media
 from ..operators.similarity import cosine_topk_bruteforce, ivf_topk, sign_lsh_pairs
 from ..tables import load_tables
-from .common import dsum, materialize_release, md5_sample_gate, sql_dsum
+from .common import dsum, materialize_release, md5_sample_gate, sql_dsum, ts_str
 
 # DuckDB shingle/token CTEs shared by several oracles (word 3-grams,
 # mirroring functions/text.py::word_shingles).
@@ -7186,6 +7186,458 @@ FROM ranked WHERE crn = 1 GROUP BY cent_id
 """
 
 
+# --------------------------------------------------------------------------
+# q165 — PQ per-subspace distortion (compression-health audit)
+# --------------------------------------------------------------------------
+def q165_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction error of the q101 product quantizer, per subspace:
+    (sub, n_vecs, mean_sq_err, max_sq_err). The codebook-health table —
+    one subspace with outsized distortion means its dimensions need more
+    codes (or a rotation) BEFORE the ADC path (q107/q138) silently loses
+    recall there. Error of the CHOSEN code only — exactly the quantity
+    the encoder minimized, so this is also a training-sanity invariant
+    (mean error can only fall per added iteration).
+
+    Shape: rebuild of the narrow sub-vector table + ONE broadcast
+    codebook join + one agg; the m·k codebook is driver-state-sized.
+    """
+    from ..operators.similarity import pq_train_encode
+
+    t = load_tables(spark, sf_dir)
+    books: dict = {}
+    codes = pq_train_encode(
+        t["embeddings"], "vec_id", "embedding",
+        m=_PQ_M, k=_PQ_K, iters=2, codebooks_out=books,
+    )
+    if not books:
+        return codes.select(
+            F.col("sub"),
+            F.lit(0).cast("bigint").alias("n_vecs"),
+            F.lit(0.0).alias("mean_sq_err"),
+            F.lit(0.0).alias("max_sq_err"),
+        ).limit(0)
+    cdf = spark.createDataFrame(
+        [(sub, code, vec) for (sub, code), vec in books.items()],
+        "sub int, code int, cvec array<double>",
+    )
+    emb = t["embeddings"].select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vd"),
+    ).filter(F.col("vd").isNotNull())
+    dsub = F.expr(f"size(vd) DIV {_PQ_M}")
+    sv = emb.withColumn(
+        "sub", F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1)))
+    ).select("vec_id", "sub", F.slice("vd", F.col("sub") * dsub + 1, dsub).alias("svd"))
+    err = F.aggregate(
+        F.zip_with("svd", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    j = sv.join(codes, ["vec_id", "sub"]).join(F.broadcast(cdf), ["sub", "code"])
+    return (
+        j.select("sub", err.alias("e"))
+        .groupBy("sub")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(dsum(F.col("e")) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "mean_sq_err"
+            ),
+            F.round(F.max("e"), 6).alias("max_sq_err"),
+        )
+    )
+
+
+Q165_SQL = f"""
+WITH {_PQ_PREFIX_SQL},
+chosen AS (
+  SELECT vec_id, sub, dist FROM (
+    SELECT vec_id, sub, code, dist,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM enc
+  ) WHERE rn = 1
+)
+SELECT sub, CAST(count(*) AS BIGINT) AS n_vecs,
+       round({sql_dsum('dist')} / count(*), 6) AS mean_sq_err,
+       round(max(dist), 6) AS max_sq_err
+FROM chosen GROUP BY sub
+"""
+
+
+# --------------------------------------------------------------------------
+# q166 — character-class composition profile (encoding-damage signal)
+# --------------------------------------------------------------------------
+def q166_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class fractions — alphabetic, digit,
+    whitespace, other — the encoding-damage signal that catches
+    mojibake, binary spill, and table dumps that token-level features
+    miss (complements q25's alpha_ratio with the full budget; the four
+    fractions sum to 1). Counting via regexp_replace removals, the q141
+    replace() idiom — zero shuffle, stream-safe.
+    """
+    t = load_tables(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    n = F.length(txt).cast("bigint")
+
+    def frac(pat: str) -> Column:
+        kept = n - F.length(F.regexp_replace(txt, pat, "")).cast("bigint")
+        return F.when(n > 0, kept.cast("double") / n.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    return t["documents"].select(
+        "doc_id",
+        n.alias("n_chars"),
+        F.round(frac(r"[A-Za-z]"), 6).alias("alpha_frac"),
+        F.round(frac(r"[0-9]"), 6).alias("digit_frac"),
+        F.round(frac(r"\s"), 6).alias("space_frac"),
+        F.round(frac(r"[^A-Za-z0-9\s]"), 6).alias("other_frac"),
+    )
+
+
+Q166_SQL = r"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t, CAST(length(coalesce(text, '')) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, n AS n_chars,
+       round(CASE WHEN n > 0 THEN CAST(n - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS DOUBLE) / n ELSE 0.0 END, 6) AS alpha_frac,
+       round(CASE WHEN n > 0 THEN CAST(n - length(regexp_replace(t, '[0-9]', '', 'g')) AS DOUBLE) / n ELSE 0.0 END, 6) AS digit_frac,
+       round(CASE WHEN n > 0 THEN CAST(n - length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE) / n ELSE 0.0 END, 6) AS space_frac,
+       round(CASE WHEN n > 0 THEN CAST(n - length(regexp_replace(t, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / n ELSE 0.0 END, 6) AS other_frac
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# q167 — pairwise source vocabulary overlap (mixture-redundancy matrix)
+# --------------------------------------------------------------------------
+def q167_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard overlap of the distinct-token vocabularies of every source
+    pair — the redundancy matrix a mixture designer reads next to q145's
+    weights (two sources with 0.9 vocab overlap are one source for
+    diversity purposes). Token-keyed join of the distinct (source, tok)
+    postings: per-token fan-out is bounded by |sources|² (a constant),
+    so the pair table is vocabulary-sized at any corpus size.
+    """
+    t = load_tables(spark, sf_dir)
+    st = (
+        t["documents"]
+        .select("source", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    inter = (
+        st.select(F.col("source").alias("sa"), "tok")
+        .join(st.select(F.col("source").alias("sb"), "tok"), "tok")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("source").alias("sa"), F.col("nv").alias("na")), "sa")
+        .join(sizes.select(F.col("source").alias("sb"), F.col("nv").alias("nb")), "sb")
+        .select(
+            "sa",
+            "sb",
+            "n_inter",
+            "na",
+            "nb",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+Q167_SQL = r"""
+WITH st AS (
+  SELECT DISTINCT source, tok
+  FROM (SELECT source, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tok
+        FROM documents)
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS nv FROM st GROUP BY source
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS n_inter
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.sa, i.sb, i.n_inter, za.nv AS na, zb.nv AS nb,
+       round(CAST(i.n_inter AS DOUBLE) / CAST(za.nv + zb.nv - i.n_inter AS DOUBLE), 6) AS vocab_jaccard
+FROM inter i
+JOIN sizes za ON i.sa = za.source
+JOIN sizes zb ON i.sb = zb.source
+"""
+
+
+# --------------------------------------------------------------------------
+# q168 — hourly event-rate anomalies (ingest monitoring)
+# --------------------------------------------------------------------------
+def q168_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, hours whose event count sits ≥ 3 population
+    standard deviations from that type's hourly mean — the ingest
+    monitor that catches crawler stalls and duplicate floods before
+    they reach the corpus. Mean/variance from integer power sums over
+    the hourly rollup (one groupBy + one broadcast-joined scalar table
+    per type); z and the flag are fixed-order IEEE.
+
+    Output: (event_type, hour, n_events, z, is_anomaly) for ALL hours —
+    the z column is the dashboard series, the flag is the alert.
+    """
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum(cd).cast("double").alias("s1"),
+        F.sum(cd * F.col("c")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_hours").cast("double")
+    var = (F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n_hours").cast("double")) / F.col(
+        "n_hours"
+    ).cast("double")
+    z = F.when(var > 0, (F.col("c").cast("double") - mean) / F.sqrt(var))
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            ts_str(F.col("h")).alias("hour"),
+            F.col("c").alias("n_events"),
+            F.round(z, 6).alias("z"),
+            F.coalesce(F.abs(z) >= 3.0, F.lit(False)).alias("is_anomaly"),
+        )
+    )
+
+
+Q168_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE) AS s2
+  FROM hourly GROUP BY event_type
+), z AS (
+  SELECT h.event_type, h.h, h.c,
+         CASE WHEN (s.s2 - (s.s1 * s.s1) / s.n_hours) / s.n_hours > 0 THEN
+           (CAST(h.c AS DOUBLE) - s.s1 / s.n_hours)
+           / sqrt((s.s2 - (s.s1 * s.s1) / s.n_hours) / s.n_hours)
+         END AS zv
+  FROM hourly h JOIN stats s USING (event_type)
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, c AS n_events,
+       round(zv, 6) AS z,
+       coalesce(abs(zv) >= 3.0, false) AS is_anomaly
+FROM z
+"""
+
+
+# --------------------------------------------------------------------------
+# q169 — token burstiness top-k (Church-Gale tf/df concentration)
+# --------------------------------------------------------------------------
+def q169_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most BURSTY tokens: highest total-frequency to
+    document-frequency ratio (tf/df — Church & Gale's burstiness), with
+    a tf ≥ 10 floor. A token that appears 400 times in 3 documents is a
+    navigation chrome / spam / table artifact; one spread over 300
+    documents is vocabulary. The triage list q121's span excision and
+    stop-token lists are tuned from. Two postings-bounded aggs over one
+    token stream scan + a distributed TakeOrdered on the UNROUNDED
+    ratio (q157's discipline).
+    """
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    agg = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.count_distinct("doc_id").cast("bigint").alias("df"),
+    )
+    ratio = F.col("tf").cast("double") / F.col("df").cast("double")
+    return (
+        agg.filter(F.col("tf") >= 10)
+        .select("tok", "tf", "df", ratio.alias("r"))
+        .orderBy(F.desc("r"), F.asc("tok"))
+        .limit(20)
+        .select("tok", "tf", "df", F.round("r", 6).alias("burstiness"))
+    )
+
+
+Q169_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), agg AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY tok
+)
+SELECT tok, tf, df,
+       round(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness
+FROM agg WHERE tf >= 10
+ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, tok ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q170 — near-dup cluster spread (cross-source / cross-lang mirrors)
+# --------------------------------------------------------------------------
+def q170_cluster_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster (q72's components): member count, distinct
+    sources, distinct languages, and the keeper — the cluster-granular
+    view of mirroring. A cluster spanning 4 sources is syndication (one
+    copy stays, per q135); one spanning 3 LANGUAGES is machine
+    translation leaking across splits (q153's pair view, aggregated).
+    Cost: the capped pair graph + CC the dedup pipeline already runs,
+    plus one metadata join and a component-keyed agg.
+    """
+    from ..operators.components import connected_components
+
+    t = load_tables(spark, sf_dir)
+    comp = connected_components(
+        ngram_jaccard_pairs(
+            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+        ),
+        "a_id",
+        "b_id",
+    )
+    meta = t["documents"].select("doc_id", "source", "lang")
+    j = comp.join(meta, comp["node"] == meta["doc_id"])
+    return j.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.min("node").alias("keeper_id"),
+    )
+
+
+Q170_SQL = f"""
+WITH comp AS (
+  SELECT * FROM ({Q72_SQL}) c
+)
+SELECT c.component,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       min(c.node) AS keeper_id
+FROM comp c JOIN documents d ON c.node = d.doc_id
+GROUP BY c.component
+"""
+
+
+# --------------------------------------------------------------------------
+# q171 — MinHash band-bucket occupancy histogram (LSH index health)
+# --------------------------------------------------------------------------
+def q171_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy histogram of the q28 LSH index, per band: how many
+    buckets hold exactly d documents — q164's health audit for the
+    MinHash side. The d² pair fan-out of every bucket is THE cost model
+    of LSH dedup (and of the streaming ingest sink's max_bucket cap);
+    this is the table that says whether the (k, bands) tuning keeps d
+    small before a corpus-sized pair job commits. Two tiny aggs over
+    the band index.
+    """
+    from ..operators.dedup import minhash_band_index
+
+    t = load_tables(spark, sf_dir)
+    idx = minhash_band_index(
+        t["documents"], "doc_id", "text", k=_MH_K, bands=_MH_BANDS
+    )
+    occ = idx.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bucket_size")
+    )
+    return (
+        occ.groupBy("band_id", "bucket_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+        .select("band_id", "bucket_size", "n_buckets")
+    )
+
+
+Q171_SQL = f"""
+WITH words AS ({_SQL_WORDS}),
+sh AS ({_SQL_SHINGLES}),
+based AS (
+  SELECT doc_id,
+         list_transform(sh, s -> {_sql_md5_60bit('s')} % {_MH_P}) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, {_mh_cols}
+  FROM based
+),
+banded AS (
+{_band_selects}
+),
+keyed AS (
+  SELECT doc_id, band_id, {_sql_md5_60bit('band_sig')} AS band_key FROM banded
+),
+occ AS (
+  SELECT band_id, band_key, CAST(count(*) AS BIGINT) AS bucket_size
+  FROM keyed GROUP BY band_id, band_key
+)
+SELECT band_id, bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+FROM occ GROUP BY band_id, bucket_size
+"""
+
+
+# --------------------------------------------------------------------------
+# q172 — quality-score histogram (fixed 20-bin dashboard series)
+# --------------------------------------------------------------------------
+def q172_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of q25's quality score — the
+    dashboard series a threshold decision is read off (q95 ranks into
+    deciles, which hides the SHAPE; a bimodal histogram says 'two
+    populations', which no quantile table shows). Bin = floor(score·20)
+    clamped to 19 — identical IEEE arithmetic then identical floor in
+    both engines (the q156 bucket idiom). One narrow pass + a ≤20-cell
+    agg."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", "text", tokenize(F.col("text")).alias("toks"))
+    feats = quality_features(F.col("text"), F.col("toks"))
+    b = F.least(F.floor(feats["quality_score"] * 20).cast("int"), F.lit(19))
+    return (
+        d.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "bin",
+            F.round(F.col("bin").cast("double") / 20.0, 2).alias("bin_lo"),
+            "n_docs",
+        )
+    )
+
+
+Q172_SQL = rf"""
+WITH t0 AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+         CAST({_sql_stop_count('en')} AS BIGINT) AS stop_en
+  FROM t0
+), scored AS (
+  SELECT least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         + (CASE WHEN n_tokens > 0 THEN CAST(stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.3
+         + (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END) * 0.3 AS q
+  FROM base
+)
+SELECT least(CAST(floor(q * 20) AS INT), 19) AS bin,
+       round(CAST(least(CAST(floor(q * 20) AS INT), 19) AS DOUBLE) / 20.0, 2) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY 1, 2
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -7286,4 +7738,12 @@ TEXT_QUERIES = {
     "q162_length_percentiles": (q162_length_percentiles, Q162_SQL),
     "q163_incremental_exact_dedup": (q163_incremental_exact_dedup, Q163_SQL),
     "q164_ivf_balance": (q164_ivf_balance, Q164_SQL),
+    "q165_pq_distortion": (q165_pq_distortion, Q165_SQL),
+    "q166_char_class_profile": (q166_char_class_profile, Q166_SQL),
+    "q167_source_vocab_overlap": (q167_source_vocab_overlap, Q167_SQL),
+    "q168_event_rate_anomaly": (q168_event_rate_anomaly, Q168_SQL),
+    "q169_token_burstiness": (q169_token_burstiness, Q169_SQL),
+    "q170_cluster_spread": (q170_cluster_spread, Q170_SQL),
+    "q171_band_bucket_stats": (q171_band_bucket_stats, Q171_SQL),
+    "q172_quality_histogram": (q172_quality_histogram, Q172_SQL),
 }
