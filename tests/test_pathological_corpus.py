@@ -97,6 +97,11 @@ BOUNDARY_SENSITIVE = [
     "q157_collocations",
     "q160_sentence_stats",
     "q161_template_prefixes",
+    # Round-7 third batch: q170 composes the pair generator + CC over
+    # the 30-way duplicate block; q171's shingle sets need >= 3 words
+    # and the duplicate block makes every bucket a 30-member clique.
+    "q170_cluster_spread",
+    "q171_band_bucket_stats",
 ]
 
 

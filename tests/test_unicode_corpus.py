@@ -72,6 +72,15 @@ TEXT_KEYED = [
     "q160_sentence_stats",
     "q161_template_prefixes",
     "q163_incremental_exact_dedup",
+    # Round-7 third batch: q166's length()/regexp counting must agree on
+    # multibyte codepoints; q167/q169 key on raw tokens; q170/q171 hash
+    # multibyte shingles; q172 scores multibyte text.
+    "q166_char_class_profile",
+    "q167_source_vocab_overlap",
+    "q169_token_burstiness",
+    "q170_cluster_spread",
+    "q171_band_bucket_stats",
+    "q172_quality_histogram",
 ]
 
 
