@@ -174,6 +174,13 @@ HEADLINE = [
     "q170_cluster_spread",
     "q171_band_bucket_stats",
     "q172_quality_histogram",
+    # Round 7 fourth batch: readability, KWIC concordance, LSH pair
+    # budget, centroid distances, SQ8 error.
+    "q173_readability",
+    "q174_kwic",
+    "q175_lsh_pair_budget",
+    "q176_centroid_distances",
+    "q177_sq8_error",
 ]
 
 

@@ -7656,6 +7656,313 @@ FROM scored GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q173 — Flesch-Kincaid readability grade (curation-facing named metric)
+# --------------------------------------------------------------------------
+def q173_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per document from the classic formula
+    0.39·(W/S) + 11.8·(Syl/W) − 15.59 with the standard vowel-group
+    syllable heuristic ([aeiouy]+ runs) — the curation-facing
+    readability number analysts ask for by name (q25's score is a
+    composite; this is the published scale). Sentences are q160's
+    segmentation; words the shared tokenizer.
+
+    Exactness: three integer counts per row + one fixed-order IEEE
+    expression. Zero shuffles, stream-safe; NULL text → counts 0 and a
+    NULL grade (guarded divisions)."""
+    t = load_tables(spark, sf_dir)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    sents = F.filter(
+        F.split(txt, r"[.!?]+"), lambda s: F.length(F.trim(s)) > 0
+    )
+    n_sent = F.size(sents).cast("bigint")
+    n_words = F.size(F.split(F.trim(F.lower(txt)), r"\s+")).cast("bigint")
+    n_syl = F.size(
+        F.regexp_extract_all(F.lower(txt), F.lit(r"[aeiouy]+"), 0)
+    ).cast("bigint")
+    grade = (
+        F.lit(0.39) * (n_words.cast("double") / n_sent.cast("double"))
+        + F.lit(11.8) * (n_syl.cast("double") / n_words.cast("double"))
+        - F.lit(15.59)
+    )
+    return t["documents"].select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syl.alias("n_syllables"),
+        F.when((n_sent > 0) & (n_words > 0), F.round(grade, 6)).alias("fk_grade"),
+    )
+
+
+Q173_SQL = r"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(t, '[.!?]+'),
+                              x -> length(trim(x)) > 0)) AS BIGINT) AS n_sentences,
+         CAST(len(regexp_split_to_array(trim(lower(t)), '\s+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT) AS n_syllables
+  FROM d
+)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+         round(CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               + CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+               - CAST(15.59 AS DOUBLE), 6)
+       END AS fk_grade
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# q174 — keyword-in-context concordance (corpus inspection primitive)
+# --------------------------------------------------------------------------
+_KWIC_TERMS = _BM25_TERMS  # the pinned q104 retrieval vocabulary
+_KWIC_WIN = 2
+
+
+def q174_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every occurrence of the pinned q104 term list with ±2 tokens of
+    context — the concordance (KWIC) view an annotator opens to judge
+    whether a filter term means what the dashboard thinks it means.
+    Output: (doc_id, term, pos, context).
+
+    Shape: one posexplode + an `isin` filter (pushed to the generator
+    output) — cost tracks MATCHES, not corpus size; the context slice
+    reads the per-doc token array already in flight. Postings-class
+    shuffle-free map."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", tokenize(F.col("text")).alias("toks"))
+    ex = d.select(
+        "doc_id", "toks", F.posexplode("toks").alias("pos0", "term")
+    ).filter(F.col("term").isin(*_KWIC_TERMS))
+    pos = F.col("pos0") + 1  # 1-based, mirrors the SQL w[i] indexing
+    start = F.greatest(F.lit(1), pos - _KWIC_WIN)
+    length = F.least(pos + _KWIC_WIN, F.size("toks")) - start + 1
+    return ex.select(
+        "doc_id",
+        "term",
+        pos.cast("bigint").alias("pos"),
+        F.concat_ws(" ", F.slice("toks", start, length)).alias("context"),
+    )
+
+
+Q174_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+), ex AS (
+  SELECT doc_id, w, i.i AS pos, w[i.i] AS term
+  FROM d, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) i
+  WHERE w[i.i] IN ({_bm25_in})
+)
+SELECT doc_id, term, CAST(pos AS BIGINT) AS pos,
+       array_to_string(list_slice(w, greatest(1, pos - {_KWIC_WIN}),
+                                  least(pos + {_KWIC_WIN}, len(w))), ' ') AS context
+FROM ex
+"""
+
+
+# --------------------------------------------------------------------------
+# q175 — LSH pair-budget estimate from bucket occupancy (cost forecast)
+# --------------------------------------------------------------------------
+def q175_lsh_pair_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed-form cost forecast for the q28 pair job, per band:
+    Σ_buckets d·(d−1)/2 candidate pairs, bucket count, indexed docs,
+    and the largest bucket — computed from the occupancy histogram
+    ALONE (q171's table), so a dedup owner prices the pair job before
+    running it. This is the arithmetic the streaming sinks' max_bucket
+    cap bounds; integer-exact.
+    """
+    from ..operators.dedup import minhash_band_index
+
+    t = load_tables(spark, sf_dir)
+    idx = minhash_band_index(
+        t["documents"], "doc_id", "text", k=_MH_K, bands=_MH_BANDS
+    )
+    occ = idx.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    return occ.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("d").cast("bigint").alias("n_docs_indexed"),
+        F.max("d").cast("bigint").alias("max_bucket"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("est_pairs"),
+    )
+
+
+Q175_SQL = f"""
+WITH words AS ({_SQL_WORDS}),
+sh AS ({_SQL_SHINGLES}),
+based AS (
+  SELECT doc_id,
+         list_transform(sh, s -> {_sql_md5_60bit('s')} % {_MH_P}) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, {_mh_cols}
+  FROM based
+),
+banded AS (
+{_band_selects}
+),
+keyed AS (
+  SELECT doc_id, band_id, {_sql_md5_60bit('band_sig')} AS band_key FROM banded
+),
+occ AS (
+  SELECT band_id, band_key, CAST(count(*) AS BIGINT) AS d
+  FROM keyed GROUP BY band_id, band_key
+)
+SELECT band_id,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(d) AS BIGINT) AS n_docs_indexed,
+       CAST(MAX(d) AS BIGINT) AS max_bucket,
+       CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS est_pairs
+FROM occ GROUP BY band_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q176 — pairwise label-centroid distances (embedding-space geometry)
+# --------------------------------------------------------------------------
+def q176_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 distance between every pair of label centroids — the
+    |labels|²-row geometry table that says which classes the embedding
+    space already separates (near-zero distance = labels the ANN index
+    cannot distinguish; q150 finds outlier VECTORS, this scores label
+    PAIRS). Centroids via the q88/q150 decimal-exact aggregation; the
+    pair stage runs over ≤|labels| rows — index-sized, any corpus.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "label", F.transform("embedding", lambda x: x.cast("double")).alias("vd")
+    )
+    ex = e.select("label", F.posexplode("vd").alias("dim", "v"))
+    cent = ex.groupBy("label", "dim").agg(
+        (dsum(F.col("v")) / F.count(F.lit(1))).alias("craw")
+    )
+    carr = (
+        cent.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.round("craw", 6).alias("c")))
+            ).alias("sc")
+        )
+        .select("label", F.transform("sc", lambda s: s["c"]).alias("cvec"))
+    )
+    a = carr.select(F.col("label").alias("la"), F.col("cvec").alias("va"))
+    b = carr.select(F.col("label").alias("lb"), F.col("cvec").alias("vb"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a.join(b, F.col("la") < F.col("lb"))
+        .select("la", "lb", F.round(dist, 6).alias("dist"))
+    )
+
+
+Q176_SQL = f"""
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), ex AS (
+  SELECT label, CAST(d.i - 1 AS INT) AS dim, vd[d.i] AS val
+  FROM v, LATERAL (SELECT unnest(range(1, len(vd) + 1)) AS i) d
+), cent AS (
+  SELECT label, dim, round({sql_dsum('val')} / count(*), 6) AS c
+  FROM ex GROUP BY label, dim
+), carr AS (
+  SELECT label, list(c ORDER BY dim) AS cvec FROM cent GROUP BY label
+)
+SELECT a.label AS la, b.label AS lb,
+       round(sqrt(list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(a.cvec) + 1),
+                          i -> (a.cvec[i] - b.cvec[i]) * (a.cvec[i] - b.cvec[i]))),
+         (x, y) -> x + y)), 6) AS dist
+FROM carr a JOIN carr b ON a.label < b.label
+"""
+
+
+# --------------------------------------------------------------------------
+# q177 — SQ8 reconstruction-error stats (quantizer-health audit)
+# --------------------------------------------------------------------------
+def q177_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension reconstruction error of the q113 SQ8 quantizer:
+    decode = mn + code·(mx−mn)/255, err = |v − decode| — q165's health
+    audit for the scalar-quantization path. A dimension whose max error
+    dwarfs the others has outliers stretching its [mn, mx] range (the
+    classic SQ8 failure), and needs clipping before encode. Same single
+    posexplode + dim-keyed broadcast shape as q113 itself.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "v"
+        ),
+    )
+    stats = e.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.lit(255).cast("bigint"),
+            F.floor(
+                (F.col("v") - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))
+            ),
+        )
+    )
+    decode = F.col("mn") + code.cast("double") * (F.col("mx") - F.col("mn")) / F.lit(
+        255.0
+    )
+    err = F.abs(F.col("v") - decode)
+    return (
+        e.join(F.broadcast(stats), "dim")
+        .select("dim", "mn", "mx", err.alias("err"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("mn"), 6).alias("mn"),
+            F.round(F.min("mx"), 6).alias("mx"),
+            F.round(dsum(F.col("err")) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "mean_abs_err"
+            ),
+            F.round(F.max("err"), 6).alias("max_abs_err"),
+        )
+    )
+
+
+Q177_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(d.i - 1 AS INT) AS dim, vd[d.i] AS v
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings) t,
+       LATERAL (SELECT unnest(range(1, len(vd) + 1)) AS i) d
+), stats AS (
+  SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim
+), coded AS (
+  SELECT e.dim, s.mn, s.mx, e.v,
+         CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+              ELSE least(CAST(255 AS BIGINT),
+                         CAST(floor((e.v - s.mn) * CAST(255.0 AS DOUBLE) / (s.mx - s.mn)) AS BIGINT))
+         END AS code
+  FROM e JOIN stats s USING (dim)
+), err AS (
+  SELECT dim, mn, mx,
+         abs(v - (mn + CAST(code AS DOUBLE) * (mx - mn) / CAST(255.0 AS DOUBLE))) AS err
+  FROM coded
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       round(min(mn), 6) AS mn, round(min(mx), 6) AS mx,
+       round(CAST(SUM(CAST(err AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS mean_abs_err,
+       round(max(err), 6) AS max_abs_err
+FROM err GROUP BY dim
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -7764,4 +8071,9 @@ TEXT_QUERIES = {
     "q170_cluster_spread": (q170_cluster_spread, Q170_SQL),
     "q171_band_bucket_stats": (q171_band_bucket_stats, Q171_SQL),
     "q172_quality_histogram": (q172_quality_histogram, Q172_SQL),
+    "q173_readability": (q173_readability, Q173_SQL),
+    "q174_kwic": (q174_kwic, Q174_SQL),
+    "q175_lsh_pair_budget": (q175_lsh_pair_budget, Q175_SQL),
+    "q176_centroid_distances": (q176_centroid_distances, Q176_SQL),
+    "q177_sq8_error": (q177_sq8_error, Q177_SQL),
 }

@@ -158,6 +158,29 @@ def main() -> None:
         "q146_threshold_sweep",
         "q147_ngram_novelty",
         "q148_length_moments",
+        # Round-7 waves. Adversarial notes under 10-way cloning: q151/
+        # q155/q156/q170 ride the capped pair graph + CC (10-way cliques);
+        # q152's candidate pairs are LSH-bounded and its signature frame
+        # is computed once; q153's identical-simhash buckets hit the
+        # _X_MAX_BUCKET cap (30+-member buckets drop instead of fanning);
+        # q157/q169 are postings-bounded token/bigram tables + TakeOrdered;
+        # q161/q163 are digest-keyed groupBys; q167's fan-out is bounded
+        # by |sources|^2 per token; q171 aggregates the band index the
+        # ingest caps read; q164/q165 are broadcast-codebook map stages.
+        "q151_effective_tokens",
+        "q152_minhash_calibration",
+        "q153_crosslingual_dups",
+        "q155_degree_histogram",
+        "q156_quality_dup_crosstab",
+        "q157_collocations",
+        "q161_template_prefixes",
+        "q163_incremental_exact_dedup",
+        "q164_ivf_balance",
+        "q165_pq_distortion",
+        "q167_source_vocab_overlap",
+        "q169_token_burstiness",
+        "q170_cluster_spread",
+        "q171_band_bucket_stats",
     ):
         # Independent per-query cost: queries that persist shared
         # subtrees defer their pin release (plans/common.py) — clear
