@@ -20,9 +20,12 @@ Round-7 window (executes the round-6 ledger plan exactly — VERDICT r6
    q77, q82-q88, q91, q93-q97. Displaced to round 8: q98, q99, q102,
    q104 (still r4-green; lead the next backfill).
 
-Round-7 additions (q149+) land OUTSIDE the window (it is full with
-staleness repayment) — the same deferral q106-q112, q138-q140, and
-q141-q148 took; they are locally oracle-verified and lead round 8.
+Round-7 additions (q149-q177: four waves — curation audits, QA
+harnesses, index-health tables) land OUTSIDE the window (it is full
+with staleness repayment) — the same deferral q106-q112, q138-q140,
+and q141-q148 took; all 29 are locally oracle-verified at
+sf0.001+sf0.01 and lead round 8's window, followed by the r4-displaced
+q98/q99/q102/q104 and the oldest-r5 evidence.
 
 q37 stays OUTSIDE the window by design: its estimator output has no
 exact oracle (pinned by a tolerance test instead), and every gated
