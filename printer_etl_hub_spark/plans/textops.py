@@ -6278,15 +6278,22 @@ def q151_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     the capped q29 pair graph + O(log) CC — nothing quadratic. Oracle
     composes Q72's recursive-CTE fixpoint verbatim (the q137 idiom).
     """
+    from pyspark import StorageLevel
+
     from ..operators.components import connected_components
 
     t = load_tables(spark, sf_dir)
+    # d feeds keeper, lab, and (through lab) ckeep + the final rollup —
+    # four consumers of a scan+tokenize+md5 subtree the optimizer will
+    # not deduplicate. Persist it (and lab below); released via the
+    # deferred materialize_release idiom. Measured at the 10x audit:
+    # 37.6s -> pair-graph-bound without the re-evaluations.
     d = t["documents"].select(
         "doc_id",
         "source",
         F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tok"),
         F.md5(F.col("text")).alias("dg"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     keeper = d.groupBy("dg").agg(F.min("doc_id").alias("keeper_id"))
     comp = connected_components(
         ngram_jaccard_pairs(
@@ -6301,10 +6308,10 @@ def q151_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         "dg",
         F.coalesce(F.col("component"), d["doc_id"]).alias("cluster"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ckeep = lab.groupBy("cluster").agg(F.min("doc_id").alias("ckeeper_id"))
     full = lab.join(keeper, "dg").join(ckeep, "cluster")
-    return (
+    return materialize_release(
         full.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -6312,7 +6319,9 @@ def q151_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("doc_id") == F.col("keeper_id"), F.col("n_tok")).otherwise(F.lit(0))).alias("toks_exact_dedup"),
             F.sum(F.when(F.col("doc_id") == F.col("ckeeper_id"), F.col("n_tok")).otherwise(F.lit(0))).alias("toks_neardup_dedup"),
         )
-        .select("source", "n_docs", "toks_total", "toks_exact_dedup", "toks_neardup_dedup")
+        .select("source", "n_docs", "toks_total", "toks_exact_dedup", "toks_neardup_dedup"),
+        d,
+        lab,
     )
 
 
@@ -6624,9 +6633,13 @@ def q155_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
     )
-    nodes = pairs.select(F.col("a_id").alias("node")).unionAll(
-        pairs.select(F.col("b_id").alias("node"))
-    )
+    # ONE evaluation of the pair pipeline: a unionAll of two projections
+    # would execute the whole postings-join DAG once per leg (the
+    # intersection groupBy sits below the projection difference, and
+    # exchange reuse does not bridge the union) — measured 2x at the 10x
+    # audit scale (80s -> pair-bound single cost). explode(array(a,b))
+    # emits both endpoints from a single pass instead.
+    nodes = pairs.select(F.explode(F.array("a_id", "b_id")).alias("node"))
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     return (
         deg.groupBy("degree")
@@ -6664,6 +6677,8 @@ def q156_quality_dup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest counts (one shuffle), capped pair graph + CC, then ONE
     group-by over ≤15 cells.
     """
+    from pyspark import StorageLevel
+
     from ..operators.components import connected_components
 
     t = load_tables(spark, sf_dir)
@@ -6671,7 +6686,12 @@ def q156_quality_dup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", tokenize(F.col("text")).alias("toks")
     )
     feats = quality_features(F.col("text"), F.col("toks"))
-    scored = d.select("doc_id", F.md5("text").alias("dg"), feats["quality_score"].alias("q"))
+    # scored feeds BOTH the digest counts and the final join — persist so
+    # the scan+tokenize+quality subtree runs once (deferred release, the
+    # q151 idiom; measured 31.4s -> pair-graph-bound at the 10x audit).
+    scored = d.select(
+        "doc_id", F.md5("text").alias("dg"), feats["quality_score"].alias("q")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     digests = scored.groupBy("dg").agg(F.count(F.lit(1)).alias("n_copies"))
     comp = connected_components(
         ngram_jaccard_pairs(
@@ -6690,11 +6710,12 @@ def q156_quality_dup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unique"))
     )
     qb = F.least(F.floor(F.col("q") * 5).cast("int"), F.lit(4))
-    return (
+    return materialize_release(
         j.select(qb.alias("quality_bucket"), dup_class.alias("dup_class"))
         .groupBy("quality_bucket", "dup_class")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .select("quality_bucket", "dup_class", "n_docs")
+        .select("quality_bucket", "dup_class", "n_docs"),
+        scored,
     )
 
 
