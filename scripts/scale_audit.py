@@ -181,6 +181,19 @@ def main() -> None:
         "q169_token_burstiness",
         "q170_cluster_spread",
         "q171_band_bucket_stats",
+        # Wave 4. q174's cost tracks match count (posexplode + isin —
+        # 10x matches, linear); q175 prices the pair job FROM the band
+        # index without running it (bucket-occupancy agg); q176 is a
+        # label-count-sized theta join over decimal-exact centroids;
+        # q173/q177 are zero-shuffle maps / dim-keyed broadcast aggs.
+        # (q149/q150/q154/q158-q160/q162/q166/q168/q172 are excluded as
+        # zero-shuffle maps or source/token-bounded aggs with no
+        # adversarial clone behavior — same rationale as q141/q144.)
+        "q173_readability",
+        "q174_kwic",
+        "q175_lsh_pair_budget",
+        "q176_centroid_distances",
+        "q177_sq8_error",
     ):
         # Independent per-query cost: queries that persist shared
         # subtrees defer their pin release (plans/common.py) — clear
