@@ -181,6 +181,13 @@ HEADLINE = [
     "q175_lsh_pair_budget",
     "q176_centroid_distances",
     "q177_sq8_error",
+    # Round-7 fifth wave: integrity audit, df spectrum, provenance
+    # matrix, packing plan, LSH band-config sweep.
+    "q178_embedding_integrity",
+    "q179_token_df_spectrum",
+    "q180_source_dup_matrix",
+    "q181_chunk_plan",
+    "q182_band_config_sweep",
 ]
 
 

@@ -7984,6 +7984,450 @@ FROM err GROUP BY dim
 """
 
 
+# --------------------------------------------------------------------------
+# q178 — documents↔embeddings referential-integrity audit
+# --------------------------------------------------------------------------
+def q178_embedding_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential + payload integrity between the document corpus and
+    its embedding table: (audit_check, n) rows for docs_total,
+    docs_missing_vec, vecs_total, orphan_vecs, null_vecs,
+    zero_norm_vecs, and dim_anomalies (vectors whose length differs
+    from the modal dimension). This is the gate a training run reads
+    BEFORE trusting any ANN/dedup result — a 100 TB ingest that drops
+    3% of embeddings fails silently everywhere except here.
+
+    Shape: two id-keyed left joins (each side scanned once), one
+    size-histogram agg for the dim check (anomalies = Σcount − max
+    count, so no modal-dim join is needed), then two 1-row cross joins
+    to assemble the report row before unpivoting — the scalar-broadcast
+    BNLJ class (whitelisted). Zero-norm uses the sequential left fold
+    over |components| (bit-identical to DuckDB's list_reduce): a sum of
+    non-negative doubles is 0 iff every component is 0, so the
+    comparison is exact.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id")
+    vecs = t["embeddings"].select("vec_id", "embedding")
+    vid = vecs.select(F.col("vec_id").alias("doc_id")).distinct().withColumn(
+        "has_vec", F.lit(1)
+    )
+    d_agg = docs.join(vid, "doc_id", "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("has_vec").isNull(), 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("docs_missing_vec"),
+    )
+    did = docs.distinct().withColumn("has_doc", F.lit(1))
+    absum = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    v_agg = vecs.join(did, vecs["vec_id"] == did["doc_id"], "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vecs_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("has_doc").isNull(), 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("orphan_vecs"),
+        F.coalesce(
+            F.sum(F.when(F.col("embedding").isNull(), 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("null_vecs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("embedding").isNotNull() & (absum == F.lit(0.0)), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("zero_norm_vecs"),
+    )
+    dim_agg = (
+        vecs.filter(F.col("embedding").isNotNull())
+        .groupBy(F.size("embedding").alias("sz"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            (F.coalesce(F.sum("c"), F.lit(0)) - F.coalesce(F.max("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("dim_anomalies")
+        )
+    )
+    row = d_agg.crossJoin(v_agg).crossJoin(dim_agg)
+    return row.select(
+        F.expr(
+            "stack(7, "
+            "'docs_total', docs_total, "
+            "'docs_missing_vec', docs_missing_vec, "
+            "'vecs_total', vecs_total, "
+            "'orphan_vecs', orphan_vecs, "
+            "'null_vecs', null_vecs, "
+            "'zero_norm_vecs', zero_norm_vecs, "
+            "'dim_anomalies', dim_anomalies) AS (audit_check, n)"
+        )
+    )
+
+
+Q178_SQL = """
+WITH vid AS (SELECT DISTINCT vec_id FROM embeddings),
+d AS (
+  SELECT CAST(count(*) AS BIGINT) AS docs_total,
+         CAST(coalesce(sum(CASE WHEN v.vec_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS docs_missing_vec
+  FROM documents dd LEFT JOIN vid v ON dd.doc_id = v.vec_id
+),
+v AS (
+  SELECT CAST(count(*) AS BIGINT) AS vecs_total,
+         CAST(coalesce(sum(CASE WHEN dd.doc_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS orphan_vecs,
+         CAST(coalesce(sum(CASE WHEN e.embedding IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS null_vecs,
+         CAST(coalesce(sum(CASE WHEN e.embedding IS NOT NULL AND list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                             list_transform(e.embedding, x -> abs(CAST(x AS DOUBLE)))),
+                (a, b) -> a + b) = 0.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS zero_norm_vecs
+  FROM embeddings e
+  LEFT JOIN (SELECT DISTINCT doc_id FROM documents) dd ON e.vec_id = dd.doc_id
+),
+dim AS (
+  SELECT CAST(coalesce(sum(c), 0) - coalesce(max(c), 0) AS BIGINT) AS dim_anomalies
+  FROM (SELECT len(embedding) AS sz, count(*) AS c
+        FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1)
+)
+SELECT 'docs_total' AS audit_check, docs_total AS n FROM d
+UNION ALL SELECT 'docs_missing_vec', docs_missing_vec FROM d
+UNION ALL SELECT 'vecs_total', vecs_total FROM v
+UNION ALL SELECT 'orphan_vecs', orphan_vecs FROM v
+UNION ALL SELECT 'null_vecs', null_vecs FROM v
+UNION ALL SELECT 'zero_norm_vecs', zero_norm_vecs FROM v
+UNION ALL SELECT 'dim_anomalies', dim_anomalies FROM dim
+"""
+
+
+# --------------------------------------------------------------------------
+# q179 — token document-frequency spectrum (Zipf / OCR-damage diagnostic)
+# --------------------------------------------------------------------------
+def q179_token_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequency table of the corpus vocabulary: for each
+    document-frequency d, how many distinct tokens appear in exactly d
+    documents → (df, n_tokens). The one-page Zipf diagnostic: a healthy
+    corpus has a long df=1 tail (hapax legomena ~40-60% of vocab);
+    OCR damage inflates it, boilerplate floods the high-df head. q154
+    names the tail tokens, q134 tracks vocab growth — this is the
+    SHAPE of the whole distribution, which neither shows.
+
+    Shape: distinct tokens per doc (array_distinct before the explode —
+    the postings stay |doc|-bounded), one groupBy(token), one
+    groupBy(df) — all partial-aggable. NULL text explodes to zero rows
+    in both engines.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return dfreq.groupBy("df").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+
+
+Q179_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tok
+  FROM documents
+), dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok
+)
+SELECT df, CAST(count(*) AS BIGINT) AS n_tokens FROM dfreq GROUP BY df
+"""
+
+
+# --------------------------------------------------------------------------
+# q180 — cross-source exact-duplicate matrix (provenance audit)
+# --------------------------------------------------------------------------
+def q180_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every unordered source pair with any cross-source duplication:
+    the number of exact-duplicate text digests present in BOTH sources
+    and the number of near-duplicate pairs (q29 Jaccard ≥ 0.8) spanning
+    them → (src_a, src_b, n_shared_digests, n_near_pairs). The
+    provenance table that says WHO mirrors WHOM — q23 counts
+    duplicates, q127 measures vocabulary divergence; this is the
+    licensing/attribution view a corpus datasheet needs before
+    per-source mixture weights (q145) mean anything.
+
+    Shape: exact leg = distinct (digest, source), collect_set(source)
+    per digest (bounded by |sources|, ~20), double-explode to unordered
+    pairs; near leg = ONE evaluation of the capped q29 pair generator
+    plus two slim doc_id→source joins; full-outer combine over
+    ≤|sources|² cells. NULL text is excluded from the exact leg
+    explicitly (md5(NULL) is NULL in both engines, and a shared
+    'no text' digest is not duplication).
+    """
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    d = (
+        t["documents"]
+        .filter(F.col("text").isNotNull())
+        .select(F.md5("text").alias("dg"), "source")
+        .distinct()
+    )
+    sets = (
+        d.groupBy("dg")
+        .agg(F.collect_set("source").alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    expairs = (
+        sets.select(F.explode("ss").alias("src_a"), "ss")
+        .select("src_a", F.explode("ss").alias("src_b"))
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_digests"))
+    )
+    src = t["documents"].select("doc_id", "source")
+    np_ = (
+        ngram_jaccard_pairs(
+            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+        )
+        .join(src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa")), "a_id")
+        .join(src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb")), "b_id")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_pairs"))
+    )
+    return (
+        expairs.join(np_, ["src_a", "src_b"], "full_outer")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("n_shared_digests", F.lit(0)).cast("bigint").alias(
+                "n_shared_digests"
+            ),
+            F.coalesce("n_near_pairs", F.lit(0)).cast("bigint").alias(
+                "n_near_pairs"
+            ),
+        )
+    )
+
+
+def _q180_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT DISTINCT md5(text) AS dg, source FROM documents WHERE text IS NOT NULL
+),
+ex AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_shared_digests
+  FROM d a JOIN d b ON a.dg = b.dg AND a.source < b.source
+  GROUP BY 1, 2
+),
+jp AS ({_sql_jaccard_pairs(0.8)}),
+np AS (
+  SELECT least(sa.source, sb.source) AS src_a,
+         greatest(sa.source, sb.source) AS src_b,
+         CAST(count(*) AS BIGINT) AS n_near_pairs
+  FROM jp
+  JOIN documents sa ON jp.a_id = sa.doc_id
+  JOIN documents sb ON jp.b_id = sb.doc_id
+  WHERE sa.source <> sb.source
+  GROUP BY 1, 2
+)
+SELECT coalesce(ex.src_a, np.src_a) AS src_a,
+       coalesce(ex.src_b, np.src_b) AS src_b,
+       CAST(coalesce(ex.n_shared_digests, 0) AS BIGINT) AS n_shared_digests,
+       CAST(coalesce(np.n_near_pairs, 0) AS BIGINT) AS n_near_pairs
+FROM ex FULL OUTER JOIN np ON ex.src_a = np.src_a AND ex.src_b = np.src_b
+"""
+
+
+Q180_SQL = _q180_sql()
+
+
+# --------------------------------------------------------------------------
+# q181 — context-window packing plan (chunk counts + padding waste)
+# --------------------------------------------------------------------------
+_CHUNK_W = 512  # context-window budget (tokens) the packing plan prices
+
+
+def q181_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source packing plan for a fixed context window of
+    ``_CHUNK_W`` tokens: document count, total tokens, total chunks
+    (⌈n_tok/W⌉ per doc — one doc never shares a window), and the
+    padding-waste fraction (W·chunks − tokens)/(W·chunks). The
+    capacity table a training-batch planner reads: a source at 40%
+    waste wants sequence packing or a smaller window BEFORE anyone
+    prices the run. q162 gives length quantiles; this prices the
+    policy those quantiles inform.
+
+    Exactness: chunk counts via integer ceil-division ((n+W−1) DIV W);
+    all sums are bigint; the final ratio divides two exact bigints —
+    identical IEEE in both engines. NULL text counts as the empty
+    string (one empty token, one chunk — the q26 raw-token convention).
+    """
+    t = load_tables(spark, sf_dir)
+    w = _CHUNK_W
+    n_tok = F.size(tokenize(F.coalesce(F.col("text"), F.lit("")))).cast("bigint")
+    d = t["documents"].select("source", n_tok.alias("n_tok")).select(
+        "source",
+        "n_tok",
+        F.expr(f"(n_tok + {w - 1}) DIV {w}").alias("n_chunks"),
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("toks_total"),
+        F.sum("n_chunks").cast("bigint").alias("chunks_total"),
+    )
+    cap = F.col("chunks_total").cast("double") * F.lit(float(w))
+    return agg.select(
+        "source",
+        "n_docs",
+        "toks_total",
+        "chunks_total",
+        F.round(
+            (cap - F.col("toks_total").cast("double")) / cap, 6
+        ).alias("pad_waste_frac"),
+    )
+
+
+Q181_SQL = rf"""
+WITH d AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+), c AS (
+  SELECT source, n_tok, (n_tok + {_CHUNK_W - 1}) // {_CHUNK_W} AS n_chunks FROM d
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS toks_total,
+         CAST(sum(n_chunks) AS BIGINT) AS chunks_total
+  FROM c GROUP BY source
+)
+SELECT source, n_docs, toks_total, chunks_total,
+       round((CAST(chunks_total AS DOUBLE) * CAST({_CHUNK_W}.0 AS DOUBLE)
+              - CAST(toks_total AS DOUBLE))
+             / (CAST(chunks_total AS DOUBLE) * CAST({_CHUNK_W}.0 AS DOUBLE)), 6)
+         AS pad_waste_frac
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# q182 — LSH band-configuration sweep (expected recall per (bands, rows))
+# --------------------------------------------------------------------------
+#: (bands, rows-per-band) factorizations of the k=12 signature budget.
+_BAND_CONFIGS = [(1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1)]
+
+
+def _chain_pow_col(c, e: int):
+    """Fixed-order (left-associated) e-fold product of a Column —
+    the SAME association the SQL mirror spells out, so the IEEE result
+    is bit-identical cross-engine (pow() implementations are not)."""
+    out = c
+    for _ in range(e - 1):
+        out = out * c
+    return out
+
+
+def _chain_pow_sql(expr: str, e: int) -> str:
+    out = f"({expr})"
+    for _ in range(e - 1):
+        out = f"({out} * ({expr}))"
+    return out
+
+
+def q182_band_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected LSH recall for every (bands b, rows r) factorization of
+    the k=12 MinHash signature, against the TRUE Jaccard distribution
+    of the corpus's candidate pairs: a pair with Jaccard j is caught by
+    at least one band with probability 1−(1−j^r)^b. Output: (bands,
+    rows_per_band, n_pairs, expected_caught, expected_recall) — the
+    S-curve tuning table. q152 calibrates the estimator, q175 prices
+    the bucket fan-out; this chooses the banding BEFORE the 100 TB
+    pair job runs with the wrong selectivity.
+
+    Shape: ONE evaluation of the capped q29 pair generator at the 0.5
+    cutoff (the q146 posture), then a single global agg computing all
+    six configs' sums in one pass — no per-config re-banding, no
+    second shuffle. Probability sums go through decimal(38,18) (the
+    q143 lesson: probability-magnitude addends can sit 1 ulp from a
+    decimal(25,6) tie and round opposite ways); powers are explicit
+    left-associated product chains, not pow() (libm differs).
+    """
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", threshold=0.5, max_df=_J_MAX_DF
+    )
+    j = F.col("jaccard")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_pairs")]
+    for b, r in _BAND_CONFIGS:
+        p = F.lit(1.0) - _chain_pow_col(F.lit(1.0) - _chain_pow_col(j, r), b)
+        aggs.append(
+            F.sum(p.cast("decimal(38,18)")).cast("double").alias(f"s_{b}_{r}")
+        )
+    row = pairs.agg(*aggs)
+    stack_args = ", ".join(
+        f"{b}, {r}, coalesce(s_{b}_{r}, CAST(0.0 AS DOUBLE))"
+        for b, r in _BAND_CONFIGS
+    )
+    return row.select(
+        F.col("n_pairs"),
+        F.expr(
+            f"stack({len(_BAND_CONFIGS)}, {stack_args})"
+            " AS (bands, rows_per_band, expected_caught)"
+        ),
+    ).select(
+        F.col("bands").cast("int").alias("bands"),
+        F.col("rows_per_band").cast("int").alias("rows_per_band"),
+        "n_pairs",
+        F.round("expected_caught", 6).alias("expected_caught"),
+        F.when(F.col("n_pairs") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("expected_caught") / F.col("n_pairs").cast("double"), 6
+            )
+        )
+        .alias("expected_recall"),
+    )
+
+
+def _q182_sql() -> str:
+    legs = []
+    for b, r in _BAND_CONFIGS:
+        jr = _chain_pow_sql("j", r)
+        p = f"(CAST(1.0 AS DOUBLE) - {_chain_pow_sql(f'(CAST(1.0 AS DOUBLE) - {jr})', b)})"
+        s = f"coalesce(CAST(SUM(CAST({p} AS DECIMAL(38,18))) AS DOUBLE), CAST(0.0 AS DOUBLE))"
+        # Global aggregate (no GROUP BY): one row even over an empty pair
+        # table, matching Spark's agg-on-empty semantics; n_pairs via a
+        # scalar subquery for the same reason.
+        legs.append(
+            f"SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band,\n"
+            f"       (SELECT n_pairs FROM n) AS n_pairs,\n"
+            f"       round({s}, 6) AS expected_caught,\n"
+            f"       CASE WHEN (SELECT n_pairs FROM n) = 0 THEN CAST(0.0 AS DOUBLE)\n"
+            f"            ELSE round({s} / CAST((SELECT n_pairs FROM n) AS DOUBLE), 6) END\n"
+            f"         AS expected_recall\n"
+            f"FROM p"
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return (
+        f"WITH p AS (SELECT jaccard AS j FROM ({_sql_jaccard_pairs(0.5)})),\n"
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p)\n" + union
+    )
+
+
+Q182_SQL = _q182_sql()
+
+
+# --------------------------------------------------------------------------
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -8097,4 +8541,9 @@ TEXT_QUERIES = {
     "q175_lsh_pair_budget": (q175_lsh_pair_budget, Q175_SQL),
     "q176_centroid_distances": (q176_centroid_distances, Q176_SQL),
     "q177_sq8_error": (q177_sq8_error, Q177_SQL),
+    "q178_embedding_integrity": (q178_embedding_integrity, Q178_SQL),
+    "q179_token_df_spectrum": (q179_token_df_spectrum, Q179_SQL),
+    "q180_source_dup_matrix": (q180_source_dup_matrix, Q180_SQL),
+    "q181_chunk_plan": (q181_chunk_plan, Q181_SQL),
+    "q182_band_config_sweep": (q182_band_config_sweep, Q182_SQL),
 }

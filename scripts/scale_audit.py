@@ -194,6 +194,15 @@ def main() -> None:
         "q175_lsh_pair_budget",
         "q176_centroid_distances",
         "q177_sq8_error",
+        # Wave 5. q179's postings fan 10x but stay gram-keyed; q180
+        # composes ONE capped 0.8 pair generation (10-way cliques) plus
+        # slim source joins; q182 is the q146 posture (one capped 0.5
+        # pair generation, sweep = a single agg). q178/q181 excluded:
+        # id-keyed linear joins / one groupBy(source) — no adversarial
+        # clone behavior.
+        "q179_token_df_spectrum",
+        "q180_source_dup_matrix",
+        "q182_band_config_sweep",
     ):
         # Independent per-query cost: queries that persist shared
         # subtrees defer their pin release (plans/common.py) — clear

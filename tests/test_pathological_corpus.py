@@ -102,6 +102,16 @@ BOUNDARY_SENSITIVE = [
     # and the duplicate block makes every bucket a 30-member clique.
     "q170_cluster_spread",
     "q171_band_bucket_stats",
+    # Round-7 fifth wave: q179's distinct-token postings hit the
+    # empty-string-token and single-char boundaries; q180/q182 compose
+    # the pair generator (30-way duplicate block = dense pair cliques;
+    # q182 additionally sums detection probabilities AT the j=1.0
+    # boundary); q181's ceil-division sits exactly at the W-token
+    # boundary for the 5000-token outlier (512·9+392).
+    "q179_token_df_spectrum",
+    "q180_source_dup_matrix",
+    "q181_chunk_plan",
+    "q182_band_config_sweep",
 ]
 
 

@@ -228,6 +228,7 @@ BNLJ_ALLOWED = {
     "q159_oov_curve",  # 5-row cutoff + 1-row total broadcasts (q89's class)
     "q164_ivf_balance",  # 16-row broadcast centroid table (q93's class)
     "q176_centroid_distances",  # label-count-sized centroid theta join (q93's class)
+    "q178_embedding_integrity",  # two 1-row report-assembly cross joins (q89's class)
 }
 
 

@@ -81,6 +81,14 @@ TEXT_KEYED = [
     "q170_cluster_spread",
     "q171_band_bucket_stats",
     "q172_quality_histogram",
+    # Round-7 fifth wave: q179 groups raw multibyte tokens; q180 md5s
+    # multibyte text AND hashes multibyte shingles; q181 counts
+    # multibyte tokens; q182 hashes multibyte shingles through the
+    # pair generator.
+    "q179_token_df_spectrum",
+    "q180_source_dup_matrix",
+    "q181_chunk_plan",
+    "q182_band_config_sweep",
 ]
 
 
