@@ -188,6 +188,10 @@ HEADLINE = [
     "q180_source_dup_matrix",
     "q181_chunk_plan",
     "q182_band_config_sweep",
+    # Round-7 sixth wave: shard leakage, dim variance, packing sweep.
+    "q183_shard_leakage",
+    "q184_dim_variance",
+    "q185_packing_sweep",
 ]
 
 

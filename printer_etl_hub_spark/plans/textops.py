@@ -8426,6 +8426,213 @@ Q182_SQL = _q182_sql()
 
 
 # --------------------------------------------------------------------------
+# q183 — shard-boundary near-dup leakage (split-design audit)
+# --------------------------------------------------------------------------
+def q183_shard_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do near-duplicate pairs stay inside q77's token-budget shards or
+    cross them? → (same_shard, n_pairs, mean_jaccard). If shards ever
+    become train/eval splits (they do — that's what shards are FOR),
+    every cross-shard near-dup pair is leakage q78's decontamination
+    sweep would have to catch later; this prices that risk at shard
+    level BEFORE the split is frozen. q102 audits a finished split —
+    this audits the sharding policy itself.
+
+    Shape: q77's assignment (persisted — it is consumed by both pair
+    endpoints, the q151 lesson) + ONE capped 0.8 pair generation + two
+    slim id-keyed joins + a 2-row agg. Jaccard means go through
+    decimal(38,18) (probability-magnitude sums, the q143 lesson).
+    """
+    from pyspark import StorageLevel
+
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    shards = (
+        q77_token_shards(spark, sf_dir)
+        .select("doc_id", "shard_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+    )
+    res = (
+        pairs.join(
+            shards.select(F.col("doc_id").alias("a_id"), F.col("shard_id").alias("sa")),
+            "a_id",
+        )
+        .join(
+            shards.select(F.col("doc_id").alias("b_id"), F.col("shard_id").alias("sb")),
+            "b_id",
+        )
+        .select((F.col("sa") == F.col("sb")).alias("same_shard"), "jaccard")
+        .groupBy("same_shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_jaccard"),
+        )
+    )
+    return materialize_release(res, shards)
+
+
+Q183_SQL = f"""
+WITH shards AS ({Q77_SQL}),
+jp AS ({_sql_jaccard_pairs(0.8)})
+SELECT (sa.shard_id = sb.shard_id) AS same_shard,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(CAST(jp.jaccard AS DECIMAL(38,18))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard
+FROM jp
+JOIN shards sa ON jp.a_id = sa.doc_id
+JOIN shards sb ON jp.b_id = sb.doc_id
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q184 — per-dimension embedding variance (PCA/rotation sizing table)
+# --------------------------------------------------------------------------
+def q184_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and population variance of every embedding dimension →
+    (dim, n, mean, variance). The table a PCA/rotation decision reads:
+    dimensions with near-zero variance are dead weight the JL/PQ paths
+    (q106/q101) pay for anyway, and a heavy-tailed variance profile
+    says an OPQ-style rotation would cut q165's distortion. q177 bounds
+    per-dim RANGE; this measures spread.
+
+    Exactness: one-pass power sums Σv and Σv² through decimal(38,18)
+    (unit-magnitude addends — the q143 tie lesson), variance assembled
+    in double with the same fixed expression order both engines:
+    (s2 − (s1·s1)/n)/n. Shape: one posexplode + one dim-keyed agg.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "v"
+        )
+    )
+    s1 = F.sum(F.col("v").cast("decimal(38,18)")).cast("double")
+    s2 = F.sum((F.col("v") * F.col("v")).cast("decimal(38,18)")).cast("double")
+    n = F.count(F.lit(1)).cast("bigint")
+    nd = n.cast("double")
+    return e.groupBy("dim").agg(
+        n.alias("n"),
+        F.round(s1 / nd, 6).alias("mean"),
+        F.round((s2 - (s1 * s1) / nd) / nd, 6).alias("variance"),
+    )
+
+
+Q184_SQL = """
+WITH e AS (
+  SELECT CAST(d.i - 1 AS INT) AS dim, vd[d.i] AS v
+  FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings WHERE embedding IS NOT NULL) t,
+       LATERAL (SELECT unnest(range(1, len(vd) + 1)) AS i) d
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean,
+       round((CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)
+              - (CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
+                 * CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE))
+                / CAST(count(*) AS DOUBLE))
+             / CAST(count(*) AS DOUBLE), 6) AS variance
+FROM e GROUP BY dim
+"""
+
+
+# --------------------------------------------------------------------------
+# q185 — context-window sweep (packing waste per window size)
+# --------------------------------------------------------------------------
+#: Candidate context-window budgets the packing sweep prices.
+_PACK_WINDOWS = (128, 256, 512, 1024, 2048)
+
+
+def q185_packing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q181's packing model swept over the window-size knob: for each
+    candidate context budget W, the corpus-total chunk count and
+    padding-waste fraction → (window_w, toks_total, chunks_total,
+    pad_waste_frac). The curve a context-length decision reads (q181
+    prices ONE policy per source; this chooses the policy). Same
+    q146-style posture: the token counts are computed once, all five
+    windows priced in a single agg — no per-window re-scan.
+
+    Exactness: integer ceil-divisions and bigint sums; the waste ratio
+    divides exact bigints in double — identical IEEE both engines.
+    NULL text counts as the empty string (one token), the q181
+    convention.
+    """
+    t = load_tables(spark, sf_dir)
+    n_tok = F.size(tokenize(F.coalesce(F.col("text"), F.lit("")))).cast("bigint")
+    d = t["documents"].select(n_tok.alias("n_tok"))
+    aggs = [F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("toks_total")]
+    for w in _PACK_WINDOWS:
+        aggs.append(
+            F.coalesce(F.sum(F.expr(f"(n_tok + {w - 1}) DIV {w}")), F.lit(0))
+            .cast("bigint")
+            .alias(f"c_{w}")
+        )
+    row = d.agg(*aggs)
+    stack_args = ", ".join(f"{w}, c_{w}" for w in _PACK_WINDOWS)
+    cap = F.col("chunks_total").cast("double") * F.col("window_w").cast("double")
+    return (
+        row.select(
+            "toks_total",
+            F.expr(
+                f"stack({len(_PACK_WINDOWS)}, {stack_args})"
+                " AS (window_w, chunks_total)"
+            ),
+        )
+        .select(
+            F.col("window_w").cast("int").alias("window_w"),
+            "toks_total",
+            "chunks_total",
+            F.when(F.col("chunks_total") == 0, F.lit(0.0))
+            .otherwise(
+                F.round((cap - F.col("toks_total").cast("double")) / cap, 6)
+            )
+            .alias("pad_waste_frac"),
+        )
+    )
+
+
+def _q185_sql() -> str:
+    sums = ",\n         ".join(
+        f"CAST(coalesce(sum((n_tok + {w - 1}) // {w}), 0) AS BIGINT) AS c_{w}"
+        for w in _PACK_WINDOWS
+    )
+    legs = []
+    for w in _PACK_WINDOWS:
+        cap = f"(CAST(c_{w} AS DOUBLE) * CAST({w}.0 AS DOUBLE))"
+        legs.append(
+            f"SELECT CAST({w} AS INT) AS window_w, toks_total, c_{w} AS chunks_total,\n"
+            f"       CASE WHEN c_{w} = 0 THEN CAST(0.0 AS DOUBLE)\n"
+            f"            ELSE round(({cap} - CAST(toks_total AS DOUBLE)) / {cap}, 6) END\n"
+            f"         AS pad_waste_frac\n"
+            f"FROM agg"
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return (
+        r"""WITH d AS (
+  SELECT CAST(len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+), agg AS (
+  SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS toks_total,
+         """
+        + sums
+        + "\n  FROM d\n)\n"
+        + union
+    )
+
+
+Q185_SQL = _q185_sql()
+
+
+# --------------------------------------------------------------------------
 
 
 TEXT_QUERIES = {
@@ -8546,4 +8753,7 @@ TEXT_QUERIES = {
     "q180_source_dup_matrix": (q180_source_dup_matrix, Q180_SQL),
     "q181_chunk_plan": (q181_chunk_plan, Q181_SQL),
     "q182_band_config_sweep": (q182_band_config_sweep, Q182_SQL),
+    "q183_shard_leakage": (q183_shard_leakage, Q183_SQL),
+    "q184_dim_variance": (q184_dim_variance, Q184_SQL),
+    "q185_packing_sweep": (q185_packing_sweep, Q185_SQL),
 }

@@ -203,6 +203,12 @@ def main() -> None:
         "q179_token_df_spectrum",
         "q180_source_dup_matrix",
         "q182_band_config_sweep",
+        # Wave 6. q183 = one capped 0.8 pair generation + the q77
+        # prefix-sum sharding (persisted, consumed by both endpoints);
+        # q184 is the q177 posexplode class (linear, regression
+        # tripwire). q185 excluded: a single global agg.
+        "q183_shard_leakage",
+        "q184_dim_variance",
     ):
         # Independent per-query cost: queries that persist shared
         # subtrees defer their pin release (plans/common.py) — clear

@@ -112,6 +112,12 @@ BOUNDARY_SENSITIVE = [
     "q180_source_dup_matrix",
     "q181_chunk_plan",
     "q182_band_config_sweep",
+    # Round-7 sixth wave: q183 composes the pair generator + q77's
+    # prefix-sum sharding over the duplicate block; q185's five
+    # ceil-divisions all sit at token-count boundaries for the
+    # 5000-token outlier.
+    "q183_shard_leakage",
+    "q185_packing_sweep",
 ]
 
 

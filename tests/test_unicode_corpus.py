@@ -89,6 +89,11 @@ TEXT_KEYED = [
     "q180_source_dup_matrix",
     "q181_chunk_plan",
     "q182_band_config_sweep",
+    # Round-7 sixth wave: q183 hashes multibyte shingles and counts
+    # multibyte tokens through the sharder; q185 counts multibyte
+    # tokens through five window budgets.
+    "q183_shard_leakage",
+    "q185_packing_sweep",
 ]
 
 
