@@ -192,6 +192,13 @@ HEADLINE = [
     "q183_shard_leakage",
     "q184_dim_variance",
     "q185_packing_sweep",
+    # Round-7 seventh wave: dedup-impact, snapshot delta, norm outliers,
+    # quality calibration, LM-fluency routing.
+    "q186_dup_cluster_sizes",
+    "q187_corpus_delta",
+    "q188_norm_outliers",
+    "q189_len_quality_corr",
+    "q190_kn_band_routing",
 ]
 
 

@@ -8633,6 +8633,420 @@ Q185_SQL = _q185_sql()
 
 
 # --------------------------------------------------------------------------
+# q186 — near-dup cluster size histogram (dedup-impact estimate)
+# --------------------------------------------------------------------------
+def q186_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q72's near-dup components collapsed to the size histogram a dedup
+    owner reads before running the delete: for each cluster size, how
+    many clusters exist and how many documents a keep-one-per-cluster
+    policy removes → (cluster_size, n_clusters, docs_removable). q146
+    sweeps the THRESHOLD's pair/doc counts; this prices the final
+    keep-one pass at the committed 0.8 cutoff — the number that goes in
+    the corpus datasheet (q99 reports the exact-dup analogue).
+
+    Shape: q72's capped pair graph + 2-round CC (both 10×-audited),
+    then two component-keyed aggs — each partial-aggregable, output
+    bounded by the distinct-cluster-size count (~log n rows). Integer
+    counts only; hash-exact by construction.
+    """
+    comp = q72_dup_clusters(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("bigint").alias("docs_removable"),
+    )
+
+
+Q186_SQL = f"""
+WITH comp AS ({Q72_SQL}),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size - 1) AS BIGINT) AS docs_removable
+FROM sizes GROUP BY cluster_size
+"""
+
+
+# --------------------------------------------------------------------------
+# q187 — corpus version diff (snapshot delta audit)
+# --------------------------------------------------------------------------
+def q187_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data audit between two corpus snapshots: per delta status
+    (added / removed / changed / unchanged), document count and char
+    mass → the table a corpus release note prints and an incremental
+    re-train reads to size its delta pass (q163 dedups an INCREMENT;
+    this diffs two full VERSIONS). v2 is derived deterministically from
+    v1 so both engines diff identical snapshots: doc_id % 17 == 0
+    dropped, % 13 == 0 text-revised, % 19 == 0 re-added under a shifted
+    id.
+
+    Shape: one id-keyed full-outer join (shuffle on the join key — the
+    layout a 100-TB snapshot diff wants anyway) + a 4-row agg; the
+    three v1 scans are narrow 2-column parquet reads (column-pruned),
+    cheaper at scale than persisting the full text column. Integer
+    counts and char sums only.
+    """
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select("doc_id", "text")
+    v1 = base.select("doc_id", F.col("text").alias("t1"))
+    v2 = (
+        base.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("t2"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new revision of "), F.col("text")).alias("t2"),
+            )
+        )
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("t1").isNull(), F.lit("added"))
+        .when(F.col("t2").isNull(), F.lit("removed"))
+        .when(F.col("t1") == F.col("t2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.length(F.coalesce(F.col("t2"), F.col("t1"))).cast("bigint").alias("nc"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("chars_total"),
+        )
+    )
+
+
+Q187_SQL = """
+WITH v1 AS (SELECT doc_id, text AS t1 FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS t2
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new revision of ' || text AS t2
+  FROM documents WHERE doc_id % 19 = 0
+),
+j AS (
+  SELECT v1.t1, v2.t2
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT CASE WHEN t1 IS NULL THEN 'added'
+            WHEN t2 IS NULL THEN 'removed'
+            WHEN t1 = t2 THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(coalesce(t2, t1))) AS BIGINT) AS chars_total
+FROM j GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q188 — embedding L2-norm outliers per label (index-health audit)
+# --------------------------------------------------------------------------
+def q188_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per label: vector count, L2-norm mean/σ, and how many vectors sit
+    outside ±3σ → (label, n_vecs, mean_norm, sd_norm, n_outliers).
+    Norm outliers are the classic embedding-table defect (un-normalized
+    batches, fp16 overflow rows) that silently skews cosine similarity
+    — q178 catches NULL/ragged rows; this catches numerically-broken
+    ones. The pre-flight check before the ANN indexes (q38/q32/q101)
+    trust the geometry.
+
+    Exactness — two lessons this query exists to pin:
+    (1) the norm is q31's sequential double left-fold, the only per-row
+    reduction both engines replay bit-identically (a decimal fold is
+    NOT it: Spark's repr-based and DuckDB's binary double→decimal casts
+    disagree at 1e-18 per element, which MOVED REAL VECTORS across the
+    boundary on this table); (2) variance comes from the TWO-PASS
+    shifted form Σ(x−mean)²/n, not the one-pass power sums — on a
+    unit-normalized table σ/mean ≈ 1e-8, so s2 − s1²/n subtracts two
+    ~n-sized doubles to produce ~1e-14 and ONE ulp of cross-engine
+    drift in s2 swings σ by 30% (measured: 1.26e-8 vs 1.54e-8). The
+    q148 power-sum discipline is for integer-valued x where the sums
+    are exact; for doubles it is only safe while σ/mean ≫ 1e-8.
+    Deviations are ~1e-8 so their squares sum in decimal(38,30).
+    Shape: a zero-shuffle per-row fold + three label-keyed aggs over
+    the persisted norms + two broadcast-hash joins (|labels| rows).
+    """
+    from pyspark import StorageLevel
+
+    from ..operators.similarity import _norm
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    norms = e.select(
+        "label",
+        _norm(F.transform("embedding", lambda x: x.cast("double"))).alias("norm"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    m = norms.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (
+            F.sum(F.col("norm").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_norm"),
+    )
+    dev = norms.join(F.broadcast(m), "label").select(
+        "label",
+        "n_vecs",
+        "mean_norm",
+        "norm",
+        (F.col("norm") - F.col("mean_norm")).alias("dv"),
+    )
+    sd = dev.groupBy("label", "n_vecs", "mean_norm").agg(
+        F.sqrt(
+            F.sum((F.col("dv") * F.col("dv")).cast("decimal(38,30)")).cast("double")
+            / F.col("n_vecs").cast("double")
+        ).alias("sd_norm")
+    )
+    out = (
+        dev.join(F.broadcast(sd.select("label", "sd_norm")), "label")
+        .select(
+            "label",
+            (F.abs(F.col("dv")) > F.lit(3.0) * F.col("sd_norm"))
+            .cast("bigint")
+            .alias("is_out"),
+        )
+        .groupBy("label")
+        .agg(F.sum("is_out").cast("bigint").alias("n_outliers"))
+    )
+    res = sd.join(out, "label").select(
+        "label",
+        "n_vecs",
+        F.round("mean_norm", 9).alias("mean_norm"),
+        F.round("sd_norm", 12).alias("sd_norm"),
+        "n_outliers",
+    )
+    return materialize_release(res, norms)
+
+
+Q188_SQL = """
+WITH norms AS (
+  SELECT label,
+         sqrt(list_reduce(
+           list_transform(list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                          x -> x * x),
+           (a, b) -> a + b)) AS norm
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+m AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(CAST(norm AS DECIMAL(38,18))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_norm
+  FROM norms GROUP BY label
+),
+dev AS (
+  SELECT n.label, m.n_vecs, m.mean_norm,
+         n.norm - m.mean_norm AS dv
+  FROM norms n JOIN m USING (label)
+),
+sd AS (
+  SELECT label, n_vecs, mean_norm,
+         sqrt(CAST(SUM(CAST(dv * dv AS DECIMAL(38,30))) AS DOUBLE)
+              / CAST(n_vecs AS DOUBLE)) AS sd_norm
+  FROM dev GROUP BY label, n_vecs, mean_norm
+)
+SELECT d.label, s.n_vecs,
+       round(s.mean_norm, 9) AS mean_norm,
+       round(s.sd_norm, 12) AS sd_norm,
+       CAST(SUM(CASE WHEN abs(d.dv) > 3.0 * s.sd_norm
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN sd s USING (label)
+GROUP BY d.label, s.n_vecs, s.mean_norm, s.sd_norm
+"""
+
+
+# --------------------------------------------------------------------------
+# q189 — token-length ↔ quality correlation per source (one pass)
+# --------------------------------------------------------------------------
+def q189_len_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source, the Pearson correlation between a document's token
+    count and its q25 quality score → (source, n_docs, mean_quality,
+    corr_len_quality). A strongly positive r says the quality score is
+    mostly re-measuring length — the known failure mode of
+    length-weighted heuristics (Gopher §A2 controls for it); a source
+    whose r diverges from the corpus's is scored by a different effective
+    rule. The calibration check a filter owner runs BEFORE q135 keeps by
+    score.
+
+    Exactness: one-pass power/cross sums — Σx, Σx² in decimal(38,0)
+    (q139/q148 discipline: cast BEFORE multiplying), Σy, Σy², Σxy in
+    decimal(38,18) (y is q25's fixed-order double; the x·y product is
+    one double multiply, identical both engines); r assembled in a
+    fixed-order IEEE expression with var·guards → NULL on degenerate
+    sources. Shape: one partial-aggregable groupBy(source); zero joins.
+    """
+    t = load_tables(spark, sf_dir)
+    staged = t["documents"].select(
+        "source", "text", tokenize(F.col("text")).alias("toks")
+    )
+    feats = quality_features(F.col("text"), F.col("toks"))
+    d = staged.select(
+        "source",
+        feats["n_tokens"].alias("x"),
+        feats["quality_score"].alias("y"),
+    )
+    xdec = F.col("x").cast("decimal(38,0)")
+    xd = F.col("x").cast("double")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xdec).cast("double").alias("sx"),
+        F.sum(xdec * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,18)")).cast("double").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((xd * F.col("y")).cast("decimal(38,18)")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    varx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(F.col("sy") / nd, 6).alias("mean_quality"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(cov / (F.sqrt(varx) * F.sqrt(vary)), 6),
+        ).alias("corr_len_quality"),
+    )
+
+
+Q189_SQL = rf"""
+WITH t0 AS (
+  SELECT source, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), base AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS x,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)
+           AS alpha_chars,
+         CAST({_sql_stop_count('en')} AS BIGINT) AS stop_en
+  FROM t0
+), scored AS (
+  SELECT source, x,
+         least(CAST(x AS DOUBLE) / 100.0, 1.0) * 0.4
+         + (CASE WHEN x > 0 THEN CAST(stop_en AS DOUBLE) / CAST(x AS DOUBLE)
+                 ELSE 0.0 END) * 0.3
+         + (CASE WHEN n_chars > 0
+                 THEN CAST(alpha_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                 ELSE 0.0 END) * 0.3 AS y
+  FROM base
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+  FROM scored GROUP BY source
+)
+SELECT source, n AS n_docs,
+       round(sy / CAST(n AS DOUBLE), 6) AS mean_quality,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+             AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+            THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+       END AS corr_len_quality
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# q190 — LM-fluency band routing (CCNet-style head/middle/tail split)
+# --------------------------------------------------------------------------
+def q190_kn_band_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity-bucket routing re-expressed on q143's KN
+    scores: documents split into head / middle / tail by their mean
+    bigram probability relative to the corpus mean (head ≥ mean,
+    middle ≥ mean/2, tail below) → per band, doc count, bigram mass,
+    and mean score. CCNet trains on head+middle and drops or re-reviews
+    tail; this is the routing table that decision reads. Data-adaptive
+    cutoffs (vs q146's fixed sweep) so the split survives corpus drift.
+
+    Exactness: band edges derive from ONE corpus mean (decimal-summed,
+    fixed-order divide) compared against q143's already-rounded
+    per-doc doubles — identical comparisons both engines. Shape: q143's
+    postings-bounded scoring (persisted — consumed by the mean AND the
+    banding, the q151 lesson) + one 1-row broadcast (q89's scalar
+    class) + a 3-row agg.
+    """
+    from pyspark import StorageLevel
+
+    kn = q143_kn_score(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    tot = kn.agg(
+        (
+            F.sum(F.col("mean_kn_p").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("corpus_mean")
+    )
+    banded = kn.join(F.broadcast(tot)).select(
+        F.when(F.col("mean_kn_p") >= F.col("corpus_mean"), F.lit("head"))
+        .when(
+            F.col("mean_kn_p") >= F.lit(0.5) * F.col("corpus_mean"), F.lit("middle")
+        )
+        .otherwise(F.lit("tail"))
+        .alias("band"),
+        "n_bigrams",
+        "mean_kn_p",
+    )
+    res = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("bigrams_total"),
+        F.round(
+            F.sum(F.col("mean_kn_p").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("mean_p"),
+    )
+    return materialize_release(res, kn)
+
+
+Q190_SQL = f"""
+WITH kn AS ({Q143_SQL}),
+tot AS (
+  SELECT CAST(SUM(CAST(mean_kn_p AS DECIMAL(38,18))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS corpus_mean
+  FROM kn
+),
+banded AS (
+  SELECT CASE WHEN mean_kn_p >= corpus_mean THEN 'head'
+              WHEN mean_kn_p >= CAST(0.5 AS DOUBLE) * corpus_mean THEN 'middle'
+              ELSE 'tail' END AS band,
+         n_bigrams, mean_kn_p
+  FROM kn CROSS JOIN tot
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS bigrams_total,
+       round(CAST(SUM(CAST(mean_kn_p AS DECIMAL(38,18))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 9) AS mean_p
+FROM banded GROUP BY band
+"""
+
+
+# --------------------------------------------------------------------------
 
 
 TEXT_QUERIES = {
@@ -8756,4 +9170,9 @@ TEXT_QUERIES = {
     "q183_shard_leakage": (q183_shard_leakage, Q183_SQL),
     "q184_dim_variance": (q184_dim_variance, Q184_SQL),
     "q185_packing_sweep": (q185_packing_sweep, Q185_SQL),
+    "q186_dup_cluster_sizes": (q186_dup_cluster_sizes, Q186_SQL),
+    "q187_corpus_delta": (q187_corpus_delta, Q187_SQL),
+    "q188_norm_outliers": (q188_norm_outliers, Q188_SQL),
+    "q189_len_quality_corr": (q189_len_quality_corr, Q189_SQL),
+    "q190_kn_band_routing": (q190_kn_band_routing, Q190_SQL),
 }

@@ -229,6 +229,7 @@ BNLJ_ALLOWED = {
     "q164_ivf_balance",  # 16-row broadcast centroid table (q93's class)
     "q176_centroid_distances",  # label-count-sized centroid theta join (q93's class)
     "q178_embedding_integrity",  # two 1-row report-assembly cross joins (q89's class)
+    "q190_kn_band_routing",  # 1-row corpus-mean scalar broadcast + composes q143
 }
 
 
