@@ -199,6 +199,10 @@ HEADLINE = [
     "q188_norm_outliers",
     "q189_len_quality_corr",
     "q190_kn_band_routing",
+    # Round-7 eighth wave: events analytics + corpus drift.
+    "q191_rolling_active_users",
+    "q192_event_transitions",
+    "q193_vocab_drift",
 ]
 
 

@@ -1949,6 +1949,127 @@ FROM marked GROUP BY cohort_week, week_n
 """
 
 
+# --------------------------------------------------------------------------
+# q191 — rolling 7-day active users, exact (the DAU/WAU panel query)
+# --------------------------------------------------------------------------
+def q191_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per observed day: exact distinct active users that day (DAU) and
+    over the trailing 7 days (rolling WAU) → (day, dau, rau_7d). q76's
+    HLL rollup is the sketch path; this is the exact panel the sketch is
+    validated against, via the contribute-forward trick: each distinct
+    (day, user) pair is exploded to the ≤7 report days it supports, so
+    the rolling distinct is a plain groupBy — no per-day re-scan of a
+    7-day window, no O(days·events) self-join.
+
+    Shape: one distinct on (day, user) (map-side partial), a ×7 linear
+    explode, and two day-keyed aggs; report days are inner-joined to
+    observed days so the trailing horizon past max(day) is not padded.
+    Integer counts only — hash-exact. Day-key fan-in is |users|-bounded
+    per day; AQE handles hot days.
+    """
+    t = load_tables(spark, sf_dir)
+    du = (
+        t["events"]
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    tgt = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "day_t"
+        ),
+        "user_id",
+    )
+    rau = tgt.groupBy("day_t").agg(
+        F.count_distinct("user_id").cast("bigint").alias("rau_7d")
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    return dau.join(rau, dau.day == rau.day_t).select(
+        F.col("day").cast("string").alias("day"), "dau", "rau_7d"
+    )
+
+
+Q191_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), tgt AS (
+  SELECT CAST(du.day + CAST(d.i AS INTEGER) AS DATE) AS day_t, du.user_id
+  FROM du, LATERAL (SELECT unnest(range(0, 7)) AS i) d
+), rau AS (
+  SELECT day_t, CAST(count(DISTINCT user_id) AS BIGINT) AS rau_7d
+  FROM tgt GROUP BY day_t
+), dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+)
+SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, rau.rau_7d
+FROM dau JOIN rau ON rau.day_t = dau.day
+"""
+
+
+# --------------------------------------------------------------------------
+# q192 — event-type transition matrix (behavioral Markov counts)
+# --------------------------------------------------------------------------
+def q192_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per ordered (prev_type → next_type) pair of consecutive events of
+    the same user: transition count and row-normalized probability →
+    (prev_type, next_type, n_transitions, p). The Markov table behind
+    q111's fixed funnel — the funnel asks about ONE path; this measures
+    every observed path, which is how the funnel's steps get chosen in
+    the first place.
+
+    Determinism: the per-user stream is ordered by (ts, event_id) —
+    event_id is unique, so ties are total-ordered and lag() is exact.
+    Exactness: integer counts; p divides exact bigints in double.
+    Shape: one user-keyed window (the sessionize layout q21 already
+    shuffles into) + a ≤|types|²-row agg + a window sum over prev_type.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t["events"]
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wp).cast("double"),
+            9,
+        ).alias("p"),
+    )
+
+
+Q192_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                    AS DOUBLE), 9) AS p
+FROM counts
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -2001,4 +2122,6 @@ RELATIONAL_QUERIES = {
     "q110_scd2_asof": (q110_scd2_asof, Q110_SQL),
     "q111_event_funnel": (q111_event_funnel, Q111_SQL),
     "q112_cohort_retention": (q112_cohort_retention, Q112_SQL),
+    "q191_rolling_active_users": (q191_rolling_active_users, Q191_SQL),
+    "q192_event_transitions": (q192_event_transitions, Q192_SQL),
 }

@@ -8675,6 +8675,40 @@ FROM sizes GROUP BY cluster_size
 # --------------------------------------------------------------------------
 # q187 — corpus version diff (snapshot delta audit)
 # --------------------------------------------------------------------------
+def _snapshot_v2(base: DataFrame) -> DataFrame:
+    """The deterministic second corpus snapshot q187/q193 diff against:
+    doc_id % 17 == 0 dropped, % 13 == 0 text-revised, % 19 == 0 re-added
+    under a shifted id. Column contract: (doc_id, text)."""
+    return (
+        base.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new revision of "), F.col("text")).alias("text"),
+            )
+        )
+    )
+
+
+#: DuckDB mirror of _snapshot_v2 (kept adjacent so the two stay in sync).
+_SQL_SNAPSHOT_V2 = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new revision of ' || text AS text
+  FROM documents WHERE doc_id % 19 = 0
+"""
+
+
 def q187_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data audit between two corpus snapshots: per delta status
     (added / removed / changed / unchanged), document count and char
@@ -8694,23 +8728,7 @@ def q187_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     base = t["documents"].select("doc_id", "text")
     v1 = base.select("doc_id", F.col("text").alias("t1"))
-    v2 = (
-        base.filter(F.col("doc_id") % 17 != 0)
-        .select(
-            "doc_id",
-            F.when(
-                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
-            )
-            .otherwise(F.col("text"))
-            .alias("t2"),
-        )
-        .unionByName(
-            base.filter(F.col("doc_id") % 19 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
-                F.concat(F.lit("new revision of "), F.col("text")).alias("t2"),
-            )
-        )
-    )
+    v2 = _snapshot_v2(base).select("doc_id", F.col("text").alias("t2"))
     j = v1.join(v2, "doc_id", "full_outer")
     status = (
         F.when(F.col("t1").isNull(), F.lit("added"))
@@ -8731,15 +8749,10 @@ def q187_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q187_SQL = """
+Q187_SQL = f"""
 WITH v1 AS (SELECT doc_id, text AS t1 FROM documents),
 v2 AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS t2
-  FROM documents WHERE doc_id % 17 <> 0
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, 'new revision of ' || text AS t2
-  FROM documents WHERE doc_id % 19 = 0
+  SELECT doc_id, text AS t2 FROM ({_SQL_SNAPSHOT_V2}) s
 ),
 j AS (
   SELECT v1.t1, v2.t2
@@ -9047,6 +9060,80 @@ FROM banded GROUP BY band
 
 
 # --------------------------------------------------------------------------
+# q193 — vocabulary drift between corpus snapshots (df movers)
+# --------------------------------------------------------------------------
+def q193_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 tokens whose document frequency moved most between q187's
+    two snapshots → (token, df_v1, df_v2, delta). Distribution drift at
+    the vocabulary level is the earliest observable signal that a new
+    corpus version changes what a model will learn (new boilerplate,
+    a source swap, an injected template) — q187 counts the delta's
+    SIZE; this names its CONTENT. q127's divergence compares sources
+    within one snapshot; this compares versions of the whole corpus.
+
+    Shape: two distinct-token-per-doc postings (gram-keyed, the q147
+    layout) + one token-keyed full-outer join bounded by |vocab| + a
+    TakeOrdered(20) — no corpus-sized sort. Determinism: the top-20 cut
+    orders by (|delta| DESC, token ASC) — a total order, so the SET is
+    stable; integer dfs, hash-exact.
+    """
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select("doc_id", "text")
+
+    def _df(frame: DataFrame, alias: str) -> DataFrame:
+        return (
+            frame.select(
+                F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    d1 = _df(base, "df_v1")
+    d2 = _df(_snapshot_v2(base), "df_v2")
+    j = (
+        d1.join(d2, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("df_v1", F.lit(0)).cast("bigint").alias("df_v1"),
+            F.coalesce("df_v2", F.lit(0)).cast("bigint").alias("df_v2"),
+        )
+        .withColumn("delta", (F.col("df_v2") - F.col("df_v1")).cast("bigint"))
+        .filter(F.col("delta") != 0)
+    )
+    return j.orderBy(F.abs("delta").desc(), F.col("token").asc()).limit(20)
+
+
+Q193_SQL = rf"""
+WITH v2 AS ({_SQL_SNAPSHOT_V2}),
+d1 AS (
+  SELECT t.token, CAST(count(*) AS BIGINT) AS df_v1
+  FROM (SELECT unnest(list_distinct(
+          regexp_split_to_array(trim(lower(text)), '\s+'))) AS token
+        FROM documents) t
+  GROUP BY t.token
+),
+d2 AS (
+  SELECT t.token, CAST(count(*) AS BIGINT) AS df_v2
+  FROM (SELECT unnest(list_distinct(
+          regexp_split_to_array(trim(lower(text)), '\s+'))) AS token
+        FROM v2) t
+  GROUP BY t.token
+),
+j AS (
+  SELECT coalesce(d1.token, d2.token) AS token,
+         CAST(coalesce(d1.df_v1, 0) AS BIGINT) AS df_v1,
+         CAST(coalesce(d2.df_v2, 0) AS BIGINT) AS df_v2
+  FROM d1 FULL OUTER JOIN d2 ON d1.token = d2.token
+)
+SELECT token, df_v1, df_v2, CAST(df_v2 - df_v1 AS BIGINT) AS delta
+FROM j WHERE df_v2 <> df_v1
+ORDER BY abs(df_v2 - df_v1) DESC, token ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 
 
 TEXT_QUERIES = {
@@ -9175,4 +9262,5 @@ TEXT_QUERIES = {
     "q188_norm_outliers": (q188_norm_outliers, Q188_SQL),
     "q189_len_quality_corr": (q189_len_quality_corr, Q189_SQL),
     "q190_kn_band_routing": (q190_kn_band_routing, Q190_SQL),
+    "q193_vocab_drift": (q193_vocab_drift, Q193_SQL),
 }

@@ -98,6 +98,10 @@ def main() -> None:
     out["rows"]["documents"] = t["documents"].count()
     out["rows"]["embeddings"] = t["embeddings"].count()
 
+    # SCALE_ONLY=q183_...,q186_... restricts the sweep (wave-sized audit
+    # sessions); unset runs everything, the full-regression mode.
+    only = {s for s in os.environ.get("SCALE_ONLY", "").split(",") if s}
+
     for name in (
         "q72_dup_clusters",
         "q81_corpus_prep",
@@ -209,7 +213,19 @@ def main() -> None:
         # tripwire). q185 excluded: a single global agg.
         "q183_shard_leakage",
         "q184_dim_variance",
+        # Wave 7. q186 rides the capped pair graph + CC and must show
+        # the 10-way cliques as cluster_size=10 rows (semantic check,
+        # not just wall-time); q187's full-outer join is id-keyed and
+        # must stay linear; q190 re-runs q143's postings-bounded bigram
+        # joins where 10-way text duplication multiplies every bigram
+        # count by 10 (the hot-word fan-out case). q188/q189 excluded:
+        # per-row folds + label/source-keyed aggs.
+        "q186_dup_cluster_sizes",
+        "q187_corpus_delta",
+        "q190_kn_band_routing",
     ):
+        if only and name not in only:
+            continue
         # Independent per-query cost: queries that persist shared
         # subtrees defer their pin release (plans/common.py) — clear
         # between measurements so no query reads a predecessor's cache.
@@ -239,6 +255,8 @@ def main() -> None:
         ("q126_lsh_recall", q126_lsh_recall),
         ("q138_adc_recall", q138_adc_recall),
     ):
+        if only and hname not in only:
+            continue
         spark.catalog.clearCache()
         flush_pending_release()
         t0 = time.perf_counter()
@@ -248,6 +266,13 @@ def main() -> None:
             "result_rows": n,
         }
         print(f"# {hname}@frac0.1: {out['queries'][f'{hname}@frac0.1']}", file=sys.stderr)
+
+    if only:
+        # Wave-sized session: skip the full CC/semdedup telemetry block
+        # (unchanged code paths; re-measured only in full-regression mode).
+        print(json.dumps(out, separators=(",", ":")))
+        spark.stop()
+        return
 
     # CC telemetry on the two pair graphs (rounds-to-converge, edge counts,
     # cluster counts) — the numbers that show convergence stays O(log) and
