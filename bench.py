@@ -203,6 +203,10 @@ HEADLINE = [
     "q191_rolling_active_users",
     "q192_event_transitions",
     "q193_vocab_drift",
+    # Round-7 ninth wave: dedup-aware mixing, containment, probe sweep.
+    "q194_dedup_adjusted_mixture",
+    "q195_containment_pairs",
+    "q196_ivf_probe_sweep",
 ]
 
 

@@ -336,6 +336,72 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment pairs: c(A→B) = |A∩B| / |A| — the
+    quote/inclusion detector Jaccard misses. A short document fully
+    quoted inside a long one has tiny Jaccard (the union is dominated by
+    the long side) but containment ≈ 1 in one direction; broadened-page
+    and stitched-page artifacts look exactly like this. Output:
+    (a_id, b_id, c_a_in_b, c_b_in_a, jaccard) for pairs where
+    max(c_a_in_b, c_b_in_a) ≥ threshold.
+
+    Same inverted-index shape and ``max_df`` stop-shingle cap as
+    ``ngram_jaccard_pairs`` (the postings join is identical; only the
+    final normalization differs), so the 10×-audited scale properties
+    carry over unchanged.
+    """
+    from pyspark import StorageLevel
+
+    sh = _doc_shingles(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    postings = sh.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).select("doc_id", _md5_60bit(F.col("shingle")).alias("sh_h"))
+    grouped = postings.groupBy("sh_h").agg(F.collect_list("doc_id").alias("ds"))
+    if max_df is not None:
+        grouped = grouped.filter(F.size("ds") <= max_df)
+    grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = (
+        grouped.select(F.explode("ds").alias("a_id"), F.col("ds"))
+        .select("a_id", F.explode("ds").alias("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
+    )
+    inter = pairs.groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("n_inter"))
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    ni = F.col("n_inter").cast("double")
+    c_ab = ni / F.col("sa.n_sh").cast("double")
+    c_ba = ni / F.col("sb.n_sh").cast("double")
+    return (
+        inter.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            c_ab.alias("c_a_in_b"),
+            c_ba.alias("c_b_in_a"),
+            (
+                ni
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.greatest(F.col("c_a_in_b"), F.col("c_b_in_a")) >= threshold)
+    )
+
+
 def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc 16-bit SimHash signature (hamming-close docs are near-dups).
 

@@ -234,6 +234,101 @@ def ivf_topk(
     )
 
 
+def ivf_probe_sweep(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_centroids: int | None = None,
+    probes: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """``ivf_topk`` swept over the n_probe knob in ONE index pass:
+    output (n_probe, vec_id, neighbor_id, rn) for every level in
+    ``probes``. The candidate set at probe level p is a prefix of the
+    level-max(probes) set (each member lives in exactly one cell, each
+    query probes its top-max(p) cells), so the sweep scores candidates
+    ONCE at the deepest level, tags each with the probe rank that
+    produced it, and re-ranks per level with a filter — no re-assignment,
+    no re-scoring, exactly the one-pass posture of the q146/q182/q185
+    threshold sweeps. This is the tuning table the (c, n_probe) decision
+    reads next to its recall harness.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    max_p = max(probes)
+    base = with_vector_norm(df.select(F.col(id_col).alias("vid"), vec_col), vec_col)
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(16, math.isqrt(max(base.count(), 1) - 1) + 1)
+    cents = (
+        base.orderBy("vid")
+        .limit(n_centroids)
+        .select(
+            F.col("vid").alias("cent_id"),
+            F.col("vec_d").alias("c_vec"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vid",
+        "vec_d",
+        "norm",
+        "cent_id",
+        (
+            _dot(F.col("vec_d"), F.col("c_vec")) / (F.col("norm") * F.col("c_norm"))
+        ).alias("c_cos"),
+    )
+    wc = Window.partitionBy("vid").orderBy(F.col("c_cos").desc(), F.col("cent_id").asc())
+    ranked = (
+        scored.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= max_p)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cells = ranked.filter(F.col("crn") == 1).select(
+        F.col("cent_id").alias("cell"),
+        F.col("vid").alias("m_id"),
+        F.col("vec_d").alias("m_vec"),
+        F.col("norm").alias("m_norm"),
+    )
+    probes_df = ranked.select(
+        "vid",
+        F.col("vec_d").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+        F.col("cent_id").alias("cell"),
+        "crn",
+    )
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        probes_df.repartition(n_part, F.col("cell"))
+        .join(cells.repartition(n_part, F.col("cell")), "cell")
+        .filter(F.col("vid") != F.col("m_id"))
+    )
+    cos = (
+        _dot(F.col("q_vec"), F.col("m_vec")) / (F.col("q_norm") * F.col("m_norm"))
+    ).alias("cos_sim")
+    scored2 = cand.select("vid", "m_id", "crn", cos)
+    lv = F.explode(F.array(*[F.lit(int(p)) for p in sorted(probes)])).alias("n_probe")
+    tagged = scored2.select(lv, "vid", "m_id", "crn", "cos_sim").filter(
+        F.col("crn") <= F.col("n_probe")
+    )
+    w = Window.partitionBy("n_probe", "vid").orderBy(
+        F.col("cos_sim").desc(), F.col("m_id").asc()
+    )
+    return (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "n_probe",
+            F.col("vid").alias("vec_id"),
+            F.col("m_id").alias("neighbor_id"),
+            F.round(F.col("cos_sim"), 6).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
 def sign_bucket(vec: Column, bits: int = 12) -> Column:
     """LSH bucket id from the signs of the first ``bits`` coordinates."""
     out = F.lit(0)

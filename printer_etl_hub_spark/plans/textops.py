@@ -30,7 +30,12 @@ from ..operators.dedup import (
     winnow_match_pairs,
 )
 from ..operators.multimodal import decode_media
-from ..operators.similarity import cosine_topk_bruteforce, ivf_topk, sign_lsh_pairs
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    ivf_probe_sweep,
+    ivf_topk,
+    sign_lsh_pairs,
+)
 from ..tables import load_tables
 from .common import dsum, materialize_release, md5_sample_gate, sql_dsum, ts_str
 
@@ -9134,6 +9139,278 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# q194 — dedup-adjusted mixture weights (dedup changes your data mixing)
+# --------------------------------------------------------------------------
+def q194_dedup_adjusted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q145's temperature-scaled mixture weights recomputed on the
+    SURVIVING token mass after exact dedup (keep-min-doc_id per content
+    digest, q23's policy), next to the raw weights → (source,
+    n_docs_kept, n_tokens_kept, weight_dedup, weight_raw). Duplication
+    is never uniform across sources, so deduping AFTER fixing mixture
+    weights silently re-weights the mixture — the gap between the two
+    columns is exactly the drift a pipeline that weighs before deduping
+    ships to training. Order the steps by this table: dedup first.
+
+    Shape: one digest groupBy (map-side partial) + an id-keyed semi
+    join + two groupBy(source) aggs + two 1-row total broadcasts (the
+    q89/q145 scalar class). sqrt keeps α=0.5 IEEE-exact (q145's rule).
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("content_md5"),
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_toks"),
+    )
+    keep = d.groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
+    kept = d.join(keep.select("doc_id"), "doc_id")
+    per = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens_kept"),
+    )
+    per = per.withColumn("sq", F.sqrt(F.col("n_tokens_kept").cast("double")))
+    tot = per.agg(dsum(F.col("sq")).alias("sq_total"))
+    raw = (
+        d.groupBy("source")
+        .agg(F.sum("n_toks").cast("bigint").alias("n_tokens_raw"))
+        .withColumn("sqr", F.sqrt(F.col("n_tokens_raw").cast("double")))
+    )
+    rtot = raw.agg(dsum(F.col("sqr")).alias("sqr_total"))
+    return (
+        per.join(F.broadcast(tot))
+        .join(raw.join(F.broadcast(rtot)), "source")
+        .select(
+            "source",
+            "n_docs_kept",
+            "n_tokens_kept",
+            F.round(F.col("sq") / F.col("sq_total"), 9).alias("weight_dedup"),
+            F.round(F.col("sqr") / F.col("sqr_total"), 9).alias("weight_raw"),
+        )
+    )
+
+
+Q194_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS content_md5,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+           AS n_toks
+  FROM documents
+), keep AS (
+  SELECT min(doc_id) AS doc_id FROM d GROUP BY content_md5
+), kept AS (
+  SELECT d.* FROM d JOIN keep USING (doc_id)
+), per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens_kept
+  FROM kept GROUP BY source
+), persq AS (
+  SELECT source, n_docs_kept, n_tokens_kept,
+         sqrt(CAST(n_tokens_kept AS DOUBLE)) AS sq
+  FROM per
+), tot AS (
+  SELECT {sql_dsum('sq')} AS sq_total FROM persq
+), raw AS (
+  SELECT source, sqrt(CAST(sum(n_toks) AS DOUBLE)) AS sqr
+  FROM d GROUP BY source
+), rtot AS (
+  SELECT {sql_dsum('sqr')} AS sqr_total FROM raw
+)
+SELECT p.source, p.n_docs_kept, p.n_tokens_kept,
+       round(p.sq / t.sq_total, 9) AS weight_dedup,
+       round(r.sqr / rt.sqr_total, 9) AS weight_raw
+FROM persq p
+CROSS JOIN tot t
+JOIN raw r ON r.source = p.source
+CROSS JOIN rtot rt
+"""
+
+
+# --------------------------------------------------------------------------
+# q195 — asymmetric n-gram containment pairs (quote/inclusion detector)
+# --------------------------------------------------------------------------
+_CONTAIN_T = 0.9
+
+
+def q195_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where one document's shingle set is ≥ 90% contained in the
+    other's → (a_id, b_id, c_a_in_b, c_b_in_a, jaccard). Containment
+    c(A→B) = |A∩B|/|A| catches what symmetric Jaccard structurally
+    misses: a short document quoted whole inside a long one has Jaccard
+    ≈ |A|/|B| (arbitrarily small) but containment ≈ 1 — the
+    stitched-page / quoted-reply / boilerplate-wrapper family. Reported
+    next to the pair's Jaccard so the asymmetry is visible.
+
+    Shape: ``ngram_containment_pairs`` — the exact inverted-index join
+    and max_df stop-shingle cap of q29 (only the final normalization
+    differs), so the 10×-audited bounds carry over. Ratios are
+    int/int single divisions — identical IEEE both engines.
+    """
+    from ..operators.dedup import ngram_containment_pairs
+
+    t = load_tables(spark, sf_dir)
+    pairs = ngram_containment_pairs(
+        t["documents"], "doc_id", "text", threshold=_CONTAIN_T, max_df=_J_MAX_DF
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.round("c_a_in_b", 9).alias("c_a_in_b"),
+        F.round("c_b_in_a", 9).alias("c_b_in_a"),
+        F.round("jaccard", 9).alias("jaccard"),
+    )
+
+
+Q195_SQL = f"""
+WITH words AS ({_SQL_WORDS}),
+sh AS ({_SQL_SHINGLES}),
+posts0 AS (
+  SELECT doc_id, {_sql_md5_60bit('shingle')} AS sh_h
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)
+),
+freq AS (SELECT sh_h FROM posts0 GROUP BY sh_h HAVING count(*) <= {_J_MAX_DF}),
+posts AS (SELECT p.doc_id, p.sh_h FROM posts0 p JOIN freq USING (sh_h)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM posts GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM posts a JOIN posts b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 9) AS c_a_in_b,
+       round(CAST(n_inter AS DOUBLE) / CAST(sb.n_sh AS DOUBLE), 9) AS c_b_in_a,
+       round(CAST(n_inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 9) AS jaccard
+FROM inter
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE greatest(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE),
+               CAST(n_inter AS DOUBLE) / CAST(sb.n_sh AS DOUBLE))
+      >= {_CONTAIN_T}
+"""
+
+
+# --------------------------------------------------------------------------
+# q196 — IVF n_probe sweep recall table (index-tuning curve, one pass)
+# --------------------------------------------------------------------------
+_PROBE_SWEEP = (1, 2, 4)
+
+
+def q196_ivf_probe_sweep(
+    spark: SparkSession, sf_dir: str, sample_frac: float = 1.0
+) -> DataFrame:
+    """Recall@k of the IVF index at n_probe ∈ {1, 2, 4} from ONE index
+    pass → (n_probe, n_hits, n_truth, recall). q114 scores the shipped
+    configuration; this is the curve the configuration is CHOSEN from —
+    probe cost is linear in n_probe, so the operating point is where
+    this curve flattens. The sweep scores candidates once at the
+    deepest level and re-ranks per level (operators/similarity.py::
+    ivf_probe_sweep — the q146/q182 one-pass sweep posture applied to
+    an index knob).
+
+    ``sample_frac`` < 1 gates the QUERY side deterministically
+    (md5_sample_gate), exactly q114's 100× pricing: ground truth at
+    |sample|·|corpus|, sweep rows bit-identical to the full run's.
+    Integer hit/truth counts; recall is one final IEEE division.
+    """
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qset = None
+    gate = None
+    if sample_frac < 1.0:
+        gate = md5_sample_gate(F.col("vec_id"), sample_frac, salt="ivfsweep")
+        qset = emb.filter(gate)
+    ex = cosine_topk_bruteforce(
+        emb, "vec_id", "embedding", k=3, max_n=None, queries=qset
+    )
+    sw = ivf_probe_sweep(
+        emb, "vec_id", "embedding", k=3, n_centroids=_IVF_C, probes=_PROBE_SWEEP
+    )
+    if gate is not None:
+        sw = sw.filter(md5_sample_gate(F.col("vec_id"), sample_frac, salt="ivfsweep"))
+    lv = F.explode(
+        F.array(*[F.lit(int(p)) for p in sorted(_PROBE_SWEEP)])
+    ).alias("n_probe")
+    exl = ex.select(lv, "vec_id", "neighbor_id")
+    hits = exl.join(
+        sw.select("n_probe", "vec_id", "neighbor_id", F.lit(1).alias("_hit")),
+        ["n_probe", "vec_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("n_probe").agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("recall"),
+    )
+
+
+def _sql_ivf_sweep() -> str:
+    max_p = max(_PROBE_SWEEP)
+    levels = ", ".join(str(p) for p in sorted(_PROBE_SWEEP))
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+), n AS (
+  SELECT vec_id, vd,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), cents AS (
+  SELECT vec_id AS cent_id, vd AS c_vec, nrm AS c_nrm FROM n
+  ORDER BY vec_id LIMIT {_IVF_C}
+), scoredc AS (
+  SELECT n.vec_id, n.vd, n.nrm, c.cent_id,
+         {_SQL_DOT.format(a='n.vd', b='c.c_vec')} / (n.nrm * c.c_nrm) AS c_cos
+  FROM n CROSS JOIN cents c
+), rankedc AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cent_id ASC) AS crn
+  FROM scoredc
+), cells AS (
+  SELECT cent_id AS cell, vec_id AS m_id, vd AS m_vec, nrm AS m_nrm
+  FROM rankedc WHERE crn = 1
+), probes AS (
+  SELECT vec_id, vd AS q_vec, nrm AS q_nrm, cent_id AS cell, crn
+  FROM rankedc WHERE crn <= {max_p}
+), cand AS (
+  SELECT p.vec_id, c.m_id, p.crn,
+         {_SQL_DOT.format(a='p.q_vec', b='c.m_vec')} / (p.q_nrm * c.m_nrm) AS cos_raw
+  FROM probes p JOIN cells c USING (cell)
+  WHERE p.vec_id <> c.m_id
+), lv AS (
+  SELECT CAST(unnest([{levels}]) AS INTEGER) AS n_probe
+), tagged AS (
+  SELECT l.n_probe, c.vec_id, c.m_id, c.cos_raw
+  FROM cand c, lv l WHERE c.crn <= l.n_probe
+), ranked2 AS (
+  SELECT n_probe, vec_id, m_id,
+         row_number() OVER (PARTITION BY n_probe, vec_id
+                            ORDER BY cos_raw DESC, m_id ASC) AS rn
+  FROM tagged
+), sw AS (
+  SELECT n_probe, vec_id, m_id FROM ranked2 WHERE rn <= 3
+), ex AS ({Q31_SQL}),
+exl AS (
+  SELECT l.n_probe, e.vec_id, e.neighbor_id FROM ex e, lv l
+)
+SELECT exl.n_probe,
+       CAST(SUM(CASE WHEN sw.m_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       round(CAST(SUM(CASE WHEN sw.m_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 9) AS recall
+FROM exl
+LEFT JOIN sw ON sw.n_probe = exl.n_probe AND sw.vec_id = exl.vec_id
+            AND sw.m_id = exl.neighbor_id
+GROUP BY exl.n_probe
+"""
+
+
+Q196_SQL = _sql_ivf_sweep()
+
+
+# --------------------------------------------------------------------------
 
 
 TEXT_QUERIES = {
@@ -9263,4 +9540,7 @@ TEXT_QUERIES = {
     "q189_len_quality_corr": (q189_len_quality_corr, Q189_SQL),
     "q190_kn_band_routing": (q190_kn_band_routing, Q190_SQL),
     "q193_vocab_drift": (q193_vocab_drift, Q193_SQL),
+    "q194_dedup_adjusted_mixture": (q194_dedup_adjusted_mixture, Q194_SQL),
+    "q195_containment_pairs": (q195_containment_pairs, Q195_SQL),
+    "q196_ivf_probe_sweep": (q196_ivf_probe_sweep, Q196_SQL),
 }

@@ -932,3 +932,57 @@ def test_winnow_fingerprints_oversized_doc_fails_loudly(spark):
         [(2, "a perfectly ordinary document body")], "doc_id long, text string"
     )
     assert winnow_fingerprints(ok, "doc_id", "text", k=8, w=4).count() > 0
+
+
+def test_ngram_containment_asymmetric_quote_inclusion(spark):
+    """A short document quoted whole inside a long one: containment must
+    fire in the contained direction (≈1) while Jaccard stays small —
+    the case symmetric thresholds structurally miss."""
+    from printer_etl_hub_spark.operators.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    long_doc = f"{filler} {short} " + " ".join(f"v{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc)], "doc_id long, text string"
+    )
+    rows = ngram_containment_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a_id, r.b_id) == (1, 2)
+    # every 3-gram of the short doc appears in the long doc
+    assert r.c_a_in_b == 1.0
+    assert r.c_b_in_a < 0.1
+    assert r.jaccard < 0.1
+    # the same pair is invisible to the symmetric detector at any
+    # comparable threshold
+    assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).count() == 0
+
+
+def test_ivf_probe_sweep_matches_ivf_topk_and_is_monotone(spark):
+    """Contract: the sweep's level p must equal ivf_topk(n_probe=p)
+    row-for-row (same index, same ranking), and candidate coverage —
+    hence hits against any fixed truth — is monotone in p."""
+    from printer_etl_hub_spark.operators.similarity import ivf_probe_sweep
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(200)
+    )
+    sweep = ivf_probe_sweep(
+        df, "vec_id", "embedding", k=3, n_centroids=8, probes=(1, 2, 4)
+    )
+    got = {
+        p: {(r.vec_id, r.neighbor_id, r.rn) for r in rows}
+        for p, rows in (
+            (p, sweep.filter(F.col("n_probe") == p).collect()) for p in (1, 2, 4)
+        )
+    }
+    for p in (1, 2, 4):
+        ref = {
+            (r.vec_id, r.neighbor_id, r.rn)
+            for r in ivf_topk(
+                df, "vec_id", "embedding", k=3, n_centroids=8, n_probe=p
+            ).collect()
+        }
+        assert got[p] == ref, f"sweep level {p} diverges from ivf_topk"

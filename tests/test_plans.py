@@ -230,6 +230,8 @@ BNLJ_ALLOWED = {
     "q176_centroid_distances",  # label-count-sized centroid theta join (q93's class)
     "q178_embedding_integrity",  # two 1-row report-assembly cross joins (q89's class)
     "q190_kn_band_routing",  # 1-row corpus-mean scalar broadcast + composes q143
+    "q194_dedup_adjusted_mixture",  # two 1-row total scalar broadcasts (q145's class)
+    "q196_ivf_probe_sweep",  # composes q31's guarded theta ground truth (q114's class)
 }
 
 
