@@ -207,6 +207,12 @@ HEADLINE = [
     "q194_dedup_adjusted_mixture",
     "q195_containment_pairs",
     "q196_ivf_probe_sweep",
+    # Round-7 tenth wave: suffix templates, snapshot near-dup,
+    # gate pass rates, budget apportionment.
+    "q197_template_suffixes",
+    "q198_snapshot_neardup",
+    "q199_gate_pass_rates",
+    "q200_budget_allocation",
 ]
 
 

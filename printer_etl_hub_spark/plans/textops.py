@@ -8,7 +8,7 @@ query here is bit-reproducible in DuckDB (see plans/common.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -9411,6 +9411,285 @@ Q196_SQL = _sql_ivf_sweep()
 
 
 # --------------------------------------------------------------------------
+# q197 — template suffixes (boilerplate TAILS; q161 flags the heads)
+# --------------------------------------------------------------------------
+def q197_template_suffixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents sharing an identical last-10-token suffix, grouped:
+    (suffix_md5, n_docs, keeper_id) for groups of ≥ 2 — the footer/
+    signature/license-block detector. Generated and scraped pages share
+    TAILS (copyright lines, nav footers, email signatures) at least as
+    often as heads; q161 catches the heads, this is its mirror. Same
+    shape: one digest-keyed shuffle, wide text never travels.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= _PREFIX_TOKENS)
+    suf = F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(F.col("toks"), F.size("toks") - (_PREFIX_TOKENS - 1), _PREFIX_TOKENS),
+        )
+    )
+    return (
+        d.select("doc_id", suf.alias("suffix_md5"))
+        .groupBy("suffix_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+Q197_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+), suf AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_slice(w, len(w) - {_PREFIX_TOKENS - 1}, len(w)), ' ')) AS suffix_md5
+  FROM toks WHERE len(w) >= {_PREFIX_TOKENS}
+)
+SELECT suffix_md5, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_id
+FROM suf GROUP BY suffix_md5 HAVING count(*) >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q198 — cross-snapshot near-dup sweep (incremental ingest audit)
+# --------------------------------------------------------------------------
+def q198_snapshot_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which documents ADDED in q187's v2 snapshot are near-dups of the
+    EXISTING corpus → (a_id, b_id, jaccard) with a = v1 doc, b = new v2
+    doc. q163 dedups an increment EXACTLY; this is the near-dup pass an
+    incremental ingest runs next (the batch twin of the streaming
+    minhash ingest sink's history check). ``ngram_jaccard_cross`` keeps
+    the big v1 side from paying its own quadratic fan-out: the pair
+    stream is a-postings ⋈ b-postings only, with the combined-df cap.
+    """
+    from ..operators.dedup import ngram_jaccard_cross
+
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select("doc_id", "text")
+    new_docs = base.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new revision of "), F.col("text")).alias("text"),
+    )
+    pairs = ngram_jaccard_cross(
+        base, new_docs, "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+    )
+    return pairs.select("a_id", "b_id", F.round("jaccard", 9).alias("jaccard"))
+
+
+Q198_SQL = rf"""
+WITH v1 AS (SELECT doc_id, text, 0 AS side FROM documents),
+newd AS (
+  SELECT doc_id + 1000000 AS doc_id, 'new revision of ' || text AS text, 1 AS side
+  FROM documents WHERE doc_id % 19 = 0
+),
+allsides AS (SELECT * FROM v1 UNION ALL SELECT * FROM newd),
+words AS (
+  SELECT doc_id, side, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM allsides
+),
+sh AS (
+  SELECT doc_id, side, list_distinct(list_transform(range(1, len(w)-1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM words WHERE len(w) >= 3
+),
+posts0 AS (
+  SELECT doc_id, side, {_sql_md5_60bit('shingle')} AS sh_h
+  FROM (SELECT doc_id, side, unnest(sh) AS shingle FROM sh)
+),
+freq AS (SELECT sh_h FROM posts0 GROUP BY sh_h HAVING count(*) <= {_J_MAX_DF}),
+posts AS (SELECT p.doc_id, p.side, p.sh_h FROM posts0 p JOIN freq USING (sh_h)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM posts GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM posts a JOIN posts b ON a.sh_h = b.sh_h
+  WHERE a.side = 0 AND b.side = 1
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       round(CAST(n_inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 9) AS jaccard
+FROM inter
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# q199 — per-source Gopher gate pass rates (filter-impact rollup)
+# --------------------------------------------------------------------------
+def q199_gate_pass_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q141's per-document Gopher flags rolled up per source: document
+    count and the pass rate of each rule plus the all-rules keep rate →
+    the filter-impact table a curation owner reads BEFORE enabling the
+    gate (a source failing one rule at 40% is a rule-calibration
+    problem, not a data problem). Shape: q141's zero-shuffle map + one
+    slim doc_id→source join + one groupBy(source). Rates divide exact
+    integer sums in double (round 9).
+    """
+    t = load_tables(spark, sf_dir)
+    flags = q141_gopher_rules(spark, sf_dir).select(
+        "doc_id", "ok_words", "ok_mwl", "ok_symbols", "ok_alpha",
+        "ok_stopwords", "keep",
+    )
+    src = t["documents"].select("doc_id", "source")
+    j = flags.join(src, "doc_id")
+    n = F.count(F.lit(1))
+
+    def rate(c: str) -> Column:
+        return F.round(
+            F.sum(F.col(c).cast("bigint")).cast("double") / n.cast("double"), 9
+        ).alias(f"rate_{c}")
+
+    return j.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        rate("ok_words"),
+        rate("ok_mwl"),
+        rate("ok_symbols"),
+        rate("ok_alpha"),
+        rate("ok_stopwords"),
+        rate("keep"),
+    )
+
+
+Q199_SQL = f"""
+WITH flags AS ({Q141_SQL}),
+j AS (
+  SELECT d.source, f.ok_words, f.ok_mwl, f.ok_symbols, f.ok_alpha,
+         f.ok_stopwords, f.keep
+  FROM flags f JOIN documents d USING (doc_id)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(ok_words) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+         AS rate_ok_words,
+       round(CAST(sum(ok_mwl) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+         AS rate_ok_mwl,
+       round(CAST(sum(ok_symbols) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+         AS rate_ok_symbols,
+       round(CAST(sum(ok_alpha) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+         AS rate_ok_alpha,
+       round(CAST(sum(ok_stopwords) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+         AS rate_ok_stopwords,
+       round(CAST(sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS rate_keep
+FROM j GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q200 — integer token-budget apportionment (largest-remainder method)
+# --------------------------------------------------------------------------
+_BUDGET_TOKENS = 1_000_000
+
+
+def q200_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q145's mixture weights turned into an INTEGER token allocation
+    that sums exactly to the budget: largest-remainder (Hamilton)
+    apportionment of ``_BUDGET_TOKENS`` (1M) tokens across sources →
+    (source, n_tokens, weight, alloc_tokens, epochs_alloc). Floating
+    shares never sum to the budget after truncation; the largest-
+    remainder step hands the leftover to the sources with the biggest
+    fractional parts (ties broken by source name), which is the
+    deterministic, auditable version of "just round it". Σalloc ≡
+    budget by construction — the invariant a downstream sharder (q77)
+    gets to assume.
+
+    Shape: one groupBy(source) + one 1-row broadcast + two windows over
+    a |sources|-row frame (the single-partition exchange is bounded by
+    the source count, not the corpus — same argument as q145's output).
+    Exactness: floor of identical doubles, integer leftover arithmetic,
+    rank ties broken totally.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "source", F.size(tokenize(F.col("text"))).cast("bigint").alias("n_toks")
+    )
+    per = d.groupBy("source").agg(F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    per = per.withColumn("sq", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = per.agg(dsum(F.col("sq")).alias("sq_total"))
+    w = F.col("sq") / F.col("sq_total")
+    shares = per.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        w.alias("weight"),
+        (F.lit(float(_BUDGET_TOKENS)) * w).alias("share"),
+    )
+    shares = shares.select(
+        "source",
+        "n_tokens",
+        "weight",
+        F.floor("share").cast("bigint").alias("fl"),
+        (F.col("share") - F.floor("share")).alias("rem"),
+    )
+    leftover = shares.agg(
+        (F.lit(_BUDGET_TOKENS) - F.sum("fl")).cast("bigint").alias("leftover")
+    )
+    wr = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    alloc = (
+        shares.join(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            "source",
+            "n_tokens",
+            F.round("weight", 9).alias("weight"),
+            (
+                F.col("fl")
+                + (F.col("rk") <= F.col("leftover")).cast("bigint")
+            ).alias("alloc_tokens"),
+        )
+    )
+    return alloc.select(
+        "source",
+        "n_tokens",
+        "weight",
+        "alloc_tokens",
+        F.round(
+            F.col("alloc_tokens").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("epochs_alloc"),
+    )
+
+
+Q200_SQL = rf"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), sq AS (
+  SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS sq FROM per
+), tot AS (
+  SELECT {sql_dsum('sq')} AS sq_total FROM sq
+), shares AS (
+  SELECT source, n_tokens, sq / sq_total AS weight,
+         CAST({_BUDGET_TOKENS}.0 AS DOUBLE) * (sq / sq_total) AS share
+  FROM sq CROSS JOIN tot
+), fl AS (
+  SELECT source, n_tokens, weight,
+         CAST(floor(share) AS BIGINT) AS fl, share - floor(share) AS rem
+  FROM shares
+), lo AS (
+  SELECT CAST({_BUDGET_TOKENS} - sum(fl) AS BIGINT) AS leftover FROM fl
+), ranked AS (
+  SELECT fl.*, lo.leftover,
+         row_number() OVER (ORDER BY fl.rem DESC, fl.source ASC) AS rk
+  FROM fl CROSS JOIN lo
+)
+SELECT source, n_tokens, round(weight, 9) AS weight,
+       CAST(fl + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS BIGINT)
+         AS alloc_tokens,
+       round(CAST(fl + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE), 6) AS epochs_alloc
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
 
 
 TEXT_QUERIES = {
@@ -9543,4 +9822,8 @@ TEXT_QUERIES = {
     "q194_dedup_adjusted_mixture": (q194_dedup_adjusted_mixture, Q194_SQL),
     "q195_containment_pairs": (q195_containment_pairs, Q195_SQL),
     "q196_ivf_probe_sweep": (q196_ivf_probe_sweep, Q196_SQL),
+    "q197_template_suffixes": (q197_template_suffixes, Q197_SQL),
+    "q198_snapshot_neardup": (q198_snapshot_neardup, Q198_SQL),
+    "q199_gate_pass_rates": (q199_gate_pass_rates, Q199_SQL),
+    "q200_budget_allocation": (q200_budget_allocation, Q200_SQL),
 }

@@ -223,6 +223,17 @@ def main() -> None:
         "q186_dup_cluster_sizes",
         "q187_corpus_delta",
         "q190_kn_band_routing",
+        # Waves 8-9. q193's postings joins see every df multiplied by the
+        # clone factor; q194's digest groupBy collapses each 10-way clone
+        # set to one keeper (keep-one must stay linear); q195 is the
+        # output-bound worst case — clones have containment 1.0 BOTH
+        # directions, so every clone pair passes the 0.9 cutoff and the
+        # pair table is C(10,2)·|docs| rows. q191/q192 ride unchanged
+        # event tables (the clone only multiplies documents/embeddings);
+        # q196 is audited separately at its sampled operating point.
+        "q193_vocab_drift",
+        "q194_dedup_adjusted_mixture",
+        "q195_containment_pairs",
     ):
         if only and name not in only:
             continue
@@ -250,10 +261,13 @@ def main() -> None:
         q138_adc_recall,
     )
 
+    from printer_etl_hub_spark.plans.textops import q196_ivf_probe_sweep
+
     for hname, hfn in (
         ("q114_ann_recall", q114_ann_recall),
         ("q126_lsh_recall", q126_lsh_recall),
         ("q138_adc_recall", q138_adc_recall),
+        ("q196_ivf_probe_sweep", q196_ivf_probe_sweep),
     ):
         if only and hname not in only:
             continue

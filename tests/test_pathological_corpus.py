@@ -118,6 +118,32 @@ BOUNDARY_SENSITIVE = [
     # 5000-token outlier.
     "q183_shard_leakage",
     "q185_packing_sweep",
+    # Round-7 waves 7-9: q186 composes the pair generator + CC over the
+    # 30-way duplicate block (its size histogram must show the 30-way
+    # clique); q187/q193 derive the v2 snapshot from boundary-shaped
+    # text (concat on whitespace-only docs, df deltas over the
+    # duplicate block); q189 hits the n_tokens=0 / zero-variance
+    # correlation guards; q190 composes q143's >= 2-token bigram
+    # window; q194 digests the duplicate block (30-way keep-one) and
+    # sqrt's tiny token masses; q195 composes the pair generator with
+    # containment normalization at the |A|-shingle boundary.
+    "q186_dup_cluster_sizes",
+    "q187_corpus_delta",
+    "q189_len_quality_corr",
+    "q190_kn_band_routing",
+    "q193_vocab_drift",
+    "q194_dedup_adjusted_mixture",
+    "q195_containment_pairs",
+    # Round-7 wave 10: q197's last-10-token slice sits AT the length
+    # boundary (len == 10 keeps exactly the whole doc); q198 composes
+    # the cross-postings pair generator over the duplicate block (every
+    # new doc derived from a clone matches all 30 copies); q199 rolls
+    # up q141's zero-token guards; q200's floor/leftover arithmetic
+    # must apportion exactly when shares tie.
+    "q197_template_suffixes",
+    "q198_snapshot_neardup",
+    "q199_gate_pass_rates",
+    "q200_budget_allocation",
 ]
 
 

@@ -232,6 +232,7 @@ BNLJ_ALLOWED = {
     "q190_kn_band_routing",  # 1-row corpus-mean scalar broadcast + composes q143
     "q194_dedup_adjusted_mixture",  # two 1-row total scalar broadcasts (q145's class)
     "q196_ivf_probe_sweep",  # composes q31's guarded theta ground truth (q114's class)
+    "q200_budget_allocation",  # two 1-row total/leftover scalar broadcasts (q145's class)
 }
 
 

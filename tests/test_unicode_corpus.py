@@ -94,6 +94,26 @@ TEXT_KEYED = [
     # tokens through five window budgets.
     "q183_shard_leakage",
     "q185_packing_sweep",
+    # Round-7 waves 7-9: q186/q195 hash multibyte shingles through the
+    # pair generator; q187/q193 concat and length-count multibyte text
+    # (length() must agree on code points, not bytes); q189's
+    # alpha-ratio regex strips multibyte letters identically; q190
+    # groups raw multibyte bigrams; q194 md5s multibyte text.
+    "q186_dup_cluster_sizes",
+    "q187_corpus_delta",
+    "q189_len_quality_corr",
+    "q190_kn_band_routing",
+    "q193_vocab_drift",
+    "q194_dedup_adjusted_mixture",
+    "q195_containment_pairs",
+    # Round-7 wave 10: q197 digests multibyte suffix tokens; q198
+    # hashes multibyte shingles through the cross-postings join; q199
+    # regex-counts multibyte letters through q141's rules; q200 token-
+    # counts multibyte text into the apportionment.
+    "q197_template_suffixes",
+    "q198_snapshot_neardup",
+    "q199_gate_pass_rates",
+    "q200_budget_allocation",
 ]
 
 
