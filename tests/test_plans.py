@@ -444,3 +444,50 @@ def test_q130_span_corruption_zero_shuffle(spark):
     plan = plan_of(spark, "q130_span_corruption", "simple")
     assert "Exchange" not in plan, plan[:1500]
     assert "Join" not in plan and "Window" not in plan, plan[:1500]
+
+
+def test_q190_kn_scores_computed_once(spark):
+    """q190's q143 subtree (scan → bigram explode → three joins) is the
+    expensive part; the corpus-mean branch and the banding branch must
+    BOTH read the persisted score table (InMemoryTableScan on each),
+    never a recomputed lineage — the q151 lesson applied to a composed
+    query."""
+    from printer_etl_hub_spark.plans import common
+
+    spark.catalog.clearCache()
+    common.LAST_MATERIALIZED_PLAN = None
+    REGISTRY["q190_kn_band_routing"].fn(spark, SF_SMOKE)
+    executed = common.LAST_MATERIALIZED_PLAN
+    assert executed is not None and executed.count("InMemoryTableScan") >= 2, (
+        executed[:2000] if executed else executed
+    )
+
+
+def test_q196_sweep_single_assignment_and_scoring(spark):
+    """The probe sweep must build the centroid assignment ONCE (one
+    persisted `ranked` serving cells + probes) and score candidates
+    ONCE at the deepest level — the per-level results come from a
+    filter + window over the same scored frame, not re-assignment. An
+    executed-plan assertion: exactly one embeddings scan feeding the
+    assignment, with InMemoryTableScan serving both consumers."""
+    from pyspark.sql import functions as F
+
+    from printer_etl_hub_spark.operators.similarity import ivf_probe_sweep
+
+    spark.catalog.clearCache()
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = ivf_probe_sweep(df, "vec_id", "embedding", k=3, n_centroids=8, probes=(1, 2))
+    out.collect()
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    # AQE wraps one cache read as TableCacheQueryStage and prints the
+    # other inline as InMemoryTableScan — count both node spellings.
+    cache_reads = final.count("InMemoryTableScan") + final.count(
+        "TableCacheQueryStage"
+    )
+    assert cache_reads >= 2, final[:3000]
+    # the base scan feeds the persisted assignment; the centroid limit
+    # and both join sides read the cache — nothing re-reads the parquet
+    assert final.count("Scan parquet") <= 2, final[:3000]
