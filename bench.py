@@ -213,6 +213,10 @@ HEADLINE = [
     "q198_snapshot_neardup",
     "q199_gate_pass_rates",
     "q200_budget_allocation",
+    # Round-7 eleventh wave: containment matrix, shard balance, cohesion.
+    "q201_source_containment_matrix",
+    "q202_shard_balance",
+    "q203_component_cohesion",
 ]
 
 

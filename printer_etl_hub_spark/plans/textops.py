@@ -9260,7 +9260,9 @@ def q195_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q195_SQL = f"""
+#: Unrounded containment-pair CTE body (mirrors ngram_containment_pairs);
+#: q195 rounds it for output, q201 aggregates it raw.
+_SQL_CONTAIN_CORE = f"""
 WITH words AS ({_SQL_WORDS}),
 sh AS ({_SQL_SHINGLES}),
 posts0 AS (
@@ -9276,16 +9278,24 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT a_id, b_id,
-       round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 9) AS c_a_in_b,
-       round(CAST(n_inter AS DOUBLE) / CAST(sb.n_sh AS DOUBLE), 9) AS c_b_in_a,
-       round(CAST(n_inter AS DOUBLE)
-             / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 9) AS jaccard
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS c_a_in_b,
+       CAST(n_inter AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) AS c_b_in_a,
+       CAST(n_inter AS DOUBLE)
+         / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
 FROM inter
 JOIN sizes sa ON a_id = sa.doc_id
 JOIN sizes sb ON b_id = sb.doc_id
 WHERE greatest(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE),
                CAST(n_inter AS DOUBLE) / CAST(sb.n_sh AS DOUBLE))
       >= {_CONTAIN_T}
+"""
+
+Q195_SQL = f"""
+SELECT a_id, b_id,
+       round(c_a_in_b, 9) AS c_a_in_b,
+       round(c_b_in_a, 9) AS c_b_in_a,
+       round(jaccard, 9) AS jaccard
+FROM ({_SQL_CONTAIN_CORE}) core
 """
 
 
@@ -9690,6 +9700,242 @@ FROM ranked
 
 
 # --------------------------------------------------------------------------
+# q201 — directed source-containment matrix (who quotes whom)
+# --------------------------------------------------------------------------
+def q201_source_containment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q195's containment pairs rolled up to a DIRECTED source matrix:
+    for each (src_contained, src_container) pair, how many documents of
+    the first source are ≥ 90% contained in a document of the second,
+    and the mean containment → the who-quotes-whom table. q180's dup
+    matrix is symmetric (same content both sides); this one has an
+    arrow — a mirror site CONTAINS the origin, not vice versa — which
+    is what a licensing/provenance review actually asks.
+
+    Shape: ONE containment pair generation (the capped q29 join) + two
+    slim id→source joins + a ≤|sources|²-row agg, the q180/q183
+    posture. The source-tagged pair table is PERSISTED — both directed
+    union legs consume it, and union legs sit outside exchange-reuse's
+    reach (the q151 lesson; unpersisted, the pair generation ran twice
+    — measured 37.2 s vs 23.7 s for q195's single pass at 10×). Mean
+    containment through decimal(38,18) (probability magnitudes, the
+    q143 lesson). Each direction of a pair contributes independently
+    (both can exceed the cutoff for full clones).
+    """
+    from pyspark import StorageLevel
+
+    from ..operators.dedup import ngram_containment_pairs
+
+    t = load_tables(spark, sf_dir)
+    pairs = ngram_containment_pairs(
+        t["documents"], "doc_id", "text", threshold=_CONTAIN_T, max_df=_J_MAX_DF
+    )
+    src = t["documents"].select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("a_id"), F.col("source").alias("src_a")
+            ),
+            "a_id",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("b_id"), F.col("source").alias("src_b")
+            ),
+            "b_id",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    directed = j.select(
+        F.col("src_a").alias("src_contained"),
+        F.col("src_b").alias("src_container"),
+        F.col("c_a_in_b").alias("containment"),
+    ).filter(F.col("containment") >= _CONTAIN_T).unionByName(
+        j.select(
+            F.col("src_b").alias("src_contained"),
+            F.col("src_a").alias("src_container"),
+            F.col("c_b_in_a").alias("containment"),
+        ).filter(F.col("containment") >= _CONTAIN_T)
+    )
+    res = directed.groupBy("src_contained", "src_container").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("containment").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("mean_containment"),
+    )
+    return materialize_release(res, j)
+
+
+Q201_SQL = f"""
+WITH cp AS ({_SQL_CONTAIN_CORE}),
+src AS (SELECT doc_id, source FROM documents),
+directed AS (
+  SELECT sa.source AS src_contained, sb.source AS src_container,
+         cp.c_a_in_b AS containment
+  FROM cp JOIN src sa ON cp.a_id = sa.doc_id
+          JOIN src sb ON cp.b_id = sb.doc_id
+  WHERE cp.c_a_in_b >= {_CONTAIN_T}
+  UNION ALL
+  SELECT sb.source, sa.source, cp.c_b_in_a
+  FROM cp JOIN src sa ON cp.a_id = sa.doc_id
+          JOIN src sb ON cp.b_id = sb.doc_id
+  WHERE cp.c_b_in_a >= {_CONTAIN_T}
+)
+SELECT src_contained, src_container,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(CAST(containment AS DECIMAL(38,18))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 9) AS mean_containment
+FROM directed GROUP BY src_contained, src_container
+"""
+
+
+# --------------------------------------------------------------------------
+# q202 — shard balance audit (is q77's packing actually even?)
+# --------------------------------------------------------------------------
+def q202_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per shard of q77's token-budget assignment: document count, token
+    mass, and the mass ratio against the mean shard → (shard_id,
+    n_docs, tokens, ratio_to_mean). The audit that tells you whether
+    the sharder's greedy cumsum actually balanced — a ratio spread far
+    from 1.0 means stragglers in every downstream per-shard job (the
+    thing q183 prices for leakage, priced here for wall-time). Output
+    bounded by the shard count.
+
+    Shape: q77 (persisted — consumed by the per-shard agg and the mean)
+    + one groupBy(shard_id) + a 1-row mean broadcast (q89's class).
+    """
+    from pyspark import StorageLevel
+
+    per = (
+        q77_token_shards(spark, sf_dir)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mean = per.agg(
+        (
+            F.sum(F.col("tokens").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_tokens")
+    )
+    res = per.join(F.broadcast(mean)).select(
+        "shard_id",
+        "n_docs",
+        "tokens",
+        F.round(
+            F.col("tokens").cast("double") / F.col("mean_tokens"), 6
+        ).alias("ratio_to_mean"),
+    )
+    return materialize_release(res, per)
+
+
+Q202_SQL = f"""
+WITH shards AS ({Q77_SQL}),
+per AS (
+  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS tokens
+  FROM shards GROUP BY shard_id
+),
+m AS (
+  SELECT CAST(SUM(CAST(tokens AS DECIMAL(38,0))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_tokens
+  FROM per
+)
+SELECT shard_id, n_docs, tokens,
+       round(CAST(tokens AS DOUBLE) / mean_tokens, 6) AS ratio_to_mean
+FROM per CROSS JOIN m
+"""
+
+
+# --------------------------------------------------------------------------
+# q203 — clone-component cohesion (the transitive-chaining audit)
+# --------------------------------------------------------------------------
+def q203_component_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup component: member count, edge count, minimum and
+    mean edge Jaccard, and edge density → (component, n_members,
+    n_edges, min_jaccard, mean_jaccard, density). THE known failure of
+    connected-components dedup is transitive chaining — A≈B≈C where
+    A and C share nothing — and it is visible exactly here: a chained
+    component has density ≪ 1 and min_jaccard at the threshold floor,
+    while a true clone set is a dense clique with min ≈ 1. q186 counts
+    cluster sizes; this measures whether collapsing each cluster to one
+    keeper was JUSTIFIED.
+
+    Shape: the capped pair graph ONCE (persisted — consumed by CC and
+    by the edge rollup, the q151 lesson), CC's audited 2-round
+    propagation, one id-keyed join of edges onto component labels, one
+    component-keyed agg. Density divides exact integers in double.
+    """
+    from pyspark import StorageLevel
+
+    from ..operators.components import connected_components
+
+    t = load_tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    comp = connected_components(pairs, "a_id", "b_id")
+    members = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    edges = (
+        pairs.join(
+            comp.select(F.col("node").alias("a_id"), "component"), "a_id"
+        )
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.round(F.min("jaccard"), 9).alias("min_jaccard"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("mean_jaccard"),
+        )
+    )
+    nm = F.col("n_members").cast("double")
+    res = members.join(edges, "component").select(
+        "component",
+        "n_members",
+        "n_edges",
+        "min_jaccard",
+        "mean_jaccard",
+        F.round(
+            F.col("n_edges").cast("double") / (nm * (nm - F.lit(1.0)) / F.lit(2.0)),
+            6,
+        ).alias("density"),
+    )
+    return materialize_release(res, pairs)
+
+
+Q203_SQL = f"""
+WITH comp AS ({Q72_SQL}),
+pairs AS ({_sql_jaccard_pairs(0.8)}),
+members AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY component
+),
+edges AS (
+  SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges,
+         round(min(p.jaccard), 9) AS min_jaccard,
+         round(CAST(SUM(CAST(p.jaccard AS DECIMAL(38,18))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 9) AS mean_jaccard
+  FROM pairs p JOIN comp c ON p.a_id = c.node
+  GROUP BY c.component
+)
+SELECT m.component, m.n_members, e.n_edges, e.min_jaccard, e.mean_jaccard,
+       round(CAST(e.n_edges AS DOUBLE)
+             / (CAST(m.n_members AS DOUBLE)
+                * (CAST(m.n_members AS DOUBLE) - 1.0) / 2.0), 6) AS density
+FROM members m JOIN edges e USING (component)
+"""
+
+
+# --------------------------------------------------------------------------
 
 
 TEXT_QUERIES = {
@@ -9826,4 +10072,10 @@ TEXT_QUERIES = {
     "q198_snapshot_neardup": (q198_snapshot_neardup, Q198_SQL),
     "q199_gate_pass_rates": (q199_gate_pass_rates, Q199_SQL),
     "q200_budget_allocation": (q200_budget_allocation, Q200_SQL),
+    "q201_source_containment_matrix": (
+        q201_source_containment_matrix,
+        Q201_SQL,
+    ),
+    "q202_shard_balance": (q202_shard_balance, Q202_SQL),
+    "q203_component_cohesion": (q203_component_cohesion, Q203_SQL),
 }

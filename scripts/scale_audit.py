@@ -234,6 +234,16 @@ def main() -> None:
         "q193_vocab_drift",
         "q194_dedup_adjusted_mixture",
         "q195_containment_pairs",
+        # Waves 10-11. q198's cross-postings join fans each new doc into
+        # its 10 clone ancestors; q201 aggregates the q195 pair table's
+        # clone cliques per source pair; q203 joins the full pair table
+        # back onto CC labels (edge rollup is pair-table-sized); q202
+        # composes q77's sharding + a shard-keyed agg. q197/q199/q200
+        # excluded (digest/source-keyed aggs, |sources|-row windows).
+        "q198_snapshot_neardup",
+        "q201_source_containment_matrix",
+        "q202_shard_balance",
+        "q203_component_cohesion",
     ):
         if only and name not in only:
             continue

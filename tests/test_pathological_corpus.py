@@ -144,6 +144,14 @@ BOUNDARY_SENSITIVE = [
     "q198_snapshot_neardup",
     "q199_gate_pass_rates",
     "q200_budget_allocation",
+    # Round-7 wave 11: q201 aggregates per-direction containment over
+    # the 30-way duplicate block's dense cliques; q202 composes q77's
+    # prefix-sum sharding (the 5000-token outlier straddles budgets);
+    # q203 measures edge density ON the duplicate block's clique — its
+    # density row must be exactly 1.0 there.
+    "q201_source_containment_matrix",
+    "q202_shard_balance",
+    "q203_component_cohesion",
 ]
 
 

@@ -233,6 +233,7 @@ BNLJ_ALLOWED = {
     "q194_dedup_adjusted_mixture",  # two 1-row total scalar broadcasts (q145's class)
     "q196_ivf_probe_sweep",  # composes q31's guarded theta ground truth (q114's class)
     "q200_budget_allocation",  # two 1-row total/leftover scalar broadcasts (q145's class)
+    "q202_shard_balance",  # 1-row mean-shard scalar broadcast (q89's class)
 }
 
 

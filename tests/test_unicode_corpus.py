@@ -114,6 +114,12 @@ TEXT_KEYED = [
     "q198_snapshot_neardup",
     "q199_gate_pass_rates",
     "q200_budget_allocation",
+    # Round-7 wave 11: q201/q203 hash multibyte shingles through the
+    # containment/Jaccard pair generators; q202 token-counts multibyte
+    # text through the sharder.
+    "q201_source_containment_matrix",
+    "q202_shard_balance",
+    "q203_component_cohesion",
 ]
 
 
