@@ -330,3 +330,38 @@ def winnow_ingest_sink(
         fpb.write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
 
     return _sink
+
+
+def kn_routing_stream(
+    docs: DataFrame,
+    model: DataFrame,
+    corpus_mean: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM-fluency routing applied to a document STREAM via a
+    stream-static join: each streamed document's bigrams score against
+    the FROZEN ``kn_bigram_model`` table (operators/lm.py), the per-doc
+    mean is a streaming aggregation (update mode), and the head/middle/
+    tail band compares against ``corpus_mean`` — the threshold trained
+    offline and shipped as a literal, exactly the production split
+    between q190 (training-time: model and threshold from the corpus
+    itself) and deployment (new documents against the frozen pair).
+
+    Output: (doc_id, n_bigrams, mean_kn_p, band). No state store beyond
+    the per-doc aggregation; the model is a static DataFrame Spark
+    broadcasts or shuffles like any dimension. Stream≡batch contract
+    (tests/test_streaming.py): over file-replayed micro-batches the
+    final per-doc rows equal `kn_score_with_model` on the whole corpus
+    + the q190 banding, and — when the model was trained on that same
+    corpus — q143's scores bit-exactly.
+    """
+    from ..operators.lm import kn_score_with_model
+
+    scored = kn_score_with_model(docs, model, id_col=id_col, text_col=text_col)
+    band = (
+        F.when(F.col("mean_kn_p") >= F.lit(corpus_mean), F.lit("head"))
+        .when(F.col("mean_kn_p") >= F.lit(0.5) * F.lit(corpus_mean), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select("doc_id", "n_bigrams", "mean_kn_p", band.alias("band"))

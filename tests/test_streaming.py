@@ -876,3 +876,73 @@ def test_ingest_sink_corrupt_history_fails_batch(spark, tmp_path):
         import os
 
         assert not os.path.exists(str(tmp_path / f"{name}_pairs"))
+
+
+def test_kn_routing_stream_matches_batch_and_q143(spark, tmp_path):
+    """Stream-static model join: documents streamed in micro-batches and
+    scored against a FROZEN kn_bigram_model must produce exactly the
+    batch `kn_score_with_model` rows + q190's banding — and, because the
+    model was trained on the same corpus, q143's (n_bigrams, mean_kn_p)
+    bit-exactly. This pins the offline-train / online-route split: no
+    retraining, no state store, the model is a plain static DataFrame."""
+    from pyspark.sql import functions as F
+
+    from printer_etl_hub_spark.operators.lm import (
+        kn_bigram_model,
+        kn_score_with_model,
+    )
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import kn_routing_stream
+    from printer_etl_hub_spark.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].select(
+        "doc_id", "text"
+    )
+    model = kn_bigram_model(docs).localCheckpoint(eager=True)
+    batch_scores = kn_score_with_model(docs, model)
+    corpus_mean = batch_scores.agg(
+        (
+            F.sum(F.col("mean_kn_p").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m")
+    ).collect()[0].m
+
+    src = str(tmp_path / "route_src")
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        kn_routing_stream(stream, model, corpus_mean)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("kn_route_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.doc_id: (r.n_bigrams, r.mean_kn_p, r.band)
+            for r in spark.sql("SELECT * FROM kn_route_out").collect()
+        }
+    finally:
+        q.stop()
+
+    band = (
+        F.when(F.col("mean_kn_p") >= F.lit(corpus_mean), F.lit("head"))
+        .when(F.col("mean_kn_p") >= F.lit(0.5) * F.lit(corpus_mean), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    want = {
+        r.doc_id: (r.n_bigrams, r.mean_kn_p, r.band)
+        for r in batch_scores.withColumn("band", band).collect()
+    }
+    assert got == want
+    # model == corpus ⇒ the frozen-model path reproduces q143 bit-exactly
+    q143 = {
+        (r.doc_id, r.n_bigrams, r.mean_kn_p)
+        for r in REGISTRY["q143_kn_score"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert {(d, nb, p) for d, (nb, p, _) in got.items()} == q143
+    assert {g[2] for g in got.values()} >= {"head"}  # banding non-degenerate
