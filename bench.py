@@ -217,6 +217,11 @@ HEADLINE = [
     "q201_source_containment_matrix",
     "q202_shard_balance",
     "q203_component_cohesion",
+    # Round-7 twelfth wave: the data-quality audit pack.
+    "q204_referential_integrity",
+    "q205_order_balance",
+    "q206_value_sanity",
+    "q207_key_uniqueness",
 ]
 
 

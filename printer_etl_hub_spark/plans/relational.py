@@ -12,7 +12,7 @@ Scale notes are inline per query; the common themes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.normalize import (
@@ -2070,6 +2070,242 @@ FROM counts
 """
 
 
+# --------------------------------------------------------------------------
+# q204-q207 — data-quality audit pack (Deequ/dbt-test class): the nightly
+# constraint sweep a 100-TB lakehouse runs before anything downstream
+# trusts the tables. Violations are REPORTED, never dropped — the counts
+# are the product.
+# --------------------------------------------------------------------------
+_FK_EDGES = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def q204_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan counts for every foreign-key edge of the star schema →
+    (fk_edge, n_rows, n_orphans). Each edge is a left-anti join of the
+    child's FK against the parent's distinct keys — dimension parents
+    broadcast, the lineitem→orders edge shuffles on the key like any
+    fact-fact join. 7 one-row aggregates unioned; violations reported,
+    never dropped.
+    """
+    t = load_tables(spark, sf_dir)
+    rows = None
+    for edge, child, fk, parent, pk in _FK_EDGES:
+        p = (
+            t[parent]
+            .select(F.col(pk).alias(fk))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        j = t[child].select(fk).join(p, fk, "left")
+        leg = j.agg(
+            F.lit(edge).alias("fk_edge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("_hit").isNull() & F.col(fk).isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+        rows = leg if rows is None else rows.unionByName(leg)
+    return rows
+
+
+Q204_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{edge}' AS fk_edge,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM {child} c
+             WHERE c.{fk} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+            AS BIGINT) AS n_orphans"""
+    for edge, child, fk, parent, pk in _FK_EDGES
+)
+
+
+def q205_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H balance invariant, audited: does o_totalprice equal
+    Σ l_extendedprice·(1−l_discount)·(1+l_tax) over the order's lines?
+    → ONE row (n_orders, n_checked, n_mismatch, max_abs_diff). The
+    driver's synthetic corpus deliberately violates it (max diff ~6e5
+    at sf0.001) — which is the point: a consistency audit that always
+    passes is untested. Per-row products are one fixed-order double
+    expression; per-order sums go through decimal(38,18) so both
+    engines aggregate identically; the 0.01 tolerance compares
+    identical doubles.
+    """
+    t = load_tables(spark, sf_dir)
+    line_amt = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    )
+    per = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("o_orderkey"), line_amt.alias("amt"))
+        .groupBy("o_orderkey")
+        .agg(F.sum(F.col("amt").cast("decimal(38,18)")).cast("double").alias("computed"))
+    )
+    j = t["orders"].select("o_orderkey", "o_totalprice").join(
+        per, "o_orderkey", "left"
+    )
+    diff = F.abs(F.col("o_totalprice") - F.col("computed"))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.count("computed").cast("bigint").alias("n_checked"),
+        F.sum(
+            F.when(diff > 0.01, 1).otherwise(0)
+        ).cast("bigint").alias("n_mismatch"),
+        F.round(F.max(diff), 4).alias("max_abs_diff"),
+    )
+
+
+Q205_SQL = """
+WITH per AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                       AS DECIMAL(38,18))) AS DOUBLE) AS computed
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(per.computed) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN abs(o.o_totalprice - per.computed) > 0.01
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       round(max(abs(o.o_totalprice - per.computed)), 4) AS max_abs_diff
+FROM orders o LEFT JOIN per USING (o_orderkey)
+"""
+
+
+def q206_value_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sanity rules over the fact table → (rule,
+    n_violations): shipment before its order date (an id-keyed join),
+    non-positive quantity/price, discount or tax outside [0, 1], and a
+    NULL order key. One lineitem pass computes the five row-local rules
+    as columns of a single aggregate (the q99 one-pass posture); the
+    date rule adds one keyed join. Pure integer counts.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+
+    def n(cond) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    local = li.agg(
+        n(F.col("l_quantity") <= 0).alias("nonpositive_quantity"),
+        n(F.col("l_extendedprice") <= 0).alias("nonpositive_price"),
+        n((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "discount_out_of_range"
+        ),
+        n((F.col("l_tax") < 0) | (F.col("l_tax") > 1)).alias("tax_out_of_range"),
+        n(F.col("l_orderkey").isNull()).alias("null_orderkey"),
+    )
+    ship = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            t["orders"].select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+            ),
+            "l_orderkey",
+        )
+        .agg(
+            n(F.col("l_shipdate") < F.col("o_orderdate")).alias(
+                "ship_before_order"
+            )
+        )
+    )
+    stacked = local.select(
+        F.expr(
+            "stack(5, 'nonpositive_quantity', nonpositive_quantity,"
+            " 'nonpositive_price', nonpositive_price,"
+            " 'discount_out_of_range', discount_out_of_range,"
+            " 'tax_out_of_range', tax_out_of_range,"
+            " 'null_orderkey', null_orderkey) AS (rule, n_violations)"
+        )
+    )
+    return stacked.unionByName(
+        ship.select(
+            F.lit("ship_before_order").alias("rule"),
+            F.col("ship_before_order").alias("n_violations"),
+        )
+    )
+
+
+Q206_SQL = """
+WITH local AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_quantity,
+    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_out_of_range,
+    CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END) AS BIGINT) AS tax_out_of_range,
+    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey
+  FROM lineitem
+)
+SELECT 'nonpositive_quantity' AS rule, nonpositive_quantity AS n_violations FROM local
+UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM local
+UNION ALL SELECT 'discount_out_of_range', discount_out_of_range FROM local
+UNION ALL SELECT 'tax_out_of_range', tax_out_of_range FROM local
+UNION ALL SELECT 'null_orderkey', null_orderkey FROM local
+UNION ALL
+SELECT 'ship_before_order',
+       CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+_PK_SPECS = (
+    ("region", ("r_regionkey",)),
+    ("nation", ("n_nationkey",)),
+    ("customer", ("c_custkey",)),
+    ("supplier", ("s_suppkey",)),
+    ("part", ("p_partkey",)),
+    ("orders", ("o_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("events", ("event_id",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+)
+
+
+def q207_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness across every table of the corpus →
+    (table_name, n_rows, n_distinct_keys, n_dup_rows). Ten one-row
+    map-side-combinable aggregates (count + count_distinct per table)
+    unioned; composite keys (lineitem) count distinct tuples. The
+    duplicate count is n_rows − n_distinct — exact integers.
+    """
+    t = load_tables(spark, sf_dir)
+    rows = None
+    for table, keys in _PK_SPECS:
+        leg = t[table].agg(
+            F.lit(table).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(*[F.col(k) for k in keys])
+            .cast("bigint")
+            .alias("n_distinct_keys"),
+            (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys]))
+            .cast("bigint")
+            .alias("n_dup_rows"),
+        )
+        rows = leg if rows is None else rows.unionByName(leg)
+    return rows
+
+
+Q207_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{table}' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT ({", ".join(keys)})) AS BIGINT) AS n_distinct_keys,
+       CAST(count(*) - count(DISTINCT ({", ".join(keys)})) AS BIGINT) AS n_dup_rows
+FROM {table}"""
+    for table, keys in _PK_SPECS
+)
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -2124,4 +2360,8 @@ RELATIONAL_QUERIES = {
     "q112_cohort_retention": (q112_cohort_retention, Q112_SQL),
     "q191_rolling_active_users": (q191_rolling_active_users, Q191_SQL),
     "q192_event_transitions": (q192_event_transitions, Q192_SQL),
+    "q204_referential_integrity": (q204_referential_integrity, Q204_SQL),
+    "q205_order_balance": (q205_order_balance, Q205_SQL),
+    "q206_value_sanity": (q206_value_sanity, Q206_SQL),
+    "q207_key_uniqueness": (q207_key_uniqueness, Q207_SQL),
 }
