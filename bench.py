@@ -222,6 +222,11 @@ HEADLINE = [
     "q205_order_balance",
     "q206_value_sanity",
     "q207_key_uniqueness",
+    # Round-7 thirteenth wave: windowed funnel, RFM, LSH P/R, freshness.
+    "q208_windowed_funnel",
+    "q209_rfm_segments",
+    "q210_lsh_pr",
+    "q211_freshness_audit",
 ]
 
 

@@ -104,3 +104,36 @@ CAPTURE_PLANS: bool = False
 #: Physical plan (string) of the most recent materialize_release call,
 #: captured before the checkpoint collapsed it (only when CAPTURE_PLANS).
 LAST_MATERIALIZED_PLAN: str | None = None
+
+
+def dist_rank(df, order_cols, out: str = "rank", n_parts: int = 32):
+    """Global 1-based total-order rank WITHOUT a single-partition window
+    (q77/q95's distributed shape): repartitionByRange on the sort key →
+    per-partition row_number (range partitions are globally ordered) →
+    broadcast partition-offset table. ``order_cols`` must be a total
+    order (append a unique id). Returns ``(ranked_frame, pinned)`` — the
+    pinned frame feeds both the rank and the offsets, so the CALLER must
+    release it (pass through :func:`materialize_release`). At 100 TB,
+    raise ``n_parts`` with the data; nothing else changes.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    parted = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lw = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    local = parted.withColumn("_lrn", F.row_number().over(lw))
+    sizes = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(ow), F.lit(0)).alias("_off")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_lrn")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )
+    return ranked, parted

@@ -28,7 +28,7 @@ from ..operators.pivot import first_per_slot_pivot
 from ..operators.upsert import merge_upsert
 from ..streaming.windows import sessionized, tumbling_counts
 from ..tables import load_tables
-from .common import dsum, sql_dsum, ts_str
+from .common import dsum, materialize_release, sql_dsum, ts_str
 
 
 # --------------------------------------------------------------------------
@@ -2306,6 +2306,241 @@ FROM {table}"""
 )
 
 
+# --------------------------------------------------------------------------
+# q208 — windowed funnel (ClickHouse windowFunnel's window parameter)
+# --------------------------------------------------------------------------
+_FUNNEL_WINDOW_DAYS = 7
+
+
+def q208_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q111's ordered funnel with the conversion-window constraint every
+    real product-analytics funnel carries: steps 2 and 3 count only if
+    they happen within 7 days of the user's step-1 match (ClickHouse
+    windowFunnel semantics — the window anchors at the FIRST step).
+    Same chained-min shape as q111 (no window functions, no per-user
+    sort, monotonically shrinking frames); the deadline rides along as
+    a column. Timestamp+interval arithmetic is exact µs integers both
+    engines. Output (user_id, wf_depth).
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "ts", "event_type").filter(
+        F.col("event_type").isin(*_FUNNEL)
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .withColumn(
+            "deadline", F.col("t1") + F.expr(f"INTERVAL {_FUNNEL_WINDOW_DAYS} DAYS")
+        )
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == _FUNNEL[1])
+        .join(t1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("deadline")))
+        .groupBy("user_id", "deadline")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == _FUNNEL[2])
+        .join(t2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("deadline")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    base = t["events"].select("user_id").distinct()
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        base.join(t1.select("user_id", "t1"), "user_id", "left")
+        .join(t2.select("user_id", "t2"), "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select("user_id", depth.cast("int").alias("wf_depth"))
+    )
+
+
+Q208_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), s1 AS (
+  SELECT user_id, min(ts) AS t1,
+         min(ts) + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY AS deadline
+  FROM ev WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, s1.deadline, min(e.ts) AS t2
+  FROM ev e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 AND e.ts <= s1.deadline
+  GROUP BY e.user_id, s1.deadline
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM ev e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 AND e.ts <= s2.deadline
+  GROUP BY e.user_id
+)
+SELECT b.user_id,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS wf_depth
+FROM (SELECT DISTINCT user_id FROM events) b
+LEFT JOIN s1 ON s1.user_id = b.user_id
+LEFT JOIN s2 ON s2.user_id = b.user_id
+LEFT JOIN s3 ON s3.user_id = b.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q209 — RFM segmentation (recency / frequency / monetary terciles)
+# --------------------------------------------------------------------------
+def q209_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM customer segmentation over purchase events →
+    (user_id, recency_days, frequency, monetary, r_score, f_score,
+    m_score, segment). Scores are rank-based terciles (1-3, 3 best)
+    via the q95 discipline — ``dist_rank`` (plans/common.py), a
+    repartitionByRange + offset-broadcast global rank, NEVER a
+    single-partition window over |users| — computed per metric with
+    (metric, user_id) total orders so ties are deterministic. Recency
+    ranks ascending (most recent = best); frequency/monetary descend
+    into the tercile arithmetic. Monetary sums through decimal.
+    """
+    from .common import dist_rank
+
+    t = load_tables(spark, sf_dir)
+    p = t["events"].filter(F.col("event_type") == "purchase")
+    maxts = p.agg(F.max("ts").alias("mts"))
+    per = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,18)")).cast("double"), 6
+            ).alias("monetary"),
+        )
+        .join(F.broadcast(maxts))
+        .select(
+            "user_id",
+            F.datediff(F.col("mts").cast("date"), F.col("last_ts").cast("date"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r1, p1 = dist_rank(per, ["recency_days", "user_id"], out="_rr")
+    r2, p2 = dist_rank(r1, ["frequency", "user_id"], out="_fr")
+    r3, p3 = dist_rank(r2, ["monetary", "user_id"], out="_mr")
+    ntot = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    tern = lambda rank: F.floor(  # noqa: E731
+        F.lit(3) * (F.col(rank) - 1) / F.col("n_users")
+    ).cast("int")
+    scored = r3.join(F.broadcast(ntot)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(3) - tern("_rr")).alias("r_score"),
+        (tern("_fr") + 1).alias("f_score"),
+        (tern("_mr") + 1).alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") == 3) & (F.col("f_score") == 3) & (F.col("m_score") == 3),
+            F.lit("champion"),
+        )
+        .when((F.col("r_score") >= 2) & (F.col("f_score") >= 2), F.lit("loyal"))
+        .when((F.col("r_score") == 1) & (F.col("f_score") >= 2), F.lit("at_risk"))
+        .otherwise(F.lit("other"))
+    )
+    res = scored.withColumn("segment", segment)
+    return materialize_release(res, p1, p2, p3)
+
+
+Q209_SQL = """
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), mts AS (SELECT max(ts) AS mts FROM p),
+per AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(max(ts) AS DATE),
+                        CAST((SELECT mts FROM mts) AS DATE)) AS BIGINT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE), 6) AS monetary
+  FROM p GROUP BY user_id
+), ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+         row_number() OVER (ORDER BY frequency, user_id) AS fr,
+         row_number() OVER (ORDER BY monetary, user_id) AS mr,
+         count(*) OVER () AS n_users
+  FROM per
+), scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         CAST(3 - floor(3 * (rr - 1) / n_users) AS INT) AS r_score,
+         CAST(floor(3 * (fr - 1) / n_users) + 1 AS INT) AS f_score,
+         CAST(floor(3 * (mr - 1) / n_users) + 1 AS INT) AS m_score
+  FROM ranked
+)
+SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
+       CASE WHEN r_score = 3 AND f_score = 3 AND m_score = 3 THEN 'champion'
+            WHEN r_score >= 2 AND f_score >= 2 THEN 'loyal'
+            WHEN r_score = 1 AND f_score >= 2 THEN 'at_risk'
+            ELSE 'other' END AS segment
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# q211 — table freshness audit (the DQ check every SLA dashboard runs)
+# --------------------------------------------------------------------------
+def q211_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: row count, newest event, and its lag in whole
+    hours behind the corpus's newest event → (event_type, n_events,
+    max_ts, lag_hours). The freshness check a pipeline SLA dashboard
+    evaluates per source/partition before declaring a day complete —
+    q204-q207 audit VALUES, this audits ARRIVAL. One partial-aggable
+    groupBy + a 1-row corpus-max broadcast; integer epoch arithmetic.
+    """
+    t = load_tables(spark, sf_dir)
+    per = t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ts").alias("max_ts"),
+    )
+    tot = per.agg(F.max("max_ts").alias("corpus_max"))
+    lag_h = F.floor(
+        (
+            F.unix_timestamp(F.col("corpus_max"))
+            - F.unix_timestamp(F.col("max_ts"))
+        )
+        / F.lit(3600)
+    ).cast("bigint")
+    return per.join(F.broadcast(tot)).select(
+        "event_type",
+        "n_events",
+        F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        lag_h.alias("lag_hours"),
+    )
+
+
+Q211_SQL = """
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, max(ts) AS max_ts
+  FROM events GROUP BY event_type
+), tot AS (SELECT max(max_ts) AS corpus_max FROM per)
+SELECT event_type, n_events,
+       strftime(max_ts, '%Y-%m-%d %H:%M:%S') AS max_ts,
+       CAST(floor(date_diff('second', max_ts, corpus_max) / 3600.0) AS BIGINT)
+         AS lag_hours
+FROM per CROSS JOIN tot
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -2364,4 +2599,7 @@ RELATIONAL_QUERIES = {
     "q205_order_balance": (q205_order_balance, Q205_SQL),
     "q206_value_sanity": (q206_value_sanity, Q206_SQL),
     "q207_key_uniqueness": (q207_key_uniqueness, Q207_SQL),
+    "q208_windowed_funnel": (q208_windowed_funnel, Q208_SQL),
+    "q209_rfm_segments": (q209_rfm_segments, Q209_SQL),
+    "q211_freshness_audit": (q211_freshness_audit, Q211_SQL),
 }

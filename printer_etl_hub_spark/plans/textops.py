@@ -9935,6 +9935,66 @@ FROM members m JOIN edges e USING (component)
 """
 
 
+
+# --------------------------------------------------------------------------
+# q210 — MinHash-LSH precision/recall vs exact Jaccard (band quality)
+# --------------------------------------------------------------------------
+def q210_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate quality of the q28 MinHash band index against the q29
+    exact-Jaccard truth at 0.8 → ONE row (n_candidates, n_truth,
+    n_hits, precision, recall). q152 calibrates signature AGREEMENT
+    against true Jaccard; this scores the deployed (k, bands) config as
+    a retrieval system — precision prices the wasted exact-verify work,
+    recall prices the missed duplicates, the two numbers an LSH config
+    review actually reads (q182 predicts recall analytically; this
+    measures it). Both pair tables are the already-audited generators;
+    the comparison is one full-outer join on the (a, b) key.
+    """
+    t = load_tables(spark, sf_dir)
+    cand = minhash_lsh_pairs(
+        t["documents"], "doc_id", "text", k=_MH_K, bands=_MH_BANDS
+    ).select("a_id", "b_id", F.lit(1).alias("_c"))
+    truth = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+    ).select("a_id", "b_id", F.lit(1).alias("_t"))
+    j = cand.join(truth, ["a_id", "b_id"], "full_outer")
+    n_c = F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("bigint")
+    n_t = F.sum(F.coalesce(F.col("_t"), F.lit(0))).cast("bigint")
+    n_h = F.sum(
+        F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return j.agg(
+        n_c.alias("n_candidates"),
+        n_t.alias("n_truth"),
+        n_h.alias("n_hits"),
+        F.round(n_h.cast("double") / n_c.cast("double"), 9).alias("precision"),
+        F.round(n_h.cast("double") / n_t.cast("double"), 9).alias("recall"),
+    )
+
+
+Q210_SQL = f"""
+WITH cand AS ({Q28_SQL}),
+truth AS ({_sql_jaccard_pairs(0.8)}),
+j AS (
+  SELECT coalesce(c.a_id, t.a_id) AS a_id,
+         (c.a_id IS NOT NULL) AS in_cand, (t.a_id IS NOT NULL) AS in_truth
+  FROM cand c FULL OUTER JOIN truth t
+    ON c.a_id = t.a_id AND c.b_id = t.b_id
+)
+SELECT CAST(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       round(CAST(SUM(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS DOUBLE), 9)
+         AS precision,
+       round(CAST(SUM(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS DOUBLE), 9)
+         AS recall
+FROM j
+"""
+
+
 # --------------------------------------------------------------------------
 
 
@@ -10078,4 +10138,5 @@ TEXT_QUERIES = {
     ),
     "q202_shard_balance": (q202_shard_balance, Q202_SQL),
     "q203_component_cohesion": (q203_component_cohesion, Q203_SQL),
+    "q210_lsh_pr": (q210_lsh_pr, Q210_SQL),
 }

@@ -234,6 +234,8 @@ BNLJ_ALLOWED = {
     "q196_ivf_probe_sweep",  # composes q31's guarded theta ground truth (q114's class)
     "q200_budget_allocation",  # two 1-row total/leftover scalar broadcasts (q145's class)
     "q202_shard_balance",  # 1-row mean-shard scalar broadcast (q89's class)
+    "q209_rfm_segments",  # 1-row corpus-max + n_users scalar broadcasts (q89's class)
+    "q211_freshness_audit",  # 1-row corpus-max scalar broadcast (q89's class)
 }
 
 
