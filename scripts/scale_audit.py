@@ -244,6 +244,15 @@ def main() -> None:
         "q201_source_containment_matrix",
         "q202_shard_balance",
         "q203_component_cohesion",
+        # Waves 12-13. q204's lineitem->orders edge is the fact-fact
+        # anti-join at 6M rows; q205's per-order decimal sums are
+        # linear; q210 composes BOTH pair generators (10-way cliques on
+        # each side) + a full-outer join of the two pair tables.
+        # q206/q207 are one-pass aggs; q208/q209/q211 ride the events
+        # table, which the clone copies byte-identical (no stress).
+        "q204_referential_integrity",
+        "q205_order_balance",
+        "q210_lsh_pr",
     ):
         if only and name not in only:
             continue

@@ -152,6 +152,10 @@ BOUNDARY_SENSITIVE = [
     "q201_source_containment_matrix",
     "q202_shard_balance",
     "q203_component_cohesion",
+    # Round-7 wave 13: q210 composes BOTH pair generators (minhash bands
+    # + exact Jaccard) over the duplicate block and full-outer joins the
+    # two pair sets — band-collision and shingle boundaries together.
+    "q210_lsh_pr",
 ]
 
 

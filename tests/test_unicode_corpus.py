@@ -120,6 +120,9 @@ TEXT_KEYED = [
     "q201_source_containment_matrix",
     "q202_shard_balance",
     "q203_component_cohesion",
+    # Round-7 wave 13: q210 hashes multibyte shingles through both pair
+    # generators.
+    "q210_lsh_pr",
 ]
 
 
