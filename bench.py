@@ -227,6 +227,9 @@ HEADLINE = [
     "q209_rfm_segments",
     "q210_lsh_pr",
     "q211_freshness_audit",
+    # Round-7 fourteenth wave: graph triangles, top user journeys.
+    "q212_graph_triangles",
+    "q213_top_paths",
 ]
 
 

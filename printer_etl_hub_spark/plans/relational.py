@@ -2541,6 +2541,72 @@ FROM per CROSS JOIN tot
 """
 
 
+
+# --------------------------------------------------------------------------
+# q213 — top user journeys (first-3-event paths, the Sankey feed)
+# --------------------------------------------------------------------------
+_PATH_LEN = 3
+_TOP_PATHS = 20
+
+
+def q213_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most common opening user journeys: each user\'s first 3
+    events (by ts, event_id) concatenated into a path string, counted →
+    (path, n_users). The table behind every product-analytics Sankey /
+    "top flows" view; q192 gives the memoryless transition matrix, this
+    keeps order context. Shape: one user-keyed window (q21\'s layout) +
+    a path-keyed count + TakeOrdered(20) with (count DESC, path ASC) —
+    a total order, so the cut set is deterministic. Users with fewer
+    than 3 events contribute their full shorter path.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = (
+        t["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_LEN)
+    )
+    paths = (
+        firstk.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                " > ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    return paths.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(
+        _TOP_PATHS
+    )
+
+
+Q213_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), firstk AS (
+  SELECT user_id, event_type, rn FROM ranked WHERE rn <= {_PATH_LEN}
+), paths AS (
+  SELECT user_id,
+         string_agg(event_type, \' > \' ORDER BY rn) AS path
+  FROM firstk GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT {_TOP_PATHS}
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -2602,4 +2668,5 @@ RELATIONAL_QUERIES = {
     "q208_windowed_funnel": (q208_windowed_funnel, Q208_SQL),
     "q209_rfm_segments": (q209_rfm_segments, Q209_SQL),
     "q211_freshness_audit": (q211_freshness_audit, Q211_SQL),
+    "q213_top_paths": (q213_top_paths, Q213_SQL),
 }

@@ -9995,6 +9995,63 @@ FROM j
 """
 
 
+
+# --------------------------------------------------------------------------
+# q212 — triangle count on the near-dup graph (clique-ness beyond density)
+# --------------------------------------------------------------------------
+def q212_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the q29 near-dup graph, per component → (component,
+    n_triangles). The classic distributed graph primitive done the
+    scale-safe way: edges ordered (a < b), triangles found by joining
+    the edge list to itself on the shared endpoint and probing the
+    closing edge — two equi-joins on the PAIR table (never the corpus),
+    each output row a genuine triangle counted exactly once by the
+    a<b<c ordering. A component whose triangle count is far below
+    C(n,3) is a CHAIN, not a clique — the numeric form of q203's
+    density warning. The persisted pair graph serves the triangle
+    joins AND the component labels (the q151 lesson).
+    """
+    from pyspark import StorageLevel
+
+    from ..operators.components import connected_components
+
+    t = load_tables(spark, sf_dir)
+    e = (
+        ngram_jaccard_pairs(
+            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+        )
+        .select("a_id", "b_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # wedge (a<b) + (b<c) → probe the closing (a<c) edge
+    ab = e.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    bc = e.select(F.col("a_id").alias("b"), F.col("b_id").alias("c"))
+    ac = e.select(F.col("a_id").alias("a"), F.col("b_id").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c")
+    comp = connected_components(e, "a_id", "b_id")
+    res = (
+        tri.join(comp.select(F.col("node").alias("a"), "component"), "a")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return materialize_release(res, e)
+
+
+Q212_SQL = f"""
+WITH comp AS ({Q72_SQL}),
+e AS (SELECT a_id, b_id FROM ({_sql_jaccard_pairs(0.8)}) p),
+tri AS (
+  SELECT ab.a_id AS a, ab.b_id AS b, bc.b_id AS c
+  FROM e ab
+  JOIN e bc ON bc.a_id = ab.b_id
+  JOIN e ac ON ac.a_id = ab.a_id AND ac.b_id = bc.b_id
+)
+SELECT c.component, CAST(count(*) AS BIGINT) AS n_triangles
+FROM tri JOIN comp c ON tri.a = c.node
+GROUP BY c.component
+"""
+
+
 # --------------------------------------------------------------------------
 
 
@@ -10139,4 +10196,5 @@ TEXT_QUERIES = {
     "q202_shard_balance": (q202_shard_balance, Q202_SQL),
     "q203_component_cohesion": (q203_component_cohesion, Q203_SQL),
     "q210_lsh_pr": (q210_lsh_pr, Q210_SQL),
+    "q212_graph_triangles": (q212_graph_triangles, Q212_SQL),
 }

@@ -253,6 +253,11 @@ def main() -> None:
         "q204_referential_integrity",
         "q205_order_balance",
         "q210_lsh_pr",
+        # Wave 14. q212's triangle joins run on the clique-amplified
+        # pair table: each 10-way clique contributes C(10,3)=120
+        # triangles — pair-table-bounded, never corpus-sized. q213
+        # rides the un-cloned events table (excluded).
+        "q212_graph_triangles",
     ):
         if only and name not in only:
             continue

@@ -156,6 +156,9 @@ BOUNDARY_SENSITIVE = [
     # + exact Jaccard) over the duplicate block and full-outer joins the
     # two pair sets — band-collision and shingle boundaries together.
     "q210_lsh_pr",
+    # Round-7 wave 14: q212 counts the duplicate block's 30-clique
+    # triangles (C(30,3) = 4060 exactly) through the pair generator.
+    "q212_graph_triangles",
 ]
 
 

@@ -123,6 +123,9 @@ TEXT_KEYED = [
     # Round-7 wave 13: q210 hashes multibyte shingles through both pair
     # generators.
     "q210_lsh_pr",
+    # Round-7 wave 14: q212 hashes multibyte shingles into the triangle
+    # joins.
+    "q212_graph_triangles",
 ]
 
 
