@@ -230,6 +230,9 @@ HEADLINE = [
     # Round-7 fourteenth wave: graph triangles, top user journeys.
     "q212_graph_triangles",
     "q213_top_paths",
+    # Round-7 fifteenth wave: weekly drift, clustering coefficient.
+    "q214_weekly_drift",
+    "q215_clustering_coeff",
 ]
 
 

@@ -2607,6 +2607,99 @@ LIMIT {_TOP_PATHS}
 """
 
 
+
+# --------------------------------------------------------------------------
+# q214 — weekly event-mix drift (chi-square vs the rest of the stream)
+# --------------------------------------------------------------------------
+def q214_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity of each week\'s event-type mix against the
+    REST of the stream → (week, n_events, chi2) — q127\'s drift audit
+    turned temporal: the alarm that fires when a deploy or an outage
+    changes what users DO before any single metric moves. Same
+    closed-form discipline: per-(week, type) contributions are single
+    IEEE expressions summed through dsum decimals; the event-type
+    universe is tiny so no closed-form absent-cell correction is needed
+    — the (week × type) grid is materialized exactly.
+
+    Shape: one (week, type) groupBy + a type re-agg + a type-keyed join
+    + a ~|weeks|-row broadcast. Partial-aggregable end to end.
+    """
+    t = load_tables(spark, sf_dir)
+    wt = (
+        t["events"]
+        .select(
+            F.date_trunc("week", F.col("ts")).cast("date").cast("string").alias("week"),
+            "event_type",
+        )
+        .groupBy("week", "event_type")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    tot = wt.groupBy("event_type").agg(F.sum("a").alias("c_t"))
+    nw = wt.groupBy("week").agg(F.sum("a").alias("n1"))
+    grand = nw.agg(F.sum("n1").alias("nn"))
+    nw = nw.join(F.broadcast(grand)).withColumn("n2", F.col("nn") - F.col("n1"))
+    j = (
+        wt.join(tot, "event_type")
+        .join(F.broadcast(nw), "week")
+        .withColumn("b", F.col("c_t") - F.col("a"))
+        .withColumn(
+            "contrib",
+            F.when(
+                F.col("n2") > 0,
+                F.col("nn").cast("double")
+                * (
+                    F.col("a").cast("double") * F.col("n2").cast("double")
+                    - F.col("b").cast("double") * F.col("n1").cast("double")
+                )
+                * (
+                    F.col("a").cast("double") * F.col("n2").cast("double")
+                    - F.col("b").cast("double") * F.col("n1").cast("double")
+                )
+                / (
+                    F.col("n1").cast("double")
+                    * F.col("n2").cast("double")
+                    * (F.col("a") + F.col("b")).cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return j.groupBy("week").agg(
+        F.sum("a").cast("bigint").alias("n_events"),
+        F.round(dsum(F.col("contrib")), 6).alias("chi2"),
+    )
+
+
+Q214_SQL = f"""
+WITH wt AS (
+  SELECT CAST(CAST(date_trunc(\'week\', ts) AS DATE) AS VARCHAR) AS week,
+         event_type, count(*) AS a
+  FROM events GROUP BY 1, 2
+), tot AS (SELECT event_type, sum(a) AS c_t FROM wt GROUP BY event_type),
+nw AS (SELECT week, sum(a) AS n1 FROM wt GROUP BY week),
+grand AS (SELECT sum(n1) AS nn FROM nw),
+nw2 AS (SELECT week, n1, nn, nn - n1 AS n2 FROM nw CROSS JOIN grand),
+j AS (
+  SELECT wt.week, wt.a, tot.c_t - wt.a AS b, nw2.n1, nw2.n2, nw2.nn
+  FROM wt JOIN tot USING (event_type) JOIN nw2 USING (week)
+)
+SELECT week, CAST(sum(a) AS BIGINT) AS n_events,
+       round({{dsum}}, 6) AS chi2
+FROM (
+  SELECT week, a,
+         CASE WHEN n2 > 0 THEN
+           CAST(nn AS DOUBLE)
+           * (CAST(a AS DOUBLE) * CAST(n2 AS DOUBLE)
+              - CAST(b AS DOUBLE) * CAST(n1 AS DOUBLE))
+           * (CAST(a AS DOUBLE) * CAST(n2 AS DOUBLE)
+              - CAST(b AS DOUBLE) * CAST(n1 AS DOUBLE))
+           / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              * CAST(a + b AS DOUBLE))
+         ELSE 0.0 END AS contrib
+  FROM j
+) g GROUP BY week
+""".replace("{dsum}", sql_dsum("contrib"))
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -2669,4 +2762,5 @@ RELATIONAL_QUERIES = {
     "q209_rfm_segments": (q209_rfm_segments, Q209_SQL),
     "q211_freshness_audit": (q211_freshness_audit, Q211_SQL),
     "q213_top_paths": (q213_top_paths, Q213_SQL),
+    "q214_weekly_drift": (q214_weekly_drift, Q214_SQL),
 }

@@ -10052,6 +10052,106 @@ GROUP BY c.component
 """
 
 
+
+# --------------------------------------------------------------------------
+# q215 — clustering coefficient per component (q203+q212 composed)
+# --------------------------------------------------------------------------
+def q215_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of each near-dup component:
+    3·triangles / wedges → (component, n_wedges, n_triangles, coeff).
+    The single number that separates clone cliques (coeff = 1) from
+    transitive chains (coeff → 0) — q203\'s density and q212\'s triangle
+    counts reduced to the standard graph statistic. Wedges come from
+    the degree table (Σ d·(d−1)/2 per component), triangles from the
+    q212 joins; the pair table is persisted ONCE and serves degrees,
+    triangles, AND the component labels (the q151 lesson, three ways).
+    Integer wedge/triangle counts; one final IEEE division.
+    """
+    from pyspark import StorageLevel
+
+    from ..operators.components import connected_components
+
+    t = load_tables(spark, sf_dir)
+    e = (
+        ngram_jaccard_pairs(
+            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+        )
+        .select("a_id", "b_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    comp = connected_components(e, "a_id", "b_id")
+    deg = (
+        e.select(F.explode(F.array("a_id", "b_id")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = (
+        deg.join(comp, "node")
+        .groupBy("component")
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
+        )
+    )
+    ab = e.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    bc = e.select(F.col("a_id").alias("b"), F.col("b_id").alias("c"))
+    ac = e.select(F.col("a_id").alias("a"), F.col("b_id").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .join(comp.select(F.col("node").alias("a"), "component"), "a")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    res = (
+        wedges.join(tri, "component", "left")
+        .select(
+            "component",
+            "n_wedges",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0)
+                    * F.coalesce("n_triangles", F.lit(0)).cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    9,
+                ),
+            ).alias("coeff"),
+        )
+    )
+    return materialize_release(res, e)
+
+
+Q215_SQL = f"""
+WITH comp AS ({Q72_SQL}),
+e AS (SELECT a_id, b_id FROM ({_sql_jaccard_pairs(0.8)}) p),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a_id AS node FROM e UNION ALL SELECT b_id FROM e
+  ) n GROUP BY node
+),
+wedges AS (
+  SELECT c.component, CAST(sum(deg.d * (deg.d - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg JOIN comp c ON deg.node = c.node GROUP BY c.component
+),
+tri AS (
+  SELECT c.component, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e ab
+  JOIN e bc ON bc.a_id = ab.b_id
+  JOIN e ac ON ac.a_id = ab.a_id AND ac.b_id = bc.b_id
+  JOIN comp c ON ab.a_id = c.node
+  GROUP BY c.component
+)
+SELECT w.component, w.n_wedges,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN w.n_wedges > 0 THEN
+         round(3.0 * CAST(coalesce(t.n_triangles, 0) AS DOUBLE)
+               / CAST(w.n_wedges AS DOUBLE), 9)
+       END AS coeff
+FROM wedges w LEFT JOIN tri t USING (component)
+"""
+
+
 # --------------------------------------------------------------------------
 
 
@@ -10197,4 +10297,5 @@ TEXT_QUERIES = {
     "q203_component_cohesion": (q203_component_cohesion, Q203_SQL),
     "q210_lsh_pr": (q210_lsh_pr, Q210_SQL),
     "q212_graph_triangles": (q212_graph_triangles, Q212_SQL),
+    "q215_clustering_coeff": (q215_clustering_coeff, Q215_SQL),
 }

@@ -258,6 +258,9 @@ def main() -> None:
         # triangles — pair-table-bounded, never corpus-sized. q213
         # rides the un-cloned events table (excluded).
         "q212_graph_triangles",
+        # Wave 15. q215 composes degrees + triangles + CC over ONE
+        # persisted pair table; q214 rides un-cloned events (excluded).
+        "q215_clustering_coeff",
     ):
         if only and name not in only:
             continue

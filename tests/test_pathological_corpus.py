@@ -159,6 +159,9 @@ BOUNDARY_SENSITIVE = [
     # Round-7 wave 14: q212 counts the duplicate block's 30-clique
     # triangles (C(30,3) = 4060 exactly) through the pair generator.
     "q212_graph_triangles",
+    # Round-7 wave 15: q215's coefficient must be exactly 1.0 on the
+    # 30-way duplicate clique and NULL on wedge-free 2-node components.
+    "q215_clustering_coeff",
 ]
 
 

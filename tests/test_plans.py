@@ -236,6 +236,7 @@ BNLJ_ALLOWED = {
     "q202_shard_balance",  # 1-row mean-shard scalar broadcast (q89's class)
     "q209_rfm_segments",  # 1-row corpus-max + n_users scalar broadcasts (q89's class)
     "q211_freshness_audit",  # 1-row corpus-max scalar broadcast (q89's class)
+    "q214_weekly_drift",  # 1-row grand-total scalar broadcast (q127's class)
 }
 
 

@@ -126,6 +126,7 @@ TEXT_KEYED = [
     # Round-7 wave 14: q212 hashes multibyte shingles into the triangle
     # joins.
     "q212_graph_triangles",
+    "q215_clustering_coeff",
 ]
 
 
