@@ -529,3 +529,65 @@ def test_segment_dedup_random_corpora_vs_python(spark):
         }
         assert got == {k: v for k, v in want.items() if k in got}, base
         assert set(got) == {r[0] for r in rows if r[1] == base}
+
+
+def test_containment_pairs_invariants(spark):
+    """Structural invariants of ngram_containment_pairs over a mixed
+    corpus: every ratio in (0, 1]; jaccard ≤ min(c_a_in_b, c_b_in_a)
+    (the union dominates both set sizes); and a full clone pair scores
+    1.0 in BOTH directions."""
+    from printer_etl_hub_spark.operators.dedup import ngram_containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),
+        (2, base),  # exact clone of 1
+        (3, "x0 x1 " + base + " y0 y1"),  # contains 1's grams
+        (4, "totally different words with no shared trigrams at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id): r
+        for r in ngram_containment_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    for r in got.values():
+        assert 0.0 < r.c_a_in_b <= 1.0 and 0.0 < r.c_b_in_a <= 1.0
+        assert r.jaccard <= min(r.c_a_in_b, r.c_b_in_a) + 1e-12
+    clone = got[(1, 2)]
+    assert clone.c_a_in_b == 1.0 and clone.c_b_in_a == 1.0 and clone.jaccard == 1.0
+    assert all(4 not in k for k in got)  # the unrelated doc pairs with nobody
+
+
+def test_dist_rank_is_total_order_permutation(spark):
+    """dist_rank must emit exactly the permutation 1..n consistent with
+    the (metric, id) sort — across ties and across range-partition
+    boundaries — and never lose or duplicate a row."""
+    from printer_etl_hub_spark.plans.common import dist_rank, flush_pending_release
+
+    rows = [(i, (i * 7919) % 13) for i in range(1, 501)]  # many ties
+    df = spark.createDataFrame(rows, "id long, m long")
+    ranked, pin = dist_rank(df, ["m", "id"], out="r", n_parts=8)
+    got = sorted((r.r, r.m, r.id) for r in ranked.collect())
+    pin.unpersist()
+    flush_pending_release()
+    assert [g[0] for g in got] == list(range(1, 501))
+    want = sorted(rows, key=lambda t: (t[1], t[0]))
+    assert [(m, i) for _, m, i in got] == [(m, i) for i, m in want]
+
+
+def test_budget_allocation_sums_exactly(spark):
+    """q200's largest-remainder apportionment: Σalloc ≡ the budget
+    EXACTLY, every allocation within 1 of its real-valued share, and
+    weights sum to ~1."""
+    from printer_etl_hub_spark.plans import REGISTRY
+
+    rows = REGISTRY["q200_budget_allocation"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r.alloc_tokens for r in rows)
+    assert total == 1_000_000, total
+    wsum = sum(r.weight for r in rows)
+    assert abs(wsum - 1.0) < 1e-6
+    for r in rows:
+        share = 1_000_000 * r.weight
+        assert share - 1.0 <= r.alloc_tokens <= share + 1.0
