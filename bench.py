@@ -233,6 +233,9 @@ HEADLINE = [
     # Round-7 fifteenth wave: weekly drift, clustering coefficient.
     "q214_weekly_drift",
     "q215_clustering_coeff",
+    # Round-7 sixteenth wave: robust outliers, point-in-time join.
+    "q216_robust_outliers",
+    "q217_pit_feature_join",
 ]
 
 

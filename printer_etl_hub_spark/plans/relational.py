@@ -2700,6 +2700,153 @@ FROM (
 """.replace("{dsum}", sql_dsum("contrib"))
 
 
+
+# --------------------------------------------------------------------------
+# q216 — robust value outliers per event type (median/MAD, not mean/σ)
+# --------------------------------------------------------------------------
+def q216_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier counts per event type → (event_type, n,
+    median, mad, n_outliers). The mean/σ rule q188 uses breaks on the
+    heavy-tailed value distributions event streams actually have (one
+    whale inflates σ until nothing is an outlier); median ± 3·1.4826·MAD
+    is the standard robust replacement. Cross-engine exactness: both
+    interpolated medians are ROUNDED(6) before any downstream use —
+    Spark\'s percentile() and DuckDB\'s quantile_cont interpolate with
+    differently-ordered float ops (the q95 warning), and rounding is
+    what collapses the low-bit divergence BEFORE the threshold compare.
+    Shape: two grouped percentile passes + a \|types\|-row broadcast
+    join between them + one counting agg.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("median"))
+    )
+    mad = dev.groupBy("event_type", "n", "median").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    out = (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+    return mad.join(out, "event_type").select(
+        "event_type", "n", "median", "mad", "n_outliers"
+    )
+
+
+Q216_SQL = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, m.n, m.median, abs(e.value - m.median) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, n, median, round(quantile_cont(adev, 0.5), 6) AS mad
+  FROM dev GROUP BY event_type, n, median
+)
+SELECT d.event_type, m.n, m.median, m.mad,
+       CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, m.n, m.median, m.mad
+"""
+
+
+# --------------------------------------------------------------------------
+# q217 — point-in-time feature join (feature-store correctness join)
+# --------------------------------------------------------------------------
+def q217_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store join done WITHOUT leakage: each event picks the
+    dimension version effective AT ITS OWN TIMESTAMP (half-open
+    from ≤ ts < to), then aggregates per version-correct segment →
+    (segment, n_events, value_total). Joining "current" attributes
+    backfills future knowledge into training data — the classic silent
+    label-leakage bug; this is the interval-predicate join that
+    prevents it. The version table is built deterministically with a
+    mid-stream boundary (every 5th key re-segments to RELOCATED on
+    2024-01-15, inside the events range) so the join provably selects
+    DIFFERENT versions for the same key across the stream.
+
+    Shape: one equi-join on the key with the interval predicate as a
+    residual filter (≤ 2 versions per key — broadcastable at any
+    realistic dimension size) + one segment agg. Value sums decimal.
+    """
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select("c_custkey", "c_mktsegment")
+    bound = F.lit("2024-01-15").cast("date")
+    far = F.lit("9999-12-31").cast("date")
+    start = F.lit("2023-12-01").cast("date")
+    moved = F.col("c_custkey") % 5 == 0
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        start.alias("eff_from"),
+        F.when(moved, bound).otherwise(far).alias("eff_to"),
+    )
+    v2 = c.filter(moved).select(
+        "c_custkey",
+        F.lit("RELOCATED").alias("segment"),
+        bound.alias("eff_from"),
+        far.alias("eff_to"),
+    )
+    versions = v1.unionByName(v2)
+    ev = t["events"].select(
+        F.col("user_id").alias("c_custkey"), F.col("ts").cast("date").alias("d"),
+        "value",
+    )
+    j = ev.join(F.broadcast(versions), "c_custkey").filter(
+        (F.col("eff_from") <= F.col("d")) & (F.col("d") < F.col("eff_to"))
+    )
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,18)")).cast("double"), 6
+        ).alias("value_total"),
+    )
+
+
+Q217_SQL = """
+WITH v1 AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         CAST('2023-12-01' AS DATE) AS eff_from,
+         CASE WHEN c_custkey % 5 = 0 THEN CAST('2024-01-15' AS DATE)
+              ELSE CAST('9999-12-31' AS DATE) END AS eff_to
+  FROM customer
+), v2 AS (
+  SELECT c_custkey, 'RELOCATED' AS segment,
+         CAST('2024-01-15' AS DATE) AS eff_from,
+         CAST('9999-12-31' AS DATE) AS eff_to
+  FROM customer WHERE c_custkey % 5 = 0
+), versions AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+ev AS (
+  SELECT user_id AS c_custkey, CAST(ts AS DATE) AS d, value FROM events
+)
+SELECT v.segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(SUM(CAST(ev.value AS DECIMAL(38,18))) AS DOUBLE), 6)
+         AS value_total
+FROM ev JOIN versions v
+  ON ev.c_custkey = v.c_custkey
+ AND v.eff_from <= ev.d AND ev.d < v.eff_to
+GROUP BY v.segment
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -2763,4 +2910,6 @@ RELATIONAL_QUERIES = {
     "q211_freshness_audit": (q211_freshness_audit, Q211_SQL),
     "q213_top_paths": (q213_top_paths, Q213_SQL),
     "q214_weekly_drift": (q214_weekly_drift, Q214_SQL),
+    "q216_robust_outliers": (q216_robust_outliers, Q216_SQL),
+    "q217_pit_feature_join": (q217_pit_feature_join, Q217_SQL),
 }
