@@ -236,6 +236,8 @@ HEADLINE = [
     # Round-7 sixteenth wave: robust outliers, point-in-time join.
     "q216_robust_outliers",
     "q217_pit_feature_join",
+    # Round-7 seventeenth wave: join-key skew audit.
+    "q218_key_skew",
 ]
 
 

@@ -2847,6 +2847,67 @@ GROUP BY v.segment
 """
 
 
+
+# --------------------------------------------------------------------------
+# q218 — join-key skew audit (which key melts the shuffle)
+# --------------------------------------------------------------------------
+_SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+    ("documents", "source"),
+)
+
+
+def q218_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis for the five join/agg keys the engine
+    actually shuffles on → (table_key, n_rows, n_keys, max_key_rows,
+    mean_key_rows, skew_ratio). skew_ratio = max/mean is the number AQE
+    skew-join thresholds are tuned against; a ratio ≫ 10 on a planned
+    join key is tomorrow's straggler (q36 demonstrates the salting fix;
+    this is the audit that says WHERE to apply it — the q175/q202
+    posture for relational keys). Two-level aggregate per key (key
+    groupBy → one-row stats), every stage partial-aggregable; mean
+    through exact integer division in double.
+    """
+    t = load_tables(spark, sf_dir)
+    rows = None
+    for table, key in _SKEW_KEYS:
+        per = t[table].groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        leg = per.agg(
+            F.lit(f"{table}.{key}").alias("table_key"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_key_rows"),
+            F.round(
+                F.sum("c").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_key_rows"),
+            F.round(
+                F.max("c").cast("double")
+                / (F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")),
+                6,
+            ).alias("skew_ratio"),
+        )
+        rows = leg if rows is None else rows.unionByName(leg)
+    return rows
+
+
+Q218_SQL = "\nUNION ALL\n".join(
+    f"""SELECT \'{table}.{key}\' AS table_key,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_key_rows,
+       round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_key_rows,
+       round(CAST(max(c) AS DOUBLE)
+             / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+         AS skew_ratio
+FROM (SELECT {key}, count(*) AS c FROM {table} GROUP BY {key}) g"""
+    for table, key in _SKEW_KEYS
+)
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -2912,4 +2973,5 @@ RELATIONAL_QUERIES = {
     "q214_weekly_drift": (q214_weekly_drift, Q214_SQL),
     "q216_robust_outliers": (q216_robust_outliers, Q216_SQL),
     "q217_pit_feature_join": (q217_pit_feature_join, Q217_SQL),
+    "q218_key_skew": (q218_key_skew, Q218_SQL),
 }
