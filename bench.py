@@ -238,6 +238,8 @@ HEADLINE = [
     "q217_pit_feature_join",
     # Round-7 seventeenth wave: join-key skew audit.
     "q218_key_skew",
+    # Round-7 eighteenth wave: near-dup survivorship by source.
+    "q219_neardup_survivorship",
 ]
 
 

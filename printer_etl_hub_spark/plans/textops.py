@@ -10152,6 +10152,51 @@ FROM wedges w LEFT JOIN tri t USING (component)
 """
 
 
+
+# --------------------------------------------------------------------------
+# q219 — near-dup survivorship by source (who loses docs to dedup)
+# --------------------------------------------------------------------------
+def q219_neardup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q135\'s quality-keeper decisions rolled up per source → (source,
+    n_docs, n_kept, n_dropped, keep_rate). q194 prices EXACT-dup impact
+    on the mixture; this is the near-dup version with quality-aware
+    keepers — the table that shows which source systematically loses
+    the keeper election (its copies are the low-quality ones) and will
+    shrink after dedup far more than its raw duplicate rate suggests.
+    Shape: q135\'s audited pair+CC+window subtree + one slim id→source
+    join + a groupBy(source). Integer counts; one final division.
+    """
+    t = load_tables(spark, sf_dir)
+    keep = q135_quality_keeper(spark, sf_dir).select("doc_id", "is_keeper")
+    src = t["documents"].select("doc_id", "source")
+    n = F.count(F.lit(1))
+    kept = F.sum(F.when(F.col("is_keeper"), 1).otherwise(0))
+    return (
+        keep.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            kept.cast("bigint").alias("n_kept"),
+            (n - kept).cast("bigint").alias("n_dropped"),
+            F.round(kept.cast("double") / n.cast("double"), 9).alias("keep_rate"),
+        )
+    )
+
+
+Q219_SQL = f"""
+WITH keepers AS ({Q135_SQL})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN k.is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - SUM(CASE WHEN k.is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       round(CAST(SUM(CASE WHEN k.is_keeper THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 9) AS keep_rate
+FROM keepers k JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
 # --------------------------------------------------------------------------
 
 
@@ -10298,4 +10343,5 @@ TEXT_QUERIES = {
     "q210_lsh_pr": (q210_lsh_pr, Q210_SQL),
     "q212_graph_triangles": (q212_graph_triangles, Q212_SQL),
     "q215_clustering_coeff": (q215_clustering_coeff, Q215_SQL),
+    "q219_neardup_survivorship": (q219_neardup_survivorship, Q219_SQL),
 }

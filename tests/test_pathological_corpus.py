@@ -162,6 +162,9 @@ BOUNDARY_SENSITIVE = [
     # Round-7 wave 15: q215's coefficient must be exactly 1.0 on the
     # 30-way duplicate clique and NULL on wedge-free 2-node components.
     "q215_clustering_coeff",
+    # Round-7 wave 18: q219 rolls up q135's keeper election over the
+    # duplicate block (exactly one keeper per 30-way clique).
+    "q219_neardup_survivorship",
 ]
 
 

@@ -127,6 +127,7 @@ TEXT_KEYED = [
     # joins.
     "q212_graph_triangles",
     "q215_clustering_coeff",
+    "q219_neardup_survivorship",
 ]
 
 
