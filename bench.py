@@ -240,6 +240,9 @@ HEADLINE = [
     "q218_key_skew",
     # Round-7 eighteenth wave: near-dup survivorship by source.
     "q219_neardup_survivorship",
+    # Round-7 nineteenth wave: head-share curve, depth revenue.
+    "q220_head_share",
+    "q221_depth_revenue",
 ]
 
 

@@ -20,14 +20,14 @@ Round-7 window (executes the round-6 ledger plan exactly — VERDICT r6
    q77, q82-q88, q91, q93-q97. Displaced to round 8: q98, q99, q102,
    q104 (still r4-green; lead the next backfill).
 
-Round-7 additions (q149-q219: eighteen waves — curation audits, QA
+Round-7 additions (q149-q221: nineteen waves — curation audits, QA
 harnesses, index-health tables, integrity/provenance/packing audits,
 dedup-impact/delta/calibration/routing/events-analytics tables) land
 OUTSIDE the window
 (it is full with staleness repayment) — the same deferral q106-q112,
-q138-q140, and q141-q148 took; all 71 are locally oracle-verified at
+q138-q140, and q141-q148 took; all 73 are locally oracle-verified at
 sf0.001+sf0.01; q149-q198 lead round 8's window (50 slots exactly);
-q199-q219 plus the r4-displaced q98/q99/q102/q104 lead round 9's
+q199-q221 plus the r4-displaced q98/q99/q102/q104 lead round 9's
 backfill.
 
 q37 stays OUTSIDE the window by design: its estimator output has no
@@ -46,7 +46,7 @@ r5: q01-q11, q13, q15, q25, q100, q101, q103, q105-q113, q115-q122,
 r4: q12, q14, q16-q19, q28, q31, q38-q45, q49, q50, q52-q56, q72,
     q77, q82-q91, q93-q99, q102, q104;
 never: q37 (by design), q141-q148 (gated THIS round — round 7),
-    q149-q219 (land this round, lead round 8).
+    q149-q221 (land this round, lead round 8).
 """
 
 from __future__ import annotations

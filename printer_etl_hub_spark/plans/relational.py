@@ -2908,6 +2908,65 @@ FROM (SELECT {key}, count(*) AS c FROM {table} GROUP BY {key}) g"""
 )
 
 
+
+# --------------------------------------------------------------------------
+# q221 — revenue by funnel depth (conversion value attribution)
+# --------------------------------------------------------------------------
+def q221_depth_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q208\'s windowed funnel joined to purchase value → per depth:
+    user count, purchase-event count, and purchase value total →
+    (wf_depth, n_users, n_purchases, value_total). The attribution
+    table that turns a funnel from a count into a business case (depth
+    3 SHOULD carry the revenue; when depth 1-2 does, the funnel steps
+    are mis-specified). Shape: q208\'s chained mins + one user-keyed
+    left join onto per-user purchase aggregates + a 4-row agg. Value
+    sums decimal end to end.
+    """
+    depth = q208_windowed_funnel(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    pv = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("np"),
+            F.sum(F.col("value").cast("decimal(38,18)")).alias("vsum"),
+        )
+    )
+    return (
+        depth.join(pv, "user_id", "left")
+        .groupBy("wf_depth")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.coalesce(F.col("np"), F.lit(0))).cast("bigint").alias(
+                "n_purchases"
+            ),
+            F.round(
+                F.sum(F.coalesce(F.col("vsum"), F.lit(0).cast("decimal(38,18)")))
+                .cast("double"),
+                6,
+            ).alias("value_total"),
+        )
+    )
+
+
+Q221_SQL = f"""
+WITH depth AS ({Q208_SQL}),
+pv AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS np,
+         SUM(CAST(value AS DECIMAL(38,18))) AS vsum
+  FROM events WHERE event_type = \'purchase\' GROUP BY user_id
+)
+SELECT d.wf_depth,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(coalesce(pv.np, 0)) AS BIGINT) AS n_purchases,
+       round(CAST(SUM(coalesce(pv.vsum, CAST(0 AS DECIMAL(38,18)))) AS DOUBLE), 6)
+         AS value_total
+FROM depth d LEFT JOIN pv USING (user_id)
+GROUP BY d.wf_depth
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -2974,4 +3033,5 @@ RELATIONAL_QUERIES = {
     "q216_robust_outliers": (q216_robust_outliers, Q216_SQL),
     "q217_pit_feature_join": (q217_pit_feature_join, Q217_SQL),
     "q218_key_skew": (q218_key_skew, Q218_SQL),
+    "q221_depth_revenue": (q221_depth_revenue, Q221_SQL),
 }

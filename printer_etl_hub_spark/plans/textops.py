@@ -10197,6 +10197,82 @@ GROUP BY d.source
 """
 
 
+
+# --------------------------------------------------------------------------
+# q220 — token head-share curve (how top-heavy is the vocabulary?)
+# --------------------------------------------------------------------------
+_HEAD_KS = (10, 100, 1000)
+
+
+def q220_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token-mass share of the top-K most frequent types for
+    K ∈ {10, 100, 1000} → (k, n_types, head_tokens, share). The
+    head-heaviness curve a vocabulary-truncation decision reads next to
+    q159\'s OOV sweep (q159 prices coverage per CUTOFF FREQUENCY; this
+    prices it per VOCAB SIZE — the axis tokenizer budgets are set on).
+    Rank over type counts via ``dist_rank`` (plans/common.py — the q95
+    shape, no single-partition window over \|vocab\|), ties broken by
+    token; all three K levels read ONE ranked table. Integer sums; one
+    final division per row.
+    """
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["documents"]
+        .select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("negc", -F.col("c"))
+    )
+    from .common import dist_rank
+
+    ranked, pin = dist_rank(counts, ["negc", "tok"], out="r")
+    tot = counts.agg(F.sum("c").cast("bigint").alias("total"))
+    lv = F.explode(F.array(*[F.lit(int(k)) for k in _HEAD_KS])).alias("k")
+    tagged = ranked.select(lv, "c", "r").filter(F.col("r") <= F.col("k"))
+    res = (
+        tagged.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("c").cast("bigint").alias("head_tokens"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "k",
+            "n_types",
+            "head_tokens",
+            F.round(
+                F.col("head_tokens").cast("double") / F.col("total").cast("double"),
+                9,
+            ).alias("share"),
+        )
+    )
+    return materialize_release(res, pin)
+
+
+_head_ks_sql = ", ".join(str(k) for k in _HEAD_KS)
+Q220_SQL = rf"""
+WITH counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents) t
+  WHERE tok <> ''
+  GROUP BY tok
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY -c, tok) AS r FROM counts
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+lv AS (SELECT CAST(unnest([{_head_ks_sql}]) AS INTEGER) AS k)
+SELECT lv.k,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(ranked.c) AS BIGINT) AS head_tokens,
+       round(CAST(sum(ranked.c) AS DOUBLE) / CAST(tot.total AS DOUBLE), 9)
+         AS share
+FROM ranked, lv, tot
+WHERE ranked.r <= lv.k
+GROUP BY lv.k, tot.total
+"""
+
+
 # --------------------------------------------------------------------------
 
 
@@ -10344,4 +10420,5 @@ TEXT_QUERIES = {
     "q212_graph_triangles": (q212_graph_triangles, Q212_SQL),
     "q215_clustering_coeff": (q215_clustering_coeff, Q215_SQL),
     "q219_neardup_survivorship": (q219_neardup_survivorship, Q219_SQL),
+    "q220_head_share": (q220_head_share, Q220_SQL),
 }

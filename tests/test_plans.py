@@ -237,6 +237,7 @@ BNLJ_ALLOWED = {
     "q209_rfm_segments",  # 1-row corpus-max + n_users scalar broadcasts (q89's class)
     "q211_freshness_audit",  # 1-row corpus-max scalar broadcast (q89's class)
     "q214_weekly_drift",  # 1-row grand-total scalar broadcast (q127's class)
+    "q220_head_share",  # 1-row token-total scalar broadcast (q89's class)
 }
 
 
