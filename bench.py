@@ -27,6 +27,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: Headline set: scan-agg, joins, windows, sessionization, dedup families,
 #: similarity, text analysis — the engine's representative workload mix.
+#:
+#: EXCLUSION RULE (registry queries NOT in HEADLINE): a query is excluded
+#: only if it is (a) a sub-second trivial shape — single-table filter,
+#: CASE map, point lookup, or a small TPC-H variant whose physical plan
+#: (scan→filter→agg/join of the same tables) is already represented by a
+#: benched sibling — or (b) a driver-side sink (Excel/JSON/ticket
+#: writers) whose cost is I/O, not the engine. Every non-trivial join or
+#: multi-stage shape must be benched; r8 closed the four known gaps
+#: (q74/q76/q78/q86 below).
 HEADLINE = [
     "q01_pricing_summary",
     "q34_tpch_q3",
@@ -61,6 +70,13 @@ HEADLINE = [
     "q66_tpch_q2",
     "q71_json_harvest",
     "q72_dup_clusters",
+    # Round 8: the four non-trivial joins VERDICT r7 found unbenched —
+    # last-touch attribution, the HLL rollup ladder, cross-corpus
+    # decontamination, and the 13-gram collision sweep.
+    "q74_attribution",
+    "q76_hll_rollup",
+    "q78_decontamination",
+    "q86_ngram_collision",
     # Round 4 additions: the composed-pipeline flagships and the
     # re-implemented distributed shard packing.
     "q81_corpus_prep",
@@ -243,6 +259,23 @@ HEADLINE = [
     # Round-7 nineteenth wave: head-share curve, depth revenue.
     "q220_head_share",
     "q221_depth_revenue",
+    # Round 8: zipf curve, effective vocab, class weights, reliability
+    # bins, user gini, degree assortativity, EWMA anomaly, dow profile,
+    # CUSUM changepoint, brand HHI, stratified split, KS drift, join
+    # cardinality forecast.
+    "q222_zipf_curve",
+    "q223_effective_vocab",
+    "q224_class_weights",
+    "q225_reliability_bins",
+    "q226_user_gini",
+    "q227_degree_assortativity",
+    "q228_ewma_anomaly",
+    "q229_dow_profile",
+    "q230_cusum_changepoint",
+    "q231_brand_hhi",
+    "q232_stratified_split",
+    "q233_ks_drift",
+    "q234_join_cardinality",
 ]
 
 

@@ -255,6 +255,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     max_df: int | None = None,
+    pins: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
 
@@ -267,6 +268,12 @@ def ngram_jaccard_pairs(
     contributes d² join rows, so one degenerate common phrase can dominate
     the whole job; ultra-common shingles carry no near-dup signal anyway.
     Jaccard is then computed exactly over the df-filtered shingle space.
+
+    ``pins``: optional caller-owned list the operator appends its
+    persisted frames (shingle cache, inverted index) to — the dist_rank
+    convention, so a plan-level caller can defer-release them through
+    ``materialize_release`` instead of leaving the blocks to the
+    harness's per-query ``clearCache``. Omitted → previous behavior.
     """
     from pyspark import StorageLevel
 
@@ -279,6 +286,8 @@ def ngram_jaccard_pairs(
     sh = _doc_shingles(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if pins is not None:
+        pins.append(sh)
     # Postings carry a NUMERIC shingle hash — grouping/joining runs on a
     # bigint instead of a string (collation-free compares, tighter shuffle
     # rows). A 60-bit collision would merge two shingles; at dedup scales the
@@ -301,6 +310,8 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
 
     grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+    if pins is not None:
+        pins.append(grouped)
     # Pair generation is a double explode of each posting list — a flatMap,
     # not a self-join: a shingle held by d docs emits exactly C(d,2) ordered
     # pairs with zero extra shuffle. With the df cap, d ≤ max_df bounds the
@@ -343,6 +354,7 @@ def ngram_containment_pairs(
     threshold: float = 0.9,
     shingle_n: int = 3,
     max_df: int | None = None,
+    pins: list | None = None,
 ) -> DataFrame:
     """Asymmetric n-gram containment pairs: c(A→B) = |A∩B| / |A| — the
     quote/inclusion detector Jaccard misses. A short document fully
@@ -355,13 +367,16 @@ def ngram_containment_pairs(
     Same inverted-index shape and ``max_df`` stop-shingle cap as
     ``ngram_jaccard_pairs`` (the postings join is identical; only the
     final normalization differs), so the 10×-audited scale properties
-    carry over unchanged.
+    carry over unchanged. ``pins`` as in ``ngram_jaccard_pairs``: the
+    caller-owned release list for the two persisted frames.
     """
     from pyspark import StorageLevel
 
     sh = _doc_shingles(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if pins is not None:
+        pins.append(sh)
     postings = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
     ).select("doc_id", _md5_60bit(F.col("shingle")).alias("sh_h"))
@@ -369,6 +384,8 @@ def ngram_containment_pairs(
     if max_df is not None:
         grouped = grouped.filter(F.size("ds") <= max_df)
     grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+    if pins is not None:
+        pins.append(grouped)
     pairs = (
         grouped.select(F.explode("ds").alias("a_id"), F.col("ds"))
         .select("a_id", F.explode("ds").alias("b_id"))

@@ -241,6 +241,7 @@ def ivf_probe_sweep(
     k: int = 3,
     n_centroids: int | None = None,
     probes: tuple[int, ...] = (1, 2, 4),
+    pins: list | None = None,
 ) -> DataFrame:
     """``ivf_topk`` swept over the n_probe knob in ONE index pass:
     output (n_probe, vec_id, neighbor_id, rn) for every level in
@@ -252,6 +253,11 @@ def ivf_probe_sweep(
     no re-scoring, exactly the one-pass posture of the q146/q182/q185
     threshold sweeps. This is the tuning table the (c, n_probe) decision
     reads next to its recall harness.
+
+    ``pins``: optional caller-owned list the persisted assignment table
+    is appended to (the dist_rank convention) so a plan-level caller can
+    defer-release it through ``materialize_release``; omitted → the
+    block lives until the harness's per-query ``clearCache``.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -286,6 +292,8 @@ def ivf_probe_sweep(
         .filter(F.col("crn") <= max_p)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if pins is not None:
+        pins.append(ranked)
     cells = ranked.filter(F.col("crn") == 1).select(
         F.col("cent_id").alias("cell"),
         F.col("vid").alias("m_id"),

@@ -78,6 +78,7 @@ def materialize_release(out, *pinned):
     global LAST_MATERIALIZED_PLAN
     if CAPTURE_PLANS:
         LAST_MATERIALIZED_PLAN = out._jdf.queryExecution().executedPlan().toString()
+    _assert_release_owner()
     flush_pending_release()
     _PENDING_RELEASE.extend(pinned)
     return out
@@ -93,7 +94,37 @@ def flush_pending_release() -> None:
 
 #: Pins whose release is deferred until the next materialize_release
 #: call / explicit flush — at most one query's pins at any time.
+#:
+#: CONTRACT: single-threaded, query-at-a-time. The gate/bench/test
+#: harnesses all drive one query to completion before starting the
+#: next, so "the next materialize_release call" is always the SAME
+#: query stream and a deferred release can never drop another query's
+#: pins. A session driving queries concurrently from multiple threads
+#: must not share this module-level ledger — materialize_release
+#: asserts the owning thread below so a violation fails loudly instead
+#: of silently unpersisting a sibling's cache.
 _PENDING_RELEASE: list = []
+
+#: Thread holding the deferred-release ledger while it is non-empty.
+#: Ownership transfers freely when the ledger is empty (sequential use
+#: from different threads is fine); what the guard forbids is a SECOND
+#: thread flushing pins a first thread's live query still reads.
+_PENDING_RELEASE_OWNER: list = []
+
+
+def _assert_release_owner() -> None:
+    import threading
+
+    me = threading.get_ident()
+    if not _PENDING_RELEASE:
+        _PENDING_RELEASE_OWNER[:] = [me]
+    elif _PENDING_RELEASE_OWNER and _PENDING_RELEASE_OWNER[0] != me:
+        raise RuntimeError(
+            "materialize_release's deferred-pin ledger is query-at-a-time: "
+            f"thread {me} would release pins deferred by thread "
+            f"{_PENDING_RELEASE_OWNER[0]} whose query may still read them. "
+            "Concurrent drivers must scope pins per-thread."
+        )
 
 
 #: Test-only switch: the plan-hygiene suite flips this on so
@@ -106,19 +137,28 @@ CAPTURE_PLANS: bool = False
 LAST_MATERIALIZED_PLAN: str | None = None
 
 
-def dist_rank(df, order_cols, out: str = "rank", n_parts: int = 32):
+def dist_rank(df, order_cols, out: str = "rank", n_parts: int | None = None):
     """Global 1-based total-order rank WITHOUT a single-partition window
     (q77/q95's distributed shape): repartitionByRange on the sort key →
     per-partition row_number (range partitions are globally ordered) →
     broadcast partition-offset table. ``order_cols`` must be a total
     order (append a unique id). Returns ``(ranked_frame, pinned)`` — the
     pinned frame feeds both the rank and the offsets, so the CALLER must
-    release it (pass through :func:`materialize_release`). At 100 TB,
-    raise ``n_parts`` with the data; nothing else changes.
+    release it (pass through :func:`materialize_release`).
+
+    ``n_parts`` defaults to the session's configured shuffle width
+    (``spark.sql.shuffle.partitions``, falling back to
+    ``sparkContext.defaultParallelism``), so on a 1000-executor cluster
+    the rank fans out with the cluster instead of pinning 32 ranges —
+    the 100 TB knob turns itself. The rank values are partitioning-
+    independent (range partitions are globally ordered and offsets are
+    exact counts), so any ``n_parts`` yields identical results.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
+    if n_parts is None:
+        n_parts = _default_parts(df)
     parted = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
@@ -133,6 +173,119 @@ def dist_rank(df, order_cols, out: str = "rank", n_parts: int = 32):
     )
     ranked = (
         local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_lrn")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )
+    return ranked, parted
+
+
+def _default_parts(df) -> int:
+    spark = df.sparkSession
+    conf = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if conf is not None and str(conf).isdigit():
+        return int(conf)
+    return spark.sparkContext.defaultParallelism
+
+
+def dist_cumsum(df, order_cols, sum_cols, n_parts: int | None = None):
+    """Distributed prefix sum WITHOUT a single-partition window —
+    dist_rank's sibling for running totals (the KS/CUSUM shape):
+    repartitionByRange on the total order → per-partition running sum →
+    broadcast per-partition-total offset table → add. Each ``sum_cols``
+    entry gains a ``<col>_cum`` column holding the inclusive prefix sum
+    in the global ``order_cols`` order. ``order_cols`` must be a total
+    order (append a unique id); ``sum_cols`` must already be EXACT types
+    (bigint / decimal) — a float prefix sum is order-defined and this
+    helper's whole point is that partitioning doesn't change results.
+
+    Returns ``(frame, pinned)`` — release the pin through
+    :func:`materialize_release`, the dist_rank convention. ``n_parts``
+    defaults to the session's shuffle width (the 100 TB knob turns
+    itself).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    if n_parts is None:
+        n_parts = _default_parts(df)
+    parted = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parted
+    for c in sum_cols:
+        local = local.withColumn(f"_l_{c}", F.sum(F.col(c)).over(lw))
+    totals = parted.groupBy("_pid").agg(
+        *[F.sum(F.col(c)).alias(f"_t_{c}") for c in sum_cols]
+    )
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(F.col(f"_t_{c}")).over(ow), F.lit(0)).alias(f"_o_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(f"{c}_cum", F.col(f"_o_{c}") + F.col(f"_l_{c}"))
+    return (
+        out.drop("_pid", *[f"_l_{c}" for c in sum_cols], *[f"_o_{c}" for c in sum_cols]),
+        parted,
+    )
+
+
+def dist_rank_grouped(
+    df, group_cols, order_cols, out: str = "rank", n_parts: int | None = None
+):
+    """Per-GROUP 1-based rank without a per-group single-partition sort
+    (the stratified-split shape): a plain ``row_number() OVER
+    (PARTITION BY group ORDER BY ...)`` puts each whole group on one
+    task, so one 10 TB stratum melts an executor. Instead:
+    repartitionByRange on (group, order) — a group spans a CONTIGUOUS
+    run of range partitions — then per-(partition, group) row_number,
+    then a broadcast offset table of per-(partition, group) counts
+    cumulated within the group across the partition order. The offset
+    table is ≤ n_parts × |groups| rows but only groups that CROSS a
+    partition boundary contribute more than one row, so it stays
+    n_parts-bounded however large each group is.
+
+    ``order_cols`` must totally order rows WITHIN a group. Returns
+    ``(ranked, pinned)`` — the dist_rank convention.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    if n_parts is None:
+        n_parts = _default_parts(df)
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(n_parts, *gcols, *ocols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lw = Window.partitionBy("_pid", *group_cols).orderBy(*ocols)
+    local = parted.withColumn("_lrn", F.row_number().over(lw))
+    sizes = parted.groupBy("_pid", *group_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+    ow = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_cnt").over(ow), F.lit(0)).alias("_off"),
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), ["_pid", *group_cols])
         .withColumn(out, (F.col("_off") + F.col("_lrn")).cast("bigint"))
         .drop("_pid", "_lrn", "_off")
     )

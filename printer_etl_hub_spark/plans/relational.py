@@ -2274,21 +2274,36 @@ _PK_SPECS = (
 
 def q207_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Primary-key uniqueness across every table of the corpus →
-    (table_name, n_rows, n_distinct_keys, n_dup_rows). Ten one-row
-    map-side-combinable aggregates (count + count_distinct per table)
-    unioned; composite keys (lineitem) count distinct tuples. The
-    duplicate count is n_rows − n_distinct — exact integers.
+    (table_name, n_rows, n_null_key_rows, n_distinct_keys, n_dup_rows).
+    Ten one-row map-side-combinable aggregates unioned; composite keys
+    (lineitem) count distinct tuples. NULL-key rows are counted in
+    their OWN column and EXCLUDED from the distinct/dup arithmetic on
+    both engines — composite count(DISTINCT ...) disagrees cross-engine
+    on NULL-containing tuples (Spark's count_distinct skips them,
+    DuckDB's row-value DISTINCT counts them), so the audit pins one
+    defined semantic instead of inheriting either engine's (ADVICE r7;
+    q206 anticipates NULL l_orderkey, so this is a live hazard). The
+    duplicate count is non-null rows − n_distinct — exact integers.
     """
     t = load_tables(spark, sf_dir)
     rows = None
     for table, keys in _PK_SPECS:
+        null_any = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_any = c if null_any is None else (null_any | c)
+        nonnull = ~null_any
         leg = t[table].agg(
             F.lit(table).alias("table_name"),
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(null_any.cast("bigint")).cast("bigint").alias("n_null_key_rows"),
             F.count_distinct(*[F.col(k) for k in keys])
             .cast("bigint")
             .alias("n_distinct_keys"),
-            (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys]))
+            (
+                F.sum(nonnull.cast("bigint"))
+                - F.count_distinct(*[F.col(k) for k in keys])
+            )
             .cast("bigint")
             .alias("n_dup_rows"),
         )
@@ -2296,13 +2311,20 @@ def q207_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows
 
 
-Q207_SQL = "\nUNION ALL\n".join(
-    f"""SELECT '{table}' AS table_name,
+def _q207_leg_sql(table: str, keys: tuple) -> str:
+    null_any = " OR ".join(f"{k} IS NULL" for k in keys)
+    tup = ", ".join(keys)
+    return f"""SELECT '{table}' AS table_name,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(count(DISTINCT ({", ".join(keys)})) AS BIGINT) AS n_distinct_keys,
-       CAST(count(*) - count(DISTINCT ({", ".join(keys)})) AS BIGINT) AS n_dup_rows
+       CAST(SUM(CASE WHEN {null_any} THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key_rows,
+       CAST(count(DISTINCT ({tup})) FILTER (WHERE NOT ({null_any})) AS BIGINT) AS n_distinct_keys,
+       CAST(SUM(CASE WHEN {null_any} THEN 0 ELSE 1 END)
+            - count(DISTINCT ({tup})) FILTER (WHERE NOT ({null_any})) AS BIGINT) AS n_dup_rows
 FROM {table}"""
-    for table, keys in _PK_SPECS
+
+
+Q207_SQL = "\nUNION ALL\n".join(
+    _q207_leg_sql(table, keys) for table, keys in _PK_SPECS
 )
 
 
@@ -2612,14 +2634,22 @@ LIMIT {_TOP_PATHS}
 # q214 — weekly event-mix drift (chi-square vs the rest of the stream)
 # --------------------------------------------------------------------------
 def q214_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chi-square homogeneity of each week\'s event-type mix against the
-    REST of the stream → (week, n_events, chi2) — q127\'s drift audit
-    turned temporal: the alarm that fires when a deploy or an outage
-    changes what users DO before any single metric moves. Same
-    closed-form discipline: per-(week, type) contributions are single
-    IEEE expressions summed through dsum decimals; the event-type
-    universe is tiny so no closed-form absent-cell correction is needed
-    — the (week × type) grid is materialized exactly.
+    """Chi-square-family drift score of each week\'s event-type mix
+    against the REST of the stream → (week, n_events, chi2) — q127\'s
+    drift audit turned temporal: the alarm that fires when a deploy or
+    an outage changes what users DO before any single metric moves.
+
+    SCALE CONVENTION (shared with q127): the emitted ``chi2`` column is
+    N·χ² — the closed form N*(a*n2-b*n1)²/(n1*n2*(a+b)) sums to the
+    grand total N times the Pearson statistic (2×2 check: Pearson 3.75,
+    this form 225 = 60·3.75). It is exact, cross-engine bit-identical,
+    and order-preserving within one stream — the ranking/alerting use —
+    but do NOT compare it against χ² critical values without dividing
+    by n_events_total first. Same closed-form discipline as q127:
+    per-(week, type) contributions are single IEEE expressions summed
+    through dsum decimals; the event-type universe is tiny so no
+    closed-form absent-cell correction is needed — the (week × type)
+    grid is materialized exactly.
 
     Shape: one (week, type) groupBy + a type re-agg + a type-keyed join
     + a ~|weeks|-row broadcast. Partial-aggregable end to end.
@@ -2714,7 +2744,7 @@ def q216_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark\'s percentile() and DuckDB\'s quantile_cont interpolate with
     differently-ordered float ops (the q95 warning), and rounding is
     what collapses the low-bit divergence BEFORE the threshold compare.
-    Shape: two grouped percentile passes + a \|types\|-row broadcast
+    Shape: two grouped percentile passes + a |types|-row broadcast
     join between them + one counting agg.
     """
     t = load_tables(spark, sf_dir)
@@ -2967,6 +2997,566 @@ GROUP BY d.wf_depth
 """
 
 
+# --------------------------------------------------------------------------
+# q226 — Gini coefficient of per-user event activity
+# --------------------------------------------------------------------------
+def q226_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration Gini over per-user event counts → one row
+    (n_users, n_events, gini). The power-user inequality number a
+    product/abuse team reads before any per-user cap or sampling
+    decision — G ≈ 0 means uniform engagement, G → 1 means a handful of
+    accounts generate the stream (bots, scrapers, or simply whales; q218
+    says which KEY melts a shuffle, this says how concentrated the
+    USERS are). Closed form on ascending-sorted counts:
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) — all integer sums (Σ i·xᵢ in
+    DECIMAL(38,0): rank×count products overflow bigint at cluster
+    scale), one final double division.
+
+    Shape: one user groupBy + ``dist_rank`` over (count, user_id) — the
+    q77/q95 distributed rank, no single-partition window over |users| —
+    + a 1-row agg.
+    """
+    from .common import dist_rank
+
+    t = load_tables(spark, sf_dir)
+    per = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    ranked, pin = dist_rank(per, ["x", "user_id"], out="i")
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("n_events"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias("_t"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("_t").cast("double")
+        - (F.col("n_users") + 1).cast("double") * F.col("n_events").cast("double")
+    ) / (F.col("n_users").cast("double") * F.col("n_events").cast("double"))
+    res = s.select("n_users", "n_events", F.round(gini, 9).alias("gini"))
+    return materialize_release(res, pin)
+
+
+Q226_SQL = """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY user_id
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM per
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS n_events,
+         SUM(CAST(i * x AS DECIMAL(38,0))) AS t
+  FROM ranked
+)
+SELECT n_users, n_events,
+       round((2.0 * CAST(t AS DOUBLE)
+              - CAST(n_users + 1 AS DOUBLE) * CAST(n_events AS DOUBLE))
+             / (CAST(n_users AS DOUBLE) * CAST(n_events AS DOUBLE)), 9) AS gini
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# q228 — EWMA anomaly score over daily event volume
+# --------------------------------------------------------------------------
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 14
+#: w_j = α·(1−α)^(j−1), j = 1.._EWMA_LAGS — Python-evaluated constants so
+#: Spark and DuckDB receive the SAME double literal (pow() at query time
+#: is not bit-portable; a pinned literal is).
+_EWMA_W = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** (j - 1) for j in range(1, _EWMA_LAGS + 1)]
+_EWMA_WSUM = sum(_EWMA_W)  # Python float; embedded identically both sides
+
+
+def q228_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly screen: each day's event count against the EWMA of
+    its 14 PRIOR days → (day, n_events, ewma, ratio) for days with a
+    full lag window. The on-call dashboard query that flags traffic
+    cliffs and bot floods without hand-set thresholds (q168 z-scores
+    against a global mean; EWMA tracks drift, so a slow ramp doesn't
+    poison the baseline). Truncated-EWMA weights are PYTHON-evaluated
+    constants embedded as identical literals in both engines — pow() at
+    query time is not bit-portable (the q92 discipline); per-day terms
+    w_j·x are single IEEE products summed through DECIMAL(38,18).
+
+    Shape: one daily pre-agg (map-side combinable), a 14-way explode of
+    the TINY daily frame joined back to itself on (day − j) — |days|·14
+    rows, bounded by the time range whatever the corpus size — then a
+    per-day agg. Nothing touches raw events twice.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    lags = F.explode(
+        F.array(*[F.lit(int(j)) for j in range(1, _EWMA_LAGS + 1)])
+    ).alias("j")
+    probe = daily.select(F.col("day"), F.col("x"), lags).withColumn(
+        "prev_day", F.date_sub(F.col("day"), F.col("j"))
+    )
+    w = F.element_at(
+        F.array(*[F.lit(float(wj)) for wj in _EWMA_W]), F.col("j")
+    )
+    j = probe.join(
+        daily.select(F.col("day").alias("prev_day"), F.col("x").alias("px")),
+        "prev_day",
+    )
+    res = (
+        j.groupBy("day", "x")
+        .agg(
+            F.count(F.lit(1)).alias("_nl"),
+            F.sum((w * F.col("px").cast("double")).cast("decimal(38,18)")).alias(
+                "_ws"
+            ),
+        )
+        .filter(F.col("_nl") == _EWMA_LAGS)
+        .select(
+            ts_str(F.col("day").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+            F.col("x").alias("n_events"),
+            F.round(
+                F.col("_ws").cast("double") / F.lit(float(_EWMA_WSUM)), 6
+            ).alias("ewma"),
+            F.round(
+                F.col("x").cast("double")
+                / (F.col("_ws").cast("double") / F.lit(float(_EWMA_WSUM))),
+                6,
+            ).alias("ratio"),
+        )
+    )
+    return res
+
+
+_ewma_w_sql = ", ".join(repr(wj) for wj in _EWMA_W)
+Q228_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), lags AS (
+  SELECT CAST(unnest(range(1, {_EWMA_LAGS + 1})) AS INTEGER) AS j
+), wtab AS (
+  SELECT j, ([{_ewma_w_sql}])[j] AS w FROM lags
+), probe AS (
+  SELECT d.day, d.x, l.j, w.w, d.day - l.j AS prev_day
+  FROM daily d, lags l JOIN wtab w USING (j)
+), joined AS (
+  SELECT p.day, p.x,
+         count(*) AS nl,
+         SUM(CAST(p.w * CAST(pd.x AS DOUBLE) AS DECIMAL(38,18))) AS ws
+  FROM probe p JOIN daily pd ON pd.day = p.prev_day
+  GROUP BY p.day, p.x
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       x AS n_events,
+       round(CAST(ws AS DOUBLE) / {_EWMA_WSUM!r}, 6) AS ewma,
+       round(CAST(x AS DOUBLE) / (CAST(ws AS DOUBLE) / {_EWMA_WSUM!r}), 6) AS ratio
+FROM joined WHERE nl = {_EWMA_LAGS}
+"""
+
+
+# --------------------------------------------------------------------------
+# q229 — day-of-week seasonality profile per event type
+# --------------------------------------------------------------------------
+def q229_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality fingerprint → (event_type, dow, n_events,
+    share_in_type, lift). share_in_type = the type's distribution over
+    day-of-week; lift = that share over the whole stream's dow share —
+    lift ≠ 1 rows are the behaviors with their own weekly rhythm
+    (purchases spike weekends, errors spike deploy days). The profile
+    q214's drift alarm is read against. dow is 0=Sunday in BOTH engines
+    (Spark dayofweek()−1 = DuckDB date_part('dow')). All ratios are
+    int/int divisions — exact.
+
+    Shape: one (type, dow) groupBy + two small re-aggs off it + a
+    ≤7-row broadcast; everything map-side combinable.
+    """
+    t = load_tables(spark, sf_dir)
+    td = (
+        t["events"]
+        .select(
+            "event_type", (F.dayofweek(F.col("ts")) - 1).cast("int").alias("dow")
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    per_type = td.groupBy("event_type").agg(F.sum("n_events").alias("_tt"))
+    per_dow = td.groupBy("dow").agg(F.sum("n_events").alias("_td"))
+    total = td.agg(F.sum("n_events").alias("_n"))
+    share = F.col("n_events").cast("double") / F.col("_tt").cast("double")
+    dshare = F.col("_td").cast("double") / F.col("_n").cast("double")
+    return (
+        td.join(F.broadcast(per_type), "event_type")
+        .join(F.broadcast(per_dow), "dow")
+        .join(F.broadcast(total))
+        .select(
+            "event_type",
+            "dow",
+            "n_events",
+            F.round(share, 9).alias("share_in_type"),
+            F.round(share / dshare, 9).alias("lift"),
+        )
+    )
+
+
+Q229_SQL = """
+WITH td AS (
+  SELECT event_type, CAST(date_part('dow', ts) AS INTEGER) AS dow,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), per_type AS (SELECT event_type, sum(n_events) AS tt FROM td GROUP BY 1),
+per_dow AS (SELECT dow, sum(n_events) AS tdn FROM td GROUP BY 1),
+total AS (SELECT sum(n_events) AS n FROM td)
+SELECT td.event_type, td.dow, td.n_events,
+       round(CAST(td.n_events AS DOUBLE) / CAST(pt.tt AS DOUBLE), 9)
+         AS share_in_type,
+       round((CAST(td.n_events AS DOUBLE) / CAST(pt.tt AS DOUBLE))
+             / (CAST(pd.tdn AS DOUBLE) / CAST(t.n AS DOUBLE)), 9) AS lift
+FROM td JOIN per_type pt USING (event_type)
+        JOIN per_dow pd USING (dow), total t
+"""
+
+
+# --------------------------------------------------------------------------
+# q230 — CUSUM changepoint scan over daily event volume
+# --------------------------------------------------------------------------
+def q230_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-sum changepoint statistic over the daily event series
+    → (day, n_events, cusum, is_peak). CUSUM Sₜ = Σᵢ≤ₜ (xᵢ − x̄) peaks
+    AT the changepoint when a level shift exists (Page's classic scan —
+    q168/q228 flag single anomalous days; this locates a persistent
+    regime change such as a launch or a logging break). is_peak marks
+    argmax |Sₜ|.
+
+    Exactness: the mean is never materialized — Sₜ is computed SCALED
+    by n as Σ(n·xᵢ) − t·Σx, ALL INTEGER (DECIMAL(38,0)), divided by n
+    once at the end. Zero float accumulation anywhere.
+
+    Shape: raw events collapse to a daily pre-agg first; the running
+    sum and the peak join then run on that |days|-row frame — bounded
+    by the TIME RANGE, not the corpus, so the single-partition window
+    over it is safe at any scale (the q141/q144 bounded-frame class).
+    """
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    tot = daily.agg(
+        F.sum("x").cast("bigint").alias("_s"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        daily.join(F.broadcast(tot))
+        .withColumn("_cx", F.sum(F.col("x").cast("decimal(38,0)")).over(w))
+        .withColumn(
+            "_t", F.sum(F.lit(1).cast("decimal(38,0)")).over(w)
+        )
+    )
+    # S_t · n = n·Σx_i − t·Σx  (exact integers)
+    sn = (
+        F.col("_n").cast("decimal(38,0)") * F.col("_cx")
+        - F.col("_t") * F.col("_s").cast("decimal(38,0)")
+    )
+    scored = cum.select(
+        "day",
+        F.col("x").alias("n_events"),
+        (sn.cast("double") / F.col("_n").cast("double")).alias("_cusum"),
+    )
+    from pyspark import StorageLevel
+
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    peak = scored.agg(F.max(F.abs(F.col("_cusum"))).alias("_peak"))
+    res = scored.join(F.broadcast(peak)).select(
+        ts_str(F.col("day").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round(F.col("_cusum"), 6).alias("cusum"),
+        (F.abs(F.col("_cusum")) == F.col("_peak")).alias("is_peak"),
+    )
+    return materialize_release(res, scored)
+
+
+Q230_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM daily
+), cum AS (
+  SELECT day, x,
+         SUM(CAST(x AS DECIMAL(38,0)))
+           OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cx,
+         SUM(CAST(1 AS DECIMAL(38,0)))
+           OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS t
+  FROM daily
+), scored AS (
+  SELECT day, x,
+         CAST(CAST(tot.n AS DECIMAL(38,0)) * cx - t * CAST(tot.s AS DECIMAL(38,0))
+              AS DOUBLE) / CAST(tot.n AS DOUBLE) AS cusum
+  FROM cum, tot
+), peak AS (SELECT max(abs(cusum)) AS p FROM scored)
+SELECT strftime(day, '%Y-%m-%d') AS day, x AS n_events,
+       round(cusum, 6) AS cusum,
+       abs(cusum) = peak.p AS is_peak
+FROM scored, peak
+"""
+
+
+# --------------------------------------------------------------------------
+# q231 — supplier-concentration HHI per part brand
+# --------------------------------------------------------------------------
+def q231_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each part brand → (p_brand, n_suppliers, revenue, hhi). HHI =
+    Σ share² over suppliers (1 = single-source, 1/k = evenly split) —
+    the supply-chain-risk table procurement reads before a brand's sole
+    supplier becomes an outage (the relational twin of q180's source
+    concentration). Revenue sums are exact decimals (the dsum
+    discipline); each share² is one IEEE expression summed through
+    DECIMAL(38,18).
+
+    Shape: lineitem ⋈ broadcast(part) → one (brand, supplier) agg →
+    one brand re-agg. Fact table scanned once; everything
+    partial-aggregable.
+    """
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    bs = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(rev.cast("decimal(25,6)")).alias("_r"))
+    )
+    tot = bs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("_r").alias("_rb"),
+    )
+    share = F.col("_r").cast("double") / F.col("_rb").cast("double")
+    return (
+        bs.join(tot, "p_brand")
+        .groupBy("p_brand", "n_suppliers")
+        .agg(
+            F.round(F.max(F.col("_rb")).cast("double"), 6).alias("revenue"),
+            F.round(
+                F.sum((share * share).cast("decimal(38,18)")).cast("double"), 9
+            ).alias("hhi"),
+        )
+        .select("p_brand", "n_suppliers", "revenue", "hhi")
+    )
+
+
+Q231_SQL = """
+WITH bs AS (
+  SELECT p.p_brand, l.l_suppkey,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_suppliers, SUM(r) AS rb
+  FROM bs GROUP BY 1
+)
+SELECT bs.p_brand, tot.n_suppliers,
+       round(CAST(max(tot.rb) AS DOUBLE), 6) AS revenue,
+       round(CAST(SUM(CAST((CAST(bs.r AS DOUBLE) / CAST(tot.rb AS DOUBLE))
+                           * (CAST(bs.r AS DOUBLE) / CAST(tot.rb AS DOUBLE))
+                           AS DECIMAL(38,18))) AS DOUBLE), 9) AS hhi
+FROM bs JOIN tot USING (p_brand)
+GROUP BY bs.p_brand, tot.n_suppliers
+"""
+
+
+# --------------------------------------------------------------------------
+# q233 — Kolmogorov–Smirnov drift between stream halves
+# --------------------------------------------------------------------------
+def q233_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between the event-value distributions of
+    the first and second half of the time range → one row (n_a, n_b,
+    ks_d, at_value). D = max_v |F_a(v) − F_b(v)| is the standard
+    distribution-drift test a feature owner runs before retraining
+    (q214 tests the categorical MIX; this tests a continuous value's
+    whole CDF, shape included). The midpoint boundary is exact integer
+    microseconds; the empirical CDFs are integer cumulative counts —
+    the only doubles are the two final divisions per distinct value.
+
+    Shape: one value groupBy with conditional counts, then
+    ``dist_cumsum`` (plans/common.py — the dist_rank-style distributed
+    prefix sum, no single-partition window over |distinct values|), a
+    1-row broadcast of the sample sizes, and an orderBy(…).limit(1)
+    TakeOrdered for the argmax row.
+    """
+    from .common import dist_cumsum
+
+    t = load_tables(spark, sf_dir)
+    rng = t["events"].agg(
+        F.min(F.unix_micros(F.col("ts"))).alias("_lo"),
+        F.max(F.unix_micros(F.col("ts"))).alias("_hi"),
+    )
+    # mid = lo + (hi - lo) DIV 2, exact integer microseconds
+    ev = t["events"].join(F.broadcast(rng)).select(
+        "value",
+        (
+            F.unix_micros(F.col("ts"))
+            <= F.col("_lo") + ((F.col("_hi") - F.col("_lo")) / 2).cast("bigint")
+        ).alias("in_a"),
+    )
+    per = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("bigint").alias("nb"),
+    )
+    cum, pin = dist_cumsum(per, ["value"], ["na", "nb"])
+    sizes = per.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+    )
+    diff = F.abs(
+        F.col("na_cum").cast("double") / F.col("n_a").cast("double")
+        - F.col("nb_cum").cast("double") / F.col("n_b").cast("double")
+    )
+    res = (
+        cum.join(F.broadcast(sizes))
+        .select("n_a", "n_b", diff.alias("_d"), F.col("value").alias("at_value"))
+        .orderBy(F.desc("_d"), F.desc("at_value"))
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.round(F.col("_d"), 9).alias("ks_d"),
+            F.round(F.col("at_value"), 6).alias("at_value"),
+        )
+    )
+    return materialize_release(res, pin)
+
+
+Q233_SQL = """
+WITH rng AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+), ev AS (
+  SELECT value, epoch_us(ts) <= rng.lo + (rng.hi - rng.lo) // 2 AS in_a
+  FROM events, rng
+), per AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+  FROM ev GROUP BY value
+), cum AS (
+  SELECT value,
+         SUM(na) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS na_cum,
+         SUM(nb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS nb_cum
+  FROM per
+), sizes AS (SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b FROM per),
+scored AS (
+  SELECT sizes.n_a, sizes.n_b,
+         abs(CAST(na_cum AS DOUBLE) / CAST(sizes.n_a AS DOUBLE)
+             - CAST(nb_cum AS DOUBLE) / CAST(sizes.n_b AS DOUBLE)) AS d,
+         value AS at_value
+  FROM cum, sizes
+)
+SELECT n_a, n_b, round(d, 9) AS ks_d, round(at_value, 6) AS at_value
+FROM scored ORDER BY d DESC, at_value DESC LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q234 — exact join-cardinality forecast for the planned joins
+# --------------------------------------------------------------------------
+_JOIN_PLANS = (
+    ("lineitem*orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem*part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem*supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders*customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("events*customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def q234_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact output cardinality of every join the engine plans →
+    (join_name, left_rows, right_rows, out_rows, amplification).
+    |A⋈B| = Σ_k a_k·b_k over the key histograms — computed from two
+    count tables, NEVER by running the join — the shuffle-budget audit
+    read next to q218's skew table (q218 says which key has a hot
+    value; this says how many rows the exchange must carry, the number
+    AQE's plan actually turns on). NULL keys are excluded on both
+    sides (a null never matches in either engine — the q207 one-
+    defined-semantic rule). Products in DECIMAL(38,0): a_k·b_k
+    overflows bigint exactly when the join is the one you needed
+    warning about.
+
+    Shape: per join, two key-count aggs + one key join + a 1-row agg —
+    each input scanned once, no fact⋈fact row ever materialized.
+    """
+    t = load_tables(spark, sf_dir)
+    rows = None
+    for name, lt, lk, rt, rk in _JOIN_PLANS:
+        lc = (
+            t[lt]
+            .filter(F.col(lk).isNotNull())
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+        )
+        rc = (
+            t[rt]
+            .filter(F.col(rk).isNotNull())
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+        )
+        j = lc.join(rc, "k").agg(
+            F.coalesce(
+                F.sum((F.col("a") * F.col("b")).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_out")
+        )
+        ln = t[lt].filter(F.col(lk).isNotNull()).agg(
+            F.count(F.lit(1)).cast("bigint").alias("left_rows")
+        )
+        rn = t[rt].filter(F.col(rk).isNotNull()).agg(
+            F.count(F.lit(1)).cast("bigint").alias("right_rows")
+        )
+        leg = (
+            j.join(F.broadcast(ln))
+            .join(F.broadcast(rn))
+            .select(
+                F.lit(name).alias("join_name"),
+                "left_rows",
+                "right_rows",
+                F.col("_out").cast("bigint").alias("out_rows"),
+                F.round(
+                    F.col("_out").cast("double") / F.col("left_rows").cast("double"),
+                    9,
+                ).alias("amplification"),
+            )
+        )
+        rows = leg if rows is None else rows.unionByName(leg)
+    return rows
+
+
+Q234_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS join_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM {lt} WHERE {lk} IS NOT NULL) AS left_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM {rt} WHERE {rk} IS NOT NULL) AS right_rows,
+       CAST(coalesce((
+         SELECT SUM(CAST(a.c * b.c AS DECIMAL(38,0)))
+         FROM (SELECT {lk} AS k, count(*) AS c FROM {lt} WHERE {lk} IS NOT NULL GROUP BY 1) a
+         JOIN (SELECT {rk} AS k, count(*) AS c FROM {rt} WHERE {rk} IS NOT NULL GROUP BY 1) b
+           USING (k)), 0) AS BIGINT) AS out_rows,
+       round(CAST(coalesce((
+         SELECT SUM(CAST(a.c * b.c AS DECIMAL(38,0)))
+         FROM (SELECT {lk} AS k, count(*) AS c FROM {lt} WHERE {lk} IS NOT NULL GROUP BY 1) a
+         JOIN (SELECT {rk} AS k, count(*) AS c FROM {rt} WHERE {rk} IS NOT NULL GROUP BY 1) b
+           USING (k)), 0) AS DOUBLE)
+         / CAST((SELECT count(*) FROM {lt} WHERE {lk} IS NOT NULL) AS DOUBLE), 9)
+         AS amplification"""
+    for name, lt, lk, rt, rk in _JOIN_PLANS
+)
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -3034,4 +3624,11 @@ RELATIONAL_QUERIES = {
     "q217_pit_feature_join": (q217_pit_feature_join, Q217_SQL),
     "q218_key_skew": (q218_key_skew, Q218_SQL),
     "q221_depth_revenue": (q221_depth_revenue, Q221_SQL),
+    "q226_user_gini": (q226_user_gini, Q226_SQL),
+    "q228_ewma_anomaly": (q228_ewma_anomaly, Q228_SQL),
+    "q229_dow_profile": (q229_dow_profile, Q229_SQL),
+    "q230_cusum_changepoint": (q230_cusum_changepoint, Q230_SQL),
+    "q231_brand_hhi": (q231_brand_hhi, Q231_SQL),
+    "q233_ks_drift": (q233_ks_drift, Q233_SQL),
+    "q234_join_cardinality": (q234_join_cardinality, Q234_SQL),
 }

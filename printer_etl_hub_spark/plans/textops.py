@@ -4141,6 +4141,12 @@ def q127_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi2 = sum_tok N*(a*n2 - b*n1)^2 / (n1*n2*(a+b)) with a = the
     source's count, b = everyone else's, n1/n2 the stream sizes.
 
+    SCALE CONVENTION (shared with q214): that closed form sums to
+    N·χ² — the grand total times the Pearson statistic — not the
+    textbook χ². Exact, cross-engine bit-identical, and
+    order-preserving within one corpus (the ranking use), but divide
+    by N before comparing against χ² critical values.
+
     Exactness: per-token contributions are single IEEE expressions
     (bit-identical across engines); the sum over tokens goes through
     plans/common.py::dsum decimals. Tokens the source never emits enter
@@ -9248,16 +9254,23 @@ def q195_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_containment_pairs
 
     t = load_tables(spark, sf_dir)
+    pins: list = []
     pairs = ngram_containment_pairs(
-        t["documents"], "doc_id", "text", threshold=_CONTAIN_T, max_df=_J_MAX_DF
+        t["documents"],
+        "doc_id",
+        "text",
+        threshold=_CONTAIN_T,
+        max_df=_J_MAX_DF,
+        pins=pins,
     )
-    return pairs.select(
+    res = pairs.select(
         "a_id",
         "b_id",
         F.round("c_a_in_b", 9).alias("c_a_in_b"),
         F.round("c_b_in_a", 9).alias("c_b_in_a"),
         F.round("jaccard", 9).alias("jaccard"),
     )
+    return materialize_release(res, *pins)
 
 
 #: Unrounded containment-pair CTE body (mirrors ngram_containment_pairs);
@@ -9332,8 +9345,15 @@ def q196_ivf_probe_sweep(
     ex = cosine_topk_bruteforce(
         emb, "vec_id", "embedding", k=3, max_n=None, queries=qset
     )
+    pins: list = []
     sw = ivf_probe_sweep(
-        emb, "vec_id", "embedding", k=3, n_centroids=_IVF_C, probes=_PROBE_SWEEP
+        emb,
+        "vec_id",
+        "embedding",
+        k=3,
+        n_centroids=_IVF_C,
+        probes=_PROBE_SWEEP,
+        pins=pins,
     )
     if gate is not None:
         sw = sw.filter(md5_sample_gate(F.col("vec_id"), sample_frac, salt="ivfsweep"))
@@ -9346,7 +9366,7 @@ def q196_ivf_probe_sweep(
         ["n_probe", "vec_id", "neighbor_id"],
         "left",
     )
-    return hits.groupBy("n_probe").agg(
+    res = hits.groupBy("n_probe").agg(
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
         F.count(F.lit(1)).cast("bigint").alias("n_truth"),
         F.round(
@@ -9355,6 +9375,7 @@ def q196_ivf_probe_sweep(
             9,
         ).alias("recall"),
     )
+    return materialize_release(res, *pins)
 
 
 def _sql_ivf_sweep() -> str:
@@ -9726,8 +9747,14 @@ def q201_source_containment_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     from ..operators.dedup import ngram_containment_pairs
 
     t = load_tables(spark, sf_dir)
+    pins: list = []
     pairs = ngram_containment_pairs(
-        t["documents"], "doc_id", "text", threshold=_CONTAIN_T, max_df=_J_MAX_DF
+        t["documents"],
+        "doc_id",
+        "text",
+        threshold=_CONTAIN_T,
+        max_df=_J_MAX_DF,
+        pins=pins,
     )
     src = t["documents"].select("doc_id", "source")
     j = (
@@ -9764,7 +9791,7 @@ def q201_source_containment_matrix(spark: SparkSession, sf_dir: str) -> DataFram
             9,
         ).alias("mean_containment"),
     )
-    return materialize_release(res, j)
+    return materialize_release(res, j, *pins)
 
 
 Q201_SQL = f"""
@@ -10211,7 +10238,7 @@ def q220_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     q159\'s OOV sweep (q159 prices coverage per CUTOFF FREQUENCY; this
     prices it per VOCAB SIZE — the axis tokenizer budgets are set on).
     Rank over type counts via ``dist_rank`` (plans/common.py — the q95
-    shape, no single-partition window over \|vocab\|), ties broken by
+    shape, no single-partition window over |vocab|), ties broken by
     token; all three K levels read ONE ranked table. Integer sums; one
     final division per row.
     """
@@ -10227,7 +10254,10 @@ def q220_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import dist_rank
 
     ranked, pin = dist_rank(counts, ["negc", "tok"], out="r")
-    tot = counts.agg(F.sum("c").cast("bigint").alias("total"))
+    # Total from the PIN, not the pre-repartition `counts` lineage: both
+    # consumers then read the persisted repartitioned counts, so the
+    # token explode+groupBy subtree executes once (ADVICE r7).
+    tot = pin.agg(F.sum("c").cast("bigint").alias("total"))
     lv = F.explode(F.array(*[F.lit(int(k)) for k in _HEAD_KS])).alias("k")
     tagged = ranked.select(lv, "c", "r").filter(F.col("r") <= F.col("k"))
     res = (
@@ -10270,6 +10300,460 @@ SELECT lv.k,
 FROM ranked, lv, tot
 WHERE ranked.r <= lv.k
 GROUP BY lv.k, tot.total
+"""
+
+
+# --------------------------------------------------------------------------
+# q222 — Zipf doubling-ratio curve (local power-law slope, log-free)
+# --------------------------------------------------------------------------
+_ZIPF_RANKS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+
+def q222_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Zipf-law diagnostic: for rank r ∈ {1,2,4,…,512}, the count
+    at rank r, the count at rank 2r, and their ratio → (rank, c_r, c_2r,
+    doubling_ratio). Under Zipf with exponent α the ratio ≈ 2^α at every
+    r, so a FLAT ratio column says power law and its level says α — the
+    vocabulary-health check next to q220's head-share curve (q220 prices
+    truncation; this tests whether the distribution is Zipfian at all,
+    the natural-language-vs-template-dump discriminator). Log-free BY
+    DESIGN (the q92 discipline: transcendentals are not bit-portable);
+    the ratio is one int/int division.
+
+    Shape: q220's exact token-count + ``dist_rank`` subtree (no
+    single-partition window over |vocab|), filtered to ≤ 20 rank rows,
+    then a broadcast self-join on r2 = 2r. Ranks past the vocabulary end
+    drop out identically in both engines (inner join).
+    """
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["documents"]
+        .select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("negc", -F.col("c"))
+    )
+    from .common import dist_rank
+
+    ranked, pin = dist_rank(counts, ["negc", "tok"], out="r")
+    wanted = set(_ZIPF_RANKS) | {2 * r for r in _ZIPF_RANKS}
+    pts = ranked.filter(F.col("r").isin(*[int(x) for x in sorted(wanted)])).select(
+        "r", "c"
+    )
+    a = pts.select(F.col("r").alias("rank"), F.col("c").alias("c_r")).filter(
+        F.col("rank").isin(*[int(x) for x in _ZIPF_RANKS])
+    )
+    b = pts.select((F.col("r") / 2).cast("bigint").alias("rank"), F.col("c").alias("c_2r"))
+    res = (
+        a.join(F.broadcast(b), "rank")
+        .select(
+            "rank",
+            "c_r",
+            "c_2r",
+            F.round(
+                F.col("c_r").cast("double") / F.col("c_2r").cast("double"), 9
+            ).alias("doubling_ratio"),
+        )
+    )
+    return materialize_release(res, pin)
+
+
+_zipf_ranks_sql = ", ".join(str(r) for r in _ZIPF_RANKS)
+_zipf_all_sql = ", ".join(
+    str(x) for x in sorted(set(_ZIPF_RANKS) | {2 * r for r in _ZIPF_RANKS})
+)
+Q222_SQL = rf"""
+WITH counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents) t
+  WHERE tok <> ''
+  GROUP BY tok
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY -c, tok) AS r FROM counts
+), pts AS (
+  SELECT r, c FROM ranked WHERE r IN ({_zipf_all_sql})
+)
+SELECT a.r AS rank, a.c AS c_r, b.c AS c_2r,
+       round(CAST(a.c AS DOUBLE) / CAST(b.c AS DOUBLE), 9) AS doubling_ratio
+FROM pts a JOIN pts b ON b.r = a.r * 2
+WHERE a.r IN ({_zipf_ranks_sql})
+"""
+
+
+# --------------------------------------------------------------------------
+# q223 — effective vocabulary per source (inverse Simpson, log-free)
+# --------------------------------------------------------------------------
+def q223_effective_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical concentration → (source, n_tokens, n_types,
+    simpson, effective_vocab). simpson = Σ(n_t/N)² is the probability
+    two random tokens coincide; effective_vocab = 1/simpson is the
+    'inverse Simpson' — the vocabulary size an equally-mixed source
+    would need to look this diverse. The mixture-health number that
+    catches a source whose nominal vocabulary is large but whose mass
+    sits on a handful of template tokens (q167 counts types; this
+    weights them). Entropy would need a log — not bit-portable (the
+    q92/q116 discipline); inverse Simpson is the standard log-free
+    diversity index and is exact: Σ n_t² in DECIMAL(38,0) (bigint
+    squares overflow at corpus scale), one division at the end.
+
+    Shape: one (source, tok) groupBy + one source re-agg — both
+    partial-aggregable; output is |sources| rows.
+    """
+    t = load_tables(spark, sf_dir)
+    st = (
+        t["documents"]
+        .select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    agg = st.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("_sq"),
+    )
+    simpson = F.col("_sq").cast("double") / (
+        F.col("n_tokens").cast("double") * F.col("n_tokens").cast("double")
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(simpson, 9).alias("simpson"),
+        F.round(F.lit(1.0) / simpson, 6).alias("effective_vocab"),
+    )
+
+
+Q223_SQL = r"""
+WITH st AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents) t
+  WHERE tok <> ''
+  GROUP BY source, tok
+), agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         SUM(CAST(c * c AS DECIMAL(38,0))) AS sq
+  FROM st GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       round(CAST(sq AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 9)
+         AS simpson,
+       round(1.0 / (CAST(sq AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))), 6)
+         AS effective_vocab
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# q224 — class-balance weights over the embedding labels
+# --------------------------------------------------------------------------
+def q224_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loss-reweighting table an imbalanced classifier head trains
+    with → (label, n, inv_freq_weight, inv_sqrt_weight). inv_freq =
+    N/(K·n) (mean weight 1 under the class distribution — scikit-learn's
+    'balanced' convention); inv_sqrt = √(N/(K·n)) is the softer variant
+    retrieval training uses. sqrt IS bit-portable (IEEE 754 requires
+    correct rounding — unlike log/pow, the q92 discipline), so both
+    columns are exact cross-engine.
+
+    Shape: one label groupBy (map-side combinable) + a 1-row total
+    broadcast; output is |labels| rows.
+    """
+    t = load_tables(spark, sf_dir)
+    per = t["embeddings"].groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("_N"),
+        F.count(F.lit(1)).cast("bigint").alias("_K"),
+    )
+    w = F.col("_N").cast("double") / (
+        F.col("_K").cast("double") * F.col("n").cast("double")
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "label",
+            "n",
+            F.round(w, 9).alias("inv_freq_weight"),
+            F.round(F.sqrt(w), 9).alias("inv_sqrt_weight"),
+        )
+    )
+
+
+Q224_SQL = """
+WITH per AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS kk FROM per
+)
+SELECT label, n,
+       round(CAST(nn AS DOUBLE) / (CAST(kk AS DOUBLE) * CAST(n AS DOUBLE)), 9)
+         AS inv_freq_weight,
+       round(sqrt(CAST(nn AS DOUBLE) / (CAST(kk AS DOUBLE) * CAST(n AS DOUBLE))), 9)
+         AS inv_sqrt_weight
+FROM per, tot
+"""
+
+
+# --------------------------------------------------------------------------
+# q225 — quality-score reliability vs exact-dup membership
+# --------------------------------------------------------------------------
+def q225_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for q25's quality score against a label the
+    corpus actually has — exact-duplicate membership → per score bin:
+    (bin, bin_lo, n_docs, n_dups, dup_rate). If the score means
+    anything, dup_rate should fall monotonically with the bin (template
+    spam is both low-quality and heavily duplicated); a flat curve says
+    the score is noise for this corpus. This is the reliability-diagram
+    shape every score-gated filter should be audited with (q189
+    correlates score with length; this calibrates it against dups).
+
+    Shape: q172's 20-bin quality binning + q23's md5 digest groupBy +
+    one digest-keyed join + a ≤20-cell agg. The dup label rides a
+    count>1 over the digest group — no pair generation anywhere.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", "text", tokenize(F.col("text")).alias("toks")
+    )
+    feats = quality_features(F.col("text"), F.col("toks"))
+    b = F.least(F.floor(feats["quality_score"] * 20).cast("int"), F.lit(19))
+    binned = d.select("doc_id", F.md5(F.col("text")).alias("dg"), b.alias("bin"))
+    dups = (
+        binned.groupBy("dg")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .select("dg", (F.col("n_copies") > 1).alias("is_dup"))
+    )
+    return (
+        binned.join(dups, "dg")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dups"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin").cast("double") / 20.0, 2).alias("bin_lo"),
+            "n_docs",
+            "n_dups",
+            F.round(
+                F.col("n_dups").cast("double") / F.col("n_docs").cast("double"), 9
+            ).alias("dup_rate"),
+        )
+    )
+
+
+Q225_SQL = rf"""
+WITH t0 AS (
+  SELECT doc_id, text, md5(text) AS dg,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, dg,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+         CAST({_sql_stop_count('en')} AS BIGINT) AS stop_en
+  FROM t0
+), scored AS (
+  SELECT dg,
+         least(CAST(floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+           + (CASE WHEN n_tokens > 0 THEN CAST(stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.3
+           + (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END) * 0.3) * 20) AS INT), 19) AS bin
+  FROM base
+), dups AS (
+  SELECT dg, count(*) > 1 AS is_dup FROM t0 GROUP BY dg
+)
+SELECT s.bin,
+       round(CAST(s.bin AS DOUBLE) / 20.0, 2) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       round(CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 9) AS dup_rate
+FROM scored s JOIN dups d USING (dg)
+GROUP BY s.bin
+"""
+
+
+# --------------------------------------------------------------------------
+# q227 — degree assortativity of the near-dup graph
+# --------------------------------------------------------------------------
+def q227_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of endpoint degrees over the near-dup edge
+    list → one row (n_edges, n_nodes, assortativity). Positive: heavy
+    duplicators link to heavy duplicators (template families / mirror
+    farms — one removal decision cascades); negative: hub-and-spoke
+    (one canonical page, many one-off copies — per-hub decisions).
+    Newman's r on the symmetrized edge list (each edge contributes both
+    orientations, making x̄ = ȳ and σx = σy by construction).
+
+    Exactness: Σd, Σd², Σd_a·d_b are integer sums in DECIMAL(38,0)
+    (degree products at corpus scale overflow bigint); the closed form
+    is one fixed-order double expression — sqrt is IEEE-portable.
+    Shape: the audited q29 pair generator (persisted — it feeds the
+    degree agg AND the edge re-join: the q151/q201 union-leg lesson) +
+    a persisted degree table joined back on both endpoints; every join
+    is pair-table-bounded, never corpus-sized.
+    """
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    pins: list = []
+    pairs = (
+        ngram_jaccard_pairs(
+            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF,
+            pins=pins,
+        )
+        .select("a_id", "b_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        pairs.select(F.col("a_id").alias("node"))
+        .unionAll(pairs.select(F.col("b_id").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    xy = (
+        pairs.join(deg.select(F.col("node").alias("a_id"), F.col("d").alias("da")), "a_id")
+        .join(deg.select(F.col("node").alias("b_id"), F.col("d").alias("db")), "b_id")
+    )
+    # Symmetrized sums: each edge counted in both orientations.
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum((F.col("da") + F.col("db")).cast("decimal(38,0)")).alias("_sx"),
+        F.sum(
+            (F.col("da") * F.col("da") + F.col("db") * F.col("db")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_sxx"),
+        F.sum((F.lit(2) * F.col("da") * F.col("db")).cast("decimal(38,0)")).alias(
+            "_sxy"
+        ),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    m2 = (F.col("n_edges") * 2).cast("double")  # symmetrized sample size
+    mx = F.col("_sx").cast("double") / m2
+    varx = F.col("_sxx").cast("double") / m2 - mx * mx
+    cov = F.col("_sxy").cast("double") / m2 - mx * mx
+    res = s.join(F.broadcast(nn)).select(
+        "n_edges",
+        "n_nodes",
+        F.when(varx > 0, F.round(cov / varx, 9)).alias("assortativity"),
+    )
+    return materialize_release(res, pairs, deg, *pins)
+
+
+Q227_SQL = f"""
+WITH e AS (SELECT a_id, b_id FROM ({_sql_jaccard_pairs(0.8)}) p),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a_id AS node FROM e UNION ALL SELECT b_id FROM e
+  ) n GROUP BY node
+),
+xy AS (
+  SELECT da.d AS da, db.d AS db
+  FROM e JOIN deg da ON e.a_id = da.node JOIN deg db ON e.b_id = db.node
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         SUM(CAST(da + db AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(da * da + db * db AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(2 * da * db AS DECIMAL(38,0))) AS sxy
+  FROM xy
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT s.n_edges, nn.n_nodes,
+       CASE WHEN (CAST(sxx AS DOUBLE) / CAST(n_edges * 2 AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n_edges * 2 AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(n_edges * 2 AS DOUBLE))) > 0
+       THEN round((CAST(sxy AS DOUBLE) / CAST(n_edges * 2 AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / CAST(n_edges * 2 AS DOUBLE))
+                     * (CAST(sx AS DOUBLE) / CAST(n_edges * 2 AS DOUBLE)))
+                  / (CAST(sxx AS DOUBLE) / CAST(n_edges * 2 AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n_edges * 2 AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n_edges * 2 AS DOUBLE))), 9)
+       END AS assortativity
+FROM s, nn
+"""
+
+
+# --------------------------------------------------------------------------
+# q232 — exact stratified train/val/test split (per-source proportions)
+# --------------------------------------------------------------------------
+_SPLIT_TRAIN, _SPLIT_VAL = 0.8, 0.1
+
+
+def q232_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 80/10/10 split with EXACT per-stratum
+    proportions → (source, split, n_docs). An md5-gate split (q102's
+    shape) is deterministic but only approximately proportioned — a
+    small stratum can land 70/20/10 by hash luck and skew per-source
+    eval. Here each document is ranked within its source by
+    md5(doc_id:'split') and assigned by rank cutoffs floor(0.8·n_s) /
+    floor(0.9·n_s), so every stratum's proportions are exact to ±1 doc
+    and reruns are bit-identical.
+
+    Shape: ``dist_rank_grouped`` (plans/common.py) — per-source rank
+    WITHOUT a per-source single-partition sort (one 10 TB stratum must
+    not become one task; range partitions on (source, digest) keep every
+    task bounded) + a broadcast per-source count join + a 3·|sources|
+    agg.
+    """
+    from .common import dist_rank_grouped
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "source",
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))).alias("dg"),
+    )
+    ranked, pin = dist_rank_grouped(d, ["source"], ["dg", "doc_id"], out="r")
+    ns = pin.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    cut1 = F.floor(F.lit(_SPLIT_TRAIN) * F.col("n_s"))
+    cut2 = F.floor(F.lit(_SPLIT_TRAIN + _SPLIT_VAL) * F.col("n_s"))
+    res = (
+        ranked.join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            F.when(F.col("r") <= cut1, F.lit("train"))
+            .when(F.col("r") <= cut2, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return materialize_release(res, pin)
+
+
+Q232_SQL = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':split') AS dg
+  FROM documents
+), ranked AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY dg, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n_s
+  FROM d
+)
+SELECT source,
+       CASE WHEN r <= floor({_SPLIT_TRAIN} * n_s) THEN 'train'
+            WHEN r <= floor({_SPLIT_TRAIN + _SPLIT_VAL} * n_s) THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM ranked
+GROUP BY 1, 2
 """
 
 
@@ -10421,4 +10905,10 @@ TEXT_QUERIES = {
     "q215_clustering_coeff": (q215_clustering_coeff, Q215_SQL),
     "q219_neardup_survivorship": (q219_neardup_survivorship, Q219_SQL),
     "q220_head_share": (q220_head_share, Q220_SQL),
+    "q222_zipf_curve": (q222_zipf_curve, Q222_SQL),
+    "q223_effective_vocab": (q223_effective_vocab, Q223_SQL),
+    "q224_class_weights": (q224_class_weights, Q224_SQL),
+    "q225_reliability_bins": (q225_reliability_bins, Q225_SQL),
+    "q227_degree_assortativity": (q227_degree_assortativity, Q227_SQL),
+    "q232_stratified_split": (q232_stratified_split, Q232_SQL),
 }

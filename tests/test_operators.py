@@ -390,11 +390,12 @@ def test_bruteforce_topk_refuses_oversized_input(spark):
 
 def test_registry_gate_window_is_complete_and_oracled():
     """The driver gates the first 50 REGISTRY entries: every one of them
-    must carry an oracle (no structurally-red rows). Round 7 executes
-    the round-6 ledger plan: q141-q148 (zero external rows) lead, the
-    r6 changed-impl deferrals (q89/q90/q124) and the streaming family's
-    evidence row (q108) follow, and the oldest-r4 backfill fills the
-    rest."""
+    must carry an oracle (no structurally-red rows). Round 8 executes
+    the round-7 ledger plan: q149-q198 in numeric order — the first 50
+    of the 73 round-7 additions, all with zero external rows until this
+    round (VERDICT r7 item #1)."""
+    import re
+
     from printer_etl_hub_spark.plans import REGISTRY
     from printer_etl_hub_spark.plans.registry import GATE_ORDER
 
@@ -402,24 +403,9 @@ def test_registry_gate_window_is_complete_and_oracled():
     assert window == GATE_ORDER
     unoracled = [n for n in window if REGISTRY[n].oracle_sql is None]
     assert not unoracled, unoracled
-    # zero-external-row queries lead the window
-    zero_row = [f"q{n}_" for n in range(141, 149)]
-    assert [w[: len(p)] for w, p in zip(window, zero_row)] == zero_row
-    # changed-impl deferrals + the streaming family's evidence row
-    assert window[8:12] == [
-        "q89_unigram_commonness",
-        "q90_bloom_decontam",
-        "q124_vocab_coverage",
-        "q108_incremental_minhash",
-    ]
-    # the oldest evidence (r4-green backfill, numeric order)
-    stale = {
-        "q12_point_lookup", "q14_group_representative", "q28_minhash_lsh",
-        "q31_embedding_topk", "q38_ivf_topk", "q43_exact_percentiles",
-        "q54_tpch_q17", "q72_dup_clusters", "q83_brother_toner",
-        "q91_segment_dedup", "q94_kmeans_train", "q97_sequence_spans",
-    }
-    assert stale <= set(window), stale - set(window)
+    # q149-q198, numeric order, no gaps
+    nums = [int(re.match(r"q(\d+)_", w).group(1)) for w in window]
+    assert nums == list(range(149, 199)), nums
 
 
 def test_kmeans_fit_converges_on_separated_blobs(spark):

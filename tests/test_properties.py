@@ -575,6 +575,232 @@ def test_dist_rank_is_total_order_permutation(spark):
     assert [(m, i) for _, m, i in got] == [(m, i) for i, m in want]
 
 
+def test_dist_rank_default_nparts_tracks_session(spark):
+    """With n_parts omitted, dist_rank derives its range-partition count
+    from the session's configured shuffle width — the 100 TB knob turns
+    itself (VERDICT r7 item #6) — and the RESULTS are identical at any
+    width (range partitions are globally ordered, offsets exact)."""
+    from printer_etl_hub_spark.plans.common import dist_rank, flush_pending_release
+
+    rows = [(i, (i * 31) % 7) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "id long, m long")
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        widths = {}
+        for conf_parts in ("3", "11"):
+            spark.conf.set("spark.sql.shuffle.partitions", conf_parts)
+            ranked, pin = dist_rank(df, ["m", "id"], out="r")
+            widths[conf_parts] = pin.rdd.getNumPartitions()
+            results[conf_parts] = sorted(
+                (r.r, r.m, r.id) for r in ranked.collect()
+            )
+            pin.unpersist()
+            flush_pending_release()
+        # The partition width follows the session config...
+        assert widths["3"] == 3 and widths["11"] == 11, widths
+        # ...and the emitted ranks are width-independent.
+        assert results["3"] == results["11"]
+        assert [g[0] for g in results["3"]] == list(range(1, 201))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_pending_release_ledger_is_single_threaded(spark):
+    """materialize_release's deferred-pin ledger: a SECOND thread calling
+    while another thread's pins are still pending must fail loudly
+    (cross-thread flush would unpersist a live query's cache); with the
+    ledger drained, ownership transfers freely."""
+    import threading
+
+    from printer_etl_hub_spark.plans import common
+
+    df = spark.range(5).persist()
+    common.flush_pending_release()
+    common.materialize_release(df, df)  # pins now pending, owned here
+    errs: list = []
+
+    def other():
+        try:
+            common.materialize_release(df, df)
+        except RuntimeError as exc:
+            errs.append(exc)
+
+    th = threading.Thread(target=other)
+    th.start()
+    th.join()
+    assert errs and "query-at-a-time" in str(errs[0])
+    common.flush_pending_release()
+    # Drained ledger → another thread may take ownership.
+    errs2: list = []
+
+    def other_ok():
+        try:
+            common.materialize_release(df, df)
+        except RuntimeError as exc:  # pragma: no cover
+            errs2.append(exc)
+
+    th2 = threading.Thread(target=other_ok)
+    th2.start()
+    th2.join()
+    assert not errs2
+    common.flush_pending_release()
+    df.unpersist()
+
+
+def test_pair_operators_route_pins_to_caller(spark):
+    """The pair/sweep operators' ``pins`` out-param (ADVICE r7): every
+    internally persisted frame is surfaced to the caller so plan-level
+    code can defer-release it through materialize_release."""
+    from printer_etl_hub_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w q r s")],
+        "doc_id long, text string",
+    )
+    pins: list = []
+    ngram_jaccard_pairs(docs, "doc_id", "text", pins=pins).collect()
+    assert len(pins) == 2 and all(p.is_cached for p in pins)
+    for p in pins:
+        p.unpersist()
+    pins2: list = []
+    ngram_containment_pairs(docs, "doc_id", "text", pins=pins2).collect()
+    assert len(pins2) == 2 and all(p.is_cached for p in pins2)
+    for p in pins2:
+        p.unpersist()
+
+
+def test_dist_cumsum_matches_sequential_prefix_sum(spark):
+    """dist_cumsum must equal the sequential prefix sum in the global
+    order — across range-partition boundaries, for several columns at
+    once — and never lose or duplicate a row."""
+    from printer_etl_hub_spark.plans.common import (
+        dist_cumsum,
+        flush_pending_release,
+    )
+
+    rows = [(i, (i * 13) % 97, (i * 7) % 11) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    cum, pin = dist_cumsum(df, ["id"], ["a", "b"], n_parts=7)
+    got = sorted((r.id, r.a_cum, r.b_cum) for r in cum.collect())
+    pin.unpersist()
+    flush_pending_release()
+    ea = eb = 0
+    want = []
+    for i, a, b in rows:
+        ea += a
+        eb += b
+        want.append((i, ea, eb))
+    assert got == want
+
+
+def test_dist_rank_grouped_matches_per_group_row_number(spark):
+    """dist_rank_grouped must equal row_number() OVER (PARTITION BY g
+    ORDER BY ...) — per group, 1-based, no gaps — including groups that
+    span several range partitions."""
+    from pyspark.sql import Window
+
+    from printer_etl_hub_spark.plans.common import (
+        dist_rank_grouped,
+        flush_pending_release,
+    )
+
+    rows = [(i, f"g{i % 3}", (i * 37) % 50) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "id long, g string, m long")
+    ranked, pin = dist_rank_grouped(df, ["g"], ["m", "id"], out="r", n_parts=9)
+    got = {(r.g, r.m, r.id): r.r for r in ranked.collect()}
+    pin.unpersist()
+    flush_pending_release()
+    w = Window.partitionBy("g").orderBy("m", "id")
+    from pyspark.sql import functions as F2
+
+    want = {
+        (r.g, r.m, r.id): r.r
+        for r in df.withColumn("r", F2.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_stratified_split_proportions_exact(spark):
+    """q232: per-source split sizes are exactly floor(0.8n)/floor(0.9n)-
+    derived — every stratum within ±1 doc of 80/10/10 — and reruns are
+    identical (deterministic digest order)."""
+    from printer_etl_hub_spark.plans import REGISTRY
+
+    rows = REGISTRY["q232_stratified_split"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.split] = r.n_docs
+    assert by_src
+    for src, d in by_src.items():
+        n = sum(d.values())
+        train = d.get("train", 0)
+        val = d.get("val", 0)
+        assert train == int(0.8 * n) or train == int(0.8 * n + 1e-9), (src, d)
+        assert train + val == int(0.9 * n) or train + val == int(0.9 * n + 1e-9)
+    rows2 = REGISTRY["q232_stratified_split"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_join_cardinality_forecast_is_exact(spark):
+    """q234's histogram-product forecast must equal the ACTUAL join
+    output cardinality (it is exact arithmetic, not an estimate)."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.join_name: r.out_rows
+        for r in REGISTRY["q234_join_cardinality"].fn(spark, sf).collect()
+    }
+    t = load_tables(spark, sf)
+    actual = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert got["lineitem*orders"] == actual
+    actual2 = (
+        t["events"]
+        .join(t["customer"], F.col("user_id") == F.col("c_custkey"))
+        .count()
+    )
+    assert got["events*customer"] == actual2
+
+
+def test_gini_bounds_and_uniform_zero(spark):
+    """q226's Gini lies in [0,1); a perfectly uniform synthetic stream
+    scores ~0 (closed-form check of the rank formula)."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.plans.common import (
+        dist_rank,
+        flush_pending_release,
+    )
+
+    row = REGISTRY["q226_user_gini"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0.0 <= row.gini < 1.0
+    # Uniform counts → G = 0 exactly by the formula.
+    per = spark.createDataFrame([(i, 5) for i in range(1, 41)], "user_id long, x long")
+    ranked, pin = dist_rank(per, ["x", "user_id"], out="i")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("t"),
+    ).collect()[0]
+    pin.unpersist()
+    flush_pending_release()
+    g = (2.0 * s.t - (s.n + 1) * s.sx) / (s.n * s.sx)
+    assert abs(g) < 1e-12
+
+
 def test_budget_allocation_sums_exactly(spark):
     """q200's largest-remainder apportionment: Σalloc ≡ the budget
     EXACTLY, every allocation within 1 of its real-valued share, and
