@@ -238,6 +238,13 @@ BNLJ_ALLOWED = {
     "q211_freshness_audit",  # 1-row corpus-max scalar broadcast (q89's class)
     "q214_weekly_drift",  # 1-row grand-total scalar broadcast (q127's class)
     "q220_head_share",  # 1-row token-total scalar broadcast (q89's class)
+    "q224_class_weights",  # 1-row (N, K) totals scalar broadcast (q89's class)
+    "q226_user_gini",  # composes dist_rank; 1-row final agg (q89's class)
+    "q227_degree_assortativity",  # 1-row node-count scalar broadcast (q89's class)
+    "q229_dow_profile",  # 1-row stream-total scalar broadcast (q89's class)
+    "q230_cusum_changepoint",  # 1-row (S, n) + 1-row peak scalar broadcasts
+    "q233_ks_drift",  # 1-row midpoint + 1-row sample-size scalar broadcasts
+    "q234_join_cardinality",  # per-leg 1-row side-count scalar broadcasts
 }
 
 
