@@ -276,6 +276,7 @@ HEADLINE = [
     "q232_stratified_split",
     "q233_ks_drift",
     "q234_join_cardinality",
+    "q235_balanced_sample",
 ]
 
 

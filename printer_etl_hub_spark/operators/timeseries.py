@@ -1,0 +1,64 @@
+"""Time-series operators shared by the batch query pack and the
+streaming sinks.
+
+The EWMA table here is q228's core (plans/relational.py) factored out so
+the streaming twin (`streaming/corpus.py::ewma_daily_sink`) applies the
+IDENTICAL arithmetic to an incrementally-maintained daily store — the
+stream≡batch equivalence test pins them together. Weights are
+Python-evaluated constants (pow() at query time is not bit-portable; a
+pinned literal is) and per-day terms sum through DECIMAL(38,18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EWMA_ALPHA = 0.3
+EWMA_LAGS = 14
+#: w_j = α·(1−α)^(j−1), j = 1..EWMA_LAGS — pinned Python floats.
+EWMA_W = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** (j - 1) for j in range(1, EWMA_LAGS + 1)]
+EWMA_WSUM = sum(EWMA_W)
+
+
+def ewma_anomaly_table(daily: DataFrame) -> DataFrame:
+    """(day: date, x: bigint) → (day: 'yyyy-MM-dd', n_events, ewma,
+    ratio) for every day with a FULL 14-day prior window. The daily
+    frame is bounded by the time range, not the corpus, so the 14-way
+    self-join is |days|·14 rows at any scale.
+    """
+    lags = F.explode(
+        F.array(*[F.lit(int(j)) for j in range(1, EWMA_LAGS + 1)])
+    ).alias("j")
+    probe = daily.select(F.col("day"), F.col("x"), lags).withColumn(
+        "prev_day", F.date_sub(F.col("day"), F.col("j"))
+    )
+    w = F.element_at(F.array(*[F.lit(float(wj)) for wj in EWMA_W]), F.col("j"))
+    j = probe.join(
+        daily.select(F.col("day").alias("prev_day"), F.col("x").alias("px")),
+        "prev_day",
+    )
+    return (
+        j.groupBy("day", "x")
+        .agg(
+            F.count(F.lit(1)).alias("_nl"),
+            F.sum((w * F.col("px").cast("double")).cast("decimal(38,18)")).alias(
+                "_ws"
+            ),
+        )
+        .filter(F.col("_nl") == EWMA_LAGS)
+        .select(
+            F.date_format(F.col("day").cast("timestamp"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            F.col("x").alias("n_events"),
+            F.round(
+                F.col("_ws").cast("double") / F.lit(float(EWMA_WSUM)), 6
+            ).alias("ewma"),
+            F.round(
+                F.col("x").cast("double")
+                / (F.col("_ws").cast("double") / F.lit(float(EWMA_WSUM))),
+                6,
+            ).alias("ratio"),
+        )
+    )

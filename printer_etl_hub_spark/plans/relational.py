@@ -3060,13 +3060,10 @@ FROM s
 # --------------------------------------------------------------------------
 # q228 — EWMA anomaly score over daily event volume
 # --------------------------------------------------------------------------
-_EWMA_ALPHA = 0.3
-_EWMA_LAGS = 14
-#: w_j = α·(1−α)^(j−1), j = 1.._EWMA_LAGS — Python-evaluated constants so
-#: Spark and DuckDB receive the SAME double literal (pow() at query time
-#: is not bit-portable; a pinned literal is).
-_EWMA_W = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** (j - 1) for j in range(1, _EWMA_LAGS + 1)]
-_EWMA_WSUM = sum(_EWMA_W)  # Python float; embedded identically both sides
+from ..operators.timeseries import EWMA_LAGS as _EWMA_LAGS
+from ..operators.timeseries import EWMA_W as _EWMA_W
+from ..operators.timeseries import EWMA_WSUM as _EWMA_WSUM
+from ..operators.timeseries import ewma_anomaly_table as _ewma_anomaly_table
 
 
 def q228_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3083,7 +3080,10 @@ def q228_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one daily pre-agg (map-side combinable), a 14-way explode of
     the TINY daily frame joined back to itself on (day − j) — |days|·14
     rows, bounded by the time range whatever the corpus size — then a
-    per-day agg. Nothing touches raw events twice.
+    per-day agg. Nothing touches raw events twice. The EWMA core lives
+    in ``operators/timeseries.py`` and is SHARED with the streaming
+    twin (``streaming/corpus.py::ewma_daily_sink``); the stream≡batch
+    test pins them to identical output.
     """
     t = load_tables(spark, sf_dir)
     daily = (
@@ -3092,42 +3092,7 @@ def q228_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
     )
-    lags = F.explode(
-        F.array(*[F.lit(int(j)) for j in range(1, _EWMA_LAGS + 1)])
-    ).alias("j")
-    probe = daily.select(F.col("day"), F.col("x"), lags).withColumn(
-        "prev_day", F.date_sub(F.col("day"), F.col("j"))
-    )
-    w = F.element_at(
-        F.array(*[F.lit(float(wj)) for wj in _EWMA_W]), F.col("j")
-    )
-    j = probe.join(
-        daily.select(F.col("day").alias("prev_day"), F.col("x").alias("px")),
-        "prev_day",
-    )
-    res = (
-        j.groupBy("day", "x")
-        .agg(
-            F.count(F.lit(1)).alias("_nl"),
-            F.sum((w * F.col("px").cast("double")).cast("decimal(38,18)")).alias(
-                "_ws"
-            ),
-        )
-        .filter(F.col("_nl") == _EWMA_LAGS)
-        .select(
-            ts_str(F.col("day").cast("timestamp"), "yyyy-MM-dd").alias("day"),
-            F.col("x").alias("n_events"),
-            F.round(
-                F.col("_ws").cast("double") / F.lit(float(_EWMA_WSUM)), 6
-            ).alias("ewma"),
-            F.round(
-                F.col("x").cast("double")
-                / (F.col("_ws").cast("double") / F.lit(float(_EWMA_WSUM))),
-                6,
-            ).alias("ratio"),
-        )
-    )
-    return res
+    return _ewma_anomaly_table(daily)
 
 
 _ewma_w_sql = ", ".join(repr(wj) for wj in _EWMA_W)

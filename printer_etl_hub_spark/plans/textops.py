@@ -10758,6 +10758,54 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# q235 — balanced K-per-stratum sample (eval-set builder)
+# --------------------------------------------------------------------------
+_BAL_K = 25
+
+
+def q235_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced sample: exactly min(K, n_s) documents per
+    source → (source, doc_id, r), K = 25. The eval-set builder's
+    primitive — a uniform sample over a skewed corpus is dominated by
+    the biggest source, so few-shot/eval suites draw a FIXED quota per
+    stratum; md5(doc_id:'bal') ordering makes the draw reproducible
+    across reruns, engines, and retries (no RNG), and adding documents
+    to one source never changes another source's picks (value-keyed,
+    the md5_sample_gate property). q232 splits the whole corpus by
+    proportion; this takes an absolute quota.
+
+    Shape: ``dist_rank_grouped`` over (source | digest, doc_id) — the
+    per-group rank with NO per-group single-partition sort — then a
+    rank filter; output is ≤ K·|sources| rows however large the corpus.
+    """
+    from .common import dist_rank_grouped
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "source",
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":bal"))).alias("dg"),
+    )
+    ranked, pin = dist_rank_grouped(d, ["source"], ["dg", "doc_id"], out="r")
+    res = ranked.filter(F.col("r") <= _BAL_K).select("source", "doc_id", "r")
+    return materialize_release(res, pin)
+
+
+Q235_SQL = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':bal') AS dg
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY dg, doc_id) AS r
+  FROM d
+)
+SELECT source, doc_id, CAST(r AS BIGINT) AS r FROM ranked WHERE r <= {_BAL_K}
+"""
+
+
+# --------------------------------------------------------------------------
 
 
 TEXT_QUERIES = {
@@ -10911,4 +10959,5 @@ TEXT_QUERIES = {
     "q225_reliability_bins": (q225_reliability_bins, Q225_SQL),
     "q227_degree_assortativity": (q227_degree_assortativity, Q227_SQL),
     "q232_stratified_split": (q232_stratified_split, Q232_SQL),
+    "q235_balanced_sample": (q235_balanced_sample, Q235_SQL),
 }

@@ -332,6 +332,51 @@ def winnow_ingest_sink(
     return _sink
 
 
+def ewma_daily_sink(daily_dir: str, out_dir: str, ts_col: str = "ts"):
+    """foreachBatch sink: incrementally-maintained EWMA volume-anomaly
+    table — the streaming twin of q228 (plans/relational.py), sharing
+    its arithmetic verbatim via ``operators/timeseries.py``.
+
+    Per micro-batch:
+    1. the batch collapses to per-day PARTIAL counts (cost tracks the
+       batch; raw events never accumulate);
+    2. the partials land under ``<daily_dir>/batch_id=<n>`` with
+       overwrite — the same exactly-once-on-at-least-once idiom as the
+       MERGE/minhash sinks (a re-delivered batch replaces its own
+       partition instead of double-counting);
+    3. the daily store re-aggregates (Σ partials per day — a
+       |days|·|batches|-row frame, bounded by the TIME RANGE at any
+       corpus size) and ``ewma_anomaly_table`` overwrites
+       ``<out_dir>/current``.
+
+    Equivalence contract (tests/test_streaming.py): after any
+    partitioning of an event set into micro-batches, the final current
+    table equals q228's batch output over the same rows.
+    """
+    from ..operators.timeseries import ewma_anomaly_table
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.select(
+                F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+            )
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        )
+        partial.write.mode("overwrite").parquet(f"{daily_dir}/batch_id={batch_id}")
+        daily = (
+            spark.read.parquet(daily_dir)
+            .groupBy("day")
+            .agg(F.sum("x").cast("bigint").alias("x"))
+        )
+        ewma_anomaly_table(daily).write.mode("overwrite").parquet(
+            f"{out_dir}/current"
+        )
+
+    return _sink
+
+
 def kn_routing_stream(
     docs: DataFrame,
     model: DataFrame,

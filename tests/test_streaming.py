@@ -946,3 +946,70 @@ def test_kn_routing_stream_matches_batch_and_q143(spark, tmp_path):
     }
     assert {(d, nb, p) for d, (nb, p, _) in got.items()} == q143
     assert {g[2] for g in got.values()} >= {"head"}  # banding non-degenerate
+
+
+def test_ewma_daily_sink_stream_equals_batch(spark, tmp_path):
+    """Incremental EWMA anomaly table: streaming the events table through
+    the foreachBatch sink in micro-batches must end with EXACTLY q228's
+    batch output over the same rows (shared operators/timeseries.py
+    core), and a re-delivered batch must be a no-op (partition
+    overwrite idempotence)."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import ewma_daily_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_id", "ts"
+    )
+    src = str(tmp_path / "ev_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    daily_dir = str(tmp_path / "ewma_daily")
+    out_dir = str(tmp_path / "ewma_out")
+    sink = ewma_daily_sink(daily_dir, out_dir)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.day, r.n_events, r.ewma, r.ratio)
+        for r in spark.read.parquet(f"{out_dir}/current").collect()
+    }
+    want = {
+        (r.day, r.n_events, r.ewma, r.ratio)
+        for r in REGISTRY["q228_ewma_anomaly"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want and want  # non-trivial: full-window days exist
+
+    # daily store grew across >=2 micro-batches
+    batch_ids = {
+        r.batch_id for r in spark.read.parquet(daily_dir).select("batch_id").collect()
+    }
+    assert len(batch_ids) >= 2
+
+    # at-least-once re-delivery of the LAST batch is a no-op: rebuild an
+    # arbitrary batch frame whose day-partials match its own partition
+    last = max(batch_ids)
+    part = spark.read.parquet(f"{daily_dir}/batch_id={last}")
+    n_daily = spark.read.parquet(daily_dir).count()
+    # replay with a synthetic frame producing the SAME partials
+    rows = []
+    for r in part.collect():
+        rows.extend([(r.day,)] * r.x)
+    replay_df = spark.createDataFrame(rows, "day date").select(
+        F.col("day").cast("timestamp").alias("ts")
+    )
+    sink(replay_df, last)
+    assert spark.read.parquet(daily_dir).count() == n_daily
+    got2 = {
+        (r.day, r.n_events, r.ewma, r.ratio)
+        for r in spark.read.parquet(f"{out_dir}/current").collect()
+    }
+    assert got2 == want
