@@ -25,6 +25,10 @@ from ..functions.normalize import (
 )
 from ..operators.argmax import argmax_per_group, top_k_per_group
 from ..operators.pivot import first_per_slot_pivot
+from ..operators.timeseries import EWMA_LAGS as _EWMA_LAGS
+from ..operators.timeseries import EWMA_W as _EWMA_W
+from ..operators.timeseries import EWMA_WSUM as _EWMA_WSUM
+from ..operators.timeseries import ewma_anomaly_table as _ewma_anomaly_table
 from ..operators.upsert import merge_upsert
 from ..streaming.windows import sessionized, tumbling_counts
 from ..tables import load_tables
@@ -3060,10 +3064,6 @@ FROM s
 # --------------------------------------------------------------------------
 # q228 — EWMA anomaly score over daily event volume
 # --------------------------------------------------------------------------
-from ..operators.timeseries import EWMA_LAGS as _EWMA_LAGS
-from ..operators.timeseries import EWMA_W as _EWMA_W
-from ..operators.timeseries import EWMA_WSUM as _EWMA_WSUM
-from ..operators.timeseries import ewma_anomaly_table as _ewma_anomaly_table
 
 
 def q228_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:

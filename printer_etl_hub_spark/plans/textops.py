@@ -860,9 +860,10 @@ def q81_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )  # consumed by the pair build AND the final projection
+    _pins: list = []
     pairs = ngram_jaccard_pairs(
         kept.select("doc_id", "text"), "doc_id", "text",
-        threshold=0.8, max_df=_J_MAX_DF,
+        threshold=0.8, max_df=_J_MAX_DF, pins=_pins,
     )
     comp = connected_components(pairs, "a_id", "b_id")
     out = kept.join(comp, kept["doc_id"] == comp["node"], "left").filter(
@@ -875,7 +876,7 @@ def q81_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         doc_fingerprint64(F.col("text")).alias("fp64"),
     )
-    return materialize_release(res, kept)
+    return materialize_release(res, kept, *_pins)
 
 
 Q81_SQL = f"""
@@ -4692,8 +4693,10 @@ def q132_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = t["documents"].count()
     if nn == 0:
         return spark.createDataFrame([], "doc_id bigint, pagerank double")
+    _pins: list = []
     pairs = ngram_jaccard_pairs(
-        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF,
+        pins=_pins,
     )
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
@@ -4725,7 +4728,7 @@ def q132_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = ranks.select(
         F.col("node").alias("doc_id"), F.round("pr", 9).alias("pagerank")
     )
-    return materialize_release(res, edges, ed)
+    return materialize_release(res, edges, ed, *_pins)
 
 
 def _sql_pr_round(prev: str, out: str) -> str:
@@ -6306,9 +6309,11 @@ def q151_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("dg"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     keeper = d.groupBy("dg").agg(F.min("doc_id").alias("keeper_id"))
+    _pins: list = []
     comp = connected_components(
         ngram_jaccard_pairs(
-            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF,
+            pins=_pins,
         ),
         "a_id",
         "b_id",
@@ -6333,6 +6338,7 @@ def q151_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "toks_total", "toks_exact_dedup", "toks_neardup_dedup"),
         d,
         lab,
+        *_pins,
     )
 
 
@@ -6704,9 +6710,11 @@ def q156_quality_dup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("dg"), feats["quality_score"].alias("q")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     digests = scored.groupBy("dg").agg(F.count(F.lit(1)).alias("n_copies"))
+    _pins: list = []
     comp = connected_components(
         ngram_jaccard_pairs(
-            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF,
+            pins=_pins,
         ),
         "a_id",
         "b_id",
@@ -6727,6 +6735,7 @@ def q156_quality_dup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .select("quality_bucket", "dup_class", "n_docs"),
         scored,
+        *_pins,
     )
 
 
@@ -8463,8 +8472,10 @@ def q183_shard_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _pins: list = []
     pairs = ngram_jaccard_pairs(
-        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF,
+        pins=_pins,
     )
     res = (
         pairs.join(
@@ -8486,7 +8497,7 @@ def q183_shard_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_jaccard"),
         )
     )
-    return materialize_release(res, shards)
+    return materialize_release(res, shards, *_pins)
 
 
 Q183_SQL = f"""
@@ -9902,8 +9913,10 @@ def q203_component_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     t = load_tables(spark, sf_dir)
+    _pins: list = []
     pairs = ngram_jaccard_pairs(
-        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+        t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF,
+        pins=_pins,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     comp = connected_components(pairs, "a_id", "b_id")
     members = comp.groupBy("component").agg(
@@ -9936,7 +9949,7 @@ def q203_component_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("density"),
     )
-    return materialize_release(res, pairs)
+    return materialize_release(res, pairs, *_pins)
 
 
 Q203_SQL = f"""
@@ -10043,9 +10056,11 @@ def q212_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     t = load_tables(spark, sf_dir)
+    _pins: list = []
     e = (
         ngram_jaccard_pairs(
-            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF,
+            pins=_pins,
         )
         .select("a_id", "b_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -10061,7 +10076,7 @@ def q212_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("component")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
-    return materialize_release(res, e)
+    return materialize_release(res, e, *_pins)
 
 
 Q212_SQL = f"""
@@ -10099,9 +10114,11 @@ def q215_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     t = load_tables(spark, sf_dir)
+    _pins: list = []
     e = (
         ngram_jaccard_pairs(
-            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF
+            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF,
+            pins=_pins,
         )
         .select("a_id", "b_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -10146,7 +10163,7 @@ def q215_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coeff"),
         )
     )
-    return materialize_release(res, e)
+    return materialize_release(res, e, *_pins)
 
 
 Q215_SQL = f"""
