@@ -277,6 +277,9 @@ HEADLINE = [
     "q233_ks_drift",
     "q234_join_cardinality",
     "q235_balanced_sample",
+    "q236_range_splits",
+    "q237_funnel_latency",
+    "q238_cell_purity",
 ]
 
 

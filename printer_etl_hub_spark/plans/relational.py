@@ -3522,6 +3522,152 @@ Q234_SQL = "\nUNION ALL\n".join(
 )
 
 
+# --------------------------------------------------------------------------
+# q236 — equi-depth range-split boundaries (repartitionByRange planner)
+# --------------------------------------------------------------------------
+_N_SPLITS = 8
+
+
+def q236_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7 boundary values that split events.value into 8 EXACT
+    equi-depth ranges → (split_no, at_rank, boundary_value). This is
+    the table a repartitionByRange / partitioned-layout decision is
+    planned from when Spark's sampled range partitioner isn't enough
+    (sampling error on a skewed column yields uneven files; exact
+    boundaries cost one distributed rank pass and remove the guess).
+    Boundary k sits at rank ⌊k·n/8⌋ — pure integer positions, so both
+    engines pick the IDENTICAL row; ties are broken by event_id in the
+    rank's total order.
+
+    Shape: ``dist_rank`` over (value, event_id) — no single-partition
+    window over |events| — + a 7-row broadcast position table.
+    """
+    from .common import dist_rank
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("value", "event_id")
+    ranked, pin = dist_rank(ev, ["value", "event_id"], out="r")
+    n = pin.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ks = F.explode(
+        F.array(*[F.lit(int(k)) for k in range(1, _N_SPLITS)])
+    ).alias("split_no")
+    pos = n.select(ks, "_n").select(
+        "split_no",
+        ((F.col("split_no").cast("bigint") * F.col("_n")) / F.lit(_N_SPLITS))
+        .cast("bigint")
+        .alias("at_rank"),
+    )
+    res = (
+        ranked.join(F.broadcast(pos), ranked["r"] == pos["at_rank"])
+        .select(
+            "split_no",
+            "at_rank",
+            F.round(F.col("value"), 6).alias("boundary_value"),
+        )
+    )
+    return materialize_release(res, pin)
+
+
+Q236_SQL = f"""
+WITH ranked AS (
+  SELECT value, row_number() OVER (ORDER BY value, event_id) AS r FROM events
+), n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM events),
+pos AS (
+  SELECT CAST(k AS INTEGER) AS split_no,
+         CAST((CAST(k AS BIGINT) * n.nn) // {_N_SPLITS} AS BIGINT) AS at_rank
+  FROM (SELECT unnest(range(1, {_N_SPLITS})) AS k) ks CROSS JOIN n
+)
+SELECT pos.split_no, pos.at_rank, round(ranked.value, 6) AS boundary_value
+FROM pos JOIN ranked ON ranked.r = pos.at_rank
+"""
+
+
+# --------------------------------------------------------------------------
+# q237 — funnel conversion-latency percentiles
+# --------------------------------------------------------------------------
+def q237_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long a full view→click→purchase conversion takes → one row
+    (n_converted, p50_s, p90_s, p99_s). q111/q208 count WHO converts;
+    this measures the latency distribution OF the conversions — the
+    number an SLA or attribution-window decision (q208's 7-day deadline)
+    is actually calibrated from. Durations are exact integer
+    microseconds (t3 − t1 of q111's chained-min matches) divided once;
+    percentiles are linear-interpolated and ROUNDED(6) — the q43/q216
+    cross-engine interpolation discipline.
+
+    Shape: q111's three chained map-side-combinable min-aggs (frames
+    shrink monotonically; no window over the event stream) + ONE
+    percentile agg over the |converted users| frame — bounded by users,
+    never events; at open-ended scale swap in approx_percentile (q37).
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "ts", "event_type").filter(
+        F.col("event_type").isin(*_FUNNEL)
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == _FUNNEL[1])
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1k"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == _FUNNEL[2])
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t1k").alias("t1f"))
+    )
+    dur = t3.select(
+        (
+            (F.unix_micros(F.col("t3")) - F.unix_micros(F.col("t1f"))).cast(
+                "double"
+            )
+            / F.lit(1_000_000.0)
+        ).alias("dur_s")
+    )
+    return dur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(dur_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(dur_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.expr("percentile(dur_s, 0.99)"), 6).alias("p99_s"),
+    )
+
+
+Q237_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('{_FUNNEL[0]}', '{_FUNNEL[1]}', '{_FUNNEL[2]}')
+), t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM ev
+  WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+), t2 AS (
+  SELECT ev.user_id, min(ev.ts) AS t2, min(t1.t1) AS t1k
+  FROM ev JOIN t1 ON ev.user_id = t1.user_id
+  WHERE ev.event_type = '{_FUNNEL[1]}' AND ev.ts > t1.t1
+  GROUP BY ev.user_id
+), t3 AS (
+  SELECT ev.user_id, min(ev.ts) AS t3, min(t2.t1k) AS t1f
+  FROM ev JOIN t2 ON ev.user_id = t2.user_id
+  WHERE ev.event_type = '{_FUNNEL[2]}' AND ev.ts > t2.t2
+  GROUP BY ev.user_id
+), dur AS (
+  SELECT CAST(epoch_us(t3) - epoch_us(t1f) AS DOUBLE) / 1000000.0 AS dur_s
+  FROM t3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(dur_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(dur_s, 0.9), 6) AS p90_s,
+       round(quantile_cont(dur_s, 0.99), 6) AS p99_s
+FROM dur
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -3596,4 +3742,6 @@ RELATIONAL_QUERIES = {
     "q231_brand_hhi": (q231_brand_hhi, Q231_SQL),
     "q233_ks_drift": (q233_ks_drift, Q233_SQL),
     "q234_join_cardinality": (q234_join_cardinality, Q234_SQL),
+    "q236_range_splits": (q236_range_splits, Q236_SQL),
+    "q237_funnel_latency": (q237_funnel_latency, Q237_SQL),
 }

@@ -10823,6 +10823,108 @@ SELECT source, doc_id, CAST(r AS BIGINT) AS r FROM ranked WHERE r <= {_BAL_K}
 
 
 # --------------------------------------------------------------------------
+# q238 — IVF cell label purity (clustering-quality audit)
+# --------------------------------------------------------------------------
+def q238_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of every IVF cell under q38/q164's exact index
+    configuration → (cell, n_members, top_label, n_top, purity). Purity
+    = majority-label share; a cell whose members disagree on label is a
+    recall hole for label-filtered ANN AND a candidate for quantizer
+    retraining (q164 audits cell SIZE — balance; this audits cell
+    CONTENT — semantic coherence, the external-label twin of q170's
+    geometric spread). Assignment is q164's O(n·c) broadcast argmax —
+    identical IEEE cosines, identical tie-break — with the label carried
+    through, so the oracle's rank-1 window picks the same cells.
+
+    Shape: broadcast assign + one (cell, label) agg + one per-cell
+    argmax via max(struct) — all map-side combinable, no per-vector
+    window; output is ≤ c rows.
+    """
+    from ..operators.similarity import with_vector_norm
+
+    t = load_tables(spark, sf_dir)
+    base = with_vector_norm(
+        t["embeddings"].select(F.col("vec_id").alias("vid"), "embedding", "label"),
+        "embedding",
+    )
+    cents = (
+        base.orderBy("vid")
+        .limit(_IVF_C)
+        .select(
+            F.col("vid").alias("cent_id"),
+            F.col("vec_d").alias("c_vec"),
+            F.col("norm").alias("c_nrm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("vec_d", "c_vec", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = base.join(F.broadcast(cents)).select(
+        "vid",
+        "label",
+        F.col("cent_id"),
+        (dot / (F.col("norm") * F.col("c_nrm"))).alias("c_cos"),
+    )
+    assign = scored.groupBy("vid", "label").agg(
+        F.max(F.struct(F.col("c_cos"), (-F.col("cent_id")).alias("neg"))).alias("m")
+    )
+    cl = (
+        assign.select((-F.col("m.neg")).alias("cell"), "label")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    per_cell = cl.groupBy("cell").agg(
+        F.sum("n").cast("bigint").alias("n_members"),
+        F.max(F.struct(F.col("n"), (-F.col("label")).cast("bigint").alias("negl"))).alias(
+            "top"
+        ),
+    )
+    return per_cell.select(
+        "cell",
+        "n_members",
+        (-F.col("top.negl")).cast("int").alias("top_label"),
+        F.col("top.n").alias("n_top"),
+        F.round(
+            F.col("top.n").cast("double") / F.col("n_members").cast("double"), 9
+        ).alias("purity"),
+    )
+
+
+Q238_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, vd,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), cents AS (
+  SELECT vec_id AS cent_id, vd AS c_vec, nrm AS c_nrm FROM n
+  ORDER BY vec_id LIMIT {_IVF_C}
+), scored AS (
+  SELECT n.vec_id, n.label, c.cent_id,
+         {_SQL_DOT.format(a='n.vd', b='c.c_vec')} / (n.nrm * c.c_nrm) AS c_cos
+  FROM n CROSS JOIN cents c
+), ranked AS (
+  SELECT vec_id, label, cent_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cent_id ASC) AS crn
+  FROM scored
+), cl AS (
+  SELECT cent_id AS cell, label, CAST(count(*) AS BIGINT) AS n
+  FROM ranked WHERE crn = 1 GROUP BY cent_id, label
+), top AS (
+  SELECT cell, label, n,
+         row_number() OVER (PARTITION BY cell ORDER BY n DESC, label ASC) AS lr,
+         CAST(SUM(n) OVER (PARTITION BY cell) AS BIGINT) AS n_members
+  FROM cl
+)
+SELECT cell, n_members, CAST(label AS INTEGER) AS top_label, n AS n_top,
+       round(CAST(n AS DOUBLE) / CAST(n_members AS DOUBLE), 9) AS purity
+FROM top WHERE lr = 1
+"""
+
+
+# --------------------------------------------------------------------------
 
 
 TEXT_QUERIES = {
@@ -10977,4 +11079,5 @@ TEXT_QUERIES = {
     "q227_degree_assortativity": (q227_degree_assortativity, Q227_SQL),
     "q232_stratified_split": (q232_stratified_split, Q232_SQL),
     "q235_balanced_sample": (q235_balanced_sample, Q235_SQL),
+    "q238_cell_purity": (q238_cell_purity, Q238_SQL),
 }

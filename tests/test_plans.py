@@ -245,6 +245,7 @@ BNLJ_ALLOWED = {
     "q230_cusum_changepoint",  # 1-row (S, n) + 1-row peak scalar broadcasts
     "q233_ks_drift",  # 1-row midpoint + 1-row sample-size scalar broadcasts
     "q234_join_cardinality",  # per-leg 1-row side-count scalar broadcasts
+    "q238_cell_purity",  # 16-row broadcast centroid table (q164's class)
 }
 
 
