@@ -21,6 +21,49 @@ EWMA_W = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** (j - 1) for j in range(1, EWMA_LAGS +
 EWMA_WSUM = sum(EWMA_W)
 
 
+def cusum_table(daily: DataFrame):
+    """(day: date, x: bigint) → ((day: 'yyyy-MM-dd', n_events, cusum,
+    is_peak), pinned) — q230's Page-style changepoint scan, factored
+    here so the streaming daily-store sink emits the identical table.
+    Sₜ is computed SCALED by n (Σ n·xᵢ − t·Σx, all DECIMAL(38,0)
+    integers) and divided once — zero float accumulation; the
+    single-partition window runs on the |days|-bounded daily frame
+    only. The returned ``pinned`` frame feeds both the rows and the
+    peak; release it via materialize_release (the dist_rank convention)
+    or unpersist after the sink's write.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    tot = daily.agg(
+        F.sum("x").cast("bigint").alias("_s"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        daily.join(F.broadcast(tot))
+        .withColumn("_cx", F.sum(F.col("x").cast("decimal(38,0)")).over(w))
+        .withColumn("_t", F.sum(F.lit(1).cast("decimal(38,0)")).over(w))
+    )
+    sn = (
+        F.col("_n").cast("decimal(38,0)") * F.col("_cx")
+        - F.col("_t") * F.col("_s").cast("decimal(38,0)")
+    )
+    scored = cum.select(
+        "day",
+        F.col("x").alias("n_events"),
+        (sn.cast("double") / F.col("_n").cast("double")).alias("_cusum"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    peak = scored.agg(F.max(F.abs(F.col("_cusum"))).alias("_peak"))
+    res = scored.join(F.broadcast(peak)).select(
+        F.date_format(F.col("day").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round(F.col("_cusum"), 6).alias("cusum"),
+        (F.abs(F.col("_cusum")) == F.col("_peak")).alias("is_peak"),
+    )
+    return res, scored
+
+
 def ewma_anomaly_table(daily: DataFrame) -> DataFrame:
     """(day: date, x: bigint) → (day: 'yyyy-MM-dd', n_events, ewma,
     ratio) for every day with a FULL 14-day prior window. The daily

@@ -3204,7 +3204,12 @@ def q230_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum and the peak join then run on that |days|-row frame — bounded
     by the TIME RANGE, not the corpus, so the single-partition window
     over it is safe at any scale (the q141/q144 bounded-frame class).
+    The CUSUM core lives in ``operators/timeseries.py`` and is SHARED
+    with the streaming daily-store sink (``ewma_daily_sink``); the
+    stream≡batch test pins them to identical output.
     """
+    from ..operators.timeseries import cusum_table
+
     t = load_tables(spark, sf_dir)
     daily = (
         t["events"]
@@ -3212,39 +3217,8 @@ def q230_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
     )
-    tot = daily.agg(
-        F.sum("x").cast("bigint").alias("_s"),
-        F.count(F.lit(1)).cast("bigint").alias("_n"),
-    )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        daily.join(F.broadcast(tot))
-        .withColumn("_cx", F.sum(F.col("x").cast("decimal(38,0)")).over(w))
-        .withColumn(
-            "_t", F.sum(F.lit(1).cast("decimal(38,0)")).over(w)
-        )
-    )
-    # S_t · n = n·Σx_i − t·Σx  (exact integers)
-    sn = (
-        F.col("_n").cast("decimal(38,0)") * F.col("_cx")
-        - F.col("_t") * F.col("_s").cast("decimal(38,0)")
-    )
-    scored = cum.select(
-        "day",
-        F.col("x").alias("n_events"),
-        (sn.cast("double") / F.col("_n").cast("double")).alias("_cusum"),
-    )
-    from pyspark import StorageLevel
-
-    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
-    peak = scored.agg(F.max(F.abs(F.col("_cusum"))).alias("_peak"))
-    res = scored.join(F.broadcast(peak)).select(
-        ts_str(F.col("day").cast("timestamp"), "yyyy-MM-dd").alias("day"),
-        "n_events",
-        F.round(F.col("_cusum"), 6).alias("cusum"),
-        (F.abs(F.col("_cusum")) == F.col("_peak")).alias("is_peak"),
-    )
-    return materialize_release(res, scored)
+    res, pin = cusum_table(daily)
+    return materialize_release(res, pin)
 
 
 Q230_SQL = """

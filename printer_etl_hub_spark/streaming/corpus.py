@@ -346,14 +346,16 @@ def ewma_daily_sink(daily_dir: str, out_dir: str, ts_col: str = "ts"):
        partition instead of double-counting);
     3. the daily store re-aggregates (Σ partials per day — a
        |days|·|batches|-row frame, bounded by the TIME RANGE at any
-       corpus size) and ``ewma_anomaly_table`` overwrites
-       ``<out_dir>/current``.
+       corpus size) and the TWO anomaly views recompute off it:
+       ``ewma_anomaly_table`` → ``<out_dir>/current`` and
+       ``cusum_table`` (q230's changepoint scan) → ``<out_dir>/cusum``.
 
     Equivalence contract (tests/test_streaming.py): after any
     partitioning of an event set into micro-batches, the final current
-    table equals q228's batch output over the same rows.
+    table equals q228's batch output and the cusum table equals q230's,
+    over the same rows.
     """
-    from ..operators.timeseries import ewma_anomaly_table
+    from ..operators.timeseries import cusum_table, ewma_anomaly_table
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -373,6 +375,9 @@ def ewma_daily_sink(daily_dir: str, out_dir: str, ts_col: str = "ts"):
         ewma_anomaly_table(daily).write.mode("overwrite").parquet(
             f"{out_dir}/current"
         )
+        cus, pin = cusum_table(daily)
+        cus.write.mode("overwrite").parquet(f"{out_dir}/cusum")
+        pin.unpersist(blocking=False)
 
     return _sink
 

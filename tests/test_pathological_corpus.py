@@ -165,6 +165,24 @@ BOUNDARY_SENSITIVE = [
     # Round-7 wave 18: q219 rolls up q135's keeper election over the
     # duplicate block (exactly one keeper per 30-way clique).
     "q219_neardup_survivorship",
+    # Round-8 additions: q222/q220-class rank over a vocabulary the
+    # duplicate block makes extremely head-heavy (doubling ratios at
+    # count ties exercise the (negc, tok) tie-break); q223's sum of c^2
+    # spikes on the duplicate block (DECIMAL(38,0) path); q225 bins
+    # boundary-shaped quality scores (empty/whitespace docs -> bin 0)
+    # against 30-way digest groups; q227 computes Newman's r on the
+    # duplicate block's regular clique (zero degree variance -> NULL
+    # assortativity guard fires); q232/q235's per-source ranks must be
+    # exact permutations when a source is dominated by one digest;
+    # q238's argmax tie-break at identical cosines (30 identical
+    # embeddings score equal against every centroid).
+    "q222_zipf_curve",
+    "q223_effective_vocab",
+    "q225_reliability_bins",
+    "q227_degree_assortativity",
+    "q232_stratified_split",
+    "q235_balanced_sample",
+    "q238_cell_purity",
 ]
 
 

@@ -988,6 +988,19 @@ def test_ewma_daily_sink_stream_equals_batch(spark, tmp_path):
     }
     assert got == want and want  # non-trivial: full-window days exist
 
+    # the CUSUM view off the same daily store equals q230's batch output
+    got_cusum = {
+        (r.day, r.n_events, r.cusum, r.is_peak)
+        for r in spark.read.parquet(f"{out_dir}/cusum").collect()
+    }
+    want_cusum = {
+        (r.day, r.n_events, r.cusum, r.is_peak)
+        for r in REGISTRY["q230_cusum_changepoint"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got_cusum == want_cusum and want_cusum
+
     # daily store grew across >=2 micro-batches
     batch_ids = {
         r.batch_id for r in spark.read.parquet(daily_dir).select("batch_id").collect()

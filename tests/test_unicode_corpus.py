@@ -128,6 +128,19 @@ TEXT_KEYED = [
     "q212_graph_triangles",
     "q215_clustering_coeff",
     "q219_neardup_survivorship",
+    # Round-8 additions: q222/q223 tokenize and count multibyte types
+    # (the doubling-ratio tie-break and c^2 sums must agree on code
+    # points); q225 md5s multibyte text into digest groups and regex-
+    # strips multibyte letters in the quality score; q227 hashes
+    # multibyte shingles through the pair generator into the degree
+    # moments; q232/q235 md5 multibyte-keyed doc ids (ids are numeric,
+    # but the per-source strata ARE the multibyte sources).
+    "q222_zipf_curve",
+    "q223_effective_vocab",
+    "q225_reliability_bins",
+    "q227_degree_assortativity",
+    "q232_stratified_split",
+    "q235_balanced_sample",
 ]
 
 
