@@ -280,6 +280,7 @@ HEADLINE = [
     "q236_range_splits",
     "q237_funnel_latency",
     "q238_cell_purity",
+    "q239_inter_event_gaps",
 ]
 
 

@@ -14,14 +14,14 @@ bench regression into round 8.
 
 Round-9 backfill plan (pre-committed per VERDICT r7 item #2):
 q199-q221 (the remaining 23 round-7 additions) plus the r4-displaced
-q98, q99, q102, q104 — 27 queries — plus the 17 round-8 additions
-(q222-q238: zipf curve, effective vocab, class weights, reliability
+q98, q99, q102, q104 — 27 queries — plus the 18 round-8 additions
+(q222-q239: zipf curve, effective vocab, class weights, reliability
 bins, user gini, assortativity, EWMA anomaly, dow profile, CUSUM,
 brand HHI, stratified split, KS drift, join cardinality, balanced
-sample, range splits, funnel latency, cell purity) = 44 of 50 slots,
-so external evidence never lags a round's additions by more than one
-window. After round 9 executes, no ever-gated query's newest external
-green is older than round 6.
+sample, range splits, funnel latency, cell purity, inter-event gaps)
+= 45 of 50 slots, so external evidence never lags a round's additions
+by more than one window. After round 9 executes, no ever-gated query's
+newest external green is older than round 6.
 
 q37 stays OUTSIDE the window by design: its estimator output has no
 exact oracle (pinned by a tolerance test instead), and every gated

@@ -3642,6 +3642,62 @@ FROM dur
 """
 
 
+# --------------------------------------------------------------------------
+# q239 — inter-event gap percentiles per event type
+# --------------------------------------------------------------------------
+def q239_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the time between a user's CONSECUTIVE events of
+    the same type → (event_type, n_gaps, p50_gap_s, p90_gap_s). The
+    cadence fingerprint behind session-timeout tuning (q21's 30-minute
+    gap is a guess until this table justifies it), bot detection
+    (machine cadence has a collapsed p50), and polling-interval
+    decisions. Gaps are exact integer microseconds from a lag() window;
+    percentiles interpolated and ROUNDED(6) — the q43/q237 discipline.
+
+    Shape: ONE window partitioned by (user_id, event_type) ordered by
+    (ts, event_id) — per-partition size is one user's activity in one
+    type, bounded by the q218 skew audit, never corpus-sized — then a
+    ≤|types|-row percentile agg.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        t["events"]
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_prev", F.lag(F.unix_micros(F.col("ts"))).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "event_type",
+            (
+                (F.unix_micros(F.col("ts")) - F.col("_prev")).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("gap_s"),
+        )
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_gap_s"),
+    )
+
+
+Q239_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS DOUBLE) / 1000000.0 AS gap_s
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+       round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -3718,4 +3774,5 @@ RELATIONAL_QUERIES = {
     "q234_join_cardinality": (q234_join_cardinality, Q234_SQL),
     "q236_range_splits": (q236_range_splits, Q236_SQL),
     "q237_funnel_latency": (q237_funnel_latency, Q237_SQL),
+    "q239_inter_event_gaps": (q239_inter_event_gaps, Q239_SQL),
 }

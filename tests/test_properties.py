@@ -801,6 +801,65 @@ def test_gini_bounds_and_uniform_zero(spark):
     assert abs(g) < 1e-12
 
 
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "seed,n_rows,n_groups,n_parts",
+    [
+        (1, 1, 1, 1),      # single row, single partition
+        (2, 7, 1, 16),     # one group across many partitions
+        (3, 64, 9, 3),     # more groups than partitions
+        (4, 200, 2, 32),   # two huge strata (the skew case)
+        (5, 50, 50, 8),    # every row its own group
+    ],
+)
+def test_dist_helpers_randomized_shapes(spark, seed, n_rows, n_groups, n_parts):
+    """dist_rank / dist_rank_grouped / dist_cumsum against their
+    sequential references across adversarial shape corners: single
+    partition, group-spans-partitions, skewed strata, singleton groups.
+    Deterministic LCG data (no RNG flakiness); includes negative and
+    duplicate order keys."""
+    from printer_etl_hub_spark.plans.common import (
+        dist_cumsum,
+        dist_rank,
+        dist_rank_grouped,
+        flush_pending_release,
+    )
+
+    x = seed
+    rows = []
+    for i in range(1, n_rows + 1):
+        x = (x * 1103515245 + 12345) % (2**31)
+        rows.append((i, f"g{x % n_groups}", (x % 23) - 11))  # dup + negative keys
+    df = spark.createDataFrame(rows, "id long, g string, m long")
+
+    ranked, pin = dist_rank(df, ["m", "id"], out="r", n_parts=n_parts)
+    got = sorted((r.r, r.m, r.id) for r in ranked.collect())
+    pin.unpersist(); flush_pending_release()
+    want = sorted(rows, key=lambda t: (t[2], t[0]))
+    assert [g[0] for g in got] == list(range(1, n_rows + 1))
+    assert [(m, i) for _, m, i in got] == [(m, i) for i, _, m in want]
+
+    granked, gpin = dist_rank_grouped(df, ["g"], ["m", "id"], out="r", n_parts=n_parts)
+    got_g = {(r.g, r.id): r.r for r in granked.collect()}
+    gpin.unpersist(); flush_pending_release()
+    want_g: dict = {}
+    for i, g, m in sorted(rows, key=lambda t: (t[1], t[2], t[0])):
+        want_g[(g, i)] = sum(1 for k in want_g if k[0] == g) + 1
+    assert got_g == want_g
+
+    cdf = df.select("id", F.col("m").alias("a"))
+    cum, cpin = dist_cumsum(cdf, ["id"], ["a"], n_parts=n_parts)
+    got_c = sorted((r.id, r.a_cum) for r in cum.collect())
+    cpin.unpersist(); flush_pending_release()
+    run, want_c = 0, []
+    for i, _, m in rows:
+        run += m
+        want_c.append((i, run))
+    assert got_c == want_c
+
+
 def test_budget_allocation_sums_exactly(spark):
     """q200's largest-remainder apportionment: Σalloc ≡ the budget
     EXACTLY, every allocation within 1 of its real-valued share, and
