@@ -109,6 +109,86 @@ def status_transitions_stream(
     )
 
 
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("funnel_depth", LongType()),
+    ]
+)
+
+#: Per-user funnel state: the matched timestamps of steps 1..3 as epoch
+#: microseconds (None-able). O(1) per user — the state store holds the
+#: funnel position, never the event stream.
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t1", LongType()),
+        StructField("t2", LongType()),
+        StructField("t3", LongType()),
+    ]
+)
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key greedy funnel update (q111's earliest-match semantics,
+    which is depth-optimal): step N matches the first event STRICTLY
+    after the matched step N-1. Each batch's rows are processed in
+    (ts, event_id) order; state is the three matched timestamps, so
+    cross-batch progress is O(1) per user."""
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    for ts, etype in zip(rows["ts"], rows["event_type"]):
+        us = int(ts.value // 1000)
+        if t1 is None:
+            if etype == _FUNNEL_STEPS[0]:
+                t1 = us
+        elif t2 is None:
+            if etype == _FUNNEL_STEPS[1] and us > t1:
+                t2 = us
+        elif t3 is None:
+            if etype == _FUNNEL_STEPS[2] and us > t2:
+                t3 = us
+    state.update((t1, t2, t3))
+    depth = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+    yield pd.DataFrame({"user_id": [key[0]], "funnel_depth": [depth]})
+
+
+def funnel_depth_stream(
+    events_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming ordered-funnel depth per user — q111's chained-min
+    semantics as a keyed state machine: state is the three matched step
+    timestamps (O(1) per user, never the event stream), each micro-batch
+    advances the greedy match, and every batch emits the user's CURRENT
+    depth (update mode; the newest row per user is the answer — read the
+    memory/table sink with a last-per-key projection).
+
+    Requires event-time ordered arrival per key across micro-batches for
+    exact batch parity (the status_transitions contract): greedy
+    earliest-match cannot retroactively use an event that arrives after
+    a later-timestamped one was already consumed. The stream≡batch test
+    feeds ts-ordered batches and pins final depths to q111's output.
+    """
+    return (
+        events_stream.filter(F.col("event_type").isin(*_FUNNEL_STEPS))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            FUNNEL_SCHEMA,
+            _FUNNEL_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def status_transitions_batch(events: DataFrame) -> DataFrame:
     """Batch semantics of the same operator: lag() per key in (ts, event_id)
     order; the first event of a key is a transition from null."""

@@ -1026,3 +1026,57 @@ def test_ewma_daily_sink_stream_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(f"{out_dir}/current").collect()
     }
     assert got2 == want
+
+
+def test_funnel_depth_stream_equals_batch(spark, events, tmp_path):
+    """Custom stateful funnel: ts-ordered micro-batches through
+    applyInPandasWithState must end at exactly q111's chained-min
+    depths. Depth is monotone under the greedy match, so the final
+    answer is max(funnel_depth) per user across the update stream."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.stateful import funnel_depth_stream
+
+    sub = events.filter(F.col("user_id") < 40).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    src = str(tmp_path / "funnel_src")
+    rows = sub.orderBy("ts", "event_id").collect()
+    half_ts = rows[len(rows) // 2]["ts"]
+    sub.filter(F.col("ts") <= half_ts).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = funnel_depth_stream(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        sub.filter(F.col("ts") > half_ts).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: r["d"]
+            for r in spark.sql(
+                "SELECT user_id, max(funnel_depth) AS d FROM funnel_out GROUP BY user_id"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    want_all = {
+        r.user_id: r.funnel_depth
+        for r in REGISTRY["q111_event_funnel"].fn(spark, SF_SMOKE).collect()
+        if r.user_id < 40
+    }
+    # users that emitted at least one funnel-step event match exactly...
+    assert got and all(want_all[u] == d for u, d in got.items()), {
+        u: (d, want_all[u]) for u, d in got.items() if want_all[u] != d
+    }
+    # ...and users absent from the stream output had no funnel events → depth 0
+    assert all(want_all[u] == 0 for u in set(want_all) - set(got))
+    # non-degenerate: full conversions exist in the window
+    assert max(got.values()) == 3
