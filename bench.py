@@ -281,6 +281,7 @@ HEADLINE = [
     "q237_funnel_latency",
     "q238_cell_purity",
     "q239_inter_event_gaps",
+    "q240_kcore",
 ]
 
 

@@ -18,8 +18,8 @@ q98, q99, q102, q104 — 27 queries — plus the 18 round-8 additions
 (q222-q239: zipf curve, effective vocab, class weights, reliability
 bins, user gini, assortativity, EWMA anomaly, dow profile, CUSUM,
 brand HHI, stratified split, KS drift, join cardinality, balanced
-sample, range splits, funnel latency, cell purity, inter-event gaps)
-= 45 of 50 slots, so external evidence never lags a round's additions
+sample, range splits, funnel latency, cell purity, inter-event gaps,
+k-core) = 46 of 50 slots, so external evidence never lags a round's additions
 by more than one window. After round 9 executes, no ever-gated query's
 newest external green is older than round 6.
 

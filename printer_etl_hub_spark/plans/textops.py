@@ -10925,6 +10925,121 @@ FROM top WHERE lr = 1
 
 
 # --------------------------------------------------------------------------
+# q240 — k-core of the near-dup graph (pinned peel rounds)
+# --------------------------------------------------------------------------
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def q240_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the near-dup graph via 6 PINNED peel rounds →
+    (node, deg_in_core, converged). The k-core is the dense-duplication
+    neighborhood detector the component family can't see: CC (q72) says
+    WHO is connected, triangles/coefficient (q212/q215) say how
+    clique-ish, but a long chain and a dense core land in the same
+    component — the 3-core keeps only nodes with ≥ 3 surviving
+    neighbors after iterated peeling, i.e. the mirror-farm hearts where
+    per-page dedup decisions cascade.
+
+    EXACTNESS CONTRACT (the q94 pinned-iteration discipline): both
+    engines execute the IDENTICAL 6-round peel, so the oracle is exact
+    whether or not the peel has converged; peeling is monotone
+    (each round's edge set ⊆ the previous), so ``converged`` =
+    (|E₆| = |E₅|) is set-equality, not a heuristic — when true the
+    output IS the k-core; when false it is the documented 6-round
+    approximation (raise _KCORE_ROUNDS for pathological chains).
+
+    Shape: the audited pair generator once (persisted), then per round
+    one degree agg + one two-sided semi-join. Each round's edge set is
+    an EAGER localCheckpoint (the q94 iterative-trainer discipline):
+    round N's plan references round N−1 FOUR times (two degree-union
+    legs + two semi-joins), so un-truncated lineage grows 4^rounds
+    logical copies of the pair subtree and Catalyst analysis itself
+    melts — checkpointing makes every round's plan shallow and its cost
+    edge-set-bounded (the sets shrink monotonically).
+    """
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    pins: list = []
+    edges = (
+        ngram_jaccard_pairs(
+            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF,
+            pins=pins,
+        )
+        .select("a_id", "b_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pins.append(edges)
+    rounds = [edges.localCheckpoint(eager=True)]
+    cur = rounds[0]
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            cur.select(F.col("a_id").alias("node"))
+            .unionAll(cur.select(F.col("b_id").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "a_id"), "a_id", "left_semi")
+            .join(keep.withColumnRenamed("node", "b_id"), "b_id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(cur)
+    n_last = rounds[-1].agg(F.count(F.lit(1)).alias("_nl"))
+    n_prev = rounds[-2].agg(F.count(F.lit(1)).alias("_np"))
+    conv = n_last.join(F.broadcast(n_prev)).select(
+        (F.col("_nl") == F.col("_np")).alias("converged")
+    )
+    final_deg = (
+        rounds[-1]
+        .select(F.col("a_id").alias("node"))
+        .unionAll(rounds[-1].select(F.col("b_id").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg_in_core"))
+    )
+    res = final_deg.join(F.broadcast(conv)).select("node", "deg_in_core", "converged")
+    return materialize_release(res, *pins)
+
+
+def _sql_kcore_round(prev: str, out: str) -> str:
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # edge CTE four times (two degree-union legs + two keep-joins), so an
+    # inlined chain re-evaluates the pair subtree 4^rounds times.
+    return f"""{out}_keep AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS d FROM (
+      SELECT a_id AS node FROM {prev} UNION ALL SELECT b_id FROM {prev}
+    ) nn GROUP BY node
+  ) dd WHERE d >= {_KCORE_K}
+), {out} AS MATERIALIZED (
+  SELECT e.a_id, e.b_id FROM {prev} e
+  JOIN {out}_keep ka ON e.a_id = ka.node
+  JOIN {out}_keep kb ON e.b_id = kb.node
+)"""
+
+
+_kcore_rounds_sql = ",\n".join(
+    _sql_kcore_round(f"e{i}", f"e{i + 1}") for i in range(_KCORE_ROUNDS)
+)
+Q240_SQL = f"""
+WITH e0 AS MATERIALIZED (SELECT a_id, b_id FROM ({_sql_jaccard_pairs(0.8)}) p),
+{_kcore_rounds_sql},
+conv AS (
+  SELECT (SELECT count(*) FROM e{_KCORE_ROUNDS})
+         = (SELECT count(*) FROM e{_KCORE_ROUNDS - 1}) AS converged
+)
+SELECT node, CAST(count(*) AS BIGINT) AS deg_in_core, conv.converged
+FROM (
+  SELECT a_id AS node FROM e{_KCORE_ROUNDS}
+  UNION ALL SELECT b_id FROM e{_KCORE_ROUNDS}
+) nn, conv
+GROUP BY node, conv.converged
+"""
+
+
+# --------------------------------------------------------------------------
 
 
 TEXT_QUERIES = {
@@ -11080,4 +11195,5 @@ TEXT_QUERIES = {
     "q232_stratified_split": (q232_stratified_split, Q232_SQL),
     "q235_balanced_sample": (q235_balanced_sample, Q235_SQL),
     "q238_cell_purity": (q238_cell_purity, Q238_SQL),
+    "q240_kcore": (q240_kcore, Q240_SQL),
 }

@@ -246,6 +246,7 @@ BNLJ_ALLOWED = {
     "q233_ks_drift",  # 1-row midpoint + 1-row sample-size scalar broadcasts
     "q234_join_cardinality",  # per-leg 1-row side-count scalar broadcasts
     "q238_cell_purity",  # 16-row broadcast centroid table (q164's class)
+    "q240_kcore",  # 1-row convergence-flag scalar broadcast (q89's class)
 }
 
 

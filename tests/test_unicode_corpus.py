@@ -141,6 +141,9 @@ TEXT_KEYED = [
     "q227_degree_assortativity",
     "q232_stratified_split",
     "q235_balanced_sample",
+    # q240 hashes multibyte shingles through the pair generator into
+    # six peel rounds.
+    "q240_kcore",
 ]
 
 
