@@ -14,8 +14,8 @@ bench regression into round 8.
 
 Round-9 backfill plan (pre-committed per VERDICT r7 item #2):
 q199-q221 (the remaining 23 round-7 additions) plus the r4-displaced
-q98, q99, q102, q104 — 27 queries — plus the 18 round-8 additions
-(q222-q239: zipf curve, effective vocab, class weights, reliability
+q98, q99, q102, q104 — 27 queries — plus the 19 round-8 additions
+(q222-q240: zipf curve, effective vocab, class weights, reliability
 bins, user gini, assortativity, EWMA anomaly, dow profile, CUSUM,
 brand HHI, stratified split, KS drift, join cardinality, balanced
 sample, range splits, funnel latency, cell purity, inter-event gaps,

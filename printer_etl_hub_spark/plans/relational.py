@@ -3032,7 +3032,8 @@ def q226_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("x").cast("bigint").alias("n_events"),
-        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias("_t"),
+        # cast BEFORE multiplying — a bigint i*x wraps silently first
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("_t"),
     )
     gini = (
         F.lit(2.0) * F.col("_t").cast("double")
@@ -3050,7 +3051,7 @@ WITH per AS (
 ), s AS (
   SELECT CAST(count(*) AS BIGINT) AS n_users,
          CAST(sum(x) AS BIGINT) AS n_events,
-         SUM(CAST(i * x AS DECIMAL(38,0))) AS t
+         SUM(CAST(i AS DECIMAL(38,0)) * x) AS t
   FROM ranked
 )
 SELECT n_users, n_events,
@@ -3351,7 +3352,10 @@ def q233_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("bigint").alias("nb"),
     )
     cum, pin = dist_cumsum(per, ["value"], ["na", "nb"])
-    sizes = per.agg(
+    # sizes from the PIN, not the pre-repartition `per` lineage — both
+    # consumers then read the persisted frame and the events scan +
+    # value groupBy runs once (the q220 tot-from-pin lesson; review r8)
+    sizes = pin.agg(
         F.sum("na").cast("bigint").alias("n_a"),
         F.sum("nb").cast("bigint").alias("n_b"),
     )
@@ -3448,16 +3452,18 @@ def q234_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         j = lc.join(rc, "k").agg(
             F.coalesce(
-                F.sum((F.col("a") * F.col("b")).cast("decimal(38,0)")),
+                # cast BEFORE multiplying — a_k·b_k overflowing bigint is
+                # exactly the join this audit exists to warn about, and a
+                # post-multiply cast wraps first (review r8)
+                F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")),
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("_out")
         )
-        ln = t[lt].filter(F.col(lk).isNotNull()).agg(
-            F.count(F.lit(1)).cast("bigint").alias("left_rows")
-        )
-        rn = t[rt].filter(F.col(rk).isNotNull()).agg(
-            F.count(F.lit(1)).cast("bigint").alias("right_rows")
-        )
+        # side totals from the histograms (Σa / Σb) — the scan feeding the
+        # key groupBy is reused via exchange reuse, so each input really is
+        # scanned once (a separate count(*) aggregate re-scanned it)
+        ln = lc.agg(F.sum("a").cast("bigint").alias("left_rows"))
+        rn = rc.agg(F.sum("b").cast("bigint").alias("right_rows"))
         leg = (
             j.join(F.broadcast(ln))
             .join(F.broadcast(rn))
@@ -3481,12 +3487,12 @@ Q234_SQL = "\nUNION ALL\n".join(
        (SELECT CAST(count(*) AS BIGINT) FROM {lt} WHERE {lk} IS NOT NULL) AS left_rows,
        (SELECT CAST(count(*) AS BIGINT) FROM {rt} WHERE {rk} IS NOT NULL) AS right_rows,
        CAST(coalesce((
-         SELECT SUM(CAST(a.c * b.c AS DECIMAL(38,0)))
+         SELECT SUM(CAST(a.c AS DECIMAL(38,0)) * b.c)
          FROM (SELECT {lk} AS k, count(*) AS c FROM {lt} WHERE {lk} IS NOT NULL GROUP BY 1) a
          JOIN (SELECT {rk} AS k, count(*) AS c FROM {rt} WHERE {rk} IS NOT NULL GROUP BY 1) b
            USING (k)), 0) AS BIGINT) AS out_rows,
        round(CAST(coalesce((
-         SELECT SUM(CAST(a.c * b.c AS DECIMAL(38,0)))
+         SELECT SUM(CAST(a.c AS DECIMAL(38,0)) * b.c)
          FROM (SELECT {lk} AS k, count(*) AS c FROM {lt} WHERE {lk} IS NOT NULL GROUP BY 1) a
          JOIN (SELECT {rk} AS k, count(*) AS c FROM {rt} WHERE {rk} IS NOT NULL GROUP BY 1) b
            USING (k)), 0) AS DOUBLE)
@@ -3525,11 +3531,13 @@ def q236_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = F.explode(
         F.array(*[F.lit(int(k)) for k in range(1, _N_SPLITS)])
     ).alias("split_no")
+    # integer floor-division, NOT `/` (double): at n ≳ 2^53 the double
+    # quotient loses integer precision and the truncated rank can differ
+    # by 1 from the oracle's exact (k·n)//8 (review r8). k ≤ 7 keeps the
+    # bigint product exact to n ≈ 1.3e18 rows.
     pos = n.select(ks, "_n").select(
         "split_no",
-        ((F.col("split_no").cast("bigint") * F.col("_n")) / F.lit(_N_SPLITS))
-        .cast("bigint")
-        .alias("at_rank"),
+        F.expr(f"(CAST(split_no AS BIGINT) * _n) div {_N_SPLITS}").alias("at_rank"),
     )
     res = (
         ranked.join(F.broadcast(pos), ranked["r"] == pos["at_rank"])

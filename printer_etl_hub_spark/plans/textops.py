@@ -10429,7 +10429,8 @@ def q223_effective_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = st.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
-        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("_sq"),
+        # cast BEFORE squaring — bigint c*c wraps first (review r8)
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("_sq"),
     )
     simpson = F.col("_sq").cast("double") / (
         F.col("n_tokens").cast("double") * F.col("n_tokens").cast("double")
@@ -10455,7 +10456,7 @@ WITH st AS (
   SELECT source,
          CAST(sum(c) AS BIGINT) AS n_tokens,
          CAST(count(*) AS BIGINT) AS n_types,
-         SUM(CAST(c * c AS DECIMAL(38,0))) AS sq
+         SUM(CAST(c AS DECIMAL(38,0)) * c) AS sq
   FROM st GROUP BY source
 )
 SELECT source, n_tokens, n_types,
@@ -10648,12 +10649,12 @@ def q227_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = xy.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_edges"),
         F.sum((F.col("da") + F.col("db")).cast("decimal(38,0)")).alias("_sx"),
+        # casts BEFORE the products — bigint squares wrap first (review r8)
         F.sum(
-            (F.col("da") * F.col("da") + F.col("db") * F.col("db")).cast(
-                "decimal(38,0)"
-            )
+            F.col("da").cast("decimal(38,0)") * F.col("da")
+            + F.col("db").cast("decimal(38,0)") * F.col("db")
         ).alias("_sxx"),
-        F.sum((F.lit(2) * F.col("da") * F.col("db")).cast("decimal(38,0)")).alias(
+        F.sum(F.lit(2).cast("decimal(38,0)") * F.col("da") * F.col("db")).alias(
             "_sxy"
         ),
     )
@@ -10684,8 +10685,8 @@ xy AS (
 s AS (
   SELECT CAST(count(*) AS BIGINT) AS n_edges,
          SUM(CAST(da + db AS DECIMAL(38,0))) AS sx,
-         SUM(CAST(da * da + db * db AS DECIMAL(38,0))) AS sxx,
-         SUM(CAST(2 * da * db AS DECIMAL(38,0))) AS sxy
+         SUM(CAST(da AS DECIMAL(38,0)) * da + CAST(db AS DECIMAL(38,0)) * db) AS sxx,
+         SUM(CAST(2 AS DECIMAL(38,0)) * da * db) AS sxy
   FROM xy
 ),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
