@@ -148,3 +148,30 @@ def device_last_state_stream(updates: DataFrame, key: str = "user_id") -> DataFr
     return updates.groupBy(key).agg(
         F.max_by(F.struct("*"), F.col("ts")).alias("latest")
     )
+
+
+def pit_enrich_stream(
+    events: DataFrame,
+    versions: DataFrame,
+    key: str = "c_custkey",
+    date_col: str = "d",
+) -> DataFrame:
+    """Leakage-free point-in-time enrichment of an event stream — q217's
+    feature-store join applied ONLINE: each event picks the dimension
+    version effective AT ITS OWN TIMESTAMP (eff_from ≤ d < eff_to) via a
+    stream-static equi-join on the key with the interval predicate as a
+    residual filter. Joining "current" attributes onto a stream is the
+    same silent label-leakage bug as in batch — worse, because online
+    features silently diverge from the training-time join.
+
+    ``versions`` is a static SCD2 frame (key, segment, eff_from,
+    eff_to); Spark broadcasts or shuffles it like any dimension, and
+    because the join is stateless (static side), no streaming state
+    accrues. Works identically on a batch frame — the stream≡batch test
+    aggregates the enriched stream and pins it to q217's output.
+    """
+    j = events.join(F.broadcast(versions), key)
+    return j.filter(
+        (F.col("eff_from") <= F.col(date_col))
+        & (F.col(date_col) < F.col("eff_to"))
+    )

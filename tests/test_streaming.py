@@ -1080,3 +1080,76 @@ def test_funnel_depth_stream_equals_batch(spark, events, tmp_path):
     assert all(want_all[u] == 0 for u in set(want_all) - set(got))
     # non-degenerate: full conversions exist in the window
     assert max(got.values()) == 3
+
+
+def test_pit_enrich_stream_equals_batch_q217(spark, events, tmp_path):
+    """Stream-static point-in-time enrichment: aggregating the enriched
+    stream must equal q217's batch feature join exactly (same versioned
+    dimension, same half-open interval semantics), and no event may
+    match more than one version (the intervals partition the timeline)."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.windows import pit_enrich_stream
+    from printer_etl_hub_spark.tables import load_tables
+
+    t = load_tables(spark, SF_SMOKE)
+    c = t["customer"].select("c_custkey", "c_mktsegment")
+    bound = F.lit("2024-01-15").cast("date")
+    far = F.lit("9999-12-31").cast("date")
+    start = F.lit("2023-12-01").cast("date")
+    moved = F.col("c_custkey") % 5 == 0
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        start.alias("eff_from"),
+        F.when(moved, bound).otherwise(far).alias("eff_to"),
+    )
+    v2 = c.filter(moved).select(
+        "c_custkey",
+        F.lit("RELOCATED").alias("segment"),
+        bound.alias("eff_from"),
+        far.alias("eff_to"),
+    )
+    versions = v1.unionByName(v2)
+
+    src = str(tmp_path / "pit_src")
+    events.select(
+        F.col("user_id").alias("c_custkey"),
+        F.col("ts").cast("date").alias("d"),
+        "value",
+        "event_id",
+    ).repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    enriched = pit_enrich_stream(stream, versions)
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pit_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM pit_out").collect()
+    finally:
+        q.stop()
+
+    # intervals partition the timeline: every event matched exactly once
+    n_events = spark.read.parquet(src).count()
+    assert len(rows) == n_events
+    ids = [r.event_id for r in rows]
+    assert len(set(ids)) == n_events
+
+    got = {}
+    for r in rows:
+        n, v = got.get(r.segment, (0, 0.0))
+        got[r.segment] = (n + 1, v + r.value)
+    want = {
+        r.segment: (r.n_events, r.value_total)
+        for r in REGISTRY["q217_pit_feature_join"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want) and "RELOCATED" in want
+    for seg, (n, v) in got.items():
+        assert n == want[seg][0]
+        assert abs(v - want[seg][1]) < 1e-6  # test-side float resum tolerance
