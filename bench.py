@@ -35,7 +35,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: benched sibling — or (b) a driver-side sink (Excel/JSON/ticket
 #: writers) whose cost is I/O, not the engine. Every non-trivial join or
 #: multi-stage shape must be benched; r8 closed the four known gaps
-#: (q74/q76/q78/q86 below).
+#: (q74/q76/q78/q86 below) and r9 added q58/q60 — TPC-H Q7's
+#: two-nation shipping join and Q9's part⋈partsupp⋈lineitem profit
+#: shape are NOT represented by the Q8/Q21 siblings, so the
+#: sibling-coverage exclusion no longer applies to any multi-fact
+#: TPC-H join.
 HEADLINE = [
     "q01_pricing_summary",
     "q34_tpch_q3",
@@ -64,7 +68,9 @@ HEADLINE = [
     "q47_range_join",
     "q48_hypertable_rollup",
     "q33_multimodal_decode",
+    "q58_tpch_q7",
     "q59_tpch_q8",
+    "q60_tpch_q9",
     "q61_tpch_q13",
     "q64_tpch_q21",
     "q66_tpch_q2",
@@ -353,6 +359,36 @@ def main() -> None:
                 fail_msgs.setdefault(name, []).append(msg)
                 print(f"# [{attempt + 1}/{k}] {name}: FAILED {msg}", file=sys.stderr)
 
+    # Spread-retry rule (VERDICT r8 item #2b): when a query's attempts
+    # spread more than 2x, BOTH may have landed in one of the host's
+    # minutes-long degraded phases (r8 recorded q210-q215 at 2-3x their
+    # reproducible walls exactly this way — both attempts degraded, so
+    # best-of-2 couldn't save the record). One extra attempt, taken in a
+    # later window, gives best-of-3 a sample outside the phase.
+    retry = [
+        name
+        for name in HEADLINE
+        if len(all_attempts.get(name, [])) >= 2
+        and min(all_attempts[name]) > 0
+        and max(all_attempts[name]) / min(all_attempts[name]) > 2.0
+    ]
+    if retry:
+        print(f"# spread>2x retry pass: {retry}", file=sys.stderr)
+    for name in retry:
+        spark.catalog.clearCache()
+        flush_pending_release()
+        t0 = time.perf_counter()
+        try:
+            df = REGISTRY[name].fn(spark, SF_DIR)
+            rows[name] = df.count()
+            dt = time.perf_counter() - t0
+            all_attempts[name].append(round(dt, 3))
+            print(f"# [retry] {name}: {dt:.3f}s", file=sys.stderr)
+        except Exception as exc:
+            msg = f"{type(exc).__name__}: {exc}"[:500]
+            fail_msgs.setdefault(name, []).append(msg)
+            print(f"# [retry] {name}: FAILED {msg}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     flaky: dict[str, str] = {}
@@ -415,14 +451,34 @@ def main() -> None:
         "sf_dir": SF_DIR,
         "k": k,
     }
+    here = os.path.dirname(os.path.abspath(__file__))
+    # The per-query history was discarded every round (BENCH_DETAIL.json
+    # untracked + overwritten), which cost round 8 real signal: the
+    # q210-q215 noise was only detectable by a judge re-measurement.
+    # Write a round-stamped copy too (VERDICT r8 item #2a) — the round
+    # number is the max already-recorded bench round + 1, overridable
+    # via SPARK_GRAFT_ROUND — and COMMIT it each round.
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-            "w",
-        ) as fh:
-            json.dump(detail, fh, indent=1, sort_keys=True)
-    except OSError as exc:  # sidecar is best-effort; summary must still print
-        print(f"# sidecar write failed: {exc}", file=sys.stderr)
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            import re as _re
+
+            recorded = [
+                int(m.group(1))
+                for f in os.listdir(here)
+                if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+            ]
+            rnd = str(max(recorded, default=0) + 1)
+        stamped = os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}.json")
+    except (OSError, ValueError) as exc:
+        stamped = None
+        print(f"# round stamp failed: {exc}", file=sys.stderr)
+    for path in filter(None, [os.path.join(here, "BENCH_DETAIL.json"), stamped]):
+        try:
+            with open(path, "w") as fh:
+                json.dump(detail, fh, indent=1, sort_keys=True)
+        except OSError as exc:  # sidecar is best-effort; summary must still print
+            print(f"# sidecar write failed: {exc}", file=sys.stderr)
     sys.stderr.flush()
     line = json.dumps(payload, separators=(",", ":"))
     # Hard ceiling: the driver tails 2,000 chars of stdout; the summary

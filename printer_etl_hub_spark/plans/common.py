@@ -242,7 +242,12 @@ def dist_cumsum(df, order_cols, sum_cols, n_parts: int | None = None):
 
 
 def dist_rank_grouped(
-    df, group_cols, order_cols, out: str = "rank", n_parts: int | None = None
+    df,
+    group_cols,
+    order_cols,
+    out: str = "rank",
+    n_parts: int | None = None,
+    broadcast_offsets: bool = True,
 ):
     """Per-GROUP 1-based rank without a per-group single-partition sort
     (the stratified-split shape): a plain ``row_number() OVER
@@ -250,11 +255,17 @@ def dist_rank_grouped(
     task, so one 10 TB stratum melts an executor. Instead:
     repartitionByRange on (group, order) — a group spans a CONTIGUOUS
     run of range partitions — then per-(partition, group) row_number,
-    then a broadcast offset table of per-(partition, group) counts
-    cumulated within the group across the partition order. The offset
-    table is ≤ n_parts × |groups| rows but only groups that CROSS a
-    partition boundary contribute more than one row, so it stays
-    n_parts-bounded however large each group is.
+    then an offset table of per-(partition, group) counts cumulated
+    within the group across the partition order.
+
+    SIZE BOUND of the offset table (corrected — ADVICE r8 #3): one row
+    per PRESENT (partition, group) pair, i.e. |groups| + (number of
+    group runs that cross a partition boundary) ≤ |groups| + n_parts
+    rows. It is NOT n_parts-bounded alone: the forced broadcast assumes
+    a LOW-CARDINALITY group key (current callers: q232/q235
+    per-source strata — a handful of groups). For a high-cardinality
+    group key pass ``broadcast_offsets=False`` and the offset join
+    falls back to a shuffle join that Catalyst/AQE sizes itself.
 
     ``order_cols`` must totally order rows WITHIN a group. Returns
     ``(ranked, pinned)`` — the dist_rank convention.
@@ -284,8 +295,10 @@ def dist_rank_grouped(
         *group_cols,
         F.coalesce(F.sum("_cnt").over(ow), F.lit(0)).alias("_off"),
     )
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
     ranked = (
-        local.join(F.broadcast(offsets), ["_pid", *group_cols])
+        local.join(offsets, ["_pid", *group_cols])
         .withColumn(out, (F.col("_off") + F.col("_lrn")).cast("bigint"))
         .drop("_pid", "_lrn", "_off")
     )

@@ -4,24 +4,19 @@
 correctness driver gates the FIRST 50 entries each round. ``GATE_ORDER``
 makes that window explicit so coverage can be rotated deliberately.
 
-Round-8 window (executes the round-7 ledger plan exactly — VERDICT r7
-"Next round" item #1): q149-q198 in numeric order, 50 slots exactly.
-All 73 round-7 additions (q149-q221) were judge-verified exact at
-sf0.01 in the round-7 session but have zero external CORRECTNESS
-rows; this window repays the first 50. No deferral group is needed —
-nothing else in the registry carries a changed implementation or a
-bench regression into round 8.
+Round-9 window (executes the round-8 ledger plan exactly — VERDICT r8
+"Next round" item #1): q199-q221 (the remaining 23 round-7 additions),
+the r4-displaced q98/q99/q102/q104, the 19 round-8 additions
+(q222-q240), and the 4 free slots filled with the oldest-evidence r5
+queries q01/q03/q05/q07 — 50 slots exactly. After this window
+executes, every ever-gated query's newest external green is round 5
+or newer, and the additions backlog is fully repaid.
 
-Round-9 backfill plan (pre-committed per VERDICT r7 item #2):
-q199-q221 (the remaining 23 round-7 additions) plus the r4-displaced
-q98, q99, q102, q104 — 27 queries — plus the 19 round-8 additions
-(q222-q240: zipf curve, effective vocab, class weights, reliability
-bins, user gini, assortativity, EWMA anomaly, dow profile, CUSUM,
-brand HHI, stratified split, KS drift, join cardinality, balanced
-sample, range splits, funnel latency, cell purity, inter-event gaps,
-k-core) = 46 of 50 slots, so external evidence never lags a round's additions
-by more than one window. After round 9 executes, no ever-gated query's
-newest external green is older than round 6.
+Round-10 backfill plan (pre-committed): any round-9 additions (q241+)
+lead the window; the remaining slots go to the oldest-evidence
+queries — the r5 cohort first (q02, q04, q06, q08-q11, q13, q15, q25,
+q100, q101, q103, q105-q107, q109-q113, q115-q122, q125, q128-q131,
+q133-q137 — 39 queries), then oldest-r6 if slots remain.
 
 q37 stays OUTSIDE the window by design: its estimator output has no
 exact oracle (pinned by a tolerance test instead), and every gated
@@ -29,8 +24,9 @@ entry must be able to turn green. Everything not named in GATE_ORDER
 follows in module order, so the full surface stays importable and
 tested either way.
 
-Rotation ledger (newest external green per query, as of the END of r7,
-verified against CORRECTNESS_r01-r07):
+Rotation ledger (newest external green per query, as of the END of r8,
+verified against CORRECTNESS_r01-r08):
+r8: q149-q198 (all 50; CORRECTNESS_r08 ≡ the round-8 GATE_ORDER);
 r7: q12, q14, q16-q19, q28, q31, q38-q45, q49, q50, q52-q56, q72,
     q77, q82-q91, q93-q97, q108, q124, q141-q148;
 r6: q20-q24, q26, q27, q29, q30, q32-q36, q46-q48, q51, q57-q71,
@@ -38,10 +34,11 @@ r6: q20-q24, q26, q27, q29, q30, q32-q36, q46-q48, q51, q57-q71,
     q138-q140;
 r5: q01-q11, q13, q15, q25, q100, q101, q103, q105-q107, q109-q113,
     q115-q122, q125, q128-q131, q133-q137;
-r4: q98, q99, q102, q104 (displaced twice; lead round 9's backfill);
-never: q37 (by design), q149-q221 (landed round 7, judge-verified
-    exact locally that session; q149-q198 gated THIS round — round 8;
-    q199-q221 lead round 9).
+r4: q98, q99, q102, q104 (displaced twice; gated THIS round — r9);
+never: q37 (by design), q199-q221 (landed round 7, judge-verified
+    exact locally in both r7 and r8 sessions; gated THIS round — r9),
+    q222-q240 (landed round 8, judge-verified exact that session;
+    gated THIS round — r9).
 """
 
 from __future__ import annotations
@@ -70,59 +67,61 @@ _ALL: dict[str, tuple] = {
 
 #: First 50 = the driver's correctness window for this round.
 GATE_ORDER = [
-    # Round-8 window: the first 50 of the 73 round-7 additions
-    # (q149-q221), numeric order — zero external rows until now; all
-    # judge-verified exact at sf0.01 in the round-7 session.
-    "q149_pii_density",
-    "q150_label_outliers",
-    "q151_effective_tokens",
-    "q152_minhash_calibration",
-    "q153_crosslingual_dups",
-    "q154_rare_tokens",
-    "q155_degree_histogram",
-    "q156_quality_dup_crosstab",
-    "q157_collocations",
-    "q158_langid_confusion",
-    "q159_oov_curve",
-    "q160_sentence_stats",
-    "q161_template_prefixes",
-    "q162_length_percentiles",
-    "q163_incremental_exact_dedup",
-    "q164_ivf_balance",
-    "q165_pq_distortion",
-    "q166_char_class_profile",
-    "q167_source_vocab_overlap",
-    "q168_event_rate_anomaly",
-    "q169_token_burstiness",
-    "q170_cluster_spread",
-    "q171_band_bucket_stats",
-    "q172_quality_histogram",
-    "q173_readability",
-    "q174_kwic",
-    "q175_lsh_pair_budget",
-    "q176_centroid_distances",
-    "q177_sq8_error",
-    "q178_embedding_integrity",
-    "q179_token_df_spectrum",
-    "q180_source_dup_matrix",
-    "q181_chunk_plan",
-    "q182_band_config_sweep",
-    "q183_shard_leakage",
-    "q184_dim_variance",
-    "q185_packing_sweep",
-    "q186_dup_cluster_sizes",
-    "q187_corpus_delta",
-    "q188_norm_outliers",
-    "q189_len_quality_corr",
-    "q190_kn_band_routing",
-    "q191_rolling_active_users",
-    "q192_event_transitions",
-    "q193_vocab_drift",
-    "q194_dedup_adjusted_mixture",
-    "q195_containment_pairs",
-    "q196_ivf_probe_sweep",
-    "q197_template_suffixes",
-    "q198_snapshot_neardup",
+    # Round-9 window (executes the round-8 ledger plan exactly —
+    # VERDICT r8 "Next round" item #1): the remaining 23 round-7
+    # additions (q199-q221), the r4-displaced four (q98/q99/q102/q104),
+    # the 19 round-8 additions (q222-q240), and the 4 free slots filled
+    # with the oldest-evidence r5 queries (q01/q03/q05/q07).
+    "q199_gate_pass_rates",
+    "q200_budget_allocation",
+    "q201_source_containment_matrix",
+    "q202_shard_balance",
+    "q203_component_cohesion",
+    "q204_referential_integrity",
+    "q205_order_balance",
+    "q206_value_sanity",
+    "q207_key_uniqueness",
+    "q208_windowed_funnel",
+    "q209_rfm_segments",
+    "q210_lsh_pr",
+    "q211_freshness_audit",
+    "q212_graph_triangles",
+    "q213_top_paths",
+    "q214_weekly_drift",
+    "q215_clustering_coeff",
+    "q216_robust_outliers",
+    "q217_pit_feature_join",
+    "q218_key_skew",
+    "q219_neardup_survivorship",
+    "q220_head_share",
+    "q221_depth_revenue",
+    "q98_bpe_pairs",
+    "q99_corpus_datasheet",
+    "q102_leakage_safe_split",
+    "q104_bm25_topk",
+    "q222_zipf_curve",
+    "q223_effective_vocab",
+    "q224_class_weights",
+    "q225_reliability_bins",
+    "q226_user_gini",
+    "q227_degree_assortativity",
+    "q228_ewma_anomaly",
+    "q229_dow_profile",
+    "q230_cusum_changepoint",
+    "q231_brand_hhi",
+    "q232_stratified_split",
+    "q233_ks_drift",
+    "q234_join_cardinality",
+    "q235_balanced_sample",
+    "q236_range_splits",
+    "q237_funnel_latency",
+    "q238_cell_purity",
+    "q239_inter_event_gaps",
+    "q240_kcore",
+    "q01_pricing_summary",
+    "q03_normalize_projection",
+    "q05_postal_split",
+    "q07_first_per_slot",
 ]
 
 # Import-time contract checks. Explicit raises (not assert) so the

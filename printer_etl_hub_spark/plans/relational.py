@@ -3340,12 +3340,22 @@ def q233_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.unix_micros(F.col("ts"))).alias("_hi"),
     )
     # mid = lo + (hi - lo) DIV 2, exact integer microseconds
-    ev = t["events"].join(F.broadcast(rng)).select(
-        "value",
-        (
-            F.unix_micros(F.col("ts"))
-            <= F.col("_lo") + ((F.col("_hi") - F.col("_lo")) / 2).cast("bigint")
-        ).alias("in_a"),
+    # NULL values are excluded EXPLICITLY in both engines: the KS
+    # statistic is undefined for NULL, and without the filter the
+    # engines would order NULLs differently (Spark NULLS FIRST asc,
+    # DuckDB NULLS LAST), silently shifting every cumulative count
+    # (ADVICE r8 #1 — latent, the generator emits no NULLs).
+    ev = (
+        t["events"]
+        .filter(F.col("value").isNotNull())
+        .join(F.broadcast(rng))
+        .select(
+            "value",
+            (
+                F.unix_micros(F.col("ts"))
+                <= F.col("_lo") + ((F.col("_hi") - F.col("_lo")) / 2).cast("bigint")
+            ).alias("in_a"),
+        )
     )
     per = ev.groupBy("value").agg(
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("na"),
@@ -3383,7 +3393,7 @@ WITH rng AS (
   SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
 ), ev AS (
   SELECT value, epoch_us(ts) <= rng.lo + (rng.hi - rng.lo) // 2 AS in_a
-  FROM events, rng
+  FROM events, rng WHERE value IS NOT NULL
 ), per AS (
   SELECT value,
          CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
@@ -3461,9 +3471,16 @@ def q234_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # side totals from the histograms (Σa / Σb) — the scan feeding the
         # key groupBy is reused via exchange reuse, so each input really is
-        # scanned once (a separate count(*) aggregate re-scanned it)
-        ln = lc.agg(F.sum("a").cast("bigint").alias("left_rows"))
-        rn = rc.agg(F.sum("b").cast("bigint").alias("right_rows"))
+        # scanned once (a separate count(*) aggregate re-scanned it).
+        # Coalesce to 0: Spark's sum-over-empty is NULL while the oracle's
+        # count(*) is 0, a cross-engine divergence when a side has zero
+        # non-null-key rows (ADVICE r8 #5).
+        ln = lc.agg(
+            F.coalesce(F.sum("a"), F.lit(0)).cast("bigint").alias("left_rows")
+        )
+        rn = rc.agg(
+            F.coalesce(F.sum("b"), F.lit(0)).cast("bigint").alias("right_rows")
+        )
         leg = (
             j.join(F.broadcast(ln))
             .join(F.broadcast(rn))
@@ -3472,8 +3489,11 @@ def q234_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left_rows",
                 "right_rows",
                 F.col("_out").cast("bigint").alias("out_rows"),
+                # NULLIF denominator: amplification is NULL (not an error,
+                # not inf) when left_rows = 0, identically in both engines
                 F.round(
-                    F.col("_out").cast("double") / F.col("left_rows").cast("double"),
+                    F.col("_out").cast("double")
+                    / F.nullif(F.col("left_rows"), F.lit(0)).cast("double"),
                     9,
                 ).alias("amplification"),
             )
@@ -3496,7 +3516,7 @@ Q234_SQL = "\nUNION ALL\n".join(
          FROM (SELECT {lk} AS k, count(*) AS c FROM {lt} WHERE {lk} IS NOT NULL GROUP BY 1) a
          JOIN (SELECT {rk} AS k, count(*) AS c FROM {rt} WHERE {rk} IS NOT NULL GROUP BY 1) b
            USING (k)), 0) AS DOUBLE)
-         / CAST((SELECT count(*) FROM {lt} WHERE {lk} IS NOT NULL) AS DOUBLE), 9)
+         / CAST(NULLIF((SELECT count(*) FROM {lt} WHERE {lk} IS NOT NULL), 0) AS DOUBLE), 9)
          AS amplification"""
     for name, lt, lk, rt, rk in _JOIN_PLANS
 )
@@ -3525,7 +3545,13 @@ def q236_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import dist_rank
 
     t = load_tables(spark, sf_dir)
-    ev = t["events"].select("value", "event_id")
+    # NULL boundaries are meaningless and the engines disagree on NULL
+    # order (Spark NULLS FIRST asc, DuckDB NULLS LAST) — exclude them
+    # explicitly in BOTH engines so a NULL can never shift every rank
+    # (ADVICE r8 #1 — latent, the generator emits no NULLs).
+    ev = (
+        t["events"].filter(F.col("value").isNotNull()).select("value", "event_id")
+    )
     ranked, pin = dist_rank(ev, ["value", "event_id"], out="r")
     n = pin.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     ks = F.explode(
@@ -3552,8 +3578,9 @@ def q236_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q236_SQL = f"""
 WITH ranked AS (
-  SELECT value, row_number() OVER (ORDER BY value, event_id) AS r FROM events
-), n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM events),
+  SELECT value, row_number() OVER (ORDER BY value, event_id) AS r
+  FROM events WHERE value IS NOT NULL
+), n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM events WHERE value IS NOT NULL),
 pos AS (
   SELECT CAST(k AS INTEGER) AS split_no,
          CAST((CAST(k AS BIGINT) * n.nn) // {_N_SPLITS} AS BIGINT) AS at_rank

@@ -10958,6 +10958,15 @@ def q240_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical copies of the pair subtree and Catalyst analysis itself
     melts — checkpointing makes every round's plan shallow and its cost
     edge-set-bounded (the sets shrink monotonically).
+
+    FAULT-TOLERANCE TRADEOFF at cluster scale: ``localCheckpoint``
+    stores blocks on executors with NO lineage to recompute them, so an
+    executor loss mid-peel fails the job (acceptable locally and for a
+    restartable batch job). The 100 TB variant should call
+    ``spark.sparkContext.setCheckpointDir(<reliable DFS dir>)`` and
+    swap ``localCheckpoint(eager=True)`` for ``checkpoint(eager=True)``
+    — same lineage truncation, reliably-stored blocks — or simply rely
+    on job retry since the whole peel is deterministic.
     """
     from pyspark import StorageLevel
 

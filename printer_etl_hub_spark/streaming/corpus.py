@@ -332,7 +332,9 @@ def winnow_ingest_sink(
     return _sink
 
 
-def ewma_daily_sink(daily_dir: str, out_dir: str, ts_col: str = "ts"):
+def ewma_daily_sink(
+    daily_dir: str, out_dir: str, ts_col: str = "ts", compact_every: int = 64
+):
     """foreachBatch sink: incrementally-maintained EWMA volume-anomaly
     table — the streaming twin of q228 (plans/relational.py), sharing
     its arithmetic verbatim via ``operators/timeseries.py``.
@@ -344,18 +346,63 @@ def ewma_daily_sink(daily_dir: str, out_dir: str, ts_col: str = "ts"):
        overwrite — the same exactly-once-on-at-least-once idiom as the
        MERGE/minhash sinks (a re-delivered batch replaces its own
        partition instead of double-counting);
-    3. the daily store re-aggregates (Σ partials per day — a
-       |days|·|batches|-row frame, bounded by the TIME RANGE at any
-       corpus size) and the TWO anomaly views recompute off it:
-       ``ewma_anomaly_table`` → ``<out_dir>/current`` and
-       ``cusum_table`` (q230's changepoint scan) → ``<out_dir>/cusum``.
+    3. the daily store re-aggregates (Σ partials per day) and the TWO
+       anomaly views recompute off it: ``ewma_anomaly_table`` →
+       ``<out_dir>/current`` and ``cusum_table`` (q230's changepoint
+       scan) → ``<out_dir>/cusum``.
+
+    COMPACTION (ADVICE r8 #2 — without it the partial store grows one
+    partition per micro-batch forever, so per-batch re-aggregation cost
+    and file counts grow linearly with stream LIFETIME): once
+    ``compact_every`` live partial partitions accumulate, the
+    aggregated daily table is rewritten under a single reserved
+    ``batch_id=base-<n>`` partition and the folded partials deleted, so
+    steady-state read cost is |days| + ≤compact_every partials.
+    Idempotence survives compaction because the READ rule, not the
+    directory state, defines the store: only the NEWEST base plus
+    numeric partials with id > that base's stamp are read. Structured
+    Streaming re-delivers only the latest incomplete batch, and any
+    base-<n> was written while batch n was in flight, so a re-delivered
+    batch id is ≥ every base stamp: its partial overwrite either stays
+    live (id > stamp, counted once from the partial) or is shadowed
+    (id = stamp, counted once from the base). A crash between the
+    base write and the partial deletes leaves stale dirs the read rule
+    already ignores; they're swept on the next compaction.
 
     Equivalence contract (tests/test_streaming.py): after any
-    partitioning of an event set into micro-batches, the final current
-    table equals q228's batch output and the cusum table equals q230's,
-    over the same rows.
+    partitioning of an event set into micro-batches — compaction
+    triggered or not — the final current table equals q228's batch
+    output and the cusum table equals q230's, over the same rows.
     """
     from ..operators.timeseries import cusum_table, ewma_anomaly_table
+
+    def _list_store(spark):
+        """(newest base stamp or None, sorted live partial ids, all dirs)."""
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(daily_dir)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return None, [], []
+        names = [st.getPath().getName() for st in fs.listStatus(path)]
+        bases, partials = [], []
+        for nm in names:
+            if not nm.startswith("batch_id="):
+                continue
+            val = nm.split("=", 1)[1]
+            if val.startswith("base-"):
+                bases.append(int(val[5:]))
+            else:
+                partials.append(int(val))
+        base = max(bases) if bases else None
+        live = sorted(i for i in partials if base is None or i > base)
+        return base, live, names
+
+    def _delete_dirs(spark, names):
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for nm in names:
+            p = jvm.org.apache.hadoop.fs.Path(f"{daily_dir}/{nm}")
+            p.getFileSystem(conf).delete(p, True)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -367,11 +414,31 @@ def ewma_daily_sink(daily_dir: str, out_dir: str, ts_col: str = "ts"):
             .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
         )
         partial.write.mode("overwrite").parquet(f"{daily_dir}/batch_id={batch_id}")
+        base, live, _ = _list_store(spark)
+        paths = [f"{daily_dir}/batch_id=base-{base}"] if base is not None else []
+        paths += [f"{daily_dir}/batch_id={i}" for i in live]
         daily = (
-            spark.read.parquet(daily_dir)
+            spark.read.parquet(*paths)
             .groupBy("day")
             .agg(F.sum("x").cast("bigint").alias("x"))
         )
+        if len(live) >= compact_every:
+            # Fold base + live partials (this batch included) into ONE
+            # new base stamped with this batch id, then sweep EVERY
+            # older dir — stale bases and shadowed partials included.
+            daily.write.mode("overwrite").parquet(
+                f"{daily_dir}/batch_id=base-{batch_id}"
+            )
+            _, _, names = _list_store(spark)
+            # batch ids are monotone, so no dir can postdate this batch:
+            # everything except the just-written base is folded or stale
+            stale = [
+                nm
+                for nm in names
+                if nm.startswith("batch_id=") and nm != f"batch_id=base-{batch_id}"
+            ]
+            _delete_dirs(spark, stale)
+            daily = spark.read.parquet(f"{daily_dir}/batch_id=base-{batch_id}")
         ewma_anomaly_table(daily).write.mode("overwrite").parquet(
             f"{out_dir}/current"
         )

@@ -113,17 +113,22 @@ FUNNEL_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
         StructField("funnel_depth", LongType()),
+        StructField("n_late", LongType()),
     ]
 )
 
 #: Per-user funnel state: the matched timestamps of steps 1..3 as epoch
-#: microseconds (None-able). O(1) per user — the state store holds the
+#: microseconds (None-able), plus the ordered-arrival contract monitor —
+#: max event time seen so far and the count of events that arrived
+#: BEHIND it across batches. O(1) per user — the state store holds the
 #: funnel position, never the event stream.
 _FUNNEL_STATE_SCHEMA = StructType(
     [
         StructField("t1", LongType()),
         StructField("t2", LongType()),
         StructField("t3", LongType()),
+        StructField("max_ts", LongType()),
+        StructField("n_late", LongType()),
     ]
 )
 
@@ -139,12 +144,29 @@ def _funnel_fn(
     which is depth-optimal): step N matches the first event STRICTLY
     after the matched step N-1. Each batch's rows are processed in
     (ts, event_id) order; state is the three matched timestamps, so
-    cross-batch progress is O(1) per user."""
+    cross-batch progress is O(1) per user.
+
+    Ordered-arrival contract monitor (ADVICE r8 #4): exact q111 parity
+    requires per-key event-time ordered arrival ACROSS micro-batches —
+    within a batch the sort above restores order for free. An event
+    older than the max event time already consumed in a PRIOR batch is
+    a contract violation the greedy matcher cannot repair (it may have
+    already consumed a later event); such events still advance the
+    match (best-effort) but are COUNTED, and ``n_late`` rides on every
+    output row so a violated contract is observable instead of a
+    silently-diverged depth."""
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
-    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    if state.exists:
+        t1, t2, t3, max_ts, n_late = state.get
+    else:
+        t1, t2, t3, max_ts, n_late = None, None, None, None, 0
     for ts, etype in zip(rows["ts"], rows["event_type"]):
         us = int(ts.value // 1000)
+        if max_ts is not None and us < max_ts:
+            n_late += 1
+        else:
+            max_ts = us
         if t1 is None:
             if etype == _FUNNEL_STEPS[0]:
                 t1 = us
@@ -154,9 +176,11 @@ def _funnel_fn(
         elif t3 is None:
             if etype == _FUNNEL_STEPS[2] and us > t2:
                 t3 = us
-    state.update((t1, t2, t3))
+    state.update((t1, t2, t3, max_ts, n_late))
     depth = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
-    yield pd.DataFrame({"user_id": [key[0]], "funnel_depth": [depth]})
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "funnel_depth": [depth], "n_late": [n_late]}
+    )
 
 
 def funnel_depth_stream(
@@ -172,8 +196,15 @@ def funnel_depth_stream(
     Requires event-time ordered arrival per key across micro-batches for
     exact batch parity (the status_transitions contract): greedy
     earliest-match cannot retroactively use an event that arrives after
-    a later-timestamped one was already consumed. The stream≡batch test
-    feeds ts-ordered batches and pins final depths to q111's output.
+    a later-timestamped one was already consumed. The contract is
+    MONITORED, not assumed (ADVICE r8 #4): state tracks the max event
+    time consumed per key, and every output row carries ``n_late`` —
+    the cumulative count of cross-batch out-of-order events for that
+    key. n_late = 0 certifies the depth is exactly q111's; n_late > 0
+    says the arrival contract was violated and the depth is the
+    documented best-effort value. The stream≡batch test feeds
+    ts-ordered batches, pins final depths to q111's output, and pins
+    n_late = 0; a deliberately-disordered feed pins n_late > 0.
     """
     return (
         events_stream.filter(F.col("event_type").isin(*_FUNNEL_STEPS))

@@ -1064,6 +1064,11 @@ def test_funnel_depth_stream_equals_batch(spark, events, tmp_path):
                 "SELECT user_id, max(funnel_depth) AS d FROM funnel_out GROUP BY user_id"
             ).collect()
         }
+        # ts-ordered feed → the arrival-contract monitor certifies parity
+        assert (
+            spark.sql("SELECT max(n_late) AS m FROM funnel_out").collect()[0]["m"]
+            == 0
+        )
     finally:
         q.stop()
 
@@ -1080,6 +1085,130 @@ def test_funnel_depth_stream_equals_batch(spark, events, tmp_path):
     assert all(want_all[u] == 0 for u in set(want_all) - set(got))
     # non-degenerate: full conversions exist in the window
     assert max(got.values()) == 3
+
+
+def test_funnel_depth_stream_flags_late_arrivals(spark, tmp_path):
+    """Deliberately violate the ordered-arrival contract: feed a user's
+    LATER events in batch 1 and EARLIER ones in batch 2. The monitor
+    must make the violation observable (n_late > 0) instead of silently
+    emitting a best-effort depth (ADVICE r8 #4)."""
+    from printer_etl_hub_spark.streaming.stateful import funnel_depth_stream
+
+    src = str(tmp_path / "late_src")
+    mk = (
+        lambda rows: spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string, event_id long"
+        )
+    )
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    # batch 1: click@t5 arrives first; batch 2: view@t1 arrives late
+    mk([(1, t(5), "click", 10)]).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        funnel_depth_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mk([(1, t(1), "view", 11)]).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        final = spark.sql(
+            "SELECT max(n_late) AS late, max(funnel_depth) AS d FROM funnel_late"
+        ).collect()[0]
+    finally:
+        q.stop()
+    assert final["late"] >= 1  # the violation is observable
+    # best-effort: view matched (depth 1) but click was already consumed
+    assert final["d"] == 1
+
+
+def test_ewma_daily_sink_compaction_equals_batch(spark, tmp_path):
+    """Compaction path (ADVICE r8 #2): with compact_every=2 the store is
+    folded into a base partition mid-stream; the final anomaly tables
+    must STILL equal q228/q230's batch outputs, the live partial count
+    must stay bounded, and re-delivery of the last batch (id ≤ newest
+    base stamp or live) must remain a no-op."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import ewma_daily_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_id", "ts"
+    )
+    src = str(tmp_path / "ev_src_c")
+    ev.repartition(5).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    daily_dir = str(tmp_path / "ewma_daily_c")
+    out_dir = str(tmp_path / "ewma_out_c")
+    sink = ewma_daily_sink(daily_dir, out_dir, compact_every=2)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import os
+
+    parts = sorted(os.listdir(daily_dir))
+    bases = [p for p in parts if p.startswith("batch_id=base-")]
+    assert bases, f"compaction never triggered: {parts}"
+    stamp = max(int(p.split("base-")[1]) for p in bases)
+    live = [
+        p
+        for p in parts
+        if p.startswith("batch_id=") and not p.split("=")[1].startswith("base-")
+        and int(p.split("=")[1]) > stamp
+    ]
+    assert len(live) < 2 + 1  # store stays bounded by compact_every
+
+    got = {
+        (r.day, r.n_events, r.ewma, r.ratio)
+        for r in spark.read.parquet(f"{out_dir}/current").collect()
+    }
+    want = {
+        (r.day, r.n_events, r.ewma, r.ratio)
+        for r in REGISTRY["q228_ewma_anomaly"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want and want
+    got_cusum = {
+        (r.day, r.n_events, r.cusum, r.is_peak)
+        for r in spark.read.parquet(f"{out_dir}/cusum").collect()
+    }
+    want_cusum = {
+        (r.day, r.n_events, r.cusum, r.is_peak)
+        for r in REGISTRY["q230_cusum_changepoint"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got_cusum == want_cusum and want_cusum
+
+    # re-delivery of the newest base's own batch id is shadowed → no-op
+    part_day = spark.read.parquet(f"{daily_dir}/batch_id=base-{stamp}").collect()
+    rows = []
+    for r in part_day[:1]:
+        rows.extend([(r.day,)] * min(r.x, 3))
+    replay_df = spark.createDataFrame(rows, "day date").select(
+        F.col("day").cast("timestamp").alias("ts")
+    )
+    sink(replay_df, stamp)
+    got2 = {
+        (r.day, r.n_events, r.ewma, r.ratio)
+        for r in spark.read.parquet(f"{out_dir}/current").collect()
+    }
+    assert got2 == want
 
 
 def test_pit_enrich_stream_equals_batch_q217(spark, events, tmp_path):
