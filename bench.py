@@ -288,6 +288,17 @@ HEADLINE = [
     "q238_cell_purity",
     "q239_inter_event_gaps",
     "q240_kcore",
+    # Round 9: brand co-purchase affinity, lang label propagation,
+    # windowed co-occurrence, audience overlap, PCA power iteration,
+    # Kendall rank tau, LTV cohorts, hybrid retrieval fusion.
+    "q241_brand_affinity",
+    "q242_lang_propagation",
+    "q243_cooc_window",
+    "q244_audience_overlap",
+    "q245_pca_power",
+    "q246_rank_tau",
+    "q247_ltv_cohorts",
+    "q248_hybrid_fusion",
 ]
 
 

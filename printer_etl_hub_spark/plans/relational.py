@@ -3733,6 +3733,237 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q241 — brand co-purchase affinity (item-item collaborative signal)
+# --------------------------------------------------------------------------
+_AFFINITY_TOPN = 20
+
+
+def q241_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 brand pairs by co-purchase count, with cosine affinity and
+    lift → (brand_a, brand_b, n_co, n_a, n_b, cosine, lift). The
+    item-item co-occurrence table every "customers also bought"
+    recommender and assortment analysis starts from — the engine's
+    first BIPARTITE-projection operator (user×item → item×item), the
+    retail twin of the document near-dup pair family.
+
+    Exactness: ranking is by INTEGER n_co (ties broken by brand names),
+    so float affinity never decides order; cosine = n_co/√(n_a·n_b) and
+    lift = (n_co·n_cust)/(n_a·n_b) are single fixed-order double
+    expressions rounded once (√ is IEEE-correctly-rounded, portable).
+
+    Scale: part is a broadcast dim; the only fact-fact shuffle is
+    lineitem⋈orders on orderkey. The pair fan-out is per-customer over
+    DISTINCT brands — bounded by C(|brands|, 2) per customer however
+    many line items a whale buys, the bipartite-projection analogue of
+    the dedup family's banded caps. Brand-pair aggs are map-side
+    combinable; no window, no driver collect.
+    """
+    t = load_tables(spark, sf_dir)
+    cb = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"].select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    per_brand = cb.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    n_cust = cb.agg(F.countDistinct("cust").cast("bigint").alias("n_cust"))
+    a = cb.select("cust", F.col("brand").alias("brand_a"))
+    b = cb.select("cust", F.col("brand").alias("brand_b"))
+    co = (
+        a.join(b, "cust")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
+    )
+    j = (
+        co.join(F.broadcast(per_brand.select(F.col("brand").alias("brand_a"),
+                                             F.col("n").alias("n_a"))), "brand_a")
+        .join(F.broadcast(per_brand.select(F.col("brand").alias("brand_b"),
+                                           F.col("n").alias("n_b"))), "brand_b")
+        .join(F.broadcast(n_cust))
+    )
+    cosine = F.col("n_co").cast("double") / F.sqrt(
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    lift = (F.col("n_co").cast("double") * F.col("n_cust").cast("double")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return (
+        j.orderBy(F.desc("n_co"), "brand_a", "brand_b")
+        .limit(_AFFINITY_TOPN)
+        .select(
+            "brand_a", "brand_b", "n_co", "n_a", "n_b",
+            F.round(cosine, 9).alias("cosine"),
+            F.round(lift, 9).alias("lift"),
+        )
+    )
+
+
+Q241_SQL = f"""
+WITH cb AS (
+  SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS brand
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+), per_brand AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n FROM cb GROUP BY brand
+), n_cust AS (
+  SELECT CAST(count(DISTINCT cust) AS BIGINT) AS n_cust FROM cb
+), co AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_co
+  FROM cb a JOIN cb b ON a.cust = b.cust AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT co.brand_a, co.brand_b, co.n_co, pa.n AS n_a, pb.n AS n_b,
+       round(CAST(co.n_co AS DOUBLE)
+             / sqrt(CAST(pa.n AS DOUBLE) * CAST(pb.n AS DOUBLE)), 9) AS cosine,
+       round((CAST(co.n_co AS DOUBLE) * CAST(n_cust.n_cust AS DOUBLE))
+             / (CAST(pa.n AS DOUBLE) * CAST(pb.n AS DOUBLE)), 9) AS lift
+FROM co
+JOIN per_brand pa ON co.brand_a = pa.brand
+JOIN per_brand pb ON co.brand_b = pb.brand
+CROSS JOIN n_cust
+ORDER BY co.n_co DESC, co.brand_a, co.brand_b
+LIMIT {_AFFINITY_TOPN}
+"""
+
+
+# --------------------------------------------------------------------------
+# q244 — audience overlap between event types (Jaccard of user sets)
+# --------------------------------------------------------------------------
+def q244_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard overlap of the distinct-USER audiences of every event-type
+    pair → (type_a, type_b, n_a, n_b, n_both, jaccard). The audience-
+    segmentation matrix a growth team reads before funnel design (are
+    clickers a subset of viewers? do error-hitters still purchase?) —
+    q167 computes this over source VOCABULARIES; this is the behavioral
+    twin over user sets, where exact distinct counts matter (HLL's ±2%
+    flips small-overlap conclusions).
+
+    Scale: one distinct (event_type, user) projection — map-side
+    combinable — then a self-join on user whose fan-out is bounded by
+    C(|event types|, 2) PER USER (types are an enum, the q241
+    bipartite-projection bound); intersection and union are integer
+    arithmetic, one final double division.
+    """
+    t = load_tables(spark, sf_dir)
+    tu = t["events"].select(F.col("event_type").alias("et"), "user_id").distinct()
+    per = tu.groupBy("et").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = tu.select(F.col("et").alias("type_a"), "user_id")
+    b = tu.select(F.col("et").alias("type_b"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    j = (
+        both.join(F.broadcast(per.select(F.col("et").alias("type_a"),
+                                         F.col("n").alias("n_a"))), "type_a")
+        .join(F.broadcast(per.select(F.col("et").alias("type_b"),
+                                     F.col("n").alias("n_b"))), "type_b")
+    )
+    jac = F.col("n_both").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_both")
+    ).cast("double")
+    return j.select(
+        "type_a", "type_b", "n_a", "n_b", "n_both",
+        F.round(jac, 9).alias("jaccard"),
+    )
+
+
+Q244_SQL = """
+WITH tu AS (
+  SELECT DISTINCT event_type AS et, user_id FROM events
+), per AS (
+  SELECT et, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY et
+), both_t AS (
+  SELECT a.et AS type_a, b.et AS type_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.et < b.et
+  GROUP BY 1, 2
+)
+SELECT bt.type_a, bt.type_b, pa.n AS n_a, pb.n AS n_b, bt.n_both,
+       round(CAST(bt.n_both AS DOUBLE)
+             / CAST(pa.n + pb.n - bt.n_both AS DOUBLE), 9) AS jaccard
+FROM both_t bt
+JOIN per pa ON bt.type_a = pa.et
+JOIN per pb ON bt.type_b = pb.et
+"""
+
+
+# --------------------------------------------------------------------------
+# q247 — cohort LTV matrix (first-order month × account age, exact revenue)
+# --------------------------------------------------------------------------
+def q247_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value triangle: customers grouped by FIRST-order
+    month, revenue summed per months-since-first → (cohort_month, age_m,
+    n_customers, revenue). q112 counts retained USERS per signup week;
+    this is the finance twin — how much each acquisition vintage SPENDS
+    as it ages, the table payback-period and LTV:CAC decisions read.
+
+    Exactness: cohort and age are integer month arithmetic
+    (year·12+month differences — no date intervals, no timezones);
+    revenue sums through DECIMAL(25,6) (the dsum discipline), and
+    n_customers is a distinct count of the cohort-month's buyers at
+    that age. Scale: two aggregations over orders — first-order per
+    customer (map-side min) and the (cohort, age) rollup — plus one
+    equi-join on custkey; no window, no fan-out.
+    """
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_custkey",
+        "o_totalprice",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("_m"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("_m").alias("_m0"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            F.col("_m0").alias("_cm"),
+            (F.col("_m") - F.col("_m0")).alias("age_m"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.round(dsum(F.col("o_totalprice")), 6).alias("revenue"),
+        )
+        .select(
+            F.concat_ws(
+                "-",
+                F.floor((F.col("_cm") - 1) / 12).cast("bigint"),
+                F.lpad(((F.col("_cm") - 1) % 12 + 1).cast("string"), 2, "0"),
+            ).alias("cohort_month"),
+            F.col("age_m").cast("bigint").alias("age_m"),
+            "n_customers",
+            "revenue",
+        )
+    )
+
+
+Q247_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m
+  FROM orders
+), first_o AS (
+  SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey
+)
+SELECT CAST((f.m0 - 1) // 12 AS VARCHAR) || '-'
+         || lpad(CAST((f.m0 - 1) % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+       CAST(o.m - f.m0 AS BIGINT) AS age_m,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       round({sql_dsum('o.o_totalprice')}, 6) AS revenue
+FROM o JOIN first_o f ON o.o_custkey = f.o_custkey
+GROUP BY f.m0, o.m - f.m0
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -3810,4 +4041,7 @@ RELATIONAL_QUERIES = {
     "q236_range_splits": (q236_range_splits, Q236_SQL),
     "q237_funnel_latency": (q237_funnel_latency, Q237_SQL),
     "q239_inter_event_gaps": (q239_inter_event_gaps, Q239_SQL),
+    "q241_brand_affinity": (q241_brand_affinity, Q241_SQL),
+    "q244_audience_overlap": (q244_audience_overlap, Q244_SQL),
+    "q247_ltv_cohorts": (q247_ltv_cohorts, Q247_SQL),
 }

@@ -11050,6 +11050,586 @@ GROUP BY node, conv.converged
 
 
 # --------------------------------------------------------------------------
+# q242 — 2-round label propagation of `lang` over the near-dup graph
+# --------------------------------------------------------------------------
+_LPA_ROUNDS = 2
+
+
+def q242_lang_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), 2 PINNED
+    rounds, seeded with each document's `lang`, over the q29 near-dup
+    graph → (doc_id, lang0, lang2, changed) for every graph node. The
+    label-denoising primitive of the graph family: q153 lists
+    cross-lingual dup PAIRS; this turns the whole neighborhood's vote
+    into a corrected label — a node whose near-dups all say `en` while
+    its own tag says `zh` is a mislabeled crawl record, and `changed`
+    marks exactly those.
+
+    EXACTNESS CONTRACT (the q94/q240 pinned-iteration discipline): both
+    engines run the IDENTICAL 2 synchronous rounds; the per-node vote is
+    a total order — majority neighbor-label count, ties to the
+    lexicographically smallest label — expressed as min(struct(-cnt,
+    label)) in Spark and row_number(ORDER BY cnt DESC, lab) in the
+    oracle, which agree for every tie.
+
+    Shape: the audited pair generator once (persisted — it feeds BOTH
+    union legs of the undirected edge list, the q151 rule), then per
+    round one neighbor-label equi-join + one (node, label) agg + one
+    argmax — all edge-set-bounded, never corpus-sized. Labels frames
+    are |nodes|-sized.
+    """
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    _pins: list = []
+    e = (
+        ngram_jaccard_pairs(
+            t["documents"], "doc_id", "text", threshold=0.8, max_df=_J_MAX_DF,
+            pins=_pins,
+        )
+        .select("a_id", "b_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    und = e.select(F.col("a_id").alias("node"), F.col("b_id").alias("nbr")).unionAll(
+        e.select(F.col("b_id").alias("node"), F.col("a_id").alias("nbr"))
+    )
+    nodes = und.select("node").distinct()
+    l0 = (
+        t["documents"]
+        .select(F.col("doc_id").alias("node"), F.col("lang").alias("lab"))
+        .join(nodes, "node", "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cur = l0
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            und.join(cur.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        cur = votes.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("_nc"), F.col("lab").alias("lab")))[
+                "lab"
+            ].alias("lab")
+        )
+    res = (
+        l0.select("node", F.col("lab").alias("lang0"))
+        .join(cur.select("node", F.col("lab").alias("lang2")), "node")
+        .select(
+            F.col("node").alias("doc_id"),
+            "lang0",
+            "lang2",
+            (F.col("lang0") != F.col("lang2")).alias("changed"),
+        )
+    )
+    return materialize_release(res, e, l0, *_pins)
+
+
+Q242_SQL = f"""
+WITH e AS MATERIALIZED (SELECT a_id, b_id FROM ({_sql_jaccard_pairs(0.8)}) p),
+und AS MATERIALIZED (
+  SELECT a_id AS node, b_id AS nbr FROM e
+  UNION ALL SELECT b_id, a_id FROM e
+),
+l0 AS MATERIALIZED (
+  SELECT d.doc_id AS node, d.lang AS lab FROM documents d
+  WHERE d.doc_id IN (SELECT node FROM und)
+),
+v1 AS MATERIALIZED (
+  SELECT u.node, l.lab, CAST(count(*) AS BIGINT) AS cnt
+  FROM und u JOIN l0 l ON u.nbr = l.node GROUP BY u.node, l.lab
+),
+l1 AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn
+    FROM v1
+  ) WHERE rn = 1
+),
+v2 AS MATERIALIZED (
+  SELECT u.node, l.lab, CAST(count(*) AS BIGINT) AS cnt
+  FROM und u JOIN l1 l ON u.nbr = l.node GROUP BY u.node, l.lab
+),
+l2 AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn
+    FROM v2
+  ) WHERE rn = 1
+)
+SELECT l0.node AS doc_id, l0.lab AS lang0, l2.lab AS lang2,
+       l0.lab <> l2.lab AS changed
+FROM l0 JOIN l2 ON l0.node = l2.node
+"""
+
+
+# --------------------------------------------------------------------------
+# q243 — windowed co-occurrence counts (GloVe-style, distance-bucketed)
+# --------------------------------------------------------------------------
+_COOC_MAX_D = 3
+_COOC_MIN_N = 5
+_COOC_TOPN = 25
+
+
+def q243_cooc_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 unordered token pairs by window-≤3 co-occurrence, with the
+    count SPLIT BY DISTANCE → (x, y, n_d1, n_d2, n_d3, n_total). The
+    count table GloVe/word2vec-class embedding training consumes —
+    q157 sees only ADJACENT bigrams; the skip-gram window is what makes
+    'new york' and 'new … city' both visible. Distance buckets stay
+    separate INTEGER columns (the weighted-sum 1/d of the GloVe paper
+    is a training-time choice, and ⅓ isn't an exact binary double —
+    integers keep the oracle bit-free).
+
+    Shape: per document, the pair list is built INSIDE the array (one
+    transform per distance, no posexplode self-join — the corpus is
+    never joined to itself); one explode, one (x, y) groupBy with
+    map-side-combinable conditional counts, one distributed TakeOrdered
+    by the INTEGER total (ties broken by token text). Fan-out is
+    ≤ 3 pairs per token position — linear in corpus tokens.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(tokenize(F.col("text")).alias("w"))
+    def _pair_at(d: int):
+        # single-arg lambda on purpose: F.transform feeds a TWO-arg
+        # lambda (element, array_index), which would shadow `d`
+        return lambda i: F.struct(
+            F.least(
+                F.element_at("w", i.cast("int")),
+                F.element_at("w", (i + d).cast("int")),
+            ).alias("x"),
+            F.greatest(
+                F.element_at("w", i.cast("int")),
+                F.element_at("w", (i + d).cast("int")),
+            ).alias("y"),
+            F.lit(d).alias("d"),
+        )
+
+    legs = []
+    for d in range(1, _COOC_MAX_D + 1):
+        pair_d = F.transform(F.sequence(F.lit(1), F.size("w") - d), _pair_at(d))
+        legs.append(
+            F.when(F.size("w") > d, pair_d).otherwise(
+                F.array().cast("array<struct<x:string,y:string,d:int>>")
+            )
+        )
+    pairs = toks.select(F.explode(F.concat(*legs)).alias("p")).select(
+        "p.x", "p.y", "p.d"
+    )
+    agg = pairs.groupBy("x", "y").agg(
+        *[
+            F.sum(F.when(F.col("d") == d, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_d{d}")
+            for d in range(1, _COOC_MAX_D + 1)
+        ],
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    return (
+        agg.filter(F.col("n_total") >= _COOC_MIN_N)
+        .orderBy(F.desc("n_total"), "x", "y")
+        .limit(_COOC_TOPN)
+    )
+
+
+Q243_SQL = f"""
+WITH words AS ({_SQL_WORDS}),
+pr AS (
+  SELECT least(w[i], w[i + d]) AS x, greatest(w[i], w[i + d]) AS y, d
+  FROM (SELECT w, CAST(unnest(range(1, len(w))) AS INT) AS i
+        FROM words WHERE len(w) >= 2),
+       (SELECT CAST(unnest([1, 2, 3]) AS INT) AS d) ds
+  WHERE i + d <= len(w)
+), agg AS (
+  SELECT x, y,
+         CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+         CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+         CAST(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM pr GROUP BY x, y
+)
+SELECT x, y, n_d1, n_d2, n_d3, n_total
+FROM agg WHERE n_total >= {_COOC_MIN_N}
+ORDER BY n_total DESC, x, y LIMIT {_COOC_TOPN}
+"""
+
+
+# --------------------------------------------------------------------------
+# q246 — Kendall rank correlation: quality vs length, per source head
+# --------------------------------------------------------------------------
+_TAU_TOPK = 50
+
+
+def q246_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-a between quality score and document length over
+    each source's top-50 quality documents → (source, n_top,
+    concordant, discordant, tied, tau). The rank-agreement audit behind
+    "is our quality filter just a length filter?" — q189 answers with
+    Pearson on raw values (outlier-dominated); Kendall counts PAIR
+    ORDERINGS, the robust form, and staying log/rank-free it is exactly
+    portable: concordant/discordant/tied are integer counts over
+    products of sign(), tau is one double division.
+
+    Shape: q115's per-source quality window ranks the head (the
+    source-partitioned idiom; AQE owns the skew), then the C(50,2)
+    pair join runs per source on the 50-row heads — bounded by
+    |sources|·C(50,2) pairs regardless of corpus size, never a corpus
+    self-join (the q31 brute-force guard class made structural).
+    """
+    t = load_tables(spark, sf_dir)
+    staged = t["documents"].select(
+        "doc_id", "source", "n_chars", tokenize(F.col("text")).alias("toks"), "text"
+    )
+    feats = quality_features(F.col("text"), F.col("toks"))
+    scored = staged.select(
+        "doc_id", "source", "n_chars", feats["quality_score"].alias("q")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    head = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _TAU_TOPK
+    )
+    a = head.select("source", F.col("doc_id").alias("ida"), F.col("q").alias("qa"),
+                    F.col("n_chars").alias("la"))
+    b = head.select("source", F.col("doc_id").alias("idb"), F.col("q").alias("qb"),
+                    F.col("n_chars").alias("lb"))
+    prod = F.signum(F.col("qa") - F.col("qb")) * F.signum(
+        F.col("la").cast("double") - F.col("lb").cast("double")
+    )
+    pairs = (
+        a.join(b, "source")
+        .filter(F.col("ida") < F.col("idb"))
+        .select("source", prod.alias("s"))
+    )
+    agg = pairs.groupBy("source").agg(
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).cast("bigint").alias("concordant"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).cast("bigint").alias("discordant"),
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).cast("bigint").alias("tied"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    n_top = head.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_top"))
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / F.col(
+        "n_pairs"
+    ).cast("double")
+    return (
+        agg.join(F.broadcast(n_top), "source")
+        .select(
+            "source", "n_top", "concordant", "discordant", "tied",
+            F.round(tau, 9).alias("tau"),
+        )
+    )
+
+
+Q246_SQL = f"""
+WITH q AS ({Q25_SQL}),
+scored AS (
+  SELECT d.doc_id, d.source, d.n_chars, q.quality_score AS qs
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+),
+head AS (
+  SELECT doc_id, source, n_chars, qs FROM (
+    SELECT doc_id, source, n_chars, qs,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY qs DESC, doc_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {_TAU_TOPK}
+),
+pairs AS (
+  SELECT a.source,
+         sign(a.qs - b.qs)
+           * sign(CAST(a.n_chars AS DOUBLE) - CAST(b.n_chars AS DOUBLE)) AS s
+  FROM head a JOIN head b ON a.source = b.source AND a.doc_id < b.doc_id
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY source
+),
+ntop AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_top FROM head GROUP BY source
+)
+SELECT a.source, n.n_top, a.concordant, a.discordant, a.tied,
+       round(CAST(a.concordant - a.discordant AS DOUBLE)
+             / CAST(a.n_pairs AS DOUBLE), 9) AS tau
+FROM agg a JOIN ntop n ON a.source = n.source
+"""
+
+
+# --------------------------------------------------------------------------
+# q245 — top principal component via 2 pinned power iterations
+# --------------------------------------------------------------------------
+_DEC18 = "decimal(38,18)"
+
+
+def _dsum18(col: Column) -> Column:
+    """Order-insensitive exact sum at 1e-18 quantum — the fine-grained
+    sibling of plans/common.py::dsum for the small-magnitude fixed-size
+    sums of the spectral path (64-term matrix-vector products)."""
+    return F.sum(col.cast(_DEC18)).cast("double")
+
+
+def _sql_dsum18(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,18))) AS DOUBLE)"
+
+
+_PCA_ROUNDS = 2
+
+
+def q245_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance via 2 PINNED
+    power iterations → (dim, loading, lam): the dominant direction of
+    variance and its Rayleigh-quotient eigenvalue. The spectral member
+    the compression family was missing — q184 gives per-dim variances
+    (the DIAGONAL of C), q106/q101 project onto random/learned bases;
+    this finds the data's own axis, the whitening/PCA-pruning primitive.
+
+    EXACTNESS CONTRACT (the q94/q240/q242 pinned-iteration discipline):
+    both engines run the IDENTICAL 2 iterations from the IDENTICAL
+    start v0 = 1/8 (= 1/√64, exactly representable in binary). Every
+    data-dependent sum — the moment matrix S = Σ x xᵀ, the mean, each
+    matrix-vector product, each norm — goes through DECIMAL(38,18)
+    (order-insensitive, engine-exact); per-row double arithmetic is
+    IEEE-identical, √ is correctly rounded. No transcendentals.
+
+    Shape: one posexplode + a vec_id self-join builds the d² = 4 096
+    moment cells (map-side combinable — the shuffle carries partial
+    cell sums, never n·d² rows); everything after runs on d²- and
+    d-sized frames with the 64-row iteration vector broadcast into
+    each product. C is persisted once and feeds all three multiplies.
+    At 100 TB the only corpus-sized stage is the moment pass — the
+    standard distributed Gram computation.
+    """
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    pos = (
+        t["embeddings"]
+        .select("vec_id", F.posexplode(F.col("embedding")).alias("a", "x"))
+        .select("vec_id", "a", F.col("x").cast("double").alias("x"))
+    )
+    n = t["embeddings"].agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    s = (
+        pos.select("vec_id", F.col("a").alias("aa"), F.col("x").alias("xa"))
+        .join(pos.select("vec_id", F.col("a").alias("bb"), F.col("x").alias("xb")),
+              "vec_id")
+        .groupBy("aa", "bb")
+        .agg(_dsum18(F.col("xa") * F.col("xb")).alias("s_ab"))
+    )
+    mu = pos.groupBy("a").agg(_dsum18(F.col("x")).alias("_sx"))
+    mu = mu.join(F.broadcast(n)).select(
+        "a", (F.col("_sx") / F.col("_n").cast("double")).alias("mu")
+    )
+    c = (
+        s.join(F.broadcast(n))
+        .join(F.broadcast(mu.select(F.col("a").alias("aa"), F.col("mu").alias("mu_a"))),
+              "aa")
+        .join(F.broadcast(mu.select(F.col("a").alias("bb"), F.col("mu").alias("mu_b"))),
+              "bb")
+        .select(
+            "aa", "bb",
+            (F.col("s_ab") / F.col("_n").cast("double")
+             - F.col("mu_a") * F.col("mu_b")).alias("c_ab"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # v0 = 1/8 per dim — build as a 64-row frame off the dims of C
+    v = c.select(F.col("aa").alias("b")).distinct().select(
+        "b", F.lit(0.125).alias("v")
+    )
+    for _ in range(_PCA_ROUNDS):
+        w = (
+            c.join(F.broadcast(v), c["bb"] == v["b"])
+            .groupBy("aa")
+            .agg(_dsum18(F.col("c_ab") * F.col("v")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(_dsum18(F.col("w") * F.col("w"))).alias("_nrm"))
+        v = w.join(F.broadcast(nrm)).select(
+            F.col("aa").alias("b"), (F.col("w") / F.col("_nrm")).alias("v")
+        )
+    # Rayleigh quotient λ = v₂ᵀ C v₂ (‖v₂‖ = 1 by construction)
+    w3 = (
+        c.join(F.broadcast(v), c["bb"] == v["b"])
+        .groupBy("aa")
+        .agg(_dsum18(F.col("c_ab") * F.col("v")).alias("w3"))
+    )
+    lam = (
+        w3.join(F.broadcast(v), w3["aa"] == v["b"])
+        .agg(_dsum18(F.col("w3") * F.col("v")).alias("_lam"))
+    )
+    res = (
+        v.join(F.broadcast(lam))
+        .select(
+            F.col("b").cast("bigint").alias("dim"),
+            F.round(F.col("v"), 6).alias("loading"),
+            F.round(F.col("_lam"), 6).alias("lam"),
+        )
+    )
+    return materialize_release(res, c)
+
+
+Q245_SQL = f"""
+WITH pos AS MATERIALIZED (
+  SELECT vec_id, CAST(i - 1 AS INT) AS a, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+               CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS i
+        FROM embeddings)
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+s AS MATERIALIZED (
+  SELECT p.a AS aa, q.a AS bb, {_sql_dsum18('p.x * q.x')} AS s_ab
+  FROM pos p JOIN pos q USING (vec_id) GROUP BY p.a, q.a
+),
+mu AS MATERIALIZED (
+  SELECT a, {_sql_dsum18('x')} / CAST(n.n AS DOUBLE) AS mu
+  FROM pos, n GROUP BY a, n.n
+),
+c AS MATERIALIZED (
+  SELECT s.aa, s.bb,
+         s.s_ab / CAST(n.n AS DOUBLE) - ma.mu * mb.mu AS c_ab
+  FROM s
+  JOIN mu ma ON s.aa = ma.a
+  JOIN mu mb ON s.bb = mb.a
+  CROSS JOIN n
+),
+v0 AS (SELECT DISTINCT aa AS b, 0.125 AS v FROM c),
+w1 AS MATERIALIZED (
+  SELECT c.aa, {_sql_dsum18('c.c_ab * v0.v')} AS w
+  FROM c JOIN v0 ON c.bb = v0.b GROUP BY c.aa
+),
+n1 AS (SELECT sqrt({_sql_dsum18('w * w')}) AS nrm FROM w1),
+v1 AS MATERIALIZED (SELECT aa AS b, w / n1.nrm AS v FROM w1, n1),
+w2 AS MATERIALIZED (
+  SELECT c.aa, {_sql_dsum18('c.c_ab * v1.v')} AS w
+  FROM c JOIN v1 ON c.bb = v1.b GROUP BY c.aa
+),
+n2 AS (SELECT sqrt({_sql_dsum18('w * w')}) AS nrm FROM w2),
+v2 AS MATERIALIZED (SELECT aa AS b, w / n2.nrm AS v FROM w2, n2),
+w3 AS MATERIALIZED (
+  SELECT c.aa, {_sql_dsum18('c.c_ab * v2.v')} AS w3
+  FROM c JOIN v2 ON c.bb = v2.b GROUP BY c.aa
+),
+lam AS (
+  SELECT {_sql_dsum18('w3.w3 * v2.v')} AS lam
+  FROM w3 JOIN v2 ON w3.aa = v2.b
+)
+SELECT CAST(v2.b AS BIGINT) AS dim, round(v2.v, 6) AS loading,
+       round(lam.lam, 6) AS lam
+FROM v2, lam
+"""
+
+
+# --------------------------------------------------------------------------
+# q248 — hybrid retrieval: Borda fusion of BM25 and embedding ranks
+# --------------------------------------------------------------------------
+_FUSION_K = 20
+_FUSION_TOPN = 10
+
+
+def q248_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse q104's BM25 top-20 with the embedding-cosine
+    top-20 for a pinned query vector by BORDA COUNT → (doc_id,
+    bm25_rank, cos_rank, fused), top-10. The keyword+vector blend every
+    production retrieval stack runs; Borda (weight K+1−rank, absent →
+    0) instead of reciprocal-rank fusion because 1/(k+r) is not an
+    exact binary double — integer weights keep the fused score and its
+    ordering engine-exact, while preserving RRF's rank-only character.
+
+    The pinned query: terms are q104's fixed list; the vector is the
+    embedding of the SMALLEST vec_id — a 1-row frame joined broadcast
+    (scalar-broadcast BNLJ, whitelisted), so the vector side costs one
+    O(n·d) cosine map + a top-20 TakeOrdered, never an O(n²) pair join.
+    The rank windows run on the two 20-row heads — constant-bounded.
+    """
+    t = load_tables(spark, sf_dir)
+    bm = q104_bm25_topk(spark, sf_dir).select("doc_id", "bm25")
+    wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bmr = bm.select(
+        "doc_id", F.row_number().over(wb).cast("bigint").alias("bm25_rank")
+    )
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
+    )
+    emb = emb.withColumn(
+        "nrm", F.sqrt(F.aggregate("vd", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vd").alias("qvd"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("vd", "qvd", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("vec_id", (dot / (F.col("nrm") * F.col("qnrm"))).alias("c"))
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(_FUSION_K)
+    )
+    wc = Window.orderBy(F.desc("c"), F.asc("vec_id"))
+    cr = cos.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wc).cast("bigint").alias("cos_rank"),
+    )
+    fused = (
+        F.coalesce(F.lit(_FUSION_K + 1) - F.col("bm25_rank"), F.lit(0))
+        + F.coalesce(F.lit(_FUSION_K + 1) - F.col("cos_rank"), F.lit(0))
+    ).cast("bigint")
+    return (
+        bmr.join(cr, "doc_id", "full_outer")
+        .select("doc_id", "bm25_rank", "cos_rank", fused.alias("fused"))
+        .orderBy(F.desc("fused"), "doc_id")
+        .limit(_FUSION_TOPN)
+    )
+
+
+Q248_SQL = f"""
+WITH bm AS MATERIALIZED ({Q104_SQL}),
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS bm25_rank
+  FROM bm
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+nv AS MATERIALIZED (
+  SELECT vec_id, vd,
+         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+),
+q AS (SELECT * FROM nv WHERE vec_id = (SELECT min(vec_id) FROM nv)),
+cosd AS (
+  SELECT nv.vec_id,
+         list_reduce(list_transform(range(1, len(nv.vd) + 1),
+                                    i -> nv.vd[i] * q.vd[i]), (x, y) -> x + y)
+           / (nv.nrm * q.nrm) AS c
+  FROM nv, q WHERE nv.vec_id <> q.vec_id
+),
+cr AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY c DESC, vec_id ASC) AS cos_rank
+  FROM cosd
+  QUALIFY cos_rank <= {_FUSION_K}
+)
+SELECT COALESCE(bmr.doc_id, cr.doc_id) AS doc_id,
+       CAST(bmr.bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(cr.cos_rank AS BIGINT) AS cos_rank,
+       CAST(COALESCE({_FUSION_K + 1} - bmr.bm25_rank, 0)
+            + COALESCE({_FUSION_K + 1} - cr.cos_rank, 0) AS BIGINT) AS fused
+FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id
+ORDER BY fused DESC, COALESCE(bmr.doc_id, cr.doc_id) LIMIT {_FUSION_TOPN}
+"""
+
+
+# --------------------------------------------------------------------------
 
 
 TEXT_QUERIES = {
@@ -11206,4 +11786,9 @@ TEXT_QUERIES = {
     "q235_balanced_sample": (q235_balanced_sample, Q235_SQL),
     "q238_cell_purity": (q238_cell_purity, Q238_SQL),
     "q240_kcore": (q240_kcore, Q240_SQL),
+    "q242_lang_propagation": (q242_lang_propagation, Q242_SQL),
+    "q243_cooc_window": (q243_cooc_window, Q243_SQL),
+    "q245_pca_power": (q245_pca_power, Q245_SQL),
+    "q246_rank_tau": (q246_rank_tau, Q246_SQL),
+    "q248_hybrid_fusion": (q248_hybrid_fusion, Q248_SQL),
 }

@@ -247,6 +247,9 @@ BNLJ_ALLOWED = {
     "q234_join_cardinality",  # per-leg 1-row side-count scalar broadcasts
     "q238_cell_purity",  # 16-row broadcast centroid table (q164's class)
     "q240_kcore",  # 1-row convergence-flag scalar broadcast (q89's class)
+    "q241_brand_affinity",  # 1-row n_cust scalar broadcast (q89's class)
+    "q245_pca_power",  # 1-row n / norm / lambda scalar broadcasts (q89's class)
+    "q248_hybrid_fusion",  # 1-row pinned-query-vector broadcast + composes q104
 }
 
 
