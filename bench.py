@@ -299,6 +299,8 @@ HEADLINE = [
     "q246_rank_tau",
     "q247_ltv_cohorts",
     "q248_hybrid_fusion",
+    "q249_daily_acf",
+    "q250_ab_experiment",
 ]
 
 

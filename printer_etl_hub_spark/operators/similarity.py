@@ -125,6 +125,51 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine →
+    (vec_id, cell, cos): the index-maintenance half of the IVF family
+    (ivf_topk builds-and-queries in one shot; production TRAINS centroids
+    once, then assigns forever — this is the forever part).
+
+    ``centroids`` is (cent_id, <vec_col>) — typically ``kmeans_fit``'s
+    output or the deterministic smallest-id seed. Assignment is the q164
+    shape: O(n·c) broadcast join + ONE map-side-combinable max(struct)
+    argmax, ties to the SMALLEST cent_id — identical to the rank-1
+    window an oracle uses. The streaming twin
+    (`streaming/corpus.py::ivf_assign_stream`) reproduces this argmax as
+    a stateless per-row fold and is pinned equal by test.
+    """
+    # Zero-norm vectors/centroids are unindexable under cosine (NaN
+    # distance, and the two argmax formulations order NaN differently) —
+    # EXCLUDED on both the batch and streaming path, identically; count
+    # them upstream (q178/q188) if they can occur.
+    base = with_vector_norm(
+        df.select(F.col(id_col).alias("vid"), vec_col), vec_col
+    ).filter(F.col("norm") > 0)
+    cents = (
+        with_vector_norm(centroids.select(F.col("cent_id"), vec_col), vec_col)
+        .filter(F.col("norm") > 0)
+        .select("cent_id", F.col("vec_d").alias("c_vec"), F.col("norm").alias("c_nrm"))
+    )
+    cos = (_dot(F.col("vec_d"), F.col("c_vec")) / (F.col("norm") * F.col("c_nrm"))).alias(
+        "c_cos"
+    )
+    scored = base.join(F.broadcast(cents)).select("vid", "cent_id", cos)
+    assign = scored.groupBy("vid").agg(
+        F.max(F.struct(F.col("c_cos"), (-F.col("cent_id")).alias("_neg"))).alias("m")
+    )
+    return assign.select(
+        F.col("vid").alias(id_col),
+        (-F.col("m._neg")).cast("bigint").alias("cell"),
+        F.round(F.col("m.c_cos"), 6).alias("cos_sim"),
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,

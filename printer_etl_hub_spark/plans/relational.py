@@ -3964,6 +3964,208 @@ GROUP BY f.m0, o.m - f.m0
 """
 
 
+# --------------------------------------------------------------------------
+# q249 — autocorrelation of the daily event series (lags 1 and 7)
+# --------------------------------------------------------------------------
+_ACF_LAGS = (1, 7)
+
+
+def q249_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily event volume at lag 1 and lag 7 →
+    (lag, n_pairs, acf). The two numbers that justify (or kill) q229's
+    weekly-seasonality model and size q228's EWMA halflife: strong
+    lag-7 ACF says the day-of-week profile is real structure; weak
+    lag-1 says yesterday doesn't predict today and anomaly baselines
+    should widen. Computed as the Pearson correlation over the
+    lag-paired days (the q227 integer-moment pattern): all five sums
+    (Σx, Σy, Σxy, Σx², Σy²) are DECIMAL(38,0)-exact integer moments
+    with casts BEFORE the multiply, then ONE fixed-order double
+    expression with a portable sqrt.
+
+    Shape: one daily pre-agg (map-side combinable — the only
+    corpus-sized stage), then a |days|-bounded self-join per lag via
+    date_add; the moment agg is 1 row per lag.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    dec = "decimal(38,0)"
+    legs = None
+    for k in _ACF_LAGS:
+        paired = daily.alias("a").join(
+            daily.alias("b"),
+            F.col("b.day") == F.date_add(F.col("a.day"), k),
+        ).select(F.col("a.x").alias("x"), F.col("b.x").alias("y"))
+        m = paired.agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum(F.col("x").cast(dec)).alias("sx"),
+            F.sum(F.col("y").cast(dec)).alias("sy"),
+            F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+            F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+            F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        )
+        num = (
+            F.col("m").cast("double") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        den = F.sqrt(
+            F.col("m").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ) * F.sqrt(
+            F.col("m").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+        leg = m.select(
+            F.lit(k).cast("bigint").alias("lag"),
+            F.col("m").alias("n_pairs"),
+            F.round(num / den, 9).alias("acf"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return legs
+
+
+def _sql_acf_leg(k: int) -> str:
+    return f"""
+SELECT CAST({k} AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       round((CAST(count(*) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE)
+              - CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE))
+             / (sqrt(CAST(count(*) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE)
+                     - CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE))
+                * sqrt(CAST(count(*) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)
+                       - CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE))), 9) AS acf
+FROM (
+  SELECT a.x AS x, b.x AS y
+  FROM daily a JOIN daily b ON b.day = a.day + INTERVAL {k} DAY
+)"""
+
+
+Q249_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+)
+{_sql_acf_leg(_ACF_LAGS[0])}
+UNION ALL
+{_sql_acf_leg(_ACF_LAGS[1])}
+"""
+
+
+# --------------------------------------------------------------------------
+# q250 — deterministic A/B experiment readout (hash split + chi-square)
+# --------------------------------------------------------------------------
+_AB_SALT = "exp1"
+
+
+def q250_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment-analysis table: users deterministically hash-split
+    into arms A/B (md5(user:salt) parity — the q75/q78 assignment
+    class: reproducible across engines, retries, and partitionings),
+    outcome = converted (≥ 1 purchase event) → one row (n_a, conv_a,
+    n_b, conv_b, rate_a, rate_b, chi2). chi2 is the 2×2 Pearson
+    statistic N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)): the four cell counts
+    are exact integers, and the statistic is ONE fixed-order all-double
+    expression — doubles (not DECIMAL products) on purpose, because
+    (ad−bc)² at cluster scale exceeds DECIMAL(38,0) while the identical
+    IEEE expression is engine-exact and overflow-free.
+
+    Shape: one distinct-user projection with a per-user any-purchase
+    flag (map-side combinable max), then a 1-row agg — no join at all;
+    the assignment hash is a narrow column expression.
+    """
+    t = load_tables(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f":{_AB_SALT}"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    per_user = (
+        t["events"]
+        .select(
+            "user_id",
+            (F.col("event_type") == "purchase").cast("int").alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("p").alias("conv"))
+        .select((F.pmod(h, F.lit(2)) == 0).alias("arm_a"), "conv")
+    )
+    counts = per_user.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm_a"), F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm_a"), 0).otherwise(1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm_a"), 0).otherwise(F.col("conv")))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    a = F.col("conv_a").cast("double")
+    b = (F.col("n_a") - F.col("conv_a")).cast("double")
+    c = F.col("conv_b").cast("double")
+    d = (F.col("n_b") - F.col("conv_b")).cast("double")
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    # NULLIF guards (the q234 degenerate-case discipline): an empty arm
+    # or an all-/never-converted margin makes the rate/statistic
+    # undefined — NULL, identically in both engines, never an error
+    # (Spark ANSI raises on /0 where DuckDB yields NULL).
+    chi2 = (
+        n
+        * (a * d - b * c)
+        * (a * d - b * c)
+        / F.nullif((a + b) * (c + d) * (a + c) * (b + d), F.lit(0.0))
+    )
+    return counts.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(a / F.nullif(F.col("n_a").cast("double"), F.lit(0.0)), 9).alias(
+            "rate_a"
+        ),
+        F.round(c / F.nullif(F.col("n_b").cast("double"), F.lit(0.0)), 9).alias(
+            "rate_b"
+        ),
+        F.round(chi2, 9).alias("chi2"),
+    )
+
+
+Q250_SQL = f"""
+WITH per_user AS (
+  SELECT (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':{_AB_SALT}'), 1, 15)) AS BIGINT) % 2) = 0 AS arm_a,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id,
+       (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':{_AB_SALT}'), 1, 15)) AS BIGINT) % 2) = 0
+), counts AS (
+  SELECT CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm_a THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm_a THEN 0 ELSE conv END) AS BIGINT) AS conv_b
+  FROM per_user
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       round(CAST(conv_a AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE), 0), 9) AS rate_a,
+       round(CAST(conv_b AS DOUBLE) / NULLIF(CAST(n_b AS DOUBLE), 0), 9) AS rate_b,
+       round(CAST(n_a + n_b AS DOUBLE)
+             * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+                - CAST(n_a - conv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
+             * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+                - CAST(n_a - conv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
+             / NULLIF((CAST(conv_a AS DOUBLE) + CAST(n_a - conv_a AS DOUBLE))
+                * (CAST(conv_b AS DOUBLE) + CAST(n_b - conv_b AS DOUBLE))
+                * (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                * (CAST(n_a - conv_a AS DOUBLE) + CAST(n_b - conv_b AS DOUBLE)), 0), 9) AS chi2
+FROM counts
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -4044,4 +4246,6 @@ RELATIONAL_QUERIES = {
     "q241_brand_affinity": (q241_brand_affinity, Q241_SQL),
     "q244_audience_overlap": (q244_audience_overlap, Q244_SQL),
     "q247_ltv_cohorts": (q247_ltv_cohorts, Q247_SQL),
+    "q249_daily_acf": (q249_daily_acf, Q249_SQL),
+    "q250_ab_experiment": (q250_ab_experiment, Q250_SQL),
 }

@@ -11393,29 +11393,65 @@ def q245_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-insensitive, engine-exact); per-row double arithmetic is
     IEEE-identical, √ is correctly rounded. No transcendentals.
 
-    Shape: one posexplode + a vec_id self-join builds the d² = 4 096
-    moment cells (map-side combinable — the shuffle carries partial
-    cell sums, never n·d² rows); everything after runs on d²- and
-    d-sized frames with the 64-row iteration vector broadcast into
-    each product. C is persisted once and feeds all three multiplies.
-    At 100 TB the only corpus-sized stage is the moment pass — the
-    standard distributed Gram computation.
+    Shape: the moment cells are built IN-ARRAY per row — each vector
+    expands to its d·(d+1)/2 = 2 080 upper-triangle products inside one
+    narrow transform (NO self-join: the first implementation joined the
+    posexploded frame to itself on vec_id and the join fan-out, n·d²
+    rows through a shuffle, was 94% of the 10×-audit wall) — then one
+    explode + (a, b) groupBy whose partial sums combine map-side, so
+    the shuffle carries parts·d² rows. The lower triangle is mirrored
+    from the aggregated 2 080-row frame, not recomputed. Everything
+    after runs on d²- and d-sized frames with the 64-row iteration
+    vector broadcast into each product. C is persisted once and feeds
+    all three multiplies. At 100 TB the only corpus-sized stage is the
+    in-array expansion — the standard distributed Gram computation.
     """
     from pyspark import StorageLevel
 
     t = load_tables(spark, sf_dir)
-    pos = (
+    # spread first: vector corpora often arrive as 1-2 fat files, and the
+    # in-array d²/2 expansion is CPU-bound (the with_vector_norm lesson —
+    # unspread, the 10× audit ran the whole Gram pass on 2 cores)
+    emb = (
         t["embeddings"]
-        .select("vec_id", F.posexplode(F.col("embedding")).alias("a", "x"))
-        .select("vec_id", "a", F.col("x").cast("double").alias("x"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
+        )
     )
+    pos = emb.select("vec_id", F.posexplode(F.col("vd")).alias("a", "x"))
     n = t["embeddings"].agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-    s = (
-        pos.select("vec_id", F.col("a").alias("aa"), F.col("x").alias("xa"))
-        .join(pos.select("vec_id", F.col("a").alias("bb"), F.col("x").alias("xb")),
-              "vec_id")
-        .groupBy("aa", "bb")
-        .agg(_dsum18(F.col("xa") * F.col("xb")).alias("s_ab"))
+    dd = F.size("vd")
+    tri = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), dd),
+            lambda a: F.transform(
+                F.sequence(a, dd),
+                lambda b: F.struct(
+                    (a - 1).cast("int").alias("aa"),
+                    (b - 1).cast("int").alias("bb"),
+                    (
+                        F.element_at("vd", a.cast("int"))
+                        * F.element_at("vd", b.cast("int"))
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    # s_up feeds BOTH union legs → persisted, or the corpus-sized
+    # expansion executes twice (union sits outside exchange reuse — the
+    # q151/q201 rule)
+    s_up = (
+        emb.select(F.explode(tri).alias("c"))
+        .groupBy(F.col("c.aa").alias("aa"), F.col("c.bb").alias("bb"))
+        .agg(_dsum18(F.col("c.p")).alias("s_ab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    s = s_up.unionByName(
+        s_up.filter(F.col("aa") != F.col("bb")).select(
+            F.col("bb").alias("aa"), F.col("aa").alias("bb"), "s_ab"
+        )
     )
     mu = pos.groupBy("a").agg(_dsum18(F.col("x")).alias("_sx"))
     mu = mu.join(F.broadcast(n)).select(
@@ -11466,7 +11502,7 @@ def q245_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_lam"), 6).alias("lam"),
         )
     )
-    return materialize_release(res, c)
+    return materialize_release(res, c, s_up)
 
 
 Q245_SQL = f"""

@@ -449,6 +449,89 @@ def ewma_daily_sink(
     return _sink
 
 
+def ivf_assign_stream(
+    vec_stream: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming IVF index maintenance: assign each arriving vector to
+    its nearest FROZEN centroid by cosine → (vec_id, cell, cos_sim) in
+    append mode. The online half of the IVF family — centroids are
+    trained offline (``kmeans_fit`` / the smallest-id seed) and shipped
+    as a static DataFrame, exactly the q190 frozen-model deployment
+    split; new embeddings stream through and land in their cell, so the
+    index follows the corpus without retraining.
+
+    STATELESS by construction: the argmax over centroids is a per-row
+    fold over a 1-row broadcast centroid ARRAY (c·d work per vector) —
+    no streaming aggregation, no state store, append mode, any
+    watermark. The fold's replace rule (strictly-greater cosine, ties
+    to the smaller cent_id) selects the max over the SET regardless of
+    array order, so it is pinned equal to the batch
+    ``operators/similarity.py::ivf_assign`` max(struct) argmax
+    (tests/test_streaming.py). Zero-norm vectors are excluded on both
+    paths, identically (unindexable under cosine).
+    """
+    from ..operators.similarity import with_vector_norm
+
+    cents = with_vector_norm(centroids.select("cent_id", vec_col), vec_col).filter(
+        F.col("norm") > 0
+    )
+    cent_arr = cents.select(
+        F.collect_list(
+            F.struct(
+                F.col("cent_id").cast("bigint").alias("cent_id"),
+                F.col("vec_d").alias("c_vec"),
+                F.col("norm").alias("c_nrm"),
+            )
+        ).alias("_cents")
+    ).withColumn("_k", F.lit(1))
+    vecs = (
+        vec_stream.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec_d"),
+        )
+        .withColumn(
+            "nrm", F.sqrt(F.aggregate("vec_d", F.lit(0.0), lambda a, x: a + x * x))
+        )
+        .filter(F.col("nrm") > 0)
+        .withColumn("_k", F.lit(1))
+    )
+
+    def _step(acc, c):
+        dot = F.aggregate(
+            F.zip_with(F.col("vec_d"), c["c_vec"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        cos = dot / (F.col("nrm") * c["c_nrm"])
+        better = (cos > acc["c_cos"]) | (
+            (cos == acc["c_cos"]) & (c["cent_id"] < acc["cell"])
+        )
+        return F.when(
+            better,
+            F.struct(cos.alias("c_cos"), c["cent_id"].alias("cell")),
+        ).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("_cents"),
+        F.struct(
+            F.lit(-2.0).alias("c_cos"), F.lit(None).cast("bigint").alias("cell")
+        ),
+        _step,
+    )
+    return (
+        vecs.join(F.broadcast(cent_arr), "_k")
+        .select("vid", best.alias("_b"))
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("_b.cell").alias("cell"),
+            F.round(F.col("_b.c_cos"), 6).alias("cos_sim"),
+        )
+    )
+
+
 def kn_routing_stream(
     docs: DataFrame,
     model: DataFrame,

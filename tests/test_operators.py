@@ -390,10 +390,10 @@ def test_bruteforce_topk_refuses_oversized_input(spark):
 
 def test_registry_gate_window_is_complete_and_oracled():
     """The driver gates the first 50 REGISTRY entries: every one of them
-    must carry an oracle (no structurally-red rows). Round 8 executes
-    the round-7 ledger plan: q149-q198 in numeric order — the first 50
-    of the 73 round-7 additions, all with zero external rows until this
-    round (VERDICT r7 item #1)."""
+    must carry an oracle (no structurally-red rows). Round 9 executes
+    the round-8 ledger plan (VERDICT r8 item #1): q199-q221, the
+    r4-displaced q98/q99/q102/q104, q222-q240, and the four
+    oldest-evidence r5 queries q01/q03/q05/q07."""
     import re
 
     from printer_etl_hub_spark.plans import REGISTRY
@@ -403,9 +403,13 @@ def test_registry_gate_window_is_complete_and_oracled():
     assert window == GATE_ORDER
     unoracled = [n for n in window if REGISTRY[n].oracle_sql is None]
     assert not unoracled, unoracled
-    # q149-q198, numeric order, no gaps
     nums = [int(re.match(r"q(\d+)_", w).group(1)) for w in window]
-    assert nums == list(range(149, 199)), nums
+    assert nums == (
+        list(range(199, 222))          # the remaining round-7 additions
+        + [98, 99, 102, 104]           # displaced since round 4
+        + list(range(222, 241))        # the round-8 additions
+        + [1, 3, 5, 7]                 # oldest-evidence r5 queries
+    ), nums
 
 
 def test_kmeans_fit_converges_on_separated_blobs(spark):

@@ -1211,6 +1211,56 @@ def test_ewma_daily_sink_compaction_equals_batch(spark, tmp_path):
     assert got2 == want
 
 
+def test_ivf_assign_stream_equals_batch(spark, tmp_path):
+    """Streaming IVF assignment (stateless per-row fold over a broadcast
+    centroid array) must produce EXACTLY the batch ivf_assign
+    (join + max(struct) argmax) for every vector, across micro-batches,
+    including cosine values and smallest-cent_id tie-breaks."""
+    from printer_etl_hub_spark.operators.similarity import ivf_assign
+    from printer_etl_hub_spark.streaming.corpus import ivf_assign_stream
+    from printer_etl_hub_spark.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    # frozen centroids: the deterministic smallest-id seed (q38/q164's)
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cent_id"), "embedding")
+    )
+    want = {
+        (r.vec_id, r.cell, r.cos_sim)
+        for r in ivf_assign(emb, cents).collect()
+    }
+
+    src = str(tmp_path / "emb_src")
+    emb.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        ivf_assign_stream(stream, cents)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ivf_assign_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.vec_id, r.cell, r.cos_sim)
+            for r in spark.sql("SELECT * FROM ivf_assign_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want and want
+    # every vector assigned exactly once, all 16 cells plausible targets
+    assert len(got) == emb.count()
+    assert {c for _, c, _ in got} <= set(range(16))
+
+
 def test_pit_enrich_stream_equals_batch_q217(spark, events, tmp_path):
     """Stream-static point-in-time enrichment: aggregating the enriched
     stream must equal q217's batch feature join exactly (same versioned
