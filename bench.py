@@ -301,6 +301,8 @@ HEADLINE = [
     "q248_hybrid_fusion",
     "q249_daily_acf",
     "q250_ab_experiment",
+    "q251_markov_stationary",
+    "q252_seasonality_strength",
 ]
 
 

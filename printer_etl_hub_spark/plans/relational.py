@@ -3757,8 +3757,13 @@ def q241_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT brands — bounded by C(|brands|, 2) per customer however
     many line items a whale buys, the bipartite-projection analogue of
     the dedup family's banded caps. Brand-pair aggs are map-side
-    combinable; no window, no driver collect.
+    combinable; no window, no driver collect. The (cust, brand)
+    projection has FIVE consumers (two pair legs, two per-brand sides,
+    n_cust) and exchange reuse alone left 22 scans in the AQE plan
+    (measured) — it is persisted, the q151 multi-consumer rule.
     """
+    from pyspark import StorageLevel
+
     t = load_tables(spark, sf_dir)
     cb = (
         t["lineitem"]
@@ -3768,6 +3773,7 @@ def q241_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_orderkey") == F.col("o_orderkey"))
         .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     per_brand = cb.groupBy("brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
@@ -3794,7 +3800,7 @@ def q241_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = (F.col("n_co").cast("double") * F.col("n_cust").cast("double")) / (
         F.col("n_a").cast("double") * F.col("n_b").cast("double")
     )
-    return (
+    res = (
         j.orderBy(F.desc("n_co"), "brand_a", "brand_b")
         .limit(_AFFINITY_TOPN)
         .select(
@@ -3803,6 +3809,7 @@ def q241_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lift, 9).alias("lift"),
         )
     )
+    return materialize_release(res, cb)
 
 
 Q241_SQL = f"""
@@ -3851,10 +3858,19 @@ def q244_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable — then a self-join on user whose fan-out is bounded by
     C(|event types|, 2) PER USER (types are an enum, the q241
     bipartite-projection bound); intersection and union are integer
-    arithmetic, one final double division.
+    arithmetic, one final double division. The distinct projection has
+    three consumers (two pair legs + the per-type sizes) — persisted,
+    the q151 rule.
     """
+    from pyspark import StorageLevel
+
     t = load_tables(spark, sf_dir)
-    tu = t["events"].select(F.col("event_type").alias("et"), "user_id").distinct()
+    tu = (
+        t["events"]
+        .select(F.col("event_type").alias("et"), "user_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     per = tu.groupBy("et").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a = tu.select(F.col("et").alias("type_a"), "user_id")
     b = tu.select(F.col("et").alias("type_b"), "user_id")
@@ -3873,10 +3889,11 @@ def q244_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_both").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_both")
     ).cast("double")
-    return j.select(
+    res = j.select(
         "type_a", "type_b", "n_a", "n_b", "n_both",
         F.round(jac, 9).alias("jaccard"),
     )
+    return materialize_release(res, tu)
 
 
 Q244_SQL = """
@@ -4166,6 +4183,230 @@ FROM counts
 """
 
 
+# --------------------------------------------------------------------------
+# q251 — stationary distribution of the event-type Markov chain
+# --------------------------------------------------------------------------
+_MARKOV_ROUNDS = 3
+
+
+def q251_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does user behavior settle? 3 PINNED power-iteration rounds
+    of π ← π·P over the event-type transition matrix → (event_type,
+    pi0, pi3). P is q192's consecutive-transition counts row-normalized;
+    π0 is uniform over the observed types. The steady-state estimate a
+    journey model is sanity-checked against (q213 lists literal paths;
+    this is their long-run limit), and the events-family sibling of
+    q132's PageRank and q245's power method.
+
+    EXACTNESS CONTRACT (pinned-iteration discipline): identical 3
+    synchronous rounds in both engines; each π·P component sums through
+    DECIMAL(38,18) (order-insensitive); per-cell P values are one
+    fixed-order double division. TOTAL semantics for dangling states
+    (the ADVICE r8 degenerate-case rule): a type never observed as a
+    predecessor gets an explicit SELF-LOOP row, so P stays stochastic
+    and π mass is conserved — identically in both engines, no silent
+    sub-stochastic leak.
+
+    Shape: one lag-window pass over events builds the ≤ |types|² count
+    matrix (the q192 shape — the ONLY corpus-sized stage); the
+    iteration runs on ≤ |types|²-row frames.
+    """
+    from pyspark import StorageLevel
+
+    from .common import dsum  # noqa: F401  (dsum18-style local below)
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t["events"].select("user_id", "ts", "event_id", "event_type")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("prev"), F.col("next_type").alias("nxt")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    types = (
+        t["events"].select(F.col("event_type").alias("state")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # explicit self-loops for dangling states keep P stochastic
+    dangling = types.join(
+        trans.select(F.col("prev").alias("state")).distinct(), "state", "left_anti"
+    ).select(
+        F.col("state").alias("prev"), F.col("state").alias("nxt"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    full = trans.unionByName(dangling)
+    row_tot = full.groupBy("prev").agg(F.sum("n").cast("bigint").alias("tot"))
+    p = (
+        full.join(F.broadcast(row_tot), "prev")
+        .select(
+            "prev", "nxt",
+            (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    k = types.agg(F.count(F.lit(1)).cast("bigint").alias("_k"))
+    pi = types.join(F.broadcast(k)).select(
+        "state", (F.lit(1.0) / F.col("_k").cast("double")).alias("pi")
+    )
+    pi0 = pi
+    dec18 = "decimal(38,18)"
+    for _ in range(_MARKOV_ROUNDS):
+        pi = (
+            p.join(F.broadcast(pi.withColumnRenamed("state", "prev")), "prev")
+            .groupBy(F.col("nxt").alias("state"))
+            .agg(
+                F.sum((F.col("p") * F.col("pi")).cast(dec18))
+                .cast("double")
+                .alias("pi")
+            )
+        )
+    res = (
+        pi0.select("state", F.col("pi").alias("pi0"))
+        .join(pi.select("state", F.col("pi").alias("pi3")), "state")
+        .select(
+            F.col("state").alias("event_type"),
+            F.round("pi0", 9).alias("pi0"),
+            F.round("pi3", 9).alias("pi3"),
+        )
+    )
+    return materialize_release(res, types, p)
+
+
+Q251_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+trans AS MATERIALIZED (
+  SELECT event_type AS prev, next_type AS nxt, CAST(count(*) AS BIGINT) AS n
+  FROM ev WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+types AS MATERIALIZED (SELECT DISTINCT event_type AS state FROM events),
+dangling AS (
+  SELECT state AS prev, state AS nxt, CAST(1 AS BIGINT) AS n FROM types
+  WHERE state NOT IN (SELECT prev FROM trans)
+),
+full_t AS MATERIALIZED (SELECT * FROM trans UNION ALL SELECT * FROM dangling),
+row_tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tot FROM full_t GROUP BY prev),
+p AS MATERIALIZED (
+  SELECT f.prev, f.nxt, CAST(f.n AS DOUBLE) / CAST(r.tot AS DOUBLE) AS p
+  FROM full_t f JOIN row_tot r ON f.prev = r.prev
+),
+pi0 AS MATERIALIZED (
+  SELECT state, 1.0 / CAST((SELECT count(*) FROM types) AS DOUBLE) AS pi FROM types
+),
+pi1 AS MATERIALIZED (
+  SELECT p.nxt AS state,
+         CAST(SUM(CAST(p.p * pi0.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+  FROM p JOIN pi0 ON p.prev = pi0.state GROUP BY p.nxt
+),
+pi2 AS MATERIALIZED (
+  SELECT p.nxt AS state,
+         CAST(SUM(CAST(p.p * pi1.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+  FROM p JOIN pi1 ON p.prev = pi1.state GROUP BY p.nxt
+),
+pi3 AS MATERIALIZED (
+  SELECT p.nxt AS state,
+         CAST(SUM(CAST(p.p * pi2.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
+  FROM p JOIN pi2 ON p.prev = pi2.state GROUP BY p.nxt
+)
+SELECT pi0.state AS event_type, round(pi0.pi, 9) AS pi0, round(pi3.pi, 9) AS pi3
+FROM pi0 JOIN pi3 ON pi0.state = pi3.state
+"""
+
+
+# --------------------------------------------------------------------------
+# q252 — day-of-week seasonality strength (eta-squared of daily volume)
+# --------------------------------------------------------------------------
+def q252_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of daily-volume variance does day-of-week explain? The
+    one-way η² = SS_between/SS_total over daily event counts grouped by
+    dow → one row (n_days, eta2_dow). The single number that validates
+    (η² high) or retires (η² ≈ 0) q229's weekly profile and tells q228's
+    anomaly baseline whether it must be dow-conditioned. Computed from
+    exact integer moments: per-dow (n_g, S_g) and global (n, S, Σx²)
+    are DECIMAL-exact sums; the 7 per-group S_g²/n_g terms quantize
+    through DECIMAL(38,18) before their sum (group iteration order must
+    not leak into the double), then ONE fixed-order double expression.
+
+    Shape: one daily pre-agg (the only corpus-sized stage), a 7-row
+    group agg, a 1-row global agg — no window, no join fan-out.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select("day", "x", F.dayofweek("day").cast("int").alias("dow"))
+    )
+    dec = "decimal(38,0)"
+    dec18 = "decimal(38,18)"
+    per_g = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.col("x").cast(dec)).alias("s_g"),
+    )
+    between = per_g.agg(
+        F.sum(
+            (
+                F.col("s_g").cast("double")
+                * F.col("s_g").cast("double")
+                / F.col("n_g").cast("double")
+            ).cast(dec18)
+        )
+        .cast("double")
+        .alias("sum_sg2_ng")
+    )
+    glob = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("x").cast(dec)).alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+    )
+    corr = F.col("s").cast("double") * F.col("s").cast("double") / F.col(
+        "n_days"
+    ).cast("double")
+    eta2 = (F.col("sum_sg2_ng") - corr) / F.nullif(
+        F.col("sxx").cast("double") - corr, F.lit(0.0)
+    )
+    return (
+        glob.join(F.broadcast(between))
+        .select("n_days", F.round(eta2, 9).alias("eta2_dow"))
+    )
+
+
+Q252_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), dd AS (
+  SELECT day, x, dayofweek(day) AS dow FROM daily
+), per_g AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_g,
+         SUM(CAST(x AS DECIMAL(38,0))) AS s_g
+  FROM dd GROUP BY dow
+), between_g AS (
+  SELECT CAST(SUM(CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                       / CAST(n_g AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS sum_sg2_ng
+  FROM per_g
+), g_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         SUM(CAST(x AS DECIMAL(38,0))) AS s,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+  FROM dd
+)
+SELECT n_days,
+       round((sum_sg2_ng - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / NULLIF(CAST(sxx AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 0), 9) AS eta2_dow
+FROM g_tot, between_g
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -4248,4 +4489,6 @@ RELATIONAL_QUERIES = {
     "q247_ltv_cohorts": (q247_ltv_cohorts, Q247_SQL),
     "q249_daily_acf": (q249_daily_acf, Q249_SQL),
     "q250_ab_experiment": (q250_ab_experiment, Q250_SQL),
+    "q251_markov_stationary": (q251_markov_stationary, Q251_SQL),
+    "q252_seasonality_strength": (q252_seasonality_strength, Q252_SQL),
 }

@@ -11284,9 +11284,16 @@ def q246_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = staged.select(
         "doc_id", "source", "n_chars", feats["quality_score"].alias("q")
     )
+    from pyspark import StorageLevel
+
     w = Window.partitionBy("source").orderBy(F.col("q").desc(), F.col("doc_id").asc())
-    head = scored.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= _TAU_TOPK
+    # three consumers (both pair legs + n_top) over a corpus-scan
+    # lineage — persisted (the q151 rule); the frame itself is
+    # |sources|·50 rows
+    head = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TAU_TOPK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = head.select("source", F.col("doc_id").alias("ida"), F.col("q").alias("qa"),
                     F.col("n_chars").alias("la"))
@@ -11310,13 +11317,11 @@ def q246_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau = (F.col("concordant") - F.col("discordant")).cast("double") / F.col(
         "n_pairs"
     ).cast("double")
-    return (
-        agg.join(F.broadcast(n_top), "source")
-        .select(
-            "source", "n_top", "concordant", "discordant", "tied",
-            F.round(tau, 9).alias("tau"),
-        )
+    res = agg.join(F.broadcast(n_top), "source").select(
+        "source", "n_top", "concordant", "discordant", "tied",
+        F.round(tau, 9).alias("tau"),
     )
+    return materialize_release(res, head)
 
 
 Q246_SQL = f"""

@@ -250,6 +250,8 @@ BNLJ_ALLOWED = {
     "q241_brand_affinity",  # 1-row n_cust scalar broadcast (q89's class)
     "q245_pca_power",  # 1-row n / norm / lambda scalar broadcasts (q89's class)
     "q248_hybrid_fusion",  # 1-row pinned-query-vector broadcast + composes q104
+    "q251_markov_stationary",  # 1-row |types| scalar broadcast (q89's class)
+    "q252_seasonality_strength",  # 1-row between-groups scalar broadcast
 }
 
 

@@ -976,3 +976,28 @@ def test_rank_tau_pair_accounting(spark):
         assert r.n_top <= 50
         assert r.concordant + r.discordant + r.tied == r.n_top * (r.n_top - 1) // 2
         assert -1.0 <= r.tau <= 1.0
+
+
+def test_markov_stationary_conserves_mass(spark):
+    """q251 invariants: the self-loop completion keeps P stochastic, so
+    every iterate conserves probability mass — sum(pi0) = sum(pi3) = 1
+    up to the round(9) output quantization — and every pi is in [0,1]."""
+    from conftest import SF_SMOKE
+    from printer_etl_hub_spark.plans import REGISTRY
+
+    rows = REGISTRY["q251_markov_stationary"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    assert abs(sum(r.pi0 for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r.pi3 for r in rows) - 1.0) < 1e-6
+    assert all(0.0 <= r.pi3 <= 1.0 for r in rows)
+
+
+def test_seasonality_strength_bounds(spark):
+    """q252: eta-squared is a variance RATIO — in [0, 1] whenever total
+    variance is non-zero (NULL only in the all-days-equal degenerate)."""
+    from conftest import SF_SMOKE
+    from printer_etl_hub_spark.plans import REGISTRY
+
+    r = REGISTRY["q252_seasonality_strength"].fn(spark, SF_SMOKE).collect()[0]
+    assert r.n_days > 0
+    assert r.eta2_dow is None or -1e-9 <= r.eta2_dow <= 1.0 + 1e-9
