@@ -419,7 +419,13 @@ def main() -> None:
             if name in fail_msgs:
                 # A query that fails SOME attempts must not read as clean —
                 # intermittent breakage is a bug signal, not timing noise.
-                flaky[name] = f"{len(fail_msgs[name])}/{k} attempts failed: {fail_msgs[name][-1]}"
+                # Denominator = attempts actually run (the spread-retry
+                # pass can add a third), not the configured k.
+                n_run = len(attempts) + len(fail_msgs[name])
+                flaky[name] = (
+                    f"{len(fail_msgs[name])}/{n_run} attempts failed: "
+                    f"{fail_msgs[name][-1]}"
+                )
                 print(f"# {name}: FLAKY {flaky[name]}", file=sys.stderr)
         else:
             errors[name] = (fail_msgs.get(name) or ["unknown"])[-1]

@@ -4003,12 +4003,18 @@ def q249_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized stage), then a |days|-bounded self-join per lag via
     date_add; the moment agg is 1 row per lag.
     """
+    from pyspark import StorageLevel
+
     t = load_tables(spark, sf_dir)
+    # persisted: the corpus-sized daily pre-agg feeds BOTH union legs
+    # and both sides of each lag self-join (the q151/q201 rule;
+    # review r9 — unpersisted, the events scan ran once per leg)
     daily = (
         t["events"]
         .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dec = "decimal(38,0)"
     legs = None
@@ -4039,10 +4045,13 @@ def q249_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         leg = m.select(
             F.lit(k).cast("bigint").alias("lag"),
             F.col("m").alias("n_pairs"),
-            F.round(num / den, 9).alias("acf"),
+            # NULLIF guard: a constant series has zero variance on a leg
+            # — acf undefined (NULL) identically in both engines, never
+            # an ANSI divide-by-zero (the q234/q250 class; review r9)
+            F.round(num / F.nullif(den, F.lit(0.0)), 9).alias("acf"),
         )
         legs = leg if legs is None else legs.unionByName(leg)
-    return legs
+    return materialize_release(legs, daily)
 
 
 def _sql_acf_leg(k: int) -> str:
@@ -4050,10 +4059,10 @@ def _sql_acf_leg(k: int) -> str:
 SELECT CAST({k} AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
        round((CAST(count(*) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE)
               - CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE))
-             / (sqrt(CAST(count(*) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE)
+             / NULLIF(sqrt(CAST(count(*) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE)
                      - CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE))
                 * sqrt(CAST(count(*) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)
-                       - CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE))), 9) AS acf
+                       - CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)), 0), 9) AS acf
 FROM (
   SELECT a.x AS x, b.x AS y
   FROM daily a JOIN daily b ON b.day = a.day + INTERVAL {k} DAY
@@ -4213,11 +4222,15 @@ def q251_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    from .common import dsum  # noqa: F401  (dsum18-style local below)
-
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = t["events"].select("user_id", "ts", "event_id", "event_type")
+    # NULL event types are excluded EXPLICITLY in both engines: they are
+    # not states, and an unfiltered NULL would silently empty the
+    # oracle's dangling-state NOT-EXISTS while Spark's left_anti kept
+    # its rows (the q233/q236 NULL-divergence class; review r9)
+    ev = t["events"].select("user_id", "ts", "event_id", "event_type").filter(
+        F.col("event_type").isNotNull()
+    )
     trans = (
         ev.withColumn("next_type", F.lead("event_type").over(w))
         .filter(F.col("next_type").isNotNull())
@@ -4227,7 +4240,10 @@ def q251_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     types = (
-        t["events"].select(F.col("event_type").alias("state")).distinct()
+        t["events"]
+        .filter(F.col("event_type").isNotNull())
+        .select(F.col("event_type").alias("state"))
+        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # explicit self-loops for dangling states keep P stochastic
@@ -4263,13 +4279,18 @@ def q251_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("pi")
             )
         )
+    # LEFT join + coalesce 0: a state with outgoing but no incoming
+    # transitions (e.g. a session-start type never preceded by anything)
+    # is absent from the iterated pi — its stationary mass is genuinely
+    # 0, not a row to drop (an inner join here broke mass conservation;
+    # review r9)
     res = (
         pi0.select("state", F.col("pi").alias("pi0"))
-        .join(pi.select("state", F.col("pi").alias("pi3")), "state")
+        .join(pi.select("state", F.col("pi").alias("pi3")), "state", "left_outer")
         .select(
             F.col("state").alias("event_type"),
             F.round("pi0", 9).alias("pi0"),
-            F.round("pi3", 9).alias("pi3"),
+            F.round(F.coalesce(F.col("pi3"), F.lit(0.0)), 9).alias("pi3"),
         )
     )
     return materialize_release(res, types, p)
@@ -4279,16 +4300,18 @@ Q251_SQL = """
 WITH ev AS (
   SELECT user_id, event_type,
          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-  FROM events
+  FROM events WHERE event_type IS NOT NULL
 ),
 trans AS MATERIALIZED (
   SELECT event_type AS prev, next_type AS nxt, CAST(count(*) AS BIGINT) AS n
   FROM ev WHERE next_type IS NOT NULL GROUP BY 1, 2
 ),
-types AS MATERIALIZED (SELECT DISTINCT event_type AS state FROM events),
+types AS MATERIALIZED (
+  SELECT DISTINCT event_type AS state FROM events WHERE event_type IS NOT NULL
+),
 dangling AS (
-  SELECT state AS prev, state AS nxt, CAST(1 AS BIGINT) AS n FROM types
-  WHERE state NOT IN (SELECT prev FROM trans)
+  SELECT state AS prev, state AS nxt, CAST(1 AS BIGINT) AS n FROM types t
+  WHERE NOT EXISTS (SELECT 1 FROM trans WHERE trans.prev = t.state)
 ),
 full_t AS MATERIALIZED (SELECT * FROM trans UNION ALL SELECT * FROM dangling),
 row_tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tot FROM full_t GROUP BY prev),
@@ -4314,8 +4337,9 @@ pi3 AS MATERIALIZED (
          CAST(SUM(CAST(p.p * pi2.pi AS DECIMAL(38,18))) AS DOUBLE) AS pi
   FROM p JOIN pi2 ON p.prev = pi2.state GROUP BY p.nxt
 )
-SELECT pi0.state AS event_type, round(pi0.pi, 9) AS pi0, round(pi3.pi, 9) AS pi3
-FROM pi0 JOIN pi3 ON pi0.state = pi3.state
+SELECT pi0.state AS event_type, round(pi0.pi, 9) AS pi0,
+       round(coalesce(pi3.pi, 0.0), 9) AS pi3
+FROM pi0 LEFT JOIN pi3 ON pi0.state = pi3.state
 """
 
 

@@ -11486,8 +11486,12 @@ def q245_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(_dsum18(F.col("c_ab") * F.col("v")).alias("w"))
         )
         nrm = w.agg(F.sqrt(_dsum18(F.col("w") * F.col("w"))).alias("_nrm"))
+        # NULLIF: a zero-variance corpus makes C·v the zero vector —
+        # loadings NULL identically in both engines, never an ANSI
+        # divide-by-zero (review r9)
         v = w.join(F.broadcast(nrm)).select(
-            F.col("aa").alias("b"), (F.col("w") / F.col("_nrm")).alias("v")
+            F.col("aa").alias("b"),
+            (F.col("w") / F.nullif(F.col("_nrm"), F.lit(0.0))).alias("v"),
         )
     # Rayleigh quotient λ = v₂ᵀ C v₂ (‖v₂‖ = 1 by construction)
     w3 = (
@@ -11540,13 +11544,13 @@ w1 AS MATERIALIZED (
   FROM c JOIN v0 ON c.bb = v0.b GROUP BY c.aa
 ),
 n1 AS (SELECT sqrt({_sql_dsum18('w * w')}) AS nrm FROM w1),
-v1 AS MATERIALIZED (SELECT aa AS b, w / n1.nrm AS v FROM w1, n1),
+v1 AS MATERIALIZED (SELECT aa AS b, w / NULLIF(n1.nrm, 0) AS v FROM w1, n1),
 w2 AS MATERIALIZED (
   SELECT c.aa, {_sql_dsum18('c.c_ab * v1.v')} AS w
   FROM c JOIN v1 ON c.bb = v1.b GROUP BY c.aa
 ),
 n2 AS (SELECT sqrt({_sql_dsum18('w * w')}) AS nrm FROM w2),
-v2 AS MATERIALIZED (SELECT aa AS b, w / n2.nrm AS v FROM w2, n2),
+v2 AS MATERIALIZED (SELECT aa AS b, w / NULLIF(n2.nrm, 0) AS v FROM w2, n2),
 w3 AS MATERIALIZED (
   SELECT c.aa, {_sql_dsum18('c.c_ab * v2.v')} AS w3
   FROM c JOIN v2 ON c.bb = v2.b GROUP BY c.aa
@@ -11593,9 +11597,12 @@ def q248_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
     )
+    # zero-norm vectors are unrankable under cosine — excluded in BOTH
+    # engines (the ivf_assign rule; unguarded, Spark's ANSI mode throws
+    # DIVIDE_BY_ZERO where DuckDB yields NULL — review r9)
     emb = emb.withColumn(
         "nrm", F.sqrt(F.aggregate("vd", F.lit(0.0), lambda acc, x: acc + x * x))
-    )
+    ).filter(F.col("nrm") > 0)
     q = emb.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("q_id"),
         F.col("vd").alias("qvd"),
@@ -11642,9 +11649,11 @@ v AS (
   FROM embeddings
 ),
 nv AS MATERIALIZED (
-  SELECT vec_id, vd,
-         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
-  FROM v
+  SELECT vec_id, vd, nrm FROM (
+    SELECT vec_id, vd,
+           sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+    FROM v
+  ) WHERE nrm > 0
 ),
 q AS (SELECT * FROM nv WHERE vec_id = (SELECT min(vec_id) FROM nv)),
 cosd AS (

@@ -524,6 +524,11 @@ def ivf_assign_stream(
     return (
         vecs.join(F.broadcast(cent_arr), "_k")
         .select("vid", best.alias("_b"))
+        # an empty (or all-zero-norm) centroid set leaves the fold at its
+        # init struct — drop those rows so the degenerate case matches the
+        # batch ivf_assign exactly (empty output), instead of leaking
+        # (NULL, -2.0) sentinel rows (review r9)
+        .filter(F.col("_b.cell").isNotNull())
         .select(
             F.col("vid").alias(id_col),
             F.col("_b.cell").alias("cell"),

@@ -1260,6 +1260,18 @@ def test_ivf_assign_stream_equals_batch(spark, tmp_path):
     assert len(got) == emb.count()
     assert {c for _, c, _ in got} <= set(range(16))
 
+    # degenerate pin: an all-zero-norm centroid set must yield ZERO rows
+    # on BOTH paths (batch filters them; the stream fold must not leak
+    # its (NULL, -2.0) init sentinel)
+    zero_cents = spark.createDataFrame(
+        [(0, [0.0] * 64), (1, [0.0] * 64)],
+        "cent_id bigint, embedding array<double>",
+    )
+    assert ivf_assign(emb, zero_cents).count() == 0
+    assert (
+        ivf_assign_stream(emb.limit(5), zero_cents).count() == 0
+    )  # batch frame through the stream transform — same plan, no query needed
+
 
 def test_pit_enrich_stream_equals_batch_q217(spark, events, tmp_path):
     """Stream-static point-in-time enrichment: aggregating the enriched
