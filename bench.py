@@ -303,6 +303,8 @@ HEADLINE = [
     "q250_ab_experiment",
     "q251_markov_stationary",
     "q252_seasonality_strength",
+    "q253_histogram_quantiles",
+    "q254_pca_scores",
 ]
 
 

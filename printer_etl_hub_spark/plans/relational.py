@@ -4431,6 +4431,155 @@ FROM g_tot, between_g
 """
 
 
+# --------------------------------------------------------------------------
+# q253 — histogram-sketch quantiles (the sketch family's quantile member)
+# --------------------------------------------------------------------------
+_HQ_BINS = 256
+_HQ_PS = (0.5, 0.95, 0.99)
+
+
+def q253_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates of events.value from a 256-bin equi-width
+    histogram SKETCH → (p, est, exact, abs_err). Completes the sketch
+    family (q76 HLL = distinct, q105 CMS = frequency, q90 Bloom =
+    membership — there was no quantile member): the histogram is the
+    production path at 100 TB because its state is 256 integer counters,
+    MERGEABLE across partitions/days (a map-side-combinable groupBy),
+    where the exact path (q43/q162/q236) needs a distributed rank pass.
+    ``exact`` rides along as the audit column, exactly the q105
+    est/true convention — at scale you keep the sketch and drop it.
+
+    Exactness: bin index is integer floor arithmetic off the broadcast
+    (min, max) range; the estimate interpolates INSIDE the quantile's
+    bin with one fixed-order double expression; the exact side is the
+    type-1 quantile at rank ⌈p·n⌉ via ``dist_rank`` (integer position,
+    both engines pick the identical row — the q236 discipline).
+    """
+    from .common import dist_rank
+
+    t = load_tables(spark, sf_dir)
+    v = t["events"].filter(F.col("value").isNotNull()).select("value")
+    rng = v.agg(
+        F.min("value").alias("_lo"),
+        F.max("value").alias("_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(_HQ_BINS))
+    binned = (
+        v.join(F.broadcast(rng))
+        .select(
+            F.least(
+                F.lit(_HQ_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("_lo"))
+                    / F.nullif(width, F.lit(0.0))
+                ).cast("int"),
+            ).alias("bin"),
+            "_lo",
+            "_hi",
+            "_n",
+        )
+        .groupBy("bin", "_lo", "_hi", "_n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = binned.select(
+        "bin", "c", "_lo", "_hi", "_n",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).cast("bigint").alias("below"),
+    )
+    ps = F.explode(F.array(*[F.lit(float(p)) for p in _HQ_PS])).alias("p")
+    targets = cum.select(ps, "bin", "c", "below", "_lo", "_hi", "_n").filter(
+        (F.col("below") < F.ceil(F.col("p") * F.col("_n")))
+        & (F.col("below") + F.col("c") >= F.ceil(F.col("p") * F.col("_n")))
+    )
+    # interpolate inside the bin: lo + width·(bin + frac-within-bin)
+    est = (
+        F.col("_lo")
+        + (F.col("_hi") - F.col("_lo"))
+        / F.lit(float(_HQ_BINS))
+        * (
+            F.col("bin").cast("double")
+            + (
+                F.ceil(F.col("p") * F.col("_n")).cast("double")
+                - F.col("below").cast("double")
+            )
+            / F.col("c").cast("double")
+        )
+    )
+    sk = targets.select("p", F.round(est, 6).alias("est"), "_n")
+    ranked, pin = dist_rank(v, ["value"], out="r")
+    # exact type-1 quantiles: rank ⌈p·n⌉ rows, one per p (duplicate
+    # values make the rank→row mapping ambiguous but the rank→VALUE
+    # mapping deterministic — only value is selected)
+    pos = rng.select(
+        F.explode(
+            F.array(*[F.lit(float(p)) for p in _HQ_PS])
+        ).alias("p"),
+        "_n",
+    ).select("p", F.ceil(F.col("p") * F.col("_n")).cast("bigint").alias("at"))
+    exact = ranked.join(F.broadcast(pos), ranked["r"] == pos["at"]).select(
+        "p", F.col("value").alias("exact")
+    )
+    res = (
+        sk.join(exact, "p")
+        .select(
+            F.round("p", 2).alias("p"),
+            "est",
+            F.round("exact", 6).alias("exact"),
+            F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+        )
+    )
+    return materialize_release(res, pin)
+
+
+Q253_SQL = f"""
+WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+rng AS (
+  SELECT min(value) AS lo, max(value) AS hi,
+         CAST(count(*) AS BIGINT) AS n
+  FROM v
+),
+binned AS (
+  SELECT least({_HQ_BINS - 1},
+               CAST(floor((value - rng.lo) / NULLIF((rng.hi - rng.lo) / {_HQ_BINS}.0, 0)) AS INT)) AS bin,
+         rng.lo, rng.hi, rng.n
+  FROM v, rng
+),
+hist AS (
+  SELECT bin, lo, hi, n, CAST(count(*) AS BIGINT) AS c
+  FROM binned GROUP BY bin, lo, hi, n
+),
+cum AS (
+  SELECT bin, c, lo, hi, n,
+         CAST(coalesce(SUM(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+  FROM hist
+),
+ps AS (SELECT unnest([{', '.join(str(p) for p in _HQ_PS)}]) AS p),
+sk AS (
+  SELECT ps.p,
+         round(lo + (hi - lo) / {_HQ_BINS}.0
+               * (CAST(bin AS DOUBLE)
+                  + (CAST(ceil(ps.p * n) AS DOUBLE) - CAST(below AS DOUBLE))
+                    / CAST(c AS DOUBLE)), 6) AS est
+  FROM cum, ps
+  WHERE below < ceil(ps.p * n) AND below + c >= ceil(ps.p * n)
+),
+ranked AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS r FROM v
+),
+pos AS (
+  SELECT ps.p, CAST(ceil(ps.p * rng.n) AS BIGINT) AS at FROM ps, rng
+),
+exact AS (
+  SELECT pos.p, ranked.value AS exact
+  FROM pos JOIN ranked ON ranked.r = pos.at
+)
+SELECT round(sk.p, 2) AS p, sk.est, round(exact.exact, 6) AS exact,
+       round(abs(sk.est - exact.exact), 6) AS abs_err
+FROM sk JOIN exact ON sk.p = exact.p
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -4515,4 +4664,5 @@ RELATIONAL_QUERIES = {
     "q250_ab_experiment": (q250_ab_experiment, Q250_SQL),
     "q251_markov_stationary": (q251_markov_stationary, Q251_SQL),
     "q252_seasonality_strength": (q252_seasonality_strength, Q252_SQL),
+    "q253_histogram_quantiles": (q253_histogram_quantiles, Q253_SQL),
 }

@@ -11382,35 +11382,11 @@ def _sql_dsum18(expr: str) -> str:
 _PCA_ROUNDS = 2
 
 
-def q245_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding covariance via 2 PINNED
-    power iterations → (dim, loading, lam): the dominant direction of
-    variance and its Rayleigh-quotient eigenvalue. The spectral member
-    the compression family was missing — q184 gives per-dim variances
-    (the DIAGONAL of C), q106/q101 project onto random/learned bases;
-    this finds the data's own axis, the whitening/PCA-pruning primitive.
-
-    EXACTNESS CONTRACT (the q94/q240/q242 pinned-iteration discipline):
-    both engines run the IDENTICAL 2 iterations from the IDENTICAL
-    start v0 = 1/8 (= 1/√64, exactly representable in binary). Every
-    data-dependent sum — the moment matrix S = Σ x xᵀ, the mean, each
-    matrix-vector product, each norm — goes through DECIMAL(38,18)
-    (order-insensitive, engine-exact); per-row double arithmetic is
-    IEEE-identical, √ is correctly rounded. No transcendentals.
-
-    Shape: the moment cells are built IN-ARRAY per row — each vector
-    expands to its d·(d+1)/2 = 2 080 upper-triangle products inside one
-    narrow transform (NO self-join: the first implementation joined the
-    posexploded frame to itself on vec_id and the join fan-out, n·d²
-    rows through a shuffle, was 94% of the 10×-audit wall) — then one
-    explode + (a, b) groupBy whose partial sums combine map-side, so
-    the shuffle carries parts·d² rows. The lower triangle is mirrored
-    from the aggregated 2 080-row frame, not recomputed. Everything
-    after runs on d²- and d-sized frames with the 64-row iteration
-    vector broadcast into each product. C is persisted once and feeds
-    all three multiplies. At 100 TB the only corpus-sized stage is the
-    in-array expansion — the standard distributed Gram computation.
-    """
+def _pca_component_frames(spark: SparkSession, sf_dir: str):
+    """Shared core of q245/q254: the covariance matrix C (persisted), the
+    per-dim mean, and the 2-round power-iterate v — plus the pins the
+    caller must hand to materialize_release. See q245's docstring for the
+    exactness contract and the measured Gram-pass shape."""
     from pyspark import StorageLevel
 
     t = load_tables(spark, sf_dir)
@@ -11493,6 +11469,41 @@ def q245_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("aa").alias("b"),
             (F.col("w") / F.nullif(F.col("_nrm"), F.lit(0.0))).alias("v"),
         )
+    return {"emb": emb, "pos": pos, "mu": mu, "c": c, "v": v,
+            "pins": [c, s_up]}
+
+
+def q245_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance via 2 PINNED
+    power iterations → (dim, loading, lam): the dominant direction of
+    variance and its Rayleigh-quotient eigenvalue. The spectral member
+    the compression family was missing — q184 gives per-dim variances
+    (the DIAGONAL of C), q106/q101 project onto random/learned bases;
+    this finds the data's own axis, the whitening/PCA-pruning primitive.
+
+    EXACTNESS CONTRACT (the q94/q240/q242 pinned-iteration discipline):
+    both engines run the IDENTICAL 2 iterations from the IDENTICAL
+    start v0 = 1/8 (= 1/√64, exactly representable in binary). Every
+    data-dependent sum — the moment matrix S = Σ x xᵀ, the mean, each
+    matrix-vector product, each norm — goes through DECIMAL(38,18)
+    (order-insensitive, engine-exact); per-row double arithmetic is
+    IEEE-identical, √ is correctly rounded. No transcendentals.
+
+    Shape: the moment cells are built IN-ARRAY per row — each vector
+    expands to its d·(d+1)/2 = 2 080 upper-triangle products inside one
+    narrow transform (NO self-join: the first implementation joined the
+    posexploded frame to itself on vec_id and the join fan-out, n·d²
+    rows through a shuffle, was 94% of the 10×-audit wall) — then one
+    explode + (a, b) groupBy whose partial sums combine map-side, so
+    the shuffle carries parts·d² rows. The lower triangle is mirrored
+    from the aggregated 2 080-row frame, not recomputed. Everything
+    after runs on d²- and d-sized frames with the 64-row iteration
+    vector broadcast into each product. C is persisted once and feeds
+    all three multiplies. At 100 TB the only corpus-sized stage is the
+    in-array expansion — the standard distributed Gram computation.
+    """
+    f = _pca_component_frames(spark, sf_dir)
+    c, v = f["c"], f["v"]
     # Rayleigh quotient λ = v₂ᵀ C v₂ (‖v₂‖ = 1 by construction)
     w3 = (
         c.join(F.broadcast(v), c["bb"] == v["b"])
@@ -11511,10 +11522,11 @@ def q245_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_lam"), 6).alias("lam"),
         )
     )
-    return materialize_release(res, c, s_up)
+    return materialize_release(res, *f["pins"])
 
 
-Q245_SQL = f"""
+#: Shared q245/q254 oracle CTE chain: moments → covariance → 2 power rounds.
+_PCA_SQL_CTES = f"""
 WITH pos AS MATERIALIZED (
   SELECT vec_id, CAST(i - 1 AS INT) AS a, CAST(embedding[i] AS DOUBLE) AS x
   FROM (SELECT vec_id, embedding,
@@ -11550,7 +11562,10 @@ w2 AS MATERIALIZED (
   FROM c JOIN v1 ON c.bb = v1.b GROUP BY c.aa
 ),
 n2 AS (SELECT sqrt({_sql_dsum18('w * w')}) AS nrm FROM w2),
-v2 AS MATERIALIZED (SELECT aa AS b, w / NULLIF(n2.nrm, 0) AS v FROM w2, n2),
+v2 AS MATERIALIZED (SELECT aa AS b, w / NULLIF(n2.nrm, 0) AS v FROM w2, n2)"""
+
+
+Q245_SQL = f"""{_PCA_SQL_CTES},
 w3 AS MATERIALIZED (
   SELECT c.aa, {_sql_dsum18('c.c_ab * v2.v')} AS w3
   FROM c JOIN v2 ON c.bb = v2.b GROUP BY c.aa
@@ -11562,6 +11577,62 @@ lam AS (
 SELECT CAST(v2.b AS BIGINT) AS dim, round(v2.v, 6) AS loading,
        round(lam.lam, 6) AS lam
 FROM v2, lam
+"""
+
+
+# --------------------------------------------------------------------------
+# q254 — PCA projection scores (q245's component applied as a transform)
+# --------------------------------------------------------------------------
+_PCA_SCORE_TOPN = 10
+
+
+def q254_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto q245's top principal component →
+    the 10 most extreme documents by |score|, (vec_id, score). The
+    APPLY half of the spectral pair (q245 finds the axis; this uses it):
+    the vectors at the extremes of the dominant variance direction are
+    the embedding-space outliers a curation pass reviews first, and the
+    1-D score is the cheapest whitening/stratification feature.
+
+    Exactness: score_i = Σ_a v_a·(x_ia − μ_a) sums through
+    DECIMAL(38,18) per vector (order-insensitive); ranking is
+    (|score| DESC, vec_id) — |·| of identical doubles, a total order.
+
+    Shape: reuses the shared PCA core (covariance persisted once), then
+    ONE corpus-sized pass: the posexploded frame joins the BROADCAST
+    64-row (v, μ) table and aggregates per vec_id — map-side
+    combinable, no window; top-10 is a distributed TakeOrdered.
+    """
+    f = _pca_component_frames(spark, sf_dir)
+    vm = f["v"].join(f["mu"], f["v"]["b"] == f["mu"]["a"]).select(
+        F.col("b").alias("a"), "v", "mu"
+    )
+    scores = (
+        f["pos"]
+        .join(F.broadcast(vm), "a")
+        .groupBy("vec_id")
+        .agg(_dsum18(F.col("v") * (F.col("x") - F.col("mu"))).alias("score"))
+    )
+    res = (
+        scores.orderBy(F.abs(F.col("score")).desc(), F.col("vec_id").asc())
+        .limit(_PCA_SCORE_TOPN)
+        .select("vec_id", F.round("score", 6).alias("score"))
+    )
+    return materialize_release(res, *f["pins"])
+
+
+Q254_SQL = f"""{_PCA_SQL_CTES},
+vm AS (
+  SELECT v2.b AS a, v2.v AS v, mu.mu AS mu
+  FROM v2 JOIN mu ON v2.b = mu.a
+),
+scores AS (
+  SELECT pos.vec_id,
+         {_sql_dsum18('vm.v * (pos.x - vm.mu)')} AS score
+  FROM pos JOIN vm ON pos.a = vm.a GROUP BY pos.vec_id
+)
+SELECT vec_id, round(score, 6) AS score
+FROM scores ORDER BY abs(score) DESC, vec_id ASC LIMIT {_PCA_SCORE_TOPN}
 """
 
 
@@ -11841,4 +11912,5 @@ TEXT_QUERIES = {
     "q245_pca_power": (q245_pca_power, Q245_SQL),
     "q246_rank_tau": (q246_rank_tau, Q246_SQL),
     "q248_hybrid_fusion": (q248_hybrid_fusion, Q248_SQL),
+    "q254_pca_scores": (q254_pca_scores, Q254_SQL),
 }

@@ -252,6 +252,8 @@ BNLJ_ALLOWED = {
     "q248_hybrid_fusion",  # 1-row pinned-query-vector broadcast + composes q104
     "q251_markov_stationary",  # 1-row |types| scalar broadcast (q89's class)
     "q252_seasonality_strength",  # 1-row between-groups scalar broadcast
+    "q253_histogram_quantiles",  # 1-row (min,max,n) range scalar broadcast
+    "q254_pca_scores",  # composes q245's 1-row norm/n scalar broadcasts
 }
 
 
