@@ -12,11 +12,17 @@ queries q01/q03/q05/q07 — 50 slots exactly. After this window
 executes, every ever-gated query's newest external green is round 5
 or newer, and the additions backlog is fully repaid.
 
-Round-10 backfill plan (pre-committed): any round-9 additions (q241+)
-lead the window; the remaining slots go to the oldest-evidence
-queries — the r5 cohort first (q02, q04, q06, q08-q11, q13, q15, q25,
-q100, q101, q103, q105-q107, q109-q113, q115-q122, q125, q128-q131,
-q133-q137 — 39 queries), then oldest-r6 if slots remain.
+Round-10 backfill plan (pre-committed): the 14 round-9 additions lead
+the window — q241_brand_affinity, q242_lang_propagation,
+q243_cooc_window, q244_audience_overlap, q245_pca_power,
+q246_rank_tau, q247_ltv_cohorts, q248_hybrid_fusion, q249_daily_acf,
+q250_ab_experiment, q251_markov_stationary,
+q252_seasonality_strength, q253_histogram_quantiles,
+q254_pca_scores — and the remaining 36 slots go to the
+oldest-evidence r5 cohort in numeric order (q02, q04, q06, q08-q11,
+q13, q15, q25, q100, q101, q103, q105-q107, q109-q113, q115-q122,
+q125, q128-q131, q133-q137 — 39 queries; the 3 left over lead
+round 11 with the rest of r5/r6).
 
 q37 stays OUTSIDE the window by design: its estimator output has no
 exact oracle (pinned by a tolerance test instead), and every gated
