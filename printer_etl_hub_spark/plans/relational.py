@@ -4453,60 +4453,28 @@ def q253_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min, max) range; the estimate interpolates INSIDE the quantile's
     bin with one fixed-order double expression; the exact side is the
     type-1 quantile at rank ⌈p·n⌉ via ``dist_rank`` (integer position,
-    both engines pick the identical row — the q236 discipline).
+    both engines pick the identical row — the q236 discipline). The
+    bin/interpolation arithmetic lives in ``operators/histogram.py``,
+    SHARED with the streaming sink (`hist_quantile_sink`) so the
+    stream≡batch equivalence is structural.
     """
+    from ..operators.histogram import bin_expr, hist_quantile_table
     from .common import dist_rank
 
     t = load_tables(spark, sf_dir)
     v = t["events"].filter(F.col("value").isNotNull()).select("value")
     rng = v.agg(
-        F.min("value").alias("_lo"),
-        F.max("value").alias("_hi"),
-        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
     )
-    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(_HQ_BINS))
-    binned = (
+    hist = (
         v.join(F.broadcast(rng))
-        .select(
-            F.least(
-                F.lit(_HQ_BINS - 1),
-                F.floor(
-                    (F.col("value") - F.col("_lo"))
-                    / F.nullif(width, F.lit(0.0))
-                ).cast("int"),
-            ).alias("bin"),
-            "_lo",
-            "_hi",
-            "_n",
-        )
-        .groupBy("bin", "_lo", "_hi", "_n")
+        .select(bin_expr(F.col("value"), F.col("lo"), F.col("hi"), _HQ_BINS).alias("bin"))
+        .groupBy("bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-    cum = binned.select(
-        "bin", "c", "_lo", "_hi", "_n",
-        F.coalesce(F.sum("c").over(wcum), F.lit(0)).cast("bigint").alias("below"),
-    )
-    ps = F.explode(F.array(*[F.lit(float(p)) for p in _HQ_PS])).alias("p")
-    targets = cum.select(ps, "bin", "c", "below", "_lo", "_hi", "_n").filter(
-        (F.col("below") < F.ceil(F.col("p") * F.col("_n")))
-        & (F.col("below") + F.col("c") >= F.ceil(F.col("p") * F.col("_n")))
-    )
-    # interpolate inside the bin: lo + width·(bin + frac-within-bin)
-    est = (
-        F.col("_lo")
-        + (F.col("_hi") - F.col("_lo"))
-        / F.lit(float(_HQ_BINS))
-        * (
-            F.col("bin").cast("double")
-            + (
-                F.ceil(F.col("p") * F.col("_n")).cast("double")
-                - F.col("below").cast("double")
-            )
-            / F.col("c").cast("double")
-        )
-    )
-    sk = targets.select("p", F.round(est, 6).alias("est"), "_n")
+    sk = hist_quantile_table(hist, rng, _HQ_BINS, _HQ_PS)
     ranked, pin = dist_rank(v, ["value"], out="r")
     # exact type-1 quantiles: rank ⌈p·n⌉ rows, one per p (duplicate
     # values make the rank→row mapping ambiguous but the rank→VALUE
@@ -4515,8 +4483,8 @@ def q253_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(*[F.lit(float(p)) for p in _HQ_PS])
         ).alias("p"),
-        "_n",
-    ).select("p", F.ceil(F.col("p") * F.col("_n")).cast("bigint").alias("at"))
+        "n",
+    ).select("p", F.ceil(F.col("p") * F.col("n")).cast("bigint").alias("at"))
     exact = ranked.join(F.broadcast(pos), ranked["r"] == pos["at"]).select(
         "p", F.col("value").alias("exact")
     )

@@ -332,6 +332,40 @@ def winnow_ingest_sink(
     return _sink
 
 
+def _list_partial_store(spark, store_dir: str):
+    """(newest base stamp or None, sorted live partial ids, all dirs) for
+    a batch_id-partitioned partial store with ``base-<n>`` compaction
+    generations. The READ RULE — newest base plus numeric partials with
+    id > its stamp — is what makes compaction idempotent and crash-safe
+    (see ewma_daily_sink's docstring)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return None, [], []
+    names = [st.getPath().getName() for st in fs.listStatus(path)]
+    bases, partials = [], []
+    for nm in names:
+        if not nm.startswith("batch_id="):
+            continue
+        val = nm.split("=", 1)[1]
+        if val.startswith("base-"):
+            bases.append(int(val[5:]))
+        else:
+            partials.append(int(val))
+    base = max(bases) if bases else None
+    live = sorted(i for i in partials if base is None or i > base)
+    return base, live, names
+
+
+def _delete_store_dirs(spark, store_dir: str, names) -> None:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for nm in names:
+        p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/{nm}")
+        p.getFileSystem(conf).delete(p, True)
+
+
 def ewma_daily_sink(
     daily_dir: str, out_dir: str, ts_col: str = "ts", compact_every: int = 64
 ):
@@ -377,32 +411,10 @@ def ewma_daily_sink(
     from ..operators.timeseries import cusum_table, ewma_anomaly_table
 
     def _list_store(spark):
-        """(newest base stamp or None, sorted live partial ids, all dirs)."""
-        jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(daily_dir)
-        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(path):
-            return None, [], []
-        names = [st.getPath().getName() for st in fs.listStatus(path)]
-        bases, partials = [], []
-        for nm in names:
-            if not nm.startswith("batch_id="):
-                continue
-            val = nm.split("=", 1)[1]
-            if val.startswith("base-"):
-                bases.append(int(val[5:]))
-            else:
-                partials.append(int(val))
-        base = max(bases) if bases else None
-        live = sorted(i for i in partials if base is None or i > base)
-        return base, live, names
+        return _list_partial_store(spark, daily_dir)
 
     def _delete_dirs(spark, names):
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        for nm in names:
-            p = jvm.org.apache.hadoop.fs.Path(f"{daily_dir}/{nm}")
-            p.getFileSystem(conf).delete(p, True)
+        _delete_store_dirs(spark, daily_dir, names)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -445,6 +457,85 @@ def ewma_daily_sink(
         cus, pin = cusum_table(daily)
         cus.write.mode("overwrite").parquet(f"{out_dir}/cusum")
         pin.unpersist(blocking=False)
+
+    return _sink
+
+
+def hist_quantile_sink(
+    store_dir: str,
+    out_dir: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    ps: tuple[float, ...] = (0.5, 0.95, 0.99),
+    value_col: str = "value",
+    compact_every: int = 64,
+):
+    """foreachBatch sink: incrementally-maintained histogram-sketch
+    quantiles — the streaming twin of q253 (plans/relational.py),
+    sharing its bin/interpolation arithmetic verbatim via
+    ``operators/histogram.py``. This is the mergeability claim of the
+    histogram sketch made operational: per micro-batch the new values
+    collapse to ≤ ``bins`` partial counters, the store merges them, and
+    the quantile table recomputes from ``bins`` integers — the stream
+    never re-touches old values.
+
+    The (lo, hi) range is FROZEN at deploy time (the calibration-pass /
+    frozen-model split of kn_routing_stream and ivf_assign_stream);
+    out-of-range values clamp into the edge bins via the shared
+    ``bin_expr``. Store layout, idempotence, and compaction are the
+    ewma_daily_sink protocol exactly: ``batch_id=<n>`` partial
+    partitions with overwrite (re-delivery replaces, never
+    double-counts), the newest-base read rule, and a fold into
+    ``batch_id=base-<n>`` every ``compact_every`` live partials — so
+    steady-state read cost is ≤ bins·(compact_every+1) rows however
+    long the stream runs.
+
+    Writes ``<out_dir>/current`` with (p, est, n). Equivalence contract
+    (tests/test_streaming.py): after any partitioning of an event set
+    into micro-batches, the final table equals q253's sketch estimates
+    over the same rows when (lo, hi) equal that batch's min/max.
+    """
+    from ..operators.histogram import bin_expr, hist_quantile_table
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .select(
+                bin_expr(
+                    F.col(value_col), F.lit(float(lo)), F.lit(float(hi)), bins
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        partial.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        base, live, _ = _list_partial_store(spark, store_dir)
+        paths = [f"{store_dir}/batch_id=base-{base}"] if base is not None else []
+        paths += [f"{store_dir}/batch_id={i}" for i in live]
+        hist = (
+            spark.read.parquet(*paths)
+            .groupBy("bin")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        if len(live) >= compact_every:
+            hist.write.mode("overwrite").parquet(
+                f"{store_dir}/batch_id=base-{batch_id}"
+            )
+            _, _, names = _list_partial_store(spark, store_dir)
+            stale = [
+                nm
+                for nm in names
+                if nm.startswith("batch_id=") and nm != f"batch_id=base-{batch_id}"
+            ]
+            _delete_store_dirs(spark, store_dir, stale)
+            hist = spark.read.parquet(f"{store_dir}/batch_id=base-{batch_id}")
+        rng = hist.agg(F.sum("c").cast("bigint").alias("n")).select(
+            F.lit(float(lo)).alias("lo"), F.lit(float(hi)).alias("hi"), "n"
+        )
+        out = hist_quantile_table(hist, rng, bins, ps).join(F.broadcast(rng.select("n")))
+        out.write.mode("overwrite").parquet(f"{out_dir}/current")
 
     return _sink
 

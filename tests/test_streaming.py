@@ -1211,6 +1211,55 @@ def test_ewma_daily_sink_compaction_equals_batch(spark, tmp_path):
     assert got2 == want
 
 
+def test_hist_quantile_sink_equals_batch_q253(spark, tmp_path):
+    """Streaming histogram-sketch quantiles: replaying the events table
+    through the sink in micro-batches (compaction triggered at
+    compact_every=2) must end with EXACTLY q253's sketch estimates when
+    the frozen (lo, hi) range equals the batch min/max — the shared
+    operators/histogram.py arithmetic makes this structural."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import hist_quantile_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_id", "value"
+    )
+    vals = ev.filter(F.col("value").isNotNull())
+    lo, hi = vals.agg(F.min("value"), F.max("value")).first()
+    n_vals = vals.count()
+
+    src = str(tmp_path / "hq_src")
+    ev.repartition(5).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    store = str(tmp_path / "hq_store")
+    out = str(tmp_path / "hq_out")
+    sink = hist_quantile_sink(store, out, lo=lo, hi=hi, compact_every=2)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.p, r.est) for r in spark.read.parquet(f"{out}/current").collect()}
+    ns = {r.n for r in spark.read.parquet(f"{out}/current").collect()}
+    want = {
+        (r.p, r.est)
+        for r in REGISTRY["q253_histogram_quantiles"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want and want
+    assert ns == {n_vals}  # the merged store saw every non-null value once
+
+    import os
+
+    parts = sorted(os.listdir(store))
+    assert any(p.startswith("batch_id=base-") for p in parts), parts
+
+
 def test_ivf_assign_stream_equals_batch(spark, tmp_path):
     """Streaming IVF assignment (stateless per-row fold over a broadcast
     centroid array) must produce EXACTLY the batch ivf_assign
