@@ -1001,3 +1001,33 @@ def test_seasonality_strength_bounds(spark):
     r = REGISTRY["q252_seasonality_strength"].fn(spark, SF_SMOKE).collect()[0]
     assert r.n_days > 0
     assert r.eta2_dow is None or -1e-9 <= r.eta2_dow <= 1.0 + 1e-9
+
+
+def test_dist_rank_grouped_broadcast_optout_identical(spark):
+    """dist_rank_grouped's high-cardinality escape hatch
+    (broadcast_offsets=False) must produce EXACTLY the same per-group
+    ranks as the default broadcast path — the hint changes the join
+    strategy, never the result."""
+    from printer_etl_hub_spark.plans.common import (
+        dist_rank_grouped,
+        flush_pending_release,
+    )
+
+    rows = [(i, (i * 31) % 7, (i * 7919) % 13) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "id long, g long, m long")
+    out = {}
+    for flag in (True, False):
+        ranked, pin = dist_rank_grouped(
+            df, ["g"], ["m", "id"], out="r", n_parts=8, broadcast_offsets=flag
+        )
+        out[flag] = sorted((r.g, r.r, r.id) for r in ranked.collect())
+        pin.unpersist()
+        flush_pending_release()
+    assert out[True] == out[False]
+    # ranks are 1..|group| within each group
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for g, r, _ in out[True]:
+        per[g].append(r)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
