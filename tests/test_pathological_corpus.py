@@ -187,6 +187,22 @@ BOUNDARY_SENSITIVE = [
     # it); sparse chains must peel to nothing within the pinned rounds
     # and the converged flag must agree cross-engine.
     "q240_kcore",
+    # Round-9 additions: q242 propagates labels over the duplicate
+    # block's clique (every member votes the same lang — no flips — and
+    # the vote tie-break fires on cross-clique bridges); q243 indexes
+    # w[i+d] AT the token-count boundary for d = 1..3 (len-2/3/4 docs
+    # produce exactly their legal pairs, len-1 and empty docs none);
+    # q246's top-50 head equals the WHOLE source when a source has < 50
+    # docs and its all-tied quality pairs land in `tied`; q248 composes
+    # q104's BM25 (empty-string tokens of blank text) with the cosine
+    # top-k over 30 identical embeddings (rank tie-break by vec_id);
+    # q254 projects the duplicate block's identical vectors to
+    # identical scores (tie-break by vec_id at the |score| boundary).
+    "q242_lang_propagation",
+    "q243_cooc_window",
+    "q246_rank_tau",
+    "q248_hybrid_fusion",
+    "q254_pca_scores",
 ]
 
 

@@ -144,6 +144,16 @@ TEXT_KEYED = [
     # q240 hashes multibyte shingles through the pair generator into
     # six peel rounds.
     "q240_kcore",
+    # Round-9 additions: q242 hashes multibyte shingles through the
+    # pair generator and votes on multibyte lang labels (lexicographic
+    # tie-break must agree on non-ASCII label strings too); q243 keys
+    # pairs on raw multibyte tokens with least/greatest string
+    # comparisons; q246 ranks multibyte-sourced quality scores (the
+    # alpha-ratio regex strips multibyte letters identically in both
+    # engines).
+    "q242_lang_propagation",
+    "q243_cooc_window",
+    "q246_rank_tau",
 ]
 
 
