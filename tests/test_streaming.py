@@ -1260,6 +1260,31 @@ def test_hist_quantile_sink_equals_batch_q253(spark, tmp_path):
     assert any(p.startswith("batch_id=base-") for p in parts), parts
 
 
+def test_partial_store_read_rule_ignores_stale_dirs(spark, tmp_path):
+    """Crash-safety pin for the compacting partial store: a partial
+    whose id is ≤ the newest base stamp (the dir a crash between the
+    base write and the sweep leaves behind) must be INVISIBLE to the
+    read rule, and a stale older base must lose to the newest one."""
+    from printer_etl_hub_spark.streaming.corpus import _list_partial_store
+
+    store = str(tmp_path / "store")
+    one = spark.createDataFrame([(1,)], "x bigint")
+    one.write.mode("overwrite").parquet(f"{store}/batch_id=base-3")
+    one.write.mode("overwrite").parquet(f"{store}/batch_id=base-7")  # newest
+    one.write.mode("overwrite").parquet(f"{store}/batch_id=2")   # shadowed
+    one.write.mode("overwrite").parquet(f"{store}/batch_id=7")   # shadowed (= stamp)
+    one.write.mode("overwrite").parquet(f"{store}/batch_id=9")   # live
+    one.write.mode("overwrite").parquet(f"{store}/batch_id=11")  # live
+    base, live, names = _list_partial_store(spark, store)
+    assert base == 7
+    assert live == [9, 11]
+    assert len(names) == 6  # everything listed; only the rule filters
+
+    # empty / missing store
+    base, live, names = _list_partial_store(spark, str(tmp_path / "nope"))
+    assert base is None and live == [] and names == []
+
+
 def test_ivf_assign_stream_equals_batch(spark, tmp_path):
     """Streaming IVF assignment (stateless per-row fold over a broadcast
     centroid array) must produce EXACTLY the batch ivf_assign
