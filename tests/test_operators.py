@@ -390,10 +390,10 @@ def test_bruteforce_topk_refuses_oversized_input(spark):
 
 def test_registry_gate_window_is_complete_and_oracled():
     """The driver gates the first 50 REGISTRY entries: every one of them
-    must carry an oracle (no structurally-red rows). Round 9 executes
-    the round-8 ledger plan (VERDICT r8 item #1): q199-q221, the
-    r4-displaced q98/q99/q102/q104, q222-q240, and the four
-    oldest-evidence r5 queries q01/q03/q05/q07."""
+    must carry an oracle (no structurally-red rows). Round 10 executes
+    the round-9 pre-committed backfill plan (VERDICT r9 item #1): the
+    14 round-9 additions q241-q254 lead, then the 36 oldest-evidence
+    r5 queries in numeric order (through q134)."""
     import re
 
     from printer_etl_hub_spark.plans import REGISTRY
@@ -405,10 +405,11 @@ def test_registry_gate_window_is_complete_and_oracled():
     assert not unoracled, unoracled
     nums = [int(re.match(r"q(\d+)_", w).group(1)) for w in window]
     assert nums == (
-        list(range(199, 222))          # the remaining round-7 additions
-        + [98, 99, 102, 104]           # displaced since round 4
-        + list(range(222, 241))        # the round-8 additions
-        + [1, 3, 5, 7]                 # oldest-evidence r5 queries
+        list(range(241, 255))          # the round-9 additions
+        + [2, 4, 6, 8, 9, 10, 11, 13, 15, 25]      # oldest r5 cohort...
+        + [100, 101, 103, 105, 106, 107]
+        + list(range(109, 114)) + list(range(115, 123))
+        + [125, 128, 129, 130, 131, 133, 134]      # ...first 36 in order
     ), nums
 
 
