@@ -25,11 +25,16 @@ def bin_expr(value: Column, lo: Column, hi: Column, bins: int) -> Column:
     """Equi-width bin index in [0, bins): floor((v−lo)/width), clamped
     into the edge bins so out-of-range stream values (the calibration
     range is frozen at deploy time) still land in a counter instead of
-    being dropped. NULL-safe only in that a NULL value yields NULL —
-    filter NULLs upstream."""
+    being dropped. A NULL value yields NULL (gated explicitly — Spark's
+    greatest/least SKIP NULLs, so without the gate a NULL value would
+    silently clamp to bin 0 and be counted; ADVICE r9). A degenerate
+    zero-width range (lo == hi, where nullif makes the division NULL)
+    clamps every non-NULL value to bin 0 — with one distinct point the
+    single-bin histogram is the correct sketch."""
     width = (hi - lo) / F.lit(float(bins))
     raw = F.floor((value - lo) / F.nullif(width, F.lit(0.0))).cast("int")
-    return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    clamped = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.coalesce(raw, F.lit(0))))
+    return F.when(value.isNotNull(), clamped)
 
 
 def hist_quantile_table(

@@ -11094,8 +11094,14 @@ def q242_lang_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("b_id").alias("node"), F.col("a_id").alias("nbr"))
     )
     nodes = und.select("node").distinct()
+    # NULL-lang documents are excluded from seeding entirely (ADVICE r9:
+    # Spark's min(struct) orders a NULL lab FIRST while the oracle's
+    # row_number(ORDER BY cnt DESC, lab ASC) orders NULLs LAST, so a
+    # NULL label reaching a tie would diverge — the q251 NULL-pin class).
+    # An unlabeled node neither votes nor appears in the output.
     l0 = (
         t["documents"]
+        .filter(F.col("lang").isNotNull())
         .select(F.col("doc_id").alias("node"), F.col("lang").alias("lab"))
         .join(nodes, "node", "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -11133,7 +11139,7 @@ und AS MATERIALIZED (
 ),
 l0 AS MATERIALIZED (
   SELECT d.doc_id AS node, d.lang AS lab FROM documents d
-  WHERE d.doc_id IN (SELECT node FROM und)
+  WHERE d.doc_id IN (SELECT node FROM und) AND d.lang IS NOT NULL
 ),
 v1 AS MATERIALIZED (
   SELECT u.node, l.lab, CAST(count(*) AS BIGINT) AS cnt
@@ -11641,6 +11647,18 @@ FROM scores ORDER BY abs(score) DESC, vec_id ASC LIMIT {_PCA_SCORE_TOPN}
 # --------------------------------------------------------------------------
 _FUSION_K = 20
 _FUSION_TOPN = 10
+
+# The BM25 leg reuses q104's head verbatim, so the Borda weight
+# K+1−rank is only non-negative if the fused K covers every rank that
+# head can produce. The constants are independently editable — pin the
+# coupling at import time rather than letting a raised _BM25_TOPN
+# silently push ranks past _FUSION_K and turn weights negative in both
+# engines (ADVICE r9).
+if _FUSION_K != _BM25_TOPN:
+    raise ValueError(
+        f"_FUSION_K ({_FUSION_K}) must equal _BM25_TOPN ({_BM25_TOPN}): "
+        "q248's Borda weights assume q104's head size"
+    )
 
 
 def q248_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -335,9 +335,20 @@ def winnow_ingest_sink(
 def _list_partial_store(spark, store_dir: str):
     """(newest base stamp or None, sorted live partial ids, all dirs) for
     a batch_id-partitioned partial store with ``base-<n>`` compaction
-    generations. The READ RULE — newest base plus numeric partials with
-    id > its stamp — is what makes compaction idempotent and crash-safe
-    (see ewma_daily_sink's docstring)."""
+    generations. The READ RULE — newest COMMITTED base plus numeric
+    partials with id > its stamp — is what makes compaction idempotent
+    and crash-safe (see ewma_daily_sink's docstring).
+
+    A base counts as committed only if its ``_SUCCESS`` marker exists
+    (ADVICE r9: Spark's overwrite write is not atomic, so a crash
+    DURING the base write leaves a torn dir that would otherwise
+    become the newest base, shadow the re-delivered batch's partial,
+    and silently serve incomplete history). Markerless base dirs are
+    stale: invisible to the read rule here, swept — like every other
+    non-current dir — by the next compaction's cleanup pass. Partials
+    need no marker: a torn partial can only be the in-flight batch,
+    which Structured Streaming re-delivers, and the sink overwrites a
+    partial's own dir before any read includes it."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(store_dir)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -350,7 +361,9 @@ def _list_partial_store(spark, store_dir: str):
             continue
         val = nm.split("=", 1)[1]
         if val.startswith("base-"):
-            bases.append(int(val[5:]))
+            marker = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/{nm}/_SUCCESS")
+            if fs.exists(marker):
+                bases.append(int(val[5:]))
         else:
             partials.append(int(val))
     base = max(bases) if bases else None
@@ -401,7 +414,11 @@ def ewma_daily_sink(
     live (id > stamp, counted once from the partial) or is shadowed
     (id = stamp, counted once from the base). A crash between the
     base write and the partial deletes leaves stale dirs the read rule
-    already ignores; they're swept on the next compaction.
+    already ignores; a crash DURING the base write leaves a torn base
+    with no ``_SUCCESS`` marker, which the read rule treats as absent
+    (the prior base + partials still cover all history, since deletes
+    only happen after the write commits). Both kinds of leftover are
+    swept on the next compaction.
 
     Equivalence contract (tests/test_streaming.py): after any
     partitioning of an event set into micro-batches — compaction

@@ -205,6 +205,14 @@ def funnel_depth_stream(
     documented best-effort value. The stream≡batch test feeds
     ts-ordered batches, pins final depths to q111's output, and pins
     n_late = 0; a deliberately-disordered feed pins n_late > 0.
+
+    CHECKPOINT COMPATIBILITY (ADVICE r9): the monitor grew the state
+    schema by two fields (max_ts, n_late), and applyInPandasWithState
+    does NOT support state-schema evolution — a query restarted from a
+    checkpoint written by the pre-monitor version will fail (or
+    misdecode state) rather than resume. Deploying this version
+    requires a FRESH checkpoint directory; there is no in-place
+    upgrade path for the keyed state.
     """
     return (
         events_stream.filter(F.col("event_type").isin(*_FUNNEL_STEPS))

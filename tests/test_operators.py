@@ -665,6 +665,34 @@ def test_hot_keys_finds_skewed_key_with_share(spark):
     assert top[1].cnt == 1  # everything else is flat
 
 
+def test_bin_expr_null_and_degenerate_contracts(spark):
+    """Pins bin_expr's documented edge behavior (ADVICE r9): a NULL
+    value yields a NULL bin (it must NOT clamp to bin 0 and be
+    counted — Spark's greatest/least skip NULLs, so this needs the
+    explicit gate), out-of-range values clamp into the edge bins, and
+    a zero-width range (lo == hi) sends every non-NULL value to bin 0."""
+    from pyspark.sql import functions as F
+
+    from printer_etl_hub_spark.operators.histogram import bin_expr
+
+    df = spark.createDataFrame(
+        [(0.0,), (5.0,), (9.999,), (-3.0,), (42.0,), (None,)], "v double"
+    )
+    rows = df.select(
+        "v", bin_expr(F.col("v"), F.lit(0.0), F.lit(10.0), 10).alias("bin")
+    ).collect()
+    got = {r.v: r.bin for r in rows}
+    assert got[0.0] == 0 and got[5.0] == 5 and got[9.999] == 9
+    assert got[-3.0] == 0 and got[42.0] == 9  # edge-bin clamps
+    assert got[None] is None  # NULL propagates, never counted
+
+    degen = df.select(
+        "v", bin_expr(F.col("v"), F.lit(7.0), F.lit(7.0), 10).alias("bin")
+    ).collect()
+    assert {r.bin for r in degen if r.v is not None} == {0}
+    assert [r.bin for r in degen if r.v is None] == [None]
+
+
 def test_partition_histogram_counts_all_rows(spark):
     from printer_etl_hub_spark.operators.profile import partition_histogram
 

@@ -1280,6 +1280,19 @@ def test_partial_store_read_rule_ignores_stale_dirs(spark, tmp_path):
     assert live == [9, 11]
     assert len(names) == 6  # everything listed; only the rule filters
 
+    # A TORN base (crash during the overwrite: dir exists, _SUCCESS
+    # doesn't) must not become the newest base — otherwise it would
+    # shadow the re-delivered batch's partial and serve incomplete
+    # history (ADVICE r9). Simulate by dropping the marker.
+    import os
+
+    one.write.mode("overwrite").parquet(f"{store}/batch_id=base-11")
+    os.remove(f"{store}/batch_id=base-11/_SUCCESS")
+    base, live, names = _list_partial_store(spark, store)
+    assert base == 7  # torn base-11 invisible; committed base-7 wins
+    assert live == [9, 11]
+    assert len(names) == 7  # ...but still listed, so sweeps remove it
+
     # empty / missing store
     base, live, names = _list_partial_store(spark, str(tmp_path / "nope"))
     assert base is None and live == [] and names == []
