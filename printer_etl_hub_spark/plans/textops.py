@@ -10928,19 +10928,30 @@ FROM top WHERE lr = 1
 # --------------------------------------------------------------------------
 # q240 — k-core of the near-dup graph (pinned peel rounds)
 # --------------------------------------------------------------------------
-_KCORE_K = 3
+# k = 2 so the core is non-empty at EVERY test SF (VERDICT r9: the r9
+# gate row passed vacuously as 0 rows ≡ 0 rows because sf0.01's
+# near-dup graph has no 3-core at any jaccard threshold — near-dup
+# edges sit at ≈1.0 similarity, so lowering the threshold adds
+# nothing; the 2-core has nodes at sf0.001, sf0.01 AND sf0.1, so an
+# external green row actually certifies the peel). The peel machinery
+# is k-generic; 2-core semantics: chains and tree fringe peel away,
+# cycles and denser cores survive.
+_KCORE_K = 2
 _KCORE_ROUNDS = 6
 
 
 def q240_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core of the near-dup graph via 6 PINNED peel rounds →
+    """2-core of the near-dup graph via 6 PINNED peel rounds →
     (node, deg_in_core, converged). The k-core is the dense-duplication
     neighborhood detector the component family can't see: CC (q72) says
     WHO is connected, triangles/coefficient (q212/q215) say how
     clique-ish, but a long chain and a dense core land in the same
-    component — the 3-core keeps only nodes with ≥ 3 surviving
-    neighbors after iterated peeling, i.e. the mirror-farm hearts where
-    per-page dedup decisions cascade.
+    component — the k-core keeps only nodes with ≥ k surviving
+    neighbors after iterated peeling. At k = 2 that strips every
+    tree-like fringe and chain, leaving the cyclic duplication hearts
+    where per-page dedup decisions cascade (k is a free parameter of
+    the peel; 2 is pinned so the core — and therefore the external
+    gate row — is non-empty at every test SF, see _KCORE_K).
 
     EXACTNESS CONTRACT (the q94 pinned-iteration discipline): both
     engines execute the IDENTICAL 6-round peel, so the oracle is exact

@@ -183,9 +183,9 @@ BOUNDARY_SENSITIVE = [
     "q232_stratified_split",
     "q235_balanced_sample",
     "q238_cell_purity",
-    # q240: the 30-way duplicate block IS a 3-core (peel is a no-op on
-    # it); sparse chains must peel to nothing within the pinned rounds
-    # and the converged flag must agree cross-engine.
+    # q240: the 30-way duplicate block IS a 2-core (peel is a no-op on
+    # it); acyclic fringe must peel away within the pinned rounds and
+    # the converged flag must agree cross-engine.
     "q240_kcore",
     # Round-9 additions: q242 propagates labels over the duplicate
     # block's clique (every member votes the same lang — no flips — and

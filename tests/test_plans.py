@@ -270,6 +270,18 @@ def test_no_unintended_nested_loop_joins(spark):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_q240_core_nonempty_at_gate_sfs(spark):
+    """VERDICT r9: q240's external gate row passed vacuously (0 rows ≡
+    0 rows — sf0.01 has no 3-core at any jaccard threshold). The peel
+    is pinned at k=2 precisely so the core is NON-EMPTY at both gate
+    SFs; this guards that a parameter change can't quietly restore the
+    vacuity. (Cross-engine exactness is test_oracle_diff's job.)"""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = REGISTRY["q240_kcore"].fn(spark, sf).collect()
+        assert len(rows) > 0, f"empty core at {sf} — the gate row is vacuous again"
+        assert all(r.deg_in_core >= 2 for r in rows)
+
+
 def test_q37_approx_within_tolerance_of_exact(spark):
     """q37 is the registry's only oracle-less query (estimator-specific
     output). Pin it with a tolerance contract instead: approx distinct
