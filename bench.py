@@ -305,6 +305,7 @@ HEADLINE = [
     "q252_seasonality_strength",
     "q253_histogram_quantiles",
     "q254_pca_scores",
+    "q255_exactsubstr",
 ]
 
 

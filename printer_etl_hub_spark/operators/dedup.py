@@ -763,6 +763,148 @@ def boilerplate_filter(
     )
 
 
+def exactsubstr_excise(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr span EXCISION (Lee et al. 2022, arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better", §4.1):
+    remove from every document every token covered by a ``k``-token
+    span that appears verbatim in at least ``min_docs`` distinct
+    documents. The published suffix-array formulation finds duplicated
+    spans of ANY length ≥ k; this fixed-``k`` rolling-window
+    formulation is exactly equivalent for coverage — a duplicated span
+    of length L ≥ k is the union of its L−k+1 duplicated k-windows, so
+    the excised token set is identical — and, unlike a suffix array,
+    it distributes: the only corpus-sized shuffle is the window-hash
+    df-count (the q121 `boilerplate_filter` shape).
+
+    Completes the dedup family's published-excision matrix:
+    `boilerplate_filter` excises fixed segments by document frequency
+    (C4), `winnow_match_pairs` DETECTS shared spans without excising
+    (MOSS), `segment_dedup` keeps first occurrences of fixed segments;
+    this excises at ANY alignment, from every occurrence. Spans
+    repeated only WITHIN one document stay (min_docs counts DISTINCT
+    documents) — self-repetition is structure, not crawl duplication.
+
+    Returns one row per document:
+    ``(id, n_tokens, n_dup_tokens, kept_frac, kept_text)``.
+
+    Plan shape: repartition-first (the in-array window expansion is
+    CPU-bound — the q245 single-file-corpus lesson), per-doc window
+    hashes built IN-ARRAY (O(n·k) char work, token-mass-linear; no
+    (doc, window) row carries the token array), one hash-keyed
+    df-count shuffle + left-semi probe (both off ONE persisted
+    postings frame), then per-doc reassembly as TWO O(n + |intervals|)
+    array folds: sorted duplicated starts → merged disjoint intervals
+    → kept tokens sliced between them. Nothing is per-token×per-span
+    quadratic, even for a fully-duplicated document (its merged
+    interval list has length 1).
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = (
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("_id"), w.alias("w"))
+        .withColumn("n", F.size("w"))
+    )
+    # Window-start hashes in-array; docs shorter than k produce none
+    # (guarded — sequence(1, nw) with nw <= 0 would COUNT DOWN).
+    nw = F.col("n") - F.lit(k - 1)
+    ghs = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, k))),
+    )
+    postings = (
+        base.filter(nw >= 1)
+        .select("_id", F.posexplode(ghs).alias("j", "gh"))
+        .select("_id", (F.col("j") + 1).alias("i"), "gh")
+        # Feeds BOTH the df-count build and the probe side (q121 rule).
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup_h = (
+        postings.groupBy("gh")
+        .agg(F.count_distinct("_id").alias("doc_df"))
+        .filter(F.col("doc_df") >= min_docs)
+        .select("gh")
+    )
+    starts = (
+        postings.join(dup_h, "gh", "left_semi")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list("i")).alias("ss"))
+    )
+    # Merge sorted starts into disjoint covered intervals [s, s+k-1]
+    # (adjacent intervals merge too — same token union, fewer folds).
+    iv0 = F.array().cast("array<struct<s:int,e:int>>")
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    ivs = F.aggregate(
+        F.coalesce(F.col("ss"), F.array().cast("array<int>")),
+        iv0,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= last(acc)["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["s"].alias("s"),
+                        F.greatest(last(acc)["e"], s + F.lit(k - 1)).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc, F.array(F.struct(s.alias("s"), (s + F.lit(k - 1)).alias("e")))
+            )
+        ),
+    )
+    # Kept tokens = the gaps between covered intervals (plus the tail).
+    kept = F.aggregate(
+        ivs,
+        F.struct(
+            F.array().cast("array<string>").alias("parts"), F.lit(0).alias("prev")
+        ),
+        lambda acc, iv: F.struct(
+            F.concat(
+                acc["parts"],
+                F.slice(F.col("w"), acc["prev"] + 1, iv["s"] - 1 - acc["prev"]),
+            ).alias("parts"),
+            iv["e"].alias("prev"),
+        ),
+        lambda acc: F.concat(
+            acc["parts"],
+            F.slice(
+                F.col("w"),
+                acc["prev"] + 1,
+                F.greatest(F.lit(0), F.col("n") - acc["prev"]),
+            ),
+        ),
+    )
+    return (
+        base.join(starts, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n").cast("bigint").alias("n_tokens"),
+            kept.alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.size("_kept")).cast("bigint").alias(
+                "n_dup_tokens"
+            ),
+            F.round(
+                F.size("_kept").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("kept_frac"),
+            F.concat_ws(" ", F.col("_kept")).alias("kept_text"),
+        )
+    )
+
+
 #: Winnowing position shift: fingerprints pack (hash, position) into one
 #: bigint as ``hash * 2^20 + (2^20 - 1 - pos)`` so a single window MIN
 #: implements the robust-winnowing rule (min hash, ties -> rightmost

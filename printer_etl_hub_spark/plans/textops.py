@@ -11780,6 +11780,66 @@ ORDER BY fused DESC, COALESCE(bmr.doc_id, cr.doc_id) LIMIT {_FUSION_TOPN}
 
 
 # --------------------------------------------------------------------------
+# q255 — ExactSubstr span excision (Lee et al. 2022's second half)
+# --------------------------------------------------------------------------
+#: Gate k: the published default is 50 tokens; 20 keeps the excision
+#: non-vacuous at EVERY test SF (measured: 41-45 documents carry a
+#: cross-document duplicated 20-window at sf0.001 and sf0.01 — the
+#: q240 non-vacuity lesson applied at design time).
+_XS_K = 20
+_XS_MIN_DOCS = 2
+
+
+def q255_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`operators/dedup.py::exactsubstr_excise` under the exact gate:
+    remove from every document every token covered by a 20-token span
+    that appears verbatim in ≥ 2 distinct documents — the published
+    excision complement (Lee et al. 2022, ExactSubstr) of q121's C4
+    boilerplate filter (fixed segments, df > 2) and q131's winnowing
+    matcher (detects, never excises). Output is one row per document:
+    (doc_id, n_tokens, n_dup_tokens, kept_frac, kept_text)."""
+    from ..operators.dedup import exactsubstr_excise
+
+    t = load_tables(spark, sf_dir)
+    return exactsubstr_excise(
+        t["documents"], "doc_id", "text", k=_XS_K, min_docs=_XS_MIN_DOCS
+    )
+
+
+Q255_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+), wins AS (
+  SELECT doc_id, s.i AS i,
+         md5(array_to_string(list_slice(w, s.i, s.i + {_XS_K - 1}), ' ')) AS gh
+  FROM d, LATERAL (SELECT unnest(range(1, len(w) - {_XS_K} + 2)) AS i) s
+  WHERE len(w) >= {_XS_K}
+), duph AS (
+  SELECT gh FROM wins GROUP BY gh
+  HAVING count(DISTINCT doc_id) >= {_XS_MIN_DOCS}
+), duppos AS (
+  SELECT doc_id, i FROM wins WHERE gh IN (SELECT gh FROM duph)
+), toks AS (
+  SELECT d.doc_id, t.t AS t, w[t.t] AS tok, len(w) AS n
+  FROM d, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS t) t
+), covered AS (
+  SELECT tk.doc_id, tk.t, tk.tok, tk.n,
+         EXISTS (SELECT 1 FROM duppos dp WHERE dp.doc_id = tk.doc_id
+                 AND dp.i BETWEEN tk.t - {_XS_K - 1} AND tk.t) AS cov
+  FROM toks tk
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE cov) AS BIGINT) AS n_dup_tokens,
+       round(CAST(count(*) FILTER (WHERE NOT cov) AS DOUBLE) / max(n), 6)
+         AS kept_frac,
+       COALESCE(string_agg(tok, ' ' ORDER BY t) FILTER (WHERE NOT cov), '')
+         AS kept_text
+FROM covered GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 
 
 TEXT_QUERIES = {
@@ -11942,4 +12002,5 @@ TEXT_QUERIES = {
     "q246_rank_tau": (q246_rank_tau, Q246_SQL),
     "q248_hybrid_fusion": (q248_hybrid_fusion, Q248_SQL),
     "q254_pca_scores": (q254_pca_scores, Q254_SQL),
+    "q255_exactsubstr": (q255_exactsubstr, Q255_SQL),
 }

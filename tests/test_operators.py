@@ -702,6 +702,47 @@ def test_partition_histogram_counts_all_rows(spark):
     assert len(hist) <= 8
 
 
+def test_exactsubstr_excise_semantics(spark):
+    """Pins the ExactSubstr contract (Lee et al. 2022) the oracle sweep
+    can't state directly: (1) a span duplicated across documents is
+    excised from EVERY occurrence, at ANY alignment; (2) a span
+    repeated only WITHIN one document stays (min_docs counts distinct
+    docs); (3) docs shorter than k are untouched; (4) a fully
+    duplicated doc excises to empty kept_text; (5) overlapping
+    duplicated windows merge — interior tokens aren't double-counted."""
+    from printer_etl_hub_spark.operators.dedup import exactsubstr_excise
+
+    shared = "alpha beta gamma delta"  # the 4-token duplicated span
+    docs = [
+        # d1/d2 share `shared` at DIFFERENT alignments (prefix vs middle)
+        (1, f"{shared} one two three four five"),
+        (2, f"zero {shared} six seven eight nine"),
+        # d3 repeats a 4-gram twice WITHIN itself only — must stay whole
+        (3, "red blue green yellow pad red blue green yellow"),
+        # d4 shorter than k
+        (4, "tiny doc"),
+        # d5/d6 fully duplicated
+        (5, "just the same words here again ok now"),
+        (6, "just the same words here again ok now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: r
+        for r in exactsubstr_excise(df, "doc_id", "text", k=4, min_docs=2).collect()
+    }
+    assert len(got) == 6  # one row per doc, always
+    assert got[1].kept_text == "one two three four five"
+    assert got[1].n_dup_tokens == 4 and got[1].n_tokens == 9
+    assert got[2].kept_text == "zero six seven eight nine"
+    assert got[2].n_dup_tokens == 4
+    assert got[3].n_dup_tokens == 0 and got[3].kept_frac == 1.0
+    assert got[3].kept_text == "red blue green yellow pad red blue green yellow"
+    assert got[4].n_dup_tokens == 0 and got[4].kept_text == "tiny doc"
+    for d in (5, 6):
+        assert got[d].kept_text == "" and got[d].kept_frac == 0.0
+        assert got[d].n_dup_tokens == got[d].n_tokens == 8
+
+
 def test_minhash_index_join_finds_only_cross_corpus_pairs(spark):
     """The stored-index flow: a new batch joined against the history
     index yields exactly the in-corpus LSH pairs that CROSS the split —

@@ -203,6 +203,12 @@ BOUNDARY_SENSITIVE = [
     "q246_rank_tau",
     "q248_hybrid_fusion",
     "q254_pca_scores",
+    # Round-10 addition: q255's overlapping 20-token windows sit AT the
+    # token-count boundary (len-19 docs produce no window, len-20
+    # exactly one); the 30-way duplicate block must excise to empty
+    # kept_text in EVERY member; the 5000-token outlier exercises the
+    # interval-merge fold's linearity.
+    "q255_exactsubstr",
 ]
 
 

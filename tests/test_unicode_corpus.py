@@ -154,6 +154,10 @@ TEXT_KEYED = [
     "q242_lang_propagation",
     "q243_cooc_window",
     "q246_rank_tau",
+    # Round-10 addition: q255 md5s multibyte 20-token windows and
+    # reassembles kept_text from multibyte tokens (single-space joins
+    # must agree with DuckDB's string_agg on non-ASCII).
+    "q255_exactsubstr",
 ]
 
 
