@@ -803,40 +803,88 @@ def exactsubstr_excise(
     → kept tokens sliced between them. Nothing is per-token×per-span
     quadratic, even for a fully-duplicated document (its merged
     interval list has length 1).
+
+    The tokenize / window-hash / reassembly pieces are shared with the
+    incremental streaming twin (`streaming/corpus.py::
+    exactsubstr_ingest_sink` + `exactsubstr_from_spans`), so the
+    stream≡batch equivalence is structural.
     """
     from pyspark import StorageLevel
 
-    spark = df.sparkSession
-    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = (
-        df.repartition(spark.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("_id"), w.alias("w"))
-        .withColumn("n", F.size("w"))
-    )
-    # Window-start hashes in-array; docs shorter than k produce none
-    # (guarded — sequence(1, nw) with nw <= 0 would COUNT DOWN).
-    nw = F.col("n") - F.lit(k - 1)
-    ghs = F.transform(
-        F.sequence(F.lit(1), nw),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, k))),
-    )
-    postings = (
-        base.filter(nw >= 1)
-        .select("_id", F.posexplode(ghs).alias("j", "gh"))
-        .select("_id", (F.col("j") + 1).alias("i"), "gh")
-        # Feeds BOTH the df-count build and the probe side (q121 rule).
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    base = _es_base(df, id_col, text_col)
+    postings = _es_postings(base, k).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ feeds BOTH the df-count build and the probe side (q121 rule).
     dup_h = (
         postings.groupBy("gh")
         .agg(F.count_distinct("_id").alias("doc_df"))
         .filter(F.col("doc_df") >= min_docs)
         .select("gh")
     )
-    starts = (
-        postings.join(dup_h, "gh", "left_semi")
-        .groupBy("_id")
-        .agg(F.array_sort(F.collect_list("i")).alias("ss"))
+    starts = postings.join(dup_h, "gh", "left_semi").select("_id", "i")
+    return _es_reassemble(base, starts, id_col, k)
+
+
+def _es_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """ExactSubstr tokenize step: (_id, w, n) with the corpus
+    repartitioned FIRST — the in-array window expansion is CPU-bound
+    and must not inherit a 1-file parquet split (the q245 lesson)."""
+    spark = df.sparkSession
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("_id"), w.alias("w"))
+        .withColumn("n", F.size("w"))
+    )
+
+
+def _es_postings(base: DataFrame, k: int) -> DataFrame:
+    """ExactSubstr window-hash postings (_id, i, gh), i 1-based: one md5
+    per k-token window, built in-array so no (doc, window) row ever
+    carries the token array. Docs shorter than k produce none (guarded —
+    sequence(1, nw) with nw <= 0 would COUNT DOWN)."""
+    nw = F.col("n") - F.lit(k - 1)
+    ghs = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, k))),
+    )
+    return (
+        base.filter(nw >= 1)
+        .select("_id", F.posexplode(ghs).alias("j", "gh"))
+        .select("_id", (F.col("j") + 1).alias("i"), "gh")
+    )
+
+
+def exactsubstr_from_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    spans: DataFrame,
+) -> DataFrame:
+    """Materialize ExactSubstr excision output from an EXTERNAL
+    duplicated-window log: ``spans`` holds (id_col, i) rows — 1-based
+    starts of duplicated k-token windows, as accumulated by the
+    incremental `streaming/corpus.py::exactsubstr_ingest_sink`. Applies
+    the same tokenize + interval-merge reassembly as
+    `exactsubstr_excise`, so feeding it the batch operator's own
+    duplicated-window set reproduces that output row-for-row (the
+    stream≡batch equivalence contract, tests/test_streaming.py)."""
+    starts = spans.select(
+        F.col(id_col).alias("_id"), F.col("i").cast("int").alias("i")
+    ).distinct()
+    return _es_reassemble(_es_base(df, id_col, text_col), starts, id_col, k)
+
+
+def _es_reassemble(
+    base: DataFrame, starts: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """ExactSubstr reassembly: (_id, i) duplicated-window starts → one
+    row per document ``(id, n_tokens, n_dup_tokens, kept_frac,
+    kept_text)`` via two O(n + |intervals|) array folds (merge sorted
+    starts into disjoint covered intervals; slice kept tokens from the
+    gaps)."""
+    starts = starts.groupBy("_id").agg(
+        F.array_sort(F.collect_list("i")).alias("ss")
     )
     # Merge sorted starts into disjoint covered intervals [s, s+k-1]
     # (adjacent intervals merge too — same token union, fewer folds).

@@ -74,3 +74,63 @@ def hist_quantile_table(
         )
     )
     return targets.select("p", F.round(est, 6).alias("est"))
+
+
+def hist_quantile_table_grouped(
+    hist: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int,
+    ps: tuple[float, ...],
+    key_cols: list[str],
+) -> DataFrame:
+    """Per-group twin of `hist_quantile_table`: ``hist`` holds
+    (*key_cols, bin, c) — e.g. the per-event-time-window counters the
+    watermarked stream emits — and each group gets its own (p, est, n)
+    rows via the SAME fixed-order interpolation expression, so grouped
+    results stay cell-identical to the global path on a single group.
+    The cumulative window partitions by the keys and orders over ≤
+    ``bins`` rows per group — bounded by construction. The (lo, hi)
+    range is shared across groups (frozen at deploy time, the sink
+    convention); a group's n is its own counter sum."""
+    wcum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(*key_cols)
+    cum = hist.select(
+        *key_cols,
+        "bin",
+        "c",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).cast("bigint").alias("below"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    ps_col = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    targets = cum.select(
+        *key_cols,
+        ps_col,
+        "bin",
+        "c",
+        "below",
+        F.lit(float(lo)).alias("lo"),
+        F.lit(float(hi)).alias("hi"),
+        "n",
+    ).filter(
+        (F.col("below") < F.ceil(F.col("p") * F.col("n")))
+        & (F.col("below") + F.col("c") >= F.ceil(F.col("p") * F.col("n")))
+    )
+    est = (
+        F.col("lo")
+        + (F.col("hi") - F.col("lo"))
+        / F.lit(float(bins))
+        * (
+            F.col("bin").cast("double")
+            + (
+                F.ceil(F.col("p") * F.col("n")).cast("double")
+                - F.col("below").cast("double")
+            )
+            / F.col("c").cast("double")
+        )
+    )
+    return targets.select(*key_cols, "p", F.round(est, 6).alias("est"), "n")

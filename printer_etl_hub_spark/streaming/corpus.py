@@ -332,6 +332,106 @@ def winnow_ingest_sink(
     return _sink
 
 
+def exactsubstr_ingest_sink(
+    postings_dir: str,
+    dup_dir: str,
+    spans_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_docs: int = 2,
+):
+    """foreachBatch sink: incremental ExactSubstr duplicated-span
+    discovery against all history — the streaming twin of
+    `operators/dedup.py::exactsubstr_excise` (Lee et al. 2022 §4.1),
+    sharing its tokenize/window-hash construction verbatim. The
+    substring-EXCISION sibling of `winnow_ingest_sink` (which detects
+    shared regions but never excises): as crawl shards arrive, every
+    k-token window that becomes verbatim-duplicated across ≥ min_docs
+    distinct documents is logged — for EVERY document that carries it,
+    including documents ingested long before their duplicate arrived.
+
+    Three stores, all ``batch_id=<n>`` partitions written with overwrite
+    (the shared re-delivery idempotence idiom — each batch's output is a
+    deterministic function of the batch rows + PRIOR-batch history, so a
+    re-delivered batch rewrites identical content):
+
+    - ``postings_dir``: (doc_id, i, gh) window-hash postings per batch;
+    - ``dup_dir``: hashes that CROSSED the min_docs threshold in this
+      batch (a hash can only cross in a batch that contains it — df over
+      distinct docs is monotone in arrivals);
+    - ``spans_dir``: the duplicated-window log. Per batch it appends (a)
+      every occurrence — historical AND new — of a NEWLY-crossed hash,
+      and (b) the batch's own occurrences of hashes already in the dup
+      store (third-and-later duplicates). The two legs are disjoint, so
+      every duplicated occurrence is logged exactly once, in the batch
+      where its hash's duplication became known.
+
+    Equivalence contract (tests/test_streaming.py): after any micro-batch
+    partitioning, the accumulated spans log equals the batch operator's
+    duplicated-window occurrence set, so
+    ``exactsubstr_from_spans(corpus, ..., spans)`` reproduces
+    ``exactsubstr_excise(corpus)`` row-for-row.
+
+    Cost shape per batch: the batch pays its own token-mass-linear
+    window expansion; history is touched only through hash-keyed joins
+    against the batch's hash set (the winnow-sink discipline — history
+    never pays its own fan-out), plus one full-history distinct-doc
+    count restricted to batch hashes. Out-of-order arrival is a
+    non-event: df counts and span logs are order-independent sets.
+    """
+    from ..operators.dedup import _es_base, _es_postings
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pb = (
+            _es_postings(_es_base(batch_df, id_col, text_col), k)
+            # feeds the df-count, both span legs, and its own store write
+            .localCheckpoint(eager=True)
+        )
+        hist = _read_history(spark, postings_dir, batch_id)
+        dup_hist = _read_history(spark, dup_dir, batch_id)
+        batch_h = pb.select("gh").distinct()
+        occ = pb.select("_id", "gh")
+        hist_m = None
+        if hist is not None:
+            hist_m = (
+                hist.select(F.col("_id"), "i", "gh")
+                .join(batch_h, "gh", "left_semi")
+                .localCheckpoint(eager=True)  # feeds df-count + span leg (a)
+            )
+            occ = occ.unionByName(hist_m.select("_id", "gh"))
+        crossed = (
+            occ.groupBy("gh")
+            .agg(F.count_distinct("_id").alias("doc_df"))
+            .filter(F.col("doc_df") >= min_docs)
+            .select("gh")
+        )
+        if dup_hist is not None:
+            dup_prev = dup_hist.select("gh")
+            newly = crossed.join(dup_prev, "gh", "left_anti")
+            # leg (b): batch occurrences of already-duplicated hashes
+            reoccur = pb.join(dup_prev, "gh", "left_semi")
+        else:
+            newly = crossed
+            reoccur = None
+        newly = newly.localCheckpoint(eager=True)  # feeds 2-3 joins + write
+        spans = pb.join(newly, "gh", "left_semi")
+        if hist_m is not None:
+            spans = spans.unionByName(hist_m.join(newly, "gh", "left_semi"))
+        if reoccur is not None:
+            spans = spans.unionByName(reoccur)
+        spans.select(
+            F.col("_id").alias(id_col), "i", "gh"
+        ).write.mode("overwrite").parquet(f"{spans_dir}/batch_id={batch_id}")
+        newly.write.mode("overwrite").parquet(f"{dup_dir}/batch_id={batch_id}")
+        pb.select(F.col("_id"), "i", "gh").write.mode("overwrite").parquet(
+            f"{postings_dir}/batch_id={batch_id}"
+        )
+
+    return _sink
+
+
 def _list_partial_store(spark, store_dir: str):
     """(newest base stamp or None, sorted live partial ids, all dirs) for
     a batch_id-partitioned partial store with ``base-<n>`` compaction
@@ -555,6 +655,58 @@ def hist_quantile_sink(
         out.write.mode("overwrite").parquet(f"{out_dir}/current")
 
     return _sink
+
+
+def hist_quantile_windowed_stream(
+    events: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    window: str = "1 day",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time-windowed histogram sketch under LATE DATA — the q253
+    twin with real watermark semantics (the global `hist_quantile_sink`
+    is order-blind by mergeability; this one answers "p95 per DAY" where
+    a day must eventually CLOSE). Emits (window_start, bin, c) in APPEND
+    mode: a window's ≤ ``bins`` counters emit exactly once, after the
+    watermark passes its end — so late rows inside the horizon are still
+    merged into their event-time window before it seals, and rows later
+    than the watermark are dropped by Spark's standard eviction rule
+    instead of corrupting an already-published day.
+
+    Shares `operators/histogram.py::bin_expr` with q253 and the global
+    sink; per-window quantiles come from the grouped twin of the shared
+    interpolation (`hist_quantile_table_grouped`) applied batch-side to
+    the emitted log — state here is O(windows-in-flight × bins)
+    integers, never data-sized, and the (lo, hi) range is frozen at
+    deploy time exactly like the global sink.
+
+    Equivalence contract (tests/test_streaming.py): the emitted bins for
+    a sealed window equal the batch bin counts over exactly the rows the
+    watermark admitted, and the grouped quantile table over them equals
+    the shared-arithmetic batch computation on that admitted subset; a
+    deliberately too-late row is observably ABSENT.
+    """
+    from ..operators.histogram import bin_expr
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            bin_expr(
+                F.col(value_col).cast("double"),
+                F.lit(float(lo)),
+                F.lit(float(hi)),
+                bins,
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(F.col("w.start").alias("window_start"), "bin", "c")
+    )
 
 
 def ivf_assign_stream(

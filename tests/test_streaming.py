@@ -1431,3 +1431,199 @@ def test_pit_enrich_stream_equals_batch_q217(spark, events, tmp_path):
     for seg, (n, v) in got.items():
         assert n == want[seg][0]
         assert abs(v - want[seg][1]) < 1e-6  # test-side float resum tolerance
+
+
+def test_exactsubstr_ingest_sink_stream_equals_batch(spark, tmp_path):
+    """Incremental ExactSubstr: streaming the corpus through the
+    foreachBatch sink must accumulate EXACTLY the batch operator's
+    duplicated-window occurrence set — including occurrences in documents
+    ingested BEFORE their duplicate arrived (the retroactive leg) — so
+    materializing excisions from the spans log reproduces
+    exactsubstr_excise row-for-row. Re-delivering the last batch is a
+    no-op on all three stores."""
+    from printer_etl_hub_spark.operators.dedup import (
+        exactsubstr_excise,
+        exactsubstr_from_spans,
+    )
+    from printer_etl_hub_spark.streaming.corpus import exactsubstr_ingest_sink
+
+    docs = load_tables(spark, SF_SMOKE)["documents"].select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    postings_dir = str(tmp_path / "es_postings")
+    dup_dir = str(tmp_path / "es_dup")
+    spans_dir = str(tmp_path / "es_spans")
+    k = 20  # the q255 gate parameter: non-vacuous at every test SF
+    sink = exactsubstr_ingest_sink(postings_dir, dup_dir, spans_dir, k=k)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spans = spark.read.parquet(spans_dir)
+    got = {
+        (r.doc_id, r.n_tokens, r.n_dup_tokens, r.kept_frac, r.kept_text)
+        for r in exactsubstr_from_spans(docs, "doc_id", "text", k, spans).collect()
+    }
+    want = {
+        (r.doc_id, r.n_tokens, r.n_dup_tokens, r.kept_frac, r.kept_text)
+        for r in exactsubstr_excise(docs, "doc_id", "text", k=k).collect()
+    }
+    assert got == want
+    # non-trivial: some documents actually lost spans
+    assert any(r[2] > 0 for r in want)
+    # the cross-batch machinery fired: spans were discovered in >= 2
+    # micro-batches, and the retroactive leg logged at least one span
+    # for a document whose postings live in an EARLIER batch partition
+    span_batches = {
+        r.batch_id for r in spans.select("batch_id").distinct().collect()
+    }
+    assert len(span_batches) >= 2
+    post = spark.read.parquet(postings_dir).select(
+        F.col("_id").alias("doc_id"), F.col("batch_id").alias("post_b")
+    ).distinct()
+    retro = (
+        spans.select("doc_id", "batch_id")
+        .distinct()
+        .join(post, "doc_id")
+        .filter(F.col("batch_id") > F.col("post_b"))
+    )
+    assert retro.count() > 0
+
+    # at-least-once re-delivery: replaying the LAST batch is a no-op
+    last = max(
+        r.batch_id
+        for r in spark.read.parquet(postings_dir).select("batch_id").distinct().collect()
+    )
+    n_post = spark.read.parquet(postings_dir).count()
+    n_dup = spark.read.parquet(dup_dir).count()
+    n_spans = spans.count()
+    replay_ids = (
+        spark.read.parquet(f"{postings_dir}/batch_id={last}")
+        .select(F.col("_id").alias("_rid"))
+        .distinct()
+    )
+    batch_docs = docs.join(
+        replay_ids, docs["doc_id"] == F.col("_rid")
+    ).drop("_rid")
+    sink(batch_docs, last)
+    assert spark.read.parquet(postings_dir).count() == n_post
+    assert spark.read.parquet(dup_dir).count() == n_dup
+    assert spark.read.parquet(spans_dir).count() == n_spans
+
+
+def test_hist_quantile_windowed_stream_late_data(spark, tmp_path):
+    """Watermarked per-day histogram quantiles (the q253 late-data twin):
+    a late row INSIDE the watermark horizon is merged into its event-time
+    window before the window seals; a row arriving BEYOND the watermark
+    is dropped and observably absent; the sealed window's bins and
+    quantiles equal the shared-arithmetic batch computation over exactly
+    the admitted rows."""
+    import datetime as dt
+
+    from printer_etl_hub_spark.operators.histogram import (
+        bin_expr,
+        hist_quantile_table,
+        hist_quantile_table_grouped,
+    )
+    from printer_etl_hub_spark.streaming.corpus import hist_quantile_windowed_stream
+
+    lo, hi, bins = 0.0, 100.0, 8
+    mk = lambda rows: spark.createDataFrame(rows, "ts timestamp, value double")
+    t = lambda day, h, m=0: dt.datetime(2024, 3, day, h, m)
+    src = str(tmp_path / "hist_late_src")
+
+    # batch 1: day-1 on-time rows (window W1 = [day1, day2))
+    day1_vals = [5.0, 15.0, 25.0, 35.0, 45.0, 55.0, 65.0, 75.0, 85.0, 95.0]
+    mk([(t(1, 10 + i % 4), v) for i, v in enumerate(day1_vals)]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = hist_quantile_windowed_stream(
+        stream, lo, hi, bins=bins, window="1 day", watermark="1 day"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hist_late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode: W1 not sealed yet
+        assert spark.sql("SELECT * FROM hist_late_out").count() == 0
+        # batch 2: a LATE W1 row still inside the horizon (watermark is
+        # day1 13:00 - 1d) + a day-3 row that will advance the watermark
+        mk([(t(1, 12, 30), 50.0), (t(3, 12), 10.0)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        # batch 3: a TOO-LATE W1 row (watermark is now day2 12:00 >= W1
+        # end, Spark drops it) + a day-5 row; W1 seals and emits
+        mk([(t(1, 13), 60.0), (t(5, 12), 20.0)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM hist_late_out").collect()
+    finally:
+        q.stop()
+
+    w1 = dt.datetime(2024, 3, 1)
+    # W1 sealed and emitted; Spark's no-data batches may also have sealed
+    # the day-3 window by the final watermark (day-5 - 1d) — but nothing
+    # else, and the day-5 window is still open
+    assert w1 in {r.window_start for r in emitted}
+    assert {r.window_start for r in emitted} <= {w1, dt.datetime(2024, 3, 3)}
+    got_bins = {(r.bin, r.c) for r in emitted if r.window_start == w1}
+    # admitted rows = the 10 on-time + the 1 within-horizon late row;
+    # the too-late 60.0 is NOT among them
+    admitted = mk(
+        [(t(1, 10 + i % 4), v) for i, v in enumerate(day1_vals)]
+        + [(t(1, 12, 30), 50.0)]
+    )
+    want_bins = {
+        (r.bin, r.c)
+        for r in admitted.groupBy(
+            bin_expr(F.col("value"), F.lit(lo), F.lit(hi), bins).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    }
+    assert got_bins == want_bins
+    assert sum(c for _, c in got_bins) == 11  # 60.0 dropped, observably
+
+    # grouped quantiles over the emitted log == the shared global-path
+    # arithmetic over exactly the admitted subset
+    ps = (0.5, 0.95)
+    emitted_df = spark.createDataFrame(
+        [(r.window_start, r.bin, r.c) for r in emitted],
+        "window_start timestamp, bin int, c bigint",
+    )
+    grouped = hist_quantile_table_grouped(
+        emitted_df, lo, hi, bins, ps, ["window_start"]
+    ).collect()
+    got_q = {
+        (r.p, r.est, r.n) for r in grouped if r.window_start == w1
+    }
+    # every sealed window got its own quantile rows (one per p)
+    assert all(
+        sum(1 for r in grouped if r.window_start == w) == len(ps)
+        for w in {r.window_start for r in emitted}
+    )
+    hist_b = admitted.groupBy(
+        bin_expr(F.col("value"), F.lit(lo), F.lit(hi), bins).alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rng = spark.createDataFrame([(lo, hi, 11)], "lo double, hi double, n bigint")
+    want_q = {
+        (r.p, r.est, 11)
+        for r in hist_quantile_table(hist_b, rng, bins, ps).collect()
+    }
+    assert got_q == want_q and len(got_q) == len(ps)
