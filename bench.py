@@ -306,6 +306,11 @@ HEADLINE = [
     "q253_histogram_quantiles",
     "q254_pca_scores",
     "q255_exactsubstr",
+    "q256_chi2_keyness",
+    "q257_edit_dups",
+    "q258_holt_linear",
+    "q259_hits",
+    "q260_theil_sen",
 ]
 
 

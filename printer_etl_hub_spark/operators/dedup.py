@@ -953,6 +953,90 @@ def _es_reassemble(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    len_bucket: int = 32,
+    prefix_len: int = 8,
+    rel_pct: int = 10,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Blocked character-EDIT-DISTANCE near-duplicate pairs: documents
+    whose normalized texts differ by at most ``rel_pct`` percent of the
+    longer length under Levenshtein distance — the string-metric member
+    of the dedup family (record-linkage style: Fellegi-Sunter blocking +
+    an exact edit metric), catching the char-level-typo/OCR-noise dup
+    class that token-shingle Jaccard (q29) under-scores because one
+    character edit rewrites a whole token's shingles, and MinHash (q28)
+    can only approximate.
+
+    Blocking (the family's banded-cap discipline — candidate generation
+    is NEVER all-pairs): candidates share a (⌊char_len/len_bucket⌋,
+    first ``prefix_len`` chars) block key. Like LSH bands this trades
+    recall for a hard bound — a near-dup pair split by a block boundary
+    or a leading edit is missed, by design; the block key is part of the
+    operator's published contract so the DuckDB oracle reproduces the
+    exact pair set. ``max_block`` drops blocks holding more documents
+    (the stop-fingerprint rule of `winnow_match_pairs`): a template
+    block would otherwise fan out quadratically AND pay O(len²) PER
+    PAIR — the most expensive comparator in the family.
+
+    Exactness: Levenshtein distance is an INTEGER (unit-cost
+    insert/delete/substitute in both engines), the relative threshold
+    ``dist·100 ≤ rel_pct·max(len_a, len_b)`` is integer arithmetic, and
+    the output carries only integers — nothing floats, nothing rounds.
+
+    Scale: per-block fan-out is ≤ C(max_block, 2) pairs; the distance
+    computation is the only non-equi work and runs post-blocking on
+    pairs, not the corpus. Both join sides are repartitioned on the
+    block key and AQE coalescing is disabled for the pair join's
+    shuffle (the `winnow_match_pairs` rule): AQE sizes the post-shuffle
+    read by the SMALL fingerprint-like input and would pack the pair
+    fan-out — and its O(len²)-PER-PAIR comparator, invisible to
+    byte-based sizing — onto 1-2 tasks (measured: the 10× wave-26
+    audit sat on a single task before this pin).
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        norm.alias("t"),
+        F.length(norm).alias("ln"),
+        F.floor(F.length(norm) / F.lit(len_bucket)).cast("int").alias("lb"),
+        F.substring(norm, 1, prefix_len).alias("pf"),
+    )
+    if max_block is not None:
+        keep = (
+            b.groupBy("lb", "pf")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") <= max_block)
+            .select("lb", "pf")
+        )
+        b = b.join(keep, ["lb", "pf"], "left_semi")
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    a_side = b.select(
+        "lb", "pf", F.col("_id").alias("a_id"), F.col("t").alias("ta"),
+        F.col("ln").alias("la"),
+    ).repartition(n_part, F.col("lb"), F.col("pf"))
+    b_side = b.select(
+        "lb", "pf", F.col("_id").alias("b_id"), F.col("t").alias("tb"),
+        F.col("ln").alias("lb_len"),
+    ).repartition(n_part, F.col("lb"), F.col("pf"))
+    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    len_max = F.greatest(F.col("la"), F.col("lb_len"))
+    return (
+        a_side.join(b_side, ["lb", "pf"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            dist.cast("bigint").alias("dist"),
+            len_max.cast("bigint").alias("len_max"),
+        )
+        .filter(F.col("dist") * 100 <= F.lit(rel_pct) * F.col("len_max"))
+    )
+
+
 #: Winnowing position shift: fingerprints pack (hash, position) into one
 #: bigint as ``hash * 2^20 + (2^20 - 1 - pos)`` so a single window MIN
 #: implements the robust-winnowing rule (min hash, ties -> rightmost

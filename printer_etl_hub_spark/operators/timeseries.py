@@ -105,3 +105,80 @@ def ewma_anomaly_table(daily: DataFrame) -> DataFrame:
             ).alias("ratio"),
         )
     )
+
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.5
+
+
+def holt_table(daily: DataFrame) -> DataFrame:
+    """(day: date, x: bigint) → (day: 'yyyy-MM-dd', x, forecast, resid,
+    level, trend) — Holt's linear-trend (double exponential) smoothing,
+    q258's core factored here so the streaming daily-store sink
+    (`streaming/corpus.py::holt_daily_sink`) emits the IDENTICAL table
+    off its incrementally-maintained store. level₁ = x₁, trend₁ = 0;
+    level_t = α·x + (1−α)(level+trend); trend_t = β(level_t − level) +
+    (1−β)·trend; rows emitted for every day after the first.
+
+    α = β = 1/2 are dyadic, so with integer daily counts every value is
+    an exact binary double in any engine. The recurrence is inherently
+    sequential: it folds over the |days|-bounded sorted array on one
+    row (the q251 pinned-iteration discipline) — never a window or a
+    join per step, and the ONLY corpus-sized stage is the caller's
+    daily pre-agg.
+    """
+    arr = daily.agg(F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s"))
+    out_t = (
+        "array<struct<day:date,x:bigint,forecast:double,resid:double,"
+        "level:double,trend:double>>"
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("i"),
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("tr"),
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def _step(acc, e):
+        x = e["x"].cast("double")
+        fc = acc["l"] + acc["tr"]
+        l_new = F.lit(HOLT_ALPHA) * x + F.lit(1.0 - HOLT_ALPHA) * fc
+        tr_new = F.lit(HOLT_BETA) * (l_new - acc["l"]) + F.lit(
+            1.0 - HOLT_BETA
+        ) * acc["tr"]
+        row = F.struct(
+            e["day"].alias("day"),
+            e["x"].alias("x"),
+            F.round(fc, 6).alias("forecast"),
+            F.round(x - fc, 6).alias("resid"),
+            F.round(l_new, 6).alias("level"),
+            F.round(tr_new, 6).alias("trend"),
+        )
+        return F.when(
+            acc["i"] == 0,
+            F.struct(
+                F.lit(1).alias("i"),
+                x.alias("l"),
+                F.lit(0.0).alias("tr"),
+                acc["out"].alias("out"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["i"] + 1).alias("i"),
+                l_new.alias("l"),
+                tr_new.alias("tr"),
+                F.concat(acc["out"], F.array(row)).alias("out"),
+            )
+        )
+
+    folded = arr.select(
+        F.explode(F.aggregate(F.col("s"), acc0, _step)["out"]).alias("r")
+    )
+    return folded.select(
+        F.col("r.day").cast("string").alias("day"),
+        "r.x",
+        "r.forecast",
+        "r.resid",
+        "r.level",
+        "r.trend",
+    )

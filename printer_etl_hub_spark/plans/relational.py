@@ -26,6 +26,8 @@ from ..functions.normalize import (
 from ..operators.argmax import argmax_per_group, top_k_per_group
 from ..operators.pivot import first_per_slot_pivot
 from ..operators.timeseries import EWMA_LAGS as _EWMA_LAGS
+from ..operators.timeseries import HOLT_ALPHA as _HOLT_ALPHA
+from ..operators.timeseries import HOLT_BETA as _HOLT_BETA
 from ..operators.timeseries import EWMA_W as _EWMA_W
 from ..operators.timeseries import EWMA_WSUM as _EWMA_WSUM
 from ..operators.timeseries import ewma_anomaly_table as _ewma_anomaly_table
@@ -4548,6 +4550,321 @@ FROM sk JOIN exact ON sk.p = exact.p
 """
 
 
+# --------------------------------------------------------------------------
+# q258 — Holt linear-trend smoothing of daily volume (double exponential)
+# --------------------------------------------------------------------------
+#: Dyadic smoothing constants: 1/2 is exact in binary, so every level /
+#: trend / forecast value is an exact double in BOTH engines and the
+#: oracle matches bit-for-bit — the q228 EWMA weight discipline applied
+#: to the two-parameter recurrence. The constants and the fold itself
+#: live in operators/timeseries.py (HOLT_ALPHA/HOLT_BETA/holt_table,
+#: imported at the top of this module), shared verbatim with the
+#: streaming daily-store sink — stream≡batch is structural.
+
+
+def q258_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing of daily event
+    volume → (day, x, forecast, resid, level, trend) for every day after
+    the first: level_t = α·x_t + (1−α)(level+trend), trend_t =
+    β(level_t − level) + (1−β)·trend, initialized level₁ = x₁,
+    trend₁ = 0. The forecasting step q228's EWMA can't take: EWMA tracks
+    a LEVEL and flags deviation from it, so a steadily growing series
+    alarms forever; Holt carries an explicit trend term, and its
+    one-step-ahead forecast (level + trend) + residual is the
+    trend-aware anomaly baseline (and the capacity-planning projection).
+
+    Exactness: α = β = 1/2 are dyadic, x is an integer count — every
+    intermediate is an exact binary double, so the recursive-CTE oracle
+    reproduces the fold bit-for-bit (rounds are decorative).
+
+    Shape: ONE corpus-sized stage (the map-side-combinable daily
+    pre-agg); the recurrence is inherently sequential, so it folds over
+    the |days|-bounded sorted array on a single row — the q251
+    pinned-iteration discipline: never a window or join per step, and
+    |days| is ~10³ for a 3-year stream, nothing at any corpus scale.
+    """
+    from ..operators.timeseries import holt_table
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    return holt_table(daily).orderBy("day")
+
+
+Q258_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT day, x, row_number() OVER (ORDER BY day) AS i FROM daily
+), r AS (
+  SELECT i, day, x, CAST(x AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS tr,
+         CAST(NULL AS DOUBLE) AS f
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i, idx.day, idx.x,
+         {_HOLT_ALPHA} * idx.x + {1.0 - _HOLT_ALPHA} * (r.l + r.tr),
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * idx.x
+                          + {1.0 - _HOLT_ALPHA} * (r.l + r.tr)) - r.l)
+           + {1.0 - _HOLT_BETA} * r.tr,
+         r.l + r.tr
+  FROM r JOIN idx ON idx.i = r.i + 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, x,
+       round(f, 6) AS forecast, round(x - f, 6) AS resid,
+       round(l, 6) AS level, round(tr, 6) AS trend
+FROM r WHERE i >= 2 ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# q259 — HITS hubs/authorities on the customer x brand bipartite graph
+# --------------------------------------------------------------------------
+_HITS_TOPN = 10
+
+
+def q259_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) on the customer×brand purchase bipartite
+    graph, two pinned mutual-reinforcement iterations → the top-10
+    authority brands and top-10 hub customers: (side, node, score, r).
+    A hub is a customer whose basket concentrates on authoritative
+    brands; an authority is a brand bought by strong hubs — the
+    link-analysis complement of q132's PageRank (endorsement flows BOTH
+    ways here, and the graph is bipartite) and of q241's co-purchase
+    projection (HITS ranks nodes, the projection ranks edges).
+
+    Exactness: normalization is deferred — unnormalized HITS scores
+    after k sweeps are a positive scalar multiple of the normalized
+    ones, so the RANKING is identical and every score stays an exact
+    INTEGER sum of integer degrees (DECIMAL(38,0), cast before the
+    multiply-free adds): auth₁(b) = Σ_{c∈N(b)} deg(c), hub₂(c) =
+    Σ_{b∈N(c)} auth₁(b), auth₂(b) = Σ_{c∈N(b)} hub₂(c). No floats
+    anywhere; ties break on the node name.
+
+    Shape: the distinct (cust, brand) edge projection is built once
+    (part is a broadcast dim; the only fact-fact shuffle is
+    lineitem⋈orders) and persisted — it feeds the degree count and all
+    three propagation joins, each of which is edge-set-bounded (the
+    q242 label-propagation discipline). Score tables are node-sized;
+    the brand side is broadcast back onto edges.
+    """
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    dec = "decimal(38,0)"
+    cb = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    degc = cb.groupBy("cust").agg(F.count(F.lit(1)).cast(dec).alias("dc"))
+    auth1 = (
+        cb.join(degc, "cust")
+        .groupBy("brand")
+        .agg(F.sum("dc").cast(dec).alias("a1"))
+    )
+    hub2 = (
+        cb.join(F.broadcast(auth1), "brand")
+        .groupBy("cust")
+        .agg(F.sum("a1").cast(dec).alias("h2"))
+    )
+    auth2 = (
+        cb.join(hub2, "cust")
+        .groupBy("brand")
+        .agg(F.sum("h2").cast(dec).alias("a2"))
+    )
+    wa = Window.orderBy(F.desc("a2"), "brand")
+    wh = Window.orderBy(F.desc("h2"), "cust")
+    top_a = (
+        auth2.withColumn("r", F.row_number().over(wa).cast("bigint"))
+        .filter(F.col("r") <= _HITS_TOPN)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("brand").alias("node"),
+            F.col("a2").alias("score"),
+            "r",
+        )
+    )
+    top_h = (
+        hub2.withColumn("r", F.row_number().over(wh).cast("bigint"))
+        .filter(F.col("r") <= _HITS_TOPN)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("cust").cast("string").alias("node"),
+            F.col("h2").alias("score"),
+            "r",
+        )
+    )
+    res = top_a.unionByName(top_h).orderBy("side", "r")
+    return materialize_release(res, cb)
+
+
+Q259_SQL = f"""
+WITH cb AS (
+  SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS brand
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+), degc AS (
+  SELECT cust, CAST(count(*) AS DECIMAL(38,0)) AS dc FROM cb GROUP BY cust
+), auth1 AS (
+  SELECT brand, CAST(sum(dc) AS DECIMAL(38,0)) AS a1
+  FROM cb JOIN degc USING (cust) GROUP BY brand
+), hub2 AS (
+  SELECT cust, CAST(sum(a1) AS DECIMAL(38,0)) AS h2
+  FROM cb JOIN auth1 USING (brand) GROUP BY cust
+), auth2 AS (
+  SELECT brand, CAST(sum(h2) AS DECIMAL(38,0)) AS a2
+  FROM cb JOIN hub2 USING (cust) GROUP BY brand
+), ta AS (
+  SELECT 'authority' AS side, brand AS node, a2 AS score,
+         CAST(row_number() OVER (ORDER BY a2 DESC, brand) AS BIGINT) AS r
+  FROM auth2
+), th AS (
+  SELECT 'hub' AS side, CAST(cust AS VARCHAR) AS node, h2 AS score,
+         CAST(row_number() OVER (ORDER BY h2 DESC, cust) AS BIGINT) AS r
+  FROM hub2
+)
+SELECT side, node, score, r FROM ta WHERE r <= {_HITS_TOPN}
+UNION ALL
+SELECT side, node, score, r FROM th WHERE r <= {_HITS_TOPN}
+ORDER BY side, r
+"""
+
+
+# --------------------------------------------------------------------------
+# q260 — Theil-Sen robust trend of daily volume (median of pairwise slopes)
+# --------------------------------------------------------------------------
+
+
+def q260_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator over daily event volume → one row (n_days,
+    n_pairs, slope, intercept): slope = the lower median of all
+    C(|days|, 2) pairwise slopes (xⱼ−xᵢ)/(j−i) over day INDICES,
+    intercept = the lower median of (xᵢ − slope·i). The robust
+    complement of q258's Holt fit: a single corrupted day drags a
+    least-squares or exponential-smoothing trend arbitrarily far, while
+    Theil-Sen tolerates ~29% outliers — it's the trend you fit when the
+    series still CONTAINS the anomalies q228/q230 exist to find.
+
+    Exactness: day indices come from a row_number over the sorted
+    |days|-bounded frame, each slope is ONE double division of two
+    exact integers (IEEE-identical cross-engine), and the median is the
+    rank-⌈n/2⌉ element by (value, i, j) ordering — the q236 integer-rank
+    discipline, no averaging of middle elements, so ties and float
+    equality never diverge. Rounded once at the end.
+
+    Shape: one corpus-sized daily pre-agg; the pair fan-out is the
+    |days|² self-join of a |days|-row frame (435 pairs at 30 days,
+    ~5·10⁵ at 3 years — driver-trivial forever), then two rank
+    selections over it. Nothing downstream of the pre-agg scales with
+    the corpus.
+    """
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    idx = daily.select(
+        F.row_number()
+        .over(Window.orderBy("day"))
+        .cast("bigint")
+        .alias("i"),
+        "x",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = (
+        idx.alias("a")
+        .join(idx.alias("b"), F.col("b.i") > F.col("a.i"))
+        .select(
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+            (
+                (F.col("b.x") - F.col("a.x")).cast("double")
+                / (F.col("b.i") - F.col("a.i")).cast("double")
+            ).alias("s"),
+        )
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    ws = Window.orderBy("s", "i", "j")
+    slope = (
+        pairs.withColumn("r", F.row_number().over(ws))
+        .join(F.broadcast(n_pairs))
+        .filter(F.col("r") == F.ceil(F.col("n_pairs") / 2))
+        .select(F.col("s").alias("slope"), "n_pairs")
+    )
+    resid = idx.join(F.broadcast(slope)).select(
+        "i",
+        (F.col("x").cast("double") - F.col("slope") * F.col("i").cast("double"))
+        .alias("b0"),
+        "slope",
+        "n_pairs",
+    )
+    n_days = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    wb = Window.orderBy("b0", "i")
+    res = (
+        resid.withColumn("rb", F.row_number().over(wb))
+        .join(F.broadcast(n_days))
+        .filter(F.col("rb") == F.ceil(F.col("n_days") / 2))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round(F.col("slope"), 6).alias("slope"),
+            F.round(F.col("b0"), 6).alias("intercept"),
+        )
+    )
+    return materialize_release(res, idx)
+
+
+Q260_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i, x FROM daily
+), pairs AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS s
+  FROM idx a JOIN idx b ON b.i > a.i
+), np AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs
+), slope AS (
+  SELECT s AS slope, n_pairs
+  FROM (SELECT s, row_number() OVER (ORDER BY s, i, j) AS r FROM pairs)
+  CROSS JOIN np
+  WHERE r = CAST(ceil(n_pairs / 2.0) AS BIGINT)
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM idx
+), resid AS (
+  SELECT idx.i, CAST(idx.x AS DOUBLE) - slope.slope * CAST(idx.i AS DOUBLE) AS b0,
+         slope.slope, slope.n_pairs
+  FROM idx CROSS JOIN slope
+)
+SELECT n_days, n_pairs, round(slope, 6) AS slope, round(b0, 6) AS intercept
+FROM (SELECT *, row_number() OVER (ORDER BY b0, i) AS rb FROM resid)
+CROSS JOIN nd
+WHERE rb = CAST(ceil(n_days / 2.0) AS BIGINT)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -4633,4 +4950,7 @@ RELATIONAL_QUERIES = {
     "q251_markov_stationary": (q251_markov_stationary, Q251_SQL),
     "q252_seasonality_strength": (q252_seasonality_strength, Q252_SQL),
     "q253_histogram_quantiles": (q253_histogram_quantiles, Q253_SQL),
+    "q258_holt_linear": (q258_holt_linear, Q258_SQL),
+    "q259_hits": (q259_hits, Q259_SQL),
+    "q260_theil_sen": (q260_theil_sen, Q260_SQL),
 }

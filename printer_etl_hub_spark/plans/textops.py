@@ -11840,6 +11840,180 @@ FROM covered GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# q256 — per-source keyword extraction by 2x2 chi-square keyness
+# --------------------------------------------------------------------------
+#: Minimum in-source occurrences before a token can be a keyword — the
+#: standard small-expected-count guard for chi-square (tokens below it
+#: have unstable statistics and would flood the head with hapaxes).
+_KEYNESS_MIN_A = 5
+_KEYNESS_TOPN = 10
+
+
+def q256_chi2_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 KEYWORDS per source by 2×2 chi-square keyness → (source,
+    token, n_tok, chi2, krank): for each (token, source) contingency
+    table [[a, b], [c, d]] (a = token count in the source, b =
+    elsewhere, c/d = the complements), χ² = N·(ad − bc)² / ((a+b)(c+d)
+    (a+c)(b+d)), keeping only ENRICHED tokens (a·n₂ > b·n₁ — over-,
+    not under-represented) with a ≥ 5. The corpus-linguistics keyness
+    measure (Dunning's G² sibling without the log): what VOCABULARY
+    distinguishes this crawl source — the per-token complement of
+    q127's per-source aggregate divergence, which sums a reduced form
+    over tokens and can't say WHICH tokens drive it.
+
+    Exactness: the enrichment gate is integer (DECIMAL(38,0) products,
+    cast BEFORE the multiply); χ² itself is one fixed-order IEEE double
+    expression off integer cells — identical in both engines — rounded
+    once, and the per-source ranking orders by the ROUNDED value with
+    token tie-break, so floats never decide order ambiguously.
+
+    Shape: one (source, token) groupBy off the token explode (the only
+    corpus-sized stage, map-side combinable), a vocabulary-sized token
+    re-agg joined back on token, a |sources|-row broadcast for stream
+    sizes, and a per-source TOPN window over the source's own
+    (bounded) enriched-token set.
+    """
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    st = (
+        t["documents"]
+        .select("source", F.explode(tokenize(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+        # feeds the token re-agg, the source totals, and the score join
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = st.groupBy("token").agg(F.sum("a").cast("bigint").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("a").cast("bigint").alias("n1"))
+    grand = ns.agg(F.sum("n1").cast("bigint").alias("nn"))
+    ns = ns.join(F.broadcast(grand)).withColumn("n2", F.col("nn") - F.col("n1"))
+    dec = "decimal(38,0)"
+    cells = (
+        st.filter(F.col("a") >= _KEYNESS_MIN_A)
+        .join(tot, "token")
+        .join(F.broadcast(ns), "source")
+        .withColumn("b", F.col("c_t") - F.col("a"))
+        .withColumn("c", F.col("n1") - F.col("a"))
+        .withColumn("d", F.col("n2") - F.col("c_t") + F.col("a"))
+        # enrichment gate in exact integer arithmetic
+        .filter(
+            F.col("a").cast(dec) * F.col("n2") > F.col("b").cast(dec) * F.col("n1")
+        )
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    delta = dbl("a") * dbl("d") - dbl("b") * dbl("c")
+    chi2 = (dbl("nn") * (delta * delta)) / (
+        dbl("c_t") * (dbl("nn") - dbl("c_t")) * dbl("n1") * dbl("n2")
+    )
+    scored = cells.select(
+        "source",
+        "token",
+        F.col("a").alias("n_tok"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("chi2"), "token")
+    res = (
+        scored.withColumn("krank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("krank") <= _KEYNESS_TOPN)
+        .orderBy("source", "krank")
+    )
+    return materialize_release(res, st)
+
+
+Q256_SQL = rf"""
+WITH st AS (
+  SELECT source, tok AS token, CAST(count(*) AS BIGINT) AS a
+  FROM (SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY source, tok
+), tot AS (
+  SELECT token, CAST(sum(a) AS BIGINT) AS c_t FROM st GROUP BY token
+), ns AS (
+  SELECT source, CAST(sum(a) AS BIGINT) AS n1 FROM st GROUP BY source
+), g AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS nn FROM ns
+), cells AS (
+  SELECT st.source, st.token, st.a, tot.c_t, ns.n1, g.nn,
+         tot.c_t - st.a AS b, ns.n1 - st.a AS c,
+         (g.nn - ns.n1) - (tot.c_t - st.a) AS d,
+         g.nn - ns.n1 AS n2
+  FROM st JOIN tot USING (token) JOIN ns USING (source) CROSS JOIN g
+  WHERE st.a >= {_KEYNESS_MIN_A}
+    AND CAST(st.a AS DECIMAL(38,0)) * (g.nn - ns.n1)
+        > CAST(tot.c_t - st.a AS DECIMAL(38,0)) * ns.n1
+), scored AS (
+  SELECT source, token, a AS n_tok,
+         round(
+           (CAST(nn AS DOUBLE)
+            * ((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+               * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                  - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))))
+           / (CAST(c_t AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(c_t AS DOUBLE))
+              * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)),
+           6) AS chi2
+  FROM cells
+)
+SELECT source, token, n_tok, chi2,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY chi2 DESC, token)
+            AS BIGINT) AS krank
+FROM scored
+QUALIFY krank <= {_KEYNESS_TOPN}
+ORDER BY source, krank
+"""
+
+
+# --------------------------------------------------------------------------
+# q257 — blocked edit-distance near-duplicate pairs (record linkage)
+# --------------------------------------------------------------------------
+#: Stop-block cap: a (length-bucket, prefix) block holding more docs is
+#: template mass, not dup candidates — and Levenshtein is the family's
+#: most expensive comparator (O(len²) per pair), so runaway blocks cost
+#: quadratically TWICE. 64 passes every gate block untouched (measured
+#: max block = 23 at sf0.001/sf0.01).
+_EDIT_MAX_BLOCK = 64
+
+
+def q257_edit_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`operators/dedup.py::edit_distance_pairs` under the exact gate:
+    document pairs within 10% relative Levenshtein distance, candidates
+    blocked on (⌊len/32⌋, first-8-chars) with the 64-doc stop-block cap
+    → (a_id, b_id, dist, len_max), all integers. The string-metric
+    dedup member: catches char-level typo/OCR-noise duplicates that
+    shingle Jaccard under-scores (one edit rewrites a whole token's
+    shingles)."""
+    from ..operators.dedup import edit_distance_pairs
+
+    t = load_tables(spark, sf_dir)
+    return edit_distance_pairs(
+        t["documents"], "doc_id", "text", max_block=_EDIT_MAX_BLOCK
+    ).orderBy("a_id", "b_id")
+
+
+Q257_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+), b AS (
+  SELECT doc_id, t, length(t) AS ln,
+         CAST(floor(length(t) / 32) AS INT) AS lb, substr(t, 1, 8) AS pf
+  FROM d
+), k AS (
+  SELECT lb, pf FROM b GROUP BY lb, pf HAVING count(*) <= {_EDIT_MAX_BLOCK}
+), bb AS (
+  SELECT b.* FROM b JOIN k USING (lb, pf)
+)
+SELECT a.doc_id AS a_id, c.doc_id AS b_id,
+       CAST(levenshtein(a.t, c.t) AS BIGINT) AS dist,
+       CAST(greatest(a.ln, c.ln) AS BIGINT) AS len_max
+FROM bb a JOIN bb c ON a.lb = c.lb AND a.pf = c.pf AND a.doc_id < c.doc_id
+WHERE levenshtein(a.t, c.t) * 100 <= 10 * greatest(a.ln, c.ln)
+ORDER BY a_id, b_id
+"""
+
+
+# --------------------------------------------------------------------------
 
 
 TEXT_QUERIES = {
@@ -12003,4 +12177,6 @@ TEXT_QUERIES = {
     "q248_hybrid_fusion": (q248_hybrid_fusion, Q248_SQL),
     "q254_pca_scores": (q254_pca_scores, Q254_SQL),
     "q255_exactsubstr": (q255_exactsubstr, Q255_SQL),
+    "q256_chi2_keyness": (q256_chi2_keyness, Q256_SQL),
+    "q257_edit_dups": (q257_edit_dups, Q257_SQL),
 }

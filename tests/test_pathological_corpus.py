@@ -209,6 +209,14 @@ BOUNDARY_SENSITIVE = [
     # kept_text in EVERY member; the 5000-token outlier exercises the
     # interval-merge fold's linearity.
     "q255_exactsubstr",
+    # Round-10 additions: q256's disjoint-vocabulary source makes every
+    # kept token maximally keyed (d = n2 exactly — the 2x2 corner) and
+    # the repeated-single-token doc drives a token's c_t toward n1;
+    # q257's 30-way exact-duplicate block shares one (len-bucket,
+    # prefix) block and must emit all C(30,2) distance-0 pairs —
+    # C(30,2) < the 64-doc stop-block cap, by design.
+    "q256_chi2_keyness",
+    "q257_edit_dups",
 ]
 
 

@@ -254,6 +254,8 @@ BNLJ_ALLOWED = {
     "q252_seasonality_strength",  # 1-row between-groups scalar broadcast
     "q253_histogram_quantiles",  # 1-row (min,max,n) range scalar broadcast
     "q254_pca_scores",  # composes q245's 1-row norm/n scalar broadcasts
+    "q256_chi2_keyness",  # 1-row grand-total scalar broadcast (q127's class)
+    "q260_theil_sen",  # 1-row slope / n_pairs / n_days scalar broadcasts
 }
 
 

@@ -1627,3 +1627,69 @@ def test_hist_quantile_windowed_stream_late_data(spark, tmp_path):
         for r in hist_quantile_table(hist_b, rng, bins, ps).collect()
     }
     assert got_q == want_q and len(got_q) == len(ps)
+
+
+def test_holt_daily_sink_stream_equals_batch(spark, tmp_path):
+    """Incremental Holt linear-trend table: streaming the events table
+    through the foreachBatch sink (compaction triggered mid-stream) must
+    end with EXACTLY q258's batch output over the same rows — the shared
+    operators/timeseries.py::holt_table fold makes the equivalence
+    structural — and a re-delivered batch must be a no-op."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import holt_daily_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_id", "ts"
+    )
+    src = str(tmp_path / "holt_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    daily_dir = str(tmp_path / "holt_daily")
+    out_dir = str(tmp_path / "holt_out")
+    # compact_every=2 forces the base-fold path mid-stream (3 files)
+    sink = holt_daily_sink(daily_dir, out_dir, compact_every=2)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cols = lambda r: (r.day, r.x, r.forecast, r.resid, r.level, r.trend)
+    got = {cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()}
+    want = {
+        cols(r)
+        for r in REGISTRY["q258_holt_linear"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want and want
+
+    # compaction actually fired: a base partition exists
+    names = {
+        r.batch_id
+        for r in spark.read.parquet(daily_dir).select("batch_id").distinct().collect()
+    }
+    assert any(str(n).startswith("base-") for n in names)
+
+    # at-least-once re-delivery of the newest live batch is a no-op
+    live = [int(n) for n in names if not str(n).startswith("base-")]
+    if live:
+        last = max(live)
+        part = spark.read.parquet(f"{daily_dir}/batch_id={last}")
+        n_daily = spark.read.parquet(daily_dir).count()
+        rows = []
+        for r in part.collect():
+            rows.extend([(r.day,)] * r.x)
+        replay_df = spark.createDataFrame(rows, "day date").select(
+            F.col("day").cast("timestamp").alias("ts")
+        )
+        sink(replay_df, last)
+        assert spark.read.parquet(daily_dir).count() == n_daily
+        got2 = {
+            cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()
+        }
+        assert got2 == want

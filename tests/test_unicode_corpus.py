@@ -158,6 +158,12 @@ TEXT_KEYED = [
     # reassembles kept_text from multibyte tokens (single-space joins
     # must agree with DuckDB's string_agg on non-ASCII).
     "q255_exactsubstr",
+    # Round-10 additions: q256 ranks multibyte keywords (token
+    # tie-break compares non-ASCII strings identically cross-engine);
+    # q257's length buckets, 8-char prefixes, and Levenshtein must all
+    # count CHARACTERS, not bytes, identically on multibyte text.
+    "q256_chi2_keyness",
+    "q257_edit_dups",
 ]
 
 
