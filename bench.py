@@ -311,6 +311,7 @@ HEADLINE = [
     "q258_holt_linear",
     "q259_hits",
     "q260_theil_sen",
+    "q261_rrf_fusion",
 ]
 
 

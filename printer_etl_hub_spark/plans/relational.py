@@ -4695,7 +4695,7 @@ def q259_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("authority").alias("side"),
             F.col("brand").alias("node"),
-            F.col("a2").alias("score"),
+            F.col("a2").cast("string").alias("score"),
             "r",
         )
     )
@@ -4705,7 +4705,7 @@ def q259_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("hub").alias("side"),
             F.col("cust").cast("string").alias("node"),
-            F.col("h2").alias("score"),
+            F.col("h2").cast("string").alias("score"),
             "r",
         )
     )
@@ -4731,11 +4731,11 @@ WITH cb AS (
   SELECT brand, CAST(sum(h2) AS DECIMAL(38,0)) AS a2
   FROM cb JOIN hub2 USING (cust) GROUP BY brand
 ), ta AS (
-  SELECT 'authority' AS side, brand AS node, a2 AS score,
+  SELECT 'authority' AS side, brand AS node, CAST(a2 AS VARCHAR) AS score,
          CAST(row_number() OVER (ORDER BY a2 DESC, brand) AS BIGINT) AS r
   FROM auth2
 ), th AS (
-  SELECT 'hub' AS side, CAST(cust AS VARCHAR) AS node, h2 AS score,
+  SELECT 'hub' AS side, CAST(cust AS VARCHAR) AS node, CAST(h2 AS VARCHAR) AS score,
          CAST(row_number() OVER (ORDER BY h2 DESC, cust) AS BIGINT) AS r
   FROM hub2
 )

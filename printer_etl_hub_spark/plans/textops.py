@@ -11672,21 +11672,14 @@ if _FUSION_K != _BM25_TOPN:
     )
 
 
-def q248_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid search: fuse q104's BM25 top-20 with the embedding-cosine
-    top-20 for a pinned query vector by BORDA COUNT → (doc_id,
-    bm25_rank, cos_rank, fused), top-10. The keyword+vector blend every
-    production retrieval stack runs; Borda (weight K+1−rank, absent →
-    0) instead of reciprocal-rank fusion because 1/(k+r) is not an
-    exact binary double — integer weights keep the fused score and its
-    ordering engine-exact, while preserving RRF's rank-only character.
-
-    The pinned query: terms are q104's fixed list; the vector is the
-    embedding of the SMALLEST vec_id — a 1-row frame joined broadcast
-    (scalar-broadcast BNLJ, whitelisted), so the vector side costs one
-    O(n·d) cosine map + a top-20 TakeOrdered, never an O(n²) pair join.
-    The rank windows run on the two 20-row heads — constant-bounded.
-    """
+def _fusion_rank_legs(spark: SparkSession, sf_dir: str):
+    """The two retrieval heads q248/q261 fuse: (bmr, cr) — q104's BM25
+    top-20 ranked, and the embedding-cosine top-20 for the pinned query
+    vector (smallest vec_id), ranked. Both rank windows run on 20-row
+    heads; the cosine side is one O(n·d) broadcast map + TakeOrdered,
+    never a pair join. Zero-norm vectors are unrankable under cosine —
+    excluded in BOTH engines (the ivf_assign rule; unguarded, Spark's
+    ANSI mode throws DIVIDE_BY_ZERO where DuckDB yields NULL)."""
     t = load_tables(spark, sf_dir)
     bm = q104_bm25_topk(spark, sf_dir).select("doc_id", "bm25")
     wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
@@ -11697,9 +11690,6 @@ def q248_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
     )
-    # zero-norm vectors are unrankable under cosine — excluded in BOTH
-    # engines (the ivf_assign rule; unguarded, Spark's ANSI mode throws
-    # DIVIDE_BY_ZERO where DuckDB yields NULL — review r9)
     emb = emb.withColumn(
         "nrm", F.sqrt(F.aggregate("vd", F.lit(0.0), lambda acc, x: acc + x * x))
     ).filter(F.col("nrm") > 0)
@@ -11725,6 +11715,27 @@ def q248_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"),
         F.row_number().over(wc).cast("bigint").alias("cos_rank"),
     )
+    return bmr, cr
+
+
+def q248_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse q104's BM25 top-20 with the embedding-cosine
+    top-20 for a pinned query vector by BORDA COUNT → (doc_id,
+    bm25_rank, cos_rank, fused), top-10. The keyword+vector blend every
+    production retrieval stack runs; Borda (weight K+1−rank, absent →
+    0) instead of reciprocal-rank fusion because 1/(k+r) is not an
+    exact binary double — integer weights keep the fused score and its
+    ordering engine-exact, while preserving RRF's rank-only character.
+
+    The pinned query: terms are q104's fixed list; the vector is the
+    embedding of the SMALLEST vec_id — a 1-row frame joined broadcast
+    (scalar-broadcast BNLJ, whitelisted), so the vector side costs one
+    O(n·d) cosine map + a top-20 TakeOrdered, never an O(n²) pair join.
+    The rank windows run on the two 20-row heads — constant-bounded.
+    The two rank legs are shared with q261's exact-integer RRF via
+    `_fusion_rank_legs`.
+    """
+    bmr, cr = _fusion_rank_legs(spark, sf_dir)
     fused = (
         F.coalesce(F.lit(_FUSION_K + 1) - F.col("bm25_rank"), F.lit(0))
         + F.coalesce(F.lit(_FUSION_K + 1) - F.col("cos_rank"), F.lit(0))
@@ -12014,6 +12025,130 @@ ORDER BY a_id, b_id
 
 
 # --------------------------------------------------------------------------
+# q261 — reciprocal rank fusion, made ENGINE-EXACT (integer RRF)
+# --------------------------------------------------------------------------
+#: RRF smoothing constant (Cormack et al. 2009's published default).
+_RRF_C = 60
+
+
+def _lcm_range(lo: int, hi: int) -> int:
+    import math
+
+    out = 1
+    for n in range(lo, hi + 1):
+        out = out * n // math.gcd(out, n)
+    return out
+
+
+#: lcm(61..80) — every possible RRF denominator c + r for r = 1.._FUSION_K.
+#: Clearing denominators by this pinned constant turns 1/(c+r) — NOT an
+#: exact binary double, the reason q248 chose Borda — into the exact
+#: INTEGER lcm/(c+r): 24 digits, well inside DECIMAL(38,0), and a sum of
+#: two such weights keeps the TRUE RRF ordering (positive scaling).
+_RRF_LCM = _lcm_range(_RRF_C + 1, _RRF_C + _FUSION_K)
+#: weight[r-1] = lcm // (c + r), exact by construction.
+_RRF_W = [_RRF_LCM // (_RRF_C + r) for r in range(1, _FUSION_K + 1)]
+
+
+def q261_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Buettcher 2009) of the
+    SAME two retrieval heads as q248 → (doc_id, bm25_rank, cos_rank,
+    rrf_scaled), top-10: score(d) = Σ_legs 1/(60 + rank_leg(d)), the
+    other published rank-only fusion — RRF's harmonic weights decay
+    where Borda's are linear, so a #1 hit is worth relatively more and
+    deep-tail ranks almost nothing.
+
+    Exactness trick: 1/(60+r) is not an exact binary double (the
+    documented reason q248 went Borda), so the scores are CLEARED OF
+    DENOMINATORS by the pinned constant lcm(61..80): rrf_scaled =
+    Σ lcm/(60+rank), an exact 24-digit INTEGER per document (absent leg
+    → 0) that is a positive scalar multiple of the true RRF score —
+    identical ordering, zero float anywhere. Weights are Python-pinned
+    literals looked up by rank (element_at on a 20-element array), the
+    EWMA pinned-weight discipline.
+
+    Shape: composes `_fusion_rank_legs` (q248's two 20-row heads); the
+    fuse itself is a full-outer join of two 20-row frames.
+    """
+    bmr, cr = _fusion_rank_legs(spark, sf_dir)
+    warr = F.array(*[F.lit(str(w)).cast("decimal(38,0)") for w in _RRF_W])
+    rrf = (
+        F.coalesce(
+            F.element_at(warr, F.col("bm25_rank").cast("int")),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        + F.coalesce(
+            F.element_at(warr, F.col("cos_rank").cast("int")),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+    ).cast("decimal(38,0)")
+    return (
+        bmr.join(cr, "doc_id", "full_outer")
+        .select("doc_id", "bm25_rank", "cos_rank", rrf.alias("_rrf"))
+        .orderBy(F.desc("_rrf"), "doc_id")
+        .limit(_FUSION_TOPN)
+        # emitted as STRING: a 24-digit integer does not survive either
+        # engine's pandas bridge as float64 (2^53), and the driver's
+        # value-hash must see the exact digits
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "cos_rank",
+            F.col("_rrf").cast("string").alias("rrf_scaled"),
+        )
+    )
+
+
+_RRF_W_SQL = ", ".join(f"CAST('{w}' AS DECIMAL(38,0))" for w in _RRF_W)
+
+Q261_SQL = f"""
+WITH bm AS MATERIALIZED ({Q104_SQL}),
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS bm25_rank
+  FROM bm
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+nv AS MATERIALIZED (
+  SELECT vec_id, vd, nrm FROM (
+    SELECT vec_id, vd,
+           sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nrm
+    FROM v
+  ) WHERE nrm > 0
+),
+q AS (SELECT * FROM nv WHERE vec_id = (SELECT min(vec_id) FROM nv)),
+cosd AS (
+  SELECT nv.vec_id,
+         list_reduce(list_transform(range(1, len(nv.vd) + 1),
+                                    i -> nv.vd[i] * q.vd[i]), (x, y) -> x + y)
+           / (nv.nrm * q.nrm) AS c
+  FROM nv, q WHERE nv.vec_id <> q.vec_id
+),
+cr AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY c DESC, vec_id ASC) AS cos_rank
+  FROM cosd
+  QUALIFY cos_rank <= {_FUSION_K}
+),
+w AS (SELECT [{_RRF_W_SQL}] AS warr)
+SELECT doc_id, bm25_rank, cos_rank, CAST(rrf AS VARCHAR) AS rrf_scaled
+FROM (
+  SELECT COALESCE(bmr.doc_id, cr.doc_id) AS doc_id,
+         CAST(bmr.bm25_rank AS BIGINT) AS bm25_rank,
+         CAST(cr.cos_rank AS BIGINT) AS cos_rank,
+         COALESCE(warr[bmr.bm25_rank], CAST(0 AS DECIMAL(38,0)))
+           + COALESCE(warr[cr.cos_rank], CAST(0 AS DECIMAL(38,0))) AS rrf
+  FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id
+  CROSS JOIN w
+  ORDER BY rrf DESC, COALESCE(bmr.doc_id, cr.doc_id) LIMIT {_FUSION_TOPN}
+)
+"""
+
+
+# --------------------------------------------------------------------------
 
 
 TEXT_QUERIES = {
@@ -12179,4 +12314,5 @@ TEXT_QUERIES = {
     "q255_exactsubstr": (q255_exactsubstr, Q255_SQL),
     "q256_chi2_keyness": (q256_chi2_keyness, Q256_SQL),
     "q257_edit_dups": (q257_edit_dups, Q257_SQL),
+    "q261_rrf_fusion": (q261_rrf_fusion, Q261_SQL),
 }

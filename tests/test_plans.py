@@ -256,6 +256,7 @@ BNLJ_ALLOWED = {
     "q254_pca_scores",  # composes q245's 1-row norm/n scalar broadcasts
     "q256_chi2_keyness",  # 1-row grand-total scalar broadcast (q127's class)
     "q260_theil_sen",  # 1-row slope / n_pairs / n_days scalar broadcasts
+    "q261_rrf_fusion",  # composes q248's 1-row pinned-query-vector broadcast
 }
 
 
