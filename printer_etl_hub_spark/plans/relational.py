@@ -4586,8 +4586,13 @@ def q258_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import holt_table
 
     t = load_tables(spark, sf_dir)
+    # ts IS NOT NULL pinned in BOTH engines: a NULL day would sort FIRST
+    # in the fold's struct array but LAST in the oracle's ORDER BY (the
+    # q242/q251 NULL-divergence class) — an unstamped event has no place
+    # in a time series
     daily = (
         t["events"]
+        .filter(F.col("ts").isNotNull())
         .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
@@ -4599,7 +4604,7 @@ Q258_SQL = f"""
 WITH RECURSIVE daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(count(*) AS BIGINT) AS x
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), idx AS (
   SELECT day, x, row_number() OVER (ORDER BY day) AS i FROM daily
 ), r AS (
@@ -4777,8 +4782,11 @@ def q260_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     t = load_tables(spark, sf_dir)
+    # ts IS NOT NULL pinned in BOTH engines (the q258 rule): NULL days
+    # order differently under Spark's row_number vs DuckDB's
     daily = (
         t["events"]
+        .filter(F.col("ts").isNotNull())
         .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
@@ -4837,7 +4845,7 @@ Q260_SQL = """
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(count(*) AS BIGINT) AS x
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), idx AS (
   SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i, x FROM daily
 ), pairs AS (

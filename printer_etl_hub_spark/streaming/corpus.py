@@ -606,9 +606,9 @@ def holt_daily_sink(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         partial = (
-            batch_df.select(
-                F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
-            )
+            # ts IS NOT NULL: the q258 batch twin pins the same filter
+            batch_df.filter(F.col(ts_col).isNotNull())
+            .select(F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"))
             .groupBy("day")
             .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
         )

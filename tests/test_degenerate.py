@@ -59,7 +59,9 @@ NULLS_DIR = "/tmp/peh_nulls_corpus"
 def nulls_dir():
     """sf0.001 with NULLs injected into every nullable 'content' column:
     odd-id documents lose text, odd-id embeddings lose their vector,
-    every third document loses lang, every third event loses value."""
+    every third document loses lang, every third event loses value,
+    every fifth event loses ts (an unstamped event must never crash a
+    time-series plan — r10)."""
     if not os.path.exists(f"{NULLS_DIR}/documents.parquet"):
         os.makedirs(NULLS_DIR, exist_ok=True)
         con = duckdb.connect()
@@ -73,7 +75,9 @@ def nulls_dir():
                 "SELECT vec_id, CASE WHEN vec_id % 2 = 1 THEN NULL ELSE embedding END AS embedding, label"
             ),
             "events": (
-                "SELECT * REPLACE (CASE WHEN event_id % 3 = 1 THEN NULL ELSE value END AS value)"
+                "SELECT * REPLACE ("
+                "CASE WHEN event_id % 3 = 1 THEN NULL ELSE value END AS value, "
+                "CASE WHEN event_id % 5 = 1 THEN NULL ELSE ts END AS ts)"
             ),
         }
         for t in TABLES:
