@@ -312,6 +312,8 @@ HEADLINE = [
     "q259_hits",
     "q260_theil_sen",
     "q261_rrf_fusion",
+    "q262_benford_audit",
+    "q263_markov_attribution",
 ]
 
 

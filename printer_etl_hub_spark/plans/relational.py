@@ -4873,6 +4873,386 @@ WHERE rb = CAST(ceil(n_days / 2.0) AS BIGINT)
 """
 
 
+# --------------------------------------------------------------------------
+# q262 — Benford first-digit audit of order totals (fraud/quality screen)
+# --------------------------------------------------------------------------
+#: Benford expected first-digit probabilities log10(1 + 1/d), pinned as
+#: Python-evaluated literals at import (the EWMA-weight discipline:
+#: log() AT QUERY TIME is not bit-portable across engines; a pinned
+#: double literal is — repr() round-trips to the identical double in
+#: both parsers).
+import math as _math
+
+_BENFORD_P = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def q262_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice → one row per
+    digit 1-9: (digit, n_obs, p_obs, p_benford, contrib), where contrib
+    is the digit's χ² term (n − N·p)²/(N·p). The classic
+    fabricated-numbers screen (Benford 1938; the auditor's first test):
+    organic multiplicative amounts follow log10(1+1/d), and a digit
+    whose contrib dominates is where invented or re-keyed values hide.
+    Completes the data-quality audit family — q204 checks references,
+    q206 ranges, q207 keys; this checks the DISTRIBUTION of the values
+    themselves. (TPC-H's uniform synthetic prices deliberately fail
+    Benford — the audit's job is to MEASURE the deviation, and the
+    per-digit contribs show exactly where.)
+
+    Exactness: the first significant digit is extracted with INTEGER
+    arithmetic only — cents = totalprice·100 is an exact DECIMAL→BIGINT,
+    and a positive integer's canonical digit string opens with the
+    significant digit in both engines (no log10 at query time, which is
+    the usual — and non-portable — extraction). Expected probabilities
+    are pinned literals; each contrib is one fixed-order IEEE
+    expression off (bigint n, bigint N, pinned p), rounded once.
+
+    Shape: one corpus-sized scan → 9-group count (map-side combinable),
+    then a 1-row N broadcast onto 9 rows. Nothing downstream of the
+    count scales with the corpus.
+    """
+    t = load_tables(spark, sf_dir)
+    digit = F.substring(
+        (F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    n_tot = counts.agg(F.sum("n_obs").cast("bigint").alias("n_tot"))
+    p_exp = F.element_at(
+        F.array(*[F.lit(p) for p in _BENFORD_P]), F.col("digit")
+    )
+    e = F.col("n_tot").cast("double") * p_exp
+    contrib = (
+        (F.col("n_obs").cast("double") - e) * (F.col("n_obs").cast("double") - e)
+    ) / e
+    return (
+        counts.join(F.broadcast(n_tot))
+        .select(
+            F.col("digit").cast("bigint").alias("digit"),
+            "n_obs",
+            F.round(
+                F.col("n_obs").cast("double") / F.col("n_tot").cast("double"), 6
+            ).alias("p_obs"),
+            F.round(p_exp, 6).alias("p_benford"),
+            F.round(contrib, 6).alias("contrib"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_P_SQL = ", ".join(repr(p) for p in _BENFORD_P)
+
+Q262_SQL = f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1
+), nt AS (
+  SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM counts
+), pexp AS (SELECT [{_BENFORD_P_SQL}] AS ps)
+SELECT CAST(digit AS BIGINT) AS digit, n_obs,
+       round(CAST(n_obs AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS p_obs,
+       round(ps[digit], 6) AS p_benford,
+       round((CAST(n_obs AS DOUBLE) - CAST(n_tot AS DOUBLE) * ps[digit])
+             * (CAST(n_obs AS DOUBLE) - CAST(n_tot AS DOUBLE) * ps[digit])
+             / (CAST(n_tot AS DOUBLE) * ps[digit]), 6) AS contrib
+FROM counts CROSS JOIN nt CROSS JOIN pexp
+ORDER BY digit
+"""
+
+
+# --------------------------------------------------------------------------
+# q263 — Markov removal-effect attribution (Anderl et al. 2014)
+# --------------------------------------------------------------------------
+#: Pinned absorption-iteration count: a_K approximates (I−Q)⁻¹R by the
+#: truncated Neumann series Σ Qᵏ R — 16 synchronous rounds in BOTH
+#: engines (the q251 pinned-iteration discipline; the oracle unrolls
+#: the same 16 steps as chained CTEs).
+_ATTR_ROUNDS = 16
+_ATTR_START = "__start__"
+_ATTR_CONV = "__conv__"
+_ATTR_CONV_TYPE = "purchase"
+_ATTR_NONE = "__none__"
+
+
+def q263_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain REMOVAL-EFFECT attribution (Anderl et al. 2014 —
+    the data-driven successor to last-touch/linear): per channel,
+    (channel, p_base, p_removed, removal_effect, attribution). Each
+    user's journey is the event prefix up to their FIRST purchase
+    (START → e₁ → … → CONV; non-converters end in an implicit lost
+    state); transitions pool into a first-order chain, and a channel's
+    worth is how much the START→CONV absorption probability DROPS when
+    that channel is deleted (its in-edges leak to lost, never
+    renormalized): removal_effect = (p − p_c)/p, attribution =
+    removal effects normalized to 1. The causal-flavored complement of
+    q74's interval attribution (rule-based) and q251's stationary
+    distribution (no absorption).
+
+    EXACTNESS CONTRACT: absorption probabilities come from 16 pinned
+    synchronous rounds of a ← R + Q·a, run for the base chain and every
+    removal chain AS ONE (chain, state)-keyed frame — per-round
+    products sum through DECIMAL(38,18) (order-insensitive), per-cell
+    probabilities are one fixed-order double division, NULL event types
+    are excluded in both engines, and the oracle unrolls the identical
+    16 steps. Division guards: NULLIF on p_base and on the
+    removal-effect total (a chain with no conversions yields NULLs, not
+    a throw — the ANSI degenerate rule).
+
+    Shape: ONE corpus-sized pass (per-user row_number + first-purchase
+    min + lead, all inside one user-keyed window partitioning); the
+    chain frames are ≤ (|channels|+1)·|states|² rows and the iteration
+    never touches events again. The first-purchase frame joins back
+    user-keyed (never broadcast — it is |users|-sized at 100 TB).
+    """
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        t["events"]
+        .filter(F.col("event_type").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    firstp = (
+        ev.filter(F.col("event_type") == _ATTR_CONV_TYPE)
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("conv_rn"))
+    )
+    pre = (
+        ev.join(firstp, "user_id", "left")
+        .filter(F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn")))
+        .withColumn(
+            "node",
+            F.when(F.col("rn") == F.col("conv_rn"), F.lit(_ATTR_CONV)).otherwise(
+                F.col("event_type")
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    steps = (
+        pre.withColumn("nxt", F.lead("node").over(w2))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("node").alias("prev"), "nxt")
+    )
+    starts = pre.filter(F.col("rn") == 1).select(
+        F.lit(_ATTR_START).alias("prev"), F.col("node").alias("nxt")
+    )
+    # non-converters: their last node leaks to the lost state — the row
+    # exists only to keep row totals honest (sub-stochastic Q)
+    lasts = (
+        pre.withColumn("mx", F.max("rn").over(Window.partitionBy("user_id")))
+        .filter((F.col("rn") == F.col("mx")) & (F.col("node") != _ATTR_CONV))
+        .select(F.col("node").alias("prev"), F.lit("__lost__").alias("nxt"))
+    )
+    trans = (
+        steps.unionByName(starts)
+        .unionByName(lasts)
+        .groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = trans.groupBy("prev").agg(F.sum("n").cast("bigint").alias("tot"))
+    p = trans.join(F.broadcast(tot), "prev").select(
+        "prev",
+        "nxt",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
+    )
+    channels = (
+        pre.filter(F.col("node") != _ATTR_CONV)
+        .select(F.col("node").alias("ch"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    chains = channels.select(F.col("ch").alias("chain")).unionByName(
+        spark.range(1).select(F.lit(_ATTR_NONE).alias("chain"))
+    )
+    states = channels.select(F.col("ch").alias("state")).unionByName(
+        spark.range(1).select(F.lit(_ATTR_START).alias("state"))
+    )
+    r = p.filter(F.col("nxt") == _ATTR_CONV).select(
+        F.col("prev").alias("state"), F.col("p").alias("r")
+    )
+    # (chain, state) grid minus the removed channel; r defaults to 0
+    rbase = (
+        chains.join(states)
+        .filter(F.col("state") != F.col("chain"))
+        .join(r, "state", "left")
+        .select("chain", "state", F.coalesce("r", F.lit(0.0)).alias("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # per-chain Q: transitions between transient states, removed channel's
+    # rows AND columns dropped (its in-edges leak to lost — unrenormalized)
+    q_ch = (
+        p.join(states.withColumnRenamed("state", "nxt"), "nxt")
+        .join(chains)
+        .filter((F.col("prev") != F.col("chain")) & (F.col("nxt") != F.col("chain")))
+        .select("chain", "prev", "nxt", "p")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dec18 = "decimal(38,18)"
+    a = rbase.select("chain", "state", F.col("r").alias("a"))
+    for _ in range(_ATTR_ROUNDS):
+        contrib = (
+            q_ch.join(
+                a.select(
+                    F.col("chain"), F.col("state").alias("nxt"), F.col("a")
+                ),
+                ["chain", "nxt"],
+            )
+            .groupBy("chain", F.col("prev").alias("state"))
+            .agg(
+                F.sum((F.col("p") * F.col("a")).cast(dec18))
+                .cast("double")
+                .alias("c")
+            )
+        )
+        a = (
+            rbase.join(contrib, ["chain", "state"], "left")
+            .select(
+                "chain",
+                "state",
+                (F.col("r") + F.coalesce(F.col("c"), F.lit(0.0))).alias("a"),
+            )
+            # cut lineage each round: 16 lazily-nested join+agg rounds
+            # explode Catalyst planning time; the frame is (chains x
+            # states)-sized, so the eager checkpoint is trivial (the
+            # q100 iterative-trainer idiom)
+            .localCheckpoint(eager=True)
+        )
+    astart = a.filter(F.col("state") == _ATTR_START).select("chain", "a")
+    p_base = astart.filter(F.col("chain") == _ATTR_NONE).select(
+        F.col("a").alias("p_base")
+    )
+    per_ch = (
+        astart.filter(F.col("chain") != _ATTR_NONE)
+        .join(F.broadcast(p_base))
+        .select(
+            F.col("chain").alias("channel"),
+            "p_base",
+            F.col("a").alias("p_removed"),
+            (
+                (F.col("p_base") - F.col("a")) / F.nullif("p_base", F.lit(0.0))
+            ).alias("re"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    re_tot = per_ch.agg(
+        F.sum(F.col("re").cast(dec18)).cast("double").alias("re_tot")
+    )
+    res = (
+        per_ch.join(F.broadcast(re_tot))
+        .select(
+            "channel",
+            F.round("p_base", 9).alias("p_base"),
+            F.round("p_removed", 9).alias("p_removed"),
+            F.round("re", 9).alias("removal_effect"),
+            F.round(
+                F.col("re") / F.nullif("re_tot", F.lit(0.0)), 9
+            ).alias("attribution"),
+        )
+        .orderBy("channel")
+    )
+    return materialize_release(res, pre, channels, rbase, q_ch, per_ch)
+
+
+def _attr_sql_steps(k: int) -> str:
+    """The oracle's k unrolled absorption rounds: a_i ← r + Q·a_{i-1},
+    products summed through DECIMAL(38,18) like the Spark loop."""
+    out = ["a0 AS MATERIALIZED (SELECT chain, state, r AS a FROM rbase)"]
+    for i in range(1, k + 1):
+        out.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT rb.chain, rb.state, rb.r + COALESCE(c.s, 0.0) AS a
+  FROM rbase rb
+  LEFT JOIN (
+    SELECT q.chain, q.prev AS state,
+           CAST(SUM(CAST(q.p * ap.a AS DECIMAL(38,18))) AS DOUBLE) AS s
+    FROM q_ch q JOIN a{i - 1} ap ON ap.chain = q.chain AND ap.state = q.nxt
+    GROUP BY q.chain, q.prev
+  ) c ON c.chain = rb.chain AND c.state = rb.state
+)"""
+        )
+    return ",\n".join(out)
+
+
+Q263_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type IS NOT NULL
+), firstp AS (
+  SELECT user_id, min(rn) AS conv_rn FROM ev
+  WHERE event_type = '{_ATTR_CONV_TYPE}' GROUP BY user_id
+), pre AS MATERIALIZED (
+  SELECT ev.user_id, ev.rn,
+         CASE WHEN ev.rn = f.conv_rn THEN '{_ATTR_CONV}'
+              ELSE ev.event_type END AS node
+  FROM ev LEFT JOIN firstp f USING (user_id)
+  WHERE f.conv_rn IS NULL OR ev.rn <= f.conv_rn
+), steps AS (
+  SELECT node AS prev,
+         lead(node) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+  FROM pre
+), trans AS MATERIALIZED (
+  SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT prev, nxt FROM steps WHERE nxt IS NOT NULL
+    UNION ALL
+    SELECT '{_ATTR_START}' AS prev, node AS nxt FROM pre WHERE rn = 1
+    UNION ALL
+    SELECT node AS prev, '__lost__' AS nxt
+    FROM (SELECT node, rn, max(rn) OVER (PARTITION BY user_id) AS mx FROM pre)
+    WHERE rn = mx AND node <> '{_ATTR_CONV}'
+  ) GROUP BY prev, nxt
+), tot AS (
+  SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM trans GROUP BY prev
+), p AS MATERIALIZED (
+  SELECT t.prev, t.nxt, CAST(t.n AS DOUBLE) / CAST(tt.tot AS DOUBLE) AS p
+  FROM trans t JOIN tot tt USING (prev)
+), channels AS (
+  SELECT DISTINCT node AS ch FROM pre WHERE node <> '{_ATTR_CONV}'
+), chains AS (
+  SELECT ch AS chain FROM channels UNION ALL SELECT '{_ATTR_NONE}'
+), states AS (
+  SELECT ch AS state FROM channels UNION ALL SELECT '{_ATTR_START}'
+), r AS (
+  SELECT prev AS state, p AS r FROM p WHERE nxt = '{_ATTR_CONV}'
+), rbase AS MATERIALIZED (
+  SELECT c.chain, s.state, COALESCE(r.r, 0.0) AS r
+  FROM chains c CROSS JOIN states s LEFT JOIN r ON r.state = s.state
+  WHERE s.state <> c.chain
+), q_ch AS MATERIALIZED (
+  SELECT c.chain, p.prev, p.nxt, p.p
+  FROM p JOIN states st ON st.state = p.nxt CROSS JOIN chains c
+  WHERE p.prev <> c.chain AND p.nxt <> c.chain
+),
+{_attr_sql_steps(_ATTR_ROUNDS)},
+astart AS (
+  SELECT chain, a FROM a{_ATTR_ROUNDS} WHERE state = '{_ATTR_START}'
+), pb AS (
+  SELECT a AS p_base FROM astart WHERE chain = '{_ATTR_NONE}'
+), per_ch AS (
+  SELECT chain AS channel, pb.p_base, a AS p_removed,
+         (pb.p_base - a) / NULLIF(pb.p_base, 0.0) AS re
+  FROM astart CROSS JOIN pb WHERE chain <> '{_ATTR_NONE}'
+), rt AS (
+  SELECT CAST(SUM(CAST(re AS DECIMAL(38,18))) AS DOUBLE) AS re_tot FROM per_ch
+)
+SELECT channel, round(p_base, 9) AS p_base, round(p_removed, 9) AS p_removed,
+       round(re, 9) AS removal_effect,
+       round(re / NULLIF(rt.re_tot, 0.0), 9) AS attribution
+FROM per_ch CROSS JOIN rt
+ORDER BY channel
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -4961,4 +5341,6 @@ RELATIONAL_QUERIES = {
     "q258_holt_linear": (q258_holt_linear, Q258_SQL),
     "q259_hits": (q259_hits, Q259_SQL),
     "q260_theil_sen": (q260_theil_sen, Q260_SQL),
+    "q262_benford_audit": (q262_benford_audit, Q262_SQL),
+    "q263_markov_attribution": (q263_markov_attribution, Q263_SQL),
 }

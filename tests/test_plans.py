@@ -257,6 +257,8 @@ BNLJ_ALLOWED = {
     "q256_chi2_keyness",  # 1-row grand-total scalar broadcast (q127's class)
     "q260_theil_sen",  # 1-row slope / n_pairs / n_days scalar broadcasts
     "q261_rrf_fusion",  # composes q248's 1-row pinned-query-vector broadcast
+    "q262_benford_audit",  # 1-row N scalar broadcast (q89's class)
+    "q263_markov_attribution",  # chain x state grid builds (|channels|+1-row broadcasts)
 }
 
 
