@@ -4973,12 +4973,17 @@ ORDER BY digit
 #: Pinned absorption-iteration count: a_K approximates (I−Q)⁻¹R by the
 #: truncated Neumann series Σ Qᵏ R — 16 synchronous rounds in BOTH
 #: engines (the q251 pinned-iteration discipline; the oracle unrolls
-#: the same 16 steps as chained CTEs).
-_ATTR_ROUNDS = 16
-_ATTR_START = "__start__"
-_ATTR_CONV = "__conv__"
+#: the same 16 steps as chained CTEs). The chain solve itself lives in
+#: operators/attribution.py::attribution_table, shared verbatim with
+#: the streaming journey-state sink — stream≡batch is structural.
+from ..operators.attribution import ATTR_CONV as _ATTR_CONV
+from ..operators.attribution import ATTR_LOST as _ATTR_LOST
+from ..operators.attribution import ATTR_NONE as _ATTR_NONE
+from ..operators.attribution import ATTR_ROUNDS as _ATTR_ROUNDS
+from ..operators.attribution import ATTR_START as _ATTR_START
+from ..operators.attribution import attribution_table
+
 _ATTR_CONV_TYPE = "purchase"
-_ATTR_NONE = "__none__"
 
 
 def q263_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5051,7 +5056,7 @@ def q263_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     lasts = (
         pre.withColumn("mx", F.max("rn").over(Window.partitionBy("user_id")))
         .filter((F.col("rn") == F.col("mx")) & (F.col("node") != _ATTR_CONV))
-        .select(F.col("node").alias("prev"), F.lit("__lost__").alias("nxt"))
+        .select(F.col("node").alias("prev"), F.lit(_ATTR_LOST).alias("nxt"))
     )
     trans = (
         steps.unionByName(starts)
@@ -5059,108 +5064,9 @@ def q263_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev", "nxt")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    tot = trans.groupBy("prev").agg(F.sum("n").cast("bigint").alias("tot"))
-    p = trans.join(F.broadcast(tot), "prev").select(
-        "prev",
-        "nxt",
-        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
-    )
-    channels = (
-        pre.filter(F.col("node") != _ATTR_CONV)
-        .select(F.col("node").alias("ch"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    chains = channels.select(F.col("ch").alias("chain")).unionByName(
-        spark.range(1).select(F.lit(_ATTR_NONE).alias("chain"))
-    )
-    states = channels.select(F.col("ch").alias("state")).unionByName(
-        spark.range(1).select(F.lit(_ATTR_START).alias("state"))
-    )
-    r = p.filter(F.col("nxt") == _ATTR_CONV).select(
-        F.col("prev").alias("state"), F.col("p").alias("r")
-    )
-    # (chain, state) grid minus the removed channel; r defaults to 0
-    rbase = (
-        chains.join(states)
-        .filter(F.col("state") != F.col("chain"))
-        .join(r, "state", "left")
-        .select("chain", "state", F.coalesce("r", F.lit(0.0)).alias("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # per-chain Q: transitions between transient states, removed channel's
-    # rows AND columns dropped (its in-edges leak to lost — unrenormalized)
-    q_ch = (
-        p.join(states.withColumnRenamed("state", "nxt"), "nxt")
-        .join(chains)
-        .filter((F.col("prev") != F.col("chain")) & (F.col("nxt") != F.col("chain")))
-        .select("chain", "prev", "nxt", "p")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    dec18 = "decimal(38,18)"
-    a = rbase.select("chain", "state", F.col("r").alias("a"))
-    for _ in range(_ATTR_ROUNDS):
-        contrib = (
-            q_ch.join(
-                a.select(
-                    F.col("chain"), F.col("state").alias("nxt"), F.col("a")
-                ),
-                ["chain", "nxt"],
-            )
-            .groupBy("chain", F.col("prev").alias("state"))
-            .agg(
-                F.sum((F.col("p") * F.col("a")).cast(dec18))
-                .cast("double")
-                .alias("c")
-            )
-        )
-        a = (
-            rbase.join(contrib, ["chain", "state"], "left")
-            .select(
-                "chain",
-                "state",
-                (F.col("r") + F.coalesce(F.col("c"), F.lit(0.0))).alias("a"),
-            )
-            # cut lineage each round: 16 lazily-nested join+agg rounds
-            # explode Catalyst planning time; the frame is (chains x
-            # states)-sized, so the eager checkpoint is trivial (the
-            # q100 iterative-trainer idiom)
-            .localCheckpoint(eager=True)
-        )
-    astart = a.filter(F.col("state") == _ATTR_START).select("chain", "a")
-    p_base = astart.filter(F.col("chain") == _ATTR_NONE).select(
-        F.col("a").alias("p_base")
-    )
-    per_ch = (
-        astart.filter(F.col("chain") != _ATTR_NONE)
-        .join(F.broadcast(p_base))
-        .select(
-            F.col("chain").alias("channel"),
-            "p_base",
-            F.col("a").alias("p_removed"),
-            (
-                (F.col("p_base") - F.col("a")) / F.nullif("p_base", F.lit(0.0))
-            ).alias("re"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    re_tot = per_ch.agg(
-        F.sum(F.col("re").cast(dec18)).cast("double").alias("re_tot")
-    )
-    res = (
-        per_ch.join(F.broadcast(re_tot))
-        .select(
-            "channel",
-            F.round("p_base", 9).alias("p_base"),
-            F.round("p_removed", 9).alias("p_removed"),
-            F.round("re", 9).alias("removal_effect"),
-            F.round(
-                F.col("re") / F.nullif("re_tot", F.lit(0.0)), 9
-            ).alias("attribution"),
-        )
-        .orderBy("channel")
-    )
-    return materialize_release(res, pre, channels, rbase, q_ch, per_ch)
+    res = attribution_table(trans)
+    pre.unpersist(blocking=False)
+    return res
 
 
 def _attr_sql_steps(k: int) -> str:

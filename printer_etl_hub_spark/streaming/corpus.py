@@ -638,6 +638,156 @@ def holt_daily_sink(
     return _sink
 
 
+def attribution_sink(
+    state_dir: str,
+    trans_dir: str,
+    out_dir: str,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    eid_col: str = "event_id",
+    type_col: str = "event_type",
+    conv_type: str = "purchase",
+):
+    """foreachBatch sink: incrementally-maintained Markov removal-effect
+    attribution — the streaming twin of q263 (plans/relational.py),
+    sharing its chain solve verbatim via
+    `operators/attribution.py::attribution_table`. Journeys span
+    micro-batches: a per-user JOURNEY-STATE store (last node seen,
+    converted flag) lets each batch contribute exactly its own
+    transitions — the cross-batch edge (state.last_node → first batch
+    node) included — and post-conversion events are dropped for good
+    once a user's first purchase lands.
+
+    Stores: ``state_dir`` and ``trans_dir`` hold ``batch_id=<n>``
+    partitions written with overwrite (re-delivery rewrites identical
+    content — both are deterministic functions of the batch rows +
+    PRIOR-batch state, which `_read_history` excludes this batch from).
+    The state read rule is newest-row-per-user over all prior
+    partitions. Open journeys are NOT logged as lost in the partials
+    (they are still open); instead the table build derives one
+    last_node → lost edge per unconverted user from the CURRENT state,
+    so the solved chain equals the batch operator's — which is exactly
+    the contract: under ts-ordered arrival (the funnel family's
+    ordered-arrival assumption), the final ``<out_dir>/current`` table
+    equals q263's batch output over the same rows
+    (tests/test_streaming.py), open journeys counted lost-as-of-now.
+
+    Cost shape per batch: one batch-sized window pass + a user-keyed
+    state join; the table rebuild reads |transitions-so-far| partials
+    (≤ |states|² rows each) and solves the (chains × states)-sized
+    system — corpus-independent. Late (out-of-order) events violate the
+    contract the same way they do the funnel's; route disordered feeds
+    through the batch query instead.
+    """
+    from ..operators.attribution import ATTR_CONV, ATTR_LOST, ATTR_START
+    from ..operators.attribution import attribution_frames
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.sql import Window
+
+        ev = batch_df.filter(F.col(type_col).isNotNull()).select(
+            F.col(id_col).alias("_u"),
+            F.col(ts_col).alias("_ts"),
+            F.col(eid_col).alias("_eid"),
+            F.col(type_col).alias("_t"),
+        )
+        hist = _read_history(spark, state_dir, batch_id)
+        if hist is not None:
+            wl = Window.partitionBy("_u").orderBy(F.desc("batch_id"))
+            st = (
+                hist.select("_u", "last_node", "converted", "batch_id")
+                .withColumn("_r", F.row_number().over(wl))
+                .filter(F.col("_r") == 1)
+                .drop("_r", "batch_id")
+            )
+        else:
+            st = None
+        if st is not None:
+            ev = (
+                ev.join(st, "_u", "left")
+                .filter(~F.coalesce(F.col("converted"), F.lit(False)))
+                .select("_u", "_ts", "_eid", "_t", "last_node")
+            )
+        else:
+            ev = ev.withColumn("last_node", F.lit(None).cast("string"))
+        w = Window.partitionBy("_u").orderBy("_ts", "_eid")
+        seq = ev.withColumn("rn", F.row_number().over(w))
+        firstp = (
+            seq.filter(F.col("_t") == conv_type)
+            .groupBy("_u")
+            .agg(F.min("rn").alias("conv_rn"))
+        )
+        pre = (
+            seq.join(firstp, "_u", "left")
+            .filter(F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn")))
+            .withColumn(
+                "node",
+                F.when(F.col("rn") == F.col("conv_rn"), F.lit(ATTR_CONV)).otherwise(
+                    F.col("_t")
+                ),
+            )
+            .localCheckpoint(eager=True)  # feeds steps/entries/state write
+        )
+        w2 = Window.partitionBy("_u").orderBy("rn")
+        steps = (
+            pre.withColumn("nxt", F.lead("node").over(w2))
+            .filter(F.col("nxt").isNotNull())
+            .select(F.col("node").alias("prev"), "nxt")
+        )
+        entries = pre.filter(F.col("rn") == 1).select(
+            F.coalesce(F.col("last_node"), F.lit(ATTR_START)).alias("prev"),
+            F.col("node").alias("nxt"),
+        )
+        trans = (
+            steps.unionByName(entries)
+            .groupBy("prev", "nxt")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        trans.write.mode("overwrite").parquet(f"{trans_dir}/batch_id={batch_id}")
+        new_state = (
+            pre.withColumn("mx", F.max("rn").over(Window.partitionBy("_u")))
+            .filter(F.col("rn") == F.col("mx"))
+            .select(
+                "_u",
+                F.col("node").alias("last_node"),
+                (F.col("node") == ATTR_CONV).alias("converted"),
+            )
+        )
+        new_state.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+        # table build: pooled partials + lost-as-of-now edges from the
+        # CURRENT state (this batch included)
+        all_trans = (
+            spark.read.parquet(trans_dir)
+            .groupBy("prev", "nxt")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        wl2 = Window.partitionBy("_u").orderBy(F.desc("batch_id"))
+        cur = (
+            spark.read.parquet(state_dir)
+            .withColumn("_r", F.row_number().over(wl2))
+            .filter(F.col("_r") == 1)
+        )
+        lost = (
+            cur.filter(~F.col("converted"))
+            .groupBy(F.col("last_node").alias("prev"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select("prev", F.lit(ATTR_LOST).alias("nxt"), "n")
+        )
+        # attribution_frames, not attribution_table: the sink runs on a
+        # streaming thread, and the deferred-pin ledger is thread-scoped
+        # (query-at-a-time); the write materializes the result here, so
+        # the pins release immediately after
+        res, pins = attribution_frames(all_trans.unionByName(lost))
+        res.write.mode("overwrite").parquet(f"{out_dir}/current")
+        for fr in pins:
+            fr.unpersist(blocking=False)
+
+    return _sink
+
+
 def hist_quantile_sink(
     store_dir: str,
     out_dir: str,
