@@ -314,6 +314,8 @@ HEADLINE = [
     "q261_rrf_fusion",
     "q262_benford_audit",
     "q263_markov_attribution",
+    "q264_lorenz_curve",
+    "q265_winsorized_moments",
 ]
 
 

@@ -38,7 +38,7 @@ r6: q20-q24, q26, q27, q29, q30, q32-q36, q46-q48, q51, q57-q71,
 r5: q02, q04, q06, q08-q11, q13, q15, q25, q100, q101, q103,
     q105-q107, q109-q113, q115-q122, q125, q128-q131, q133-q137;
 never: q37 (by design), q241-q254 (landed round 9, judge-verified
-    exact twice that session; gated THIS round — r10), q255-q263
+    exact twice that session; gated THIS round — r10), q255-q265
     (landed round 10 AFTER this round's window was committed;
     oracle-verified exact at sf0.001 + sf0.01 in-session and
     pre-committed to LEAD the round-11 window above).

@@ -5159,6 +5159,220 @@ ORDER BY channel
 """
 
 
+# --------------------------------------------------------------------------
+# q264 — Lorenz curve of user activity (the curve behind q226's Gini)
+# --------------------------------------------------------------------------
+
+
+def q264_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile Lorenz curve of per-user event counts → 10 rows (decile,
+    cum_users, cum_events, cum_share): the cumulative event share held
+    by the bottom k/10 of users ordered by activity. q226 reports the
+    Gini SCALAR (twice the area above this curve); product and
+    capacity teams read the CURVE — "the bottom 50% of users generate
+    cum_share of traffic, the top decile the rest" — to set per-user
+    caps and sampling tiers.
+
+    Exactness: users rank by the q226 total order (count, user_id) via
+    ``dist_rank`` (never a single-partition window over |users|);
+    decile assignment is pure INTEGER arithmetic ((i·10 − 1) div n + 1
+    — no float division at a boundary can misplace a user); cumulative
+    sums run over the 10-row decile frame in DECIMAL(38,0); one double
+    division per row, rounded once.
+
+    Shape: one user groupBy (the only corpus-sized agg) + the
+    distributed rank's range shuffle; everything after is 10 rows.
+    """
+    from .common import dist_rank
+
+    t = load_tables(spark, sf_dir)
+    per = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    ranked, pin = dist_rank(per, ["x", "user_id"], out="i")
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    dec = (
+        ranked.join(F.broadcast(tot))
+        .select(
+            F.expr("(i * 10 - 1) div n + 1").cast("int").alias("decile"),
+            "x",
+            "sx",
+        )
+        .groupBy("decile", "sx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users_d"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("ev_d"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    res = dec.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.sum("n_users_d").over(wcum).cast("bigint").alias("cum_users"),
+        F.sum("ev_d").over(wcum).cast("bigint").alias("cum_events"),
+        F.round(
+            F.sum("ev_d").over(wcum).cast("double") / F.col("sx").cast("double"),
+            9,
+        ).alias("cum_share"),
+    ).orderBy("decile")
+    return materialize_release(res, pin)
+
+
+Q264_SQL = """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY user_id
+), ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+  FROM per
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM ranked
+), dec AS (
+  SELECT CAST((i * 10 - 1) // n + 1 AS INT) AS decile, sx,
+         CAST(count(*) AS BIGINT) AS n_users_d,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ev_d
+  FROM ranked CROSS JOIN tot
+  GROUP BY 1, 2
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(sum(n_users_d) OVER w AS BIGINT) AS cum_users,
+       CAST(sum(ev_d) OVER w AS BIGINT) AS cum_events,
+       round(CAST(sum(ev_d) OVER w AS DOUBLE) / CAST(sx AS DOUBLE), 9)
+         AS cum_share
+FROM dec
+WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY decile
+"""
+
+
+# --------------------------------------------------------------------------
+# q265 — winsorized moments of event value (robust mean/std)
+# --------------------------------------------------------------------------
+#: Winsorization percentiles (the standard 90% window).
+_WINSOR_LO = 0.05
+_WINSOR_HI = 0.95
+
+
+def q265_winsorized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95-winsorized mean and standard deviation of event value → one
+    row (n, v_lo, v_hi, w_mean, w_std): values below the 5th / above
+    the 95th percentile CLAMP to those thresholds before the moments.
+    The robust-statistics complement of q216 (MAD flags outliers; this
+    produces the summary statistics a dashboard quotes once outliers
+    are known to exist — a raw mean over a heavy tail is whatever the
+    whale did today).
+
+    Exactness: thresholds are type-1 percentiles — the rank-⌈p·n⌉
+    value under the (value, event_id) total order via ``dist_rank``
+    (the q43/q226 discipline, no middle-averaging); clamped values sum
+    through DECIMAL(25,6) and their squares through the exact product
+    DECIMAL — order-insensitive in both engines; the final mean/std are
+    single fixed-order double expressions with a portable sqrt,
+    NULLIF-guarded for n ≤ 1.
+
+    Shape: one dist_rank range shuffle over non-NULL values, two
+    scalar-broadcast thresholds, one clamp+moments aggregation pass.
+    """
+    from .common import dist_rank
+
+    t = load_tables(spark, sf_dir)
+    vals = (
+        t["events"]
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    ranked, pin = dist_rank(vals, ["value", "event_id"], out="i")
+    n_tot = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    thr = (
+        ranked.join(F.broadcast(n_tot))
+        .filter(
+            (F.col("i") == F.ceil(F.lit(_WINSOR_LO) * F.col("n")))
+            | (F.col("i") == F.ceil(F.lit(_WINSOR_HI) * F.col("n")))
+        )
+        .join(F.broadcast(n_tot.select(F.col("n").alias("_n"))))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("i") == F.ceil(F.lit(_WINSOR_LO) * F.col("_n")),
+                    F.col("value"),
+                )
+            ).alias("v_lo"),
+            F.min(
+                F.when(
+                    F.col("i") == F.ceil(F.lit(_WINSOR_HI) * F.col("_n")),
+                    F.col("value"),
+                )
+            ).alias("v_hi"),
+        )
+    )
+    dec6 = "decimal(25,6)"
+    clamped = ranked.join(F.broadcast(thr)).select(
+        F.least(F.greatest(F.col("value"), F.col("v_lo")), F.col("v_hi"))
+        .cast(dec6)
+        .alias("w"),
+        "v_lo",
+        "v_hi",
+    )
+    agg = clamped.groupBy("v_lo", "v_hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    )
+    mean = F.col("sw").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("n").cast("double") * F.col("sww").cast("double")
+        - F.col("sw").cast("double") * F.col("sw").cast("double")
+    ) / (
+        F.col("n").cast("double")
+        * F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
+    )
+    res = agg.select(
+        "n",
+        F.round("v_lo", 6).alias("v_lo"),
+        F.round("v_hi", 6).alias("v_hi"),
+        F.round(mean, 9).alias("w_mean"),
+        F.round(F.sqrt(var), 9).alias("w_std"),
+    )
+    return materialize_release(res, pin)
+
+
+Q265_SQL = f"""
+WITH vals AS (
+  SELECT event_id, value FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT value, CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS i
+  FROM vals
+), nt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ranked
+), thr AS (
+  SELECT min(CASE WHEN i = CAST(ceil({_WINSOR_LO} * n) AS BIGINT)
+                  THEN value END) AS v_lo,
+         min(CASE WHEN i = CAST(ceil({_WINSOR_HI} * n) AS BIGINT)
+                  THEN value END) AS v_hi
+  FROM ranked CROSS JOIN nt
+  WHERE i = CAST(ceil({_WINSOR_LO} * n) AS BIGINT)
+     OR i = CAST(ceil({_WINSOR_HI} * n) AS BIGINT)
+), agg AS (
+  SELECT v_lo, v_hi, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(least(greatest(value, v_lo), v_hi) AS DECIMAL(25,6))) AS sw,
+         sum(CAST(least(greatest(value, v_lo), v_hi) AS DECIMAL(25,6))
+             * CAST(least(greatest(value, v_lo), v_hi) AS DECIMAL(25,6))) AS sww
+  FROM ranked CROSS JOIN thr
+  GROUP BY v_lo, v_hi
+)
+SELECT n, round(v_lo, 6) AS v_lo, round(v_hi, 6) AS v_hi,
+       round(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE), 9) AS w_mean,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(sww AS DOUBLE)
+                   - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+                  / (CAST(n AS DOUBLE)
+                     * NULLIF(CAST(n - 1 AS DOUBLE), 0.0))), 9) AS w_std
+FROM agg
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -5249,4 +5463,6 @@ RELATIONAL_QUERIES = {
     "q260_theil_sen": (q260_theil_sen, Q260_SQL),
     "q262_benford_audit": (q262_benford_audit, Q262_SQL),
     "q263_markov_attribution": (q263_markov_attribution, Q263_SQL),
+    "q264_lorenz_curve": (q264_lorenz_curve, Q264_SQL),
+    "q265_winsorized_moments": (q265_winsorized_moments, Q265_SQL),
 }

@@ -259,6 +259,8 @@ BNLJ_ALLOWED = {
     "q261_rrf_fusion",  # composes q248's 1-row pinned-query-vector broadcast
     "q262_benford_audit",  # 1-row N scalar broadcast (q89's class)
     "q263_markov_attribution",  # chain x state grid builds (|channels|+1-row broadcasts)
+    "q264_lorenz_curve",  # 1-row (n, sx) totals scalar broadcast (q226's class)
+    "q265_winsorized_moments",  # 1-row n + 1-row thresholds scalar broadcasts
 }
 
 
