@@ -4692,11 +4692,18 @@ def q259_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand")
         .agg(F.sum("h2").cast(dec).alias("a2"))
     )
+    # Top-N discipline (q124 pattern): orderBy().limit() lowers to
+    # TakeOrderedAndProject — a per-partition heap + driver merge — and the
+    # rank window only ever sees the N-row head.  A bare
+    # Window.orderBy(...).row_number() would single-partition-sort the
+    # |customers|-sized hub frame (InferWindowGroupLimit does not fire for
+    # empty partition specs on Spark 4.1).
     wa = Window.orderBy(F.desc("a2"), "brand")
     wh = Window.orderBy(F.desc("h2"), "cust")
     top_a = (
-        auth2.withColumn("r", F.row_number().over(wa).cast("bigint"))
-        .filter(F.col("r") <= _HITS_TOPN)
+        auth2.orderBy(F.desc("a2"), "brand")
+        .limit(_HITS_TOPN)
+        .withColumn("r", F.row_number().over(wa).cast("bigint"))
         .select(
             F.lit("authority").alias("side"),
             F.col("brand").alias("node"),
@@ -4705,8 +4712,9 @@ def q259_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top_h = (
-        hub2.withColumn("r", F.row_number().over(wh).cast("bigint"))
-        .filter(F.col("r") <= _HITS_TOPN)
+        hub2.orderBy(F.desc("h2"), "cust")
+        .limit(_HITS_TOPN)
+        .withColumn("r", F.row_number().over(wh).cast("bigint"))
         .select(
             F.lit("hub").alias("side"),
             F.col("cust").cast("string").alias("node"),
@@ -5020,9 +5028,14 @@ def q263_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts IS NOT NULL is load-bearing, not hygiene: the journey order key is
+    # a nullable ts, and Spark sorts NULLs FIRST ascending while the oracle
+    # (DuckDB) sorts them LAST — an unstamped event would silently reorder
+    # a journey and shift every downstream transition count.  Same rule as
+    # q258/q260; the oracle's ev CTE carries the matching predicate.
     ev = (
         t["events"]
-        .filter(F.col("event_type").isNotNull())
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", "ts", "event_id", "event_type")
         .withColumn("rn", F.row_number().over(w))
     )
@@ -5093,7 +5106,7 @@ Q263_SQL = f"""
 WITH ev AS (
   SELECT user_id, event_type,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events WHERE event_type IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
 ), firstp AS (
   SELECT user_id, min(rn) AS conv_rn FROM ev
   WHERE event_type = '{_ATTR_CONV_TYPE}' GROUP BY user_id

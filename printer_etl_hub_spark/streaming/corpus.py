@@ -647,6 +647,7 @@ def attribution_sink(
     eid_col: str = "event_id",
     type_col: str = "event_type",
     conv_type: str = "purchase",
+    compact_every: int = 64,
 ):
     """foreachBatch sink: incrementally-maintained Markov removal-effect
     attribution — the streaming twin of q263 (plans/relational.py),
@@ -673,36 +674,133 @@ def attribution_sink(
     (tests/test_streaming.py), open journeys counted lost-as-of-now.
 
     Cost shape per batch: one batch-sized window pass + a user-keyed
-    state join; the table rebuild reads |transitions-so-far| partials
-    (≤ |states|² rows each) and solves the (chains × states)-sized
-    system — corpus-independent. Late (out-of-order) events violate the
-    contract the same way they do the funnel's; route disordered feeds
-    through the batch query instead.
+    state join; the table rebuild reads the compacted transition store
+    (≤ |states|² rows per live dir) and solves the (chains ×
+    states)-sized system — corpus-independent. Late (out-of-order)
+    events violate the contract the same way they do the funnel's;
+    route disordered feeds through the batch query instead.
+
+    COMPACTION (ADVICE r10 #3 — without it both stores accumulate one
+    ``batch_id=<n>`` partition per micro-batch forever, so per-batch
+    rebuild cost, the newest-row-per-user window, and file-listing
+    counts grow linearly with stream LIFETIME): the ewma/holt
+    ``base-<n>`` + ``_SUCCESS`` protocol, with one twist — the fold
+    covers only partials STRICTLY BEFORE the current batch, and the
+    base is stamped with the newest folded id. Folding the current
+    batch in would be wrong here (unlike ewma's pure-merge store):
+    this sink's outputs are functions of the PRIOR-batch state, so a
+    re-delivered batch b must be able to re-read history that excludes
+    b — which base-<m> with m < b preserves exactly (the folded set is
+    precisely the partials the read rule served before the fold).
+    Transition counts fold as mergeable sums; the state store folds as
+    newest-row-per-user, and base rows re-enter the recency order at
+    the stamp (every live partial postdates it by construction).
+    Steady-state read cost: ≤ compact_every+1 dirs per store.
+
+    ts IS NOT NULL matches q263's batch scan (ADVICE r10 #1): the
+    journey order key is nullable, and an unstamped event would
+    reorder journeys differently in Spark (NULLS FIRST) than in the
+    oracle (NULLS LAST).
     """
+    from pyspark.sql import Window
+
     from ..operators.attribution import ATTR_CONV, ATTR_LOST, ATTR_START
     from ..operators.attribution import attribution_frames
 
+    def _read_state(spark, upto_exclusive: int | None = None):
+        """Newest committed base + live partials (optionally only those
+        with id < upto_exclusive), as one frame with an effective
+        ``batch_id`` recency column (base rows carry the stamp)."""
+        base, live, _ = _list_partial_store(spark, state_dir)
+        if upto_exclusive is not None:
+            live = [i for i in live if i < upto_exclusive]
+        frames = []
+        if base is not None:
+            frames.append(
+                spark.read.parquet(f"{state_dir}/batch_id=base-{base}")
+                .select("_u", "last_node", "converted")
+                .withColumn("batch_id", F.lit(int(base)).cast("bigint"))
+            )
+        if live:
+            frames.append(
+                spark.read.option("basePath", state_dir)
+                .parquet(*[f"{state_dir}/batch_id={i}" for i in live])
+                .select(
+                    "_u",
+                    "last_node",
+                    "converted",
+                    F.col("batch_id").cast("bigint").alias("batch_id"),
+                )
+            )
+        if not frames:
+            return None
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    def _newest_per_user(df):
+        wl = Window.partitionBy("_u").orderBy(F.desc("batch_id"))
+        return (
+            df.withColumn("_r", F.row_number().over(wl))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+
+    def _read_trans(spark, upto_exclusive: int | None = None):
+        base, live, _ = _list_partial_store(spark, trans_dir)
+        if upto_exclusive is not None:
+            live = [i for i in live if i < upto_exclusive]
+        paths = [f"{trans_dir}/batch_id=base-{base}"] if base is not None else []
+        paths += [f"{trans_dir}/batch_id={i}" for i in live]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths).select("prev", "nxt", "n")
+
+    def _compact(spark, batch_id: int) -> None:
+        """Fold partials with id < batch_id in both stores once
+        ``compact_every`` of them are live; sweep folded/stale dirs."""
+        for store, is_state in ((trans_dir, False), (state_dir, True)):
+            base, live, _ = _list_partial_store(spark, store)
+            prior = [i for i in live if i < batch_id]
+            if len(prior) < compact_every:
+                continue
+            stamp = max(prior)
+            if is_state:
+                folded = _newest_per_user(_read_state(spark, batch_id)).select(
+                    "_u", "last_node", "converted"
+                )
+            else:
+                folded = (
+                    _read_trans(spark, batch_id)
+                    .groupBy("prev", "nxt")
+                    .agg(F.sum("n").cast("bigint").alias("n"))
+                )
+            folded.write.mode("overwrite").parquet(f"{store}/batch_id=base-{stamp}")
+            _, _, names = _list_partial_store(spark, store)
+            keep = {f"batch_id=base-{stamp}"} | {
+                f"batch_id={i}" for i in live if i >= batch_id
+            }
+            stale = [
+                nm for nm in names if nm.startswith("batch_id=") and nm not in keep
+            ]
+            _delete_store_dirs(spark, store, stale)
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        from pyspark.sql import Window
 
-        ev = batch_df.filter(F.col(type_col).isNotNull()).select(
+        ev = batch_df.filter(
+            F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+        ).select(
             F.col(id_col).alias("_u"),
             F.col(ts_col).alias("_ts"),
             F.col(eid_col).alias("_eid"),
             F.col(type_col).alias("_t"),
         )
-        hist = _read_history(spark, state_dir, batch_id)
-        if hist is not None:
-            wl = Window.partitionBy("_u").orderBy(F.desc("batch_id"))
-            st = (
-                hist.select("_u", "last_node", "converted", "batch_id")
-                .withColumn("_r", F.row_number().over(wl))
-                .filter(F.col("_r") == 1)
-                .drop("_r", "batch_id")
-            )
-        else:
-            st = None
+        hist = _read_state(spark, upto_exclusive=batch_id)
+        st = (
+            _newest_per_user(hist).drop("batch_id") if hist is not None else None
+        )
         if st is not None:
             ev = (
                 ev.join(st, "_u", "left")
@@ -757,19 +855,14 @@ def attribution_sink(
         new_state.write.mode("overwrite").parquet(
             f"{state_dir}/batch_id={batch_id}"
         )
-        # table build: pooled partials + lost-as-of-now edges from the
-        # CURRENT state (this batch included)
+        # table build: pooled store (base + live partials) + lost-as-of-now
+        # edges from the CURRENT state (this batch included)
         all_trans = (
-            spark.read.parquet(trans_dir)
+            _read_trans(spark)
             .groupBy("prev", "nxt")
             .agg(F.sum("n").cast("bigint").alias("n"))
         )
-        wl2 = Window.partitionBy("_u").orderBy(F.desc("batch_id"))
-        cur = (
-            spark.read.parquet(state_dir)
-            .withColumn("_r", F.row_number().over(wl2))
-            .filter(F.col("_r") == 1)
-        )
+        cur = _newest_per_user(_read_state(spark))
         lost = (
             cur.filter(~F.col("converted"))
             .groupBy(F.col("last_node").alias("prev"))
@@ -784,6 +877,10 @@ def attribution_sink(
         res.write.mode("overwrite").parquet(f"{out_dir}/current")
         for fr in pins:
             fr.unpersist(blocking=False)
+        # fold prior partials AFTER the table is current: the fold never
+        # includes this batch, so a re-delivery of it still reads the
+        # exact pre-fold history (see docstring)
+        _compact(spark, batch_id)
 
     return _sink
 

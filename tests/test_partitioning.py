@@ -202,3 +202,124 @@ def test_q95_deciles_distributed_no_global_sort(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange SinglePartition") <= 1, final
     assert "rangepartitioning(q" in final, final
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide plan-shape guard (VERDICT r10 #3): no unpartitioned window
+# over a corpus-scaled frame anywhere in the 265-query surface.
+# ---------------------------------------------------------------------------
+
+# Nodes that merely pass rows through (or reshuffle them) between a window
+# and the operator that actually determines its input's size class.
+_PASS_THROUGH = (
+    "Project",
+    "Filter",
+    "Sort",
+    "Exchange",
+    "ShuffleQueryStage",
+    "AQEShuffleRead",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "ColumnarToRow",
+    "Coalesce",
+    "ReusedExchange",
+)
+# A window whose input went through any of these is head-sized by definition.
+_LIMIT_NODES = (
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+)
+_AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+# Aggregates grouped ONLY by a physical-partition id or a fixed bucket id
+# are n_parts-/n_buckets-bounded however big the corpus is: the dist_rank /
+# q77 / q95 offset-table discipline (plans/common.py).
+_BOUNDED_KEY = ("_pid#", "pid#", "_bucket#")
+
+# Unpartitioned windows whose input frame is bounded by CONSTRUCTION, not
+# by a limit or an offset-shaped aggregate. value = (expected window count,
+# why the frame cannot scale with the corpus). Keep this list exact: a new
+# entry needs the same written size argument, and a plan change that adds
+# or removes one of these windows must be re-justified here.
+_BOUNDED_BY_CONSTRUCTION = {
+    "q253_histogram_quantiles": (1, "CDF over the 256-bin histogram frame"),
+    "q134_vocab_growth": (1, "running sum over the 10-row bucket table"),
+    "q260_theil_sen": (
+        2,
+        "median rank over the |days|^2 slope-pair frame (~5e5 pairs at a "
+        "3-year range; time-bounded, documented in the q260 docstring)",
+    ),
+    "q264_lorenz_curve": (1, "cumulative sums over the 10-row decile frame"),
+    "q200_budget_allocation": (
+        1,
+        "largest-remainder apportionment over the |sources|-row share table",
+    ),
+}
+
+
+def _children(node):
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _window_input_class(node):
+    """Descend from a window's child through pass-through nodes and return
+    ('limit'|'offset_agg'|'other', node_name)."""
+    cur = node
+    while True:
+        name = cur.nodeName()
+        if any(name.startswith(p) for p in _LIMIT_NODES):
+            return "limit", name
+        if any(name.startswith(p) for p in _AGG_NODES):
+            head = cur.toString().splitlines()[0]
+            keys = head.split("keys=[", 1)[1].split("]", 1)[0] if "keys=[" in head else ""
+            cols = [k.strip() for k in keys.split(",") if k.strip()]
+            if cols and all(any(b in c for b in _BOUNDED_KEY) for c in cols):
+                return "offset_agg", name
+            return "other", name
+        kids = _children(cur)
+        if any(name.startswith(p) for p in _PASS_THROUGH) and len(kids) == 1:
+            cur = kids[0]
+            continue
+        return "other", name
+
+
+def _scan_unbounded_windows(node, hits):
+    if node.nodeName() == "Window" and node.partitionSpec().size() == 0:
+        kids = _children(node)
+        cls, nm = _window_input_class(kids[0]) if kids else ("other", "?")
+        if cls == "other":
+            hits.append(nm)
+    for k in _children(node):
+        _scan_unbounded_windows(k, hits)
+
+
+def test_registry_has_no_unpartitioned_window_over_unbounded_frame(spark):
+    """Walk the physical plan of EVERY registry query and reject any
+    window with an empty partition spec whose input is not provably
+    small: a limit head (q124/q259 TakeOrdered discipline), an
+    offset-table aggregate keyed only by a partition/bucket id
+    (dist_rank / q77 / q95), or a frame in the documented
+    bounded-by-construction whitelist above. This is the guard the r10
+    verdict asked for after q259 shipped a row_number over the
+    |customers|-sized hub frame: InferWindowGroupLimit does NOT rescue
+    empty-partition-spec windows on Spark 4.1, so any such window is a
+    single-task sort of whatever feeds it."""
+    from printer_etl_hub_spark.plans import REGISTRY
+
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        df = spec.fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan()
+        if "Adaptive" in plan.getClass().getName():
+            plan = plan.initialPlan()
+        hits = []
+        _scan_unbounded_windows(plan, hits)
+        expected = _BOUNDED_BY_CONSTRUCTION.get(name, (0, ""))[0]
+        if len(hits) != expected:
+            offenders[name] = (hits, expected)
+    assert not offenders, (
+        "unpartitioned windows over non-bounded frames (got_inputs, "
+        f"expected_whitelisted_count): {offenders}"
+    )
