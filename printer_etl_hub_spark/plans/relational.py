@@ -5033,19 +5033,20 @@ def q263_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (DuckDB) sorts them LAST — an unstamped event would silently reorder
     # a journey and shift every downstream transition count.  Same rule as
     # q258/q260; the oracle's ev CTE carries the matching predicate.
-    ev = (
+    # conv_rn as a whole-partition min over the SAME user partitioning —
+    # one shuffle total; a groupBy+self-join would recompute the
+    # row_number window twice and shuffle the events three times
+    pre = (
         t["events"]
         .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", "ts", "event_id", "event_type")
         .withColumn("rn", F.row_number().over(w))
-    )
-    firstp = (
-        ev.filter(F.col("event_type") == _ATTR_CONV_TYPE)
-        .groupBy("user_id")
-        .agg(F.min("rn").alias("conv_rn"))
-    )
-    pre = (
-        ev.join(firstp, "user_id", "left")
+        .withColumn(
+            "conv_rn",
+            F.min(
+                F.when(F.col("event_type") == _ATTR_CONV_TYPE, F.col("rn"))
+            ).over(Window.partitionBy("user_id")),
+        )
         .filter(F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn")))
         .withColumn(
             "node",
@@ -5102,41 +5103,25 @@ def _attr_sql_steps(k: int) -> str:
     return ",\n".join(out)
 
 
-Q263_SQL = f"""
-WITH ev AS (
-  SELECT user_id, event_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
-), firstp AS (
-  SELECT user_id, min(rn) AS conv_rn FROM ev
-  WHERE event_type = '{_ATTR_CONV_TYPE}' GROUP BY user_id
-), pre AS MATERIALIZED (
-  SELECT ev.user_id, ev.rn,
-         CASE WHEN ev.rn = f.conv_rn THEN '{_ATTR_CONV}'
-              ELSE ev.event_type END AS node
-  FROM ev LEFT JOIN firstp f USING (user_id)
-  WHERE f.conv_rn IS NULL OR ev.rn <= f.conv_rn
-), steps AS (
-  SELECT node AS prev,
-         lead(node) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
-  FROM pre
-), trans AS MATERIALIZED (
-  SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n FROM (
-    SELECT prev, nxt FROM steps WHERE nxt IS NOT NULL
-    UNION ALL
-    SELECT '{_ATTR_START}' AS prev, node AS nxt FROM pre WHERE rn = 1
-    UNION ALL
-    SELECT node AS prev, '__lost__' AS nxt
-    FROM (SELECT node, rn, max(rn) OVER (PARTITION BY user_id) AS mx FROM pre)
-    WHERE rn = mx AND node <> '{_ATTR_CONV}'
-  ) GROUP BY prev, nxt
-), tot AS (
+def _attr_chain_sql() -> str:
+    """The chain-solve SQL tail — everything downstream of a
+    ``trans(prev, nxt, n)`` CTE: transition probabilities, per-chain
+    removal grids, the 16 unrolled absorption rounds, and
+    the removal-effect table. Shared verbatim by ``Q263_SQL`` and the
+    random-chain property gate
+    (tests/test_operators.py::test_attribution_solve_matches_duckdb_on_random_chains),
+    so the pandas chain solve (`operators/attribution.py::_solve_chain`)
+    is oracle-checked on arbitrary synthetic chains, not only on the
+    events-table instance."""
+    return f"""tot AS (
   SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM trans GROUP BY prev
 ), p AS MATERIALIZED (
   SELECT t.prev, t.nxt, CAST(t.n AS DOUBLE) / CAST(tt.tot AS DOUBLE) AS p
   FROM trans t JOIN tot tt USING (prev)
 ), channels AS (
-  SELECT DISTINCT node AS ch FROM pre WHERE node <> '{_ATTR_CONV}'
+  SELECT DISTINCT ch FROM (
+    SELECT prev AS ch FROM trans UNION ALL SELECT nxt AS ch FROM trans
+  ) WHERE ch NOT IN ('{_ATTR_START}', '{_ATTR_CONV}', '__lost__')
 ), chains AS (
   SELECT ch AS chain FROM channels UNION ALL SELECT '{_ATTR_NONE}'
 ), states AS (
@@ -5168,7 +5153,39 @@ SELECT channel, round(p_base, 9) AS p_base, round(p_removed, 9) AS p_removed,
        round(re, 9) AS removal_effect,
        round(re / NULLIF(rt.re_tot, 0.0), 9) AS attribution
 FROM per_ch CROSS JOIN rt
-ORDER BY channel
+ORDER BY channel"""
+
+
+Q263_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+), firstp AS (
+  SELECT user_id, min(rn) AS conv_rn FROM ev
+  WHERE event_type = '{_ATTR_CONV_TYPE}' GROUP BY user_id
+), pre AS MATERIALIZED (
+  SELECT ev.user_id, ev.rn,
+         CASE WHEN ev.rn = f.conv_rn THEN '{_ATTR_CONV}'
+              ELSE ev.event_type END AS node
+  FROM ev LEFT JOIN firstp f USING (user_id)
+  WHERE f.conv_rn IS NULL OR ev.rn <= f.conv_rn
+), steps AS (
+  SELECT node AS prev,
+         lead(node) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+  FROM pre
+), trans AS MATERIALIZED (
+  SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT prev, nxt FROM steps WHERE nxt IS NOT NULL
+    UNION ALL
+    SELECT '{_ATTR_START}' AS prev, node AS nxt FROM pre WHERE rn = 1
+    UNION ALL
+    SELECT node AS prev, '__lost__' AS nxt
+    FROM (SELECT node, rn, max(rn) OVER (PARTITION BY user_id) AS mx FROM pre)
+    WHERE rn = mx AND node <> '{_ATTR_CONV}'
+  ) GROUP BY prev, nxt
+),
+{_attr_chain_sql()}
 """
 
 

@@ -810,14 +810,16 @@ def attribution_sink(
         else:
             ev = ev.withColumn("last_node", F.lit(None).cast("string"))
         w = Window.partitionBy("_u").orderBy("_ts", "_eid")
-        seq = ev.withColumn("rn", F.row_number().over(w))
-        firstp = (
-            seq.filter(F.col("_t") == conv_type)
-            .groupBy("_u")
-            .agg(F.min("rn").alias("conv_rn"))
-        )
+        # conv_rn via whole-partition min on the same user partitioning —
+        # one shuffle, mirroring q263's batch scan
         pre = (
-            seq.join(firstp, "_u", "left")
+            ev.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "conv_rn",
+                F.min(F.when(F.col("_t") == conv_type, F.col("rn"))).over(
+                    Window.partitionBy("_u")
+                ),
+            )
             .filter(F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn")))
             .withColumn(
                 "node",

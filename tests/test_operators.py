@@ -1046,3 +1046,94 @@ def test_ivf_probe_sweep_matches_ivf_topk_and_is_monotone(spark):
             ).collect()
         }
         assert got[p] == ref, f"sweep level {p} diverges from ivf_topk"
+
+
+def test_attribution_solve_matches_duckdb_on_random_chains(spark):
+    """Property gate for the pandas chain solve (`_solve_chain`): on 12
+    seeded RANDOM transition-count frames — varying channel counts,
+    sparsity, a conversion-free chain (the ANSI NULL degenerate), and
+    count magnitudes up to 10^9 — `attribution_table` must equal the
+    UNROLLED DuckDB oracle (`plans/relational.py::_attr_chain_sql`, the
+    exact SQL tail q263's gate runs) cell-for-cell. This is what lets
+    the solve run imperatively per chain: the DECIMAL(38,18) replication
+    is re-proven on arbitrary chains every run, not just on the events
+    table."""
+    import math
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from printer_etl_hub_spark.operators.attribution import attribution_table
+    from printer_etl_hub_spark.plans.relational import _attr_chain_sql
+
+    def cells_equal(a, b):
+        if a is None and b is None:
+            return True
+        if isinstance(a, float) and isinstance(b, float):
+            return (math.isnan(a) and math.isnan(b)) or a == b
+        return a == b
+
+    con = duckdb.connect()
+    for seed in range(12):
+        rng = random.Random(seed)
+        n_ch = rng.randint(1, 8)
+        chans = [f"ch{i}" for i in range(n_ch)]
+        rows = []
+        # every channel is entered from start or another channel; random
+        # outgoing edges to channels / conv / lost with random counts
+        for c in chans:
+            rows.append(("__start__", c, rng.randint(1, 10**9)))
+            for nxt in rng.sample(chans, k=rng.randint(0, n_ch - 1) if n_ch > 1 else 0):
+                if nxt != c:
+                    rows.append((c, nxt, rng.randint(1, 10**6)))
+            if seed % 4 != 3:  # seed%4==3 → conversion-free chain
+                if rng.random() < 0.8:
+                    rows.append((c, "__conv__", rng.randint(1, 10**4)))
+            rows.append((c, "__lost__", rng.randint(1, 10**5)))
+        rows = list({(p, n): c for p, n, c in rows}.items())
+        rows = [(p, n, c) for (p, n), c in rows]
+        pdf = pd.DataFrame(rows, columns=["prev", "nxt", "n"])
+        trans = spark.createDataFrame(pdf.astype({"n": "int64"}))
+        got = (
+            attribution_table(trans)
+            .toPandas()
+            .sort_values("channel")
+            .reset_index(drop=True)
+        )
+        con.register("trans_tbl", pdf)
+        want = con.execute(
+            "WITH trans AS (SELECT * FROM trans_tbl),\n" + _attr_chain_sql()
+        ).df()
+        want = want.sort_values("channel").reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), (seed, got.columns)
+        assert len(got) == len(want) == n_ch, (seed, len(got), len(want))
+        for col in got.columns:
+            for i, (x, y) in enumerate(zip(got[col], want[col])):
+                x = None if x is None or (isinstance(x, float) and pd.isna(x)) else x
+                y = None if y is None or (isinstance(y, float) and pd.isna(y)) else y
+                assert cells_equal(x, y), (seed, col, i, x, y)
+
+
+def test_decimal_cast_replication_pinned_live(spark):
+    """Pin the `_solve_chain` docstring's claim against the LIVE JVM
+    every run: Spark's double→DECIMAL(38,18) cast equals
+    Decimal(repr(x)).quantize(1e-18, HALF_UP) (shortest-round-trip
+    string + HALF_UP), and decimal→double equals float(Decimal). 20k
+    doubles across magnitudes, fresh seed per Spark version bump."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    df = spark.range(20_000).select(
+        (F.rand(seed=11) * F.pow(F.lit(10.0), F.rand(seed=12) * F.lit(-20.0))).alias(
+            "x"
+        )
+    )
+    s = df.select(
+        "x",
+        F.col("x").cast("decimal(38,18)").cast("string").alias("c"),
+        F.col("x").cast("decimal(38,18)").cast("double").alias("d"),
+    ).toPandas()
+    q = Decimal("1e-18")
+    for x, c, d in zip(s["x"], s["c"], s["d"]):
+        assert Decimal(repr(x)).quantize(q, ROUND_HALF_UP) == Decimal(c), (x, c)
+        assert float(Decimal(c)) == d, (c, d)

@@ -1772,3 +1772,97 @@ def test_attribution_sink_stream_equals_batch(spark, tmp_path):
     assert spark.read.parquet(trans_dir).count() == n_trans
     got2 = {cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()}
     assert got2 == want
+
+
+def test_attribution_sink_compaction_and_null_ts_equals_batch(spark, tmp_path):
+    """ADVICE r10 #3 (store compaction) and #1 (NULL-ts exclusion) in one
+    harness: the events table streams in SIX ts-ordered micro-batches
+    with compact_every=2, so both the transition store and the per-user
+    state store fold into base partitions MID-stream; two NULL-ts rows
+    are injected into the stream (q263's batch scan never sees them, so
+    equality holds only if the sink drops them identically). Final table
+    must equal q263's batch output, both stores must stay bounded, and
+    re-delivering the last batch after a fold must be a no-op."""
+    import os
+
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import attribution_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"].select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cuts = [
+        r[0]
+        for r in ev.selectExpr(
+            "percentile(cast(ts as double), array(1/6,2/6,3/6,4/6,5/6)) p"
+        )
+        .selectExpr("explode(p)")
+        .collect()
+    ]
+    bounds = [None, *cuts, None]
+    nulls = spark.createDataFrame(
+        [(999901, None, 999901, "click"), (999902, None, 999902, "purchase")],
+        schema=ev.schema,
+    )
+    src = str(tmp_path / "attr_src_c")
+    slices = []
+    for i in range(6):
+        s = ev
+        if bounds[i] is not None:
+            s = s.filter(F.col("ts").cast("double") >= bounds[i])
+        if bounds[i + 1] is not None:
+            s = s.filter(F.col("ts").cast("double") < bounds[i + 1])
+        if i in (1, 4):  # NULL-ts rows must be dropped wherever they land
+            s = s.unionByName(nulls.limit(1) if i == 1 else nulls)
+        slices.append(s)
+    slices[0].coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    state_dir = str(tmp_path / "attr_state_c")
+    trans_dir = str(tmp_path / "attr_trans_c")
+    out_dir = str(tmp_path / "attr_out_c")
+    sink = attribution_sink(state_dir, trans_dir, out_dir, compact_every=2)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+        for s in slices[1:]:
+            s.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cols = lambda r: (
+        r.channel, r.p_base, r.p_removed, r.removal_effect, r.attribution
+    )
+    got = {cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()}
+    want = {
+        cols(r)
+        for r in REGISTRY["q263_markov_attribution"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want and want
+
+    # both stores folded and stayed bounded
+    last_batch = None
+    for store in (trans_dir, state_dir):
+        parts = sorted(os.listdir(store))
+        bases = [p for p in parts if p.startswith("batch_id=base-")]
+        assert bases, f"compaction never triggered in {store}: {parts}"
+        stamp = max(int(p.split("base-")[1]) for p in bases)
+        live = [
+            int(p.split("=")[1])
+            for p in parts
+            if p.startswith("batch_id=") and not p.split("=")[1].startswith("base-")
+        ]
+        live = [i for i in live if i > stamp]
+        assert len(live) <= 2 + 1, (store, parts)
+        last_batch = max(live)
+
+    # at-least-once re-delivery of the LAST batch post-fold is a no-op
+    n_out = spark.read.parquet(f"{out_dir}/current").count()
+    sink(slices[-1], last_batch)
+    got2 = {cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()}
+    assert got2 == want
+    assert spark.read.parquet(f"{out_dir}/current").count() == n_out
