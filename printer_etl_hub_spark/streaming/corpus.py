@@ -432,6 +432,129 @@ def exactsubstr_ingest_sink(
     return _sink
 
 
+def edit_ingest_sink(
+    index_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_bucket: int = 32,
+    prefix_len: int = 8,
+    rel_pct: int = 10,
+    min_quality: float | None = None,
+    max_block: int | None = None,
+):
+    """foreachBatch sink: incremental BLOCKED-EDIT-DISTANCE near-dup
+    ingest against a stored block index — the string-metric sibling of
+    ``minhash_ingest_sink`` (q257's incremental twin, VERDICT r10 #5):
+    catches the char-level typo/OCR-noise duplicate class whose single
+    edits rewrite whole shingles.
+
+    Per micro-batch: optional quality gate; the batch's block rows
+    ((⌊len/len_bucket⌋, first-prefix_len-chars) key + normalized text —
+    cost tracks the BATCH); cross pairs = batch rows equi-joined
+    against the STORED index on the block key with the integer
+    Levenshtein gate ``dist·100 ≤ rel_pct·max(len)`` (history never
+    pays its own fan-out, and a pair is discovered exactly once — in
+    the batch where its LATER member arrives, because the stored side
+    is read BEFORE this batch's rows are appended); in-batch pairs the
+    same way within the batch; append block rows and pairs under
+    ``batch_id=<n>`` partitions with overwrite (the re-delivery
+    idempotence idiom shared by every sink here).
+
+    A pair can live in only ONE block (the block key is a function of
+    the document), so the pair log needs no distinct — unlike the
+    banded MinHash sink.
+
+    ``max_block`` drops hot blocks using document counts over the
+    COMBINED corpus-so-far set (batch ∪ stored history) — the
+    stop-block rule matters MORE here than anywhere else in the family
+    because the comparator is O(len²) per pair (the 10× wave-26 audit).
+    Same cap-equivalence caveat as ``minhash_ingest_sink``: exact
+    stream≡batch pair-set equality at ``max_block=None``; under a cap
+    the stream's log is a superset of the capped batch run's (equal
+    whenever a block crosses the cap before its first surviving pair
+    member arrives).
+
+    Both sides of the pair join are repartitioned on the block key and
+    thereby opted out of AQE coalescing (`edit_distance_pairs`' rule):
+    AQE sizes the post-shuffle read by the small block-row input and
+    would pack the quadratic fan-out — and its O(len²)-per-pair
+    comparator, invisible to byte-based sizing — onto 1-2 tasks.
+
+    Equivalence contract (tests/test_streaming.py): after any
+    micro-batch partitioning, the pair log equals
+    ``edit_distance_pairs(whole_corpus)`` with the same parameters,
+    and the stored block rows equal the one-shot normalization.
+    """
+
+    def _block_rows(docs: DataFrame) -> DataFrame:
+        norm = F.lower(F.trim(F.col(text_col)))
+        return docs.select(
+            F.col(id_col).alias("_id"),
+            norm.alias("t"),
+            F.length(norm).alias("ln"),
+            F.floor(F.length(norm) / F.lit(len_bucket)).cast("int").alias("lb"),
+            F.substring(norm, 1, prefix_len).alias("pf"),
+        )
+
+    def _pairs(a: DataFrame, b: DataFrame, in_batch: bool) -> DataFrame:
+        n_part = a.sparkSession.sparkContext.defaultParallelism
+        aa = a.select(
+            "lb", "pf", F.col("_id").alias("x_id"), F.col("t").alias("tx"),
+            F.col("ln").alias("lx"),
+        ).repartition(n_part, F.col("lb"), F.col("pf"))
+        bb = b.select(
+            "lb", "pf", F.col("_id").alias("y_id"), F.col("t").alias("ty"),
+            F.col("ln").alias("ly"),
+        ).repartition(n_part, F.col("lb"), F.col("pf"))
+        j = aa.join(bb, ["lb", "pf"])
+        j = j.filter(
+            F.col("x_id") < F.col("y_id")
+            if in_batch
+            else F.col("x_id") != F.col("y_id")
+        )
+        dist = F.levenshtein(F.col("tx"), F.col("ty"))
+        len_max = F.greatest(F.col("lx"), F.col("ly"))
+        return j.select(
+            F.least("x_id", "y_id").alias("a_id"),
+            F.greatest("x_id", "y_id").alias("b_id"),
+            dist.cast("bigint").alias("dist"),
+            len_max.cast("bigint").alias("len_max"),
+        ).filter(F.col("dist") * 100 <= F.lit(rel_pct) * F.col("len_max"))
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df
+        if min_quality is not None:
+            feats = quality_features(F.col(text_col), tokenize(F.col(text_col)))
+            docs = docs.filter(feats["quality_score"] >= F.lit(min_quality))
+        rows = _block_rows(docs).localCheckpoint(eager=True)  # 3 consumers
+        hist = _read_history(spark, index_dir, batch_id)
+        if hist is not None:
+            hist = hist.select("_id", "t", "ln", "lb", "pf")
+        new_rows, hist_rows = rows, hist
+        if max_block is not None:
+            combined = rows.select("lb", "pf")
+            if hist is not None:
+                combined = combined.unionByName(hist.select("lb", "pf"))
+            keep = (
+                combined.groupBy("lb", "pf")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .filter(F.col("n_docs") <= max_block)
+                .select("lb", "pf")
+            )
+            new_rows = rows.join(keep, ["lb", "pf"], "left_semi")
+            if hist is not None:
+                hist_rows = hist.join(keep, ["lb", "pf"], "left_semi")
+        pairs = _pairs(new_rows, new_rows, in_batch=True)
+        if hist_rows is not None:
+            pairs = pairs.unionByName(_pairs(new_rows, hist_rows, in_batch=False))
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
+        rows.write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
+
+    return _sink
+
+
 def _list_partial_store(spark, store_dir: str):
     """(newest base stamp or None, sorted live partial ids, all dirs) for
     a batch_id-partitioned partial store with ``base-<n>`` compaction
