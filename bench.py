@@ -316,6 +316,12 @@ HEADLINE = [
     "q263_markov_attribution",
     "q264_lorenz_curve",
     "q265_winsorized_moments",
+    "q266_mannwhitney_u",
+    "q267_gopher_rules",
+    "q268_burstiness",
+    "q269_seq_patterns",
+    "q270_kaplan_meier",
+    "q271_holt_winters",
 ]
 
 

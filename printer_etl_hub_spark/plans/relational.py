@@ -5403,6 +5403,706 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# q266 — Mann-Whitney U (one-vs-rest rank test per event type)
+# --------------------------------------------------------------------------
+
+
+def q266_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test of each event type's ``value``
+    distribution against ALL OTHER types pooled → one row per type
+    (event_type, n_a, n_b, u2_a, u2_b, z): the nonparametric sibling of
+    q250's mean-difference A/B read — rank-based, so heavy tails and
+    outliers (exactly what q216/q265 document in this column) can't
+    swamp it the way they swamp a t-statistic.
+
+    EXACTNESS: every rank quantity is INTEGER — tied values take the
+    midrank, so the engine carries DOUBLED rank sums (2·avgrank =
+    2·below_v + n_v + 1, always integral): u2_a = 2·U_A = R2_A −
+    n_a(n_a+1) in DECIMAL(38,0), u2_b by the identity 2·n_a·n_b − u2_a,
+    and the tie term T = Σ(n_v³ − n_v) the same way (u2/T emitted as
+    strings — 25-digit integers don't survive a float64 pandas bridge).
+    The normal-approximation z is computed in ONE fixed-order double
+    expression (casts of exact decimals, correctly-rounded /,·,sqrt —
+    both engines IEEE-identical), NULLIF-guarded for single-group /
+    all-tied degenerates. -0.0 is normalized to 0.0 and NaN excluded
+    before ranking (the float-grouping portability traps).
+
+    Shape: one (type, value) groupBy + one distinct-value groupBy (both
+    map-side-combinable), `dist_cumsum` for the below-count prefix sums
+    (plans/common.py — the KS/CUSUM discipline: NEVER a
+    single-partition window over the distinct-value frame, which is
+    corpus-scaled), one broadcast of the |types|+1-row totals.
+    """
+    from .common import dist_cumsum
+
+    t = load_tables(spark, sf_dir)
+    v = F.col("value")
+    pool = (
+        t["events"]
+        .filter(
+            F.col("event_type").isNotNull() & v.isNotNull() & ~F.isnan(v)
+        )
+        .select(
+            "event_type",
+            F.when(v == 0.0, F.lit(0.0)).otherwise(v).alias("v"),
+        )
+    )
+    tv = pool.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tv")
+    )
+    per_v = tv.groupBy("v").agg(F.sum("n_tv").cast("bigint").alias("n_v"))
+    cum, pin = dist_cumsum(per_v, ["v"], ["n_v"])
+    dec19 = "decimal(19,0)"
+    w2 = cum.select(
+        "v",
+        "n_v",
+        # 2·midrank of value v: ranks below + (below+1) + (below+n_v)
+        (F.lit(2) * (F.col("n_v_cum") - F.col("n_v")) + F.col("n_v") + 1)
+        .cast(dec19)
+        .alias("w2"),
+    )
+    per_t = (
+        tv.join(w2, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_tv").cast("bigint").alias("n_a"),
+            F.sum(F.col("n_tv").cast(dec19) * F.col("w2"))
+            .cast("decimal(38,0)")
+            .alias("r2_a"),
+        )
+    )
+    totals = per_v.agg(
+        F.sum("n_v").cast("bigint").alias("n"),
+        F.sum(
+            F.col("n_v").cast("decimal(12,0)")
+            * F.col("n_v").cast("decimal(12,0)")
+            * F.col("n_v").cast("decimal(12,0)")
+            - F.col("n_v").cast("decimal(12,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie_t"),
+    )
+    j = per_t.join(F.broadcast(totals))
+    n_a = F.col("n_a").cast("decimal(19,0)")
+    n_b = (F.col("n") - F.col("n_a")).cast("decimal(19,0)")
+    u2_a = (F.col("r2_a") - n_a * (n_a + 1)).cast("decimal(38,0)")
+    u2_b = (F.lit(2).cast(dec19) * n_a * n_b - u2_a).cast("decimal(38,0)")
+    nd = F.col("n").cast("double")
+    nad = F.col("n_a").cast("double")
+    nbd = (F.col("n") - F.col("n_a")).cast("double")
+    var = (nad * nbd / F.lit(12.0)) * (
+        (nd + F.lit(1.0))
+        - F.col("tie_t").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    z = (u2_a.cast("double") - nad * nbd) / (
+        F.lit(2.0) * F.nullif(F.sqrt(var), F.lit(0.0))
+    )
+    res = j.select(
+        "event_type",
+        F.col("n_a"),
+        (F.col("n") - F.col("n_a")).cast("bigint").alias("n_b"),
+        u2_a.cast("string").alias("u2_a"),
+        u2_b.cast("string").alias("u2_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n") > F.col("n_a")) & (F.col("n") > 1),
+            F.round(z, 9),
+        ).alias("z"),
+    ).orderBy("event_type")
+    return materialize_release(res, pin)
+
+
+Q266_SQL = """
+WITH pool AS (
+  SELECT event_type,
+         CASE WHEN value = 0 THEN 0.0 ELSE value END AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), tv AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS n_tv
+  FROM pool GROUP BY event_type, v
+), per_v AS (
+  SELECT v, CAST(sum(n_tv) AS BIGINT) AS n_v FROM tv GROUP BY v
+), cum AS (
+  SELECT v, n_v,
+         sum(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS n_v_cum
+  FROM per_v
+), w2 AS (
+  SELECT v, n_v,
+         CAST(2 * (n_v_cum - n_v) + n_v + 1 AS DECIMAL(19,0)) AS w2
+  FROM cum
+), per_t AS (
+  SELECT event_type, CAST(sum(n_tv) AS BIGINT) AS n_a,
+         CAST(sum(CAST(n_tv AS DECIMAL(19,0)) * w2) AS DECIMAL(38,0)) AS r2_a
+  FROM tv JOIN w2 USING (v) GROUP BY event_type
+), totals AS (
+  SELECT CAST(sum(n_v) AS BIGINT) AS n,
+         CAST(sum(CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0))
+                  * CAST(n_v AS DECIMAL(12,0)) - CAST(n_v AS DECIMAL(12,0)))
+              AS DECIMAL(38,0)) AS tie_t
+  FROM per_v
+), j AS (
+  SELECT per_t.*, totals.n, totals.tie_t,
+         CAST(per_t.r2_a - CAST(per_t.n_a AS DECIMAL(19,0))
+              * (CAST(per_t.n_a AS DECIMAL(19,0)) + 1) AS DECIMAL(38,0)) AS u2_a
+  FROM per_t CROSS JOIN totals
+)
+SELECT event_type, n_a, CAST(n - n_a AS BIGINT) AS n_b,
+       CAST(u2_a AS VARCHAR) AS u2_a,
+       CAST(CAST(CAST(2 AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))
+                 * CAST(n - n_a AS DECIMAL(19,0)) - u2_a
+            AS DECIMAL(38,0)) AS VARCHAR) AS u2_b,
+       CASE WHEN n_a > 0 AND n > n_a AND n > 1 THEN
+         round(
+           (CAST(u2_a AS DOUBLE)
+            - CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE))
+           / (2.0 * NULLIF(sqrt(
+               (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE) / 12.0)
+               * ((CAST(n AS DOUBLE) + 1.0)
+                  - CAST(tie_t AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             ), 0.0))
+         , 9)
+       END AS z
+FROM j
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q268 — burstiness (Fano factor of daily volume per event type)
+# --------------------------------------------------------------------------
+
+
+def q268_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of DAILY event volume per
+    event type → (event_type, n_events, n_days_active, span_days,
+    var_num, fano): the dispersion diagnostic between q228's
+    level-anomaly view and q239's inter-event gaps — Fano ≈ 1 means
+    Poisson-like arrivals, ≫ 1 means bursty/batchy traffic (retries,
+    crawl bursts, batch jobs masquerading as organic events), ≪ 1 means
+    suspiciously regular (synthetic monitors). The number a capacity
+    planner multiplies into headroom before trusting a mean.
+
+    Zero-days COUNT: each type's series runs over the GLOBAL
+    [min_day, max_day] span (a type that fires one day and sleeps 29 is
+    maximally bursty, not a one-point series), with missing days as 0 —
+    algebraically, never materialized.
+
+    EXACTNESS: sample variance numerator D·Σx² − (Σx)² is pure integer
+    arithmetic in DECIMAL (Σx² through exact products); Fano =
+    var/mean = var_num / (D(D−1)) ÷ Σx/D = var_num / ((D−1)·Σx) — ONE
+    double division of two exact integers (emitted alongside var_num as
+    a string for the audit trail). NULLIF guards span ≤ 1 / zero
+    totals.
+
+    Shape: one map-side-combinable (type, day) groupBy (the only
+    corpus-sized stage), a (types × active-days)-bounded re-agg, one
+    2-value broadcast for the global span.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    span = daily.agg(
+        (F.datediff(F.max("day"), F.min("day")) + 1)
+        .cast("bigint")
+        .alias("span_days")
+    )
+    dec19 = "decimal(19,0)"
+    per_t = daily.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days_active"),
+        F.sum(F.col("x").cast(dec19) * F.col("x").cast(dec19))
+        .cast("decimal(38,0)")
+        .alias("sx2"),
+    )
+    j = per_t.join(F.broadcast(span))
+    var_num = (
+        F.col("span_days").cast(dec19) * F.col("sx2")
+        - F.col("n_events").cast(dec19) * F.col("n_events").cast(dec19)
+    ).cast("decimal(38,0)")
+    denom = (
+        (F.col("span_days") - 1).cast(dec19) * F.col("n_events").cast(dec19)
+    ).cast("decimal(38,0)")
+    res = j.select(
+        "event_type",
+        "n_events",
+        "n_days_active",
+        "span_days",
+        var_num.cast("string").alias("var_num"),
+        F.round(
+            var_num.cast("double")
+            / F.nullif(denom, F.lit(0).cast("decimal(38,0)")).cast("double"),
+            9,
+        ).alias("fano"),
+    ).orderBy("event_type")
+    return res
+
+
+Q268_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), span AS (
+  SELECT CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT) AS span_days
+  FROM daily
+), per_t AS (
+  SELECT event_type, CAST(sum(x) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_days_active,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sx2
+  FROM daily GROUP BY event_type
+), j AS (
+  SELECT per_t.*, span.span_days,
+         CAST(CAST(span.span_days AS DECIMAL(19,0)) * sx2
+              - CAST(n_events AS DECIMAL(19,0))
+                * CAST(n_events AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS var_num,
+         CAST(CAST(span.span_days - 1 AS DECIMAL(19,0))
+              * CAST(n_events AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS denom
+  FROM per_t CROSS JOIN span
+)
+SELECT event_type, n_events, n_days_active, span_days,
+       CAST(var_num AS VARCHAR) AS var_num,
+       round(CAST(var_num AS DOUBLE)
+             / CAST(NULLIF(denom, CAST(0 AS DECIMAL(38,0))) AS DOUBLE),
+             9) AS fano
+FROM j
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q269 — contiguous sequential patterns (event-type n-grams, n ≤ 3)
+# --------------------------------------------------------------------------
+
+
+def q269_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequential-pattern mining over user journeys →
+    (n, pattern, support, occurrences) for every event-type n-gram with
+    n ≤ 3: support = DISTINCT users whose ts-ordered journey contains
+    the pattern consecutively, occurrences = total count. The
+    market-basket view of the funnel family — q111 checks ONE
+    prescribed funnel, this surfaces every length-≤3 path actually
+    walked, ranked (the input a growth team reads before choosing which
+    funnel to prescribe). Contiguity is the point: 'click→error→click'
+    is a retry-loop signature only if nothing happened in between.
+
+    EXACTNESS: everything is an integer count over exact string
+    patterns; journeys order by the pinned (ts, event_id) total order
+    with NULL ts/type excluded in both engines (the q263 rule).
+    '>' joins pattern steps — event types are controlled vocabulary
+    (no separator collision; documented contract, not inferred).
+
+    Shape: one user-keyed window pass (two leads over the same
+    partitioning — one shuffle), three map-side-combinable pattern
+    groupBys whose output is alphabet^n-bounded (≤ |types|³ + |types|²
+    + |types| rows however big the corpus); union of bounded frames.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        t["events"]
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "ts", "event_id", F.col("event_type").alias("e1"))
+        .withColumn("e2", F.lead("e1").over(w))
+        .withColumn("e3", F.lead("e1", 2).over(w))
+    )
+
+    def _mine(pat: Column, n: int, frame: DataFrame) -> DataFrame:
+        return (
+            frame.groupBy(pat.alias("pattern"))
+            .agg(
+                F.countDistinct("user_id").cast("bigint").alias("support"),
+                F.count(F.lit(1)).cast("bigint").alias("occurrences"),
+            )
+            .select(F.lit(n).cast("int").alias("n"), "pattern", "support",
+                    "occurrences")
+        )
+
+    uni = _mine(F.col("e1"), 1, seq)
+    bi = _mine(
+        F.concat_ws(">", "e1", "e2"), 2, seq.filter(F.col("e2").isNotNull())
+    )
+    tri = _mine(
+        F.concat_ws(">", "e1", "e2", "e3"),
+        3,
+        seq.filter(F.col("e3").isNotNull()),
+    )
+    return (
+        uni.unionByName(bi)
+        .unionByName(tri)
+        .orderBy("n", F.desc("support"), "pattern")
+    )
+
+
+Q269_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), mined AS (
+  SELECT CAST(1 AS INT) AS n, e1 AS pattern,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS support,
+         CAST(count(*) AS BIGINT) AS occurrences
+  FROM seq GROUP BY e1
+  UNION ALL
+  SELECT 2, concat_ws('>', e1, e2),
+         CAST(count(DISTINCT user_id) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM seq WHERE e2 IS NOT NULL GROUP BY concat_ws('>', e1, e2)
+  UNION ALL
+  SELECT 3, concat_ws('>', e1, e2, e3),
+         CAST(count(DISTINCT user_id) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM seq WHERE e3 IS NOT NULL GROUP BY concat_ws('>', e1, e2, e3)
+)
+SELECT n, pattern, support, occurrences
+FROM mined
+ORDER BY n, support DESC, pattern
+"""
+
+
+# --------------------------------------------------------------------------
+# q270 — Kaplan-Meier retention survival (right-censored)
+# --------------------------------------------------------------------------
+
+#: The KM event of interest: first event of this type ends a user's
+#: at-risk period; users who never fire it are right-censored at the
+#: corpus edge.
+_KM_CONV_TYPE = "purchase"
+
+
+def q270_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (days from a user's first
+    event to their first purchase, right-censored at the corpus edge
+    for never-purchasers) → (t_days, n_risk, d_converted, c_censored,
+    survival): the product-limit estimator (Kaplan & Meier 1958) —
+    the only member of the funnel/retention family that handles
+    censoring honestly. q237's funnel latency averages over CONVERTERS
+    only (survivor bias); KM keeps never-converters in the risk set
+    until the corpus edge, so 'median days to convert' means what it
+    says. ``survival`` at t = estimated probability a user is STILL
+    unconverted t days after first touch.
+
+    EXACTNESS: risk-set arithmetic is integer (n_risk_i = n −
+    Σ_(j<i)(d_j+c_j)); each survival factor is ONE correctly-rounded
+    double division (n_risk − d)/n_risk and the product folds in t
+    order — the q258 sequential-fold discipline (a windowed product
+    would be segment-tree-ordered in one engine and sequential in the
+    other; double multiplication is not associative), reproduced
+    bit-for-bit by the recursive-CTE oracle.
+
+    Shape: one user groupBy (the only corpus-sized stage) → a
+    |days|-bounded (t, d, c) frame that folds on a single row — never a
+    window or join per step.
+    """
+    t = load_tables(spark, sf_dir)
+    per_u = (
+        t["events"]
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            (F.col("event_type") == _KM_CONV_TYPE).alias("is_conv"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.min(F.when(F.col("is_conv"), F.col("day"))).alias("conv_day"),
+        )
+    )
+    mx = per_u.agg(F.max("last_day").alias("max_day"))
+    lab = per_u.join(F.broadcast(mx)).select(
+        F.col("conv_day").isNotNull().alias("converted"),
+        F.when(
+            F.col("conv_day").isNotNull(),
+            F.datediff(F.col("conv_day"), F.col("first_day")),
+        )
+        .otherwise(F.datediff(F.col("max_day"), F.col("first_day")))
+        .cast("bigint")
+        .alias("t_days"),
+    )
+    ev = lab.groupBy("t_days").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.sum(F.when(F.col("converted"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("c"),
+    )
+    out_t = (
+        "array<struct<t_days:bigint,n_risk:bigint,d_converted:bigint,"
+        "c_censored:bigint,survival:double>>"
+    )
+    one = ev.agg(
+        F.array_sort(F.collect_list(F.struct("t_days", "d", "c"))).alias("arr"),
+        F.sum(F.col("d") + F.col("c")).cast("bigint").alias("n_tot"),
+    )
+    acc0 = F.struct(
+        F.col("n_tot").alias("left"),
+        F.lit(1.0).alias("s"),
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def _step(acc, e):
+        n_risk = acc["left"]
+        s_new = acc["s"] * (
+            (n_risk - e["d"]).cast("double") / n_risk.cast("double")
+        )
+        row = F.struct(
+            e["t_days"].alias("t_days"),
+            n_risk.alias("n_risk"),
+            e["d"].alias("d_converted"),
+            e["c"].alias("c_censored"),
+            F.round(s_new, 9).alias("survival"),
+        )
+        return F.struct(
+            (n_risk - e["d"] - e["c"]).alias("left"),
+            s_new.alias("s"),
+            F.concat(acc["out"], F.array(row)).alias("out"),
+        )
+
+    folded = one.select(
+        F.aggregate(F.col("arr"), acc0, _step)["out"].alias("out")
+    )
+    return (
+        folded.select(F.explode("out").alias("r"))
+        .select("r.*")
+        .orderBy("t_days")
+    )
+
+
+Q270_SQL = f"""
+WITH RECURSIVE per_u AS (
+  SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day,
+         max(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+         min(CASE WHEN event_type = '{_KM_CONV_TYPE}'
+             THEN CAST(date_trunc('day', ts) AS DATE) END) AS conv_day
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+), mx AS (
+  SELECT max(last_day) AS max_day FROM per_u
+), lab AS (
+  SELECT conv_day IS NOT NULL AS converted,
+         CAST(CASE WHEN conv_day IS NOT NULL
+              THEN date_diff('day', first_day, conv_day)
+              ELSE date_diff('day', first_day, max_day) END AS BIGINT) AS t_days
+  FROM per_u CROSS JOIN mx
+), ev AS (
+  SELECT t_days,
+         CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT) AS c
+  FROM lab GROUP BY t_days
+), idx AS (
+  SELECT t_days, d, c, row_number() OVER (ORDER BY t_days) AS i FROM ev
+), tot AS (
+  SELECT CAST(sum(d + c) AS BIGINT) AS n FROM ev
+), r AS (
+  SELECT i, t_days, d, c, tot.n AS n_risk,
+         1.0 * (CAST(tot.n - d AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS s
+  FROM idx CROSS JOIN tot WHERE i = 1
+  UNION ALL
+  SELECT idx.i, idx.t_days, idx.d, idx.c,
+         r.n_risk - r.d - r.c,
+         r.s * (CAST((r.n_risk - r.d - r.c) - idx.d AS DOUBLE)
+                / CAST(r.n_risk - r.d - r.c AS DOUBLE))
+  FROM r JOIN idx ON idx.i = r.i + 1
+)
+SELECT t_days, n_risk, d AS d_converted, c AS c_censored,
+       round(s, 9) AS survival
+FROM r
+ORDER BY t_days
+"""
+
+
+# --------------------------------------------------------------------------
+# q271 — Holt-Winters additive (trend + weekly seasonality)
+# --------------------------------------------------------------------------
+
+
+def q271_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple-exponential smoothing of daily
+    volume with a 7-slot weekly season → (day, x, forecast, resid,
+    level, trend, season): completes the exponential family — q228
+    tracks a level, q258 adds a trend, this adds the day-of-week
+    component that q229's static profile shows every event stream has
+    (a Monday spike is not an anomaly; the SAME Monday spike shrinking
+    is). Forecast_t = level + trend + s[dow(t)]; α = β = γ = 1/2:
+    l' = ½(x − s_dow) + ½(l + tr); tr' = ½(l' − l) + ½·tr;
+    s_dow' = ½(x − l') + ½·s_dow. Day 1 initializes level = x₁,
+    trend = 0, all seven season slots 0 (pinned, decorative-free
+    contract); rows emit from day 2.
+
+    Season slots are CALENDAR-anchored (dow), not position-anchored: a
+    gap day must not rotate the week out from under the seasonals.
+
+    EXACTNESS: dyadic coefficients on integer counts keep every
+    intermediate an exact binary double for any realistic magnitude;
+    the recursive-CTE oracle carries the seven slots as seven scalar
+    columns and reproduces the fold bit-for-bit (rounds decorative).
+
+    Shape: ONE corpus-sized stage (the daily pre-agg); the recurrence
+    folds over the |days|-bounded sorted array on a single row — the
+    q258 discipline, never a window or join per step.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .filter(F.col("ts").isNotNull())
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    out_t = (
+        "array<struct<day:date,x:bigint,forecast:double,resid:double,"
+        "level:double,trend:double,season:double>>"
+    )
+    one = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("arr")
+    )
+    half = F.lit(0.5)
+    acc0 = F.struct(
+        F.lit(0).alias("i"),
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("tr"),
+        *[F.lit(0.0).alias(f"s{j}") for j in range(7)],
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def _step(acc, e):
+        x = e["x"].cast("double")
+        slot = F.dayofweek(e["day"]) - 1  # 0..6, Sunday = 0 (oracle: dow())
+        s_cur = F.lit(0.0)
+        for j in range(6, -1, -1):
+            s_cur = F.when(slot == j, acc[f"s{j}"]).otherwise(s_cur)
+        fc = acc["l"] + acc["tr"] + s_cur
+        l_new = half * (x - s_cur) + half * (acc["l"] + acc["tr"])
+        tr_new = half * (l_new - acc["l"]) + half * acc["tr"]
+        s_new = half * (x - l_new) + half * s_cur
+        row = F.struct(
+            e["day"].alias("day"),
+            e["x"].alias("x"),
+            F.round(fc, 6).alias("forecast"),
+            F.round(x - fc, 6).alias("resid"),
+            F.round(l_new, 6).alias("level"),
+            F.round(tr_new, 6).alias("trend"),
+            F.round(s_new, 6).alias("season"),
+        )
+        init = F.struct(
+            F.lit(1).alias("i"),
+            x.alias("l"),
+            F.lit(0.0).alias("tr"),
+            *[F.lit(0.0).alias(f"s{j}") for j in range(7)],
+            acc["out"].alias("out"),
+        )
+        upd = F.struct(
+            (acc["i"] + 1).alias("i"),
+            l_new.alias("l"),
+            tr_new.alias("tr"),
+            *[
+                F.when(slot == j, s_new).otherwise(acc[f"s{j}"]).alias(f"s{j}")
+                for j in range(7)
+            ],
+            F.concat(acc["out"], F.array(row)).alias("out"),
+        )
+        return F.when(acc["i"] == 0, init).otherwise(upd)
+
+    folded = one.select(
+        F.aggregate(F.col("arr"), acc0, _step)["out"].alias("out")
+    )
+    return (
+        folded.select(F.explode("out").alias("r"))
+        .select("r.*")
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+        .orderBy("day")
+    )
+
+
+Q271_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), idx AS (
+  SELECT day, x, row_number() OVER (ORDER BY day) AS i FROM daily
+), r AS (
+  SELECT i, day, x,
+         CAST(x AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS tr,
+         CAST(0.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
+         CAST(0.0 AS DOUBLE) AS s2, CAST(0.0 AS DOUBLE) AS s3,
+         CAST(0.0 AS DOUBLE) AS s4, CAST(0.0 AS DOUBLE) AS s5,
+         CAST(0.0 AS DOUBLE) AS s6,
+         CAST(NULL AS DOUBLE) AS f, CAST(NULL AS DOUBLE) AS s_new
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i, idx.day, idx.x,
+         0.5 * (idx.x - CASE dayofweek(idx.day)
+             WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+             WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+             ELSE r.s6 END)
+           + 0.5 * (r.l + r.tr),
+         0.5 * ((0.5 * (idx.x - CASE dayofweek(idx.day)
+               WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+               WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+               ELSE r.s6 END) + 0.5 * (r.l + r.tr)) - r.l)
+           + 0.5 * r.tr,
+         CASE WHEN dayofweek(idx.day) = 0 THEN
+           0.5 * (idx.x - (0.5 * (idx.x - r.s0) + 0.5 * (r.l + r.tr)))
+             + 0.5 * r.s0 ELSE r.s0 END,
+         CASE WHEN dayofweek(idx.day) = 1 THEN
+           0.5 * (idx.x - (0.5 * (idx.x - r.s1) + 0.5 * (r.l + r.tr)))
+             + 0.5 * r.s1 ELSE r.s1 END,
+         CASE WHEN dayofweek(idx.day) = 2 THEN
+           0.5 * (idx.x - (0.5 * (idx.x - r.s2) + 0.5 * (r.l + r.tr)))
+             + 0.5 * r.s2 ELSE r.s2 END,
+         CASE WHEN dayofweek(idx.day) = 3 THEN
+           0.5 * (idx.x - (0.5 * (idx.x - r.s3) + 0.5 * (r.l + r.tr)))
+             + 0.5 * r.s3 ELSE r.s3 END,
+         CASE WHEN dayofweek(idx.day) = 4 THEN
+           0.5 * (idx.x - (0.5 * (idx.x - r.s4) + 0.5 * (r.l + r.tr)))
+             + 0.5 * r.s4 ELSE r.s4 END,
+         CASE WHEN dayofweek(idx.day) = 5 THEN
+           0.5 * (idx.x - (0.5 * (idx.x - r.s5) + 0.5 * (r.l + r.tr)))
+             + 0.5 * r.s5 ELSE r.s5 END,
+         CASE WHEN dayofweek(idx.day) = 6 THEN
+           0.5 * (idx.x - (0.5 * (idx.x - r.s6) + 0.5 * (r.l + r.tr)))
+             + 0.5 * r.s6 ELSE r.s6 END,
+         (r.l + r.tr + CASE dayofweek(idx.day)
+             WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+             WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+             ELSE r.s6 END),
+         0.5 * (idx.x - (0.5 * (idx.x - CASE dayofweek(idx.day)
+               WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+               WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+               ELSE r.s6 END) + 0.5 * (r.l + r.tr)))
+           + 0.5 * CASE dayofweek(idx.day)
+               WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+               WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+               ELSE r.s6 END
+  FROM r JOIN idx ON idx.i = r.i + 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, x,
+       round(f, 6) AS forecast, round(x - f, 6) AS resid,
+       round(l, 6) AS level, round(tr, 6) AS trend,
+       round(s_new, 6) AS season
+FROM r WHERE i > 1
+ORDER BY day
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -5495,4 +6195,9 @@ RELATIONAL_QUERIES = {
     "q263_markov_attribution": (q263_markov_attribution, Q263_SQL),
     "q264_lorenz_curve": (q264_lorenz_curve, Q264_SQL),
     "q265_winsorized_moments": (q265_winsorized_moments, Q265_SQL),
+    "q266_mannwhitney_u": (q266_mannwhitney_u, Q266_SQL),
+    "q268_burstiness": (q268_burstiness, Q268_SQL),
+    "q269_seq_patterns": (q269_seq_patterns, Q269_SQL),
+    "q270_kaplan_meier": (q270_kaplan_meier, Q270_SQL),
+    "q271_holt_winters": (q271_holt_winters, Q271_SQL),
 }

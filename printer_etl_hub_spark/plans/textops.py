@@ -12151,6 +12151,182 @@ FROM (
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# q267 — Gopher quality-rule audit (Rae et al. 2021, per-source)
+# --------------------------------------------------------------------------
+
+#: The Gopher stop-word presence set (Rae et al. 2021 Table A1): a doc
+#: must contain at least 2 of these to pass the stop-word rule.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q267_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality audit (Rae et al. 2021 §A1.1 — the
+    published heuristic filter suite behind MassiveText, and the
+    de-facto baseline every later corpus pipeline compares against) →
+    one row per source (source, n_docs, per-rule failure counts,
+    n_pass). The RULE-ATTRIBUTED complement of q25's scalar quality
+    score: q25 says how good a doc is, this says WHICH published gate
+    each source's documents die on — the number a crawl owner reads
+    before renegotiating an extractor.
+
+    Rules (thresholds are the paper's, checked in CROSS-MULTIPLIED
+    integer form so no ratio ever floats): word count in [50, 100k];
+    mean word length in [3, 10] (3·W ≤ chars ≤ 10·W); symbol-to-word
+    ratio ≤ 0.1 for '#'/'...'/'…' (10·S ≤ W); ≤ 90% of lines
+    bullet-led (10·B ≤ 9·L); ≤ 30% of lines ellipsis-ended
+    (10·E ≤ 3·L); ≥ 80% of words contain an alphabetic char
+    (5·A ≥ 4·W); ≥ 2 distinct stop-words present.
+
+    EXACTNESS: the whole query is INTEGER — counts, cross-multiplied
+    comparisons, and failure tallies; there is no double anywhere.
+    Character counts run on the RAW (un-lowered) text: lower() changes
+    code-point counts for some scripts (U+0130 → 2 chars) and engines
+    need not agree; only the stop-word containment lowers, where
+    length is irrelevant.
+
+    Shape: one pure-Column per-document pass (zero joins, zero
+    explodes — the line/word counts are higher-order array functions
+    over per-row arrays) + one map-side-combinable source groupBy whose
+    output is |sources|-bounded.
+    """
+    t = load_tables(spark, sf_dir)
+    raw = F.col("text")
+    toks = F.split(F.trim(raw), r"\s+")
+    toks_low = F.split(F.trim(F.lower(raw)), r"\s+")
+    n_toks = F.size(toks).cast("bigint")
+    n_chars = F.length(F.regexp_replace(F.trim(raw), r"\s+", "")).cast("bigint")
+    n_hash = (F.length(raw) - F.length(F.regexp_replace(raw, r"#", ""))).cast(
+        "bigint"
+    )
+    n_dots = (
+        (F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))) / 3
+    ).cast("bigint")
+    n_hellip = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("…"), F.lit("")))
+    ).cast("bigint")
+    lines = F.split(raw, "\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+    ).cast("bigint")
+    n_ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+            | F.endswith(F.rtrim(l), F.lit("…")),
+        )
+    ).cast("bigint")
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast(
+        "bigint"
+    )
+    n_stops = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+            lambda s: F.array_contains(toks_low, s),
+        )
+    ).cast("bigint")
+    sym = n_hash + n_dots + n_hellip
+    fails = {
+        "fail_word_count": ~((n_toks >= 50) & (n_toks <= 100000)),
+        "fail_mean_word_len": ~(
+            (3 * n_toks <= n_chars) & (n_chars <= 10 * n_toks)
+        ),
+        "fail_symbol_ratio": ~(10 * sym <= n_toks),
+        "fail_bullet_lines": ~(10 * n_bullet <= 9 * n_lines),
+        "fail_ellipsis_lines": ~(10 * n_ell_lines <= 3 * n_lines),
+        "fail_alpha_words": ~(5 * n_alpha >= 4 * n_toks),
+        "fail_stop_words": ~(n_stops >= 2),
+    }
+    per_doc = t["documents"].filter(raw.isNotNull()).select(
+        "source",
+        *[v.alias(k) for k, v in fails.items()],
+    )
+    aggs = [
+        F.sum(F.when(F.col(k), 1).otherwise(0)).cast("bigint").alias(k)
+        for k in fails
+    ]
+    any_fail = None
+    for k in fails:
+        any_fail = F.col(k) if any_fail is None else (any_fail | F.col(k))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            *aggs,
+            F.sum(F.when(~any_fail, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+Q267_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS w,
+         CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT)
+           AS chars,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                  AS BIGINT)
+           + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+           AS sym,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                              l -> regexp_matches(ltrim(l), '^[-*•]')))
+              AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                              l -> ends_with(rtrim(l), '...')
+                                   OR ends_with(rtrim(l), '…')))
+              AS BIGINT) AS n_ell,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              t -> regexp_matches(t, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(
+                [{", ".join("'" + s + "'" for s in _GOPHER_STOPS)}],
+                s -> list_contains(
+                  regexp_split_to_array(trim(lower(text)), '\\s+'), s)))
+              AS BIGINT) AS n_stops
+  FROM documents WHERE text IS NOT NULL
+), flags AS (
+  SELECT source,
+         NOT (w >= 50 AND w <= 100000) AS fail_word_count,
+         NOT (3 * w <= chars AND chars <= 10 * w) AS fail_mean_word_len,
+         NOT (10 * sym <= w) AS fail_symbol_ratio,
+         NOT (10 * n_bullet <= 9 * n_lines) AS fail_bullet_lines,
+         NOT (10 * n_ell <= 3 * n_lines) AS fail_ellipsis_lines,
+         NOT (5 * n_alpha >= 4 * w) AS fail_alpha_words,
+         NOT (n_stops >= 2) AS fail_stop_words
+  FROM per_doc
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN fail_word_count THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_word_count,
+       CAST(sum(CASE WHEN fail_mean_word_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_mean_word_len,
+       CAST(sum(CASE WHEN fail_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_symbol_ratio,
+       CAST(sum(CASE WHEN fail_bullet_lines THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_bullet_lines,
+       CAST(sum(CASE WHEN fail_ellipsis_lines THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_ellipsis_lines,
+       CAST(sum(CASE WHEN fail_alpha_words THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_alpha_words,
+       CAST(sum(CASE WHEN fail_stop_words THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_stop_words,
+       CAST(sum(CASE WHEN NOT (fail_word_count OR fail_mean_word_len
+                               OR fail_symbol_ratio OR fail_bullet_lines
+                               OR fail_ellipsis_lines OR fail_alpha_words
+                               OR fail_stop_words)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -12315,4 +12491,5 @@ TEXT_QUERIES = {
     "q256_chi2_keyness": (q256_chi2_keyness, Q256_SQL),
     "q257_edit_dups": (q257_edit_dups, Q257_SQL),
     "q261_rrf_fusion": (q261_rrf_fusion, Q261_SQL),
+    "q267_gopher_rules": (q267_gopher_rules, Q267_SQL),
 }

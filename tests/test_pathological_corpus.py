@@ -217,6 +217,10 @@ BOUNDARY_SENSITIVE = [
     # C(30,2) < the 64-doc stop-block cap, by design.
     "q256_chi2_keyness",
     "q257_edit_dups",
+    # Round-11 addition: q267 splits lines/words at the same
+    # boundary shapes (empty text -> one empty token; bullet and
+    # ellipsis detection on whitespace-only lines).
+    "q267_gopher_rules",
 ]
 
 

@@ -164,6 +164,9 @@ TEXT_KEYED = [
     # count CHARACTERS, not bytes, identically on multibyte text.
     "q256_chi2_keyness",
     "q257_edit_dups",
+    # Round-11 addition: q267 counts code points on raw multibyte text
+    # (the documented reason it never lowers before length()).
+    "q267_gopher_rules",
 ]
 
 
