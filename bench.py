@@ -322,6 +322,10 @@ HEADLINE = [
     "q269_seq_patterns",
     "q270_kaplan_meier",
     "q271_holt_winters",
+    "q272_assoc_rules",
+    "q273_mann_kendall",
+    "q274_ols_fit",
+    "q275_skipgram_support",
 ]
 
 

@@ -182,3 +182,84 @@ def holt_table(daily: DataFrame) -> DataFrame:
         "r.level",
         "r.trend",
     )
+
+
+def holt_winters_table(daily: DataFrame) -> DataFrame:
+    """(day: date, x: bigint) → (day: 'yyyy-MM-dd', x, forecast, resid,
+    level, trend, season) — Holt-Winters ADDITIVE triple smoothing with
+    a 7-slot CALENDAR-anchored weekly season, q271's core factored here
+    so the streaming daily-store sink (`streaming/corpus.py::
+    holt_winters_daily_sink`) emits the IDENTICAL table. α = β = γ =
+    1/2 (dyadic — every intermediate an exact binary double on integer
+    counts); day 1 initializes level = x₁, trend = 0, all slots 0;
+    rows emit from day 2. Slots key on dayofweek (Sunday = 0 — the
+    oracle's dow()), not position: a gap day must not rotate the week
+    out from under the seasonals. Same |days|-bounded single-row fold
+    as `holt_table` — never a window or join per step.
+    """
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    out_t = (
+        "array<struct<day:date,x:bigint,forecast:double,resid:double,"
+        "level:double,trend:double,season:double>>"
+    )
+    half = F.lit(0.5)
+    acc0 = F.struct(
+        F.lit(0).alias("i"),
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("tr"),
+        *[F.lit(0.0).alias(f"s{j}") for j in range(7)],
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def _step(acc, e):
+        x = e["x"].cast("double")
+        slot = F.dayofweek(e["day"]) - 1  # 0..6, Sunday = 0
+        s_cur = F.lit(0.0)
+        for j in range(6, -1, -1):
+            s_cur = F.when(slot == j, acc[f"s{j}"]).otherwise(s_cur)
+        fc = acc["l"] + acc["tr"] + s_cur
+        l_new = half * (x - s_cur) + half * (acc["l"] + acc["tr"])
+        tr_new = half * (l_new - acc["l"]) + half * acc["tr"]
+        s_new = half * (x - l_new) + half * s_cur
+        row = F.struct(
+            e["day"].alias("day"),
+            e["x"].alias("x"),
+            F.round(fc, 6).alias("forecast"),
+            F.round(x - fc, 6).alias("resid"),
+            F.round(l_new, 6).alias("level"),
+            F.round(tr_new, 6).alias("trend"),
+            F.round(s_new, 6).alias("season"),
+        )
+        init = F.struct(
+            F.lit(1).alias("i"),
+            x.alias("l"),
+            F.lit(0.0).alias("tr"),
+            *[F.lit(0.0).alias(f"s{j}") for j in range(7)],
+            acc["out"].alias("out"),
+        )
+        upd = F.struct(
+            (acc["i"] + 1).alias("i"),
+            l_new.alias("l"),
+            tr_new.alias("tr"),
+            *[
+                F.when(slot == j, s_new).otherwise(acc[f"s{j}"]).alias(f"s{j}")
+                for j in range(7)
+            ],
+            F.concat(acc["out"], F.array(row)).alias("out"),
+        )
+        return F.when(acc["i"] == 0, init).otherwise(upd)
+
+    folded = arr.select(
+        F.explode(F.aggregate(F.col("s"), acc0, _step)["out"]).alias("r")
+    )
+    return folded.select(
+        F.col("r.day").cast("string").alias("day"),
+        "r.x",
+        "r.forecast",
+        "r.resid",
+        "r.level",
+        "r.trend",
+        "r.season",
+    )

@@ -5956,8 +5956,12 @@ def q271_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: ONE corpus-sized stage (the daily pre-agg); the recurrence
     folds over the |days|-bounded sorted array on a single row — the
-    q258 discipline, never a window or join per step.
+    q258 discipline, never a window or join per step. The fold lives in
+    `operators/timeseries.py::holt_winters_table` so the streaming
+    daily-store sink emits the identical table.
     """
+    from ..operators.timeseries import holt_winters_table
+
     t = load_tables(spark, sf_dir)
     daily = (
         t["events"]
@@ -5966,69 +5970,7 @@ def q271_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
     )
-    out_t = (
-        "array<struct<day:date,x:bigint,forecast:double,resid:double,"
-        "level:double,trend:double,season:double>>"
-    )
-    one = daily.agg(
-        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("arr")
-    )
-    half = F.lit(0.5)
-    acc0 = F.struct(
-        F.lit(0).alias("i"),
-        F.lit(0.0).alias("l"),
-        F.lit(0.0).alias("tr"),
-        *[F.lit(0.0).alias(f"s{j}") for j in range(7)],
-        F.array().cast(out_t).alias("out"),
-    )
-
-    def _step(acc, e):
-        x = e["x"].cast("double")
-        slot = F.dayofweek(e["day"]) - 1  # 0..6, Sunday = 0 (oracle: dow())
-        s_cur = F.lit(0.0)
-        for j in range(6, -1, -1):
-            s_cur = F.when(slot == j, acc[f"s{j}"]).otherwise(s_cur)
-        fc = acc["l"] + acc["tr"] + s_cur
-        l_new = half * (x - s_cur) + half * (acc["l"] + acc["tr"])
-        tr_new = half * (l_new - acc["l"]) + half * acc["tr"]
-        s_new = half * (x - l_new) + half * s_cur
-        row = F.struct(
-            e["day"].alias("day"),
-            e["x"].alias("x"),
-            F.round(fc, 6).alias("forecast"),
-            F.round(x - fc, 6).alias("resid"),
-            F.round(l_new, 6).alias("level"),
-            F.round(tr_new, 6).alias("trend"),
-            F.round(s_new, 6).alias("season"),
-        )
-        init = F.struct(
-            F.lit(1).alias("i"),
-            x.alias("l"),
-            F.lit(0.0).alias("tr"),
-            *[F.lit(0.0).alias(f"s{j}") for j in range(7)],
-            acc["out"].alias("out"),
-        )
-        upd = F.struct(
-            (acc["i"] + 1).alias("i"),
-            l_new.alias("l"),
-            tr_new.alias("tr"),
-            *[
-                F.when(slot == j, s_new).otherwise(acc[f"s{j}"]).alias(f"s{j}")
-                for j in range(7)
-            ],
-            F.concat(acc["out"], F.array(row)).alias("out"),
-        )
-        return F.when(acc["i"] == 0, init).otherwise(upd)
-
-    folded = one.select(
-        F.aggregate(F.col("arr"), acc0, _step)["out"].alias("out")
-    )
-    return (
-        folded.select(F.explode("out").alias("r"))
-        .select("r.*")
-        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
-        .orderBy("day")
-    )
+    return holt_winters_table(daily).orderBy("day")
 
 
 Q271_SQL = """
@@ -6100,6 +6042,464 @@ SELECT strftime(day, '%Y-%m-%d') AS day, x,
        round(s_new, 6) AS season
 FROM r WHERE i > 1
 ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# q272 — sequential association rules (confidence/lift over journey bigrams)
+# --------------------------------------------------------------------------
+
+
+def q272_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over consecutive journey steps → one row per
+    observed (antecedent → consequent) event-type bigram: supports,
+    confidence = P(pair | antecedent-user), lift = how much more often
+    the pair occurs than independence predicts. q269 surfaces WHICH
+    paths are walked; this scores whether a path is a real behavioral
+    rule or just two popular events colliding (support alone can't
+    tell — lift ≈ 1 means coincidence, ≫ 1 means structure).
+
+    Definitions (user-level, the market-basket convention): supp_pair =
+    distinct users walking a>b consecutively; supp_a / supp_b =
+    distinct users with the type at all; confidence =
+    supp_pair/supp_a; lift = supp_pair·n_users/(supp_a·supp_b).
+
+    EXACTNESS: all supports are integers; confidence and lift are each
+    ONE double division — lift's numerator and denominator are exact
+    DECIMAL products first (n·supp ≤ 10²⁴ at any scale), so the only
+    float op is the final correctly-rounded divide.
+
+    Shape: one user-keyed window pass (q269's), then alphabet²-bounded
+    pattern aggregation, an alphabet-sized broadcast join for the unary
+    supports, and a 1-row broadcast for n_users.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = t["events"].filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    seq = base.select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("e1")
+    ).withColumn("e2", F.lead("e1").over(w))
+    pairs = (
+        seq.filter(F.col("e2").isNotNull())
+        .groupBy("e1", "e2")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("supp_pair"))
+    )
+    unary = base.groupBy(F.col("event_type").alias("e")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("supp")
+    )
+    n_users = base.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    dec19 = "decimal(19,0)"
+    j = (
+        pairs.join(
+            F.broadcast(unary.select(F.col("e").alias("e1"),
+                                     F.col("supp").alias("supp_a"))),
+            "e1",
+        )
+        .join(
+            F.broadcast(unary.select(F.col("e").alias("e2"),
+                                     F.col("supp").alias("supp_b"))),
+            "e2",
+        )
+        .join(F.broadcast(n_users))
+    )
+    lift_num = (F.col("supp_pair").cast(dec19) * F.col("n_users").cast(dec19))
+    lift_den = (F.col("supp_a").cast(dec19) * F.col("supp_b").cast(dec19))
+    res = j.select(
+        F.col("e1").alias("antecedent"),
+        F.col("e2").alias("consequent"),
+        "supp_pair",
+        "supp_a",
+        "supp_b",
+        "n_users",
+        F.round(
+            F.col("supp_pair").cast("double") / F.col("supp_a").cast("double"),
+            9,
+        ).alias("confidence"),
+        F.round(lift_num.cast("double") / lift_den.cast("double"), 9).alias(
+            "lift"
+        ),
+    ).orderBy("antecedent", "consequent")
+    return res
+
+
+Q272_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+), seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS e2
+  FROM base
+), pairs AS (
+  SELECT e1, e2, CAST(count(DISTINCT user_id) AS BIGINT) AS supp_pair
+  FROM seq WHERE e2 IS NOT NULL GROUP BY e1, e2
+), unary AS (
+  SELECT event_type AS e, CAST(count(DISTINCT user_id) AS BIGINT) AS supp
+  FROM base GROUP BY event_type
+), nu AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM base
+)
+SELECT p.e1 AS antecedent, p.e2 AS consequent, p.supp_pair,
+       a.supp AS supp_a, b.supp AS supp_b, nu.n_users,
+       round(CAST(p.supp_pair AS DOUBLE) / CAST(a.supp AS DOUBLE), 9)
+         AS confidence,
+       round(CAST(CAST(p.supp_pair AS DECIMAL(19,0))
+                  * CAST(nu.n_users AS DECIMAL(19,0)) AS DOUBLE)
+             / CAST(CAST(a.supp AS DECIMAL(19,0))
+                    * CAST(b.supp AS DECIMAL(19,0)) AS DOUBLE), 9) AS lift
+FROM pairs p
+JOIN unary a ON a.e = p.e1
+JOIN unary b ON b.e = p.e2
+CROSS JOIN nu
+ORDER BY antecedent, consequent
+"""
+
+
+# --------------------------------------------------------------------------
+# q273 — Mann-Kendall trend test (+ Kendall tau-b) on daily volume
+# --------------------------------------------------------------------------
+
+
+def q273_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test of daily event volume → one
+    row (n_days, s, var_num, z, tau_b): the SIGNIFICANCE companion to
+    q260's Theil-Sen — Theil-Sen says how steep the robust trend is,
+    MK says whether a monotone trend exists at all, using only signs
+    of pairwise differences (no distributional assumption, immune to
+    the outliers q228/q230 hunt). S = Σ_(i<j) sign(x_j − x_i);
+    tie-corrected variance var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18;
+    z is the continuity-corrected normal approximation; tau-b =
+    S/√(D₀(D₀−T₁)) is the effect size (time has no ties, so T₂ = 0).
+
+    EXACTNESS: S and both variance/tau numerators are pure INTEGER
+    (DECIMAL) aggregates — sign() of two bigint counts, cubic tie terms
+    in exact decimals (var_num emitted as a string); z and tau-b are
+    fixed-order double expressions over casts of those integers
+    (correctly-rounded /,·,sqrt), NULLIF-guarded for n < 2 /
+    all-tied / degenerate-variance inputs.
+
+    Shape: one map-side-combinable daily pre-agg, then a
+    |days|²-bounded pair self-join (q260's audited frame class — ~5·10⁵
+    pairs at a 3-year range, nothing at any corpus scale) and two tiny
+    aggregates.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .filter(F.col("ts").isNotNull())
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    a = daily.select(F.col("day").alias("di"), F.col("x").alias("xi"))
+    b = daily.select(F.col("day").alias("dj"), F.col("x").alias("xj"))
+    s_agg = (
+        a.join(b, F.col("di") < F.col("dj"))
+        .agg(
+            F.sum(F.signum(F.col("xj") - F.col("xi")).cast("bigint"))
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    dec12 = "decimal(12,0)"
+    ties = daily.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    tt = ties.agg(
+        F.sum(
+            F.col("t").cast(dec12)
+            * (F.col("t") - 1).cast(dec12)
+            * (2 * F.col("t") + 5).cast(dec12)
+        )
+        .cast("decimal(38,0)")
+        .alias("t_var"),
+        F.sum(F.col("t").cast(dec12) * (F.col("t") - 1).cast(dec12))
+        .cast("decimal(38,0)")
+        .alias("t_pairs2"),  # Σ t(t−1) = 2·T₁
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    j = s_agg.join(F.broadcast(tt)).join(F.broadcast(nn))
+    n = F.col("n_days").cast(dec12)
+    var_num = (
+        n * (n - 1).cast(dec12) * (2 * F.col("n_days") + 5).cast(dec12)
+        - F.col("t_var")
+    ).cast("decimal(38,0)")
+    var_s = var_num.cast("double") / F.lit(18.0)
+    sd = F.nullif(F.sqrt(var_s), F.lit(0.0))
+    sgn = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (sgn - 1.0) / sd)
+        .when(F.col("s") < 0, (sgn + 1.0) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    # D₀ = n(n−1)/2 and D₀ − T₁ = (n(n−1) − Σt(t−1))/2 — keep both
+    # DOUBLED (exact integers), the /4 moves into the sqrt's argument
+    d0_2 = (n * (n - 1).cast(dec12)).cast("decimal(38,0)")
+    tau_den = F.nullif(
+        F.sqrt(
+            d0_2.cast("double")
+            * (d0_2 - F.col("t_pairs2")).cast("double")
+            / F.lit(4.0)
+        ),
+        F.lit(0.0),
+    )
+    res = j.select(
+        "n_days",
+        "s",
+        var_num.cast("string").alias("var_num"),
+        F.when(F.col("n_days") > 1, F.round(z, 9)).alias("z"),
+        F.when(F.col("n_days") > 1, F.round(sgn / tau_den, 9)).alias("tau_b"),
+    )
+    return res
+
+
+Q273_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), s_agg AS (
+  SELECT CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.day < b.day
+), ties AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x
+), tt AS (
+  SELECT CAST(sum(CAST(t AS DECIMAL(12,0)) * CAST(t - 1 AS DECIMAL(12,0))
+                  * CAST(2 * t + 5 AS DECIMAL(12,0))) AS DECIMAL(38,0))
+           AS t_var,
+         CAST(sum(CAST(t AS DECIMAL(12,0)) * CAST(t - 1 AS DECIMAL(12,0)))
+              AS DECIMAL(38,0)) AS t_pairs2
+  FROM ties
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+), j AS (
+  SELECT s_agg.s, tt.t_var, tt.t_pairs2, nn.n_days,
+         CAST(CAST(nn.n_days AS DECIMAL(12,0))
+              * CAST(nn.n_days - 1 AS DECIMAL(12,0))
+              * CAST(2 * nn.n_days + 5 AS DECIMAL(12,0)) - tt.t_var
+              AS DECIMAL(38,0)) AS var_num,
+         CAST(CAST(nn.n_days AS DECIMAL(12,0))
+              * CAST(nn.n_days - 1 AS DECIMAL(12,0)) AS DECIMAL(38,0)) AS d0_2
+  FROM s_agg CROSS JOIN tt CROSS JOIN nn
+)
+SELECT n_days, s, CAST(var_num AS VARCHAR) AS var_num,
+       CASE WHEN n_days > 1 THEN round(
+         CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                   / NULLIF(sqrt(CAST(var_num AS DOUBLE) / 18.0), 0.0)
+              WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                   / NULLIF(sqrt(CAST(var_num AS DOUBLE) / 18.0), 0.0)
+              ELSE 0.0 END, 9) END AS z,
+       CASE WHEN n_days > 1 THEN round(
+         CAST(s AS DOUBLE) / NULLIF(sqrt(
+           CAST(d0_2 AS DOUBLE)
+           * CAST(d0_2 - t_pairs2 AS DOUBLE) / 4.0), 0.0), 9) END AS tau_b
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# q274 — per-brand OLS fit of extended price on quantity
+# --------------------------------------------------------------------------
+
+
+def q274_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand ordinary-least-squares fit of line-item extended price
+    on quantity → (p_brand, n, slope, intercept, r2): the pricing-curve
+    read behind q221's depth-revenue table — slope estimates effective
+    unit price, intercept catches fixed components, and a LOW r² flags
+    brands whose pricing isn't volume-explained at all (discount games,
+    mixed catalogs — exactly what a category manager audits).
+
+    EXACTNESS: all five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) are EXACT decimal sums — doubles cast once to DECIMAL(12,2)
+    (the engine's TPC-H money discipline), products through exact
+    product decimals sized so neither engine's multiply can overflow or
+    rescale (18,2 × 18,2 → ≤(38,4) in Spark, ≤(36,4) in DuckDB; bounds
+    documented inline); slope/intercept/r² are fixed-order double
+    expressions over casts of those exact decimals, NULLIF-guarded for
+    single-point and zero-variance brands.
+
+    Shape: one broadcast part-join + one map-side-combinable brand
+    groupBy — the q01 scan-agg class; output is |brands|-bounded.
+    """
+    t = load_tables(spark, sf_dir)
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    per = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            # (18,2): Σ|x| ≤ 50·rows — 10^16 headroom holds past 10^14 rows
+            F.sum(x).cast("decimal(18,2)").alias("sx"),
+            F.sum(y).cast("decimal(18,2)").alias("sy"),
+            F.sum(x * y).cast("decimal(25,4)").alias("sxy"),
+            F.sum(x * x).cast("decimal(25,4)").alias("sxx"),
+            F.sum(y * y).cast("decimal(25,4)").alias("syy"),
+        )
+    )
+    dec12 = "decimal(12,0)"
+    n = F.col("n").cast(dec12)
+    # (19,2) operands force the int128 multiply path in BOTH engines
+    # (DuckDB computes an (18,2)x(18,2) product in int64 and overflows);
+    # Spark's (19,2)x(19,2) resolves to (38,4) with the scale intact.
+    sx19 = F.col("sx").cast("decimal(19,2)")
+    sy19 = F.col("sy").cast("decimal(19,2)")
+    num_xy = (n * F.col("sxy") - sx19 * sy19).cast("decimal(38,4)")
+    den_x = (n * F.col("sxx") - sx19 * sx19).cast("decimal(38,4)")
+    den_y = (n * F.col("syy") - sy19 * sy19).cast("decimal(38,4)")
+    zero = F.lit(0).cast("decimal(38,4)")
+    slope = num_xy.cast("double") / F.nullif(den_x, zero).cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    r2 = (num_xy.cast("double") / F.nullif(den_x, zero).cast("double")) * (
+        num_xy.cast("double") / F.nullif(den_y, zero).cast("double")
+    )
+    return per.select(
+        "p_brand",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
+    ).orderBy("p_brand")
+
+
+Q274_SQL = """
+WITH per AS (
+  SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sx,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS sy,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))
+                  * CAST(l.l_extendedprice AS DECIMAL(12,2)))
+              AS DECIMAL(25,4)) AS sxy,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))
+                  * CAST(l.l_quantity AS DECIMAL(12,2)))
+              AS DECIMAL(25,4)) AS sxx,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l.l_extendedprice AS DECIMAL(12,2)))
+              AS DECIMAL(25,4)) AS syy
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+), j AS (
+  SELECT p_brand, n, sx, sy,
+         CAST(CAST(n AS DECIMAL(12,0)) * sxy
+              - CAST(sx AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
+              AS DECIMAL(38,4)) AS num_xy,
+         CAST(CAST(n AS DECIMAL(12,0)) * sxx
+              - CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2))
+              AS DECIMAL(38,4)) AS den_x,
+         CAST(CAST(n AS DECIMAL(12,0)) * syy
+              - CAST(sy AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
+              AS DECIMAL(38,4)) AS den_y
+  FROM per
+)
+SELECT p_brand, n,
+       round(CAST(num_xy AS DOUBLE)
+             / CAST(NULLIF(den_x, CAST(0 AS DECIMAL(38,4))) AS DOUBLE), 9)
+         AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(num_xy AS DOUBLE)
+                 / CAST(NULLIF(den_x, CAST(0 AS DECIMAL(38,4))) AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) AS intercept,
+       round((CAST(num_xy AS DOUBLE)
+              / CAST(NULLIF(den_x, CAST(0 AS DECIMAL(38,4))) AS DOUBLE))
+             * (CAST(num_xy AS DOUBLE)
+                / CAST(NULLIF(den_y, CAST(0 AS DECIMAL(38,4))) AS DOUBLE)), 9)
+         AS r2
+FROM j
+ORDER BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# q275 — skip-gram pattern support (non-contiguous journey pairs)
+# --------------------------------------------------------------------------
+
+
+def q275_skipgram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram support over user journeys → (gap, antecedent,
+    consequent, support, occurrences) for ordered event-type pairs with
+    exactly ``gap`` events between them (gap ∈ {1, 2}): the
+    non-contiguity completion of q269/q272 — 'signup … purchase two
+    steps later' is invisible to a contiguous-bigram miner whenever an
+    interstitial click intervenes, which is precisely the common case.
+    GSP-style counting, hard-bounded to gap ≤ 2 (the published
+    subsequence explosion is why unbounded GSP never ships).
+
+    EXACTNESS: all-integer counts over exact string pairs; the pinned
+    (ts, event_id) journey order with q263's NULL exclusions.
+
+    Shape: the q269 window pass with two more leads over the SAME
+    partitioning (still one shuffle); alphabet²-bounded aggregation per
+    gap.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        t["events"]
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "ts", "event_id", F.col("event_type").alias("e1"))
+        .withColumn("g1", F.lead("e1", 2).over(w))
+        .withColumn("g2", F.lead("e1", 3).over(w))
+    )
+
+    def _mine(col: str, gap: int) -> DataFrame:
+        return (
+            seq.filter(F.col(col).isNotNull())
+            .groupBy(
+                F.col("e1").alias("antecedent"), F.col(col).alias("consequent")
+            )
+            .agg(
+                F.countDistinct("user_id").cast("bigint").alias("support"),
+                F.count(F.lit(1)).cast("bigint").alias("occurrences"),
+            )
+            .select(
+                F.lit(gap).cast("int").alias("gap"),
+                "antecedent",
+                "consequent",
+                "support",
+                "occurrences",
+            )
+        )
+
+    return (
+        _mine("g1", 1)
+        .unionByName(_mine("g2", 2))
+        .orderBy("gap", F.desc("support"), "antecedent", "consequent")
+    )
+
+
+Q275_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 2) OVER w AS g1,
+         lead(event_type, 3) OVER w AS g2
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), mined AS (
+  SELECT CAST(1 AS INT) AS gap, e1 AS antecedent, g1 AS consequent,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS support,
+         CAST(count(*) AS BIGINT) AS occurrences
+  FROM seq WHERE g1 IS NOT NULL GROUP BY e1, g1
+  UNION ALL
+  SELECT 2, e1, g2,
+         CAST(count(DISTINCT user_id) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM seq WHERE g2 IS NOT NULL GROUP BY e1, g2
+)
+SELECT gap, antecedent, consequent, support, occurrences
+FROM mined
+ORDER BY gap, support DESC, antecedent, consequent
 """
 
 
@@ -6200,4 +6600,8 @@ RELATIONAL_QUERIES = {
     "q269_seq_patterns": (q269_seq_patterns, Q269_SQL),
     "q270_kaplan_meier": (q270_kaplan_meier, Q270_SQL),
     "q271_holt_winters": (q271_holt_winters, Q271_SQL),
+    "q272_assoc_rules": (q272_assoc_rules, Q272_SQL),
+    "q273_mann_kendall": (q273_mann_kendall, Q273_SQL),
+    "q274_ols_fit": (q274_ols_fit, Q274_SQL),
+    "q275_skipgram_support": (q275_skipgram_support, Q275_SQL),
 }

@@ -761,6 +761,63 @@ def holt_daily_sink(
     return _sink
 
 
+def holt_winters_daily_sink(
+    daily_dir: str, out_dir: str, ts_col: str = "ts", compact_every: int = 64
+):
+    """foreachBatch sink: incrementally-maintained Holt-Winters additive
+    seasonal table — the streaming twin of q271 (plans/relational.py),
+    sharing its fold verbatim via `operators/timeseries.py::
+    holt_winters_table`. The season-aware sibling of `holt_daily_sink`:
+    same per-day partial counts, same ``batch_id=<n>`` overwrite
+    idempotence, same newest-base + ``_SUCCESS`` read rule and
+    compaction protocol — only the view recomputed off the daily store
+    differs (level + trend + dow seasonal instead of level + trend).
+    Writes ``<out_dir>/current``.
+
+    Equivalence contract (tests/test_streaming.py): after any
+    partitioning of an event set into micro-batches — compaction
+    triggered or not — the final current table equals q271's batch
+    output over the same rows.
+    """
+    from ..operators.timeseries import holt_winters_table
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            # ts IS NOT NULL: the q271 batch twin pins the same filter
+            batch_df.filter(F.col(ts_col).isNotNull())
+            .select(F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        )
+        partial.write.mode("overwrite").parquet(f"{daily_dir}/batch_id={batch_id}")
+        base, live, _ = _list_partial_store(spark, daily_dir)
+        paths = [f"{daily_dir}/batch_id=base-{base}"] if base is not None else []
+        paths += [f"{daily_dir}/batch_id={i}" for i in live]
+        daily = (
+            spark.read.parquet(*paths)
+            .groupBy("day")
+            .agg(F.sum("x").cast("bigint").alias("x"))
+        )
+        if len(live) >= compact_every:
+            daily.write.mode("overwrite").parquet(
+                f"{daily_dir}/batch_id=base-{batch_id}"
+            )
+            _, _, names = _list_partial_store(spark, daily_dir)
+            stale = [
+                nm
+                for nm in names
+                if nm.startswith("batch_id=") and nm != f"batch_id=base-{batch_id}"
+            ]
+            _delete_store_dirs(spark, daily_dir, stale)
+            daily = spark.read.parquet(f"{daily_dir}/batch_id=base-{batch_id}")
+        holt_winters_table(daily).write.mode("overwrite").parquet(
+            f"{out_dir}/current"
+        )
+
+    return _sink
+
+
 def attribution_sink(
     state_dir: str,
     trans_dir: str,

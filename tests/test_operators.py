@@ -390,10 +390,11 @@ def test_bruteforce_topk_refuses_oversized_input(spark):
 
 def test_registry_gate_window_is_complete_and_oracled():
     """The driver gates the first 50 REGISTRY entries: every one of them
-    must carry an oracle (no structurally-red rows). Round 10 executes
-    the round-9 pre-committed backfill plan (VERDICT r9 item #1): the
-    14 round-9 additions q241-q254 lead, then the 36 oldest-evidence
-    r5 queries in numeric order (through q134)."""
+    must carry an oracle (no structurally-red rows). Round 11 executes
+    the round-10 pre-committed backfill plan (VERDICT r10 item #2): the
+    11 round-10 additions q255-q265 lead (first external CORRECTNESS
+    rows), then the three r5 leftovers q135-q137, then the r6 cohort in
+    numeric order through q75."""
     import re
 
     from printer_etl_hub_spark.plans import REGISTRY
@@ -405,11 +406,11 @@ def test_registry_gate_window_is_complete_and_oracled():
     assert not unoracled, unoracled
     nums = [int(re.match(r"q(\d+)_", w).group(1)) for w in window]
     assert nums == (
-        list(range(241, 255))          # the round-9 additions
-        + [2, 4, 6, 8, 9, 10, 11, 13, 15, 25]      # oldest r5 cohort...
-        + [100, 101, 103, 105, 106, 107]
-        + list(range(109, 114)) + list(range(115, 123))
-        + [125, 128, 129, 130, 131, 133, 134]      # ...first 36 in order
+        list(range(255, 266))          # the round-10 additions
+        + [135, 136, 137]              # r5 leftovers
+        + [20, 21, 22, 23, 24, 26, 27, 29, 30]     # r6 cohort in order...
+        + [32, 33, 34, 35, 36, 46, 47, 48, 51]
+        + list(range(57, 72)) + [73, 74, 75]       # ...50 slots exactly
     ), nums
 
 

@@ -261,6 +261,11 @@ BNLJ_ALLOWED = {
     "q263_markov_attribution",  # chain x state grid builds (|channels|+1-row broadcasts)
     "q264_lorenz_curve",  # 1-row (n, sx) totals scalar broadcast (q226's class)
     "q265_winsorized_moments",  # 1-row n + 1-row thresholds scalar broadcasts
+    "q266_mannwhitney_u",  # 1-row (n, tie-term) totals scalar broadcast
+    "q270_kaplan_meier",  # 1-row corpus-max-day scalar broadcast (q89's class)
+    "q268_burstiness",  # 1-row global-span scalar broadcast (q89's class)
+    "q272_assoc_rules",  # 1-row n_users scalar broadcast (q89's class)
+    "q273_mann_kendall",  # |days|^2-bounded day-pair theta join (q260's class)
 }
 
 

@@ -1974,3 +1974,66 @@ def test_edit_ingest_sink_capped_superset_of_batch(spark, tmp_path):
     }
     assert got >= capped_batch
     assert got <= uncapped_batch
+
+
+def test_holt_winters_daily_sink_stream_equals_batch(spark, tmp_path):
+    """Incremental Holt-Winters seasonal table: streaming the events
+    table through the foreachBatch sink (compaction triggered
+    mid-stream) must end with EXACTLY q271's batch output over the same
+    rows — the shared operators/timeseries.py::holt_winters_table fold
+    makes the equivalence structural — and a re-delivered batch must be
+    a no-op."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import holt_winters_daily_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"].select("event_id", "ts")
+    src = str(tmp_path / "hw_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    daily_dir = str(tmp_path / "hw_daily")
+    out_dir = str(tmp_path / "hw_out")
+    sink = holt_winters_daily_sink(daily_dir, out_dir, compact_every=2)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cols = lambda r: (
+        r.day, r.x, r.forecast, r.resid, r.level, r.trend, r.season
+    )
+    got = {cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()}
+    want = {
+        cols(r)
+        for r in REGISTRY["q271_holt_winters"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want and want
+
+    names = {
+        r.batch_id
+        for r in spark.read.parquet(daily_dir).select("batch_id").distinct().collect()
+    }
+    assert any(str(n).startswith("base-") for n in names)
+
+    live = [int(n) for n in names if not str(n).startswith("base-")]
+    if live:
+        last = max(live)
+        part = spark.read.parquet(f"{daily_dir}/batch_id={last}")
+        n_daily = spark.read.parquet(daily_dir).count()
+        rows = []
+        for r in part.collect():
+            rows.extend([(r.day,)] * r.x)
+        replay_df = spark.createDataFrame(rows, "day date").select(
+            F.col("day").cast("timestamp").alias("ts")
+        )
+        sink(replay_df, last)
+        assert spark.read.parquet(daily_dir).count() == n_daily
+        got2 = {
+            cols(r)
+            for r in spark.read.parquet(f"{out_dir}/current").collect()
+        }
+        assert got2 == want
