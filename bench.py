@@ -326,6 +326,7 @@ HEADLINE = [
     "q273_mann_kendall",
     "q274_ols_fit",
     "q275_skipgram_support",
+    "q276_budget_sample",
 ]
 
 

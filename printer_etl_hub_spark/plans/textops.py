@@ -12327,6 +12327,93 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q276 — budget-driven deterministic document sampling
+# --------------------------------------------------------------------------
+
+
+def q276_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q200's token allocation EXECUTED as a document sample → per
+    source (source, n_docs, n_docs_kept, n_tokens, alloc_tokens,
+    n_tokens_kept): the step between deciding a mixture and shipping
+    one. Each document is kept by a deterministic md5 gate at its
+    source's allocation rate, so reruns, engines, and partitionings
+    all select the SAME documents (the q75 sampling discipline), and
+    n_tokens_kept ≈ alloc_tokens without any RNG to audit.
+
+    GATE EXACTNESS — the rate is never computed: keeping a doc iff
+    (md5(doc_id) mod 10⁶)·n_tokens < alloc·10⁶ is the CROSS-MULTIPLIED
+    integer form of hash-fraction < alloc/n_tokens — DECIMAL products,
+    no division, no rounding, no float anywhere in membership.
+    Over-allocated sources (alloc ≥ n_tokens, epochs ≥ 1) keep every
+    document by the same inequality.
+
+    Shape: q200's allocation (|sources|-row) broadcast onto one
+    document pass; per-source integer aggregates.
+    """
+    t = load_tables(spark, sf_dir)
+    alloc = q200_budget_allocation(spark, sf_dir).select(
+        "source", F.col("n_tokens").alias("src_tokens"), "alloc_tokens"
+    )
+    dec19 = "decimal(19,0)"
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    docs = t["documents"].select(
+        "source",
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_toks"),
+        F.pmod(h, F.lit(1_000_000)).alias("hmod"),
+    )
+    j = docs.join(F.broadcast(alloc), "source")
+    kept = F.col("hmod").cast(dec19) * F.col("src_tokens").cast(dec19) < F.col(
+        "alloc_tokens"
+    ).cast(dec19) * F.lit(1_000_000).cast(dec19)
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias(
+                "n_docs_kept"
+            ),
+            F.max("src_tokens").alias("n_tokens"),
+            F.max("alloc_tokens").alias("alloc_tokens"),
+            F.sum(F.when(kept, F.col("n_toks")).otherwise(0))
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+Q276_SQL = rf"""
+WITH alloc AS (
+{Q200_SQL}
+), docs AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+           AS n_toks,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1000000 AS hmod
+  FROM documents
+), j AS (
+  SELECT d.source, d.n_toks, d.hmod,
+         a.n_tokens AS src_tokens, a.alloc_tokens,
+         CAST(d.hmod AS DECIMAL(19,0)) * CAST(a.n_tokens AS DECIMAL(19,0))
+           < CAST(a.alloc_tokens AS DECIMAL(19,0))
+             * CAST(1000000 AS DECIMAL(19,0)) AS kept
+  FROM docs d JOIN alloc a USING (source)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       max(src_tokens) AS n_tokens, max(alloc_tokens) AS alloc_tokens,
+       CAST(sum(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT)
+         AS n_tokens_kept
+FROM j
+GROUP BY source
+ORDER BY source
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -12492,4 +12579,5 @@ TEXT_QUERIES = {
     "q257_edit_dups": (q257_edit_dups, Q257_SQL),
     "q261_rrf_fusion": (q261_rrf_fusion, Q261_SQL),
     "q267_gopher_rules": (q267_gopher_rules, Q267_SQL),
+    "q276_budget_sample": (q276_budget_sample, Q276_SQL),
 }

@@ -602,6 +602,70 @@ def _delete_store_dirs(spark, store_dir: str, names) -> None:
         p.getFileSystem(conf).delete(p, True)
 
 
+def _read_store(
+    spark,
+    store_dir: str,
+    upto_exclusive: int | None = None,
+    with_batch_id: bool = False,
+):
+    """Read a ``base-<n>``-compacted partial store under the newest-base
+    + live-partials rule (optionally only partials with id <
+    ``upto_exclusive`` — the prior-history read a state-dependent sink
+    needs for re-delivery safety). With ``with_batch_id`` the frame
+    carries an effective bigint recency column: base rows enter at the
+    stamp, which every live partial postdates by construction. Returns
+    ``None`` when the store holds nothing in range."""
+    base, live, _ = _list_partial_store(spark, store_dir)
+    if upto_exclusive is not None:
+        live = [i for i in live if i < upto_exclusive]
+    frames = []
+    if base is not None:
+        df = spark.read.parquet(f"{store_dir}/batch_id=base-{base}")
+        if with_batch_id:
+            df = df.withColumn("batch_id", F.lit(int(base)).cast("bigint"))
+        frames.append(df)
+    if live:
+        df = spark.read.option("basePath", store_dir).parquet(
+            *[f"{store_dir}/batch_id={i}" for i in live]
+        )
+        if with_batch_id:
+            df = df.withColumn("batch_id", F.col("batch_id").cast("bigint"))
+        else:
+            df = df.drop("batch_id")
+        frames.append(df)
+    if not frames:
+        return None
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr, allowMissingColumns=False)
+    return out
+
+
+def _compact_store(spark, store_dir: str, batch_id: int, compact_every: int,
+                   fold_fn) -> None:
+    """Fold partials with id strictly BEFORE ``batch_id`` into a
+    ``base-<stamp>`` generation once ``compact_every`` of them are
+    live, then sweep folded and stale dirs. The fold never includes the
+    current batch, so a re-delivered batch can still read the exact
+    prior-only history (see ``attribution_sink``'s docstring for the
+    stamp argument). ``fold_fn()`` must return the folded frame
+    computed from the pre-fold read rule (base + prior partials)."""
+    base, live, _ = _list_partial_store(spark, store_dir)
+    prior = [i for i in live if i < batch_id]
+    if len(prior) < compact_every:
+        return
+    stamp = max(prior)
+    fold_fn().write.mode("overwrite").parquet(
+        f"{store_dir}/batch_id=base-{stamp}"
+    )
+    _, _, names = _list_partial_store(spark, store_dir)
+    keep = {f"batch_id=base-{stamp}"} | {
+        f"batch_id={i}" for i in live if i >= batch_id
+    }
+    stale = [nm for nm in names if nm.startswith("batch_id=") and nm not in keep]
+    _delete_store_dirs(spark, store_dir, stale)
+
+
 def ewma_daily_sink(
     daily_dir: str, out_dir: str, ts_col: str = "ts", compact_every: int = 64
 ):
@@ -888,36 +952,10 @@ def attribution_sink(
     from ..operators.attribution import attribution_frames
 
     def _read_state(spark, upto_exclusive: int | None = None):
-        """Newest committed base + live partials (optionally only those
-        with id < upto_exclusive), as one frame with an effective
-        ``batch_id`` recency column (base rows carry the stamp)."""
-        base, live, _ = _list_partial_store(spark, state_dir)
-        if upto_exclusive is not None:
-            live = [i for i in live if i < upto_exclusive]
-        frames = []
-        if base is not None:
-            frames.append(
-                spark.read.parquet(f"{state_dir}/batch_id=base-{base}")
-                .select("_u", "last_node", "converted")
-                .withColumn("batch_id", F.lit(int(base)).cast("bigint"))
-            )
-        if live:
-            frames.append(
-                spark.read.option("basePath", state_dir)
-                .parquet(*[f"{state_dir}/batch_id={i}" for i in live])
-                .select(
-                    "_u",
-                    "last_node",
-                    "converted",
-                    F.col("batch_id").cast("bigint").alias("batch_id"),
-                )
-            )
-        if not frames:
+        df = _read_store(spark, state_dir, upto_exclusive, with_batch_id=True)
+        if df is None:
             return None
-        out = frames[0]
-        for fr in frames[1:]:
-            out = out.unionByName(fr)
-        return out
+        return df.select("_u", "last_node", "converted", "batch_id")
 
     def _newest_per_user(df):
         wl = Window.partitionBy("_u").orderBy(F.desc("batch_id"))
@@ -928,43 +966,24 @@ def attribution_sink(
         )
 
     def _read_trans(spark, upto_exclusive: int | None = None):
-        base, live, _ = _list_partial_store(spark, trans_dir)
-        if upto_exclusive is not None:
-            live = [i for i in live if i < upto_exclusive]
-        paths = [f"{trans_dir}/batch_id=base-{base}"] if base is not None else []
-        paths += [f"{trans_dir}/batch_id={i}" for i in live]
-        if not paths:
+        df = _read_store(spark, trans_dir, upto_exclusive)
+        if df is None:
             return None
-        return spark.read.parquet(*paths).select("prev", "nxt", "n")
+        return df.select("prev", "nxt", "n")
 
     def _compact(spark, batch_id: int) -> None:
-        """Fold partials with id < batch_id in both stores once
-        ``compact_every`` of them are live; sweep folded/stale dirs."""
-        for store, is_state in ((trans_dir, False), (state_dir, True)):
-            base, live, _ = _list_partial_store(spark, store)
-            prior = [i for i in live if i < batch_id]
-            if len(prior) < compact_every:
-                continue
-            stamp = max(prior)
-            if is_state:
-                folded = _newest_per_user(_read_state(spark, batch_id)).select(
-                    "_u", "last_node", "converted"
-                )
-            else:
-                folded = (
-                    _read_trans(spark, batch_id)
-                    .groupBy("prev", "nxt")
-                    .agg(F.sum("n").cast("bigint").alias("n"))
-                )
-            folded.write.mode("overwrite").parquet(f"{store}/batch_id=base-{stamp}")
-            _, _, names = _list_partial_store(spark, store)
-            keep = {f"batch_id=base-{stamp}"} | {
-                f"batch_id={i}" for i in live if i >= batch_id
-            }
-            stale = [
-                nm for nm in names if nm.startswith("batch_id=") and nm not in keep
-            ]
-            _delete_store_dirs(spark, store, stale)
+        _compact_store(
+            spark, trans_dir, batch_id, compact_every,
+            lambda: _read_trans(spark, batch_id)
+            .groupBy("prev", "nxt")
+            .agg(F.sum("n").cast("bigint").alias("n")),
+        )
+        _compact_store(
+            spark, state_dir, batch_id, compact_every,
+            lambda: _newest_per_user(_read_state(spark, batch_id)).select(
+                "_u", "last_node", "converted"
+            ),
+        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1063,6 +1082,183 @@ def attribution_sink(
         # includes this batch, so a re-delivery of it still reads the
         # exact pre-fold history (see docstring)
         _compact(spark, batch_id)
+
+    return _sink
+
+
+def seq_patterns_sink(
+    state_dir: str,
+    firsts_dir: str,
+    counts_dir: str,
+    out_dir: str,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    eid_col: str = "event_id",
+    type_col: str = "event_type",
+    compact_every: int = 64,
+):
+    """foreachBatch sink: incrementally-maintained contiguous
+    sequential-pattern table — the streaming twin of q269
+    (plans/relational.py): (n, pattern, support, occurrences) for every
+    event-type n-gram with n ≤ 3, maintained while journeys SPAN
+    micro-batches.
+
+    Cross-batch stitching: a per-user TAIL state (last two events)
+    re-enters each batch as two virtual rows BEFORE the batch's events,
+    so the window pass sees the stitched sequence; an n-gram counts to
+    this batch iff its LAST element is a batch event (grams fully
+    inside the tail were counted when they arrived — each occurrence is
+    counted exactly once, in the batch where it completes).
+
+    Support (distinct users) cannot be maintained as a mergeable count;
+    it is maintained as an append-only FIRSTS store of (n, pattern,
+    user) first-walk rows: the batch's walked pairs anti-join history
+    (excluding the batch's own partition — re-delivery idempotence), so
+    a user contributes one row per pattern ever. Σ-size is bounded by
+    |patterns|·|users| ≤ alphabet³·|users| — the same artifact class as
+    the per-user state stores. Occurrence partials are mergeable sums.
+
+    All three stores use ``batch_id=<n>`` overwrite partitions, the
+    newest-base + ``_SUCCESS`` read rule, and the prior-only
+    ``base-<stamp>`` compaction protocol (`_compact_store`): counts
+    fold as sums, firsts fold as DISTINCT rows, state folds as
+    newest-row-per-user. Ordered-arrival contract (the attribution
+    sink's): route disordered feeds through the batch query.
+
+    Equivalence contract (tests/test_streaming.py): after any
+    ts-ordered micro-batch partitioning, ``<out_dir>/current`` equals
+    q269's batch output over the same rows, compaction triggered or
+    not; re-delivering the last batch is a no-op.
+    """
+    from pyspark.sql import Window
+
+    def _newest_state(df):
+        wl = Window.partitionBy("_u").orderBy(F.desc("batch_id"))
+        return (
+            df.withColumn("_r", F.row_number().over(wl))
+            .filter(F.col("_r") == 1)
+            .drop("_r", "batch_id")
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+
+        ev = batch_df.filter(
+            F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+        ).select(
+            F.col(id_col).alias("_u"),
+            F.col(ts_col).alias("_ts"),
+            F.col(eid_col).alias("_eid"),
+            F.col(type_col).alias("_t"),
+        )
+        w = Window.partitionBy("_u").orderBy("_ts", "_eid")
+        seq = ev.withColumn("rn", F.row_number().over(w))
+        st = _read_store(spark, state_dir, upto_exclusive=batch_id,
+                         with_batch_id=True)
+        if st is not None:
+            st = _newest_state(st.select("_u", "p2", "p1", "batch_id"))
+            virt = st.select(
+                "_u", F.lit(-1).alias("rn"), F.col("p2").alias("_t")
+            ).filter(F.col("_t").isNotNull()).unionByName(
+                st.select("_u", F.lit(0).alias("rn"), F.col("p1").alias("_t"))
+                .filter(F.col("_t").isNotNull())
+            )
+            combined = seq.select("_u", "rn", "_t").unionByName(virt)
+        else:
+            combined = seq.select("_u", "rn", "_t")
+        w2 = Window.partitionBy("_u").orderBy("rn")
+        grams = (
+            combined.withColumn("e2", F.lead("_t").over(w2))
+            .withColumn("e3", F.lead("_t", 2).over(w2))
+            .withColumn("last2_rn", F.col("rn") + 1)
+            .withColumn("last3_rn", F.col("rn") + 2)
+            .localCheckpoint(eager=True)  # feeds 3 gram scans + state
+        )
+        uni = seq.select(
+            F.lit(1).alias("n"), F.col("_t").alias("pattern"), "_u"
+        )
+        bi = grams.filter(
+            F.col("e2").isNotNull() & (F.col("last2_rn") >= 1)
+        ).select(
+            F.lit(2).alias("n"),
+            F.concat_ws(">", "_t", "e2").alias("pattern"),
+            "_u",
+        )
+        tri = grams.filter(
+            F.col("e3").isNotNull() & (F.col("last3_rn") >= 1)
+        ).select(
+            F.lit(3).alias("n"),
+            F.concat_ws(">", "_t", "e2", "e3").alias("pattern"),
+            "_u",
+        )
+        walked = uni.unionByName(bi).unionByName(tri)
+        occ = walked.groupBy("n", "pattern").agg(
+            F.count(F.lit(1)).cast("bigint").alias("occ")
+        )
+        occ.write.mode("overwrite").parquet(f"{counts_dir}/batch_id={batch_id}")
+        pairs = walked.select("n", "pattern", "_u").distinct()
+        hist_firsts = _read_store(spark, firsts_dir, upto_exclusive=batch_id)
+        if hist_firsts is not None:
+            new_firsts = pairs.join(
+                hist_firsts.select("n", "pattern", "_u"),
+                ["n", "pattern", "_u"],
+                "left_anti",
+            )
+        else:
+            new_firsts = pairs
+        new_firsts.write.mode("overwrite").parquet(
+            f"{firsts_dir}/batch_id={batch_id}"
+        )
+        # per-user tail after this batch: the last two events seen, tail
+        # users with no batch events keep their stored state (their rows
+        # are absent from this partition; the newest-row rule serves the
+        # older partition)
+        wlast = Window.partitionBy("_u").orderBy(F.desc("rn"))
+        tail = (
+            combined.withColumn("_r", F.row_number().over(wlast))
+            .filter(F.col("_r") <= 2)
+            .groupBy("_u")
+            .agg(
+                F.max(F.when(F.col("_r") == 1, F.col("_t"))).alias("p1"),
+                F.max(F.when(F.col("_r") == 2, F.col("_t"))).alias("p2"),
+            )
+            .join(seq.select("_u").distinct(), "_u", "left_semi")
+        )
+        tail.write.mode("overwrite").parquet(f"{state_dir}/batch_id={batch_id}")
+        # current table: pooled occurrence partials + firsts-store support
+        all_occ = (
+            _read_store(spark, counts_dir)
+            .groupBy("n", "pattern")
+            .agg(F.sum("occ").cast("bigint").alias("occurrences"))
+        )
+        support = (
+            _read_store(spark, firsts_dir)
+            .groupBy("n", "pattern")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        )
+        all_occ.join(support, ["n", "pattern"]).select(
+            F.col("n").cast("int").alias("n"), "pattern", "support",
+            "occurrences",
+        ).write.mode("overwrite").parquet(f"{out_dir}/current")
+        _compact_store(
+            spark, counts_dir, batch_id, compact_every,
+            lambda: _read_store(spark, counts_dir, batch_id)
+            .groupBy("n", "pattern")
+            .agg(F.sum("occ").cast("bigint").alias("occ")),
+        )
+        _compact_store(
+            spark, firsts_dir, batch_id, compact_every,
+            lambda: _read_store(spark, firsts_dir, batch_id).select(
+                "n", "pattern", "_u"
+            ).distinct(),
+        )
+        _compact_store(
+            spark, state_dir, batch_id, compact_every,
+            lambda: _newest_state(
+                _read_store(spark, state_dir, batch_id, with_batch_id=True)
+                .select("_u", "p2", "p1", "batch_id")
+            ),
+        )
 
     return _sink
 

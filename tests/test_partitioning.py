@@ -255,6 +255,10 @@ _BOUNDED_BY_CONSTRUCTION = {
         1,
         "largest-remainder apportionment over the |sources|-row share table",
     ),
+    "q276_budget_sample": (
+        1,
+        "composes q200 — the same |sources|-row largest-remainder window",
+    ),
 }
 
 

@@ -265,6 +265,7 @@ BNLJ_ALLOWED = {
     "q270_kaplan_meier",  # 1-row corpus-max-day scalar broadcast (q89's class)
     "q268_burstiness",  # 1-row global-span scalar broadcast (q89's class)
     "q272_assoc_rules",  # 1-row n_users scalar broadcast (q89's class)
+    "q276_budget_sample",  # composes q200's 1-row total scalar broadcasts
     "q273_mann_kendall",  # |days|^2-bounded day-pair theta join (q260's class)
 }
 

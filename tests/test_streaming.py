@@ -2037,3 +2037,92 @@ def test_holt_winters_daily_sink_stream_equals_batch(spark, tmp_path):
             for r in spark.read.parquet(f"{out_dir}/current").collect()
         }
         assert got2 == want
+
+
+def test_seq_patterns_sink_stream_equals_batch(spark, tmp_path):
+    """Incremental sequential-pattern mining (q269's streaming twin):
+    the events table streams in SIX ts-ordered micro-batches with
+    compact_every=2 (all three stores fold mid-stream); journeys span
+    batch boundaries, so bigrams/trigrams must stitch through the
+    per-user tail state; the final current table must equal q269's
+    batch output exactly — support (distinct users) included, which
+    only works if the firsts store counts each (pattern, user) once
+    across batches. Re-delivering the last batch is a no-op."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import seq_patterns_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"].select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cuts = [
+        r[0]
+        for r in ev.selectExpr(
+            "percentile(cast(ts as double), array(1/6,2/6,3/6,4/6,5/6)) p"
+        )
+        .selectExpr("explode(p)")
+        .collect()
+    ]
+    bounds = [None, *cuts, None]
+    slices = []
+    for i in range(6):
+        s = ev
+        if bounds[i] is not None:
+            s = s.filter(F.col("ts").cast("double") >= bounds[i])
+        if bounds[i + 1] is not None:
+            s = s.filter(F.col("ts").cast("double") < bounds[i + 1])
+        slices.append(s)
+    src = str(tmp_path / "sp_src")
+    slices[0].coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    dirs = {k: str(tmp_path / f"sp_{k}") for k in ("state", "firsts", "counts", "out")}
+    sink = seq_patterns_sink(
+        dirs["state"], dirs["firsts"], dirs["counts"], dirs["out"],
+        compact_every=2,
+    )
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+        for s in slices[1:]:
+            s.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cols = lambda r: (r.n, r.pattern, r.support, r.occurrences)
+    got = {
+        cols(r) for r in spark.read.parquet(f"{dirs['out']}/current").collect()
+    }
+    want = {
+        cols(r)
+        for r in REGISTRY["q269_seq_patterns"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want and want
+
+    # all three stores folded (compaction fired) and stayed bounded
+    import os
+
+    last_batch = None
+    for store in (dirs["state"], dirs["firsts"], dirs["counts"]):
+        parts = sorted(os.listdir(store))
+        bases = [p for p in parts if p.startswith("batch_id=base-")]
+        assert bases, f"compaction never triggered in {store}: {parts}"
+        stamp = max(int(p.split("base-")[1]) for p in bases)
+        live = [
+            int(p.split("=")[1])
+            for p in parts
+            if p.startswith("batch_id=") and not p.split("=")[1].startswith("base-")
+        ]
+        live = [i for i in live if i > stamp]
+        assert len(live) <= 2 + 1, (store, parts)
+        last_batch = max(live)
+
+    # re-delivery of the LAST batch post-fold is a no-op
+    sink(slices[-1], last_batch)
+    got2 = {
+        cols(r) for r in spark.read.parquet(f"{dirs['out']}/current").collect()
+    }
+    assert got2 == want
