@@ -5807,8 +5807,12 @@ def q270_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one user groupBy (the only corpus-sized stage) → a
     |days|-bounded (t, d, c) frame that folds on a single row — never a
-    window or join per step.
+    window or join per step. The table build lives in
+    `operators/timeseries.py::kaplan_meier_table` so the streaming
+    per-user-store sink emits the identical curve.
     """
+    from ..operators.timeseries import kaplan_meier_table
+
     t = load_tables(spark, sf_dir)
     per_u = (
         t["events"]
@@ -5825,65 +5829,7 @@ def q270_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("is_conv"), F.col("day"))).alias("conv_day"),
         )
     )
-    mx = per_u.agg(F.max("last_day").alias("max_day"))
-    lab = per_u.join(F.broadcast(mx)).select(
-        F.col("conv_day").isNotNull().alias("converted"),
-        F.when(
-            F.col("conv_day").isNotNull(),
-            F.datediff(F.col("conv_day"), F.col("first_day")),
-        )
-        .otherwise(F.datediff(F.col("max_day"), F.col("first_day")))
-        .cast("bigint")
-        .alias("t_days"),
-    )
-    ev = lab.groupBy("t_days").agg(
-        F.sum(F.when(F.col("converted"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("d"),
-        F.sum(F.when(F.col("converted"), 0).otherwise(1))
-        .cast("bigint")
-        .alias("c"),
-    )
-    out_t = (
-        "array<struct<t_days:bigint,n_risk:bigint,d_converted:bigint,"
-        "c_censored:bigint,survival:double>>"
-    )
-    one = ev.agg(
-        F.array_sort(F.collect_list(F.struct("t_days", "d", "c"))).alias("arr"),
-        F.sum(F.col("d") + F.col("c")).cast("bigint").alias("n_tot"),
-    )
-    acc0 = F.struct(
-        F.col("n_tot").alias("left"),
-        F.lit(1.0).alias("s"),
-        F.array().cast(out_t).alias("out"),
-    )
-
-    def _step(acc, e):
-        n_risk = acc["left"]
-        s_new = acc["s"] * (
-            (n_risk - e["d"]).cast("double") / n_risk.cast("double")
-        )
-        row = F.struct(
-            e["t_days"].alias("t_days"),
-            n_risk.alias("n_risk"),
-            e["d"].alias("d_converted"),
-            e["c"].alias("c_censored"),
-            F.round(s_new, 9).alias("survival"),
-        )
-        return F.struct(
-            (n_risk - e["d"] - e["c"]).alias("left"),
-            s_new.alias("s"),
-            F.concat(acc["out"], F.array(row)).alias("out"),
-        )
-
-    folded = one.select(
-        F.aggregate(F.col("arr"), acc0, _step)["out"].alias("out")
-    )
-    return (
-        folded.select(F.explode("out").alias("r"))
-        .select("r.*")
-        .orderBy("t_days")
-    )
+    return kaplan_meier_table(per_u).orderBy("t_days")
 
 
 Q270_SQL = f"""

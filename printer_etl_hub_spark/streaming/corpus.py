@@ -1086,6 +1086,78 @@ def attribution_sink(
     return _sink
 
 
+def km_sink(
+    user_dir: str,
+    out_dir: str,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    conv_type: str = "purchase",
+    compact_every: int = 64,
+):
+    """foreachBatch sink: incrementally-maintained Kaplan-Meier
+    time-to-conversion curve — the streaming twin of q270
+    (plans/relational.py), sharing its table build verbatim via
+    `operators/timeseries.py::kaplan_meier_table`.
+
+    Unlike the journey sinks (attribution, seq-patterns), this one has
+    NO ordered-arrival contract: the per-user state is (first_day,
+    conv_day, last_day), and min/first-conversion/max are pure MERGES —
+    a late or out-of-order event folds in correctly whenever it
+    arrives. Per batch: the batch's per-user partial lands under
+    ``batch_id=<n>`` (overwrite — re-delivery idempotence), the store
+    merges per user (min/min/max across partials), and the curve
+    recomputes off the |users|-bounded merged frame. Store partials
+    fold with the shared prior-only ``base-<stamp>`` compaction
+    protocol (the fold IS the merge — the read rule's result is
+    generation-invariant by associativity of min/max).
+
+    Equivalence contract (tests/test_streaming.py): after ANY
+    micro-batch partitioning — ordered or not, compaction triggered or
+    not — ``<out_dir>/current`` equals q270's batch output over the
+    same rows; re-delivering the last batch is a no-op.
+    """
+    from ..operators.timeseries import kaplan_meier_table
+
+    def _merged(spark, upto_exclusive: int | None = None):
+        df = _read_store(spark, user_dir, upto_exclusive)
+        if df is None:
+            return None
+        return df.groupBy("_u").agg(
+            F.min("first_day").alias("first_day"),
+            F.max("last_day").alias("last_day"),
+            F.min("conv_day").alias("conv_day"),
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.filter(F.col(ts_col).isNotNull())
+            .select(
+                F.col(id_col).alias("_u"),
+                F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
+                (F.col(type_col) == conv_type).alias("is_conv"),
+            )
+            .groupBy("_u")
+            .agg(
+                F.min("day").alias("first_day"),
+                F.max("day").alias("last_day"),
+                F.min(F.when(F.col("is_conv"), F.col("day"))).alias("conv_day"),
+            )
+        )
+        partial.write.mode("overwrite").parquet(f"{user_dir}/batch_id={batch_id}")
+        per_u = _merged(spark)
+        kaplan_meier_table(per_u).write.mode("overwrite").parquet(
+            f"{out_dir}/current"
+        )
+        _compact_store(
+            spark, user_dir, batch_id, compact_every,
+            lambda: _merged(spark, batch_id),
+        )
+
+    return _sink
+
+
 def seq_patterns_sink(
     state_dir: str,
     firsts_dir: str,

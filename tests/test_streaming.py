@@ -2126,3 +2126,71 @@ def test_seq_patterns_sink_stream_equals_batch(spark, tmp_path):
         cols(r) for r in spark.read.parquet(f"{dirs['out']}/current").collect()
     }
     assert got2 == want
+
+
+def test_km_sink_stream_equals_batch_unordered(spark, tmp_path):
+    """Incremental Kaplan-Meier (q270's streaming twin): the per-user
+    state is pure min/max merges, so equivalence must hold even for an
+    ARBITRARY (non-ts-ordered) micro-batch split — the contract the
+    journey sinks explicitly do NOT make. Compaction triggered at
+    compact_every=2; re-delivering the last batch is a no-op."""
+    import os
+
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import km_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"].select(
+        "user_id", "ts", "event_type"
+    )
+    src = str(tmp_path / "km_src")
+    # repartition = arbitrary interleaving: late/out-of-order by design
+    ev.repartition(5).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    user_dir = str(tmp_path / "km_users")
+    out_dir = str(tmp_path / "km_out")
+    sink = km_sink(user_dir, out_dir, compact_every=2)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cols = lambda r: (
+        r.t_days, r.n_risk, r.d_converted, r.c_censored, r.survival
+    )
+    got = {cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()}
+    want = {
+        cols(r)
+        for r in REGISTRY["q270_kaplan_meier"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want and want
+
+    parts = sorted(os.listdir(user_dir))
+    bases = [p for p in parts if p.startswith("batch_id=base-")]
+    assert bases, f"compaction never triggered: {parts}"
+    stamp = max(int(p.split("base-")[1]) for p in bases)
+    live = [
+        int(p.split("=")[1])
+        for p in parts
+        if p.startswith("batch_id=") and not p.split("=")[1].startswith("base-")
+        and int(p.split("=")[1]) > stamp
+    ]
+    assert len(live) <= 2 + 1, parts
+
+    # re-delivery of the last live batch: rebuild its user set and replay
+    last = max(live)
+    replay_users = spark.read.parquet(f"{user_dir}/batch_id={last}").select(
+        F.col("_u").alias("_rid")
+    )
+    # a superset batch re-delivery is fine for a merge store as long as
+    # the merged values are unchanged; replay the exact same events the
+    # partial was built from is not reconstructible, so replay ALL
+    # events of those users — their merged min/max already cover it
+    replay = ev.join(replay_users, ev["user_id"] == F.col("_rid")).drop("_rid")
+    sink(replay, last)
+    got2 = {cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()}
+    assert got2 == want
