@@ -327,6 +327,7 @@ HEADLINE = [
     "q274_ols_fit",
     "q275_skipgram_support",
     "q276_budget_sample",
+    "q277_deadline_funnel",
 ]
 
 

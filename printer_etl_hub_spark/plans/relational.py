@@ -6449,6 +6449,187 @@ ORDER BY gap, support DESC, antecedent, consequent
 """
 
 
+# --------------------------------------------------------------------------
+# q277 — deadline funnel (windowFunnel with per-step deadlines)
+# --------------------------------------------------------------------------
+
+#: Each funnel step must land within this many days of the PREVIOUS step.
+_DF_WINDOW_DAYS = 7
+_DF_WINDOW_US = _DF_WINDOW_DAYS * 86_400 * 1_000_000
+
+
+def q277_deadline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline-constrained funnel (ClickHouse-windowFunnel semantics:
+    view → click → purchase, each step within 7 days of the previous,
+    depth = MAXIMUM over every possible window start) → (step,
+    event_type, n_reached, rate_vs_prev). q111 is the unconstrained
+    funnel, where earliest-match greedy is provably depth-optimal;
+    under deadlines it is NOT (a user whose first view's click window
+    expires may still convert off a LATER view), so this query
+    evaluates every view as a candidate start and takes the deepest
+    chain — the semantics every funnel-with-timeout product question
+    actually means.
+
+    Implementation — one window pass, never per-start scans: each
+    distinct (user, ts, type) row is enriched with the earliest
+    STRICTLY-later click/purchase timestamp via a descending-order
+    RANGE running min on unix_micros (the range frame's 1 PRECEDING
+    excludes ties exactly — a click at the same microsecond is not
+    'after' the view in either engine); a view's matched click then
+    JOINS its own enriched row to read the purchase successor — one
+    user-keyed equi-join, fan-out bounded by the user's click count.
+
+    EXACTNESS: timestamps compare as integer microseconds, the 7-day
+    deadline is an integer add, depths and counts are integers;
+    rate_vs_prev is ONE double division, NULLIF-guarded.
+
+    Shape: one distinct + one user-partitioned window + one user-keyed
+    join + a 3-row aggregate. All step frames prune to the three step
+    types at the scan.
+    """
+    t = load_tables(spark, sf_dir)
+    s1, s2, s3 = _FUNNEL
+    ds = (
+        t["events"]
+        .filter(
+            F.col("ts").isNotNull() & F.col("event_type").isin(*_FUNNEL)
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("tsm"),
+            "event_type",
+        )
+        .distinct()
+    )
+    wdesc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("tsm"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    enr = ds.withColumn(
+        "nxt2", F.min(F.when(F.col("event_type") == s2, F.col("tsm"))).over(wdesc)
+    ).withColumn(
+        "nxt3", F.min(F.when(F.col("event_type") == s3, F.col("tsm"))).over(wdesc)
+    )
+    starts = enr.filter(F.col("event_type") == s1).select(
+        "user_id",
+        F.col("tsm").alias("t1"),
+        F.when(
+            F.col("nxt2") <= F.col("tsm") + _DF_WINDOW_US, F.col("nxt2")
+        ).alias("m2"),
+    )
+    clicks = enr.filter(F.col("event_type") == s2).select(
+        F.col("user_id").alias("_u2"),
+        F.col("tsm").alias("m2ts"),
+        F.col("nxt3").alias("nxt3b"),
+    )
+    chains = starts.join(
+        clicks,
+        (F.col("user_id") == F.col("_u2")) & (F.col("m2") == F.col("m2ts")),
+        "left",
+    ).select(
+        "user_id",
+        F.when(F.col("m2").isNotNull(), 2)
+        .otherwise(1)
+        .alias("d2"),
+        F.when(
+            F.col("m2").isNotNull()
+            & (F.col("nxt3b") <= F.col("m2") + _DF_WINDOW_US),
+            3,
+        )
+        .otherwise(0)
+        .alias("d3"),
+    )
+    depth = chains.groupBy("user_id").agg(
+        F.greatest(F.max("d2"), F.max("d3")).cast("int").alias("depth")
+    )
+    agg = depth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("depth") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("depth") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n3"),
+    )
+    rows = []
+    for i, (step, prev) in enumerate(
+        [("n1", None), ("n2", "n1"), ("n3", "n2")], start=1
+    ):
+        rate = (
+            F.lit(None).cast("double")
+            if prev is None
+            else F.round(
+                F.col(step).cast("double")
+                / F.nullif(F.col(prev), F.lit(0)).cast("double"),
+                9,
+            )
+        )
+        rows.append(
+            agg.select(
+                F.lit(i).cast("int").alias("step"),
+                F.lit(_FUNNEL[i - 1]).alias("event_type"),
+                F.col(step).alias("n_reached"),
+                rate.alias("rate_vs_prev"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")
+
+
+Q277_SQL = f"""
+WITH ds AS (
+  SELECT DISTINCT user_id, epoch_us(ts) AS tsm, event_type
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('{_FUNNEL[0]}', '{_FUNNEL[1]}',
+                                          '{_FUNNEL[2]}')
+), enr AS (
+  SELECT user_id, tsm, event_type,
+         min(CASE WHEN event_type = '{_FUNNEL[1]}' THEN tsm END)
+           OVER w AS nxt2,
+         min(CASE WHEN event_type = '{_FUNNEL[2]}' THEN tsm END)
+           OVER w AS nxt3
+  FROM ds
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsm DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), starts AS (
+  SELECT user_id, tsm AS t1,
+         CASE WHEN nxt2 <= tsm + {_DF_WINDOW_US} THEN nxt2 END AS m2
+  FROM enr WHERE event_type = '{_FUNNEL[0]}'
+), clicks AS (
+  SELECT user_id AS _u2, tsm AS m2ts, nxt3 AS nxt3b
+  FROM enr WHERE event_type = '{_FUNNEL[1]}'
+), chains AS (
+  SELECT s.user_id,
+         CASE WHEN s.m2 IS NOT NULL THEN 2 ELSE 1 END AS d2,
+         CASE WHEN s.m2 IS NOT NULL
+                   AND c.nxt3b <= s.m2 + {_DF_WINDOW_US}
+              THEN 3 ELSE 0 END AS d3
+  FROM starts s
+  LEFT JOIN clicks c ON c._u2 = s.user_id AND c.m2ts = s.m2
+), depth AS (
+  SELECT user_id, CAST(greatest(max(d2), max(d3)) AS INT) AS depth
+  FROM chains GROUP BY user_id
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM depth
+)
+SELECT 1 AS step, '{_FUNNEL[0]}' AS event_type, n1 AS n_reached,
+       CAST(NULL AS DOUBLE) AS rate_vs_prev FROM agg
+UNION ALL
+SELECT 2, '{_FUNNEL[1]}', n2,
+       round(CAST(n2 AS DOUBLE) / CAST(NULLIF(n1, 0) AS DOUBLE), 9) FROM agg
+UNION ALL
+SELECT 3, '{_FUNNEL[2]}', n3,
+       round(CAST(n3 AS DOUBLE) / CAST(NULLIF(n2, 0) AS DOUBLE), 9) FROM agg
+ORDER BY step
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -6550,4 +6731,5 @@ RELATIONAL_QUERIES = {
     "q273_mann_kendall": (q273_mann_kendall, Q273_SQL),
     "q274_ols_fit": (q274_ols_fit, Q274_SQL),
     "q275_skipgram_support": (q275_skipgram_support, Q275_SQL),
+    "q277_deadline_funnel": (q277_deadline_funnel, Q277_SQL),
 }

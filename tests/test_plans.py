@@ -537,3 +537,41 @@ def test_q196_sweep_single_assignment_and_scoring(spark):
     # the base scan feeds the persisted assignment; the centroid limit
     # and both join sides read the cache — nothing re-reads the parquet
     assert final.count("Scan parquet") <= 2, final[:3000]
+
+
+def test_q277_deadline_funnel_max_over_starts_beats_greedy(spark, tmp_path):
+    """Pin the semantics that make q277 a different operator from q111:
+    under deadlines, earliest-match greedy is NOT depth-optimal. User 1
+    views at day 0 (click at day 8 misses the 7-day window) and again
+    at day 5 (click day 8 hits, purchase day 9 hits) — a greedy
+    first-view funnel scores depth 1; windowFunnel's max-over-starts
+    must score depth 3. User 2 only views."""
+    import datetime as dt
+    import os
+
+    from printer_etl_hub_spark.plans import REGISTRY
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "df_corpus"
+    os.makedirs(dst)
+    for f in os.listdir(src):
+        if f != "events.parquet":
+            os.symlink(f"{src}/{f}", dst / f)
+    d = lambda days: dt.datetime(2026, 1, 1) + dt.timedelta(days=days)
+    rows = [
+        (1, d(0), 1, "view", 1.0, "{}"),
+        (2, d(8), 1, "click", 1.0, "{}"),
+        (3, d(5), 1, "view", 1.0, "{}"),
+        (4, d(9), 1, "purchase", 1.0, "{}"),
+        (5, d(0), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(dst / "events.parquet"))
+    got = {
+        r.step: (r.n_reached, r.event_type)
+        for r in REGISTRY["q277_deadline_funnel"].fn(spark, str(dst)).collect()
+    }
+    assert got == {1: (2, "view"), 2: (1, "click"), 3: (1, "purchase")}, got
