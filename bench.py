@@ -328,6 +328,7 @@ HEADLINE = [
     "q275_skipgram_support",
     "q276_budget_sample",
     "q277_deadline_funnel",
+    "q278_kruskal_wallis",
 ]
 
 

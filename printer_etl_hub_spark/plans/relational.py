@@ -5408,45 +5408,25 @@ FROM agg
 # --------------------------------------------------------------------------
 
 
-def q266_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann-Whitney U rank-sum test of each event type's ``value``
-    distribution against ALL OTHER types pooled → one row per type
-    (event_type, n_a, n_b, u2_a, u2_b, z): the nonparametric sibling of
-    q250's mean-difference A/B read — rank-based, so heavy tails and
-    outliers (exactly what q216/q265 document in this column) can't
-    swamp it the way they swamp a t-statistic.
-
-    EXACTNESS: every rank quantity is INTEGER — tied values take the
-    midrank, so the engine carries DOUBLED rank sums (2·avgrank =
-    2·below_v + n_v + 1, always integral): u2_a = 2·U_A = R2_A −
-    n_a(n_a+1) in DECIMAL(38,0), u2_b by the identity 2·n_a·n_b − u2_a,
-    and the tie term T = Σ(n_v³ − n_v) the same way (u2/T emitted as
-    strings — 25-digit integers don't survive a float64 pandas bridge).
-    The normal-approximation z is computed in ONE fixed-order double
-    expression (casts of exact decimals, correctly-rounded /,·,sqrt —
-    both engines IEEE-identical), NULLIF-guarded for single-group /
-    all-tied degenerates. -0.0 is normalized to 0.0 and NaN excluded
-    before ranking (the float-grouping portability traps).
-
-    Shape: one (type, value) groupBy + one distinct-value groupBy (both
-    map-side-combinable), `dist_cumsum` for the below-count prefix sums
-    (plans/common.py — the KS/CUSUM discipline: NEVER a
-    single-partition window over the distinct-value frame, which is
-    corpus-scaled), one broadcast of the |types|+1-row totals.
-    """
+def _midrank_stats(events: DataFrame):
+    """Shared pooled-midrank machinery for the rank-test family (q266
+    Mann-Whitney, q278 Kruskal-Wallis): events.value ranked over the
+    whole pool with DOUBLED midranks so ties stay integral (2·avgrank =
+    2·below_v + n_v + 1). Returns (per_t, totals, pin): per event type
+    the group size ``n_a`` and doubled rank sum ``r2_a`` DECIMAL(38,0);
+    1-row totals with pooled ``n`` and tie term Σ(t³−t); the dist_cumsum
+    pin for the caller's materialize_release. −0.0 normalized, NaN and
+    NULLs excluded before ranking; below-counts via `dist_cumsum`
+    (never a single-partition window over the corpus-scaled
+    distinct-value frame)."""
     from .common import dist_cumsum
 
-    t = load_tables(spark, sf_dir)
     v = F.col("value")
-    pool = (
-        t["events"]
-        .filter(
-            F.col("event_type").isNotNull() & v.isNotNull() & ~F.isnan(v)
-        )
-        .select(
-            "event_type",
-            F.when(v == 0.0, F.lit(0.0)).otherwise(v).alias("v"),
-        )
+    pool = events.filter(
+        F.col("event_type").isNotNull() & v.isNotNull() & ~F.isnan(v)
+    ).select(
+        "event_type",
+        F.when(v == 0.0, F.lit(0.0)).otherwise(v).alias("v"),
     )
     tv = pool.groupBy("event_type", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tv")
@@ -5483,6 +5463,70 @@ def q266_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("tie_t"),
     )
+    return per_t, totals, pin
+
+
+#: The oracle-side twin of `_midrank_stats` — CTEs ending in per_t /
+#: totals, shared verbatim by Q266_SQL and Q278_SQL.
+_MIDRANK_SQL = """pool AS (
+  SELECT event_type,
+         CASE WHEN value = 0 THEN 0.0 ELSE value END AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), tv AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS n_tv
+  FROM pool GROUP BY event_type, v
+), per_v AS (
+  SELECT v, CAST(sum(n_tv) AS BIGINT) AS n_v FROM tv GROUP BY v
+), cum AS (
+  SELECT v, n_v,
+         sum(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS n_v_cum
+  FROM per_v
+), w2 AS (
+  SELECT v, n_v,
+         CAST(2 * (n_v_cum - n_v) + n_v + 1 AS DECIMAL(19,0)) AS w2
+  FROM cum
+), per_t AS (
+  SELECT event_type, CAST(sum(n_tv) AS BIGINT) AS n_a,
+         CAST(sum(CAST(n_tv AS DECIMAL(19,0)) * w2) AS DECIMAL(38,0)) AS r2_a
+  FROM tv JOIN w2 USING (v) GROUP BY event_type
+), totals AS (
+  SELECT CAST(sum(n_v) AS BIGINT) AS n,
+         CAST(sum(CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0))
+                  * CAST(n_v AS DECIMAL(12,0)) - CAST(n_v AS DECIMAL(12,0)))
+              AS DECIMAL(38,0)) AS tie_t
+  FROM per_v
+)"""
+
+
+def q266_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test of each event type's ``value``
+    distribution against ALL OTHER types pooled → one row per type
+    (event_type, n_a, n_b, u2_a, u2_b, z): the nonparametric sibling of
+    q250's mean-difference A/B read — rank-based, so heavy tails and
+    outliers (exactly what q216/q265 document in this column) can't
+    swamp it the way they swamp a t-statistic.
+
+    EXACTNESS: every rank quantity is INTEGER — tied values take the
+    midrank, so the engine carries DOUBLED rank sums (2·avgrank =
+    2·below_v + n_v + 1, always integral): u2_a = 2·U_A = R2_A −
+    n_a(n_a+1) in DECIMAL(38,0), u2_b by the identity 2·n_a·n_b − u2_a,
+    and the tie term T = Σ(n_v³ − n_v) the same way (u2/T emitted as
+    strings — 25-digit integers don't survive a float64 pandas bridge).
+    The normal-approximation z is computed in ONE fixed-order double
+    expression (casts of exact decimals, correctly-rounded /,·,sqrt —
+    both engines IEEE-identical), NULLIF-guarded for single-group /
+    all-tied degenerates. -0.0 is normalized to 0.0 and NaN excluded
+    before ranking (the float-grouping portability traps).
+
+    Shape: one (type, value) groupBy + one distinct-value groupBy (both
+    map-side-combinable), `dist_cumsum` for the below-count prefix sums
+    (plans/common.py — the KS/CUSUM discipline: NEVER a
+    single-partition window over the distinct-value frame, which is
+    corpus-scaled), one broadcast of the |types|+1-row totals.
+    """
+    per_t, totals, pin = _midrank_stats(load_tables(spark, sf_dir)["events"])
+    dec19 = "decimal(19,0)"
     j = per_t.join(F.broadcast(totals))
     n_a = F.col("n_a").cast("decimal(19,0)")
     n_b = (F.col("n") - F.col("n_a")).cast("decimal(19,0)")
@@ -5512,36 +5556,8 @@ def q266_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(res, pin)
 
 
-Q266_SQL = """
-WITH pool AS (
-  SELECT event_type,
-         CASE WHEN value = 0 THEN 0.0 ELSE value END AS v
-  FROM events
-  WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
-), tv AS (
-  SELECT event_type, v, CAST(count(*) AS BIGINT) AS n_tv
-  FROM pool GROUP BY event_type, v
-), per_v AS (
-  SELECT v, CAST(sum(n_tv) AS BIGINT) AS n_v FROM tv GROUP BY v
-), cum AS (
-  SELECT v, n_v,
-         sum(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS n_v_cum
-  FROM per_v
-), w2 AS (
-  SELECT v, n_v,
-         CAST(2 * (n_v_cum - n_v) + n_v + 1 AS DECIMAL(19,0)) AS w2
-  FROM cum
-), per_t AS (
-  SELECT event_type, CAST(sum(n_tv) AS BIGINT) AS n_a,
-         CAST(sum(CAST(n_tv AS DECIMAL(19,0)) * w2) AS DECIMAL(38,0)) AS r2_a
-  FROM tv JOIN w2 USING (v) GROUP BY event_type
-), totals AS (
-  SELECT CAST(sum(n_v) AS BIGINT) AS n,
-         CAST(sum(CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0))
-                  * CAST(n_v AS DECIMAL(12,0)) - CAST(n_v AS DECIMAL(12,0)))
-              AS DECIMAL(38,0)) AS tie_t
-  FROM per_v
-), j AS (
+Q266_SQL = f"""
+WITH {_MIDRANK_SQL}, j AS (
   SELECT per_t.*, totals.n, totals.tie_t,
          CAST(per_t.r2_a - CAST(per_t.n_a AS DECIMAL(19,0))
               * (CAST(per_t.n_a AS DECIMAL(19,0)) + 1) AS DECIMAL(38,0)) AS u2_a
@@ -6630,6 +6646,102 @@ ORDER BY step
 """
 
 
+# --------------------------------------------------------------------------
+# q278 — Kruskal-Wallis H (k-group rank test on value)
+# --------------------------------------------------------------------------
+
+
+def q278_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test of ``value`` across ALL event types at once
+    → one row (k_groups, n, h, h_corrected): the k-group generalization
+    of q266's pairwise Mann-Whitney — one omnibus answer to 'do these k
+    segments draw from the same distribution?' before k² pairwise
+    tests. H = 12/(n(n+1))·Σ R_t²/n_t − 3(n+1), tie-corrected by
+    C = 1 − Σ(t³−t)/(n³−n).
+
+    EXACTNESS: rank sums come from `_midrank_stats` (shared verbatim
+    with q266 — doubled midranks keep every rank quantity integral
+    under ties; with doubled sums the group term is Σ R2_t²/n_t / 4).
+    The k per-group terms are double divisions, so their SUM is
+    order-sensitive — it folds over the |types|-bounded sorted array on
+    one row (the q258 sequential discipline) and the oracle unrolls the
+    identical fold in a recursive CTE. H/C are fixed-order double
+    expressions, NULLIF-guarded for n < 2 / k < 2 / all-tied.
+
+    Shape: `_midrank_stats`' two corpus-sized groupBys + dist_cumsum;
+    everything after is |types| rows.
+    """
+    per_t, totals, pin = _midrank_stats(load_tables(spark, sf_dir)["events"])
+    one = per_t.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "event_type",
+                    "n_a",
+                    F.col("r2_a").cast("double").alias("r2d"),
+                )
+            )
+        ).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+    )
+    s = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda a, e: a + (e["r2d"] * e["r2d"]) / e["n_a"].cast("double"),
+    )
+    j = one.join(F.broadcast(totals))
+    nd = F.col("n").cast("double")
+    # H = 12/(n(n+1)) * (S/4) - 3(n+1): the 12 stays with the quartered
+    # doubled-rank term (S = sum R2^2/n_t = 4 * sum R^2/n_t)
+    h = F.lit(12.0) * F.col("s4") / (nd * (nd + 1.0)) - F.lit(3.0) * (
+        nd + 1.0
+    )
+    c = F.lit(1.0) - F.col("tie_t").cast("double") / (nd * nd * nd - nd)
+    guard = (F.col("n") > 1) & (F.col("k_groups") > 1)
+    res = j.withColumn("s4", s / F.lit(4.0)).select(
+        "k_groups",
+        "n",
+        F.when(guard, F.round(h, 9)).alias("h"),
+        F.when(guard, F.round(h / F.nullif(c, F.lit(0.0)), 9)).alias(
+            "h_corrected"
+        ),
+    )
+    return materialize_release(res, pin)
+
+
+Q278_SQL = f"""
+WITH RECURSIVE {_MIDRANK_SQL}, idx AS (
+  SELECT event_type, n_a, CAST(r2_a AS DOUBLE) AS r2d,
+         row_number() OVER (ORDER BY event_type) AS i
+  FROM per_t
+), kk AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_groups FROM per_t
+), r AS (
+  SELECT i, 0.0 + (r2d * r2d) / CAST(n_a AS DOUBLE) AS s
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i, r.s + (idx.r2d * idx.r2d) / CAST(idx.n_a AS DOUBLE)
+  FROM r JOIN idx ON idx.i = r.i + 1
+), sfold AS (
+  SELECT s / 4.0 AS s4 FROM r WHERE i = (SELECT max(i) FROM r)
+)
+SELECT kk.k_groups, totals.n,
+       CASE WHEN totals.n > 1 AND kk.k_groups > 1 THEN round(
+         12.0 * sfold.s4 / (CAST(totals.n AS DOUBLE)
+                            * (CAST(totals.n AS DOUBLE) + 1.0))
+         - 3.0 * (CAST(totals.n AS DOUBLE) + 1.0), 9) END AS h,
+       CASE WHEN totals.n > 1 AND kk.k_groups > 1 THEN round(
+         (12.0 * sfold.s4 / (CAST(totals.n AS DOUBLE)
+                             * (CAST(totals.n AS DOUBLE) + 1.0))
+          - 3.0 * (CAST(totals.n AS DOUBLE) + 1.0))
+         / NULLIF(1.0 - CAST(totals.tie_t AS DOUBLE)
+                  / (CAST(totals.n AS DOUBLE) * CAST(totals.n AS DOUBLE)
+                     * CAST(totals.n AS DOUBLE) - CAST(totals.n AS DOUBLE)),
+                  0.0), 9) END AS h_corrected
+FROM kk CROSS JOIN totals CROSS JOIN sfold
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -6732,4 +6844,5 @@ RELATIONAL_QUERIES = {
     "q274_ols_fit": (q274_ols_fit, Q274_SQL),
     "q275_skipgram_support": (q275_skipgram_support, Q275_SQL),
     "q277_deadline_funnel": (q277_deadline_funnel, Q277_SQL),
+    "q278_kruskal_wallis": (q278_kruskal_wallis, Q278_SQL),
 }

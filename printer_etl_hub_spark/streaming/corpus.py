@@ -1312,6 +1312,76 @@ def seq_patterns_sink(
             F.col("n").cast("int").alias("n"), "pattern", "support",
             "occurrences",
         ).write.mode("overwrite").parquet(f"{out_dir}/current")
+        # association-rules view (q272's twin) off the SAME stores: the
+        # n=1 firsts ARE the user-level unary supports, the n=2 firsts
+        # the pair supports, and n_users is the distinct-user count of
+        # the firsts store — no extra state, just a projection
+        firsts_all = _read_store(spark, firsts_dir)
+        uni_supp = (
+            firsts_all.filter(F.col("n") == 1)
+            .groupBy(F.col("pattern").alias("e"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("supp"))
+        )
+        n_users_f = firsts_all.filter(F.col("n") == 1).agg(
+            F.countDistinct("_u").cast("bigint").alias("n_users")
+        )
+        pair_supp = (
+            firsts_all.filter(F.col("n") == 2)
+            .groupBy("pattern")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("supp_pair"))
+            .select(
+                F.split(F.col("pattern"), ">").getItem(0).alias("antecedent"),
+                F.split(F.col("pattern"), ">").getItem(1).alias("consequent"),
+                "supp_pair",
+            )
+        )
+        dec19 = "decimal(19,0)"
+        assoc = (
+            pair_supp.join(
+                F.broadcast(
+                    uni_supp.select(
+                        F.col("e").alias("antecedent"),
+                        F.col("supp").alias("supp_a"),
+                    )
+                ),
+                "antecedent",
+            )
+            .join(
+                F.broadcast(
+                    uni_supp.select(
+                        F.col("e").alias("consequent"),
+                        F.col("supp").alias("supp_b"),
+                    )
+                ),
+                "consequent",
+            )
+            .join(F.broadcast(n_users_f))
+            .select(
+                "antecedent",
+                "consequent",
+                "supp_pair",
+                "supp_a",
+                "supp_b",
+                "n_users",
+                F.round(
+                    F.col("supp_pair").cast("double")
+                    / F.col("supp_a").cast("double"),
+                    9,
+                ).alias("confidence"),
+                F.round(
+                    (
+                        F.col("supp_pair").cast(dec19)
+                        * F.col("n_users").cast(dec19)
+                    ).cast("double")
+                    / (
+                        F.col("supp_a").cast(dec19)
+                        * F.col("supp_b").cast(dec19)
+                    ).cast("double"),
+                    9,
+                ).alias("lift"),
+            )
+        )
+        assoc.write.mode("overwrite").parquet(f"{out_dir}/assoc")
         _compact_store(
             spark, counts_dir, batch_id, compact_every,
             lambda: _read_store(spark, counts_dir, batch_id)

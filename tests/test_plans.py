@@ -266,6 +266,7 @@ BNLJ_ALLOWED = {
     "q268_burstiness",  # 1-row global-span scalar broadcast (q89's class)
     "q272_assoc_rules",  # 1-row n_users scalar broadcast (q89's class)
     "q276_budget_sample",  # composes q200's 1-row total scalar broadcasts
+    "q278_kruskal_wallis",  # 1-row totals + 1-row fold scalar broadcasts
     "q273_mann_kendall",  # |days|^2-bounded day-pair theta join (q260's class)
 }
 
@@ -575,3 +576,48 @@ def test_q277_deadline_funnel_max_over_starts_beats_greedy(spark, tmp_path):
         for r in REGISTRY["q277_deadline_funnel"].fn(spark, str(dst)).collect()
     }
     assert got == {1: (2, "view"), 2: (1, "click"), 3: (1, "purchase")}, got
+
+
+def test_q278_kruskal_wallis_matches_independent_reference(spark):
+    """The DuckDB oracle MIRRORS the engine's formula, so a shared
+    algebra slip passes the gate (it happened: the doubled-rank term
+    was quartered twice and both engines agreed on a hugely negative
+    H until the clone audit's sanity read caught it). This pin computes
+    H from scratch — plain Python midranks, textbook formula — and must
+    agree with the engine to 1e-9 at sf0.001."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from printer_etl_hub_spark.plans import REGISTRY
+
+    r = REGISTRY["q278_kruskal_wallis"].fn(spark, SF_SMOKE).collect()[0]
+    con = duckdb.connect()
+    vals = con.execute(
+        f"SELECT event_type, value FROM '{SF_SMOKE}/events.parquet' "
+        "WHERE event_type IS NOT NULL AND value IS NOT NULL "
+        "AND NOT isnan(value)"
+    ).fetchall()
+    groups = defaultdict(list)
+    for t, v in vals:
+        groups[t].append(0.0 if v == 0 else v)
+    all_v = sorted(v for g in groups.values() for v in g)
+    rank, i = {}, 0
+    while i < len(all_v):
+        j = i
+        while j < len(all_v) and all_v[j] == all_v[i]:
+            j += 1
+        rank[all_v[i]] = (i + 1 + j) / 2
+        i = j
+    n = len(all_v)
+    s = sum(
+        (sum(rank[v] for v in g)) ** 2 / len(g) for g in groups.values()
+    )
+    h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    ties = defaultdict(int)
+    for v in all_v:
+        ties[v] += 1
+    c = 1 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+    assert abs(r.h - h) < 1e-9, (r.h, h)
+    assert abs(r.h_corrected - h / c) < 1e-9, (r.h_corrected, h / c)
+    assert r.k_groups == len(groups) and r.n == n

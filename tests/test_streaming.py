@@ -2120,12 +2120,30 @@ def test_seq_patterns_sink_stream_equals_batch(spark, tmp_path):
         assert len(live) <= 2 + 1, (store, parts)
         last_batch = max(live)
 
+    # the assoc view derived from the same stores equals q272's batch
+    acols = lambda r: (
+        r.antecedent, r.consequent, r.supp_pair, r.supp_a, r.supp_b,
+        r.n_users, r.confidence, r.lift,
+    )
+    got_a = {
+        acols(r) for r in spark.read.parquet(f"{dirs['out']}/assoc").collect()
+    }
+    want_a = {
+        acols(r)
+        for r in REGISTRY["q272_assoc_rules"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got_a == want_a and want_a
+
     # re-delivery of the LAST batch post-fold is a no-op
     sink(slices[-1], last_batch)
     got2 = {
         cols(r) for r in spark.read.parquet(f"{dirs['out']}/current").collect()
     }
     assert got2 == want
+    got_a2 = {
+        acols(r) for r in spark.read.parquet(f"{dirs['out']}/assoc").collect()
+    }
+    assert got_a2 == want_a
 
 
 def test_km_sink_stream_equals_batch_unordered(spark, tmp_path):
