@@ -12,10 +12,15 @@ order (q20-q24, q26, q27, q29, q30, q32-q36, q46-q48, q51, q57-q71,
 q73-q75) — 50 slots exactly.
 
 Round-12 backfill plan (pre-committed): the r6 leftovers (q76,
-q78-q81, q92, q114, q123, q126, q127, q132, q138-q140) lead, then any
-round-11 additions, then the r7 cohort in numeric order (q12, q14,
-q16-q19, q28, q31, q38-q45, q49, q50, q52-q56, q72, q77, q82-q91,
-q93-q97, q108, q124, q141-q148) until the 50 slots fill.
+q78-q81, q92, q114, q123, q126, q127, q132, q138-q140 — 15) lead,
+then the 13 round-11 additions (q266-q278: Mann-Whitney, Gopher
+rules, burstiness, seq patterns, Kaplan-Meier, Holt-Winters, assoc
+rules, Mann-Kendall, OLS fit, skip-grams, budget sample, deadline
+funnel, Kruskal-Wallis — each oracle-verified exact at sf0.001 +
+sf0.01 in-session, each with a SCALE clone invariant), then the r7
+cohort in numeric order (q12, q14, q16-q19, q28, q31, q38-q45, q49,
+q50, q52-q56, q72, q77 — 22 fit) to fill the 50 slots; the remaining
+r7 queries (q82-q91, q93-q97, q108, q124, q141-q148) lead round 13.
 
 q37 stays OUTSIDE the window by design: its estimator output has no
 exact oracle (pinned by a tolerance test instead), and every gated
