@@ -6312,11 +6312,25 @@ def q274_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (19,2) operands force the int128 multiply path in BOTH engines
     # (DuckDB computes an (18,2)x(18,2) product in int64 and overflows);
     # Spark's (19,2)x(19,2) resolves to (38,4) with the scale intact.
+    # Both products then land on (37,4) BEFORE the subtraction: raw
+    # operand widths (37,4) vs (38,4) would need width 39, which DuckDB
+    # caps at 38 — a silent overflow hazard at extreme per-brand row
+    # counts (ADVICE r11 #4). At (37,4) the subtraction is exactly 38
+    # wide in both engines, and the values fit: |x| ≤ 50, |y| < 10^5,
+    # so n·Σxy and Σx·Σy are ≤ 5·10^6·rows², under the (37,4) integer
+    # capacity 10^33 until ~10^13 rows per brand.
     sx19 = F.col("sx").cast("decimal(19,2)")
     sy19 = F.col("sy").cast("decimal(19,2)")
-    num_xy = (n * F.col("sxy") - sx19 * sy19).cast("decimal(38,4)")
-    den_x = (n * F.col("sxx") - sx19 * sx19).cast("decimal(38,4)")
-    den_y = (n * F.col("syy") - sy19 * sy19).cast("decimal(38,4)")
+    dec37 = "decimal(37,4)"
+    num_xy = (
+        (n * F.col("sxy")).cast(dec37) - (sx19 * sy19).cast(dec37)
+    ).cast("decimal(38,4)")
+    den_x = (
+        (n * F.col("sxx")).cast(dec37) - (sx19 * sx19).cast(dec37)
+    ).cast("decimal(38,4)")
+    den_y = (
+        (n * F.col("syy")).cast(dec37) - (sy19 * sy19).cast(dec37)
+    ).cast("decimal(38,4)")
     zero = F.lit(0).cast("decimal(38,4)")
     slope = num_xy.cast("double") / F.nullif(den_x, zero).cast("double")
     intercept = (
@@ -6353,14 +6367,17 @@ WITH per AS (
   GROUP BY p.p_brand
 ), j AS (
   SELECT p_brand, n, sx, sy,
-         CAST(CAST(n AS DECIMAL(12,0)) * sxy
-              - CAST(sx AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
+         CAST(CAST(CAST(n AS DECIMAL(12,0)) * sxy AS DECIMAL(37,4))
+              - CAST(CAST(sx AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
+                     AS DECIMAL(37,4))
               AS DECIMAL(38,4)) AS num_xy,
-         CAST(CAST(n AS DECIMAL(12,0)) * sxx
-              - CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2))
+         CAST(CAST(CAST(n AS DECIMAL(12,0)) * sxx AS DECIMAL(37,4))
+              - CAST(CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2))
+                     AS DECIMAL(37,4))
               AS DECIMAL(38,4)) AS den_x,
-         CAST(CAST(n AS DECIMAL(12,0)) * syy
-              - CAST(sy AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
+         CAST(CAST(CAST(n AS DECIMAL(12,0)) * syy AS DECIMAL(37,4))
+              - CAST(CAST(sy AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
+                     AS DECIMAL(37,4))
               AS DECIMAL(38,4)) AS den_y
   FROM per
 )
@@ -6488,12 +6505,16 @@ def q277_deadline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Implementation — one window pass, never per-start scans: each
     distinct (user, ts, type) row is enriched with the earliest
-    STRICTLY-later click/purchase timestamp via a descending-order
-    RANGE running min on unix_micros (the range frame's 1 PRECEDING
-    excludes ties exactly — a click at the same microsecond is not
-    'after' the view in either engine); a view's matched click then
-    JOINS its own enriched row to read the purchase successor — one
-    user-keyed equi-join, fan-out bounded by the user's click count.
+    STRICTLY-later purchase timestamp via a descending-order RANGE
+    running min on unix_micros (the range frame's 1 PRECEDING
+    excludes ties exactly — a purchase at the same microsecond is
+    not 'after' the click in either engine); each view then joins
+    ALL of that user's clicks inside its 7-day window (t1 < click
+    <= t1 + 7d) — earliest-click greedy is NOT depth-optimal under
+    per-step deadlines (view d0, clicks d1+d6, purchase d9: only
+    the d6 click's purchase deadline covers d9), so depth-3 is true
+    iff ANY in-window click has its purchase within ITS deadline.
+    One user-keyed join, fan-out bounded by the user's click count.
 
     EXACTNESS: timestamps compare as integer microseconds, the 7-day
     deadline is an integer add, depths and counts are integers;
@@ -6523,16 +6544,11 @@ def q277_deadline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     enr = ds.withColumn(
-        "nxt2", F.min(F.when(F.col("event_type") == s2, F.col("tsm"))).over(wdesc)
-    ).withColumn(
         "nxt3", F.min(F.when(F.col("event_type") == s3, F.col("tsm"))).over(wdesc)
     )
     starts = enr.filter(F.col("event_type") == s1).select(
         "user_id",
         F.col("tsm").alias("t1"),
-        F.when(
-            F.col("nxt2") <= F.col("tsm") + _DF_WINDOW_US, F.col("nxt2")
-        ).alias("m2"),
     )
     clicks = enr.filter(F.col("event_type") == s2).select(
         F.col("user_id").alias("_u2"),
@@ -6541,16 +6557,18 @@ def q277_deadline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chains = starts.join(
         clicks,
-        (F.col("user_id") == F.col("_u2")) & (F.col("m2") == F.col("m2ts")),
+        (F.col("user_id") == F.col("_u2"))
+        & (F.col("m2ts") > F.col("t1"))
+        & (F.col("m2ts") <= F.col("t1") + _DF_WINDOW_US),
         "left",
     ).select(
         "user_id",
-        F.when(F.col("m2").isNotNull(), 2)
+        F.when(F.col("m2ts").isNotNull(), 2)
         .otherwise(1)
         .alias("d2"),
         F.when(
-            F.col("m2").isNotNull()
-            & (F.col("nxt3b") <= F.col("m2") + _DF_WINDOW_US),
+            F.col("m2ts").isNotNull()
+            & (F.col("nxt3b") <= F.col("m2ts") + _DF_WINDOW_US),
             3,
         )
         .otherwise(0)
@@ -6603,28 +6621,27 @@ WITH ds AS (
                                           '{_FUNNEL[2]}')
 ), enr AS (
   SELECT user_id, tsm, event_type,
-         min(CASE WHEN event_type = '{_FUNNEL[1]}' THEN tsm END)
-           OVER w AS nxt2,
          min(CASE WHEN event_type = '{_FUNNEL[2]}' THEN tsm END)
            OVER w AS nxt3
   FROM ds
   WINDOW w AS (PARTITION BY user_id ORDER BY tsm DESC
                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 ), starts AS (
-  SELECT user_id, tsm AS t1,
-         CASE WHEN nxt2 <= tsm + {_DF_WINDOW_US} THEN nxt2 END AS m2
+  SELECT user_id, tsm AS t1
   FROM enr WHERE event_type = '{_FUNNEL[0]}'
 ), clicks AS (
   SELECT user_id AS _u2, tsm AS m2ts, nxt3 AS nxt3b
   FROM enr WHERE event_type = '{_FUNNEL[1]}'
 ), chains AS (
   SELECT s.user_id,
-         CASE WHEN s.m2 IS NOT NULL THEN 2 ELSE 1 END AS d2,
-         CASE WHEN s.m2 IS NOT NULL
-                   AND c.nxt3b <= s.m2 + {_DF_WINDOW_US}
+         CASE WHEN c.m2ts IS NOT NULL THEN 2 ELSE 1 END AS d2,
+         CASE WHEN c.m2ts IS NOT NULL
+                   AND c.nxt3b <= c.m2ts + {_DF_WINDOW_US}
               THEN 3 ELSE 0 END AS d3
   FROM starts s
-  LEFT JOIN clicks c ON c._u2 = s.user_id AND c.m2ts = s.m2
+  LEFT JOIN clicks c ON c._u2 = s.user_id
+                    AND c.m2ts > s.t1
+                    AND c.m2ts <= s.t1 + {_DF_WINDOW_US}
 ), depth AS (
   SELECT user_id, CAST(greatest(max(d2), max(d3)) AS INT) AS depth
   FROM chains GROUP BY user_id

@@ -12205,7 +12205,11 @@ def q267_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hellip = (
         F.length(raw) - F.length(F.replace(raw, F.lit("…"), F.lit("")))
     ).cast("bigint")
-    lines = F.split(raw, "\n")
+    # CRLF corpora: both engines' rtrim strips only spaces, so without
+    # this every line of \r\n text ends in \r and the ellipsis-ended
+    # rule can never fire (ADVICE r11 #3). Normalize line endings
+    # before splitting; word/char counts are unaffected (\r is \s).
+    lines = F.split(F.regexp_replace(raw, "\r\n", "\n"), "\n")
     n_lines = F.size(lines).cast("bigint")
     n_bullet = F.size(
         F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
@@ -12273,13 +12277,18 @@ WITH per_doc AS (
                   AS BIGINT)
            + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
            AS sym,
-         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-         CAST(len(list_filter(string_split(text, chr(10)),
-                              l -> regexp_matches(ltrim(l), '^[-*•]')))
+         CAST(len(string_split(replace(text, chr(13) || chr(10), chr(10)),
+                               chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(
+                string_split(replace(text, chr(13) || chr(10), chr(10)),
+                             chr(10)),
+                l -> regexp_matches(ltrim(l), '^[-*•]')))
               AS BIGINT) AS n_bullet,
-         CAST(len(list_filter(string_split(text, chr(10)),
-                              l -> ends_with(rtrim(l), '...')
-                                   OR ends_with(rtrim(l), '…')))
+         CAST(len(list_filter(
+                string_split(replace(text, chr(13) || chr(10), chr(10)),
+                             chr(10)),
+                l -> ends_with(rtrim(l), '...')
+                     OR ends_with(rtrim(l), '…')))
               AS BIGINT) AS n_ell,
          CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                               t -> regexp_matches(t, '[A-Za-z]')))

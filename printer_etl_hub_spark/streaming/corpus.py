@@ -614,9 +614,23 @@ def _read_store(
     needs for re-delivery safety). With ``with_batch_id`` the frame
     carries an effective bigint recency column: base rows enter at the
     stamp, which every live partial postdates by construction. Returns
-    ``None`` when the store holds nothing in range."""
+    ``None`` when the store holds nothing in range.
+
+    A cutoff can only restrict the LIVE partials — the base fold is
+    all-or-nothing. _compact_store's prior-only fold guarantees every
+    base stamp < any re-deliverable batch id, so a cutoff at or below
+    the base stamp means the caller broke that invariant and would
+    silently read post-cutoff history out of the fold; fail loudly
+    instead (ADVICE r11 #2)."""
     base, live, _ = _list_partial_store(spark, store_dir)
     if upto_exclusive is not None:
+        if base is not None and base >= upto_exclusive:
+            raise ValueError(
+                f"_read_store({store_dir}): upto_exclusive={upto_exclusive} "
+                f"is not after the base fold stamp {base}; the base would "
+                "serve history newer than the cutoff. Re-delivery reads "
+                "must only ever cut at ids newer than every fold."
+            )
         live = [i for i in live if i < upto_exclusive]
     frames = []
     if base is not None:

@@ -578,6 +578,85 @@ def test_q277_deadline_funnel_max_over_starts_beats_greedy(spark, tmp_path):
     assert got == {1: (2, "view"), 2: (1, "click"), 3: (1, "purchase")}, got
 
 
+def test_q277_deadline_funnel_later_click_completes_purchase(spark, tmp_path):
+    """Greedy earliest-CLICK matching is not depth-optimal either (the
+    ADVICE r11 case, one level below the view): user 1 views at day 0
+    with clicks at day 1 AND day 6 and a purchase at day 9. The day-1
+    click's purchase deadline (day 8) expires, but the day-6 click's
+    (day 13) covers day 9 — true depth is 3 via the LATER in-window
+    click. A plan that pairs each view only with its earliest click
+    reports depth 2. User 2's single-click chain (purchase misses both
+    deadlines) pins that depth stays 2 when NO in-window click works."""
+    import datetime as dt
+    import os
+
+    from printer_etl_hub_spark.plans import REGISTRY
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "df_corpus"
+    os.makedirs(dst)
+    for f in os.listdir(src):
+        if f != "events.parquet":
+            os.symlink(f"{src}/{f}", dst / f)
+    d = lambda days: dt.datetime(2026, 1, 1) + dt.timedelta(days=days)
+    rows = [
+        (1, d(0), 1, "view", 1.0, "{}"),
+        (2, d(1), 1, "click", 1.0, "{}"),
+        (3, d(6), 1, "click", 1.0, "{}"),
+        (4, d(9), 1, "purchase", 1.0, "{}"),
+        (5, d(0), 2, "view", 1.0, "{}"),
+        (6, d(1), 2, "click", 1.0, "{}"),
+        (7, d(20), 2, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(dst / "events.parquet"))
+    got = {
+        r.step: r.n_reached
+        for r in REGISTRY["q277_deadline_funnel"].fn(spark, str(dst)).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 1}, got
+
+
+def test_q267_gopher_rules_crlf_lines(spark, tmp_path):
+    """CRLF fidelity pin (ADVICE r11 #3): rtrim strips only spaces, so
+    on \\r\\n corpora every line used to end in \\r and the
+    ellipsis-ended rule could never fire. Two byte-identical documents
+    except for line endings must now audit IDENTICALLY: >30% of lines
+    ellipsis-ended -> fail_ellipsis_lines, and >90% bullet-led ->
+    fail_bullet_lines (bullets survived before — ltrim is at the line
+    START — so this guards the normalization didn't break them)."""
+    import os
+
+    from printer_etl_hub_spark.plans import REGISTRY
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "crlf_corpus"
+    os.makedirs(dst)
+    for f in os.listdir(src):
+        if f != "documents.parquet":
+            os.symlink(f"{src}/{f}", dst / f)
+    body_lf = "word one...\n" * 6 + "plain words here\n" * 4
+    bullets_lf = "- item one\n" * 10
+    rows = [
+        (1, body_lf.rstrip("\n"), "en", "lf", 1),
+        (2, body_lf.rstrip("\n").replace("\n", "\r\n"), "en", "crlf", 1),
+        (3, bullets_lf.rstrip("\n"), "en", "lf_bullets", 1),
+        (4, bullets_lf.rstrip("\n").replace("\n", "\r\n"), "en", "crlf_bullets", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(dst / "documents.parquet"))
+    got = {
+        r.source: (r.fail_ellipsis_lines, r.fail_bullet_lines)
+        for r in REGISTRY["q267_gopher_rules"].fn(spark, str(dst)).collect()
+    }
+    assert got["lf"] == got["crlf"] == (1, 0), got
+    assert got["lf_bullets"] == got["crlf_bullets"] == (0, 1), got
+
+
 def test_q278_kruskal_wallis_matches_independent_reference(spark):
     """The DuckDB oracle MIRRORS the engine's formula, so a shared
     algebra slip passes the gate (it happened: the doubled-rank term

@@ -1297,6 +1297,21 @@ def test_partial_store_read_rule_ignores_stale_dirs(spark, tmp_path):
     base, live, names = _list_partial_store(spark, str(tmp_path / "nope"))
     assert base is None and live == [] and names == []
 
+    # A cutoff at or below the newest base stamp would silently serve
+    # folded history newer than the cutoff — _read_store must fail
+    # loudly instead of relying on every caller honoring the
+    # prior-only fold invariant (ADVICE r11 #2).
+    import pytest
+
+    from printer_etl_hub_spark.streaming.corpus import _read_store
+
+    with pytest.raises(ValueError, match="base fold stamp"):
+        _read_store(spark, store, upto_exclusive=7)
+    with pytest.raises(ValueError, match="base fold stamp"):
+        _read_store(spark, store, upto_exclusive=5)
+    ok = _read_store(spark, store, upto_exclusive=9)  # base 7 + no live
+    assert ok is not None and ok.count() == 1
+
 
 def test_ivf_assign_stream_equals_batch(spark, tmp_path):
     """Streaming IVF assignment (stateless per-row fold over a broadcast
