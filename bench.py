@@ -332,6 +332,25 @@ HEADLINE = [
 ]
 
 
+def _host_ms_per_job(spark, n: int = 20) -> float:
+    """Median wall of ``spark.range(1).count()`` — the host's fixed
+    per-job cost (scheduler + driver/executor round-trip, no real work).
+    This machine drifts between phases (30 → 156 ms/job measured across
+    and WITHIN rounds), and job-count-bound queries swing 1.5-2.5x with
+    it; recording the phase alongside the attempts lets cross-round
+    ratios be normalized mechanically instead of by prose (VERDICT r11
+    item #5). Callers must warm the JVM first."""
+    walls = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        walls.append(time.perf_counter() - t0)
+    walls.sort()
+    mid = len(walls) // 2
+    med = walls[mid] if len(walls) % 2 else (walls[mid - 1] + walls[mid]) / 2
+    return round(med * 1000.0, 1)
+
+
 def main() -> None:
     spark = get_spark("bench")
     # Warmup: one-time JVM init (ICU collation tables, codegen) off the clock.
@@ -357,6 +376,9 @@ def main() -> None:
         REGISTRY["q01_pricing_summary"].fn(spark, SF_DIR).count()
     except Exception as exc:  # warmup failure must not kill the bench
         print(f"# warmup failed: {exc}", file=sys.stderr)
+
+    host_ms = {"pre": _host_ms_per_job(spark)}
+    print(f"# host fixed-job-cost (pre): {host_ms['pre']} ms/job", file=sys.stderr)
 
     # Fault isolation: one broken query must not zero the whole round's bench
     # signal — failures are recorded in the JSON and the summary always prints.
@@ -430,6 +452,9 @@ def main() -> None:
             fail_msgs.setdefault(name, []).append(msg)
             print(f"# [retry] {name}: FAILED {msg}", file=sys.stderr)
 
+    host_ms["post"] = _host_ms_per_job(spark)
+    print(f"# host fixed-job-cost (post): {host_ms['post']} ms/job", file=sys.stderr)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     flaky: dict[str, str] = {}
@@ -479,6 +504,7 @@ def main() -> None:
         "sf": sf,
         "timing": f"best-of-{k}-interleaved",
         "n_queries": len(HEADLINE),
+        "host_ms_per_job": host_ms,
     }
     if errors:
         payload["n_failed"] = len(errors)
@@ -497,6 +523,7 @@ def main() -> None:
         "flaky": flaky,
         "sf_dir": SF_DIR,
         "k": k,
+        "host_ms_per_job": host_ms,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     # The per-query history was discarded every round (BENCH_DETAIL.json
@@ -531,7 +558,7 @@ def main() -> None:
     # Hard ceiling: the driver tails 2,000 chars of stdout; the summary
     # line must fit in it WHOLE or the round's bench record is lost
     # (happened in rounds 4 AND 5). Shed detail keys until it fits.
-    for shed in ("queries", "failed_penalty_sec", "timing"):
+    for shed in ("queries", "failed_penalty_sec", "host_ms_per_job", "timing"):
         if len(line) <= 1500:
             break
         payload.pop(shed, None)

@@ -4763,6 +4763,12 @@ ORDER BY side, r
 # q260 — Theil-Sen robust trend of daily volume (median of pairwise slopes)
 # --------------------------------------------------------------------------
 
+#: Hard ceiling on the day span q260's single-task rank windows accept:
+#: 3 660 days (~10 years) → C(3660, 2) ≈ 6.7·10⁶ pairs ≈ 160 MB under
+#: one window sort — comfortably one task. Past this the quadratic pair
+#: frame must move to a distributed (dist_rank) median instead.
+_THEIL_SEN_MAX_DAYS = 3660
+
 
 def q260_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen estimator over daily event volume → one row (n_days,
@@ -4786,6 +4792,17 @@ def q260_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~5·10⁵ at 3 years — driver-trivial forever), then two rank
     selections over it. Nothing downstream of the pre-agg scales with
     the corpus.
+
+    RUNTIME SPAN GUARD (VERDICT r11 #2): the rank windows above run
+    with an empty partition spec, which is safe only because the pair
+    frame is |days|²-bounded — an argument that silently breaks on a
+    decades-spanning corpus (7 300 days → 2.7·10⁷ pairs under ONE
+    window task). The day count is therefore CHECKED at run time
+    against ``_THEIL_SEN_MAX_DAYS`` and the query refuses to run past
+    it instead of degrading; the count also materializes the persisted
+    daily frame the pair join reuses, so the guard costs no extra
+    corpus pass. Spans beyond the cap need the dist_rank
+    (partition-offset) median, not a bigger whitelist entry.
     """
     from pyspark import StorageLevel
 
@@ -4806,6 +4823,15 @@ def q260_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("i"),
         "x",
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_span = idx.count()  # materializes the persist the pair join reuses
+    if n_span > _THEIL_SEN_MAX_DAYS:
+        idx.unpersist(blocking=False)
+        raise ValueError(
+            f"q260_theil_sen: corpus spans {n_span} distinct days > "
+            f"{_THEIL_SEN_MAX_DAYS}; the C(n,2) slope-pair frame would put "
+            f"~{n_span * (n_span - 1) // 2:,} rows under one rank-window "
+            "task. Use a distributed (dist_rank) median for this span."
+        )
     pairs = (
         idx.alias("a")
         .join(idx.alias("b"), F.col("b.i") > F.col("a.i"))

@@ -655,6 +655,27 @@ def _read_store(
     return out
 
 
+def _write_late_marker(spark, out_dir: str, batch_id: int, n_late: int) -> None:
+    """Record a per-batch late-event count under ``<out_dir>/late/``.
+
+    The journey sinks (attribution, sequential patterns) document an
+    ordered-arrival contract they cannot enforce: an event whose ts
+    precedes its user's stored last-seen ts was processed out of order
+    and the maintained table may silently diverge from the batch
+    operator. The counter makes a violated contract OBSERVABLE
+    (VERDICT r11 #3) — km_sink stays the only order-insensitive member
+    by construction. One ``batch_id=<n>`` overwrite partition per
+    batch, so re-delivery rewrites the identical marker; monitoring
+    reads ``sum(n_late)`` over the directory (the batch id rides as
+    the discovered partition column, never a data column — the two
+    would collide on a parent-directory read)."""
+    spark.createDataFrame(
+        [(int(n_late),)], "n_late bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/late/batch_id={batch_id}"
+    )
+
+
 def _compact_store(spark, store_dir: str, batch_id: int, compact_every: int,
                    fold_fn) -> None:
     """Fold partials with id strictly BEFORE ``batch_id`` into a
@@ -936,7 +957,13 @@ def attribution_sink(
     (≤ |states|² rows per live dir) and solves the (chains ×
     states)-sized system — corpus-independent. Late (out-of-order)
     events violate the contract the same way they do the funnel's;
-    route disordered feeds through the batch query instead.
+    route disordered feeds through the batch query instead. The
+    contract is AUDITED, not assumed (VERDICT r11 #3): the state
+    keeps each user's last-seen ts, every batch counts events
+    arriving with an earlier stamp, and the count lands in
+    ``<out_dir>/late/batch_id=<n>`` — a nonzero sum over that
+    directory means the current table can no longer be trusted
+    against the batch operator.
 
     COMPACTION (ADVICE r10 #3 — without it both stores accumulate one
     ``batch_id=<n>`` partition per micro-batch forever, so per-batch
@@ -969,7 +996,7 @@ def attribution_sink(
         df = _read_store(spark, state_dir, upto_exclusive, with_batch_id=True)
         if df is None:
             return None
-        return df.select("_u", "last_node", "converted", "batch_id")
+        return df.select("_u", "last_node", "converted", "last_ts", "batch_id")
 
     def _newest_per_user(df):
         wl = Window.partitionBy("_u").orderBy(F.desc("batch_id"))
@@ -995,7 +1022,7 @@ def attribution_sink(
         _compact_store(
             spark, state_dir, batch_id, compact_every,
             lambda: _newest_per_user(_read_state(spark, batch_id)).select(
-                "_u", "last_node", "converted"
+                "_u", "last_node", "converted", "last_ts"
             ),
         )
 
@@ -1014,14 +1041,23 @@ def attribution_sink(
         st = (
             _newest_per_user(hist).drop("batch_id") if hist is not None else None
         )
+        n_late = 0
         if st is not None:
+            joined = ev.join(st, "_u", "left")
+            # ordered-arrival audit BEFORE the converted filter: any
+            # batch event stamped earlier than its user's stored
+            # last-seen ts arrived out of order — disorder among
+            # already-converted users is still a contract violation
+            n_late = joined.filter(
+                F.col("last_ts").isNotNull() & (F.col("_ts") < F.col("last_ts"))
+            ).count()
             ev = (
-                ev.join(st, "_u", "left")
-                .filter(~F.coalesce(F.col("converted"), F.lit(False)))
+                joined.filter(~F.coalesce(F.col("converted"), F.lit(False)))
                 .select("_u", "_ts", "_eid", "_t", "last_node")
             )
         else:
             ev = ev.withColumn("last_node", F.lit(None).cast("string"))
+        _write_late_marker(spark, out_dir, batch_id, n_late)
         w = Window.partitionBy("_u").orderBy("_ts", "_eid")
         # conv_rn via whole-partition min on the same user partitioning —
         # one shuffle, mirroring q263's batch scan
@@ -1065,6 +1101,7 @@ def attribution_sink(
                 "_u",
                 F.col("node").alias("last_node"),
                 (F.col("node") == ATTR_CONV).alias("converted"),
+                F.col("_ts").alias("last_ts"),
             )
         )
         new_state.write.mode("overwrite").parquet(
@@ -1209,7 +1246,10 @@ def seq_patterns_sink(
     ``base-<stamp>`` compaction protocol (`_compact_store`): counts
     fold as sums, firsts fold as DISTINCT rows, state folds as
     newest-row-per-user. Ordered-arrival contract (the attribution
-    sink's): route disordered feeds through the batch query.
+    sink's): route disordered feeds through the batch query. The
+    contract is audited (VERDICT r11 #3): the tail state carries the
+    user's last-seen ts and each batch's earlier-stamped event count
+    lands in ``<out_dir>/late/batch_id=<n>``.
 
     Equivalence contract (tests/test_streaming.py): after any
     ts-ordered micro-batch partitioning, ``<out_dir>/current`` equals
@@ -1241,8 +1281,17 @@ def seq_patterns_sink(
         seq = ev.withColumn("rn", F.row_number().over(w))
         st = _read_store(spark, state_dir, upto_exclusive=batch_id,
                          with_batch_id=True)
+        n_late = 0
         if st is not None:
-            st = _newest_state(st.select("_u", "p2", "p1", "batch_id"))
+            st = _newest_state(st.select("_u", "p2", "p1", "last_ts", "batch_id"))
+            # ordered-arrival audit (VERDICT r11 #3): batch events
+            # stamped earlier than the user's stored last-seen ts
+            # arrived out of order — the stitched tail is then wrong
+            n_late = (
+                ev.join(st.select("_u", "last_ts"), "_u")
+                .filter(F.col("_ts") < F.col("last_ts"))
+                .count()
+            )
             virt = st.select(
                 "_u", F.lit(-1).alias("rn"), F.col("p2").alias("_t")
             ).filter(F.col("_t").isNotNull()).unionByName(
@@ -1252,6 +1301,7 @@ def seq_patterns_sink(
             combined = seq.select("_u", "rn", "_t").unionByName(virt)
         else:
             combined = seq.select("_u", "rn", "_t")
+        _write_late_marker(spark, out_dir, batch_id, n_late)
         w2 = Window.partitionBy("_u").orderBy("rn")
         grams = (
             combined.withColumn("e2", F.lead("_t").over(w2))
@@ -1309,6 +1359,9 @@ def seq_patterns_sink(
                 F.max(F.when(F.col("_r") == 2, F.col("_t"))).alias("p2"),
             )
             .join(seq.select("_u").distinct(), "_u", "left_semi")
+            # last-seen ts for the ordered-arrival audit: the max-rn
+            # batch event's ts IS the max ts (rn orders by ts, eid)
+            .join(seq.groupBy("_u").agg(F.max("_ts").alias("last_ts")), "_u")
         )
         tail.write.mode("overwrite").parquet(f"{state_dir}/batch_id={batch_id}")
         # current table: pooled occurrence partials + firsts-store support
@@ -1412,7 +1465,7 @@ def seq_patterns_sink(
             spark, state_dir, batch_id, compact_every,
             lambda: _newest_state(
                 _read_store(spark, state_dir, batch_id, with_batch_id=True)
-                .select("_u", "p2", "p1", "batch_id")
+                .select("_u", "p2", "p1", "last_ts", "batch_id")
             ),
         )
 

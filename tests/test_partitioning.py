@@ -248,7 +248,10 @@ _BOUNDED_BY_CONSTRUCTION = {
     "q260_theil_sen": (
         2,
         "median rank over the |days|^2 slope-pair frame (~5e5 pairs at a "
-        "3-year range; time-bounded, documented in the q260 docstring)",
+        "3-year range) — RUNTIME-ENFORCED, not just documented: the query "
+        "counts distinct days and raises past _THEIL_SEN_MAX_DAYS (3660), "
+        "so a decades corpus cannot silently inflate the frame "
+        "(tests/test_plans.py::test_q260_span_guard_fires)",
     ),
     "q264_lorenz_curve": (1, "cumulative sums over the 10-row decile frame"),
     "q200_budget_allocation": (

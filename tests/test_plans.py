@@ -206,82 +206,96 @@ def test_q116_single_corpus_pass_via_exchange_reuse(spark):
 #: side: q31 is the documented O(n²) exactness baseline (max_n-guarded),
 #: q38 broadcast-scores centroids (O(n·c) map stage), q65/q67 are TPC-H
 #: scalar-subquery 1-row broadcasts.
+#:
+#: value = the EXACT BNLJ node count in the query's physical plan at
+#: SF_SMOKE (VERDICT r11 #4): the old name-level whitelist let an
+#: already-whitelisted query grow a SECOND, unintended nested loop
+#: undetected. A count change — either direction — now fails the sweep
+#: and must be re-justified here. Zero-count entries are queries whose
+#: historically-whitelisted scalar cross join has since been optimized
+#: away (q100, q226): they stay pinned at 0 so a regression shows.
 BNLJ_ALLOWED = {
-    "q31_embedding_topk",
-    "q38_ivf_topk",
-    "q65_tpch_q22",
-    "q67_tpch_q11",
-    "q89_unigram_commonness",  # 1-row corpus-total scalar broadcast
-    "q92_tfidf_topk",  # 1-row doc-count scalar broadcast
-    "q93_lloyd_step",  # k=8-row broadcast seed table (by-design nested loop)
-    "q95_quality_deciles",  # 1-row corpus-count scalar broadcast
-    "q100_semantic_dedup",  # k=8-row broadcast centroid table (q93's class)
-    "q104_bm25_topk",  # 1-row corpus-stats (N, avgdl) scalar broadcast
-    "q109_scd2_merge",  # 1-row max(c_custkey) scalar broadcast (fresh-key base)
-    "q110_scd2_asof",  # composes q109 (same scalar broadcast)
-    "q114_ann_recall",  # composes q31's guarded theta-join ground truth
-    "q118_hard_negatives",  # query-batch-sized broadcast (1/50 sample), corpus scans once
-    "q127_source_divergence",  # 1-row grand-total scalar broadcast (q89's class)
-    "q134_vocab_growth",  # 1-row max(doc_id) scalar broadcast (q89's class)
-    "q143_kn_score",  # 1-row corpus-total scalar broadcast (q89's class)
-    "q145_mixture_weights",  # two 1-row total scalar broadcasts (q89's class)
-    "q159_oov_curve",  # 5-row cutoff + 1-row total broadcasts (q89's class)
-    "q164_ivf_balance",  # 16-row broadcast centroid table (q93's class)
-    "q176_centroid_distances",  # label-count-sized centroid theta join (q93's class)
-    "q178_embedding_integrity",  # two 1-row report-assembly cross joins (q89's class)
-    "q190_kn_band_routing",  # 1-row corpus-mean scalar broadcast + composes q143
-    "q194_dedup_adjusted_mixture",  # two 1-row total scalar broadcasts (q145's class)
-    "q196_ivf_probe_sweep",  # composes q31's guarded theta ground truth (q114's class)
-    "q200_budget_allocation",  # two 1-row total/leftover scalar broadcasts (q145's class)
-    "q202_shard_balance",  # 1-row mean-shard scalar broadcast (q89's class)
-    "q209_rfm_segments",  # 1-row corpus-max + n_users scalar broadcasts (q89's class)
-    "q211_freshness_audit",  # 1-row corpus-max scalar broadcast (q89's class)
-    "q214_weekly_drift",  # 1-row grand-total scalar broadcast (q127's class)
-    "q220_head_share",  # 1-row token-total scalar broadcast (q89's class)
-    "q224_class_weights",  # 1-row (N, K) totals scalar broadcast (q89's class)
-    "q226_user_gini",  # composes dist_rank; 1-row final agg (q89's class)
-    "q227_degree_assortativity",  # 1-row node-count scalar broadcast (q89's class)
-    "q229_dow_profile",  # 1-row stream-total scalar broadcast (q89's class)
-    "q230_cusum_changepoint",  # 1-row (S, n) + 1-row peak scalar broadcasts
-    "q233_ks_drift",  # 1-row midpoint + 1-row sample-size scalar broadcasts
-    "q234_join_cardinality",  # per-leg 1-row side-count scalar broadcasts
-    "q238_cell_purity",  # 16-row broadcast centroid table (q164's class)
-    "q240_kcore",  # 1-row convergence-flag scalar broadcast (q89's class)
-    "q241_brand_affinity",  # 1-row n_cust scalar broadcast (q89's class)
-    "q245_pca_power",  # 1-row n / norm / lambda scalar broadcasts (q89's class)
-    "q248_hybrid_fusion",  # 1-row pinned-query-vector broadcast + composes q104
-    "q251_markov_stationary",  # 1-row |types| scalar broadcast (q89's class)
-    "q252_seasonality_strength",  # 1-row between-groups scalar broadcast
-    "q253_histogram_quantiles",  # 1-row (min,max,n) range scalar broadcast
-    "q254_pca_scores",  # composes q245's 1-row norm/n scalar broadcasts
-    "q256_chi2_keyness",  # 1-row grand-total scalar broadcast (q127's class)
-    "q260_theil_sen",  # 1-row slope / n_pairs / n_days scalar broadcasts
-    "q261_rrf_fusion",  # composes q248's 1-row pinned-query-vector broadcast
-    "q262_benford_audit",  # 1-row N scalar broadcast (q89's class)
-    "q263_markov_attribution",  # chain x state grid builds (|channels|+1-row broadcasts)
-    "q264_lorenz_curve",  # 1-row (n, sx) totals scalar broadcast (q226's class)
-    "q265_winsorized_moments",  # 1-row n + 1-row thresholds scalar broadcasts
-    "q266_mannwhitney_u",  # 1-row (n, tie-term) totals scalar broadcast
-    "q270_kaplan_meier",  # 1-row corpus-max-day scalar broadcast (q89's class)
-    "q268_burstiness",  # 1-row global-span scalar broadcast (q89's class)
-    "q272_assoc_rules",  # 1-row n_users scalar broadcast (q89's class)
-    "q276_budget_sample",  # composes q200's 1-row total scalar broadcasts
-    "q278_kruskal_wallis",  # 1-row totals + 1-row fold scalar broadcasts
-    "q273_mann_kendall",  # |days|^2-bounded day-pair theta join (q260's class)
+    "q31_embedding_topk": 1,
+    "q38_ivf_topk": 2,
+    "q65_tpch_q22": 1,
+    "q67_tpch_q11": 1,
+    "q89_unigram_commonness": 1,  # 1-row corpus-total scalar broadcast
+    "q92_tfidf_topk": 1,  # 1-row doc-count scalar broadcast
+    "q93_lloyd_step": 1,  # k=8-row broadcast seed table (by-design nested loop)
+    "q95_quality_deciles": 1,  # 1-row corpus-count scalar broadcast
+    "q100_semantic_dedup": 0,  # centroid join now hashes; pinned at 0
+    "q104_bm25_topk": 1,  # 1-row corpus-stats (N, avgdl) scalar broadcast
+    "q109_scd2_merge": 4,  # 1-row max(c_custkey) scalar broadcast (fresh-key base)
+    "q110_scd2_asof": 3,  # composes q109 (same scalar broadcast)
+    "q114_ann_recall": 3,  # composes q31's guarded theta-join ground truth
+    "q118_hard_negatives": 1,  # query-batch-sized broadcast (1/50 sample), corpus scans once
+    "q127_source_divergence": 2,  # 1-row grand-total scalar broadcast (q89's class)
+    "q134_vocab_growth": 2,  # 1-row max(doc_id) scalar broadcast (q89's class)
+    "q143_kn_score": 1,  # 1-row corpus-total scalar broadcast (q89's class)
+    "q145_mixture_weights": 1,  # two 1-row total scalar broadcasts (q89's class)
+    "q159_oov_curve": 2,  # 5-row cutoff + 1-row total broadcasts (q89's class)
+    "q164_ivf_balance": 1,  # 16-row broadcast centroid table (q93's class)
+    "q176_centroid_distances": 1,  # label-count-sized centroid theta join (q93's class)
+    "q178_embedding_integrity": 2,  # two 1-row report-assembly cross joins (q89's class)
+    "q190_kn_band_routing": 3,  # 1-row corpus-mean scalar broadcast + composes q143
+    "q194_dedup_adjusted_mixture": 2,  # two 1-row total scalar broadcasts (q145's class)
+    "q196_ivf_probe_sweep": 3,  # composes q31's guarded theta ground truth (q114's class)
+    "q200_budget_allocation": 3,  # two 1-row total/leftover scalar broadcasts (q145's class)
+    "q202_shard_balance": 1,  # 1-row mean-shard scalar broadcast (q89's class)
+    "q209_rfm_segments": 10,  # 1-row corpus-max + n_users scalar broadcasts (q89's class)
+    "q211_freshness_audit": 1,  # 1-row corpus-max scalar broadcast (q89's class)
+    "q214_weekly_drift": 1,  # 1-row grand-total scalar broadcast (q127's class)
+    "q220_head_share": 1,  # 1-row token-total scalar broadcast (q89's class)
+    "q224_class_weights": 1,  # 1-row (N, K) totals scalar broadcast (q89's class)
+    "q226_user_gini": 0,  # dist_rank path no longer cross-joins; pinned at 0
+    "q227_degree_assortativity": 1,  # 1-row node-count scalar broadcast (q89's class)
+    "q229_dow_profile": 1,  # 1-row stream-total scalar broadcast (q89's class)
+    "q230_cusum_changepoint": 3,  # 1-row (S, n) + 1-row peak scalar broadcasts
+    "q233_ks_drift": 4,  # 1-row midpoint + 1-row sample-size scalar broadcasts
+    "q234_join_cardinality": 10,  # per-leg 1-row side-count scalar broadcasts
+    "q238_cell_purity": 1,  # 16-row broadcast centroid table (q164's class)
+    "q240_kcore": 2,  # 1-row convergence-flag scalar broadcast (q89's class)
+    "q241_brand_affinity": 1,  # 1-row n_cust scalar broadcast (q89's class)
+    "q245_pca_power": 103,  # 1-row n / norm / lambda scalar broadcasts per Lloyd/power round
+    "q248_hybrid_fusion": 2,  # 1-row pinned-query-vector broadcast + composes q104
+    "q251_markov_stationary": 2,  # 1-row |types| scalar broadcast (q89's class)
+    "q252_seasonality_strength": 1,  # 1-row between-groups scalar broadcast
+    "q253_histogram_quantiles": 2,  # 1-row (min,max,n) range scalar broadcast
+    "q254_pca_scores": 34,  # composes q245's 1-row norm/n scalar broadcasts
+    "q256_chi2_keyness": 1,  # 1-row grand-total scalar broadcast (q127's class)
+    "q260_theil_sen": 3,  # 1-row slope / n_pairs / n_days scalar broadcasts
+    "q261_rrf_fusion": 2,  # composes q248's 1-row pinned-query-vector broadcast
+    "q262_benford_audit": 1,  # 1-row N scalar broadcast (q89's class)
+    "q263_markov_attribution": 11,  # chain x state grid builds (|channels|+1-row broadcasts)
+    "q264_lorenz_curve": 1,  # 1-row (n, sx) totals scalar broadcast (q226's class)
+    "q265_winsorized_moments": 3,  # 1-row n + 1-row thresholds scalar broadcasts
+    "q266_mannwhitney_u": 1,  # 1-row (n, tie-term) totals scalar broadcast
+    "q270_kaplan_meier": 1,  # 1-row corpus-max-day scalar broadcast (q89's class)
+    "q268_burstiness": 1,  # 1-row global-span scalar broadcast (q89's class)
+    "q272_assoc_rules": 1,  # 1-row n_users scalar broadcast (q89's class)
+    "q276_budget_sample": 3,  # composes q200's 1-row total scalar broadcasts
+    "q278_kruskal_wallis": 1,  # 1-row totals + 1-row fold scalar broadcasts
+    "q273_mann_kendall": 3,  # |days|^2-bounded day-pair theta join (q260's class)
 }
 
 
 def test_no_unintended_nested_loop_joins(spark):
     """Plan-hygiene sweep over the whole registry: no CartesianProduct
     anywhere, and BroadcastNestedLoopJoin only where the build side is
-    provably tiny (whitelist above). A join key typo or a lost equi-key
-    silently degrades to a nested loop — the classic 100-TB outage — and
-    this test is the tripwire."""
+    provably tiny (whitelist above) — at EXACTLY the documented node
+    count, so a whitelisted query growing one more nested loop fails
+    too (VERDICT r11 #4). A join key typo or a lost equi-key silently
+    degrades to a nested loop — the classic 100-TB outage — and this
+    test is the tripwire."""
+    bad = {}
     for name in REGISTRY:
         plan = plan_of(spark, name, "simple")
         assert "CartesianProduct" not in plan, name
-        if name not in BNLJ_ALLOWED:
-            assert "BroadcastNestedLoopJoin" not in plan, name
+        got = plan.count("BroadcastNestedLoopJoin")
+        expected = BNLJ_ALLOWED.get(name, 0)
+        if got != expected:
+            bad[name] = (got, expected)
+    assert not bad, f"BNLJ count drift (got, whitelisted): {bad}"
 
 
 def test_q240_core_nonempty_at_gate_sfs(spark):
@@ -618,6 +632,41 @@ def test_q277_deadline_funnel_later_click_completes_purchase(spark, tmp_path):
         for r in REGISTRY["q277_deadline_funnel"].fn(spark, str(dst)).collect()
     }
     assert got == {1: 2, 2: 2, 3: 1}, got
+
+
+def test_q260_span_guard_fires(spark, tmp_path):
+    """The plan-shape whitelist admits q260's empty-partition-spec rank
+    windows on a |days|²-bounded size argument; that argument is now a
+    RUNTIME check (VERDICT r11 #2): a corpus spanning more days than
+    _THEIL_SEN_MAX_DAYS must refuse to run instead of silently sorting
+    C(n,2) pairs in one window task. One event per day for cap+1 days
+    trips it; the standard corpus (well under the cap) still runs."""
+    import datetime as dt
+    import os
+
+    import pytest
+
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.plans.relational import _THEIL_SEN_MAX_DAYS
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "span_corpus"
+    os.makedirs(dst)
+    for f in os.listdir(src):
+        if f != "events.parquet":
+            os.symlink(f"{src}/{f}", dst / f)
+    n = _THEIL_SEN_MAX_DAYS + 1
+    base = dt.datetime(2000, 1, 1)
+    spark.range(n).selectExpr(
+        "id AS event_id",
+        f"timestamp'{base.isoformat()}' + make_interval(0,0,0,cast(id as int)) AS ts",
+        "id AS user_id",
+        "'view' AS event_type",
+        "1.0d AS value",
+        "'{}' AS props",
+    ).write.parquet(str(dst / "events.parquet"))
+    with pytest.raises(ValueError, match="distinct days"):
+        REGISTRY["q260_theil_sen"].fn(spark, str(dst))
 
 
 def test_q267_gopher_rules_crlf_lines(spark, tmp_path):

@@ -1763,6 +1763,12 @@ def test_attribution_sink_stream_equals_batch(spark, tmp_path):
     }
     assert got == want and want
 
+    # a ts-ordered feed honors the arrival contract: the per-batch
+    # late-event audit must be all-zero (no false positives)
+    late = spark.read.parquet(f"{out_dir}/late")
+    assert late.count() >= 2  # one marker per batch
+    assert late.agg(F.sum("n_late")).collect()[0][0] == 0
+
     # journeys really crossed batches: the state store holds >= 2 batch
     # partitions and some user's state was updated in a later batch
     sb = spark.read.parquet(state_dir)
@@ -2159,6 +2165,63 @@ def test_seq_patterns_sink_stream_equals_batch(spark, tmp_path):
         acols(r) for r in spark.read.parquet(f"{dirs['out']}/assoc").collect()
     }
     assert got_a2 == want_a
+
+    # ts-ordered feed => the late-event audit stays all-zero
+    late = spark.read.parquet(f"{dirs['out']}/late")
+    assert late.agg(F.sum("n_late")).collect()[0][0] == 0
+
+
+def test_journey_sinks_late_event_counter_fires(spark, tmp_path):
+    """Ordered-arrival DISORDER must be observable, not silent (VERDICT
+    r11 #3): feed both journey sinks a split where batch 1 carries an
+    event stamped BEFORE a batch-0 event of the same user. The
+    ``late/`` audit must record exactly the disordered events (user 1's
+    d1 event arrives after their d2 event was processed; user 2 stays
+    ordered), and batch 0 — with no history to violate — must record 0.
+    km_sink is order-insensitive by construction and needs no audit."""
+    import datetime as dt
+
+    from printer_etl_hub_spark.streaming.corpus import (
+        attribution_sink,
+        seq_patterns_sink,
+    )
+
+    d = lambda days: dt.datetime(2026, 1, 1) + dt.timedelta(days=days)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    b0 = spark.createDataFrame(
+        [(1, d(0), 1, "view"), (1, d(2), 2, "click"), (2, d(0), 3, "view")],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(1, d(1), 4, "click"), (2, d(3), 5, "purchase")], schema
+    )
+
+    a_out = str(tmp_path / "a_out")
+    a_sink = attribution_sink(
+        str(tmp_path / "a_state"), str(tmp_path / "a_trans"), a_out
+    )
+    a_sink(b0, 0)
+    a_sink(b1, 1)
+    late = {
+        r.batch_id: r.n_late
+        for r in spark.read.parquet(f"{a_out}/late").collect()
+    }
+    assert late == {0: 0, 1: 1}, late
+
+    s_out = str(tmp_path / "s_out")
+    s_sink = seq_patterns_sink(
+        str(tmp_path / "s_state"),
+        str(tmp_path / "s_firsts"),
+        str(tmp_path / "s_counts"),
+        s_out,
+    )
+    s_sink(b0, 0)
+    s_sink(b1, 1)
+    late_s = {
+        r.batch_id: r.n_late
+        for r in spark.read.parquet(f"{s_out}/late").collect()
+    }
+    assert late_s == {0: 0, 1: 1}, late_s
 
 
 def test_km_sink_stream_equals_batch_unordered(spark, tmp_path):
