@@ -329,6 +329,14 @@ HEADLINE = [
     "q276_budget_sample",
     "q277_deadline_funnel",
     "q278_kruskal_wallis",
+    # Round 12: the wave-31 statistics tier — Welch t, Spearman rho,
+    # Cramér's V, Wilcoxon signed-rank, Brown-Forsythe, Cohen's kappa.
+    "q279_welch_t",
+    "q280_spearman_rho",
+    "q281_cramers_v",
+    "q282_wilcoxon_signed",
+    "q283_brown_forsythe",
+    "q284_cohens_kappa",
 ]
 
 

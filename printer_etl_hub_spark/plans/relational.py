@@ -6785,6 +6785,452 @@ FROM kk CROSS JOIN totals CROSS JOIN sfold
 """
 
 
+# --------------------------------------------------------------------------
+# q279 — Welch's t-test of per-user activity between the A/B arms
+# --------------------------------------------------------------------------
+
+
+def q279_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of per-user EVENT COUNT between
+    q250's deterministic A/B arms → one row (n_a, n_b, mean_a, mean_b,
+    var_num_a, var_num_b, t, df): the continuous-outcome companion to
+    q250's 2×2 conversion chi² — 'did the treatment move activity?'
+    needs a mean test with per-arm variances, and Welch (not pooled
+    Student) is what every experimentation platform ships because arm
+    variances differ under treatment by construction.
+
+    EXACTNESS: the outcome is an integer (events per user), so all five
+    sufficient statistics per arm (n, Σx, Σx²) are exact DECIMAL sums
+    and each variance NUMERATOR n·Σx² − (Σx)² is an exact
+    DECIMAL(38,0) (emitted as a string — the audit column). mean, the
+    per-arm variance-of-mean v_g = var_num_g/(n_g²(n_g−1)), t, and the
+    Welch–Satterthwaite df are ONE fixed-order double expression each
+    over casts of those exact integers (correctly-rounded /,·,sqrt),
+    NULLIF-guarded for n_g < 2 and zero variance. Arm assignment is the
+    q250/q75 md5-parity gate — reproducible across engines, retries,
+    and partitionings.
+
+    Shape: one per-user count groupBy (the only corpus-sized stage),
+    then a 2-row conditional pivot into one row — no join at all.
+    """
+    t = load_tables(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f":{_AB_SALT}"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    dec = "decimal(38,0)"
+    per_user = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select((F.pmod(h, F.lit(2)) == 0).alias("arm_a"), "x")
+    )
+    agg = per_user.agg(
+        *[
+            expr.alias(name)
+            for arm, tag in ((True, "a"), (False, "b"))
+            for name, expr in (
+                (
+                    f"n_{tag}",
+                    F.sum(F.when(F.col("arm_a") == arm, 1).otherwise(0)).cast(
+                        "bigint"
+                    ),
+                ),
+                (
+                    f"s_{tag}",
+                    F.sum(
+                        F.when(F.col("arm_a") == arm, F.col("x")).otherwise(0).cast(dec)
+                    ).cast(dec),
+                ),
+                (
+                    f"s2_{tag}",
+                    F.sum(
+                        F.when(
+                            F.col("arm_a") == arm,
+                            F.col("x").cast("decimal(19,0)") * F.col("x"),
+                        )
+                        .otherwise(0)
+                        .cast(dec)
+                    ).cast(dec),
+                ),
+            )
+        ]
+    )
+    out_cols = ["n_a", "n_b"]
+    exprs = {}
+    for tag in ("a", "b"):
+        n = F.col(f"n_{tag}").cast(dec)
+        var_num = (n * F.col(f"s2_{tag}") - F.col(f"s_{tag}") * F.col(f"s_{tag}")).cast(
+            dec
+        )
+        exprs[f"mean_{tag}"] = F.col(f"s_{tag}").cast("double") / F.nullif(
+            F.col(f"n_{tag}"), F.lit(0)
+        ).cast("double")
+        exprs[f"var_num_{tag}"] = var_num
+        # v_g = s_g^2/n_g = var_num / (n_g^2 (n_g - 1)) — exact integer
+        # denominator, one double division
+        exprs[f"v_{tag}"] = var_num.cast("double") / F.nullif(
+            (n * n * (n - 1)).cast(dec), F.lit(0).cast(dec)
+        ).cast("double")
+    vsum = exprs["v_a"] + exprs["v_b"]
+    tstat = (exprs["mean_a"] - exprs["mean_b"]) / F.nullif(
+        F.sqrt(vsum), F.lit(0.0)
+    )
+    df_w = (vsum * vsum) / F.nullif(
+        exprs["v_a"] * exprs["v_a"] / F.nullif(F.col("n_a") - 1, F.lit(0)).cast("double")
+        + exprs["v_b"] * exprs["v_b"] / F.nullif(F.col("n_b") - 1, F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
+    guard = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    return agg.select(
+        *out_cols,
+        F.round(exprs["mean_a"], 9).alias("mean_a"),
+        F.round(exprs["mean_b"], 9).alias("mean_b"),
+        exprs["var_num_a"].cast("string").alias("var_num_a"),
+        exprs["var_num_b"].cast("string").alias("var_num_b"),
+        F.when(guard, F.round(tstat, 9)).alias("t"),
+        F.when(guard, F.round(df_w, 6)).alias("df"),
+    )
+
+
+Q279_SQL = f"""
+WITH per_user AS (
+  SELECT (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':{_AB_SALT}'), 1, 15)) AS BIGINT) % 2) = 0 AS arm_a,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), agg AS (
+  SELECT
+    CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN arm_a THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END)
+         AS DECIMAL(38,0)) AS s_a,
+    CAST(sum(CASE WHEN NOT arm_a THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END)
+         AS DECIMAL(38,0)) AS s_b,
+    CAST(sum(CASE WHEN arm_a THEN CAST(x AS DECIMAL(19,0)) * x ELSE 0 END)
+         AS DECIMAL(38,0)) AS s2_a,
+    CAST(sum(CASE WHEN NOT arm_a THEN CAST(x AS DECIMAL(19,0)) * x ELSE 0 END)
+         AS DECIMAL(38,0)) AS s2_b
+  FROM per_user
+), d AS (
+  SELECT n_a, n_b,
+    CAST(s_a AS DOUBLE) / CAST(NULLIF(n_a, 0) AS DOUBLE) AS mean_a,
+    CAST(s_b AS DOUBLE) / CAST(NULLIF(n_b, 0) AS DOUBLE) AS mean_b,
+    CAST(CAST(n_a AS DECIMAL(38,0)) * s2_a - s_a * s_a AS DECIMAL(38,0))
+      AS var_num_a,
+    CAST(CAST(n_b AS DECIMAL(38,0)) * s2_b - s_b * s_b AS DECIMAL(38,0))
+      AS var_num_b,
+    CAST(CAST(CAST(n_a AS DECIMAL(38,0)) * s2_a - s_a * s_a AS DECIMAL(38,0))
+         AS DOUBLE)
+      / CAST(NULLIF(CAST(CAST(n_a AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))
+                         * (CAST(n_a AS DECIMAL(38,0)) - 1) AS DECIMAL(38,0)),
+                    CAST(0 AS DECIMAL(38,0))) AS DOUBLE) AS v_a,
+    CAST(CAST(CAST(n_b AS DECIMAL(38,0)) * s2_b - s_b * s_b AS DECIMAL(38,0))
+         AS DOUBLE)
+      / CAST(NULLIF(CAST(CAST(n_b AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+                         * (CAST(n_b AS DECIMAL(38,0)) - 1) AS DECIMAL(38,0)),
+                    CAST(0 AS DECIMAL(38,0))) AS DOUBLE) AS v_b
+  FROM agg
+)
+SELECT n_a, n_b, round(mean_a, 9) AS mean_a, round(mean_b, 9) AS mean_b,
+       CAST(var_num_a AS VARCHAR) AS var_num_a,
+       CAST(var_num_b AS VARCHAR) AS var_num_b,
+       CASE WHEN n_a > 1 AND n_b > 1 THEN
+         round((mean_a - mean_b) / NULLIF(sqrt(v_a + v_b), 0.0), 9) END AS t,
+       CASE WHEN n_a > 1 AND n_b > 1 THEN
+         round(((v_a + v_b) * (v_a + v_b))
+               / NULLIF(v_a * v_a / CAST(NULLIF(n_a - 1, 0) AS DOUBLE)
+                        + v_b * v_b / CAST(NULLIF(n_b - 1, 0) AS DOUBLE),
+                        0.0), 6) END AS df
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# q280 — Spearman rank correlation of per-user breadth vs. intensity
+# --------------------------------------------------------------------------
+
+
+def q280_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between each user's event COUNT and
+    ACTIVE-DAY count → one row (n_users, suv, rho): does more activity
+    come from more days (habitual users) or from bursts (rho low while
+    q268 Fano runs high)? The monotone-association companion to q246's
+    Kendall tau — Spearman is the one analysts quote, tau the one with
+    the cleaner pair interpretation; shipping both closes the rank-
+    correlation family.
+
+    EXACTNESS: both variables are integers, ranked with DOUBLED
+    midranks (2·avgrank = 2·below + t + 1 — always integral, the
+    q266/q278 discipline) via `dist_cumsum` over the distinct-value
+    frames (never a single-partition window). All six sufficient
+    statistics (n, Σu, Σv, Σu², Σv², Σuv over doubled ranks u, v) are
+    exact DECIMAL(38,0); rho = (nΣuv − ΣuΣv)/√((nΣu²−(Σu)²)(nΣv²−(Σv)²))
+    is ONE fixed-order double expression over their casts (the doubling
+    cancels algebraically; n·Σuv can exceed DECIMAL(38,0) at cluster
+    scale, so the products are IEEE doubles on purpose — the q250
+    rationale), NULLIF-guarded for zero variance. Σuv is emitted as a
+    string audit column.
+
+    Shape: one per-user groupBy (the only corpus-sized stage), two
+    value-histogram groupBys + dist_cumsum rank joins, a 1-row agg.
+    """
+    from .common import dist_cumsum
+
+    t = load_tables(spark, sf_dir)
+    per_user = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.countDistinct("day").cast("bigint").alias("y"),
+        )
+    )
+    dec19 = "decimal(19,0)"
+    dec = "decimal(38,0)"
+
+    def ranks(col):
+        hist = per_user.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_v")
+        )
+        cum, pin = dist_cumsum(hist, [col], ["n_v"])
+        w2 = cum.select(
+            col,
+            (F.lit(2) * (F.col("n_v_cum") - F.col("n_v")) + F.col("n_v") + 1)
+            .cast(dec19)
+            .alias(f"w2_{col}"),
+        )
+        return w2, pin
+
+    w2x, pinx = ranks("x")
+    w2y, piny = ranks("y")
+    ranked = per_user.join(w2x, "x").join(w2y, "y")
+    u, v = F.col("w2_x"), F.col("w2_y")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(u.cast(dec)).cast(dec).alias("su"),
+        F.sum(v.cast(dec)).cast(dec).alias("sv"),
+        F.sum((u * u).cast(dec)).cast(dec).alias("suu"),
+        F.sum((v * v).cast(dec)).cast(dec).alias("svv"),
+        F.sum((u * v).cast(dec)).cast(dec).alias("suv"),
+    )
+    nd = F.col("n").cast("double")
+    sud, svd = F.col("su").cast("double"), F.col("sv").cast("double")
+    num = nd * F.col("suv").cast("double") - sud * svd
+    den = F.sqrt(
+        (nd * F.col("suu").cast("double") - sud * sud)
+        * (nd * F.col("svv").cast("double") - svd * svd)
+    )
+    res = agg.select(
+        F.col("n").alias("n_users"),
+        F.col("suv").cast("string").alias("suv"),
+        F.when(F.col("n") > 1, F.round(num / F.nullif(den, F.lit(0.0)), 9)).alias(
+            "rho"
+        ),
+    )
+    return materialize_release(res, pinx, piny)
+
+
+Q280_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+         CAST(count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS y
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+), hx AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS n_v FROM per_user GROUP BY x
+), cx AS (
+  SELECT x, n_v, sum(n_v) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS c
+  FROM hx
+), wx AS (
+  SELECT x, CAST(2 * (c - n_v) + n_v + 1 AS DECIMAL(19,0)) AS w2_x FROM cx
+), hy AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS n_v FROM per_user GROUP BY y
+), cy AS (
+  SELECT y, n_v, sum(n_v) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS c
+  FROM hy
+), wy AS (
+  SELECT y, CAST(2 * (c - n_v) + n_v + 1 AS DECIMAL(19,0)) AS w2_y FROM cy
+), ranked AS (
+  SELECT w2_x, w2_y FROM per_user JOIN wx USING (x) JOIN wy USING (y)
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(w2_x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS su,
+         CAST(sum(CAST(w2_y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv,
+         CAST(sum(CAST(w2_x * w2_x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS suu,
+         CAST(sum(CAST(w2_y * w2_y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS svv,
+         CAST(sum(CAST(w2_x * w2_y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS suv
+  FROM ranked
+)
+SELECT n AS n_users, CAST(suv AS VARCHAR) AS suv,
+       CASE WHEN n > 1 THEN round(
+         (CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+          - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+         / NULLIF(sqrt(
+             (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+              - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 0.0), 9) END AS rho
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# q282 — Wilcoxon signed-rank test of week-over-week daily volume
+# --------------------------------------------------------------------------
+
+
+def q282_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of PAIRED daily volumes (each day vs.
+    the same weekday one week earlier) → one row (n_pairs, n_nonzero,
+    w2_plus, tie_t, z): the paired companion to q266's two-sample
+    Mann-Whitney — 'did this week shift against last week?' is a
+    matched-pairs question (weekday seasonality cancels inside each
+    pair, which q252 shows dominates variance), and signed-rank is its
+    standard nonparametric answer. Pairs need BOTH days observed; a
+    missing day contributes no pair (documented — q268 is where
+    zero-fill semantics live).
+
+    EXACTNESS: differences are integer daily-count deltas; zero
+    differences drop (the standard Wilcoxon reduction); |d| ranks carry
+    DOUBLED midranks via `dist_cumsum` (the q266/q278/q280 discipline),
+    so the doubled positive-rank sum W2⁺ = 2W⁺ and the tie term
+    Σ(t³−t) are exact DECIMAL(38,0) (emitted as strings). Under H₀
+    E[2W⁺] = n(n+1)/2 exactly (integer), and Var[2W⁺] = 4·Var[W⁺] =
+    n(n+1)(2n+1)/6 − Σ(t³−t)/12; z is ONE fixed-order double expression
+    over casts of the exact integers, NULLIF-guarded for n = 0 /
+    all-tied degenerates.
+
+    Shape: one daily pre-agg (the only corpus-sized stage), a
+    |days|-row self-join on day = day−7, a |distinct-|d||-row histogram
+    + dist_cumsum, a 1-row agg.
+    """
+    from .common import dist_cumsum
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .filter(F.col("ts").isNotNull())
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    prev = daily.select(
+        F.date_add(F.col("day"), 7).alias("day"), F.col("x").alias("x_prev")
+    )
+    pairs = daily.join(prev, "day").select(
+        (F.col("x") - F.col("x_prev")).alias("d")
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    nz = pairs.filter(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("a"), (F.col("d") > 0).alias("pos")
+    )
+    hist = nz.groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+    )
+    cum, pin = dist_cumsum(hist, ["a"], ["n_v"])
+    dec19 = "decimal(19,0)"
+    dec = "decimal(38,0)"
+    w2 = cum.select(
+        "n_v",
+        "n_pos",
+        (F.lit(2) * (F.col("n_v_cum") - F.col("n_v")) + F.col("n_v") + 1)
+        .cast(dec19)
+        .alias("w2"),
+    )
+    agg = w2.agg(
+        F.sum("n_v").cast("bigint").alias("n"),
+        F.sum(F.col("n_pos").cast(dec19) * F.col("w2")).cast(dec).alias("w2_plus"),
+        F.sum(
+            F.col("n_v").cast("decimal(12,0)")
+            * F.col("n_v").cast("decimal(12,0)")
+            * F.col("n_v").cast("decimal(12,0)")
+            - F.col("n_v").cast("decimal(12,0)")
+        )
+        .cast(dec)
+        .alias("tie_t"),
+    )
+    j = agg.join(F.broadcast(n_pairs))
+    nn = F.coalesce(F.col("n"), F.lit(0)).cast(dec19)
+    mean2 = (nn * (nn + 1) / 2).cast(dec)  # n(n+1) is even — exact integer
+    nd = F.coalesce(F.col("n"), F.lit(0)).cast("double")
+    var2 = (nd * (nd + 1.0) * (2.0 * nd + 1.0)) / F.lit(6.0) - F.coalesce(
+        F.col("tie_t"), F.lit(0).cast(dec)
+    ).cast("double") / F.lit(12.0)
+    z = (F.col("w2_plus") - mean2).cast("double") / F.nullif(
+        F.sqrt(var2), F.lit(0.0)
+    )
+    return j.select(
+        "n_pairs",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_nonzero"),
+        F.coalesce(F.col("w2_plus"), F.lit(0).cast(dec))
+        .cast("string")
+        .alias("w2_plus"),
+        F.coalesce(F.col("tie_t"), F.lit(0).cast(dec))
+        .cast("string")
+        .alias("tie_t"),
+        F.when(F.coalesce(F.col("n"), F.lit(0)) > 0, F.round(z, 9)).alias("z"),
+    )
+
+
+Q282_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), pairs AS (
+  SELECT cur.x - prev.x AS d
+  FROM daily cur JOIN daily prev ON cur.day = prev.day + INTERVAL 7 DAY
+), np AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs
+), nz AS (
+  SELECT abs(d) AS a, d > 0 AS pos FROM pairs WHERE d <> 0
+), hist AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS n_v,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM nz GROUP BY a
+), cum AS (
+  SELECT a, n_v, n_pos,
+         sum(n_v) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING) AS c
+  FROM hist
+), w2 AS (
+  SELECT n_v, n_pos,
+         CAST(2 * (c - n_v) + n_v + 1 AS DECIMAL(19,0)) AS w2
+  FROM cum
+), agg AS (
+  SELECT CAST(sum(n_v) AS BIGINT) AS n,
+         CAST(sum(CAST(n_pos AS DECIMAL(19,0)) * w2) AS DECIMAL(38,0)) AS w2_plus,
+         CAST(sum(CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0))
+                  * CAST(n_v AS DECIMAL(12,0)) - CAST(n_v AS DECIMAL(12,0)))
+              AS DECIMAL(38,0)) AS tie_t
+  FROM w2
+)
+SELECT np.n_pairs,
+       CAST(coalesce(agg.n, 0) AS BIGINT) AS n_nonzero,
+       CAST(coalesce(agg.w2_plus, CAST(0 AS DECIMAL(38,0))) AS VARCHAR) AS w2_plus,
+       CAST(coalesce(agg.tie_t, CAST(0 AS DECIMAL(38,0))) AS VARCHAR) AS tie_t,
+       CASE WHEN coalesce(agg.n, 0) > 0 THEN round(
+         CAST(CAST(agg.w2_plus
+                   - CAST(CAST(agg.n AS DECIMAL(19,0))
+                          * (CAST(agg.n AS DECIMAL(19,0)) + 1) / 2
+                     AS DECIMAL(38,0))
+              AS DECIMAL(38,0)) AS DOUBLE)
+         / NULLIF(sqrt(
+             (CAST(agg.n AS DOUBLE) * (CAST(agg.n AS DOUBLE) + 1.0)
+              * (2.0 * CAST(agg.n AS DOUBLE) + 1.0)) / 6.0
+             - CAST(agg.tie_t AS DOUBLE) / 12.0), 0.0), 9) END AS z
+FROM np LEFT JOIN agg ON TRUE
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -6888,4 +7334,7 @@ RELATIONAL_QUERIES = {
     "q275_skipgram_support": (q275_skipgram_support, Q275_SQL),
     "q277_deadline_funnel": (q277_deadline_funnel, Q277_SQL),
     "q278_kruskal_wallis": (q278_kruskal_wallis, Q278_SQL),
+    "q279_welch_t": (q279_welch_t, Q279_SQL),
+    "q280_spearman_rho": (q280_spearman_rho, Q280_SQL),
+    "q282_wilcoxon_signed": (q282_wilcoxon_signed, Q282_SQL),
 }

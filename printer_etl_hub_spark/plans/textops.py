@@ -12423,6 +12423,404 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q281 — Cramér's V association between document language and source
+# --------------------------------------------------------------------------
+
+
+def q281_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for the lang × source contingency table → one row
+    (n_docs, n_langs, n_sources, chi2, cramers_v): HOW STRONGLY does
+    source determine language? q127 measures distributional divergence
+    BETWEEN sources over tokens; this is the single normalized [0, 1]
+    association number over the label pair every mixture designer
+    checks first — V ≈ 1 means language is a proxy for source (dedup
+    and decontamination must stratify on BOTH, else neither).
+
+    EXACTNESS: the χ² sum runs over the FULL k×m grid (zero cells
+    included — omitting them understates χ²). Each cell's deviation
+    d_ij = N·n_ij − r_i·c_j is an exact DECIMAL(38,0); the per-cell
+    term d²/(r_i·c_j) is a double, so the CELL SUM is order-sensitive —
+    it folds over the (lang, source)-sorted array on one row (the
+    q258/q278 sequential discipline) and the oracle unrolls the
+    identical fold in a recursive CTE. χ² = fold/N and
+    V = √(χ²/(N·min(k−1, m−1))) are fixed-order double expressions,
+    NULLIF-guarded for a single-row/column table. NULL lang/source rows
+    are excluded in BOTH engines (the q263 NULL pin).
+
+    Shape: one (lang, source) groupBy (the only corpus-sized stage);
+    margins, the k×m grid (broadcast cross of two label frames — the
+    scalar-broadcast BNLJ class), and the fold are label-bounded.
+    """
+    t = load_tables(spark, sf_dir)
+    obs = (
+        t["documents"]
+        .filter(F.col("lang").isNotNull() & F.col("source").isNotNull())
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    dec = "decimal(38,0)"
+    dec19 = "decimal(19,0)"
+    r = obs.groupBy("lang").agg(F.sum("n").cast("bigint").alias("r"))
+    c = obs.groupBy("source").agg(F.sum("n").cast("bigint").alias("c"))
+    tot = obs.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .join(obs, ["lang", "source"], "left")
+        .join(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            (
+                F.col("n_docs").cast(dec19) * F.coalesce(F.col("n"), F.lit(0)).cast(dec19)
+                - F.col("r").cast(dec19) * F.col("c").cast(dec19)
+            )
+            .cast(dec)
+            .cast("double")
+            .alias("d"),
+            (F.col("r").cast("double") * F.col("c").cast("double")).alias("rc"),
+        )
+    )
+    one = grid.agg(
+        F.array_sort(
+            F.collect_list(F.struct("lang", "source", F.col("d"), F.col("rc")))
+        ).alias("arr")
+    )
+    fold = F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda a, e: a + (e["d"] * e["d"]) / e["rc"]
+    )
+    j = one.join(F.broadcast(tot))
+    nd = F.col("n_docs").cast("double")
+    # d_ij = N·n_ij − r·c = N·(n_ij − e_ij) with e_ij = r·c/N, so
+    # (n−e)²/e = d²/(N·r·c) and χ² = fold/N — one division, identical
+    # expression in the oracle; the exponent is pinned by the
+    # independent-reference test, not prose.
+    chi2 = fold / nd
+    mind = F.least(F.col("n_langs") - 1, F.col("n_sources") - 1).cast("double")
+    v = F.sqrt(chi2 / (nd * F.nullif(mind, F.lit(0.0))))
+    guard = (F.col("n_docs") > 0) & (
+        F.least(F.col("n_langs"), F.col("n_sources")) > 1
+    )
+    return j.select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        F.when(guard, F.round(chi2, 9)).alias("chi2"),
+        F.when(guard, F.round(v, 9)).alias("cramers_v"),
+    )
+
+
+Q281_SQL = """
+WITH RECURSIVE obs AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source
+), rr AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS r FROM obs GROUP BY lang
+), cc AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS c FROM obs GROUP BY source
+), tot AS (
+  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM obs
+), grid AS (
+  SELECT rr.lang, cc.source,
+         CAST(CAST(CAST(tot.n_docs AS DECIMAL(19,0))
+                   * CAST(coalesce(obs.n, 0) AS DECIMAL(19,0))
+                   - CAST(rr.r AS DECIMAL(19,0)) * CAST(cc.c AS DECIMAL(19,0))
+              AS DECIMAL(38,0)) AS DOUBLE) AS d,
+         CAST(rr.r AS DOUBLE) * CAST(cc.c AS DOUBLE) AS rc,
+         row_number() OVER (ORDER BY rr.lang, cc.source) AS i
+  FROM rr CROSS JOIN cc CROSS JOIN tot
+  LEFT JOIN obs ON obs.lang = rr.lang AND obs.source = cc.source
+), fold AS (
+  SELECT i, 0.0 + (d * d) / rc AS s FROM grid WHERE i = 1
+  UNION ALL
+  SELECT grid.i, fold.s + (grid.d * grid.d) / grid.rc
+  FROM fold JOIN grid ON grid.i = fold.i + 1
+), ftop AS (
+  SELECT coalesce((SELECT s FROM fold WHERE i = (SELECT max(i) FROM fold)),
+                  0.0) AS s
+)
+SELECT tot.n_docs, tot.n_langs, tot.n_sources,
+       CASE WHEN tot.n_docs > 0 AND least(tot.n_langs, tot.n_sources) > 1
+       THEN round(ftop.s / CAST(tot.n_docs AS DOUBLE), 9)
+       END AS chi2,
+       CASE WHEN tot.n_docs > 0 AND least(tot.n_langs, tot.n_sources) > 1
+       THEN round(sqrt(
+              (ftop.s / CAST(tot.n_docs AS DOUBLE))
+              / (CAST(tot.n_docs AS DOUBLE)
+                 * NULLIF(CAST(least(tot.n_langs - 1, tot.n_sources - 1)
+                          AS DOUBLE), 0.0))), 9)
+       END AS cramers_v
+FROM tot CROSS JOIN ftop
+"""
+
+
+# --------------------------------------------------------------------------
+# q283 — Brown-Forsythe equality-of-variance test of doc length by source
+# --------------------------------------------------------------------------
+
+
+def q283_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test: do sources differ
+    in document-LENGTH SPREAD, not just mean length? → one row (n_docs,
+    k_sources, f_stat). q148 ships the per-source length moments; this
+    is the robust omnibus answer to 'is any source's length variance
+    different?' — the test run before trusting a shared chunking or
+    packing parameter (q181/q185) across sources, median-centered
+    because doc lengths are exactly the heavy-tailed column where
+    mean-centered Levene loses its level.
+
+    EXACTNESS: lengths are integer token counts; each source's center
+    is the LOWER MEDIAN (type-1, rank ⌈n/2⌉ — the q236/q260 integer-
+    rank discipline, no midpoint averaging, so both engines pick the
+    identical integer and deviations z = |x − med| stay INTEGER). The
+    one-way F over z uses exact DECIMAL sufficient statistics; the k
+    per-group terms (Σz_g)²/n_g quantize through DECIMAL(38,18) before
+    their sum (q252's discipline — group iteration order must not leak
+    into the double), then F is ONE fixed-order double expression,
+    NULLIF-guarded for k < 2 / N ≤ k / zero within-variance.
+
+    Shape: one tokenize+length pass (the only corpus-sized stage), a
+    (source, len) histogram, per-source median via a SOURCE-PARTITIONED
+    cumsum window over the histogram (≤ |distinct lengths| rows per
+    task), then label-bounded aggregates.
+    """
+    t = load_tables(spark, sf_dir)
+    lens = (
+        t["documents"]
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select("source", F.size(tokenize(F.col("text"))).cast("bigint").alias("x"))
+    )
+    hist = lens.groupBy("source", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v")
+    )
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("c", F.sum("n_v").over(wsrc)).withColumn(
+        "n_g", F.sum("n_v").over(Window.partitionBy("source"))
+    )
+    med = (
+        cum.filter(2 * F.col("c") >= F.col("n_g"))  # c >= ceil(n_g/2)
+        .groupBy("source")
+        .agg(F.min("x").alias("med"))
+    )
+    dec = "decimal(38,0)"
+    dec18 = "decimal(38,18)"
+    z = lens.join(med, "source").select(
+        "source", F.abs(F.col("x") - F.col("med")).cast("bigint").alias("z")
+    )
+    per_g = z.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.col("z").cast(dec)).cast(dec).alias("s_g"),
+        F.sum(F.col("z").cast("decimal(19,0)") * F.col("z")).cast(dec).alias(
+            "s2_g"
+        ),
+    )
+    between = per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            (
+                F.col("s_g").cast("double")
+                * F.col("s_g").cast("double")
+                / F.col("n_g").cast("double")
+            ).cast(dec18)
+        )
+        .cast("double")
+        .alias("sum_sg2_ng"),
+        F.sum("n_g").cast("bigint").alias("n_docs"),
+        F.sum("s_g").cast(dec).alias("s"),
+        F.sum("s2_g").cast(dec).alias("s2"),
+    )
+    nd = F.col("n_docs").cast("double")
+    kd = F.col("k").cast("double")
+    corr = F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ssb = F.col("sum_sg2_ng") - corr
+    ssw = F.col("s2").cast("double") - F.col("sum_sg2_ng")
+    fstat = (ssb / F.nullif(kd - 1.0, F.lit(0.0))) / F.nullif(
+        ssw / F.nullif(nd - kd, F.lit(0.0)), F.lit(0.0)
+    )
+    guard = (F.col("k") > 1) & (F.col("n_docs") > F.col("k"))
+    return between.select(
+        "n_docs",
+        F.col("k").alias("k_sources"),
+        F.when(guard, F.round(fstat, 9)).alias("f_stat"),
+    )
+
+
+Q283_SQL = r"""
+WITH lens AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS x
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+), hist AS (
+  SELECT source, x, CAST(count(*) AS BIGINT) AS n_v
+  FROM lens GROUP BY source, x
+), cum AS (
+  SELECT source, x, n_v,
+         sum(n_v) OVER (PARTITION BY source ORDER BY x
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         sum(n_v) OVER (PARTITION BY source) AS n_g
+  FROM hist
+), med AS (
+  SELECT source, min(x) AS med FROM cum WHERE 2 * c >= n_g GROUP BY source
+), z AS (
+  SELECT lens.source, CAST(abs(lens.x - med.med) AS BIGINT) AS z
+  FROM lens JOIN med ON lens.source = med.source
+), per_g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_g,
+         CAST(sum(CAST(z AS DECIMAL(19,0)) * z) AS DECIMAL(38,0)) AS s2_g
+  FROM z GROUP BY source
+), between_g AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                       / CAST(n_g AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+           AS sum_sg2_ng,
+         CAST(sum(n_g) AS BIGINT) AS n_docs,
+         CAST(sum(s_g) AS DECIMAL(38,0)) AS s,
+         CAST(sum(s2_g) AS DECIMAL(38,0)) AS s2
+  FROM per_g
+)
+SELECT n_docs, k AS k_sources,
+       CASE WHEN k > 1 AND n_docs > k THEN round(
+         ((sum_sg2_ng
+           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE))
+          / NULLIF(CAST(k AS DOUBLE) - 1.0, 0.0))
+         / NULLIF((CAST(s2 AS DOUBLE) - sum_sg2_ng)
+                  / NULLIF(CAST(n_docs AS DOUBLE) - CAST(k AS DOUBLE), 0.0),
+                  0.0), 9) END AS f_stat
+FROM between_g
+"""
+
+
+# --------------------------------------------------------------------------
+# q284 — Cohen's kappa: label vs. n-gram language-ID agreement
+# --------------------------------------------------------------------------
+
+
+def q284_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the corpus's ``lang`` labels and q24's
+    stop-word language classifier → one row (n_docs, n_agree, s_chance,
+    kappa): chance-corrected agreement — the single number that says
+    whether the router (q158's confusion matrix is its WHERE) agrees
+    with the labels BEYOND what the class mix alone would produce.
+    Accuracy flatters any classifier on a skewed corpus; kappa is the
+    audit number.
+
+    EXACTNESS: the whole statistic is INTEGER until one division —
+    kappa = (p_o − p_e)/(1 − p_e) = (N·diag − S)/(N² − S) with
+    S = Σ_label row_margin·col_margin, all exact DECIMAL(38,0)
+    (S emitted as a string audit column). One double division,
+    NULLIF-guarded for the degenerate S = N² (single-label) table.
+    NULL lang / NULL text rows are excluded in BOTH engines.
+
+    Shape: q24's zero-shuffle classification pass + one |langs|²-cell
+    groupBy; margins and S are label-bounded.
+    """
+    t = load_tables(spark, sf_dir)
+    conf = (
+        t["documents"]
+        .filter(F.col("lang").isNotNull() & F.col("text").isNotNull())
+        .select("lang", tokenize(F.col("text")).alias("toks"))
+        .select("lang", lang_id(F.col("toks")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    dec = "decimal(38,0)"
+    dec19 = "decimal(19,0)"
+    r = conf.groupBy(F.col("lang").alias("label")).agg(
+        F.sum("n").cast("bigint").alias("r")
+    )
+    c = conf.groupBy(F.col("pred_lang").alias("label")).agg(
+        F.sum("n").cast("bigint").alias("c")
+    )
+    s = (
+        r.join(c, "label")
+        .agg(F.sum(F.col("r").cast(dec19) * F.col("c").cast(dec19)).cast(dec).alias("s"))
+        .select(F.coalesce(F.col("s"), F.lit(0).cast(dec)).alias("s"))
+    )
+    tot = conf.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    j = tot.join(F.broadcast(s))
+    n = F.col("n_docs").cast(dec19)
+    num = (n * F.col("n_agree").cast(dec19) - F.col("s")).cast(dec)
+    den = (n * n - F.col("s")).cast(dec)
+    return j.select(
+        "n_docs",
+        "n_agree",
+        F.col("s").cast("string").alias("s_chance"),
+        F.round(
+            num.cast("double")
+            / F.nullif(den, F.lit(0).cast(dec)).cast("double"),
+            9,
+        ).alias("kappa"),
+    )
+
+
+Q284_SQL = rf"""
+WITH toks AS (
+  SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+),
+scored AS (
+  SELECT lang,
+         {_sql_stop_count('en')} AS s_en, {_sql_stop_count('de')} AS s_de,
+         {_sql_stop_count('es')} AS s_es, {_sql_stop_count('fr')} AS s_fr
+  FROM toks
+), conf AS (
+  SELECT lang,
+         CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'unknown'
+              WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+              WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+              ELSE 'unknown' END AS pred_lang,
+         CAST(count(*) AS BIGINT) AS n
+  FROM scored GROUP BY 1, 2
+), rr AS (
+  SELECT lang AS label, CAST(sum(n) AS BIGINT) AS r FROM conf GROUP BY lang
+), cc AS (
+  SELECT pred_lang AS label, CAST(sum(n) AS BIGINT) AS c
+  FROM conf GROUP BY pred_lang
+), sc AS (
+  SELECT CAST(coalesce(sum(CAST(rr.r AS DECIMAL(19,0))
+                           * CAST(cc.c AS DECIMAL(19,0))),
+                       0) AS DECIMAL(38,0)) AS s
+  FROM rr JOIN cc USING (label)
+), tot AS (
+  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(CASE WHEN lang = pred_lang THEN n END), 0) AS BIGINT)
+           AS n_agree
+  FROM conf
+)
+SELECT n_docs, n_agree, CAST(s AS VARCHAR) AS s_chance,
+       round(CAST(CAST(CAST(n_docs AS DECIMAL(19,0))
+                       * CAST(n_agree AS DECIMAL(19,0)) - s
+                  AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(NULLIF(CAST(CAST(n_docs AS DECIMAL(19,0))
+                                * CAST(n_docs AS DECIMAL(19,0)) - s
+                           AS DECIMAL(38,0)),
+                           CAST(0 AS DECIMAL(38,0))) AS DOUBLE), 9) AS kappa
+FROM tot CROSS JOIN sc
+"""
+
+
 TEXT_QUERIES = {
     "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
     "q24_lang_id": (q24_lang_id, Q24_SQL),
@@ -12589,4 +12987,7 @@ TEXT_QUERIES = {
     "q261_rrf_fusion": (q261_rrf_fusion, Q261_SQL),
     "q267_gopher_rules": (q267_gopher_rules, Q267_SQL),
     "q276_budget_sample": (q276_budget_sample, Q276_SQL),
+    "q281_cramers_v": (q281_cramers_v, Q281_SQL),
+    "q283_brown_forsythe": (q283_brown_forsythe, Q283_SQL),
+    "q284_cohens_kappa": (q284_cohens_kappa, Q284_SQL),
 }

@@ -221,6 +221,12 @@ BOUNDARY_SENSITIVE = [
     # boundary shapes (empty text -> one empty token; bullet and
     # ellipsis detection on whitespace-only lines).
     "q267_gopher_rules",
+    # Round-12 additions: q283's per-source lower-median sits AT the
+    # token-count boundaries (single-char and 5000-token docs in one
+    # source skew the deviation frame); q284 classifies the empty and
+    # metacharacter documents ('unknown' ties) identically.
+    "q283_brown_forsythe",
+    "q284_cohens_kappa",
 ]
 
 

@@ -276,6 +276,9 @@ BNLJ_ALLOWED = {
     "q276_budget_sample": 3,  # composes q200's 1-row total scalar broadcasts
     "q278_kruskal_wallis": 1,  # 1-row totals + 1-row fold scalar broadcasts
     "q273_mann_kendall": 3,  # |days|^2-bounded day-pair theta join (q260's class)
+    "q281_cramers_v": 3,  # label-grid cross of two margin frames + 1-row totals (q93's class)
+    "q282_wilcoxon_signed": 1,  # 1-row n_pairs scalar broadcast (q89's class)
+    "q284_cohens_kappa": 1,  # 1-row chance-term scalar broadcast (q89's class)
 }
 
 

@@ -167,6 +167,12 @@ TEXT_KEYED = [
     # Round-11 addition: q267 counts code points on raw multibyte text
     # (the documented reason it never lowers before length()).
     "q267_gopher_rules",
+    # Round-12 additions: q283's length histogram and per-source
+    # lower-median count multibyte TOKENS (whitespace split of lowered
+    # text must agree cross-engine on non-ASCII); q284's stop-word
+    # classifier tokenizes the same lowered multibyte stream.
+    "q283_brown_forsythe",
+    "q284_cohens_kappa",
 ]
 
 
