@@ -331,3 +331,77 @@ def kaplan_meier_table(per_u: DataFrame) -> DataFrame:
         F.aggregate(F.col("arr"), acc0, _step)["out"].alias("out")
     )
     return folded.select(F.explode("out").alias("r")).select("r.*")
+
+
+def wilcoxon_weekly_table(daily: DataFrame):
+    """q282's Wilcoxon signed-rank arithmetic from a (day, x) daily
+    frame — factored here so the streaming twin
+    (`streaming/corpus.py::wilcoxon_weekly_sink`) applies the IDENTICAL
+    statistic to the incrementally-maintained daily store. See the q282
+    docstring (plans/relational.py) for the exactness argument: integer
+    diffs, doubled |d| midranks via dist_cumsum, exact DECIMAL(38,0)
+    W2+/tie terms, one fixed-order double z.
+
+    Returns ``(one_row_df, pin)`` — release the pin through
+    materialize_release (batch) or unpersist after the write (sink).
+    """
+    from ..plans.common import dist_cumsum
+
+    prev = daily.select(
+        F.date_add(F.col("day"), 7).alias("day"), F.col("x").alias("x_prev")
+    )
+    pairs = daily.join(prev, "day").select(
+        (F.col("x") - F.col("x_prev")).alias("d")
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    nz = pairs.filter(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("a"), (F.col("d") > 0).alias("pos")
+    )
+    hist = nz.groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+    )
+    cum, pin = dist_cumsum(hist, ["a"], ["n_v"])
+    dec19 = "decimal(19,0)"
+    dec = "decimal(38,0)"
+    w2 = cum.select(
+        "n_v",
+        "n_pos",
+        (F.lit(2) * (F.col("n_v_cum") - F.col("n_v")) + F.col("n_v") + 1)
+        .cast(dec19)
+        .alias("w2"),
+    )
+    agg = w2.agg(
+        F.sum("n_v").cast("bigint").alias("n"),
+        F.sum(F.col("n_pos").cast(dec19) * F.col("w2")).cast(dec).alias("w2_plus"),
+        F.sum(
+            F.col("n_v").cast("decimal(12,0)")
+            * F.col("n_v").cast("decimal(12,0)")
+            * F.col("n_v").cast("decimal(12,0)")
+            - F.col("n_v").cast("decimal(12,0)")
+        )
+        .cast(dec)
+        .alias("tie_t"),
+    )
+    j = agg.join(F.broadcast(n_pairs))
+    nn = F.coalesce(F.col("n"), F.lit(0)).cast(dec19)
+    mean2 = (nn * (nn + 1) / 2).cast(dec)  # n(n+1) is even — exact integer
+    nd = F.coalesce(F.col("n"), F.lit(0)).cast("double")
+    var2 = (nd * (nd + 1.0) * (2.0 * nd + 1.0)) / F.lit(6.0) - F.coalesce(
+        F.col("tie_t"), F.lit(0).cast(dec)
+    ).cast("double") / F.lit(12.0)
+    z = (F.col("w2_plus") - mean2).cast("double") / F.nullif(
+        F.sqrt(var2), F.lit(0.0)
+    )
+    res = j.select(
+        "n_pairs",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_nonzero"),
+        F.coalesce(F.col("w2_plus"), F.lit(0).cast(dec))
+        .cast("string")
+        .alias("w2_plus"),
+        F.coalesce(F.col("tie_t"), F.lit(0).cast(dec))
+        .cast("string")
+        .alias("tie_t"),
+        F.when(F.coalesce(F.col("n"), F.lit(0)) > 0, F.round(z, 9)).alias("z"),
+    )
+    return res, pin

@@ -4086,7 +4086,10 @@ UNION ALL
 # --------------------------------------------------------------------------
 # q250 — deterministic A/B experiment readout (hash split + chi-square)
 # --------------------------------------------------------------------------
-_AB_SALT = "exp1"
+# Single source of truth for the arm hash lives with the shared
+# statistic arithmetic (operators/experiment.py) so the streaming
+# ab_sink and the batch plans can never drift apart.
+from ..operators.experiment import AB_SALT as _AB_SALT  # noqa: E402
 
 
 def q250_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4103,18 +4106,13 @@ def q250_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one distinct-user projection with a per-user any-purchase
     flag (map-side combinable max), then a 1-row agg — no join at all;
-    the assignment hash is a narrow column expression.
+    the assignment hash is a narrow column expression. The statistic
+    arithmetic is shared verbatim with the streaming ``ab_sink`` via
+    `operators/experiment.py::conversion_chi2_table`.
     """
+    from ..operators.experiment import ab_arm, conversion_chi2_table
+
     t = load_tables(spark, sf_dir)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f":{_AB_SALT}"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
     per_user = (
         t["events"]
         .select(
@@ -4123,46 +4121,9 @@ def q250_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.max("p").alias("conv"))
-        .select((F.pmod(h, F.lit(2)) == 0).alias("arm_a"), "conv")
+        .select(ab_arm(F.col("user_id")).alias("arm_a"), "conv")
     )
-    counts = per_user.agg(
-        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
-        F.sum(F.when(F.col("arm_a"), F.col("conv")).otherwise(0))
-        .cast("bigint")
-        .alias("conv_a"),
-        F.sum(F.when(F.col("arm_a"), 0).otherwise(1)).cast("bigint").alias("n_b"),
-        F.sum(F.when(F.col("arm_a"), 0).otherwise(F.col("conv")))
-        .cast("bigint")
-        .alias("conv_b"),
-    )
-    a = F.col("conv_a").cast("double")
-    b = (F.col("n_a") - F.col("conv_a")).cast("double")
-    c = F.col("conv_b").cast("double")
-    d = (F.col("n_b") - F.col("conv_b")).cast("double")
-    n = (F.col("n_a") + F.col("n_b")).cast("double")
-    # NULLIF guards (the q234 degenerate-case discipline): an empty arm
-    # or an all-/never-converted margin makes the rate/statistic
-    # undefined — NULL, identically in both engines, never an error
-    # (Spark ANSI raises on /0 where DuckDB yields NULL).
-    chi2 = (
-        n
-        * (a * d - b * c)
-        * (a * d - b * c)
-        / F.nullif((a + b) * (c + d) * (a + c) * (b + d), F.lit(0.0))
-    )
-    return counts.select(
-        "n_a",
-        "conv_a",
-        "n_b",
-        "conv_b",
-        F.round(a / F.nullif(F.col("n_a").cast("double"), F.lit(0.0)), 9).alias(
-            "rate_a"
-        ),
-        F.round(c / F.nullif(F.col("n_b").cast("double"), F.lit(0.0)), 9).alias(
-            "rate_b"
-        ),
-        F.round(chi2, 9).alias("chi2"),
-    )
+    return conversion_chi2_table(per_user)
 
 
 Q250_SQL = f"""
@@ -6811,92 +6772,21 @@ def q279_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     and partitionings.
 
     Shape: one per-user count groupBy (the only corpus-sized stage),
-    then a 2-row conditional pivot into one row — no join at all.
+    then a 2-row conditional pivot into one row — no join at all. The
+    statistic arithmetic is shared verbatim with the streaming
+    ``ab_sink`` via `operators/experiment.py::welch_table`.
     """
+    from ..operators.experiment import ab_arm, welch_table
+
     t = load_tables(spark, sf_dir)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f":{_AB_SALT}"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    dec = "decimal(38,0)"
     per_user = (
         t["events"]
         .filter(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-        .select((F.pmod(h, F.lit(2)) == 0).alias("arm_a"), "x")
+        .select(ab_arm(F.col("user_id")).alias("arm_a"), "x")
     )
-    agg = per_user.agg(
-        *[
-            expr.alias(name)
-            for arm, tag in ((True, "a"), (False, "b"))
-            for name, expr in (
-                (
-                    f"n_{tag}",
-                    F.sum(F.when(F.col("arm_a") == arm, 1).otherwise(0)).cast(
-                        "bigint"
-                    ),
-                ),
-                (
-                    f"s_{tag}",
-                    F.sum(
-                        F.when(F.col("arm_a") == arm, F.col("x")).otherwise(0).cast(dec)
-                    ).cast(dec),
-                ),
-                (
-                    f"s2_{tag}",
-                    F.sum(
-                        F.when(
-                            F.col("arm_a") == arm,
-                            F.col("x").cast("decimal(19,0)") * F.col("x"),
-                        )
-                        .otherwise(0)
-                        .cast(dec)
-                    ).cast(dec),
-                ),
-            )
-        ]
-    )
-    out_cols = ["n_a", "n_b"]
-    exprs = {}
-    for tag in ("a", "b"):
-        n = F.col(f"n_{tag}").cast(dec)
-        var_num = (n * F.col(f"s2_{tag}") - F.col(f"s_{tag}") * F.col(f"s_{tag}")).cast(
-            dec
-        )
-        exprs[f"mean_{tag}"] = F.col(f"s_{tag}").cast("double") / F.nullif(
-            F.col(f"n_{tag}"), F.lit(0)
-        ).cast("double")
-        exprs[f"var_num_{tag}"] = var_num
-        # v_g = s_g^2/n_g = var_num / (n_g^2 (n_g - 1)) — exact integer
-        # denominator, one double division
-        exprs[f"v_{tag}"] = var_num.cast("double") / F.nullif(
-            (n * n * (n - 1)).cast(dec), F.lit(0).cast(dec)
-        ).cast("double")
-    vsum = exprs["v_a"] + exprs["v_b"]
-    tstat = (exprs["mean_a"] - exprs["mean_b"]) / F.nullif(
-        F.sqrt(vsum), F.lit(0.0)
-    )
-    df_w = (vsum * vsum) / F.nullif(
-        exprs["v_a"] * exprs["v_a"] / F.nullif(F.col("n_a") - 1, F.lit(0)).cast("double")
-        + exprs["v_b"] * exprs["v_b"] / F.nullif(F.col("n_b") - 1, F.lit(0)).cast("double"),
-        F.lit(0.0),
-    )
-    guard = (F.col("n_a") > 1) & (F.col("n_b") > 1)
-    return agg.select(
-        *out_cols,
-        F.round(exprs["mean_a"], 9).alias("mean_a"),
-        F.round(exprs["mean_b"], 9).alias("mean_b"),
-        exprs["var_num_a"].cast("string").alias("var_num_a"),
-        exprs["var_num_b"].cast("string").alias("var_num_b"),
-        F.when(guard, F.round(tstat, 9)).alias("t"),
-        F.when(guard, F.round(df_w, 6)).alias("df"),
-    )
+    return welch_table(per_user)
 
 
 Q279_SQL = f"""
@@ -7110,9 +7000,11 @@ def q282_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one daily pre-agg (the only corpus-sized stage), a
     |days|-row self-join on day = day−7, a |distinct-|d||-row histogram
-    + dist_cumsum, a 1-row agg.
+    + dist_cumsum, a 1-row agg. The statistic arithmetic is shared
+    verbatim with the streaming ``wilcoxon_weekly_sink`` via
+    `operators/timeseries.py::wilcoxon_weekly_table`.
     """
-    from .common import dist_cumsum
+    from ..operators.timeseries import wilcoxon_weekly_table
 
     t = load_tables(spark, sf_dir)
     daily = (
@@ -7122,63 +7014,8 @@ def q282_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
     )
-    prev = daily.select(
-        F.date_add(F.col("day"), 7).alias("day"), F.col("x").alias("x_prev")
-    )
-    pairs = daily.join(prev, "day").select(
-        (F.col("x") - F.col("x_prev")).alias("d")
-    )
-    n_pairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
-    nz = pairs.filter(F.col("d") != 0).select(
-        F.abs(F.col("d")).alias("a"), (F.col("d") > 0).alias("pos")
-    )
-    hist = nz.groupBy("a").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_v"),
-        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
-    )
-    cum, pin = dist_cumsum(hist, ["a"], ["n_v"])
-    dec19 = "decimal(19,0)"
-    dec = "decimal(38,0)"
-    w2 = cum.select(
-        "n_v",
-        "n_pos",
-        (F.lit(2) * (F.col("n_v_cum") - F.col("n_v")) + F.col("n_v") + 1)
-        .cast(dec19)
-        .alias("w2"),
-    )
-    agg = w2.agg(
-        F.sum("n_v").cast("bigint").alias("n"),
-        F.sum(F.col("n_pos").cast(dec19) * F.col("w2")).cast(dec).alias("w2_plus"),
-        F.sum(
-            F.col("n_v").cast("decimal(12,0)")
-            * F.col("n_v").cast("decimal(12,0)")
-            * F.col("n_v").cast("decimal(12,0)")
-            - F.col("n_v").cast("decimal(12,0)")
-        )
-        .cast(dec)
-        .alias("tie_t"),
-    )
-    j = agg.join(F.broadcast(n_pairs))
-    nn = F.coalesce(F.col("n"), F.lit(0)).cast(dec19)
-    mean2 = (nn * (nn + 1) / 2).cast(dec)  # n(n+1) is even — exact integer
-    nd = F.coalesce(F.col("n"), F.lit(0)).cast("double")
-    var2 = (nd * (nd + 1.0) * (2.0 * nd + 1.0)) / F.lit(6.0) - F.coalesce(
-        F.col("tie_t"), F.lit(0).cast(dec)
-    ).cast("double") / F.lit(12.0)
-    z = (F.col("w2_plus") - mean2).cast("double") / F.nullif(
-        F.sqrt(var2), F.lit(0.0)
-    )
-    return j.select(
-        "n_pairs",
-        F.coalesce(F.col("n"), F.lit(0)).alias("n_nonzero"),
-        F.coalesce(F.col("w2_plus"), F.lit(0).cast(dec))
-        .cast("string")
-        .alias("w2_plus"),
-        F.coalesce(F.col("tie_t"), F.lit(0).cast(dec))
-        .cast("string")
-        .alias("tie_t"),
-        F.when(F.coalesce(F.col("n"), F.lit(0)) > 0, F.round(z, 9)).alias("z"),
-    )
+    res, pin = wilcoxon_weekly_table(daily)
+    return materialize_release(res, pin)
 
 
 Q282_SQL = """

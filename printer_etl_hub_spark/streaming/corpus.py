@@ -860,6 +860,63 @@ def holt_daily_sink(
     return _sink
 
 
+def wilcoxon_weekly_sink(
+    daily_dir: str, out_dir: str, ts_col: str = "ts", compact_every: int = 64
+):
+    """foreachBatch sink: incrementally-maintained week-over-week
+    Wilcoxon signed-rank table — the streaming twin of q282
+    (plans/relational.py), sharing its statistic arithmetic verbatim
+    via `operators/timeseries.py::wilcoxon_weekly_table`. Same per-day
+    partial counts, ``batch_id=<n>`` overwrite idempotence, newest-base
+    + ``_SUCCESS`` read rule and compaction protocol as the ewma/holt
+    family — and like them ORDER-INSENSITIVE (per-day counts are
+    mergeable sums; the statistic recomputes off the |days|-bounded
+    store each batch). Writes ``<out_dir>/current``.
+
+    Equivalence contract (tests/test_streaming.py): after ANY
+    partitioning of an event set into micro-batches — ordered or not,
+    compaction triggered or not — the final current table equals q282's
+    batch output over the same rows.
+    """
+    from ..operators.timeseries import wilcoxon_weekly_table
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            # ts IS NOT NULL: the q282 batch twin pins the same filter
+            batch_df.filter(F.col(ts_col).isNotNull())
+            .select(F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        )
+        partial.write.mode("overwrite").parquet(f"{daily_dir}/batch_id={batch_id}")
+        base, live, _ = _list_partial_store(spark, daily_dir)
+        paths = [f"{daily_dir}/batch_id=base-{base}"] if base is not None else []
+        paths += [f"{daily_dir}/batch_id={i}" for i in live]
+        daily = (
+            spark.read.parquet(*paths)
+            .groupBy("day")
+            .agg(F.sum("x").cast("bigint").alias("x"))
+        )
+        if len(live) >= compact_every:
+            daily.write.mode("overwrite").parquet(
+                f"{daily_dir}/batch_id=base-{batch_id}"
+            )
+            _, _, names = _list_partial_store(spark, daily_dir)
+            stale = [
+                nm
+                for nm in names
+                if nm.startswith("batch_id=") and nm != f"batch_id=base-{batch_id}"
+            ]
+            _delete_store_dirs(spark, daily_dir, stale)
+            daily = spark.read.parquet(f"{daily_dir}/batch_id=base-{batch_id}")
+        res, pin = wilcoxon_weekly_table(daily)
+        res.write.mode("overwrite").parquet(f"{out_dir}/current")
+        pin.unpersist(blocking=False)
+
+    return _sink
+
+
 def holt_winters_daily_sink(
     daily_dir: str, out_dir: str, ts_col: str = "ts", compact_every: int = 64
 ):
@@ -1201,6 +1258,80 @@ def km_sink(
         kaplan_meier_table(per_u).write.mode("overwrite").parquet(
             f"{out_dir}/current"
         )
+        _compact_store(
+            spark, user_dir, batch_id, compact_every,
+            lambda: _merged(spark, batch_id),
+        )
+
+    return _sink
+
+
+def ab_sink(
+    user_dir: str,
+    out_dir: str,
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    conv_type: str = "purchase",
+    compact_every: int = 64,
+):
+    """foreachBatch sink: incrementally-maintained experiment readout —
+    the streaming twin of BOTH q250 (conversion chi²) and q279
+    (Welch t on per-user activity), sharing their statistic arithmetic
+    verbatim via `operators/experiment.py`. The live dashboard behind
+    an A/B test: every micro-batch refreshes ``<out_dir>/chi2`` (q250's
+    row) and ``<out_dir>/welch`` (q279's row).
+
+    Like `km_sink` — and unlike the journey sinks — this member is
+    ORDER-INSENSITIVE BY CONSTRUCTION: the per-user state is
+    (event count, any-conversion flag), and SUM/MAX are pure merges, so
+    a late or out-of-order event folds in correctly whenever it
+    arrives; the arm assignment depends only on the user id, so it is
+    split-invariant too. Per batch: per-user partials land under
+    ``batch_id=<n>`` (overwrite — re-delivery idempotence), the store
+    merges per user (Σ count, max conv across partials), the two tables
+    recompute off the |users|-bounded merged frame. Partials fold with
+    the shared prior-only ``base-<stamp>`` compaction protocol (the
+    fold IS the merge — generation-invariant by associativity).
+
+    Equivalence contract (tests/test_streaming.py): after ANY
+    micro-batch partitioning — ordered or not, compaction triggered or
+    not — ``chi2`` equals q250's batch output and ``welch`` equals
+    q279's over the same rows; re-delivering the last batch is a no-op.
+    """
+    from ..operators.experiment import ab_arm, conversion_chi2_table, welch_table
+
+    def _merged(spark, upto_exclusive: int | None = None):
+        df = _read_store(spark, user_dir, upto_exclusive)
+        if df is None:
+            return None
+        return df.groupBy("_u").agg(
+            F.sum("x").cast("bigint").alias("x"),
+            F.max("conv").cast("int").alias("conv"),
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.filter(F.col(id_col).isNotNull())
+            .select(
+                F.col(id_col).alias("_u"),
+                (F.col(type_col) == conv_type).cast("int").alias("p"),
+            )
+            .groupBy("_u")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("x"),
+                F.max("p").cast("int").alias("conv"),
+            )
+        )
+        partial.write.mode("overwrite").parquet(f"{user_dir}/batch_id={batch_id}")
+        per_u = _merged(spark)
+        armed = per_u.select(
+            ab_arm(F.col("_u")).alias("arm_a"), "x", "conv"
+        ).localCheckpoint(eager=True)  # feeds both tables, one store read
+        conversion_chi2_table(armed).write.mode("overwrite").parquet(
+            f"{out_dir}/chi2"
+        )
+        welch_table(armed).write.mode("overwrite").parquet(f"{out_dir}/welch")
         _compact_store(
             spark, user_dir, batch_id, compact_every,
             lambda: _merged(spark, batch_id),

@@ -1644,6 +1644,69 @@ def test_hist_quantile_windowed_stream_late_data(spark, tmp_path):
     assert got_q == want_q and len(got_q) == len(ps)
 
 
+def test_wilcoxon_weekly_sink_stream_equals_batch(spark, tmp_path):
+    """Incremental week-over-week Wilcoxon table: streaming the events
+    table through the foreachBatch sink in an ARBITRARY (non-ts-ordered)
+    split with compaction triggered mid-stream must end with EXACTLY
+    q282's batch output — the shared
+    operators/timeseries.py::wilcoxon_weekly_table arithmetic makes the
+    equivalence structural, and per-day mergeable sums make the sink
+    order-insensitive (the ewma/holt/km contract class). A re-delivered
+    batch is a no-op."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import wilcoxon_weekly_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_id", "ts"
+    )
+    src = str(tmp_path / "wsr_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    daily_dir = str(tmp_path / "wsr_daily")
+    out_dir = str(tmp_path / "wsr_out")
+    sink = wilcoxon_weekly_sink(daily_dir, out_dir, compact_every=2)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [tuple(r) for r in spark.read.parquet(f"{out_dir}/current").collect()]
+    want = [
+        tuple(r)
+        for r in REGISTRY["q282_wilcoxon_signed"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    assert got == want and want
+
+    names = {
+        r.batch_id
+        for r in spark.read.parquet(daily_dir).select("batch_id").distinct().collect()
+    }
+    assert any(str(n).startswith("base-") for n in names)
+
+    live = [int(n) for n in names if not str(n).startswith("base-")]
+    if live:
+        last = max(live)
+        part = spark.read.parquet(f"{daily_dir}/batch_id={last}")
+        rows = []
+        for r in part.collect():
+            rows.extend([(r.day,)] * r.x)
+        replay_df = spark.createDataFrame(rows, "day date").select(
+            F.col("day").cast("timestamp").alias("ts")
+        )
+        sink(replay_df, last)
+        got2 = [
+            tuple(r) for r in spark.read.parquet(f"{out_dir}/current").collect()
+        ]
+        assert got2 == want
+
+
 def test_holt_daily_sink_stream_equals_batch(spark, tmp_path):
     """Incremental Holt linear-trend table: streaming the events table
     through the foreachBatch sink (compaction triggered mid-stream) must
@@ -1708,6 +1771,82 @@ def test_holt_daily_sink_stream_equals_batch(spark, tmp_path):
             cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()
         }
         assert got2 == want
+
+
+def test_ab_sink_stream_equals_batch_unordered(spark, tmp_path):
+    """Incremental A/B readout (q250 + q279's streaming twin): per-user
+    state is (Σ count, max conv) — pure merges — so equivalence must
+    hold for an ARBITRARY (non-ts-ordered) micro-batch split, the
+    km_sink contract. Both tables must equal their batch operators
+    exactly (chi2/t doubles included, since the shared arithmetic in
+    operators/experiment.py runs over the identical merged integers).
+    Compaction triggered at compact_every=2; re-delivering a batch
+    (exact same rows) is a no-op for both tables."""
+    import os
+
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import ab_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"].select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    src = str(tmp_path / "ab_src")
+    # repartition = arbitrary interleaving: late/out-of-order by design
+    ev.repartition(5).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    user_dir = str(tmp_path / "ab_users")
+    out_dir = str(tmp_path / "ab_out")
+    sink = ab_sink(user_dir, out_dir, compact_every=2)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_chi = [tuple(r) for r in spark.read.parquet(f"{out_dir}/chi2").collect()]
+    want_chi = [
+        tuple(r) for r in REGISTRY["q250_ab_experiment"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got_chi == want_chi and want_chi
+    got_w = [tuple(r) for r in spark.read.parquet(f"{out_dir}/welch").collect()]
+    want_w = [
+        tuple(r) for r in REGISTRY["q279_welch_t"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got_w == want_w and want_w
+
+    parts = sorted(os.listdir(user_dir))
+    bases = [p for p in parts if p.startswith("batch_id=base-")]
+    assert bases, f"compaction never triggered: {parts}"
+    stamp = max(int(p.split("base-")[1]) for p in bases)
+    live = [
+        int(p.split("=")[1])
+        for p in parts
+        if p.startswith("batch_id=") and not p.split("=")[1].startswith("base-")
+        and int(p.split("=")[1]) > stamp
+    ]
+    assert len(live) <= 2 + 1, parts
+
+    # exact re-delivery no-op, driven manually (a SUM store needs the
+    # identical batch rows, not a superset): two fresh batches, then
+    # the second replayed verbatim
+    u2_dir, o2_dir = str(tmp_path / "ab2_users"), str(tmp_path / "ab2_out")
+    sink2 = ab_sink(u2_dir, o2_dir)
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    sink2(b0, 0)
+    sink2(b1, 1)
+    snap = [tuple(r) for r in spark.read.parquet(f"{o2_dir}/welch").collect()]
+    snap_chi = [tuple(r) for r in spark.read.parquet(f"{o2_dir}/chi2").collect()]
+    sink2(b1, 1)  # re-delivery: overwrite with identical partial
+    assert [tuple(r) for r in spark.read.parquet(f"{o2_dir}/welch").collect()] == snap
+    assert (
+        [tuple(r) for r in spark.read.parquet(f"{o2_dir}/chi2").collect()]
+        == snap_chi
+    )
 
 
 def test_attribution_sink_stream_equals_batch(spark, tmp_path):
