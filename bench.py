@@ -337,6 +337,8 @@ HEADLINE = [
     "q282_wilcoxon_signed",
     "q283_brown_forsythe",
     "q284_cohens_kappa",
+    "q285_calinski_harabasz",
+    "q286_davies_bouldin",
 ]
 
 

@@ -11473,10 +11473,20 @@ def _pca_component_frames(spark: SparkSession, sf_dir: str):
         "b", F.lit(0.125).alias("v")
     )
     for _ in range(_PCA_ROUNDS):
+        # localCheckpoint per round (the q263 lineage rule): w feeds
+        # BOTH the norm and the normalized v, and v feeds every
+        # downstream branch (next round, Rayleigh legs, q254's
+        # projection) — left lazy, each broadcast build re-derives the
+        # whole prior-round subtree and the plan grows ~50 nested
+        # scalar joins per round (measured: the d²-frame recomputes,
+        # all hitting the persisted C, were pure scheduler overhead on
+        # a 64-row frame). Values are identical — the checkpoint only
+        # pins WHERE the 64 rows are read from.
         w = (
             c.join(F.broadcast(v), c["bb"] == v["b"])
             .groupBy("aa")
             .agg(_dsum18(F.col("c_ab") * F.col("v")).alias("w"))
+            .localCheckpoint(eager=True)
         )
         nrm = w.agg(F.sqrt(_dsum18(F.col("w") * F.col("w"))).alias("_nrm"))
         # NULLIF: a zero-variance corpus makes C·v the zero vector —
@@ -11485,7 +11495,7 @@ def _pca_component_frames(spark: SparkSession, sf_dir: str):
         v = w.join(F.broadcast(nrm)).select(
             F.col("aa").alias("b"),
             (F.col("w") / F.nullif(F.col("_nrm"), F.lit(0.0))).alias("v"),
-        )
+        ).localCheckpoint(eager=True)
     return {"emb": emb, "pos": pos, "mu": mu, "c": c, "v": v,
             "pins": [c, s_up]}
 
@@ -11650,6 +11660,294 @@ scores AS (
 )
 SELECT vec_id, round(score, 6) AS score
 FROM scores ORDER BY abs(score) DESC, vec_id ASC LIMIT {_PCA_SCORE_TOPN}
+"""
+
+
+# --------------------------------------------------------------------------
+# q285/q286 — clustering-validity indices over the labeled embeddings
+# --------------------------------------------------------------------------
+
+
+def _label_moment_frames(spark: SparkSession, sf_dir: str):
+    """Shared core of q285/q286: per-label counts, per-(label, dim)
+    centroid means, and the posexploded point frame joined to its
+    label's centroid — every sum through DECIMAL(38,18) (`_dsum18`,
+    order-insensitive) so the distributed partial-agg order can't
+    wiggle the doubles vs the oracle. NULL labels/embeddings excluded
+    in BOTH engines."""
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["embeddings"]
+        .filter(F.col("label").isNotNull() & F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("vd"),
+        )
+    )
+    pos = e.select("vec_id", "label", F.posexplode("vd").alias("dim", "x"))
+    per_ld = pos.groupBy("label", "dim").agg(
+        _dsum18(F.col("x")).alias("sx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_l"),
+    )
+    mu = per_ld.select(
+        "label", "dim", (F.col("sx") / F.col("n_l").cast("double")).alias("mu")
+    )
+    n_per_label = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_l")
+    )
+    tot = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.countDistinct("label").cast("bigint").alias("k_labels"),
+    )
+    # point-to-own-centroid deviations: broadcast the (labels × dims)
+    # centroid table onto one corpus-sized pass
+    dev = pos.join(F.broadcast(mu), ["label", "dim"]).select(
+        "vec_id", "label", (F.col("x") - F.col("mu")).alias("d")
+    )
+    return {"e": e, "pos": pos, "mu": mu, "n_per_label": n_per_label,
+            "tot": tot, "dev": dev}
+
+
+#: Oracle twin of `_label_moment_frames` — CTEs ending in mu / n_l / tot / dev.
+_LABEL_MOMENT_SQL = f"""pos AS MATERIALIZED (
+  SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+         CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, label, embedding,
+               CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS i
+        FROM embeddings
+        WHERE label IS NOT NULL AND embedding IS NOT NULL)
+),
+mu AS MATERIALIZED (
+  SELECT label, dim,
+         {_sql_dsum18('x')} / CAST(count(*) AS DOUBLE) AS mu
+  FROM pos GROUP BY label, dim
+),
+n_l AS (
+  SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_l
+  FROM pos GROUP BY label
+),
+tot AS (
+  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+         CAST(count(DISTINCT label) AS BIGINT) AS k_labels
+  FROM pos
+),
+dev AS MATERIALIZED (
+  SELECT pos.vec_id, pos.label, pos.x - mu.mu AS d
+  FROM pos JOIN mu ON pos.label = mu.label AND pos.dim = mu.dim
+)"""
+
+
+def q285_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz (variance-ratio) index of the labeled embedding
+    space → one row (n_vecs, k_labels, bss, wss, ch): between-cluster
+    scatter over within-cluster scatter, the standard 'are these labels
+    real structure?' number — q238 scores cluster PURITY against an
+    external quantizer, this scores geometric SEPARATION with no
+    reference needed; the go/no-go check before trusting the label
+    column for stratification (q232) or per-label centroids (q88).
+
+    EXACTNESS: WSS = Σ‖x − μ_label‖² and BSS = Σ n_l·‖μ_l − μ‖² sum
+    every term through DECIMAL(38,18) (`_dsum18`, order-insensitive);
+    the global centroid derives from the SAME per-(label, dim) sums
+    both engines quantized identically; CH is one fixed-order double
+    expression, NULLIF-guarded for k < 2 / N ≤ k / zero within-scatter.
+
+    Shape: one posexplode + (label, dim) groupBy (the only corpus-sized
+    stages, map-side combinable), a broadcast centroid join back onto
+    the point frame, then (labels × dims)-bounded arithmetic.
+    """
+    f = _label_moment_frames(spark, sf_dir)
+    wss = f["dev"].agg(_dsum18(F.col("d") * F.col("d")).alias("wss"))
+    # global centroid per dim from the SAME quantized per-label sums:
+    # mu_g = Σ_l n_l·mu_l,dim / N (exactly the pooled mean, because
+    # n_l·mu_l reproduces the label's quantized sum)
+    glob = (
+        f["mu"]
+        .join(F.broadcast(f["n_per_label"]), "label")
+        .groupBy("dim")
+        .agg(
+            _dsum18(F.col("mu") * F.col("n_l").cast("double")).alias("sxd"),
+            F.sum("n_l").cast("bigint").alias("n_tot"),
+        )
+        .select("dim", (F.col("sxd") / F.col("n_tot").cast("double")).alias("mu_g"))
+    )
+    bss = (
+        f["mu"]
+        .join(F.broadcast(glob), "dim")
+        .join(F.broadcast(f["n_per_label"]), "label")
+        .agg(
+            _dsum18(
+                F.col("n_l").cast("double")
+                * (F.col("mu") - F.col("mu_g"))
+                * (F.col("mu") - F.col("mu_g"))
+            ).alias("bss")
+        )
+    )
+    j = wss.join(F.broadcast(bss)).join(F.broadcast(f["tot"]))
+    nd = F.col("n_vecs").cast("double")
+    kd = F.col("k_labels").cast("double")
+    ch = (F.col("bss") / F.nullif(kd - 1.0, F.lit(0.0))) / F.nullif(
+        F.col("wss") / F.nullif(nd - kd, F.lit(0.0)), F.lit(0.0)
+    )
+    guard = (F.col("k_labels") > 1) & (F.col("n_vecs") > F.col("k_labels"))
+    return j.select(
+        "n_vecs",
+        "k_labels",
+        F.round(F.col("bss"), 9).alias("bss"),
+        F.round(F.col("wss"), 9).alias("wss"),
+        F.when(guard, F.round(ch, 9)).alias("ch"),
+    )
+
+
+Q285_SQL = f"""
+WITH {_LABEL_MOMENT_SQL},
+wss AS (SELECT {_sql_dsum18('d * d')} AS wss FROM dev),
+gctr AS (
+  SELECT mu.dim,
+         {_sql_dsum18('mu.mu * CAST(n_l.n_l AS DOUBLE)')}
+           / CAST(sum(n_l.n_l) AS DOUBLE) AS mu_g
+  FROM mu JOIN n_l ON mu.label = n_l.label
+  GROUP BY mu.dim
+),
+bss AS (
+  SELECT {_sql_dsum18(
+      'CAST(n_l.n_l AS DOUBLE) * (mu.mu - gctr.mu_g) * (mu.mu - gctr.mu_g)'
+  )} AS bss
+  FROM mu JOIN gctr ON mu.dim = gctr.dim
+  JOIN n_l ON mu.label = n_l.label
+)
+SELECT tot.n_vecs, tot.k_labels,
+       round(bss.bss, 9) AS bss, round(wss.wss, 9) AS wss,
+       CASE WHEN tot.k_labels > 1 AND tot.n_vecs > tot.k_labels THEN
+         round((bss.bss / NULLIF(CAST(tot.k_labels AS DOUBLE) - 1.0, 0.0))
+               / NULLIF(wss.wss / NULLIF(CAST(tot.n_vecs AS DOUBLE)
+                                         - CAST(tot.k_labels AS DOUBLE), 0.0),
+                        0.0), 9) END AS ch
+FROM wss CROSS JOIN bss CROSS JOIN tot
+"""
+
+
+def q286_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin index, per-label detail → one row per label
+    (label, n_vecs, scatter, d_i, db_index): scatter S_i = mean
+    point-to-centroid distance, D_i = max over other labels of
+    (S_i + S_j)/‖μ_i − μ_j‖ (the label's worst separation ratio — WHICH
+    neighbor smears it), db_index = the k-mean of D_i repeated on every
+    row. CH (q285) answers 'is there structure overall?'; DB's per-label
+    D_i is the triage list — the labels a curation pass merges or
+    re-embeds first.
+
+    EXACTNESS: per-point distances are √ of a per-vector
+    DECIMAL(38,18)-quantized square sum (correctly-rounded √ of
+    identical doubles); S_i sums those distances through `_dsum18` and
+    divides once; centroid-pair distances run on the (labels² × dims)
+    frame the same way; max is order-safe and the final k-term mean
+    quantizes through `_dsum18`. NULLIF guards coincident centroids
+    (R_ij undefined → NULL, max skips it) and k < 2.
+
+    Shape: the q285 core + one per-vector groupBy (corpus-sized,
+    map-side combinable) and labels²-bounded pair arithmetic.
+    """
+    f = _label_moment_frames(spark, sf_dir)
+    per_vec = (
+        f["dev"]
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(_dsum18(F.col("d") * F.col("d"))).alias("dist"))
+    )
+    s = (
+        per_vec.groupBy("label")
+        .agg(
+            _dsum18(F.col("dist")).alias("sdist"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            (F.col("sdist") / F.col("n_vecs").cast("double")).alias("s_i"),
+        )
+    )
+    mu_i = f["mu"].select(
+        F.col("label").alias("li"), "dim", F.col("mu").alias("mi")
+    )
+    mu_j = f["mu"].select(
+        F.col("label").alias("lj"), "dim", F.col("mu").alias("mj")
+    )
+    m = (
+        mu_i.join(mu_j, "dim")
+        .filter(F.col("li") != F.col("lj"))
+        .groupBy("li", "lj")
+        .agg(
+            F.sqrt(
+                _dsum18((F.col("mi") - F.col("mj")) * (F.col("mi") - F.col("mj")))
+            ).alias("m_ij")
+        )
+    )
+    r = (
+        m.join(F.broadcast(s.select(F.col("label").alias("li"), F.col("s_i"))), "li")
+        .join(
+            F.broadcast(
+                s.select(F.col("label").alias("lj"), F.col("s_i").alias("s_j"))
+            ),
+            "lj",
+        )
+        .groupBy("li")
+        .agg(
+            F.max(
+                (F.col("s_i") + F.col("s_j"))
+                / F.nullif(F.col("m_ij"), F.lit(0.0))
+            ).alias("d_i")
+        )
+    )
+    db = r.agg(
+        (
+            _dsum18(F.col("d_i")) / F.count(F.lit(1)).cast("double")
+        ).alias("db_index")
+    )
+    return (
+        s.join(r, s["label"] == r["li"], "left")
+        .join(F.broadcast(db))
+        .select(
+            "label",
+            "n_vecs",
+            F.round(F.col("s_i"), 9).alias("scatter"),
+            F.round(F.col("d_i"), 9).alias("d_i"),
+            F.round(F.col("db_index"), 9).alias("db_index"),
+        )
+        .orderBy("label")
+    )
+
+
+Q286_SQL = f"""
+WITH {_LABEL_MOMENT_SQL},
+per_vec AS (
+  SELECT vec_id, label, sqrt({_sql_dsum18('d * d')}) AS dist
+  FROM dev GROUP BY vec_id, label
+),
+s AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         {_sql_dsum18('dist')} / CAST(count(*) AS DOUBLE) AS s_i
+  FROM per_vec GROUP BY label
+),
+m AS (
+  SELECT a.label AS li, b.label AS lj,
+         sqrt({_sql_dsum18('(a.mu - b.mu) * (a.mu - b.mu)')}) AS m_ij
+  FROM mu a JOIN mu b ON a.dim = b.dim AND a.label <> b.label
+  GROUP BY a.label, b.label
+),
+r AS (
+  SELECT m.li,
+         max((si.s_i + sj.s_i) / NULLIF(m.m_ij, 0.0)) AS d_i
+  FROM m JOIN s si ON m.li = si.label JOIN s sj ON m.lj = sj.label
+  GROUP BY m.li
+),
+db AS (
+  SELECT {_sql_dsum18('d_i')} / CAST(count(*) AS DOUBLE) AS db_index FROM r
+)
+SELECT s.label, s.n_vecs, round(s.s_i, 9) AS scatter,
+       round(r.d_i, 9) AS d_i, round(db.db_index, 9) AS db_index
+FROM s LEFT JOIN r ON s.label = r.li CROSS JOIN db
+ORDER BY s.label
 """
 
 
@@ -12990,4 +13288,6 @@ TEXT_QUERIES = {
     "q281_cramers_v": (q281_cramers_v, Q281_SQL),
     "q283_brown_forsythe": (q283_brown_forsythe, Q283_SQL),
     "q284_cohens_kappa": (q284_cohens_kappa, Q284_SQL),
+    "q285_calinski_harabasz": (q285_calinski_harabasz, Q285_SQL),
+    "q286_davies_bouldin": (q286_davies_bouldin, Q286_SQL),
 }

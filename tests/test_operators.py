@@ -390,11 +390,11 @@ def test_bruteforce_topk_refuses_oversized_input(spark):
 
 def test_registry_gate_window_is_complete_and_oracled():
     """The driver gates the first 50 REGISTRY entries: every one of them
-    must carry an oracle (no structurally-red rows). Round 11 executes
-    the round-10 pre-committed backfill plan (VERDICT r10 item #2): the
-    11 round-10 additions q255-q265 lead (first external CORRECTNESS
-    rows), then the three r5 leftovers q135-q137, then the r6 cohort in
-    numeric order through q75."""
+    must carry an oracle (no structurally-red rows). Round 12 executes
+    the round-11 pre-committed backfill plan (VERDICT r11 item #1): the
+    14 r6 leftovers lead, then the 13 round-11 additions q266-q278
+    (first external CORRECTNESS rows), then the r7 cohort in numeric
+    order through q56."""
     import re
 
     from printer_etl_hub_spark.plans import REGISTRY
@@ -406,11 +406,11 @@ def test_registry_gate_window_is_complete_and_oracled():
     assert not unoracled, unoracled
     nums = [int(re.match(r"q(\d+)_", w).group(1)) for w in window]
     assert nums == (
-        list(range(255, 266))          # the round-10 additions
-        + [135, 136, 137]              # r5 leftovers
-        + [20, 21, 22, 23, 24, 26, 27, 29, 30]     # r6 cohort in order...
-        + [32, 33, 34, 35, 36, 46, 47, 48, 51]
-        + list(range(57, 72)) + [73, 74, 75]       # ...50 slots exactly
+        [76, 78, 79, 80, 81, 92, 114, 123, 126, 127, 132, 138, 139, 140]
+        + list(range(266, 279))        # the round-11 additions
+        + [12, 14, 16, 17, 18, 19, 28, 31]         # r7 cohort in order...
+        + list(range(38, 46)) + [49, 50]
+        + list(range(52, 57))          # ...50 slots exactly
     ), nums
 
 

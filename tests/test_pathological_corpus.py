@@ -227,6 +227,11 @@ BOUNDARY_SENSITIVE = [
     # metacharacter documents ('unknown' ties) identically.
     "q283_brown_forsythe",
     "q284_cohens_kappa",
+    # q286's pair distances must NULLIF-skip coincident label centroids
+    # (the duplicate embedding block makes identical vectors common);
+    # q285's scatter hits the same replicated-vector geometry.
+    "q285_calinski_harabasz",
+    "q286_davies_bouldin",
 ]
 
 

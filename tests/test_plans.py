@@ -256,12 +256,12 @@ BNLJ_ALLOWED = {
     "q238_cell_purity": 1,  # 16-row broadcast centroid table (q164's class)
     "q240_kcore": 2,  # 1-row convergence-flag scalar broadcast (q89's class)
     "q241_brand_affinity": 1,  # 1-row n_cust scalar broadcast (q89's class)
-    "q245_pca_power": 103,  # 1-row n / norm / lambda scalar broadcasts per Lloyd/power round
+    "q245_pca_power": 6,  # 1-row n / norm / lambda scalar broadcasts — was 103 before the per-round localCheckpoint collapsed the nested power-iteration lineage (round 12)
     "q248_hybrid_fusion": 2,  # 1-row pinned-query-vector broadcast + composes q104
     "q251_markov_stationary": 2,  # 1-row |types| scalar broadcast (q89's class)
     "q252_seasonality_strength": 1,  # 1-row between-groups scalar broadcast
     "q253_histogram_quantiles": 2,  # 1-row (min,max,n) range scalar broadcast
-    "q254_pca_scores": 34,  # composes q245's 1-row norm/n scalar broadcasts
+    "q254_pca_scores": 1,  # composes q245's checkpointed core: one n-broadcast remains
     "q256_chi2_keyness": 1,  # 1-row grand-total scalar broadcast (q127's class)
     "q260_theil_sen": 3,  # 1-row slope / n_pairs / n_days scalar broadcasts
     "q261_rrf_fusion": 2,  # composes q248's 1-row pinned-query-vector broadcast
@@ -279,6 +279,8 @@ BNLJ_ALLOWED = {
     "q281_cramers_v": 3,  # label-grid cross of two margin frames + 1-row totals (q93's class)
     "q282_wilcoxon_signed": 1,  # 1-row n_pairs scalar broadcast (q89's class)
     "q284_cohens_kappa": 1,  # 1-row chance-term scalar broadcast (q89's class)
+    "q285_calinski_harabasz": 2,  # two 1-row scatter-total scalar broadcasts (q89's class)
+    "q286_davies_bouldin": 1,  # 1-row DB-mean scalar broadcast (q89's class)
 }
 
 

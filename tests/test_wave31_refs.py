@@ -210,3 +210,65 @@ def test_q284_kappa_matches_reference(spark, con):
     r = REGISTRY["q284_cohens_kappa"].fn(spark, SF_ORACLE).collect()[0]
     assert r.n_docs == n_tot
     assert abs(r.kappa - kappa_ref) < 1e-9, (r.kappa, kappa_ref)
+
+
+def test_q285_calinski_harabasz_matches_reference(spark, con):
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT label, embedding FROM embeddings "
+        "WHERE label IS NOT NULL AND embedding IS NOT NULL"
+    ).fetchall()
+    labels = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    mu_g = x.mean(axis=0)
+    uniq = sorted(set(labels.tolist()))
+    bss = sum(
+        (labels == l).sum() * float(((x[labels == l].mean(axis=0) - mu_g) ** 2).sum())
+        for l in uniq
+    )
+    wss = sum(
+        float(((x[labels == l] - x[labels == l].mean(axis=0)) ** 2).sum())
+        for l in uniq
+    )
+    n, k = len(rows), len(uniq)
+    ch_ref = (bss / (k - 1)) / (wss / (n - k))
+    r = REGISTRY["q285_calinski_harabasz"].fn(spark, SF_ORACLE).collect()[0]
+    assert (r.n_vecs, r.k_labels) == (n, k)
+    assert abs(r.wss - wss) < 1e-6 * wss and abs(r.bss - bss) < 1e-6 * max(bss, 1)
+    assert abs(r.ch - ch_ref) < 1e-6 * ch_ref, (r.ch, ch_ref)
+
+
+def test_q286_davies_bouldin_matches_reference(spark, con):
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT label, embedding FROM embeddings "
+        "WHERE label IS NOT NULL AND embedding IS NOT NULL"
+    ).fetchall()
+    labels = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    uniq = sorted(set(labels.tolist()))
+    mus = {l: x[labels == l].mean(axis=0) for l in uniq}
+    s = {
+        l: float(np.sqrt(((x[labels == l] - mus[l]) ** 2).sum(axis=1)).mean())
+        for l in uniq
+    }
+    d = {
+        li: max(
+            (s[li] + s[lj]) / float(np.sqrt(((mus[li] - mus[lj]) ** 2).sum()))
+            for lj in uniq
+            if lj != li
+        )
+        for li in uniq
+    }
+    db_ref = sum(d.values()) / len(uniq)
+    got = {
+        r.label: r
+        for r in REGISTRY["q286_davies_bouldin"].fn(spark, SF_ORACLE).collect()
+    }
+    assert sorted(got) == uniq
+    for l in uniq:
+        assert abs(got[l].scatter - s[l]) < 1e-6, (l, got[l].scatter, s[l])
+        assert abs(got[l].d_i - d[l]) < 1e-6, (l, got[l].d_i, d[l])
+        assert abs(got[l].db_index - db_ref) < 1e-6
