@@ -1194,6 +1194,197 @@ def attribution_sink(
     return _sink
 
 
+def deadline_funnel_sink(
+    state_dir: str,
+    out_dir: str,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    compact_every: int = 64,
+):
+    """foreachBatch sink: incrementally-maintained deadline funnel — the
+    streaming twin of q277 (plans/relational.py; windowFunnel
+    semantics: view → click → purchase, each step within 7 days of the
+    previous, depth = MAX over every window start). Completes the
+    journey-sink family: attribution (q263) and seq-patterns (q269)
+    had twins, the funnel did not.
+
+    Per-user state: (d_max, views, qclicks, last_tsm) — the maximum
+    depth reached, the view timestamps still inside a live 7-day
+    window, and the QUALIFIED click timestamps (clicks that landed
+    inside some view's window — only those can complete depth 3).
+    Under ts-ordered arrival the window prune is safe (a future event's
+    deadline horizon only moves forward), dedup of the batch operator's
+    DISTINCT (user, ts, type) is by list membership at the window
+    boundary, and depth is monotone — so after any ts-ordered
+    micro-batch split ``<out_dir>/current`` equals q277's batch output
+    exactly (tests/test_streaming.py). Matching is strict on
+    microseconds exactly like q277's 1-PRECEDING range frame (a click
+    at a view's microsecond is not 'after' it).
+
+    The per-user step is inherently sequential (list state + strict-
+    order matching), so it runs as ONE applyInPandas pass per batch —
+    the q263-sink cost class: a user-keyed state join plus a
+    batch-sized Python stage; the state store uses the shared
+    newest-row-per-user read rule and prior-only base-fold compaction.
+    Ordered-arrival contract AUDITED like the other journey sinks:
+    per-batch late-event counts land in ``<out_dir>/late/batch_id=<n>``.
+    """
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from ..plans.relational import _DF_WINDOW_US, _FUNNEL
+
+    s1, s2, s3 = _FUNNEL
+    state_schema = (
+        "_u bigint, d_max int, views array<bigint>, qclicks array<bigint>, "
+        "last_tsm bigint"
+    )
+
+    def _read_state(spark, upto_exclusive: int | None = None):
+        df = _read_store(spark, state_dir, upto_exclusive, with_batch_id=True)
+        if df is None:
+            return None
+        return df.select(
+            "_u", "d_max", "views", "qclicks", "last_tsm", "batch_id"
+        )
+
+    def _newest(df):
+        wl = Window.partitionBy("_u").orderBy(F.desc("batch_id"))
+        return (
+            df.withColumn("_r", F.row_number().over(wl))
+            .filter(F.col("_r") == 1)
+            .drop("_r", "batch_id")
+        )
+
+    def _step(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = int(pdf["_u"].iloc[0])
+        first = pdf.iloc[0]
+
+        def _lst(v):
+            # Arrow hands arrays back as ndarray/list, absent state as
+            # None/NaN — `v or []` would raise on a non-empty ndarray
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return []
+            return sorted(int(x) for x in v)
+
+        d_max = 0 if pd.isna(first["d_max"]) else int(first["d_max"])
+        views = _lst(first["views"])
+        qclicks = _lst(first["qclicks"])
+        last = None if pd.isna(first["last_tsm"]) else int(first["last_tsm"])
+        for tsm, t in sorted(
+            zip(pdf["tsm"].astype("int64"), pdf["_t"]), key=lambda p: p[0]
+        ):
+            lo = tsm - _DF_WINDOW_US
+            views = [v for v in views if v >= lo]
+            qclicks = [v for v in qclicks if v >= lo]
+            if t == s1:
+                d_max = max(d_max, 1)
+                if tsm not in views:
+                    views.append(tsm)
+            elif t == s2:
+                if any(v < tsm for v in views):
+                    d_max = max(d_max, 2)
+                    if tsm not in qclicks:
+                        qclicks.append(tsm)
+            elif t == s3:
+                if any(c < tsm for c in qclicks):
+                    d_max = 3
+            last = tsm if last is None else max(last, tsm)
+        return pd.DataFrame(
+            {
+                "_u": [u],
+                "d_max": [d_max],
+                "views": [sorted(views)],
+                "qclicks": [sorted(qclicks)],
+                "last_tsm": [last],
+            }
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ev = (
+            batch_df.filter(
+                F.col(ts_col).isNotNull()
+                & F.col(id_col).isNotNull()
+                & F.col(type_col).isin(*_FUNNEL)
+            )
+            .select(
+                F.col(id_col).alias("_u"),
+                F.unix_micros(F.col(ts_col)).alias("tsm"),
+                F.col(type_col).alias("_t"),
+            )
+            .distinct()
+        )
+        hist = _read_state(spark, upto_exclusive=batch_id)
+        st = _newest(hist) if hist is not None else None
+        n_late = 0
+        if st is not None:
+            joined = ev.join(st, "_u", "left")
+            n_late = joined.filter(
+                F.col("last_tsm").isNotNull() & (F.col("tsm") < F.col("last_tsm"))
+            ).count()
+        else:
+            joined = (
+                ev.withColumn("d_max", F.lit(None).cast("int"))
+                .withColumn("views", F.lit(None).cast("array<bigint>"))
+                .withColumn("qclicks", F.lit(None).cast("array<bigint>"))
+                .withColumn("last_tsm", F.lit(None).cast("bigint"))
+            )
+        _write_late_marker(spark, out_dir, batch_id, n_late)
+        new_state = joined.groupBy("_u").applyInPandas(_step, state_schema)
+        new_state.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+        # current table: q277's 3-row readout off the merged state
+        cur = _newest(_read_state(spark))
+        agg = cur.agg(
+            F.sum(F.when(F.col("d_max") >= 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("d_max") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n2"),
+            F.sum(F.when(F.col("d_max") >= 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n3"),
+        )
+        rows = []
+        for i, (step, prev) in enumerate(
+            [("n1", None), ("n2", "n1"), ("n3", "n2")], start=1
+        ):
+            rate = (
+                F.lit(None).cast("double")
+                if prev is None
+                else F.round(
+                    F.col(step).cast("double")
+                    / F.nullif(F.col(prev), F.lit(0)).cast("double"),
+                    9,
+                )
+            )
+            rows.append(
+                agg.select(
+                    F.lit(i).cast("int").alias("step"),
+                    F.lit(_FUNNEL[i - 1]).alias("event_type"),
+                    F.col(step).alias("n_reached"),
+                    rate.alias("rate_vs_prev"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        out.orderBy("step").write.mode("overwrite").parquet(
+            f"{out_dir}/current"
+        )
+        _compact_store(
+            spark, state_dir, batch_id, compact_every,
+            lambda: _newest(_read_state(spark, batch_id)),
+        )
+
+    return _sink
+
+
 def km_sink(
     user_dir: str,
     out_dir: str,

@@ -2310,6 +2310,92 @@ def test_seq_patterns_sink_stream_equals_batch(spark, tmp_path):
     assert late.agg(F.sum("n_late")).collect()[0][0] == 0
 
 
+def test_deadline_funnel_sink_stream_equals_batch(spark, tmp_path):
+    """Incremental deadline funnel (q277's streaming twin, completing
+    the journey-sink family): the events table streams in SIX
+    ts-ordered micro-batches with compact_every=2 (state store folds
+    mid-stream); views/qualified-click windows must stitch across batch
+    boundaries (the split is by ts percentile, so live 7-day windows
+    straddle cuts). Final current table must equal q277's batch output
+    exactly, the late audit stays zero, and re-delivering the last
+    batch is a no-op. A hand-built multi-click journey split so the
+    early click and the completing later click land in DIFFERENT
+    batches pins the max-over-clicks semantics through the state."""
+    import datetime as dt
+
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import deadline_funnel_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"].select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cuts = [
+        r[0]
+        for r in ev.selectExpr(
+            "percentile(cast(ts as double), array(1/6,2/6,3/6,4/6,5/6)) p"
+        )
+        .selectExpr("explode(p)")
+        .collect()
+    ]
+    bounds = [None, *cuts, None]
+    slices = []
+    for i in range(6):
+        s = ev
+        if bounds[i] is not None:
+            s = s.filter(F.col("ts").cast("double") >= bounds[i])
+        if bounds[i + 1] is not None:
+            s = s.filter(F.col("ts").cast("double") < bounds[i + 1])
+        slices.append(s)
+    state_dir = str(tmp_path / "df_state")
+    out_dir = str(tmp_path / "df_out")
+    sink = deadline_funnel_sink(state_dir, out_dir, compact_every=2)
+    for i, s in enumerate(slices):
+        sink(s, i)
+
+    cols = lambda r: (r.step, r.event_type, r.n_reached, r.rate_vs_prev)
+    got = [cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()]
+    want = [
+        cols(r)
+        for r in REGISTRY["q277_deadline_funnel"].fn(spark, SF_SMOKE)
+        .orderBy("step")
+        .collect()
+    ]
+    assert sorted(got) == sorted(want) and want
+
+    import os
+
+    parts = sorted(os.listdir(state_dir))
+    assert any(p.startswith("batch_id=base-") for p in parts), parts
+    late = spark.read.parquet(f"{out_dir}/late")
+    assert late.agg(F.sum("n_late")).collect()[0][0] == 0
+
+    # re-delivery of the LAST batch is a no-op
+    sink(slices[-1], 5)
+    got2 = [cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()]
+    assert sorted(got2) == sorted(want)
+
+    # multi-click journey ACROSS batches: view d0 + click d1 in batch 0;
+    # click d6 + purchase d9 in batch 1. The d1 click's purchase deadline
+    # (d8) expires — only the d6 click completes depth 3, and it must do
+    # so from stitched state.
+    d = lambda days: dt.datetime(2026, 1, 1) + dt.timedelta(days=days)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    b0 = spark.createDataFrame([(1, d(0), 1, "view"), (1, d(1), 2, "click")], schema)
+    b1 = spark.createDataFrame(
+        [(1, d(6), 3, "click"), (1, d(9), 4, "purchase")], schema
+    )
+    s2_state, s2_out = str(tmp_path / "df2_state"), str(tmp_path / "df2_out")
+    sink2 = deadline_funnel_sink(s2_state, s2_out)
+    sink2(b0, 0)
+    sink2(b1, 1)
+    got3 = {
+        r.step: r.n_reached
+        for r in spark.read.parquet(f"{s2_out}/current").collect()
+    }
+    assert got3 == {1: 1, 2: 1, 3: 1}, got3
+
+
 def test_journey_sinks_late_event_counter_fires(spark, tmp_path):
     """Ordered-arrival DISORDER must be observable, not silent (VERDICT
     r11 #3): feed both journey sinks a split where batch 1 carries an
