@@ -339,6 +339,7 @@ HEADLINE = [
     "q284_cohens_kappa",
     "q285_calinski_harabasz",
     "q286_davies_bouldin",
+    "q287_temperature_mixture",
 ]
 
 

@@ -11952,6 +11952,116 @@ ORDER BY s.label
 
 
 # --------------------------------------------------------------------------
+# q287 — temperature-scaled mixture sweep (α ∈ {1, 1/2, 1/4})
+# --------------------------------------------------------------------------
+
+#: Temperature exponents swept by q287. DYADIC ON PURPOSE: n^1 = n,
+#: n^(1/2) = √n, n^(1/4) = √√n — each a correctly-rounded IEEE sqrt,
+#: bit-identical cross-engine, where a general pow() is not portable.
+_TEMP_ALPHAS = (1.0, 0.5, 0.25)
+
+
+def q287_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source, swept over
+    α ∈ {1, 1/2, 1/4} → (alpha, source, n_tokens, weight, boost):
+    w_s ∝ n_s^α — the published multilingual/multi-source sampling
+    smoother (α = 1 is proportional, lower α up-samples small sources;
+    XLM-R shipped α = 0.3-class values, and ¼/½ are the dyadic
+    bracket). ``boost`` = weight/(n_s/N) is the effective up-sampling
+    factor vs proportional — the number that says how many extra
+    epochs a small source will see (read against q117's epoch
+    up-sampler and q200's budget, which pins α = 1/2). This is the
+    DESIGN view: one table to pick the temperature from before q200
+    apportions it.
+
+    EXACTNESS: token counts are exact integers; n^α is zero, one, or
+    two correctly-rounded sqrts (no pow, no exp/log — the pinned-dyadic
+    discipline); each α's normalizer sums the |sources|-bounded terms
+    through DECIMAL(38,18) (`_dsum18`, order-insensitive — q200's
+    normalizer discipline at finer quantum); weight and boost are
+    fixed-order double expressions, NULLIF-guarded for an empty corpus.
+
+    Shape: ONE tokenize+groupBy(source) pass (corpus-sized, map-side
+    combinable) shared by all three α's via a 3-row explode; totals are
+    |sources|-bounded broadcasts.
+    """
+    t = load_tables(spark, sf_dir)
+    per = (
+        t["documents"]
+        .filter(F.col("source").isNotNull())
+        .select(
+            "source",
+            F.size(tokenize(F.col("text"))).cast("bigint").alias("n_toks"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    )
+    nd = F.col("n_tokens").cast("double")
+    sweep = per.select(
+        "source",
+        "n_tokens",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1.0).alias("alpha"), nd.alias("w_raw")),
+                F.struct(F.lit(0.5).alias("alpha"), F.sqrt(nd).alias("w_raw")),
+                F.struct(
+                    F.lit(0.25).alias("alpha"), F.sqrt(F.sqrt(nd)).alias("w_raw")
+                ),
+            )
+        ).alias("s"),
+    ).select("source", "n_tokens", F.col("s.alpha").alias("alpha"), F.col("s.w_raw").alias("w_raw"))
+    totals = sweep.groupBy("alpha").agg(_dsum18(F.col("w_raw")).alias("w_total"))
+    n_total = per.agg(F.sum("n_tokens").cast("bigint").alias("n_total"))
+    w = F.col("w_raw") / F.nullif(F.col("w_total"), F.lit(0.0))
+    boost = w * F.col("n_total").cast("double") / F.nullif(
+        F.col("n_tokens"), F.lit(0)
+    ).cast("double")
+    return (
+        sweep.join(F.broadcast(totals), "alpha")
+        .join(F.broadcast(n_total))
+        .select(
+            "alpha",
+            "source",
+            "n_tokens",
+            F.round(w, 9).alias("weight"),
+            F.round(boost, 9).alias("boost"),
+        )
+        .orderBy("alpha", "source")
+    )
+
+
+Q287_SQL = r"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+), sweep AS (
+  SELECT source, n_tokens, a.alpha,
+         CASE a.alpha
+           WHEN 1.0 THEN CAST(n_tokens AS DOUBLE)
+           WHEN 0.5 THEN sqrt(CAST(n_tokens AS DOUBLE))
+           ELSE sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+         END AS w_raw
+  FROM per CROSS JOIN (VALUES (1.0), (0.5), (0.25)) a(alpha)
+), totals AS (
+  SELECT alpha,
+         CAST(SUM(CAST(w_raw AS DECIMAL(38,18))) AS DOUBLE) AS w_total
+  FROM sweep GROUP BY alpha
+), nt AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM per
+)
+SELECT sweep.alpha, sweep.source, sweep.n_tokens,
+       round(sweep.w_raw / NULLIF(totals.w_total, 0.0), 9) AS weight,
+       round((sweep.w_raw / NULLIF(totals.w_total, 0.0))
+             * CAST(nt.n_total AS DOUBLE)
+             / CAST(NULLIF(sweep.n_tokens, 0) AS DOUBLE), 9) AS boost
+FROM sweep JOIN totals USING (alpha) CROSS JOIN nt
+ORDER BY alpha, source
+"""
+
+
+# --------------------------------------------------------------------------
 # q248 — hybrid retrieval: Borda fusion of BM25 and embedding ranks
 # --------------------------------------------------------------------------
 _FUSION_K = 20
@@ -13290,4 +13400,5 @@ TEXT_QUERIES = {
     "q284_cohens_kappa": (q284_cohens_kappa, Q284_SQL),
     "q285_calinski_harabasz": (q285_calinski_harabasz, Q285_SQL),
     "q286_davies_bouldin": (q286_davies_bouldin, Q286_SQL),
+    "q287_temperature_mixture": (q287_temperature_mixture, Q287_SQL),
 }

@@ -281,6 +281,7 @@ BNLJ_ALLOWED = {
     "q284_cohens_kappa": 1,  # 1-row chance-term scalar broadcast (q89's class)
     "q285_calinski_harabasz": 2,  # two 1-row scatter-total scalar broadcasts (q89's class)
     "q286_davies_bouldin": 1,  # 1-row DB-mean scalar broadcast (q89's class)
+    "q287_temperature_mixture": 1,  # 1-row corpus-token-total scalar broadcast (q89's class)
 }
 
 

@@ -272,3 +272,20 @@ def test_q286_davies_bouldin_matches_reference(spark, con):
         assert abs(got[l].scatter - s[l]) < 1e-6, (l, got[l].scatter, s[l])
         assert abs(got[l].d_i - d[l]) < 1e-6, (l, got[l].d_i, d[l])
         assert abs(got[l].db_index - db_ref) < 1e-6
+
+
+def test_q287_temperature_mixture_matches_reference(spark, con):
+    rows = con.execute(
+        r"SELECT source, sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) "
+        "FROM documents WHERE source IS NOT NULL GROUP BY source"
+    ).fetchall()
+    n = {s: int(t) for s, t in rows}
+    n_total = sum(n.values())
+    got = REGISTRY["q287_temperature_mixture"].fn(spark, SF_ORACLE).collect()
+    assert len(got) == 3 * len(n)
+    for r in got:
+        w_raw = {s: t ** r.alpha for s, t in n.items()}
+        w_ref = w_raw[r.source] / sum(w_raw.values())
+        assert r.n_tokens == n[r.source]
+        assert abs(r.weight - w_ref) < 1e-9, (r.alpha, r.source, r.weight, w_ref)
+        assert abs(r.boost - w_ref * n_total / n[r.source]) < 1e-6
