@@ -340,6 +340,7 @@ HEADLINE = [
     "q285_calinski_harabasz",
     "q286_davies_bouldin",
     "q287_temperature_mixture",
+    "q288_dim_robust_scaling",
 ]
 
 

@@ -12062,6 +12062,111 @@ ORDER BY alpha, source
 
 
 # --------------------------------------------------------------------------
+# q288 — per-dimension robust scaling stats (median / IQR)
+# --------------------------------------------------------------------------
+
+
+def q288_dim_robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension robust scaling statistics of the embedding space →
+    one row per dim (dim, n_vecs, q1, med, q3, iqr): the
+    median/IQR table behind robust whitening — q184 gives per-dim
+    VARIANCES, which one heavy-tailed dimension (exactly what q188's
+    norm outliers imply exists) can dominate; (x − med)/IQR is the
+    scaling that survives it, and this is its parameter table.
+
+    EXACTNESS: type-1 quantiles — the PICKED element at integer rank
+    ⌈p·n⌉ under the (x, vec_id) total order (the q43/q236/q260 rank
+    discipline: both engines select the identical stored double, no
+    interpolation arithmetic at all); rank targets are pure integer
+    division ((n+3) DIV 4, (n+1) DIV 2, (3n+3) DIV 4); IQR is one
+    subtraction of two picked doubles. NaN excluded and −0.0
+    normalized before ranking (the q266 float-portability pins).
+
+    Shape: ranks via `dist_rank_grouped` — NEVER a per-dim
+    single-partition sort (a plain PARTITION BY dim window puts a
+    corpus/64 slice on one task); 64 groups keep the offset table
+    broadcast-sized. One posexplode + the range-partitioned rank are
+    the only corpus-sized stages.
+    """
+    from .common import dist_rank_grouped
+
+    t = load_tables(spark, sf_dir)
+    x = F.col("xr")
+    pos = (
+        t["embeddings"]
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform("embedding", lambda v: v.cast("double"))
+            ).alias("dim", "xr"),
+        )
+        .filter(~F.isnan(x))
+        .select(
+            "vec_id", "dim", F.when(x == 0.0, F.lit(0.0)).otherwise(x).alias("x")
+        )
+    )
+    ranked, pin = dist_rank_grouped(pos, ["dim"], ["x", "vec_id"])
+    counts = pos.groupBy("dim").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = ranked.join(F.broadcast(counts), "dim")
+    picks = {
+        "q1": "(n + 3) DIV 4",
+        "med": "(n + 1) DIV 2",
+        "q3": "(3 * n + 3) DIV 4",
+    }
+    res = (
+        j.groupBy("dim")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            *[
+                F.max(
+                    F.when(F.col("rank") == F.expr(expr), F.col("x"))
+                ).alias(name)
+                for name, expr in picks.items()
+            ],
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n_vecs",
+            F.round("q1", 9).alias("q1"),
+            F.round("med", 9).alias("med"),
+            F.round("q3", 9).alias("q3"),
+            F.round(F.col("q3") - F.col("q1"), 9).alias("iqr"),
+        )
+        .orderBy("dim")
+    )
+    return materialize_release(res, pin)
+
+
+Q288_SQL = """
+WITH pos0 AS (
+  SELECT vec_id, CAST(i - 1 AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS xr
+  FROM (SELECT vec_id, embedding,
+               CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS i
+        FROM embeddings WHERE embedding IS NOT NULL)
+), pos AS (
+  SELECT vec_id, dim, CASE WHEN xr = 0 THEN 0.0 ELSE xr END AS x
+  FROM pos0 WHERE NOT isnan(xr)
+), c AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n FROM pos GROUP BY dim
+), rk AS (
+  SELECT dim, x,
+         row_number() OVER (PARTITION BY dim ORDER BY x, vec_id) AS r
+  FROM pos
+)
+SELECT rk.dim, max(c.n) AS n_vecs,
+       round(max(CASE WHEN r = (c.n + 3) // 4 THEN x END), 9) AS q1,
+       round(max(CASE WHEN r = (c.n + 1) // 2 THEN x END), 9) AS med,
+       round(max(CASE WHEN r = (3 * c.n + 3) // 4 THEN x END), 9) AS q3,
+       round(max(CASE WHEN r = (3 * c.n + 3) // 4 THEN x END)
+             - max(CASE WHEN r = (c.n + 3) // 4 THEN x END), 9) AS iqr
+FROM rk JOIN c USING (dim)
+GROUP BY rk.dim
+ORDER BY rk.dim
+"""
+
+
+# --------------------------------------------------------------------------
 # q248 — hybrid retrieval: Borda fusion of BM25 and embedding ranks
 # --------------------------------------------------------------------------
 _FUSION_K = 20
@@ -13401,4 +13506,5 @@ TEXT_QUERIES = {
     "q285_calinski_harabasz": (q285_calinski_harabasz, Q285_SQL),
     "q286_davies_bouldin": (q286_davies_bouldin, Q286_SQL),
     "q287_temperature_mixture": (q287_temperature_mixture, Q287_SQL),
+    "q288_dim_robust_scaling": (q288_dim_robust_scaling, Q288_SQL),
 }

@@ -289,3 +289,28 @@ def test_q287_temperature_mixture_matches_reference(spark, con):
         assert r.n_tokens == n[r.source]
         assert abs(r.weight - w_ref) < 1e-9, (r.alpha, r.source, r.weight, w_ref)
         assert abs(r.boost - w_ref * n_total / n[r.source]) < 1e-6
+
+
+def test_q288_dim_robust_scaling_matches_reference(spark, con):
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT embedding FROM embeddings WHERE embedding IS NOT NULL"
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    got = {
+        r.dim: r
+        for r in REGISTRY["q288_dim_robust_scaling"].fn(spark, SF_ORACLE).collect()
+    }
+    n = x.shape[0]
+    for dim in range(x.shape[1]):
+        col = np.sort(x[:, dim])
+        # the engine's pinned type-1 picks: rank ceil(p*n), 1-based
+        q1 = col[(n + 3) // 4 - 1]
+        med = col[(n + 1) // 2 - 1]
+        q3 = col[(3 * n + 3) // 4 - 1]
+        r = got[dim]
+        assert r.n_vecs == n
+        assert abs(r.q1 - q1) < 5e-10 and abs(r.med - med) < 5e-10
+        assert abs(r.q3 - q3) < 5e-10
+        assert abs(r.iqr - (q3 - q1)) < 1e-9
