@@ -341,6 +341,7 @@ HEADLINE = [
     "q286_davies_bouldin",
     "q287_temperature_mixture",
     "q288_dim_robust_scaling",
+    "q289_pettitt",
 ]
 
 

@@ -7068,6 +7068,103 @@ FROM np LEFT JOIN agg ON TRUE
 """
 
 
+# --------------------------------------------------------------------------
+# q289 — Pettitt nonparametric changepoint on daily volume
+# --------------------------------------------------------------------------
+
+
+def q289_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt (1979) changepoint test on daily event volume → one row
+    (n_days, t_star_day, u_t_star, k_stat): the most probable single
+    change-point and its rank statistic K = max_t |U_t|,
+    U_t = Σ_{i≤t} Σ_{j>t} sign(x_j − x_i). The NONPARAMETRIC complement
+    of q230's CUSUM — CUSUM finds a mean shift in level units (one
+    outlier day drags it), Pettitt uses only sign comparisons, the same
+    robustness trade q273 (Mann-Kendall) makes against q274's OLS.
+
+    EXACTNESS — no pair frame at all: with V_t = Σ_j sign(x_j − x_t)
+    = n + n_v(x_t) − 2·cum_t from the value histogram's prefix sums
+    (above − below, all integers), Σ_{i≤t} V_i = U_t exactly — the
+    in-prefix pairs cancel antisymmetrically — so U is one more
+    integer prefix sum in day order (the sign of the identity is
+    pinned by the from-scratch double-loop reference). Both cumsums run through `dist_cumsum` (never a
+    single-partition window over a corpus-scaled frame); the argmax is
+    a (|U| DESC, day ASC) TakeOrderedAndProject head — ties broken by
+    earliest day, totally ordered. The whole query is INTEGER.
+
+    Shape: one daily pre-agg (the only corpus-sized stage), a
+    |distinct-x| histogram + dist_cumsum, a |days| frame + dist_cumsum,
+    a 1-row head + broadcast count.
+    """
+    from .common import dist_cumsum
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .filter(F.col("ts").isNotNull())
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    hist = daily.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("n_v"))
+    cum, pin1 = dist_cumsum(hist, ["x"], ["n_v"])
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    v = (
+        cum.join(F.broadcast(n_days))
+        .select(
+            "x",
+            (F.col("n_days") + F.col("n_v") - 2 * F.col("n_v_cum"))
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    dv = daily.join(v, "x").select("day", "v")
+    u, pin2 = dist_cumsum(dv, ["day"], ["v"])
+    res = (
+        u.orderBy(F.abs(F.col("v_cum")).desc(), F.col("day").asc())
+        .limit(1)
+        .join(F.broadcast(n_days))
+        .select(
+            "n_days",
+            # STRING date (the q258 convention): the pandas bridge
+            # types date columns differently per engine
+            F.date_format("day", "yyyy-MM-dd").alias("t_star_day"),
+            F.col("v_cum").cast("bigint").alias("u_t_star"),
+            F.abs(F.col("v_cum")).cast("bigint").alias("k_stat"),
+        )
+    )
+    return materialize_release(res, pin1, pin2)
+
+
+Q289_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+hist AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS n_v FROM daily GROUP BY x
+), cum AS (
+  SELECT x, n_v, sum(n_v) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS c
+  FROM hist
+), v AS (
+  SELECT cum.x, CAST(nd.n_days + cum.n_v - 2 * cum.c AS BIGINT) AS v
+  FROM cum CROSS JOIN nd
+), dv AS (
+  SELECT daily.day, v.v FROM daily JOIN v ON daily.x = v.x
+), u AS (
+  SELECT day, sum(v) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS u_t
+  FROM dv
+)
+SELECT nd.n_days, strftime(u.day, '%Y-%m-%d') AS t_star_day,
+       CAST(u.u_t AS BIGINT) AS u_t_star,
+       CAST(abs(u.u_t) AS BIGINT) AS k_stat
+FROM u CROSS JOIN nd
+ORDER BY abs(u.u_t) DESC, u.day ASC
+LIMIT 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -7174,4 +7271,5 @@ RELATIONAL_QUERIES = {
     "q279_welch_t": (q279_welch_t, Q279_SQL),
     "q280_spearman_rho": (q280_spearman_rho, Q280_SQL),
     "q282_wilcoxon_signed": (q282_wilcoxon_signed, Q282_SQL),
+    "q289_pettitt": (q289_pettitt, Q289_SQL),
 }

@@ -282,6 +282,7 @@ BNLJ_ALLOWED = {
     "q285_calinski_harabasz": 2,  # two 1-row scatter-total scalar broadcasts (q89's class)
     "q286_davies_bouldin": 1,  # 1-row DB-mean scalar broadcast (q89's class)
     "q287_temperature_mixture": 1,  # 1-row corpus-token-total scalar broadcast (q89's class)
+    "q289_pettitt": 3,  # 1-row n_days scalar broadcasts x3 (q89's class)
 }
 
 

@@ -314,3 +314,30 @@ def test_q288_dim_robust_scaling_matches_reference(spark, con):
         assert abs(r.q1 - q1) < 5e-10 and abs(r.med - med) < 5e-10
         assert abs(r.q3 - q3) < 5e-10
         assert abs(r.iqr - (q3 - q1)) < 1e-9
+
+
+def test_q289_pettitt_matches_reference(spark, con):
+    rows = con.execute(
+        "SELECT CAST(date_trunc('day', ts) AS DATE), count(*) FROM events "
+        "WHERE ts IS NOT NULL GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    days = [d for d, _ in rows]
+    xs = [x for _, x in rows]
+    n = len(xs)
+    # textbook double loop: U_t = sum_{i<=t} sum_{j>t} sign(x_j - x_i)
+    best = None
+    for t in range(n - 1):
+        u = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(t + 1)
+            for j in range(t + 1, n)
+        )
+        if best is None or abs(u) > abs(best[1]):
+            best = (days[t], u)
+    r = REGISTRY["q289_pettitt"].fn(spark, SF_ORACLE).collect()[0]
+    assert r.n_days == n
+    assert (r.t_star_day, r.u_t_star, r.k_stat) == (
+        best[0].isoformat(),
+        best[1],
+        abs(best[1]),
+    ), (r, best)
