@@ -342,6 +342,8 @@ HEADLINE = [
     "q287_temperature_mixture",
     "q288_dim_robust_scaling",
     "q289_pettitt",
+    "q290_cuped",
+    "q291_mcnemar",
 ]
 
 

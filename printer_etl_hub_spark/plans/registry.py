@@ -17,14 +17,14 @@ q28, q31, q38-q45, q49, q50, q52-q56 — 23 fit).
 
 Round-13 backfill plan (pre-committed): the r7 remainder in numeric
 order (q72, q77, q82-q91, q93-q97, q108, q124, q141-q148 — 26)
-leads, then the 11 round-12 additions (q279-q289: Welch t, Spearman
+leads, then the 13 round-12 additions (q279-q291: Welch t, Spearman
 rho, Cramér's V, Wilcoxon signed-rank, Brown-Forsythe, Cohen's
 kappa, Calinski-Harabasz, Davies-Bouldin, temperature mixture,
-dim robust scaling, Pettitt changepoint — each oracle-verified
-exact at sf0.001 + sf0.01 in-session at r12, each with a SCALE
-wave-31..35 clone invariant AND an independent Python formula pin),
-then the r8 cohort (q149-q198) in numeric order to fill the 50
-slots (q149-q161 fit; q162-q198 lead round 14).
+dim robust scaling, Pettitt changepoint, CUPED, McNemar — each
+oracle-verified exact at sf0.001 + sf0.01 in-session at r12, each
+with a SCALE wave-31..36 clone invariant AND an independent Python
+formula pin), then the r8 cohort (q149-q198) in numeric order to
+fill the 50 slots (q149-q159 fit; q160-q198 lead round 14).
 
 q37 stays OUTSIDE the window by design: its estimator output has no
 exact oracle (pinned by a tolerance test instead), and every gated
@@ -47,7 +47,7 @@ r7: q12, q14, q16-q19, q28, q31, q38-q45, q49, q50, q52-q56, q72,
 r6: q76, q78-q81, q92, q114, q123, q126, q127, q132, q138-q140;
 never: q37 (by design), q266-q278 (landed round 11 AFTER that round's
     window was committed; oracle-verified exact at sf0.001 + sf0.01
-    in-session and IN the round-12 window above), q279-q289 (landed
+    in-session and IN the round-12 window above), q279-q291 (landed
     round 12 after ITS window was committed; oracle-verified exact at
     both SFs in-session and pre-committed to the round-13 window).
 """

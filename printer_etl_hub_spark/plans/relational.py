@@ -7165,6 +7165,276 @@ LIMIT 1
 """
 
 
+# --------------------------------------------------------------------------
+# q290 — CUPED variance-reduced A/B readout
+# --------------------------------------------------------------------------
+
+
+def q290_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013) variance-reduced experiment readout →
+    one row (n_a, n_b, theta, mean_adj_a, mean_adj_b, diff_adj,
+    var_reduction): each user's SECOND-half activity adjusted by their
+    FIRST-half activity as the pre-experiment covariate,
+    y_adj = y − θ·(x − x̄) with θ = cov(x, y)/var(x) pooled. The
+    variance-reduction third of the experimentation family — q250 reads
+    conversion, q279 reads the raw mean, this reads the SAME mean after
+    removing the covariate variance (var_reduction = ρ² is exactly the
+    fraction of noise CUPED deletes, the number that halves an
+    experiment's runtime). The period split is the data's own midpoint
+    (min day + 15), a broadcast scalar — never a pinned literal that
+    rots with the corpus.
+
+    EXACTNESS: per-user (x, y) are integer counts; the five pooled
+    sufficient statistics and both per-arm sums are exact
+    DECIMAL(38,0); θ = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is one double
+    division of exact integers (emitted to 9 dp), adjusted means and ρ²
+    are fixed-order double expressions (the q274/q280 product-overflow
+    rationale applies: numerator products exceed DECIMAL(38,0) at
+    cluster scale, so they multiply as IEEE doubles identically in both
+    engines), NULLIF-guarded for zero covariate variance / empty arms.
+
+    Shape: one per-user conditional-count groupBy (the only
+    corpus-sized stage, map-side combinable), one 1-row broadcast for
+    the split day, 1-row aggregates after.
+    """
+    from ..operators.experiment import ab_arm
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    mid = ev.agg(
+        F.date_add(F.min(F.date_trunc("day", F.col("ts")).cast("date")), 15).alias(
+            "mid_day"
+        )
+    )
+    per_user = (
+        ev.join(F.broadcast(mid))
+        .select(
+            "user_id",
+            (F.date_trunc("day", F.col("ts")).cast("date") < F.col("mid_day"))
+            .alias("pre"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("pre"), 1).otherwise(0)).cast("bigint").alias("x"),
+            F.sum(F.when(~F.col("pre"), 1).otherwise(0)).cast("bigint").alias("y"),
+        )
+        .select(ab_arm(F.col("user_id")).alias("arm_a"), "x", "y")
+    )
+    dec = "decimal(38,0)"
+    dec19 = "decimal(19,0)"
+    agg = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec19) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec19) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec19) * F.col("y")).cast(dec).alias("syy"),
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm_a"), F.col("x")).otherwise(0).cast(dec))
+        .cast(dec)
+        .alias("sx_a"),
+        F.sum(F.when(F.col("arm_a"), F.col("y")).otherwise(0).cast(dec))
+        .cast(dec)
+        .alias("sy_a"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    den_x = nd * F.col("sxx").cast("double") - sxd * sxd
+    den_y = nd * F.col("syy").cast("double") - syd * syd
+    theta = num / F.nullif(den_x, F.lit(0.0))
+    x_bar = sxd / F.nullif(nd, F.lit(0.0))
+    n_b = (F.col("n") - F.col("n_a")).cast("bigint")
+    mean = {}
+    for tag, sxc, syc, nc in (
+        ("a", F.col("sx_a"), F.col("sy_a"), F.col("n_a")),
+        (
+            "b",
+            F.col("sx") - F.col("sx_a"),
+            F.col("sy") - F.col("sy_a"),
+            F.col("n") - F.col("n_a"),
+        ),
+    ):
+        ncd = F.nullif(nc.cast("bigint"), F.lit(0)).cast("double")
+        mean[tag] = syc.cast("double") / ncd - theta * (
+            sxc.cast("double") / ncd - x_bar
+        )
+    var_red = (num * num) / F.nullif(den_x * den_y, F.lit(0.0))
+    guard = (F.col("n_a") > 0) & (F.col("n") > F.col("n_a"))
+    return agg.select(
+        "n_a",
+        n_b.alias("n_b"),
+        F.round(theta, 9).alias("theta"),
+        F.when(guard, F.round(mean["a"], 9)).alias("mean_adj_a"),
+        F.when(guard, F.round(mean["b"], 9)).alias("mean_adj_b"),
+        F.when(guard, F.round(mean["a"] - mean["b"], 9)).alias("diff_adj"),
+        F.round(var_red, 9).alias("var_reduction"),
+    )
+
+
+Q290_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), mid AS (
+  SELECT min(day) + INTERVAL 15 DAY AS mid_day FROM ev
+), per_user AS (
+  SELECT (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':{_AB_SALT}'), 1, 15)) AS BIGINT) % 2) = 0 AS arm_a,
+         CAST(sum(CASE WHEN ev.day < mid.mid_day THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ev.day >= mid.mid_day THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM ev CROSS JOIN mid
+  GROUP BY user_id
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy,
+         CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm_a THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END)
+              AS DECIMAL(38,0)) AS sx_a,
+         CAST(sum(CASE WHEN arm_a THEN CAST(y AS DECIMAL(38,0)) ELSE 0 END)
+              AS DECIMAL(38,0)) AS sy_a
+  FROM per_user
+), d AS (
+  SELECT n, n_a, CAST(n - n_a AS BIGINT) AS n_b,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS theta,
+         CAST(sx AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0.0) AS x_bar,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)
+           AS var_red,
+         sx, sy, sx_a, sy_a
+  FROM agg
+), m AS (
+  SELECT d.*,
+         CAST(sy_a AS DOUBLE) / CAST(NULLIF(n_a, 0) AS DOUBLE)
+           - theta * (CAST(sx_a AS DOUBLE) / CAST(NULLIF(n_a, 0) AS DOUBLE)
+                      - x_bar) AS mean_a,
+         CAST(CAST(sy - sy_a AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(NULLIF(n_b, 0) AS DOUBLE)
+           - theta * (CAST(CAST(sx - sx_a AS DECIMAL(38,0)) AS DOUBLE)
+                      / CAST(NULLIF(n_b, 0) AS DOUBLE) - x_bar) AS mean_b
+  FROM d
+)
+SELECT n_a, n_b, round(theta, 9) AS theta,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN round(mean_a, 9) END AS mean_adj_a,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN round(mean_b, 9) END AS mean_adj_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN round(mean_a - mean_b, 9) END
+         AS diff_adj,
+       round(var_red, 9) AS var_reduction
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# q291 — McNemar paired-binary test (first-half vs second-half conversion)
+# --------------------------------------------------------------------------
+
+
+def q291_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED conversion → one row (n_users, n_11,
+    n_10, n_01, n_00, chi2_mcnemar): did each user's converted/not
+    status CHANGE between the first and second half of the window? The
+    paired-binary member of the experimentation family — q250 compares
+    two user GROUPS, McNemar compares each user with themself, so
+    between-user variance cancels and only the discordant cells (b, c)
+    carry signal: χ² = (|b−c|−1)²/(b+c), continuity-corrected.
+
+    EXACTNESS: the four cells are exact integer counts over the same
+    broadcast midpoint split as q290; the statistic is one double
+    division of exact integers, NULLIF-guarded for b + c = 0.
+
+    Shape: one per-user two-flag groupBy (map-side combinable) + a
+    1-row aggregate.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    mid = ev.agg(
+        F.date_add(F.min(F.date_trunc("day", F.col("ts")).cast("date")), 15).alias(
+            "mid_day"
+        )
+    )
+    per_user = (
+        ev.join(F.broadcast(mid))
+        .select(
+            "user_id",
+            (F.date_trunc("day", F.col("ts")).cast("date") < F.col("mid_day"))
+            .alias("pre"),
+            (F.col("event_type") == "purchase").cast("int").alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("pre"), F.col("p")).otherwise(0)).alias("c1"),
+            F.max(F.when(~F.col("pre"), F.col("p")).otherwise(0)).alias("c2"),
+        )
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        *[
+            F.sum(
+                F.when((F.col("c1") == a) & (F.col("c2") == b), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"n_{a}{b}")
+            for a, b in ((1, 1), (1, 0), (0, 1), (0, 0))
+        ],
+    )
+    b, c = F.col("n_10").cast("double"), F.col("n_01").cast("double")
+    chi2 = (
+        (F.abs(b - c) - F.lit(1.0))
+        * (F.abs(b - c) - F.lit(1.0))
+        / F.nullif(b + c, F.lit(0.0))
+    )
+    return agg.select(
+        "n_users",
+        "n_11",
+        "n_10",
+        "n_01",
+        "n_00",
+        F.round(chi2, 9).alias("chi2_mcnemar"),
+    )
+
+
+Q291_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), mid AS (
+  SELECT min(day) + INTERVAL 15 DAY AS mid_day FROM ev
+), per_user AS (
+  SELECT user_id,
+         max(CASE WHEN ev.day < mid.mid_day THEN p ELSE 0 END) AS c1,
+         max(CASE WHEN ev.day >= mid.mid_day THEN p ELSE 0 END) AS c2
+  FROM ev CROSS JOIN mid
+  GROUP BY user_id
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_11,
+         CAST(sum(CASE WHEN c1 = 1 AND c2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_10,
+         CAST(sum(CASE WHEN c1 = 0 AND c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_01,
+         CAST(sum(CASE WHEN c1 = 0 AND c2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_00
+  FROM per_user
+)
+SELECT n_users, n_11, n_10, n_01, n_00,
+       round((abs(CAST(n_10 AS DOUBLE) - CAST(n_01 AS DOUBLE)) - 1.0)
+             * (abs(CAST(n_10 AS DOUBLE) - CAST(n_01 AS DOUBLE)) - 1.0)
+             / NULLIF(CAST(n_10 AS DOUBLE) + CAST(n_01 AS DOUBLE), 0.0), 9)
+         AS chi2_mcnemar
+FROM agg
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -7272,4 +7542,6 @@ RELATIONAL_QUERIES = {
     "q280_spearman_rho": (q280_spearman_rho, Q280_SQL),
     "q282_wilcoxon_signed": (q282_wilcoxon_signed, Q282_SQL),
     "q289_pettitt": (q289_pettitt, Q289_SQL),
+    "q290_cuped": (q290_cuped, Q290_SQL),
+    "q291_mcnemar": (q291_mcnemar, Q291_SQL),
 }

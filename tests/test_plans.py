@@ -283,6 +283,8 @@ BNLJ_ALLOWED = {
     "q286_davies_bouldin": 1,  # 1-row DB-mean scalar broadcast (q89's class)
     "q287_temperature_mixture": 1,  # 1-row corpus-token-total scalar broadcast (q89's class)
     "q289_pettitt": 3,  # 1-row n_days scalar broadcasts x3 (q89's class)
+    "q290_cuped": 1,  # 1-row midpoint-day scalar broadcast (q89's class)
+    "q291_mcnemar": 1,  # 1-row midpoint-day scalar broadcast (q89's class)
 }
 
 

@@ -341,3 +341,72 @@ def test_q289_pettitt_matches_reference(spark, con):
         best[1],
         abs(best[1]),
     ), (r, best)
+
+
+def test_q290_cuped_matches_reference(spark, con):
+    import datetime as dt
+
+    rows = con.execute(
+        "SELECT user_id, CAST(date_trunc('day', ts) AS DATE) FROM events "
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL"
+    ).fetchall()
+    mid = min(d for _, d in rows) + dt.timedelta(days=15)
+    per = defaultdict(lambda: [0, 0])
+    for uid, d in rows:
+        per[uid][0 if d < mid else 1] += 1
+    arms = {
+        uid: int(hashlib.md5(f"{uid}:exp1".encode()).hexdigest()[:15], 16) % 2 == 0
+        for uid in per
+    }
+    xs = [v[0] for v in per.values()]
+    ys = [v[1] for v in per.values()]
+    n = len(per)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    varx = sum((x - mx) ** 2 for x in xs)
+    vary = sum((y - my) ** 2 for y in ys)
+    theta = cov / varx
+    mean_adj = {}
+    for arm in (True, False):
+        us = [u for u in per if arms[u] == arm]
+        mean_adj[arm] = sum(per[u][1] for u in us) / len(us) - theta * (
+            sum(per[u][0] for u in us) / len(us) - mx
+        )
+    r = REGISTRY["q290_cuped"].fn(spark, SF_ORACLE).collect()[0]
+    assert r.n_a == sum(arms.values()) and r.n_b == n - r.n_a
+    assert abs(r.theta - theta) < 1e-9
+    assert abs(r.mean_adj_a - mean_adj[True]) < 1e-9
+    assert abs(r.mean_adj_b - mean_adj[False]) < 1e-9
+    assert abs(r.var_reduction - cov * cov / (varx * vary)) < 1e-9
+
+
+def test_q291_mcnemar_matches_reference(spark, con):
+    import datetime as dt
+
+    rows = con.execute(
+        "SELECT user_id, CAST(date_trunc('day', ts) AS DATE), "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END FROM events "
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL"
+    ).fetchall()
+    mid = min(d for _, d, _ in rows) + dt.timedelta(days=15)
+    per = defaultdict(lambda: [0, 0])
+    for uid, d, p in rows:
+        i = 0 if d < mid else 1
+        per[uid][i] = max(per[uid][i], p)
+    cells = Counter((c1, c2) for c1, c2 in per.values())
+    b, c = cells[(1, 0)], cells[(0, 1)]
+    # all-concordant corpus (b + c = 0): the statistic is undefined and
+    # the engine must say NULL, not raise or fake a zero
+    chi2 = (abs(b - c) - 1) ** 2 / (b + c) if b + c else None
+    r = REGISTRY["q291_mcnemar"].fn(spark, SF_ORACLE).collect()[0]
+    assert (r.n_users, r.n_11, r.n_10, r.n_01, r.n_00) == (
+        len(per),
+        cells[(1, 1)],
+        b,
+        c,
+        cells[(0, 0)],
+    )
+    if chi2 is None:
+        assert r.chi2_mcnemar is None
+    else:
+        assert abs(r.chi2_mcnemar - chi2) < 1e-9
