@@ -666,14 +666,43 @@ def _write_late_marker(spark, out_dir: str, batch_id: int, n_late: int) -> None:
     (VERDICT r11 #3) — km_sink stays the only order-insensitive member
     by construction. One ``batch_id=<n>`` overwrite partition per
     batch, so re-delivery rewrites the identical marker; monitoring
-    reads ``sum(n_late)`` over the directory (the batch id rides as
+    reads the total via :func:`read_late_total` (the batch id rides as
     the discovered partition column, never a data column — the two
-    would collide on a parent-directory read)."""
+    would collide on a parent-directory read).
+
+    The marker dir is itself a compacting store: counts are mergeable
+    sums, so the caller folds it with ``_compact_store`` on the same
+    cadence as its state stores — without that, the stream accrues one
+    marker file per micro-batch forever (the same lifetime-growth
+    defect ADVICE r8/r10 had the data stores fix)."""
     spark.createDataFrame(
         [(int(n_late),)], "n_late bigint"
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{out_dir}/late/batch_id={batch_id}"
     )
+
+
+def _compact_late(spark, out_dir: str, batch_id: int, compact_every: int) -> None:
+    """Fold the late-marker partials (prior-only, the shared protocol):
+    the folded base row carries the SUM of all folded batches' counts."""
+    _compact_store(
+        spark, f"{out_dir}/late", batch_id, compact_every,
+        lambda: _read_store(spark, f"{out_dir}/late", batch_id).agg(
+            F.sum("n_late").cast("bigint").alias("n_late")
+        ),
+    )
+
+
+def read_late_total(spark, out_dir: str) -> int:
+    """Total late-event count under the newest-base + live-partials
+    read rule (NOT a raw parent-directory read, which double-counts
+    folded partials a crash left behind before the sweep). 0 for a
+    store that has never seen a batch."""
+    df = _read_store(spark, f"{out_dir}/late")
+    if df is None:
+        return 0
+    row = df.agg(F.sum("n_late").alias("t")).collect()[0]
+    return int(row.t or 0)
 
 
 def _compact_store(spark, store_dir: str, batch_id: int, compact_every: int,
@@ -1190,6 +1219,7 @@ def attribution_sink(
         # includes this batch, so a re-delivery of it still reads the
         # exact pre-fold history (see docstring)
         _compact(spark, batch_id)
+        _compact_late(spark, out_dir, batch_id, compact_every)
 
     return _sink
 
@@ -1381,6 +1411,7 @@ def deadline_funnel_sink(
             spark, state_dir, batch_id, compact_every,
             lambda: _newest(_read_state(spark, batch_id)),
         )
+        _compact_late(spark, out_dir, batch_id, compact_every)
 
     return _sink
 
@@ -1790,6 +1821,7 @@ def seq_patterns_sink(
                 .select("_u", "p2", "p1", "last_ts", "batch_id")
             ),
         )
+        _compact_late(spark, out_dir, batch_id, compact_every)
 
     return _sink
 
