@@ -405,3 +405,45 @@ def wilcoxon_weekly_table(daily: DataFrame):
         F.when(F.coalesce(F.col("n"), F.lit(0)) > 0, F.round(z, 9)).alias("z"),
     )
     return res, pin
+
+
+def pettitt_table(daily: DataFrame):
+    """q289's Pettitt changepoint arithmetic from a (day, x) daily frame
+    — factored here so the streaming twin
+    (`streaming/corpus.py::pettitt_daily_sink`) applies the IDENTICAL
+    statistic to the incrementally-maintained daily store. See the q289
+    docstring (plans/relational.py) for the identity and its sign pin.
+
+    Returns ``(one_row_df, pins)`` — release every pin through
+    materialize_release (batch) or unpersist after the write (sink).
+    """
+    from ..plans.common import dist_cumsum
+
+    hist = daily.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("n_v"))
+    cum, pin1 = dist_cumsum(hist, ["x"], ["n_v"])
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    v = (
+        cum.join(F.broadcast(n_days))
+        .select(
+            "x",
+            (F.col("n_days") + F.col("n_v") - 2 * F.col("n_v_cum"))
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    dv = daily.join(v, "x").select("day", "v")
+    u, pin2 = dist_cumsum(dv, ["day"], ["v"])
+    res = (
+        u.orderBy(F.abs(F.col("v_cum")).desc(), F.col("day").asc())
+        .limit(1)
+        .join(F.broadcast(n_days))
+        .select(
+            "n_days",
+            # STRING date (the q258 convention): the pandas bridge
+            # types date columns differently per engine
+            F.date_format("day", "yyyy-MM-dd").alias("t_star_day"),
+            F.col("v_cum").cast("bigint").alias("u_t_star"),
+            F.abs(F.col("v_cum")).cast("bigint").alias("k_stat"),
+        )
+    )
+    return res, [pin1, pin2]

@@ -7094,9 +7094,11 @@ def q289_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one daily pre-agg (the only corpus-sized stage), a
     |distinct-x| histogram + dist_cumsum, a |days| frame + dist_cumsum,
-    a 1-row head + broadcast count.
+    a 1-row head + broadcast count. The statistic arithmetic is shared
+    verbatim with the streaming ``pettitt_daily_sink`` via
+    `operators/timeseries.py::pettitt_table`.
     """
-    from .common import dist_cumsum
+    from ..operators.timeseries import pettitt_table
 
     t = load_tables(spark, sf_dir)
     daily = (
@@ -7106,34 +7108,8 @@ def q289_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
     )
-    hist = daily.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("n_v"))
-    cum, pin1 = dist_cumsum(hist, ["x"], ["n_v"])
-    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
-    v = (
-        cum.join(F.broadcast(n_days))
-        .select(
-            "x",
-            (F.col("n_days") + F.col("n_v") - 2 * F.col("n_v_cum"))
-            .cast("bigint")
-            .alias("v"),
-        )
-    )
-    dv = daily.join(v, "x").select("day", "v")
-    u, pin2 = dist_cumsum(dv, ["day"], ["v"])
-    res = (
-        u.orderBy(F.abs(F.col("v_cum")).desc(), F.col("day").asc())
-        .limit(1)
-        .join(F.broadcast(n_days))
-        .select(
-            "n_days",
-            # STRING date (the q258 convention): the pandas bridge
-            # types date columns differently per engine
-            F.date_format("day", "yyyy-MM-dd").alias("t_star_day"),
-            F.col("v_cum").cast("bigint").alias("u_t_star"),
-            F.abs(F.col("v_cum")).cast("bigint").alias("k_stat"),
-        )
-    )
-    return materialize_release(res, pin1, pin2)
+    res, pins = pettitt_table(daily)
+    return materialize_release(res, *pins)
 
 
 Q289_SQL = """

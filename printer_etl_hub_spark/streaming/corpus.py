@@ -730,6 +730,82 @@ def _compact_store(spark, store_dir: str, batch_id: int, compact_every: int,
     _delete_store_dirs(spark, store_dir, stale)
 
 
+def _daily_store_sink(
+    daily_dir: str,
+    out_dir: str,
+    views: dict,
+    ts_col: str = "ts",
+    compact_every: int = 64,
+    filter_null_ts: bool = True,
+):
+    """Shared builder behind the daily-store analytics sinks (EWMA,
+    Holt, Holt-Winters, weekly Wilcoxon, Pettitt): per batch, the batch
+    collapses to per-day PARTIAL counts under ``batch_id=<n>``
+    (overwrite — re-delivery idempotence), the store re-aggregates
+    (Σ partials per day, folding into a ``base-<n>`` + ``_SUCCESS``
+    generation every ``compact_every`` live partials — the shared
+    protocol documented on `ewma_daily_sink`), and every entry of
+    ``views`` (subdir name → callable over the |days|-bounded daily
+    frame, returning a DataFrame or ``(DataFrame, pin-or-pins)``)
+    recomputes into ``<out_dir>/<name>``. Factored in round 12 — five
+    sinks carried byte-identical copies of this body, and a fix to the
+    store protocol had to be applied five times."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        src = batch_df
+        if filter_null_ts:
+            # ts IS NOT NULL: the holt/HW/wilcoxon/pettitt batch twins
+            # pin this filter; q228/q230 (ewma/cusum) do NOT — they keep
+            # the NULL-day group, so their sink must too
+            src = src.filter(F.col(ts_col).isNotNull())
+        partial = (
+            src.select(F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        )
+        partial.write.mode("overwrite").parquet(f"{daily_dir}/batch_id={batch_id}")
+        base, live, _ = _list_partial_store(spark, daily_dir)
+        paths = [f"{daily_dir}/batch_id=base-{base}"] if base is not None else []
+        paths += [f"{daily_dir}/batch_id={i}" for i in live]
+        daily = (
+            spark.read.parquet(*paths)
+            .groupBy("day")
+            .agg(F.sum("x").cast("bigint").alias("x"))
+        )
+        if len(live) >= compact_every:
+            # Fold base + live partials (this batch included) into ONE
+            # new base stamped with this batch id, then sweep EVERY
+            # older dir — stale bases and shadowed partials included.
+            # (Folding the current batch is safe HERE, unlike the
+            # state-dependent sinks: per-day counts are pure merges and
+            # a re-delivered batch's partial overwrite is shadowed by
+            # the base that already contains it — counted exactly once
+            # either way.)
+            daily.write.mode("overwrite").parquet(
+                f"{daily_dir}/batch_id=base-{batch_id}"
+            )
+            _, _, names = _list_partial_store(spark, daily_dir)
+            stale = [
+                nm
+                for nm in names
+                if nm.startswith("batch_id=") and nm != f"batch_id=base-{batch_id}"
+            ]
+            _delete_store_dirs(spark, daily_dir, stale)
+            daily = spark.read.parquet(f"{daily_dir}/batch_id=base-{batch_id}")
+        for name, fn in views.items():
+            out = fn(daily)
+            pins = []
+            if isinstance(out, tuple):
+                out, p = out
+                pins = p if isinstance(p, list) else [p]
+            out.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+            for p in pins:
+                p.unpersist(blocking=False)
+
+    return _sink
+
+
 def ewma_daily_sink(
     daily_dir: str, out_dir: str, ts_col: str = "ts", compact_every: int = 64
 ):
@@ -778,55 +854,13 @@ def ewma_daily_sink(
     """
     from ..operators.timeseries import cusum_table, ewma_anomaly_table
 
-    def _list_store(spark):
-        return _list_partial_store(spark, daily_dir)
-
-    def _delete_dirs(spark, names):
-        _delete_store_dirs(spark, daily_dir, names)
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        partial = (
-            batch_df.select(
-                F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
-            )
-            .groupBy("day")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-        )
-        partial.write.mode("overwrite").parquet(f"{daily_dir}/batch_id={batch_id}")
-        base, live, _ = _list_store(spark)
-        paths = [f"{daily_dir}/batch_id=base-{base}"] if base is not None else []
-        paths += [f"{daily_dir}/batch_id={i}" for i in live]
-        daily = (
-            spark.read.parquet(*paths)
-            .groupBy("day")
-            .agg(F.sum("x").cast("bigint").alias("x"))
-        )
-        if len(live) >= compact_every:
-            # Fold base + live partials (this batch included) into ONE
-            # new base stamped with this batch id, then sweep EVERY
-            # older dir — stale bases and shadowed partials included.
-            daily.write.mode("overwrite").parquet(
-                f"{daily_dir}/batch_id=base-{batch_id}"
-            )
-            _, _, names = _list_store(spark)
-            # batch ids are monotone, so no dir can postdate this batch:
-            # everything except the just-written base is folded or stale
-            stale = [
-                nm
-                for nm in names
-                if nm.startswith("batch_id=") and nm != f"batch_id=base-{batch_id}"
-            ]
-            _delete_dirs(spark, stale)
-            daily = spark.read.parquet(f"{daily_dir}/batch_id=base-{batch_id}")
-        ewma_anomaly_table(daily).write.mode("overwrite").parquet(
-            f"{out_dir}/current"
-        )
-        cus, pin = cusum_table(daily)
-        cus.write.mode("overwrite").parquet(f"{out_dir}/cusum")
-        pin.unpersist(blocking=False)
-
-    return _sink
+    return _daily_store_sink(
+        daily_dir, out_dir,
+        {"current": ewma_anomaly_table, "cusum": cusum_table},
+        ts_col=ts_col, compact_every=compact_every,
+        # q228/q230 keep the NULL-day group — match the batch twins
+        filter_null_ts=False,
+    )
 
 
 def holt_daily_sink(
@@ -854,39 +888,10 @@ def holt_daily_sink(
     """
     from ..operators.timeseries import holt_table
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        partial = (
-            # ts IS NOT NULL: the q258 batch twin pins the same filter
-            batch_df.filter(F.col(ts_col).isNotNull())
-            .select(F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"))
-            .groupBy("day")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-        )
-        partial.write.mode("overwrite").parquet(f"{daily_dir}/batch_id={batch_id}")
-        base, live, _ = _list_partial_store(spark, daily_dir)
-        paths = [f"{daily_dir}/batch_id=base-{base}"] if base is not None else []
-        paths += [f"{daily_dir}/batch_id={i}" for i in live]
-        daily = (
-            spark.read.parquet(*paths)
-            .groupBy("day")
-            .agg(F.sum("x").cast("bigint").alias("x"))
-        )
-        if len(live) >= compact_every:
-            daily.write.mode("overwrite").parquet(
-                f"{daily_dir}/batch_id=base-{batch_id}"
-            )
-            _, _, names = _list_partial_store(spark, daily_dir)
-            stale = [
-                nm
-                for nm in names
-                if nm.startswith("batch_id=") and nm != f"batch_id=base-{batch_id}"
-            ]
-            _delete_store_dirs(spark, daily_dir, stale)
-            daily = spark.read.parquet(f"{daily_dir}/batch_id=base-{batch_id}")
-        holt_table(daily).write.mode("overwrite").parquet(f"{out_dir}/current")
-
-    return _sink
+    return _daily_store_sink(
+        daily_dir, out_dir, {"current": holt_table},
+        ts_col=ts_col, compact_every=compact_every,
+    )
 
 
 def wilcoxon_weekly_sink(
@@ -909,41 +914,33 @@ def wilcoxon_weekly_sink(
     """
     from ..operators.timeseries import wilcoxon_weekly_table
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        partial = (
-            # ts IS NOT NULL: the q282 batch twin pins the same filter
-            batch_df.filter(F.col(ts_col).isNotNull())
-            .select(F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"))
-            .groupBy("day")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-        )
-        partial.write.mode("overwrite").parquet(f"{daily_dir}/batch_id={batch_id}")
-        base, live, _ = _list_partial_store(spark, daily_dir)
-        paths = [f"{daily_dir}/batch_id=base-{base}"] if base is not None else []
-        paths += [f"{daily_dir}/batch_id={i}" for i in live]
-        daily = (
-            spark.read.parquet(*paths)
-            .groupBy("day")
-            .agg(F.sum("x").cast("bigint").alias("x"))
-        )
-        if len(live) >= compact_every:
-            daily.write.mode("overwrite").parquet(
-                f"{daily_dir}/batch_id=base-{batch_id}"
-            )
-            _, _, names = _list_partial_store(spark, daily_dir)
-            stale = [
-                nm
-                for nm in names
-                if nm.startswith("batch_id=") and nm != f"batch_id=base-{batch_id}"
-            ]
-            _delete_store_dirs(spark, daily_dir, stale)
-            daily = spark.read.parquet(f"{daily_dir}/batch_id=base-{batch_id}")
-        res, pin = wilcoxon_weekly_table(daily)
-        res.write.mode("overwrite").parquet(f"{out_dir}/current")
-        pin.unpersist(blocking=False)
+    return _daily_store_sink(
+        daily_dir, out_dir, {"current": wilcoxon_weekly_table},
+        ts_col=ts_col, compact_every=compact_every,
+    )
 
-    return _sink
+
+def pettitt_daily_sink(
+    daily_dir: str, out_dir: str, ts_col: str = "ts", compact_every: int = 64
+):
+    """foreachBatch sink: incrementally-maintained Pettitt changepoint
+    table — the streaming twin of q289 (plans/relational.py), sharing
+    its statistic verbatim via `operators/timeseries.py::pettitt_table`
+    on the shared daily-store protocol (`_daily_store_sink`). Like the
+    rest of the daily family it is ORDER-INSENSITIVE: per-day counts
+    are mergeable sums and the whole statistic recomputes off the
+    |days|-bounded store each batch. Writes ``<out_dir>/current``.
+
+    Equivalence contract (tests/test_streaming.py): after ANY
+    partitioning — ordered or not, compaction triggered or not — the
+    final current table equals q289's batch output over the same rows.
+    """
+    from ..operators.timeseries import pettitt_table
+
+    return _daily_store_sink(
+        daily_dir, out_dir, {"current": pettitt_table},
+        ts_col=ts_col, compact_every=compact_every,
+    )
 
 
 def holt_winters_daily_sink(
@@ -966,41 +963,10 @@ def holt_winters_daily_sink(
     """
     from ..operators.timeseries import holt_winters_table
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        partial = (
-            # ts IS NOT NULL: the q271 batch twin pins the same filter
-            batch_df.filter(F.col(ts_col).isNotNull())
-            .select(F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"))
-            .groupBy("day")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-        )
-        partial.write.mode("overwrite").parquet(f"{daily_dir}/batch_id={batch_id}")
-        base, live, _ = _list_partial_store(spark, daily_dir)
-        paths = [f"{daily_dir}/batch_id=base-{base}"] if base is not None else []
-        paths += [f"{daily_dir}/batch_id={i}" for i in live]
-        daily = (
-            spark.read.parquet(*paths)
-            .groupBy("day")
-            .agg(F.sum("x").cast("bigint").alias("x"))
-        )
-        if len(live) >= compact_every:
-            daily.write.mode("overwrite").parquet(
-                f"{daily_dir}/batch_id=base-{batch_id}"
-            )
-            _, _, names = _list_partial_store(spark, daily_dir)
-            stale = [
-                nm
-                for nm in names
-                if nm.startswith("batch_id=") and nm != f"batch_id=base-{batch_id}"
-            ]
-            _delete_store_dirs(spark, daily_dir, stale)
-            daily = spark.read.parquet(f"{daily_dir}/batch_id=base-{batch_id}")
-        holt_winters_table(daily).write.mode("overwrite").parquet(
-            f"{out_dir}/current"
-        )
-
-    return _sink
+    return _daily_store_sink(
+        daily_dir, out_dir, {"current": holt_winters_table},
+        ts_col=ts_col, compact_every=compact_every,
+    )
 
 
 def attribution_sink(

@@ -1707,6 +1707,47 @@ def test_wilcoxon_weekly_sink_stream_equals_batch(spark, tmp_path):
         assert got2 == want
 
 
+def test_pettitt_daily_sink_stream_equals_batch(spark, tmp_path):
+    """Incremental Pettitt changepoint (q289's twin on the shared
+    daily-store builder): an ARBITRARY (non-ts-ordered) split with
+    compaction at compact_every=2 must end exactly at q289's batch
+    output — order-insensitivity comes from per-day mergeable sums."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import pettitt_daily_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_id", "ts"
+    )
+    src = str(tmp_path / "pt_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    daily_dir = str(tmp_path / "pt_daily")
+    out_dir = str(tmp_path / "pt_out")
+    sink = pettitt_daily_sink(daily_dir, out_dir, compact_every=2)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [tuple(r) for r in spark.read.parquet(f"{out_dir}/current").collect()]
+    want = [
+        tuple(r)
+        for r in REGISTRY["q289_pettitt"].fn(spark, "/root/testdata/sf0.001").collect()
+    ]
+    assert got == want and want
+
+    names = {
+        r.batch_id
+        for r in spark.read.parquet(daily_dir).select("batch_id").distinct().collect()
+    }
+    assert any(str(n).startswith("base-") for n in names)
+
+
 def test_holt_daily_sink_stream_equals_batch(spark, tmp_path):
     """Incremental Holt linear-trend table: streaming the events table
     through the foreachBatch sink (compaction triggered mid-stream) must
