@@ -4,27 +4,24 @@
 correctness driver gates the FIRST 50 entries each round. ``GATE_ORDER``
 makes that window explicit so coverage can be rotated deliberately.
 
-Round-12 window (executes the round-11 pre-committed backfill plan —
-VERDICT r11 "Next round" item #1): the r6 leftovers lead (q76,
-q78-q81, q92, q114, q123, q126, q127, q132, q138-q140 — 14), then
-the 13 round-11 additions (q266-q278: Mann-Whitney, Gopher rules,
-burstiness, seq patterns, Kaplan-Meier, Holt-Winters, assoc rules,
-Mann-Kendall, OLS fit, skip-grams, budget sample, deadline funnel,
-Kruskal-Wallis — each oracle-verified exact at sf0.001 + sf0.01
-in-session at r11, each with a SCALE clone invariant), then the r7
-cohort in numeric order until the 50 slots fill (q12, q14, q16-q19,
-q28, q31, q38-q45, q49, q50, q52-q56 — 23 fit).
+Round-13 window (executes the round-12 pre-committed backfill plan —
+VERDICT r12 "Next round" item #1): the r7 remainder in numeric
+order leads (q72, q77, q82-q91, q93-q97, q108, q124, q141-q148 —
+27 queries; the r12 pre-commit prose miscounted this cohort as 26,
+so one fewer r8 slot fits than it predicted), then the 13 round-12
+additions (q279-q291: Welch t, Spearman rho, Cramér's V, Wilcoxon
+signed-rank, Brown-Forsythe, Cohen's kappa, Calinski-Harabasz,
+Davies-Bouldin, temperature mixture, dim robust scaling, Pettitt
+changepoint, CUPED, McNemar — each oracle-verified exact at
+sf0.001 + sf0.01 in-session at r12, each with a SCALE wave-31..36
+clone invariant AND an independent Python formula pin), then the
+r8 cohort (q149-q198) in numeric order to fill the 50 slots
+(q149-q158 fit; q159-q198 lead round 14).
 
-Round-13 backfill plan (pre-committed): the r7 remainder in numeric
-order (q72, q77, q82-q91, q93-q97, q108, q124, q141-q148 — 26)
-leads, then the 13 round-12 additions (q279-q291: Welch t, Spearman
-rho, Cramér's V, Wilcoxon signed-rank, Brown-Forsythe, Cohen's
-kappa, Calinski-Harabasz, Davies-Bouldin, temperature mixture,
-dim robust scaling, Pettitt changepoint, CUPED, McNemar — each
-oracle-verified exact at sf0.001 + sf0.01 in-session at r12, each
-with a SCALE wave-31..36 clone invariant AND an independent Python
-formula pin), then the r8 cohort (q149-q198) in numeric order to
-fill the 50 slots (q149-q159 fit; q160-q198 lead round 14).
+Round-14 backfill plan (pre-committed): the r8 remainder in numeric
+order (q159-q198 — 40), then any round-13 additions (oracle-verified
+in-session at r13), then the r9 cohort (q199-q240, q98, q99, q102,
+q104, q01, q03, q05, q07) in ledger order to fill the 50 slots.
 
 q37 stays OUTSIDE the window by design: its estimator output has no
 exact oracle (pinned by a tolerance test instead), and every gated
@@ -33,23 +30,21 @@ follows in module order, so the full surface stays importable and
 tested either way.
 
 Rotation ledger (newest external green per query, as of the END of
-r11, verified against CORRECTNESS_r01-r11):
+r12, verified against CORRECTNESS_r01-r12):
+r12: q76, q78-q81, q92, q114, q123, q126, q127, q132, q138-q140,
+    q266-q278, q12, q14, q16-q19, q28, q31, q38-q45, q49, q50,
+    q52-q56 (all 50; CORRECTNESS_r12 ≡ the round-12 GATE_ORDER);
 r11: q255-q265, q135-q137, q20-q24, q26, q27, q29, q30, q32-q36,
-    q46-q48, q51, q57-q71, q73-q75 (all 50; CORRECTNESS_r11 ≡ the
-    round-11 GATE_ORDER);
+    q46-q48, q51, q57-q71, q73-q75;
 r10: q241-q254, q02, q04, q06, q08-q11, q13, q15, q25, q100, q101,
     q103, q105-q107, q109-q113, q115-q122, q125, q128-q131, q133,
     q134;
 r9: q199-q240, q98, q99, q102, q104, q01, q03, q05, q07;
 r8: q149-q198;
-r7: q12, q14, q16-q19, q28, q31, q38-q45, q49, q50, q52-q56, q72,
-    q77, q82-q91, q93-q97, q108, q124, q141-q148;
-r6: q76, q78-q81, q92, q114, q123, q126, q127, q132, q138-q140;
-never: q37 (by design), q266-q278 (landed round 11 AFTER that round's
+r7: q72, q77, q82-q91, q93-q97, q108, q124, q141-q148;
+never: q37 (by design), q279-q291 (landed round 12 AFTER that round's
     window was committed; oracle-verified exact at sf0.001 + sf0.01
-    in-session and IN the round-12 window above), q279-q291 (landed
-    round 12 after ITS window was committed; oracle-verified exact at
-    both SFs in-session and pre-committed to the round-13 window).
+    in-session and IN the round-13 window above).
 """
 
 from __future__ import annotations
@@ -78,61 +73,61 @@ _ALL: dict[str, tuple] = {
 
 #: First 50 = the driver's correctness window for this round.
 GATE_ORDER = [
-    # Round-12 window (executes the round-11 pre-committed backfill
-    # plan - VERDICT r11 "Next round" item #1): the 14 r6 leftovers
-    # lead, then the 13 round-11 additions (q266-q278, first
-    # external gate), then the r7 cohort in numeric order until the
-    # 50 slots fill (through q56; q72/q77 roll to round 13).
-    "q76_hll_rollup",
-    "q78_decontamination",
-    "q79_profile",
-    "q80_session_ids",
-    "q81_corpus_prep",
-    "q92_tfidf_topk",
-    "q114_ann_recall",
-    "q123_dsir_importance",
-    "q126_lsh_recall",
-    "q127_source_divergence",
-    "q132_pagerank",
-    "q138_adc_recall",
-    "q139_quality_trend",
-    "q140_crop_pairs",
-    "q266_mannwhitney_u",
-    "q267_gopher_rules",
-    "q268_burstiness",
-    "q269_seq_patterns",
-    "q270_kaplan_meier",
-    "q271_holt_winters",
-    "q272_assoc_rules",
-    "q273_mann_kendall",
-    "q274_ols_fit",
-    "q275_skipgram_support",
-    "q276_budget_sample",
-    "q277_deadline_funnel",
-    "q278_kruskal_wallis",
-    "q12_point_lookup",
-    "q14_group_representative",
-    "q16_rollup",
-    "q17_setops",
-    "q18_json_extract",
-    "q19_catalog_lookup",
-    "q28_minhash_lsh",
-    "q31_embedding_topk",
-    "q38_ivf_topk",
-    "q39_sliding_window",
-    "q40_tpch_q10",
-    "q41_semi_anti_join",
-    "q42_tpch_q18",
-    "q43_exact_percentiles",
-    "q44_tpch_q4",
-    "q45_tpch_q14",
-    "q49_distinct_agg",
-    "q50_cube",
-    "q52_unpivot",
-    "q53_rank_windows",
-    "q54_tpch_q17",
-    "q55_string_agg",
-    "q56_date_functions",
+    # Round-13 window (executes the round-12 pre-committed backfill
+    # plan - VERDICT r12 "Next round" item #1): the 27 r7-remainder
+    # queries lead, then the 13 round-12 additions (q279-q291, first
+    # external gate), then the r8 cohort in numeric order until the
+    # 50 slots fill (through q158; q159 onward rolls to round 14).
+    "q72_dup_clusters",
+    "q77_token_shards",
+    "q82_embedding_dedup",
+    "q83_brother_toner",
+    "q84_repetition_quality",
+    "q85_chunk_windows",
+    "q86_ngram_collision",
+    "q87_mixture_sample",
+    "q88_label_centroids",
+    "q89_unigram_commonness",
+    "q90_bloom_decontam",
+    "q91_segment_dedup",
+    "q93_lloyd_step",
+    "q94_kmeans_train",
+    "q95_quality_deciles",
+    "q96_source_leakage",
+    "q97_sequence_spans",
+    "q108_incremental_minhash",
+    "q124_vocab_coverage",
+    "q141_gopher_rules",
+    "q142_repetition_fractions",
+    "q143_kn_score",
+    "q144_langid_margin",
+    "q145_mixture_weights",
+    "q146_threshold_sweep",
+    "q147_ngram_novelty",
+    "q148_length_moments",
+    "q279_welch_t",
+    "q280_spearman_rho",
+    "q281_cramers_v",
+    "q282_wilcoxon_signed",
+    "q283_brown_forsythe",
+    "q284_cohens_kappa",
+    "q285_calinski_harabasz",
+    "q286_davies_bouldin",
+    "q287_temperature_mixture",
+    "q288_dim_robust_scaling",
+    "q289_pettitt",
+    "q290_cuped",
+    "q291_mcnemar",
+    "q149_pii_density",
+    "q150_label_outliers",
+    "q151_effective_tokens",
+    "q152_minhash_calibration",
+    "q153_crosslingual_dups",
+    "q154_rare_tokens",
+    "q155_degree_histogram",
+    "q156_quality_dup_crosstab",
+    "q157_collocations",
+    "q158_langid_confusion",
 ]
 
 # Import-time contract checks. Explicit raises (not assert) so the

@@ -390,11 +390,11 @@ def test_bruteforce_topk_refuses_oversized_input(spark):
 
 def test_registry_gate_window_is_complete_and_oracled():
     """The driver gates the first 50 REGISTRY entries: every one of them
-    must carry an oracle (no structurally-red rows). Round 12 executes
-    the round-11 pre-committed backfill plan (VERDICT r11 item #1): the
-    14 r6 leftovers lead, then the 13 round-11 additions q266-q278
-    (first external CORRECTNESS rows), then the r7 cohort in numeric
-    order through q56."""
+    must carry an oracle (no structurally-red rows). Round 13 executes
+    the round-12 pre-committed backfill plan (VERDICT r12 item #1): the
+    27 r7-remainder queries lead, then the 13 round-12 additions
+    q279-q291 (first external CORRECTNESS rows), then the r8 cohort in
+    numeric order through q158."""
     import re
 
     from printer_etl_hub_spark.plans import REGISTRY
@@ -406,11 +406,10 @@ def test_registry_gate_window_is_complete_and_oracled():
     assert not unoracled, unoracled
     nums = [int(re.match(r"q(\d+)_", w).group(1)) for w in window]
     assert nums == (
-        [76, 78, 79, 80, 81, 92, 114, 123, 126, 127, 132, 138, 139, 140]
-        + list(range(266, 279))        # the round-11 additions
-        + [12, 14, 16, 17, 18, 19, 28, 31]         # r7 cohort in order...
-        + list(range(38, 46)) + [49, 50]
-        + list(range(52, 57))          # ...50 slots exactly
+        [72, 77] + list(range(82, 92)) + list(range(93, 98))
+        + [108, 124] + list(range(141, 149))       # the 27 r7 leftovers
+        + list(range(279, 292))        # the round-12 additions
+        + list(range(149, 159))        # r8 cohort — 50 slots exactly
     ), nums
 
 
