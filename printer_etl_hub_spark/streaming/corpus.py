@@ -979,6 +979,7 @@ def attribution_sink(
     type_col: str = "event_type",
     conv_type: str = "purchase",
     compact_every: int = 64,
+    events_dir: str | None = None,
 ):
     """foreachBatch sink: incrementally-maintained Markov removal-effect
     attribution — the streaming twin of q263 (plans/relational.py),
@@ -1007,15 +1008,39 @@ def attribution_sink(
     Cost shape per batch: one batch-sized window pass + a user-keyed
     state join; the table rebuild reads the compacted transition store
     (≤ |states|² rows per live dir) and solves the (chains ×
-    states)-sized system — corpus-independent. Late (out-of-order)
-    events violate the contract the same way they do the funnel's;
-    route disordered feeds through the batch query instead. The
+    states)-sized system — corpus-independent. The ordered-arrival
     contract is AUDITED, not assumed (VERDICT r11 #3): the state
-    keeps each user's last-seen ts, every batch counts events
-    arriving with an earlier stamp, and the count lands in
-    ``<out_dir>/late/batch_id=<n>`` — a nonzero sum over that
-    directory means the current table can no longer be trusted
-    against the batch operator.
+    keeps each user's last-seen (ts, event_id), every batch counts
+    events arriving strictly behind that ORDER KEY (ties on ts break
+    by event_id, exactly q263's journey sort — a ts-tie with an
+    inverted id is disorder too), and the count lands in
+    ``<out_dir>/late/batch_id=<n>``.
+
+    REPAIR (VERDICT r12 #2 — a violated contract used to be logged
+    and then the wrong state served anyway): pass ``events_dir`` and
+    the sink keeps an append-only per-batch EVENT LOG and acts on the
+    audit. When a batch carries late events, the affected users'
+    journeys are recomputed from their FULL logged history (q263
+    semantics: sort by (ts, event_id), truncate at first purchase) and
+    the batch's transition partition carries SIGNED correction rows —
+    (new full-journey counts) − (prior full-journey counts) — so the
+    folded store again sums to every user's true sorted-journey
+    contribution, and ``current`` equals the batch operator AFTER
+    disorder, not just until it (tests/test_streaming.py). The
+    subtraction is sound inductively: every earlier batch either kept
+    the user ordered (incremental = sorted delta) or repaired them
+    (restoring the invariant), so the prior log replays to exactly
+    the baked-in contribution. Repair cost ∝ the affected users' log
+    rows — zero on an ordered feed. ``events_dir=None`` keeps the
+    old detect-only behavior (route disordered feeds through the
+    batch query). The log write is batch-sized per batch; its fold
+    rewrites the accumulated log (O(history) every compact_every
+    batches) — at lake scale, point ``events_dir`` at the immutable
+    raw-event store (date-partitioned) instead of letting the sink
+    own a second copy, and the repair read prunes to the affected
+    users the same way. The repair path requires the log to cover
+    the stream from its FIRST batch (it raises loudly otherwise —
+    a mid-stream log cannot replay prior journeys).
 
     COMPACTION (ADVICE r10 #3 — without it both stores accumulate one
     ``batch_id=<n>`` partition per micro-batch forever, so per-batch
@@ -1048,7 +1073,9 @@ def attribution_sink(
         df = _read_store(spark, state_dir, upto_exclusive, with_batch_id=True)
         if df is None:
             return None
-        return df.select("_u", "last_node", "converted", "last_ts", "batch_id")
+        return df.select(
+            "_u", "last_node", "converted", "last_ts", "last_eid", "batch_id"
+        )
 
     def _newest_per_user(df):
         wl = Window.partitionBy("_u").orderBy(F.desc("batch_id"))
@@ -1074,9 +1101,67 @@ def attribution_sink(
         _compact_store(
             spark, state_dir, batch_id, compact_every,
             lambda: _newest_per_user(_read_state(spark, batch_id)).select(
-                "_u", "last_node", "converted", "last_ts"
+                "_u", "last_node", "converted", "last_ts", "last_eid"
             ),
         )
+        if events_dir is not None:
+            # the log folds as a plain union — events are immutable facts
+            _compact_store(
+                spark, events_dir, batch_id, compact_every,
+                lambda: _read_store(spark, events_dir, batch_id),
+            )
+
+    def _journey_frames(ev_all: DataFrame):
+        """Full-journey recompute for the repair path — q263's batch
+        scan verbatim over the given users' complete event history:
+        sort by (ts, event_id), truncate at the first purchase, emit
+        (START → n1, consecutive) edges and the end-of-journey state
+        row. NO lost edges — those are always derived from current
+        state at readout."""
+        w = Window.partitionBy("_u").orderBy("_ts", "_eid")
+        pre = (
+            ev_all.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "conv_rn",
+                F.min(F.when(F.col("_t") == conv_type, F.col("rn"))).over(
+                    Window.partitionBy("_u")
+                ),
+            )
+            .filter(F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn")))
+            .withColumn(
+                "node",
+                F.when(
+                    F.col("rn") == F.col("conv_rn"), F.lit(ATTR_CONV)
+                ).otherwise(F.col("_t")),
+            )
+            .localCheckpoint(eager=True)  # feeds trans AND state below
+        )
+        w2 = Window.partitionBy("_u").orderBy("rn")
+        steps = (
+            pre.withColumn("nxt", F.lead("node").over(w2))
+            .filter(F.col("nxt").isNotNull())
+            .select(F.col("node").alias("prev"), "nxt")
+        )
+        entries = pre.filter(F.col("rn") == 1).select(
+            F.lit(ATTR_START).alias("prev"), F.col("node").alias("nxt")
+        )
+        trans = (
+            steps.unionByName(entries)
+            .groupBy("prev", "nxt")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        state = (
+            pre.withColumn("mx", F.max("rn").over(Window.partitionBy("_u")))
+            .filter(F.col("rn") == F.col("mx"))
+            .select(
+                "_u",
+                F.col("node").alias("last_node"),
+                (F.col("node") == ATTR_CONV).alias("converted"),
+                F.col("_ts").alias("last_ts"),
+                F.col("_eid").alias("last_eid"),
+            )
+        )
+        return trans, state
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1089,27 +1174,52 @@ def attribution_sink(
             F.col(eid_col).alias("_eid"),
             F.col(type_col).alias("_t"),
         )
+        if events_dir is not None:
+            # log FIRST, unconditionally (converted users' drops
+            # included — truncation happens at replay): a deterministic
+            # function of the batch rows, so re-delivery rewrites it
+            ev.write.mode("overwrite").parquet(
+                f"{events_dir}/batch_id={batch_id}"
+            )
         hist = _read_state(spark, upto_exclusive=batch_id)
         st = (
             _newest_per_user(hist).drop("batch_id") if hist is not None else None
         )
         n_late = 0
+        late_u = None
         if st is not None:
             joined = ev.join(st, "_u", "left")
             # ordered-arrival audit BEFORE the converted filter: any
-            # batch event stamped earlier than its user's stored
-            # last-seen ts arrived out of order — disorder among
-            # already-converted users is still a contract violation
-            n_late = joined.filter(
-                F.col("last_ts").isNotNull() & (F.col("_ts") < F.col("last_ts"))
-            ).count()
-            ev = (
+            # batch event stamped strictly behind its user's stored
+            # last-seen (ts, event_id) order key arrived out of order —
+            # disorder among already-converted users is still a
+            # contract violation
+            late_pred = F.col("last_ts").isNotNull() & (
+                (F.col("_ts") < F.col("last_ts"))
+                | (
+                    (F.col("_ts") == F.col("last_ts"))
+                    & (F.col("_eid") < F.col("last_eid"))
+                )
+            )
+            n_late = joined.filter(late_pred).count()
+            if n_late and events_dir is not None:
+                # late users are a per-batch anomaly set, not a corpus:
+                # pin it driver-small and broadcast the prune joins
+                late_u = (
+                    joined.filter(late_pred)
+                    .select("_u")
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                joined = joined.join(F.broadcast(late_u), "_u", "left_anti")
+            ev_inc = (
                 joined.filter(~F.coalesce(F.col("converted"), F.lit(False)))
                 .select("_u", "_ts", "_eid", "_t", "last_node")
             )
         else:
-            ev = ev.withColumn("last_node", F.lit(None).cast("string"))
+            ev_inc = ev.withColumn("last_node", F.lit(None).cast("string"))
         _write_late_marker(spark, out_dir, batch_id, n_late)
+        ev = ev_inc
         w = Window.partitionBy("_u").orderBy("_ts", "_eid")
         # conv_rn via whole-partition min on the same user partitioning —
         # one shuffle, mirroring q263's batch scan
@@ -1145,7 +1255,6 @@ def attribution_sink(
             .groupBy("prev", "nxt")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         )
-        trans.write.mode("overwrite").parquet(f"{trans_dir}/batch_id={batch_id}")
         new_state = (
             pre.withColumn("mx", F.max("rn").over(Window.partitionBy("_u")))
             .filter(F.col("rn") == F.col("mx"))
@@ -1154,8 +1263,39 @@ def attribution_sink(
                 F.col("node").alias("last_node"),
                 (F.col("node") == ATTR_CONV).alias("converted"),
                 F.col("_ts").alias("last_ts"),
+                F.col("_eid").alias("last_eid"),
             )
         )
+        if late_u is not None:
+            # REPAIR: replay the affected users' full logged history.
+            # prior (cutoff) read → the contribution already baked into
+            # the store; uncut read (this batch's log partition landed
+            # above) → the true sorted-journey contribution. The signed
+            # difference rides as this batch's correction rows.
+            prior_log = _read_store(spark, events_dir, batch_id)
+            if prior_log is None:
+                raise ValueError(
+                    f"attribution_sink: late events in batch {batch_id} "
+                    f"but {events_dir} holds no prior history — the "
+                    "repair log must cover the stream from its first "
+                    "batch"
+                )
+            prune = lambda df: df.join(F.broadcast(late_u), "_u", "semi")
+            old_trans, _ = _journey_frames(prune(prior_log))
+            new_trans, rep_state = _journey_frames(
+                prune(_read_store(spark, events_dir))
+            )
+            corr = (
+                new_trans.unionByName(
+                    old_trans.withColumn("n", (-F.col("n")).cast("bigint"))
+                )
+                .groupBy("prev", "nxt")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+                .filter(F.col("n") != 0)
+            )
+            trans = trans.unionByName(corr)
+            new_state = new_state.unionByName(rep_state)
+        trans.write.mode("overwrite").parquet(f"{trans_dir}/batch_id={batch_id}")
         new_state.write.mode("overwrite").parquet(
             f"{state_dir}/batch_id={batch_id}"
         )
@@ -1165,6 +1305,9 @@ def attribution_sink(
             _read_trans(spark)
             .groupBy("prev", "nxt")
             .agg(F.sum("n").cast("bigint").alias("n"))
+            # a repair can zero a pair out entirely; a 0-count edge must
+            # not survive to seed a phantom channel/state in the chain
+            .filter(F.col("n") != 0)
         )
         cur = _newest_per_user(_read_state(spark))
         lost = (
@@ -1197,6 +1340,7 @@ def deadline_funnel_sink(
     ts_col: str = "ts",
     type_col: str = "event_type",
     compact_every: int = 64,
+    events_dir: str | None = None,
 ):
     """foreachBatch sink: incrementally-maintained deadline funnel — the
     streaming twin of q277 (plans/relational.py; windowFunnel
@@ -1225,6 +1369,17 @@ def deadline_funnel_sink(
     newest-row-per-user read rule and prior-only base-fold compaction.
     Ordered-arrival contract AUDITED like the other journey sinks:
     per-batch late-event counts land in ``<out_dir>/late/batch_id=<n>``.
+
+    REPAIR (VERDICT r12 #2): pass ``events_dir`` and the sink keeps a
+    per-batch event log (attribution_sink's protocol — see its
+    docstring for the log/fold/scale posture) and acts on the audit:
+    a late-stamped event marks its user affected, and the affected
+    users' state is recomputed FROM SCRATCH over their full logged
+    history in the same ``_step`` pass (funnel state is absolute
+    per-user, so unlike the attribution store no signed corrections
+    are needed — the newest state row simply wins). After any
+    disorder, ``current`` again equals q277's batch output
+    (tests/test_streaming.py). ``events_dir=None`` = detect-only.
     """
     import pandas as pd
 
@@ -1313,14 +1468,28 @@ def deadline_funnel_sink(
             )
             .distinct()
         )
+        if events_dir is not None:
+            ev.write.mode("overwrite").parquet(
+                f"{events_dir}/batch_id={batch_id}"
+            )
         hist = _read_state(spark, upto_exclusive=batch_id)
         st = _newest(hist) if hist is not None else None
         n_late = 0
+        late_u = None
         if st is not None:
             joined = ev.join(st, "_u", "left")
-            n_late = joined.filter(
-                F.col("last_tsm").isNotNull() & (F.col("tsm") < F.col("last_tsm"))
-            ).count()
+            late_pred = F.col("last_tsm").isNotNull() & (
+                F.col("tsm") < F.col("last_tsm")
+            )
+            n_late = joined.filter(late_pred).count()
+            if n_late and events_dir is not None:
+                late_u = (
+                    joined.filter(late_pred)
+                    .select("_u")
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                joined = joined.join(F.broadcast(late_u), "_u", "left_anti")
         else:
             joined = (
                 ev.withColumn("d_max", F.lit(None).cast("int"))
@@ -1330,6 +1499,29 @@ def deadline_funnel_sink(
             )
         _write_late_marker(spark, out_dir, batch_id, n_late)
         new_state = joined.groupBy("_u").applyInPandas(_step, state_schema)
+        if late_u is not None:
+            # REPAIR: recompute the affected users' state from scratch
+            # over their full logged history (this batch's log partition
+            # included — it landed above). distinct() mirrors q277's
+            # DISTINCT (user, ts, type) across batch boundaries.
+            full_log = _read_store(spark, events_dir)
+            if _read_store(spark, events_dir, batch_id) is None:
+                raise ValueError(
+                    f"deadline_funnel_sink: late events in batch "
+                    f"{batch_id} but {events_dir} holds no prior "
+                    "history — the repair log must cover the stream "
+                    "from its first batch"
+                )
+            rep_in = (
+                full_log.join(F.broadcast(late_u), "_u", "semi")
+                .distinct()
+                .withColumn("d_max", F.lit(None).cast("int"))
+                .withColumn("views", F.lit(None).cast("array<bigint>"))
+                .withColumn("qclicks", F.lit(None).cast("array<bigint>"))
+                .withColumn("last_tsm", F.lit(None).cast("bigint"))
+            )
+            rep_state = rep_in.groupBy("_u").applyInPandas(_step, state_schema)
+            new_state = new_state.unionByName(rep_state)
         new_state.write.mode("overwrite").parquet(
             f"{state_dir}/batch_id={batch_id}"
         )
@@ -1377,6 +1569,11 @@ def deadline_funnel_sink(
             spark, state_dir, batch_id, compact_every,
             lambda: _newest(_read_state(spark, batch_id)),
         )
+        if events_dir is not None:
+            _compact_store(
+                spark, events_dir, batch_id, compact_every,
+                lambda: _read_store(spark, events_dir, batch_id),
+            )
         _compact_late(spark, out_dir, batch_id, compact_every)
 
     return _sink

@@ -2575,3 +2575,169 @@ def test_km_sink_stream_equals_batch_unordered(spark, tmp_path):
     sink(replay, last)
     got2 = {cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()}
     assert got2 == want
+
+
+def _scrambled_quarters(ev, order=(2, 3, 0, 1)):
+    """The events frame cut into ts-quartiles, yielded in a SCRAMBLED
+    order — later quarters first — so mid-stream batches carry events
+    stamped before already-processed history (the journey sinks'
+    ordered-arrival contract violated for every user with history)."""
+    cuts = [
+        r[0]
+        for r in ev.selectExpr(
+            "percentile(cast(ts as double), array(0.25,0.5,0.75)) p"
+        )
+        .selectExpr("explode(p)")
+        .collect()
+    ]
+    bounds = [None, *cuts, None]
+    quarters = []
+    for i in range(4):
+        s = ev
+        if bounds[i] is not None:
+            s = s.filter(F.col("ts").cast("double") >= bounds[i])
+        if bounds[i + 1] is not None:
+            s = s.filter(F.col("ts").cast("double") < bounds[i + 1])
+        quarters.append(s)
+    return [quarters[i] for i in order]
+
+
+def test_attribution_sink_repair_converges_on_disordered_feed(spark, tmp_path):
+    """VERDICT r12 #2 — act on the late-event audit, don't just log it:
+    with an event log attached (``events_dir``), feeding the events
+    table in SCRAMBLED ts-quarters (later half first, so batches 2 and
+    3 are late for every user with history — two successive repairs,
+    exercising the induction that a repaired store replays to the
+    baked-in contribution) must still end with EXACTLY q263's batch
+    output. compact_every=2 folds the log/state/trans stores between
+    the two repairs, so the repair reads cross a base generation.
+    Re-delivering the final repairing batch is a no-op."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import (
+        attribution_sink,
+        read_late_total,
+    )
+
+    ev = load_tables(spark, SF_SMOKE)["events"].select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    batches = _scrambled_quarters(ev)
+    state_dir = str(tmp_path / "ar_state")
+    trans_dir = str(tmp_path / "ar_trans")
+    out_dir = str(tmp_path / "ar_out")
+    events_dir = str(tmp_path / "ar_events")
+    sink = attribution_sink(
+        state_dir, trans_dir, out_dir, compact_every=2, events_dir=events_dir
+    )
+    for i, b in enumerate(batches):
+        sink(b, i)
+
+    # the contract really was violated — this is the repaired case,
+    # not the ordered one the other tests cover
+    assert read_late_total(spark, out_dir) > 0
+
+    cols = lambda r: (
+        r.channel, r.p_base, r.p_removed, r.removal_effect, r.attribution
+    )
+    got = {cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()}
+    want = {
+        cols(r)
+        for r in REGISTRY["q263_markov_attribution"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want and want
+
+    # at-least-once re-delivery of the repairing batch: identical
+    # corrections are rewritten in place, the readout stays converged
+    sink(batches[-1], len(batches) - 1)
+    got2 = {cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()}
+    assert got2 == want
+
+
+def test_attribution_sink_repairs_ts_tie_with_inverted_event_id(spark, tmp_path):
+    """q263 orders journeys by (ts, event_id); an event arriving late
+    with the SAME ts as its user's stored last event but a SMALLER
+    event_id is disorder too (it sorts before it in batch order). The
+    audit must catch the tie case and the repair must converge to the
+    same table a fresh sink produces from the whole journey in one
+    ordered batch."""
+    import datetime as dt
+
+    from printer_etl_hub_spark.streaming.corpus import (
+        attribution_sink,
+        read_late_total,
+    )
+
+    d = lambda days: dt.datetime(2026, 1, 1) + dt.timedelta(days=days)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    b0 = spark.createDataFrame([(1, d(0), 2, "view")], schema)
+    b1 = spark.createDataFrame(
+        [(1, d(0), 1, "click"), (1, d(1), 3, "purchase")], schema
+    )
+    out = str(tmp_path / "tie_out")
+    sink = attribution_sink(
+        str(tmp_path / "tie_state"),
+        str(tmp_path / "tie_trans"),
+        out,
+        events_dir=str(tmp_path / "tie_events"),
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    assert read_late_total(spark, out) == 1
+
+    ref_out = str(tmp_path / "ref_out")
+    ref = attribution_sink(
+        str(tmp_path / "ref_state"), str(tmp_path / "ref_trans"), ref_out
+    )
+    ref(b0.unionByName(b1), 0)
+
+    cols = lambda r: (
+        r.channel, r.p_base, r.p_removed, r.removal_effect, r.attribution
+    )
+    got = {cols(r) for r in spark.read.parquet(f"{out}/current").collect()}
+    want = {cols(r) for r in spark.read.parquet(f"{ref_out}/current").collect()}
+    assert got == want and want
+
+
+def test_deadline_funnel_sink_repair_converges_on_disordered_feed(
+    spark, tmp_path
+):
+    """The funnel twin of the attribution repair test (VERDICT r12 #2):
+    scrambled ts-quarters with the event log attached must end with
+    EXACTLY q277's batch output — late users' funnel state is
+    recomputed from scratch over their logged history, so a click
+    whose qualifying view only arrives later is still credited.
+    Re-delivering the final repairing batch is a no-op."""
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import (
+        deadline_funnel_sink,
+        read_late_total,
+    )
+
+    ev = load_tables(spark, SF_SMOKE)["events"].select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    batches = _scrambled_quarters(ev)
+    state_dir = str(tmp_path / "fr_state")
+    out_dir = str(tmp_path / "fr_out")
+    events_dir = str(tmp_path / "fr_events")
+    sink = deadline_funnel_sink(
+        state_dir, out_dir, compact_every=2, events_dir=events_dir
+    )
+    for i, b in enumerate(batches):
+        sink(b, i)
+
+    assert read_late_total(spark, out_dir) > 0
+
+    cols = lambda r: (r.step, r.event_type, r.n_reached, r.rate_vs_prev)
+    got = [cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()]
+    want = [
+        cols(r)
+        for r in REGISTRY["q277_deadline_funnel"].fn(spark, SF_SMOKE)
+        .orderBy("step")
+        .collect()
+    ]
+    assert sorted(got) == sorted(want) and want
+
+    sink(batches[-1], len(batches) - 1)
+    got2 = [cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()]
+    assert sorted(got2) == sorted(want)
