@@ -37,6 +37,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..bounded import bounded_collect
+
 
 def connected_components(
     edges: DataFrame,
@@ -142,9 +144,13 @@ def connected_components(
         # driver-latency-bound profile). DECIMAL(38,0) keeps the sum
         # exact for any bigint id set. Round 0 always changes something
         # (any b-side node adopts a smaller a-side label) — skip it.
-        new_sum = new_labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0].s
+        new_sum = bounded_collect(
+            new_labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ),
+            1,
+            "connected_components convergence probe",
+        )[0].s
         changed = 1 if it == 0 else int(new_sum != prev_sum)
         prev_sum = new_sum
         # The previous ROUND's checkpoint is dead once this round is

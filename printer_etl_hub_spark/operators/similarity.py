@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..bounded import bounded_collect
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -578,7 +580,9 @@ def _kmeans_parallel_seeds(base, k, rounds=5, oversample=2.0, stats=None):
             .agg(F.min("d").alias("dmin"))
             .localCheckpoint(eager=True)
         )
-        psi = dmin.agg(F.sum("dmin").alias("s")).collect()[0].s
+        psi = bounded_collect(
+            dmin.agg(F.sum("dmin").alias("s")), 1, "kmeans_par psi probe"
+        )[0].s
         if psi is None or psi <= 0.0:
             break  # every point coincides with a candidate — done
         draw = (
@@ -600,24 +604,32 @@ def _kmeans_parallel_seeds(base, k, rounds=5, oversample=2.0, stats=None):
             )
             / 1000000.0
         )
-        picked = (
-            dmin.filter(draw < F.least(F.lit(1.0), F.lit(ell) * F.col("dmin") / F.lit(psi)))
+        picked = bounded_collect(
+            dmin.filter(
+                draw < F.least(F.lit(1.0), F.lit(ell) * F.col("dmin") / F.lit(psi))
+            )
             .join(base, "vid")
-            .select("vid", "vd")
-            .collect()  # expected ~ell rows — candidate-sized, by design
+            .select("vid", "vd"),
+            # expected <= ell rows (each point draws with probability
+            # min(1, ell*dmin/psi), whose sum is <= ell); 8x + 64 slack
+            # puts a legitimate fluctuation past the cap at Chernoff-
+            # negligible odds while an O(n) bug still trips instantly
+            8 * ell + 64,
+            "kmeans_par candidate draw",
         )
         for r in picked:
             cand[r.vid] = list(r.vd)
     # Weight candidates by the size of their nearest-neighbor cell.
     weights = {vid: 0 for vid in cand}
-    wrows = (
+    wrows = bounded_collect(
         base.join(F.broadcast(_cand_df()))
         .select("vid", F.struct(d2.alias("d"), "cvid").alias("c"))
         .groupBy("vid")
         .agg(F.min("c").alias("best"))
         .groupBy(F.col("best.cvid").alias("cvid"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .collect()
+        .agg(F.count(F.lit(1)).alias("w")),
+        len(cand),  # one row per candidate cell, grouped by cvid
+        "kmeans_par cell weights",
     )
     for r in wrows:
         weights[r.cvid] = r.w
@@ -677,12 +689,17 @@ def _farthest_first_seeds(base, k):
                 lambda acc, x: acc + x,
             )
             min_d = d if min_d is None else F.least(min_d, d)
-        far = (
-            base.select(F.struct(min_d.alias("d"), (-F.col("vid")).alias("nvid"), "vid", "vd").alias("c"))
+        far = bounded_collect(
+            base.select(
+                F.struct(
+                    min_d.alias("d"), (-F.col("vid")).alias("nvid"), "vid", "vd"
+                ).alias("c")
+            )
             .agg(F.max("c").alias("m"))
-            .select("m.d", "m.vid", "m.vd")
-            .collect()[0]
-        )
+            .select("m.d", "m.vid", "m.vd"),
+            1,
+            "farthest-first seed probe",
+        )[0]
         if far.d == 0.0:
             break  # fewer than k distinct points — stop early
         chosen.append(far)
@@ -733,14 +750,16 @@ def _kmeans_loop(spark, base, k, max_iter, tol, stats, seeding="lowest_id"):
             .join(base, "vid")
             .select("cid", "vd")
         )
-        rows = (
+        rows = bounded_collect(
             assigned.select("cid", F.posexplode("vd").alias("dim", "v"))
             .groupBy("cid", "dim")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 (F.sum(F.col("v").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias("m"),
-            )
-            .collect()  # k·dim rows — index-sized driver state, by design
+            ),
+            # one row per (cluster, dim) — k*dim index-sized driver state
+            len(cents) * max(len(v) for v in cents.values()),
+            "kmeans Lloyd centroid update",
         )
         new_cents = {cid: list(vec) for cid, vec in cents.items()}
         counts = {cid: 0 for cid in cents}
@@ -865,7 +884,7 @@ def pq_train_encode(
             .join(sv, ["vid", "sub"])
             .select("sub", "code", "svd")
         )
-        rows = (
+        rows = bounded_collect(
             assigned.select("sub", "code", F.posexplode("svd").alias("dim", "v"))
             .groupBy("sub", "code", "dim")
             .agg(
@@ -873,8 +892,10 @@ def pq_train_encode(
                     F.sum(F.col("v").cast("decimal(25,6)")).cast("double")
                     / F.count(F.lit(1))
                 ).alias("mn")
-            )
-            .collect()  # m·k·dsub rows — index-sized driver state
+            ),
+            # one row per (subspace, code, dim) — m*k*dsub codebook cells
+            len(books) * max(len(v) for v in books.values()),
+            "pq_train codebook update",
         )
         new_books = {key: list(vec) for key, vec in books.items()}
         for r in rows:

@@ -18,6 +18,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..bounded import DRIVER_EXPORT_MAX_ROWS, bounded_collect
 from ..edges import promote_draft
 from ..operators.upsert import merge_upsert
 from ..sources.json_store import load_printers_json, save_printers_json
@@ -96,7 +97,12 @@ def convert_to_excel(
     if backup_dir is not None:
         backup_workbook(report_xlsx, backup_dir)
     headers = merged.columns
-    rows = [[row[c] for c in headers] for row in merged.collect()]
+    rows = [
+        [row[c] for c in headers]
+        for row in bounded_collect(
+            merged, DRIVER_EXPORT_MAX_ROWS, "refresh_report workbook render"
+        )
+    ]
     os.makedirs(os.path.dirname(os.path.abspath(report_xlsx)), exist_ok=True)
     write_xlsx(report_xlsx, headers, rows)
     return merged

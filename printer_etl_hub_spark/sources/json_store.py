@@ -18,6 +18,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..bounded import DRIVER_EXPORT_MAX_ROWS, bounded_collect
+
 GROUP_KEYS = ("Company_Grouped", "Branches_Grouped")
 
 
@@ -112,7 +114,11 @@ def save_printers_json(df: DataFrame, path: str) -> None:
     """
     groups: dict[str, list] = {g: [] for g in GROUP_KEYS}
     cols = [c for c in df.columns if c not in ("group", "seq")]
-    rows = df.select("group", "seq", *cols).orderBy("group", "seq").collect()
+    rows = bounded_collect(
+        df.select("group", "seq", *cols).orderBy("group", "seq"),
+        DRIVER_EXPORT_MAX_ROWS,
+        "save_printers_json",
+    )
     for r in rows:
         d = _apply_serializer_rules(r.asDict(recursive=True))
         g = d.pop("group")

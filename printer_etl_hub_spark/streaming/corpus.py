@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..bounded import bounded_collect
 from ..functions.text import quality_features, tokenize
 
 
@@ -701,7 +702,9 @@ def read_late_total(spark, out_dir: str) -> int:
     df = _read_store(spark, f"{out_dir}/late")
     if df is None:
         return 0
-    row = df.agg(F.sum("n_late").alias("t")).collect()[0]
+    row = bounded_collect(
+        df.agg(F.sum("n_late").alias("t")), 1, "read_late_total"
+    )[0]
     return int(row.t or 0)
 
 
