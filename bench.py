@@ -347,6 +347,44 @@ HEADLINE = [
 ]
 
 
+#: Excluded-query spot rotation (VERDICT r12 #4): the HEADLINE
+#: exclusion rule ("sub-second trivial shape or driver-side sink") was
+#: prose — a claim, not a measurement. Each round, SPOT_PER_ROUND of
+#: the excluded queries get ONE timed read recorded in the BENCH_DETAIL
+#: ``spot`` block, rotating deterministically by round number so the
+#: whole excluded set re-measures every ~ceil(|excluded|/5) rounds and
+#: a "trivial" query drifting to seconds becomes visible, not assumed
+#: away. Driver-side sinks (no registry entry) stay out by nature.
+SPOT_PER_ROUND = 5
+
+
+def _round_number(here: str) -> int:
+    """This bench run's round number: the max already-recorded bench
+    round + 1, overridable via SPARK_GRAFT_ROUND."""
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import re as _re
+
+        recorded = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        rnd = str(max(recorded, default=0) + 1)
+    return int(rnd)
+
+
+def _spot_rotation(rnd: int) -> list[str]:
+    """The round's spot slice of the non-headline registry queries, in
+    deterministic rotation (sorted exclusion list, window advances
+    SPOT_PER_ROUND names per round, wrapping)."""
+    excluded = sorted(n for n in REGISTRY if n not in set(HEADLINE))
+    if not excluded:
+        return []
+    start = (rnd * SPOT_PER_ROUND) % len(excluded)
+    return [excluded[(start + i) % len(excluded)] for i in range(min(SPOT_PER_ROUND, len(excluded)))]
+
+
 def _host_ms_per_job(spark, n: int = 20) -> float:
     """Median wall of ``spark.range(1).count()`` — the host's fixed
     per-job cost (scheduler + driver/executor round-trip, no real work).
@@ -467,6 +505,30 @@ def main() -> None:
             fail_msgs.setdefault(name, []).append(msg)
             print(f"# [retry] {name}: FAILED {msg}", file=sys.stderr)
 
+    # Spot pass: one-attempt reads of this round's excluded-query slice.
+    # Single-sample on a noisy host is deliberately NOT comparable to the
+    # best-of-k headline numbers — it is a drift tripwire ("did a trivial
+    # query become seconds"), not a benchmark record.
+    here = os.path.dirname(os.path.abspath(__file__))
+    spot: dict[str, dict] = {}
+    try:
+        spot_names = _spot_rotation(_round_number(here))
+    except (OSError, ValueError) as exc:
+        spot_names = []
+        print(f"# spot rotation failed: {exc}", file=sys.stderr)
+    for name in spot_names:
+        spark.catalog.clearCache()
+        flush_pending_release()
+        t0 = time.perf_counter()
+        try:
+            n_rows = REGISTRY[name].fn(spark, SF_DIR).count()
+            dt = round(time.perf_counter() - t0, 3)
+            spot[name] = {"sec": dt, "rows": n_rows}
+            print(f"# [spot] {name}: {dt:.3f}s ({n_rows} rows)", file=sys.stderr)
+        except Exception as exc:
+            spot[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+            print(f"# [spot] {name}: FAILED {spot[name]['error']}", file=sys.stderr)
+
     host_ms["post"] = _host_ms_per_job(spark)
     print(f"# host fixed-job-cost (post): {host_ms['post']} ms/job", file=sys.stderr)
 
@@ -539,26 +601,15 @@ def main() -> None:
         "sf_dir": SF_DIR,
         "k": k,
         "host_ms_per_job": host_ms,
+        "spot": spot,
     }
-    here = os.path.dirname(os.path.abspath(__file__))
     # The per-query history was discarded every round (BENCH_DETAIL.json
     # untracked + overwritten), which cost round 8 real signal: the
     # q210-q215 noise was only detectable by a judge re-measurement.
-    # Write a round-stamped copy too (VERDICT r8 item #2a) — the round
-    # number is the max already-recorded bench round + 1, overridable
-    # via SPARK_GRAFT_ROUND — and COMMIT it each round.
+    # Write a round-stamped copy too (VERDICT r8 item #2a) — and COMMIT
+    # it each round.
     try:
-        rnd = os.environ.get("SPARK_GRAFT_ROUND")
-        if rnd is None:
-            import re as _re
-
-            recorded = [
-                int(m.group(1))
-                for f in os.listdir(here)
-                if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
-            ]
-            rnd = str(max(recorded, default=0) + 1)
-        stamped = os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}.json")
+        stamped = os.path.join(here, f"BENCH_DETAIL_r{_round_number(here):02d}.json")
     except (OSError, ValueError) as exc:
         stamped = None
         print(f"# round stamp failed: {exc}", file=sys.stderr)
