@@ -344,6 +344,17 @@ HEADLINE = [
     "q289_pettitt",
     "q290_cuped",
     "q291_mcnemar",
+    # Round 13: the wave-37 inference tier — log-rank, Cliff's delta,
+    # Cochran's Q, Ljung-Box, binned drift, Durbin-Watson, simplified
+    # silhouette, runs test.
+    "q292_logrank",
+    "q293_cliffs_delta",
+    "q294_cochran_q",
+    "q295_ljung_box",
+    "q296_binned_drift",
+    "q297_durbin_watson",
+    "q298_silhouette",
+    "q299_runs_test",
 ]
 
 

@@ -7411,6 +7411,982 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# q292 — log-rank test (two-arm time-to-conversion)
+# --------------------------------------------------------------------------
+
+
+def _dsum18c(col: Column) -> Column:
+    """Order-insensitive exact sum of a double expression through
+    DECIMAL(38,18) — the statistic-term discipline (textops' _dsum18;
+    plans/common.py::dsum's (25,6) is too coarse for O(1)-magnitude
+    test-statistic terms)."""
+    return F.sum(col.cast("decimal(38,18)")).cast("double")
+
+
+def _sql_dsum18c(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,18))) AS DOUBLE)"
+
+
+def q292_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the two experiment arms'
+    time-to-conversion curves → one row (n_a, n_b, o1, e1, v1, z,
+    chi2): the inferential completion of q270 — Kaplan-Meier DRAWS the
+    censored conversion curve, the log-rank test says whether arm A's
+    curve differs from arm B's beyond chance, weighting every distinct
+    event time by its risk sets so censoring (never-converters) is
+    handled honestly rather than dropped. Arms are the deterministic
+    md5-parity assignment every experiment query shares
+    (operators/experiment.py::ab_arm). O1 = observed arm-A conversions,
+    E1 = Σ_t d_t·n1_t/n_t, V1 = Σ_t d_t·(n1_t/n_t)·(1−n1_t/n_t)·
+    (n_t−d_t)/(n_t−1) (the hypergeometric variance), z = (O1−E1)/√V1,
+    chi2 = z².
+
+    EXACTNESS: all risk-set quantities are INTEGER prefix sums — n1_t
+    and n_t derive from `dist_cumsum` over the (t_days)-keyed event
+    frame (exclusive prefix = inclusive − current), never a
+    single-partition window. Each time's O−E and V contributions are
+    ONE fixed-order double expression of those integers; both sums
+    quantize through DECIMAL(38,18) (order-insensitive), so the
+    distributed agg order can't wiggle them. NULLIF guards n_t ≤ 1
+    (variance term) and V1 = 0 (degenerate z). user_id IS NULL
+    excluded (no arm), ts IS NULL excluded (q270's rule).
+
+    Shape: one user groupBy (the only corpus-sized stage) → a
+    |days|-bounded (t, d1, c1, d, c) frame, one dist_cumsum, one
+    broadcast of the 1-row arm totals. Reference parity: the q270
+    lifecycle family (SURVEY §2 statistics tier).
+    """
+    from ..operators.experiment import ab_arm
+    from .common import dist_cumsum
+
+    t = load_tables(spark, sf_dir)
+    per_u = (
+        t["events"]
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            (F.col("event_type") == _KM_CONV_TYPE).alias("is_conv"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.min(F.when(F.col("is_conv"), F.col("day"))).alias("conv_day"),
+        )
+        .select(ab_arm(F.col("user_id")).alias("arm_a"), "first_day",
+                "last_day", "conv_day")
+    )
+    mx = per_u.agg(F.max("last_day").alias("max_day"))
+    lab = per_u.join(F.broadcast(mx)).select(
+        "arm_a",
+        F.col("conv_day").isNotNull().alias("converted"),
+        F.when(
+            F.col("conv_day").isNotNull(),
+            F.datediff(F.col("conv_day"), F.col("first_day")),
+        )
+        .otherwise(F.datediff(F.col("max_day"), F.col("first_day")))
+        .cast("bigint")
+        .alias("t_days"),
+    )
+    ev = lab.groupBy("t_days").agg(
+        F.sum(F.when(F.col("converted") & F.col("arm_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("r1"),
+        F.count(F.lit(1)).cast("bigint").alias("r"),
+    )
+    cum, pin = dist_cumsum(ev, ["t_days"], ["r1", "r"])
+    tots = lab.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+    )
+    j = cum.join(F.broadcast(tots))
+    # risk sets at t: everyone whose (conversion-or-censor) time >= t
+    n1 = (F.col("n_a") - (F.col("r1_cum") - F.col("r1"))).cast("double")
+    nt = (F.col("n_all") - (F.col("r_cum") - F.col("r"))).cast("double")
+    dd = F.col("d").cast("double")
+    oe = F.col("d1").cast("double") - dd * n1 / nt
+    vt = (
+        dd
+        * (n1 / nt)
+        * (F.lit(1.0) - n1 / nt)
+        * (nt - dd)
+        / F.nullif(nt - F.lit(1.0), F.lit(0.0))
+    )
+    agg = j.filter(F.col("d") > 0).agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        _dsum18c(dd * n1 / nt).alias("e1"),
+        _dsum18c(F.coalesce(vt, F.lit(0.0))).alias("v1"),
+        _dsum18c(oe).alias("oe"),
+    )
+    z = F.col("oe") / F.nullif(F.sqrt(F.col("v1")), F.lit(0.0))
+    res = agg.join(F.broadcast(tots)).select(
+        "n_a",
+        (F.col("n_all") - F.col("n_a")).alias("n_b"),
+        "o1",
+        F.round(F.col("e1"), 9).alias("e1"),
+        F.round(F.col("v1"), 9).alias("v1"),
+        F.round(z, 9).alias("z"),
+        F.round(z * z, 9).alias("chi2"),
+    )
+    return materialize_release(res, pin)
+
+
+Q292_SQL = f"""
+WITH per_u AS (
+  SELECT (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':{_AB_SALT}'), 1, 15)) AS BIGINT) % 2) = 0 AS arm_a,
+         min(CAST(date_trunc('day', ts) AS DATE)) AS first_day,
+         max(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+         min(CASE WHEN event_type = '{_KM_CONV_TYPE}'
+             THEN CAST(date_trunc('day', ts) AS DATE) END) AS conv_day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
+), mx AS (SELECT max(last_day) AS max_day FROM per_u),
+lab AS (
+  SELECT arm_a, conv_day IS NOT NULL AS converted,
+         CAST(CASE WHEN conv_day IS NOT NULL
+              THEN date_diff('day', first_day, conv_day)
+              ELSE date_diff('day', first_day, max_day) END AS BIGINT) AS t_days
+  FROM per_u CROSS JOIN mx
+), ev AS (
+  SELECT t_days,
+         CAST(sum(CASE WHEN converted AND arm_a THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         CAST(count(*) AS BIGINT) AS r
+  FROM lab GROUP BY t_days
+), cum AS (
+  SELECT t_days, d1, d, r1, r,
+         sum(r1) OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING) AS r1_cum,
+         sum(r) OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING) AS r_cum
+  FROM ev
+), tots AS (
+  SELECT CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM lab
+), terms AS (
+  SELECT d1, d,
+         CAST(tots.n_a - (r1_cum - r1) AS DOUBLE) AS n1,
+         CAST(tots.n_all - (r_cum - r) AS DOUBLE) AS nt
+  FROM cum CROSS JOIN tots WHERE d > 0
+), agg AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         {_sql_dsum18c('CAST(d AS DOUBLE) * n1 / nt')} AS e1,
+         {_sql_dsum18c(
+             "COALESCE(CAST(d AS DOUBLE) * (n1 / nt) * (1.0 - n1 / nt)"
+             " * (nt - CAST(d AS DOUBLE)) / NULLIF(nt - 1.0, 0.0), 0.0)"
+         )} AS v1,
+         {_sql_dsum18c('CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * n1 / nt')} AS oe
+  FROM terms
+)
+SELECT tots.n_a, tots.n_all - tots.n_a AS n_b, agg.o1,
+       round(agg.e1, 9) AS e1, round(agg.v1, 9) AS v1,
+       round(agg.oe / NULLIF(sqrt(agg.v1), 0.0), 9) AS z,
+       round((agg.oe / NULLIF(sqrt(agg.v1), 0.0))
+             * (agg.oe / NULLIF(sqrt(agg.v1), 0.0)), 9) AS chi2
+FROM agg CROSS JOIN tots
+"""
+
+
+# --------------------------------------------------------------------------
+# q293 — Cliff's delta (ordinal effect size per event type)
+# --------------------------------------------------------------------------
+
+
+def q293_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size of each event type's ``value``
+    against the pooled rest → (event_type, n_a, n_b, delta, magnitude):
+    the EFFECT-SIZE completion of q266 — a Mann-Whitney z says whether
+    a shift exists, δ = P(X>Y) − P(X<Y) says how big it is on a scale
+    a human can read (-1..1), robust to the same heavy tails. Banded
+    with the standard Romano et al. thresholds (|δ| < 0.147 negligible,
+    < 0.33 small, < 0.474 medium, else large).
+
+    EXACTNESS: δ = u2_a/(n_a·n_b) − 1 exactly, where u2_a = 2·U_A is
+    q266's doubled midrank sum — INTEGER DECIMAL(38,0) via the shared
+    `_midrank_stats` machinery (midranks absorb ties, so the identity
+    handles them: ties contribute ½ to each of P(X>Y), P(X<Y) and
+    cancel in the difference). One double division; the band CASE
+    compares that one double against exact literals identically in
+    both engines. NULLIF-guarded empty sides.
+
+    Shape: q266's exact shape (one (type, value) groupBy, one
+    distinct-value groupBy, dist_cumsum, |types|-row broadcast) —
+    the rank machinery is shared, not recomputed.
+    """
+    per_t, totals, pin = _midrank_stats(load_tables(spark, sf_dir)["events"])
+    dec19 = "decimal(19,0)"
+    j = per_t.join(F.broadcast(totals))
+    n_a = F.col("n_a").cast(dec19)
+    n_b = (F.col("n") - F.col("n_a")).cast(dec19)
+    u2_a = (F.col("r2_a") - n_a * (n_a + 1)).cast("decimal(38,0)")
+    delta = u2_a.cast("double") / F.nullif(
+        (n_a * n_b).cast("decimal(38,0)").cast("double"), F.lit(0.0)
+    ) - F.lit(1.0)
+    mag = (
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large")
+    )
+    res = j.select(
+        "event_type",
+        "n_a",
+        (F.col("n") - F.col("n_a")).cast("bigint").alias("n_b"),
+        F.round(delta, 9).alias("delta"),
+        F.when(delta.isNotNull(), mag).alias("magnitude"),
+    ).orderBy("event_type")
+    return materialize_release(res, pin)
+
+
+Q293_SQL = f"""
+WITH {_MIDRANK_SQL}, j AS (
+  SELECT per_t.event_type, per_t.n_a, totals.n,
+         CAST(per_t.r2_a - CAST(per_t.n_a AS DECIMAL(19,0))
+              * (CAST(per_t.n_a AS DECIMAL(19,0)) + 1) AS DECIMAL(38,0)) AS u2_a
+  FROM per_t CROSS JOIN totals
+), d AS (
+  SELECT event_type, n_a, CAST(n - n_a AS BIGINT) AS n_b,
+         CAST(u2_a AS DOUBLE)
+         / NULLIF(CAST(CAST(CAST(n_a AS DECIMAL(19,0))
+                            * CAST(n - n_a AS DECIMAL(19,0))
+                       AS DECIMAL(38,0)) AS DOUBLE), 0.0) - 1.0 AS delta
+  FROM j
+)
+SELECT event_type, n_a, n_b, round(delta, 9) AS delta,
+       CASE WHEN delta IS NULL THEN NULL
+            WHEN abs(delta) < 0.147 THEN 'negligible'
+            WHEN abs(delta) < 0.33 THEN 'small'
+            WHEN abs(delta) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM d
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q294 — Cochran's Q (matched binary incidence across the funnel types)
+# --------------------------------------------------------------------------
+
+
+def q294_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test over the funnel event types → one row (k,
+    n_blocks, nn, c_view, c_click, c_purchase, q_stat): do the SAME
+    user-weeks (blocks) reach the k=3 funnel stages at equal rates?
+    The matched-design sibling of q291 — McNemar reads 2 paired
+    proportions, Cochran's Q generalizes to k (and reduces to McNemar
+    at k=2). Blocks are (user, ISO week) pairs with ≥1 stamped funnel
+    event — per-WEEK incidence, because lifetime incidence is
+    degenerate in this corpus (every funnel-active user eventually
+    hits all three stages, making the Q denominator Σ R(k−R) zero at
+    both gate SFs — the q240 vacuity lesson); treatment j succeeds
+    for a block if that user emitted type j that week.
+    Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²) with C_j the per-type
+    success totals, R_i the per-user success counts, N = ΣR_i.
+
+    EXACTNESS: the statistic is PURE INTEGER until one final double
+    division — ΣC_j² and ΣR_i² in DECIMAL(38,0) through exact products,
+    numerator/denominator assembled in DECIMAL, NULLIF-guarded
+    degenerate denominator (all blocks all-1 or all-0). The funnel
+    type list is q277's pinned _FUNNEL.
+
+    Shape: one per-user conditional-max groupBy (the only corpus-sized
+    stage, map-side combinable), then 1-row integer arithmetic.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isin(*_FUNNEL)
+    )
+    flags = [
+        F.max(F.when(F.col("event_type") == s, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"x{i}")
+        for i, s in enumerate(_FUNNEL)
+    ]
+    per_u = ev.groupBy(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).agg(*flags)
+    r = per_u.select(
+        (F.col("x0") + F.col("x1") + F.col("x2")).alias("r_i"), "x0", "x1", "x2"
+    )
+    dec = "decimal(38,0)"
+    dec12 = "decimal(12,0)"
+    agg = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum("x0").cast("bigint").alias("c_view"),
+        F.sum("x1").cast("bigint").alias("c_click"),
+        F.sum("x2").cast("bigint").alias("c_purchase"),
+        F.sum("r_i").cast(dec).alias("nn"),
+        F.sum(F.col("r_i").cast(dec12) * F.col("r_i").cast(dec12))
+        .cast(dec)
+        .alias("sr2"),
+    )
+    k = F.lit(3).cast(dec)
+    sc2 = (
+        F.col("c_view").cast(dec) * F.col("c_view").cast(dec)
+        + F.col("c_click").cast(dec) * F.col("c_click").cast(dec)
+        + F.col("c_purchase").cast(dec) * F.col("c_purchase").cast(dec)
+    )
+    num = (k - 1) * (k * sc2 - F.col("nn") * F.col("nn"))
+    den = k * F.col("nn") - F.col("sr2")
+    res = agg.select(
+        F.lit(3).cast("int").alias("k"),
+        "n_blocks",
+        F.col("nn").cast("bigint").alias("nn"),
+        "c_view",
+        "c_click",
+        "c_purchase",
+        F.round(
+            num.cast("double")
+            / F.nullif(den, F.lit(0).cast(dec)).cast("double"),
+            9,
+        ).alias("q_stat"),
+    )
+    return res
+
+
+Q294_SQL = f"""
+WITH per_u AS (
+  SELECT user_id, date_trunc('week', ts) AS wk,
+         CAST(max(CASE WHEN event_type = '{_FUNNEL[0]}' THEN 1 ELSE 0 END) AS BIGINT) AS x0,
+         CAST(max(CASE WHEN event_type = '{_FUNNEL[1]}' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+         CAST(max(CASE WHEN event_type = '{_FUNNEL[2]}' THEN 1 ELSE 0 END) AS BIGINT) AS x2
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IN ('{_FUNNEL[0]}', '{_FUNNEL[1]}', '{_FUNNEL[2]}')
+  GROUP BY user_id, date_trunc('week', ts)
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(x0) AS BIGINT) AS c_view,
+         CAST(sum(x1) AS BIGINT) AS c_click,
+         CAST(sum(x2) AS BIGINT) AS c_purchase,
+         CAST(sum(x0 + x1 + x2) AS DECIMAL(38,0)) AS nn,
+         CAST(sum(CAST(x0 + x1 + x2 AS DECIMAL(12,0))
+                  * CAST(x0 + x1 + x2 AS DECIMAL(12,0))) AS DECIMAL(38,0)) AS sr2
+  FROM per_u
+)
+SELECT CAST(3 AS INT) AS k, n_blocks, CAST(nn AS BIGINT) AS nn,
+       c_view, c_click, c_purchase,
+       round(CAST((CAST(3 AS DECIMAL(38,0)) - 1)
+                  * (CAST(3 AS DECIMAL(38,0))
+                     * (CAST(c_view AS DECIMAL(38,0)) * CAST(c_view AS DECIMAL(38,0))
+                        + CAST(c_click AS DECIMAL(38,0)) * CAST(c_click AS DECIMAL(38,0))
+                        + CAST(c_purchase AS DECIMAL(38,0)) * CAST(c_purchase AS DECIMAL(38,0)))
+                     - nn * nn) AS DOUBLE)
+             / CAST(NULLIF(CAST(3 AS DECIMAL(38,0)) * nn - sr2,
+                           CAST(0 AS DECIMAL(38,0))) AS DOUBLE), 9) AS q_stat
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# q295 — Ljung-Box portmanteau (daily-volume autocorrelation battery)
+# --------------------------------------------------------------------------
+
+
+def _daily_indexed(spark: SparkSession, sf_dir: str):
+    """Shared daily-series core of q295/q297/q299: per-day event counts
+    with a 1-based day-order index from `dist_rank` (never a
+    single-partition window) plus the 1-row (n, s) totals. Returns
+    (indexed, totals, pin)."""
+    from .common import dist_rank
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .filter(F.col("ts").isNotNull())
+        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    idx, pin = dist_rank(daily, ["day"], out="i")
+    totals = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    return idx, totals, pin
+
+
+#: Oracle twin of `_daily_indexed` — CTEs ending in idx / totals.
+_DAILY_IDX_SQL = """daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), idx AS (
+  SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM daily
+), totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+  FROM daily
+)"""
+
+#: Ljung-Box lag battery (a week of daily lags).
+_LB_MAX_LAG = 7
+
+
+def q295_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily event volume, lags 1..7 →
+    (lag, n_pairs, rho, lb_stat): is the residual day-to-day structure
+    after the mean just noise, or autocorrelated? The INFERENTIAL
+    completion of q249 — the ACF draws the correlogram, Ljung-Box
+    pools the first k lags into one chi-square-distributed statistic
+    LB_k = n(n+2)·Σ_{j≤k} ρ_j²/(n−j), the standard pre-flight check
+    before trusting q258/q271's forecast residuals as white.
+
+    EXACTNESS: with c_i = n·x_i − S (integers), ρ_k =
+    Σ c_i·c_{i+k} / Σ c_i² EXACTLY — the 1/n² factors cancel — so
+    every autocovariance is a DECIMAL(38,0) integer and each ρ is one
+    double division. The cumulative Σ ρ_j²/(n−j) runs over the
+    ≤7-row lag frame through DECIMAL(38,18) (order-insensitive).
+    Magnitude bound: |c_i| ≤ n·max_x, so Σc_ic_{i+k} ≤ n³·max_x² —
+    inside DECIMAL(38,0) until n³·max_x² > 10³⁸ (e.g. 10⁴ days at
+    10¹³ events/day), far past any real daily series.
+
+    Shape: one daily pre-agg (the only corpus-sized stage), dist_rank
+    for the day index, then a 7-way EXPLODE-SHIFT equi-join (each row
+    re-keys itself at i+k for k = 1..7 — an equi shuffle join, never a
+    range-predicate BNLJ over the series), lag-frame arithmetic on ≤7
+    rows via a triangular self-join.
+    """
+    idx, totals, pin = _daily_indexed(spark, sf_dir)
+    dec19 = "decimal(19,0)"
+    c = idx.join(F.broadcast(totals)).select(
+        "i",
+        (F.col("n").cast(dec19) * F.col("x").cast(dec19) - F.col("s").cast(dec19))
+        .cast(dec19)
+        .alias("c"),
+    )
+    shifted = c.select(
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_LB_MAX_LAG))
+        ).alias("lag"),
+        (F.col("i") + F.col("lag")).alias("i"),
+        F.col("c").alias("c_prev"),
+    ).select("lag", (F.col("i")).alias("i"), "c_prev")
+    pairs = c.join(shifted, "i")
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c_prev").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("num"),
+    )
+    den = c.agg(
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("den")
+    )
+    r = num.join(F.broadcast(den)).join(F.broadcast(totals)).select(
+        "lag",
+        "n_pairs",
+        (
+            F.col("num").cast("double")
+            / F.nullif(F.col("den"), F.lit(0).cast("decimal(38,0)")).cast("double")
+        ).alias("rho"),
+        "n",
+    )
+    # cumulative over the ≤7-row lag frame: triangular self-join (28
+    # rows max), never a window
+    rj = r.select(F.col("lag").alias("j"), F.col("rho").alias("rho_j"), "n")
+    lb = (
+        r.join(F.broadcast(rj.drop("n")), F.col("j") <= F.col("lag"))
+        .groupBy("lag", "n_pairs", "rho", "n")
+        .agg(
+            F.sum(
+                (
+                    F.col("rho_j")
+                    * F.col("rho_j")
+                    / (F.col("n").cast("double") - F.col("j").cast("double"))
+                ).cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("ssum")
+        )
+    )
+    res = lb.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.round(F.col("rho"), 9).alias("rho"),
+        F.round(
+            F.col("n").cast("double")
+            * (F.col("n").cast("double") + F.lit(2.0))
+            * F.col("ssum"),
+            9,
+        ).alias("lb_stat"),
+    ).orderBy("lag")
+    return materialize_release(res, pin)
+
+
+Q295_SQL = f"""
+WITH {_DAILY_IDX_SQL}, c AS (
+  SELECT i,
+         CAST(CAST(totals.n AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+              - CAST(totals.s AS DECIMAL(19,0)) AS DECIMAL(19,0)) AS c
+  FROM idx CROSS JOIN totals
+), pairs AS (
+  SELECT a.c AS c_cur, b.c AS c_prev, CAST(a.i - b.i AS BIGINT) AS lag
+  FROM c a JOIN c b ON a.i - b.i BETWEEN 1 AND {_LB_MAX_LAG}
+), num AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CAST(c_cur AS DECIMAL(19,0)) * CAST(c_prev AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS num
+  FROM pairs GROUP BY lag
+), den AS (
+  SELECT CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS den
+  FROM c
+), r AS (
+  SELECT lag, n_pairs,
+         CAST(num AS DOUBLE)
+         / CAST(NULLIF(den.den, CAST(0 AS DECIMAL(38,0))) AS DOUBLE) AS rho,
+         totals.n AS n
+  FROM num CROSS JOIN den CROSS JOIN totals
+), lb AS (
+  SELECT a.lag, a.n_pairs, a.rho, a.n,
+         CAST(sum(CAST(b.rho * b.rho
+                       / (CAST(a.n AS DOUBLE) - CAST(b.lag AS DOUBLE))
+                  AS DECIMAL(38,18))) AS DOUBLE) AS ssum
+  FROM r a JOIN r b ON b.lag <= a.lag
+  GROUP BY a.lag, a.n_pairs, a.rho, a.n
+)
+SELECT CAST(lag AS INT) AS lag, n_pairs, round(rho, 9) AS rho,
+       round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ssum, 9)
+         AS lb_stat
+FROM lb
+ORDER BY lag
+"""
+
+
+# --------------------------------------------------------------------------
+# q296 — binned distribution drift (triangular discrimination + chi²)
+# --------------------------------------------------------------------------
+
+
+def q296_binned_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned drift audit of the event ``value`` distribution, first
+    period vs second → (bin, n_first, n_second, tri_term, chi2_term,
+    tri_total, chi2_total): the PSI role — 'did the metric's
+    distribution move between periods' over 10 equal-width bins — in
+    EXACT arithmetic. Terms are the triangular discrimination
+    Δ = Σ (p−q)²/(p+q) (Vincze-Le Cam; symmetric, bounded, and log-free
+    — ln() is the one libm call engines may disagree on in the last
+    ulp, the q92/q104 posture) and the two-sample chi² in q127's N·χ²
+    convention. The period split is the q290 midpoint convention
+    (min day + 15); bins span the GLOBAL [min, max] of value.
+
+    EXACTNESS: with integer bin counts a, b and stream sizes n1, n2:
+    (p−q)²/(p+q) = (a·n2 − b·n1)² / (n1·n2·(a·n2 + b·n1)) exactly —
+    assembled as ONE fixed-order double expression (doubles on
+    purpose: the squared cross-product exceeds DECIMAL(38,0) at
+    cluster scale — q250's rationale), NULLIF-guarded empty bins;
+    chi2_term = N·(a·n2 − b·n1)²/(n1·n2·(a+b)) the same way. Totals
+    sum the ≤10 terms through DECIMAL(38,18). Bin indexing is one
+    double expression (floor of the scaled offset, clamped) identical
+    in both engines; vmax = vmin degenerates to bin 0.
+
+    Shape: one value-pool pass with two broadcast scalars (split day,
+    min/max), one 10-group aggregation, one 10-row total broadcast
+    back. NaN and NULL values excluded with q266's rules.
+    """
+    t = load_tables(spark, sf_dir)
+    v = F.col("value")
+    pool = (
+        t["events"]
+        .filter(F.col("ts").isNotNull() & v.isNotNull() & ~F.isnan(v))
+        .select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.when(v == 0.0, F.lit(0.0)).otherwise(v).alias("v"),
+        )
+    )
+    edges = pool.agg(
+        F.date_add(F.min("day"), 15).alias("mid_day"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    binned = pool.join(F.broadcast(edges)).select(
+        (F.col("day") < F.col("mid_day")).alias("first_p"),
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("v") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * F.lit(10.0)
+                ),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("first_p"), 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(~F.col("first_p"), 1).otherwise(0)).cast("bigint").alias("b"),
+    )
+    tots = per_bin.agg(
+        F.sum("a").cast("bigint").alias("n1"),
+        F.sum("b").cast("bigint").alias("n2"),
+    )
+    j = per_bin.join(F.broadcast(tots))
+    ad, bd = F.col("a").cast("double"), F.col("b").cast("double")
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    cross = ad * n2d - bd * n1d
+    tri = (cross * cross) / F.nullif(
+        n1d * n2d * (ad * n2d + bd * n1d), F.lit(0.0)
+    )
+    chi2 = (
+        (n1d + n2d)
+        * (cross * cross)
+        / F.nullif(n1d * n2d * (ad + bd), F.lit(0.0))
+    )
+    terms = j.select(
+        "bin",
+        F.col("a").alias("n_first"),
+        F.col("b").alias("n_second"),
+        tri.alias("tri_term"),
+        chi2.alias("chi2_term"),
+    )
+    term_tot = terms.agg(
+        _dsum18c(F.coalesce(F.col("tri_term"), F.lit(0.0))).alias("tri_total"),
+        _dsum18c(F.coalesce(F.col("chi2_term"), F.lit(0.0))).alias("chi2_total"),
+    )
+    return (
+        terms.join(F.broadcast(term_tot))
+        .select(
+            "bin",
+            "n_first",
+            "n_second",
+            F.round(F.col("tri_term"), 9).alias("tri_term"),
+            F.round(F.col("chi2_term"), 9).alias("chi2_term"),
+            F.round(F.col("tri_total"), 9).alias("tri_total"),
+            F.round(F.col("chi2_total"), 9).alias("chi2_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+Q296_SQL = f"""
+WITH pool AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CASE WHEN value = 0 THEN 0.0 ELSE value END AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), edges AS (
+  SELECT min(day) + 15 AS mid_day, min(v) AS vmin, max(v) AS vmax FROM pool
+), binned AS (
+  SELECT pool.day < edges.mid_day AS first_p,
+         CAST(CASE WHEN edges.vmax = edges.vmin THEN 0
+              ELSE least(9, floor((pool.v - edges.vmin)
+                                  / (edges.vmax - edges.vmin) * 10.0))
+              END AS INT) AS bin
+  FROM pool CROSS JOIN edges
+), per_bin AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN first_p THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN first_p THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM binned GROUP BY bin
+), tots AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2
+  FROM per_bin
+), terms AS (
+  SELECT bin, a AS n_first, b AS n_second,
+         (CAST(a AS DOUBLE) * CAST(n2 AS DOUBLE)
+          - CAST(b AS DOUBLE) * CAST(n1 AS DOUBLE))
+         * (CAST(a AS DOUBLE) * CAST(n2 AS DOUBLE)
+            - CAST(b AS DOUBLE) * CAST(n1 AS DOUBLE))
+         / NULLIF(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (CAST(a AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     + CAST(b AS DOUBLE) * CAST(n1 AS DOUBLE)), 0.0)
+           AS tri_term,
+         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+         * (CAST(a AS DOUBLE) * CAST(n2 AS DOUBLE)
+            - CAST(b AS DOUBLE) * CAST(n1 AS DOUBLE))
+         * (CAST(a AS DOUBLE) * CAST(n2 AS DOUBLE)
+            - CAST(b AS DOUBLE) * CAST(n1 AS DOUBLE))
+         / NULLIF(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)), 0.0)
+           AS chi2_term
+  FROM per_bin CROSS JOIN tots
+), term_tot AS (
+  SELECT {_sql_dsum18c('COALESCE(tri_term, 0.0)')} AS tri_total,
+         {_sql_dsum18c('COALESCE(chi2_term, 0.0)')} AS chi2_total
+  FROM terms
+)
+SELECT bin, n_first, n_second,
+       round(tri_term, 9) AS tri_term, round(chi2_term, 9) AS chi2_term,
+       round(tri_total, 9) AS tri_total, round(chi2_total, 9) AS chi2_total
+FROM terms CROSS JOIN term_tot
+ORDER BY bin
+"""
+
+
+# --------------------------------------------------------------------------
+# q297 — Durbin-Watson (serial correlation of the daily-trend residuals)
+# --------------------------------------------------------------------------
+
+
+def q297_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic on the residuals of the daily-volume
+    linear trend → one row (n_days, slope, intercept, dw): ARE the
+    deviations from q274's fitted line serially correlated? DW =
+    Σ(e_i − e_{i−1})²/Σe_i² ≈ 2(1 − ρ₁); ≪2 flags the positive serial
+    correlation that makes OLS confidence intervals on a time series
+    lie. The regression-residual complement of q295 (which tests the
+    raw centered series).
+
+    EXACTNESS: slope/intercept come from exact integer sufficient
+    statistics (Σi, Σx, Σix, Σi² in DECIMAL — i is the day index, so
+    products stay well inside (38,0) for any real |days|); each
+    residual is ONE fixed-order double expression of those two exact
+    ratios; both DW sums quantize through DECIMAL(38,18)
+    (order-insensitive). NULLIF guards the degenerate n < 2 /
+    zero-variance cases.
+
+    Shape: one daily pre-agg + dist_rank (shared `_daily_indexed`
+    core), a 1-row sufficient-statistic broadcast, and the k=1
+    explode-shift equi-join for the lag pairing (q295's shape, one
+    lag).
+    """
+    idx, totals, pin = _daily_indexed(spark, sf_dir)
+    dec19 = "decimal(19,0)"
+    dec25 = "decimal(25,0)"
+    stats = idx.agg(
+        F.count(F.lit(1)).cast(dec19).alias("n"),
+        F.sum(F.col("i").cast(dec19)).cast(dec19).alias("si"),
+        F.sum(F.col("x").cast(dec19)).cast(dec19).alias("sx"),
+        F.sum(F.col("i").cast(dec19) * F.col("x").cast(dec19))
+        .cast(dec25)
+        .alias("six"),
+        F.sum(F.col("i").cast(dec19) * F.col("i").cast(dec19))
+        .cast(dec25)
+        .alias("sii"),
+    )
+    dec38 = "decimal(38,0)"
+    b_num = (
+        (F.col("n") * F.col("six")).cast(dec38)
+        - (F.col("si") * F.col("sx")).cast(dec38)
+    ).cast(dec38)
+    b_den = (
+        (F.col("n") * F.col("sii")).cast(dec38)
+        - (F.col("si") * F.col("si")).cast(dec38)
+    ).cast(dec38)
+    params = stats.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        (
+            b_num.cast("double")
+            / F.nullif(b_den, F.lit(0).cast(dec38)).cast("double")
+        ).alias("slope"),
+        "sx",
+        "si",
+        F.col("n").cast("double").alias("nd"),
+    ).select(
+        "n_days",
+        "slope",
+        (
+            (F.col("sx").cast("double") - F.col("slope") * F.col("si").cast("double"))
+            / F.col("nd")
+        ).alias("intercept"),
+    )
+    e = idx.join(F.broadcast(params)).select(
+        "i",
+        (
+            F.col("x").cast("double")
+            - F.col("intercept")
+            - F.col("slope") * F.col("i").cast("double")
+        ).alias("e"),
+        "n_days",
+        "slope",
+        "intercept",
+    )
+    shifted = e.select((F.col("i") + 1).alias("i"), F.col("e").alias("e_prev"))
+    dsq = e.join(shifted, "i").agg(
+        _dsum18c(
+            (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev"))
+        ).alias("num")
+    )
+    esq = e.groupBy("n_days", "slope", "intercept").agg(
+        _dsum18c(F.col("e") * F.col("e")).alias("den")
+    )
+    res = esq.join(F.broadcast(dsq)).select(
+        "n_days",
+        F.round(F.col("slope"), 9).alias("slope"),
+        F.round(F.col("intercept"), 9).alias("intercept"),
+        F.round(
+            F.col("num") / F.nullif(F.col("den"), F.lit(0.0)), 9
+        ).alias("dw"),
+    )
+    return materialize_release(res, pin)
+
+
+Q297_SQL = f"""
+WITH {_DAILY_IDX_SQL}, stats AS (
+  SELECT CAST(count(*) AS DECIMAL(19,0)) AS n,
+         CAST(sum(CAST(i AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS si,
+         CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sx,
+         CAST(sum(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DECIMAL(25,0)) AS six,
+         CAST(sum(CAST(i AS DECIMAL(19,0)) * CAST(i AS DECIMAL(19,0)))
+              AS DECIMAL(25,0)) AS sii
+  FROM idx
+), params AS (
+  SELECT CAST(n AS BIGINT) AS n_days,
+         CAST(CAST(CAST(n * six AS DECIMAL(38,0))
+                   - CAST(si * sx AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE)
+         / CAST(NULLIF(CAST(CAST(n * sii AS DECIMAL(38,0))
+                            - CAST(si * si AS DECIMAL(38,0)) AS DECIMAL(38,0)),
+                       CAST(0 AS DECIMAL(38,0))) AS DOUBLE) AS slope,
+         sx, si, CAST(n AS DOUBLE) AS nd
+  FROM stats
+), params2 AS (
+  SELECT n_days, slope,
+         (CAST(sx AS DOUBLE) - slope * CAST(si AS DOUBLE)) / nd AS intercept
+  FROM params
+), e AS (
+  SELECT i,
+         CAST(x AS DOUBLE) - params2.intercept
+           - params2.slope * CAST(i AS DOUBLE) AS e,
+         params2.n_days, params2.slope, params2.intercept
+  FROM idx CROSS JOIN params2
+), dsq AS (
+  SELECT {_sql_dsum18c('(a.e - b.e) * (a.e - b.e)')} AS num
+  FROM e a JOIN e b ON a.i = b.i + 1
+), esq AS (
+  SELECT n_days, slope, intercept, {_sql_dsum18c('e * e')} AS den
+  FROM e GROUP BY n_days, slope, intercept
+)
+SELECT n_days, round(slope, 9) AS slope, round(intercept, 9) AS intercept,
+       round(num / NULLIF(den, 0.0), 9) AS dw
+FROM esq CROSS JOIN dsq
+"""
+
+
+# --------------------------------------------------------------------------
+# q299 — Wald-Wolfowitz runs test (randomness of daily volume about its
+# median)
+# --------------------------------------------------------------------------
+
+
+def q299_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of daily event volume about its median
+    → one row (n_above, n_below, runs, mu, z): is the sequence of
+    above/below-median days RANDOM, or does it clump (regime
+    persistence) / alternate (over-dispersion)? The distribution-free
+    sanity check between q295 (linear autocorrelation) and q289
+    (single changepoint): runs sees ANY departure from exchangeability
+    in sign space. Median-tied days are dropped (the standard rule);
+    the median is the LOWER median (the ⌈n/2⌉-th smallest, an exact
+    order statistic — no interpolation, q43's exact-percentile
+    posture).
+
+    EXACTNESS: run counting, n₊, n₋ are pure integers (a run starts
+    where the sign differs from the predecessor — the k=1
+    explode-shift pairing, never a window); μ = 1 + 2n₊n₋/m and
+    σ² = 2n₊n₋(2n₊n₋ − m)/(m²(m−1)) are fixed-order double
+    expressions of those integers; z = (R − μ)/σ NULLIF-guarded for
+    m ≤ 1 / σ = 0.
+
+    Shape: the shared `_daily_indexed` core + one dist_rank over the
+    (x, day) value order for the median pick (broadcast 1-row
+    scalar), a survivor re-rank, the k=1 shift join, 1-row
+    arithmetic.
+    """
+    from .common import dist_rank
+
+    idx, totals, pin = _daily_indexed(spark, sf_dir)
+    byval, pin2 = dist_rank(idx.select("day", "x"), ["x", "day"], out="vr")
+    med = (
+        byval.join(F.broadcast(totals))
+        .filter(F.col("vr") == F.floor((F.col("n").cast("double") + 1.0) / 2.0))
+        .select(F.col("x").alias("med"))
+    )
+    signed = (
+        idx.join(F.broadcast(med))
+        .filter(F.col("x") != F.col("med"))
+        .select("day", (F.col("x") > F.col("med")).alias("up"))
+    )
+    srank, pin3 = dist_rank(signed, ["day"], out="j")
+    shifted = srank.select((F.col("j") + 1).alias("j"), F.col("up").alias("up_prev"))
+    changes = srank.join(shifted, "j", "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.when(F.col("up"), 1).otherwise(0)).cast("bigint").alias("n_above"),
+        F.sum(
+            F.when(
+                F.col("up_prev").isNull() | (F.col("up") != F.col("up_prev")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = (F.col("m") - F.col("n_above")).cast("double")
+    md = F.col("m").cast("double")
+    mu = F.lit(1.0) + F.lit(2.0) * n1 * n2 / F.nullif(md, F.lit(0.0))
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - md)
+        / F.nullif(md * md * (md - F.lit(1.0)), F.lit(0.0))
+    )
+    z = (F.col("runs").cast("double") - mu) / F.nullif(
+        F.sqrt(F.nullif(var, F.lit(0.0))), F.lit(0.0)
+    )
+    res = changes.select(
+        "n_above",
+        (F.col("m") - F.col("n_above")).alias("n_below"),
+        "runs",
+        F.round(mu, 9).alias("mu"),
+        F.when((F.col("m") > 1), F.round(z, 9)).alias("z"),
+    )
+    return materialize_release(res, pin, pin2, pin3)
+
+
+Q299_SQL = f"""
+WITH {_DAILY_IDX_SQL}, byval AS (
+  SELECT day, x, CAST(row_number() OVER (ORDER BY x, day) AS BIGINT) AS vr
+  FROM idx
+), med AS (
+  SELECT x AS med FROM byval CROSS JOIN totals
+  WHERE vr = CAST(floor((CAST(totals.n AS DOUBLE) + 1.0) / 2.0) AS BIGINT)
+), signed AS (
+  SELECT day, idx.x > med.med AS up FROM idx CROSS JOIN med
+  WHERE idx.x <> med.med
+), srank AS (
+  SELECT day, up, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS j
+  FROM signed
+), changes AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CASE WHEN a.up THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         CAST(sum(CASE WHEN b.up IS NULL OR a.up <> b.up THEN 1 ELSE 0 END)
+              AS BIGINT) AS runs
+  FROM srank a LEFT JOIN srank b ON a.j = b.j + 1
+)
+SELECT n_above, m - n_above AS n_below, runs,
+       round(1.0 + 2.0 * CAST(n_above AS DOUBLE)
+                   * CAST(m - n_above AS DOUBLE)
+                   / NULLIF(CAST(m AS DOUBLE), 0.0), 9) AS mu,
+       CASE WHEN m > 1 THEN
+         round((CAST(runs AS DOUBLE)
+                - (1.0 + 2.0 * CAST(n_above AS DOUBLE)
+                         * CAST(m - n_above AS DOUBLE)
+                         / NULLIF(CAST(m AS DOUBLE), 0.0)))
+               / NULLIF(sqrt(NULLIF(
+                   2.0 * CAST(n_above AS DOUBLE) * CAST(m - n_above AS DOUBLE)
+                   * (2.0 * CAST(n_above AS DOUBLE)
+                      * CAST(m - n_above AS DOUBLE) - CAST(m AS DOUBLE))
+                   / NULLIF(CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                            * (CAST(m AS DOUBLE) - 1.0), 0.0), 0.0)), 0.0), 9)
+       END AS z
+FROM changes
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -7520,4 +8496,11 @@ RELATIONAL_QUERIES = {
     "q289_pettitt": (q289_pettitt, Q289_SQL),
     "q290_cuped": (q290_cuped, Q290_SQL),
     "q291_mcnemar": (q291_mcnemar, Q291_SQL),
+    "q292_logrank": (q292_logrank, Q292_SQL),
+    "q293_cliffs_delta": (q293_cliffs_delta, Q293_SQL),
+    "q294_cochran_q": (q294_cochran_q, Q294_SQL),
+    "q295_ljung_box": (q295_ljung_box, Q295_SQL),
+    "q296_binned_drift": (q296_binned_drift, Q296_SQL),
+    "q297_durbin_watson": (q297_durbin_watson, Q297_SQL),
+    "q299_runs_test": (q299_runs_test, Q299_SQL),
 }

@@ -11952,6 +11952,153 @@ ORDER BY s.label
 
 
 # --------------------------------------------------------------------------
+# q298 — simplified silhouette (per-label cohesion vs nearest other label)
+# --------------------------------------------------------------------------
+
+
+def q298_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the labeled embedding
+    space → (label, n_vecs, mean_sil, overall_sil): per point,
+    a = distance to its OWN label centroid, b = distance to the NEAREST
+    OTHER centroid, s = (b − a)/max(a, b); rows average s per label.
+    Completes the clustering-validity triad — CH (q285) is one global
+    variance ratio, DB (q286) scores each label's worst neighbor, the
+    silhouette scores each POINT and so catches labels whose MEMBERS
+    straddle a boundary even when the centroids look separated. The
+    centroid form (Hruschka et al.) rather than mean-pairwise: identical
+    ranking power for convex clusters at O(n·k) instead of the O(n²)
+    pair grid no 100 TB corpus survives.
+
+    EXACTNESS: d²(i, l) expands to ‖x_i‖² + ‖μ_l‖² − 2·x_i·μ_l with
+    each of the three sums DECIMAL(38,18)-quantized (`_dsum18`,
+    order-insensitive) and combined in ONE fixed-order double
+    expression; a/b are correctly-rounded √ of identical doubles, the
+    min over other labels is order-safe, s is one fixed-order
+    expression NULLIF-guarded for coincident centroids (max(a,b) = 0)
+    and k = 1 (no other label → NULL mean). Label means and the
+    overall mean divide `_dsum18` sums by non-null counts.
+
+    Shape: the `_label_moment_frames` core + ONE corpus × k·dims pass
+    (pos ⋈ broadcast centroid table on dim, map-side combinable into
+    (vec, label) dot products — the kmeans/IVF assignment shape), then
+    (n × k)-bounded arithmetic and a labels-bounded reduce.
+    """
+    f = _label_moment_frames(spark, sf_dir)
+    sxx = f["pos"].groupBy("vec_id", "label").agg(
+        _dsum18(F.col("x") * F.col("x")).alias("sxx")
+    )
+    smu2 = f["mu"].groupBy("label").agg(
+        _dsum18(F.col("mu") * F.col("mu")).alias("smu2")
+    )
+    mu_all = f["mu"].select(
+        F.col("label").alias("l2"), "dim", F.col("mu").alias("m2")
+    )
+    dot = (
+        f["pos"]
+        .join(F.broadcast(mu_all), "dim")
+        .groupBy("vec_id", "label", "l2")
+        .agg(_dsum18(F.col("x") * F.col("m2")).alias("dot"))
+    )
+    d2 = (
+        dot.join(
+            F.broadcast(smu2.select(F.col("label").alias("l2"), "smu2")), "l2"
+        )
+        .join(sxx, ["vec_id", "label"])
+        .select(
+            "vec_id",
+            "label",
+            "l2",
+            (
+                F.col("sxx") + F.col("smu2") - F.lit(2.0) * F.col("dot")
+            ).alias("d2"),
+        )
+    )
+    per_point = d2.groupBy("vec_id", "label").agg(
+        F.sqrt(
+            F.max(F.when(F.col("l2") == F.col("label"), F.col("d2")))
+        ).alias("a"),
+        F.sqrt(
+            F.min(F.when(F.col("l2") != F.col("label"), F.col("d2")))
+        ).alias("b"),
+    )
+    sil = per_point.select(
+        "label",
+        (
+            (F.col("b") - F.col("a"))
+            / F.nullif(F.greatest(F.col("a"), F.col("b")), F.lit(0.0))
+        ).alias("s"),
+    )
+    per_label = sil.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (_dsum18(F.col("s")) / F.count(F.col("s")).cast("double")).alias(
+            "mean_sil"
+        ),
+    )
+    overall = sil.agg(
+        (_dsum18(F.col("s")) / F.count(F.col("s")).cast("double")).alias(
+            "overall_sil"
+        )
+    )
+    return (
+        per_label.join(F.broadcast(overall))
+        .select(
+            "label",
+            "n_vecs",
+            F.round(F.col("mean_sil"), 9).alias("mean_sil"),
+            F.round(F.col("overall_sil"), 9).alias("overall_sil"),
+        )
+        .orderBy("label")
+    )
+
+
+Q298_SQL = f"""
+WITH {_LABEL_MOMENT_SQL},
+sxx AS (
+  SELECT vec_id, label, {_sql_dsum18('x * x')} AS sxx
+  FROM pos GROUP BY vec_id, label
+),
+smu2 AS (
+  SELECT label, {_sql_dsum18('mu * mu')} AS smu2 FROM mu GROUP BY label
+),
+dot AS (
+  SELECT pos.vec_id, pos.label, mu.label AS l2,
+         {_sql_dsum18('pos.x * mu.mu')} AS dot
+  FROM pos JOIN mu ON pos.dim = mu.dim
+  GROUP BY pos.vec_id, pos.label, mu.label
+),
+d2 AS (
+  SELECT dot.vec_id, dot.label, dot.l2,
+         sxx.sxx + smu2.smu2 - 2.0 * dot.dot AS d2
+  FROM dot JOIN smu2 ON dot.l2 = smu2.label
+  JOIN sxx ON dot.vec_id = sxx.vec_id AND dot.label = sxx.label
+),
+per_point AS (
+  SELECT vec_id, label,
+         sqrt(max(CASE WHEN l2 = label THEN d2 END)) AS a,
+         sqrt(min(CASE WHEN l2 <> label THEN d2 END)) AS b
+  FROM d2 GROUP BY vec_id, label
+),
+sil AS (
+  SELECT label, (b - a) / NULLIF(greatest(a, b), 0.0) AS s
+  FROM per_point
+),
+per_label AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         {_sql_dsum18('s')} / CAST(count(s) AS DOUBLE) AS mean_sil
+  FROM sil GROUP BY label
+),
+overall AS (
+  SELECT {_sql_dsum18('s')} / CAST(count(s) AS DOUBLE) AS overall_sil
+  FROM sil
+)
+SELECT label, n_vecs, round(mean_sil, 9) AS mean_sil,
+       round(overall.overall_sil, 9) AS overall_sil
+FROM per_label CROSS JOIN overall
+ORDER BY label
+"""
+
+
+# --------------------------------------------------------------------------
 # q287 — temperature-scaled mixture sweep (α ∈ {1, 1/2, 1/4})
 # --------------------------------------------------------------------------
 
@@ -13505,6 +13652,7 @@ TEXT_QUERIES = {
     "q284_cohens_kappa": (q284_cohens_kappa, Q284_SQL),
     "q285_calinski_harabasz": (q285_calinski_harabasz, Q285_SQL),
     "q286_davies_bouldin": (q286_davies_bouldin, Q286_SQL),
+    "q298_silhouette": (q298_silhouette, Q298_SQL),
     "q287_temperature_mixture": (q287_temperature_mixture, Q287_SQL),
     "q288_dim_robust_scaling": (q288_dim_robust_scaling, Q288_SQL),
 }

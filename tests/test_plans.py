@@ -285,6 +285,13 @@ BNLJ_ALLOWED = {
     "q289_pettitt": 3,  # 1-row n_days scalar broadcasts x3 (q89's class)
     "q290_cuped": 1,  # 1-row midpoint-day scalar broadcast (q89's class)
     "q291_mcnemar": 1,  # 1-row midpoint-day scalar broadcast (q89's class)
+    "q292_logrank": 6,  # 1-row max-day + arm-totals scalar broadcasts (q89's class)
+    "q293_cliffs_delta": 1,  # 1-row (n, tie-term) totals scalar broadcast (q266's class)
+    "q295_ljung_box": 11,  # 1-row n/S/den scalar broadcasts + the <=7-row lag-frame triangular broadcast join
+    "q296_binned_drift": 7,  # 1-row split/min-max + 1-row totals + 1-row term-total scalar broadcasts
+    "q297_durbin_watson": 4,  # 1-row sufficient-statistic + DW-numerator scalar broadcasts (q89's class)
+    "q298_silhouette": 1,  # 1-row overall-mean scalar broadcast (q89's class)
+    "q299_runs_test": 4,  # 1-row totals/median scalar broadcasts (q89's class)
 }
 
 
