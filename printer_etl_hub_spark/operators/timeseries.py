@@ -447,3 +447,232 @@ def pettitt_table(daily: DataFrame):
         )
     )
     return res, [pin1, pin2]
+
+def _d18(col):
+    """Order-insensitive exact sum of a double expression through
+    DECIMAL(38,18) (the statistic-term discipline)."""
+    return F.sum(col.cast("decimal(38,18)")).cast("double")
+
+
+def _indexed_daily(daily: DataFrame):
+    """(day, x) + a 1-based day-order index via dist_rank (never a
+    single-partition window) and the 1-row (n, s) totals. Shared core
+    of the Ljung-Box / Durbin-Watson / runs tables."""
+    from ..plans.common import dist_rank
+
+    idx, pin = dist_rank(daily, ["day"], out="i")
+    totals = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    return idx, totals, pin
+
+
+#: Ljung-Box lag battery (a week of daily lags).
+LB_MAX_LAG = 7
+
+
+def ljung_box_table(daily: DataFrame):
+    """q295's Ljung-Box arithmetic from a (day, x) daily frame —
+    factored here so the streaming twin
+    (`streaming/corpus.py::ljung_box_daily_sink`) applies the
+    IDENTICAL statistic to the incrementally-maintained daily store.
+    See the q295 docstring (plans/relational.py) for the integer
+    c_i = n·x_i − S cancellation and the explode-shift join shape.
+
+    Returns ``(df, pin)`` — release through materialize_release
+    (batch) or unpersist after the write (sink)."""
+    idx, totals, pin = _indexed_daily(daily)
+    dec19 = "decimal(19,0)"
+    c = idx.join(F.broadcast(totals)).select(
+        "i",
+        (F.col("n").cast(dec19) * F.col("x").cast(dec19) - F.col("s").cast(dec19))
+        .cast(dec19)
+        .alias("c"),
+    )
+    shifted = c.select(
+        F.explode(F.sequence(F.lit(1), F.lit(LB_MAX_LAG))).alias("lag"),
+        (F.col("i") + F.col("lag")).alias("i"),
+        F.col("c").alias("c_prev"),
+    ).select("lag", F.col("i").alias("i"), "c_prev")
+    pairs = c.join(shifted, "i")
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c_prev").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("num"),
+    )
+    den = c.agg(
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("den")
+    )
+    r = num.join(F.broadcast(den)).join(F.broadcast(totals)).select(
+        "lag",
+        "n_pairs",
+        (
+            F.col("num").cast("double")
+            / F.nullif(F.col("den"), F.lit(0).cast("decimal(38,0)")).cast("double")
+        ).alias("rho"),
+        "n",
+    )
+    rj = r.select(F.col("lag").alias("j"), F.col("rho").alias("rho_j"), "n")
+    lb = (
+        r.join(F.broadcast(rj.drop("n")), F.col("j") <= F.col("lag"))
+        .groupBy("lag", "n_pairs", "rho", "n")
+        .agg(
+            F.sum(
+                (
+                    F.col("rho_j")
+                    * F.col("rho_j")
+                    / (F.col("n").cast("double") - F.col("j").cast("double"))
+                ).cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("ssum")
+        )
+    )
+    res = lb.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.round(F.col("rho"), 9).alias("rho"),
+        F.round(
+            F.col("n").cast("double")
+            * (F.col("n").cast("double") + F.lit(2.0))
+            * F.col("ssum"),
+            9,
+        ).alias("lb_stat"),
+    ).orderBy("lag")
+    return res, pin
+
+
+def durbin_watson_table(daily: DataFrame):
+    """q297's Durbin-Watson arithmetic from a (day, x) daily frame —
+    factored for the streaming twin
+    (`streaming/corpus.py::durbin_watson_daily_sink`). See the q297
+    docstring for the integer sufficient statistics and residual
+    expression. Returns ``(one_row_df, pin)``."""
+    idx, _totals, pin = _indexed_daily(daily)
+    dec19 = "decimal(19,0)"
+    dec25 = "decimal(25,0)"
+    stats = idx.agg(
+        F.count(F.lit(1)).cast(dec19).alias("n"),
+        F.sum(F.col("i").cast(dec19)).cast(dec19).alias("si"),
+        F.sum(F.col("x").cast(dec19)).cast(dec19).alias("sx"),
+        F.sum(F.col("i").cast(dec19) * F.col("x").cast(dec19))
+        .cast(dec25)
+        .alias("six"),
+        F.sum(F.col("i").cast(dec19) * F.col("i").cast(dec19))
+        .cast(dec25)
+        .alias("sii"),
+    )
+    dec38 = "decimal(38,0)"
+    b_num = (
+        (F.col("n") * F.col("six")).cast(dec38)
+        - (F.col("si") * F.col("sx")).cast(dec38)
+    ).cast(dec38)
+    b_den = (
+        (F.col("n") * F.col("sii")).cast(dec38)
+        - (F.col("si") * F.col("si")).cast(dec38)
+    ).cast(dec38)
+    params = stats.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        (
+            b_num.cast("double")
+            / F.nullif(b_den, F.lit(0).cast(dec38)).cast("double")
+        ).alias("slope"),
+        "sx",
+        "si",
+        F.col("n").cast("double").alias("nd"),
+    ).select(
+        "n_days",
+        "slope",
+        (
+            (F.col("sx").cast("double") - F.col("slope") * F.col("si").cast("double"))
+            / F.col("nd")
+        ).alias("intercept"),
+    )
+    e = idx.join(F.broadcast(params)).select(
+        "i",
+        (
+            F.col("x").cast("double")
+            - F.col("intercept")
+            - F.col("slope") * F.col("i").cast("double")
+        ).alias("e"),
+        "n_days",
+        "slope",
+        "intercept",
+    )
+    shifted = e.select((F.col("i") + 1).alias("i"), F.col("e").alias("e_prev"))
+    dsq = e.join(shifted, "i").agg(
+        _d18(
+            (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev"))
+        ).alias("num")
+    )
+    esq = e.groupBy("n_days", "slope", "intercept").agg(
+        _d18(F.col("e") * F.col("e")).alias("den")
+    )
+    res = esq.join(F.broadcast(dsq)).select(
+        "n_days",
+        F.round(F.col("slope"), 9).alias("slope"),
+        F.round(F.col("intercept"), 9).alias("intercept"),
+        F.round(F.col("num") / F.nullif(F.col("den"), F.lit(0.0)), 9).alias("dw"),
+    )
+    return res, pin
+
+
+def runs_table(daily: DataFrame):
+    """q299's Wald-Wolfowitz runs arithmetic from a (day, x) daily
+    frame — factored for the streaming twin
+    (`streaming/corpus.py::runs_daily_sink`). See the q299 docstring
+    for the lower-median pick and the integer run counting. Returns
+    ``(one_row_df, pins)``."""
+    from ..plans.common import dist_rank
+
+    idx, totals, pin = _indexed_daily(daily)
+    byval, pin2 = dist_rank(idx.select("day", "x"), ["x", "day"], out="vr")
+    med = (
+        byval.join(F.broadcast(totals))
+        .filter(F.col("vr") == F.floor((F.col("n").cast("double") + 1.0) / 2.0))
+        .select(F.col("x").alias("med"))
+    )
+    signed = (
+        idx.join(F.broadcast(med))
+        .filter(F.col("x") != F.col("med"))
+        .select("day", (F.col("x") > F.col("med")).alias("up"))
+    )
+    srank, pin3 = dist_rank(signed, ["day"], out="j")
+    shifted = srank.select((F.col("j") + 1).alias("j"), F.col("up").alias("up_prev"))
+    changes = srank.join(shifted, "j", "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.when(F.col("up"), 1).otherwise(0)).cast("bigint").alias("n_above"),
+        F.sum(
+            F.when(
+                F.col("up_prev").isNull() | (F.col("up") != F.col("up_prev")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = (F.col("m") - F.col("n_above")).cast("double")
+    md = F.col("m").cast("double")
+    mu = F.lit(1.0) + F.lit(2.0) * n1 * n2 / F.nullif(md, F.lit(0.0))
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - md)
+        / F.nullif(md * md * (md - F.lit(1.0)), F.lit(0.0))
+    )
+    z = (F.col("runs").cast("double") - mu) / F.nullif(
+        F.sqrt(F.nullif(var, F.lit(0.0))), F.lit(0.0)
+    )
+    res = changes.select(
+        "n_above",
+        (F.col("m") - F.col("n_above")).alias("n_below"),
+        "runs",
+        F.round(mu, 9).alias("mu"),
+        F.when(F.col("m") > 1, F.round(z, 9)).alias("z"),
+    )
+    return res, [pin, pin2, pin3]

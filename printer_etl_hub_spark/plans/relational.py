@@ -7791,30 +7791,22 @@ FROM agg
 # --------------------------------------------------------------------------
 
 
-def _daily_indexed(spark: SparkSession, sf_dir: str):
-    """Shared daily-series core of q295/q297/q299: per-day event counts
-    with a 1-based day-order index from `dist_rank` (never a
-    single-partition window) plus the 1-row (n, s) totals. Returns
-    (indexed, totals, pin)."""
-    from .common import dist_rank
-
+def _daily_counts_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared (day, x) daily event-count frame q289/q295/q297/q299
+    and the streaming daily-store sinks all statistic over. The table
+    arithmetic itself lives in `operators/timeseries.py` (ljung_box /
+    durbin_watson / runs tables) so the sinks share it verbatim."""
     t = load_tables(spark, sf_dir)
-    daily = (
+    return (
         t["events"]
         .filter(F.col("ts").isNotNull())
         .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
     )
-    idx, pin = dist_rank(daily, ["day"], out="i")
-    totals = daily.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("s"),
-    )
-    return idx, totals, pin
 
 
-#: Oracle twin of `_daily_indexed` — CTEs ending in idx / totals.
+#: Oracle twin of the shared daily-series core — CTEs ending in idx / totals.
 _DAILY_IDX_SQL = """daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(count(*) AS BIGINT) AS x
@@ -7827,8 +7819,9 @@ _DAILY_IDX_SQL = """daily AS (
   FROM daily
 )"""
 
-#: Ljung-Box lag battery (a week of daily lags).
-_LB_MAX_LAG = 7
+#: Ljung-Box lag battery — single source of truth in
+#: operators/timeseries.py, shared with the streaming sink.
+from ..operators.timeseries import LB_MAX_LAG as _LB_MAX_LAG  # noqa: E402
 
 
 def q295_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7855,71 +7848,10 @@ def q295_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-predicate BNLJ over the series), lag-frame arithmetic on ≤7
     rows via a triangular self-join.
     """
-    idx, totals, pin = _daily_indexed(spark, sf_dir)
-    dec19 = "decimal(19,0)"
-    c = idx.join(F.broadcast(totals)).select(
-        "i",
-        (F.col("n").cast(dec19) * F.col("x").cast(dec19) - F.col("s").cast(dec19))
-        .cast(dec19)
-        .alias("c"),
-    )
-    shifted = c.select(
-        F.explode(
-            F.sequence(F.lit(1), F.lit(_LB_MAX_LAG))
-        ).alias("lag"),
-        (F.col("i") + F.col("lag")).alias("i"),
-        F.col("c").alias("c_prev"),
-    ).select("lag", (F.col("i")).alias("i"), "c_prev")
-    pairs = c.join(shifted, "i")
-    num = pairs.groupBy("lag").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c_prev").cast("decimal(19,0)"))
-        .cast("decimal(38,0)")
-        .alias("num"),
-    )
-    den = c.agg(
-        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
-        .cast("decimal(38,0)")
-        .alias("den")
-    )
-    r = num.join(F.broadcast(den)).join(F.broadcast(totals)).select(
-        "lag",
-        "n_pairs",
-        (
-            F.col("num").cast("double")
-            / F.nullif(F.col("den"), F.lit(0).cast("decimal(38,0)")).cast("double")
-        ).alias("rho"),
-        "n",
-    )
-    # cumulative over the ≤7-row lag frame: triangular self-join (28
-    # rows max), never a window
-    rj = r.select(F.col("lag").alias("j"), F.col("rho").alias("rho_j"), "n")
-    lb = (
-        r.join(F.broadcast(rj.drop("n")), F.col("j") <= F.col("lag"))
-        .groupBy("lag", "n_pairs", "rho", "n")
-        .agg(
-            F.sum(
-                (
-                    F.col("rho_j")
-                    * F.col("rho_j")
-                    / (F.col("n").cast("double") - F.col("j").cast("double"))
-                ).cast("decimal(38,18)")
-            )
-            .cast("double")
-            .alias("ssum")
-        )
-    )
-    res = lb.select(
-        F.col("lag").cast("int").alias("lag"),
-        "n_pairs",
-        F.round(F.col("rho"), 9).alias("rho"),
-        F.round(
-            F.col("n").cast("double")
-            * (F.col("n").cast("double") + F.lit(2.0))
-            * F.col("ssum"),
-            9,
-        ).alias("lb_stat"),
-    ).orderBy("lag")
+    from ..operators.timeseries import ljung_box_table
+
+    daily = _daily_counts_frame(spark, sf_dir)
+    res, pin = ljung_box_table(daily)
     return materialize_release(res, pin)
 
 
@@ -8148,79 +8080,15 @@ def q297_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-insensitive). NULLIF guards the degenerate n < 2 /
     zero-variance cases.
 
-    Shape: one daily pre-agg + dist_rank (shared `_daily_indexed`
+    Shape: one daily pre-agg + dist_rank (shared `_indexed_daily`
     core), a 1-row sufficient-statistic broadcast, and the k=1
     explode-shift equi-join for the lag pairing (q295's shape, one
     lag).
     """
-    idx, totals, pin = _daily_indexed(spark, sf_dir)
-    dec19 = "decimal(19,0)"
-    dec25 = "decimal(25,0)"
-    stats = idx.agg(
-        F.count(F.lit(1)).cast(dec19).alias("n"),
-        F.sum(F.col("i").cast(dec19)).cast(dec19).alias("si"),
-        F.sum(F.col("x").cast(dec19)).cast(dec19).alias("sx"),
-        F.sum(F.col("i").cast(dec19) * F.col("x").cast(dec19))
-        .cast(dec25)
-        .alias("six"),
-        F.sum(F.col("i").cast(dec19) * F.col("i").cast(dec19))
-        .cast(dec25)
-        .alias("sii"),
-    )
-    dec38 = "decimal(38,0)"
-    b_num = (
-        (F.col("n") * F.col("six")).cast(dec38)
-        - (F.col("si") * F.col("sx")).cast(dec38)
-    ).cast(dec38)
-    b_den = (
-        (F.col("n") * F.col("sii")).cast(dec38)
-        - (F.col("si") * F.col("si")).cast(dec38)
-    ).cast(dec38)
-    params = stats.select(
-        F.col("n").cast("bigint").alias("n_days"),
-        (
-            b_num.cast("double")
-            / F.nullif(b_den, F.lit(0).cast(dec38)).cast("double")
-        ).alias("slope"),
-        "sx",
-        "si",
-        F.col("n").cast("double").alias("nd"),
-    ).select(
-        "n_days",
-        "slope",
-        (
-            (F.col("sx").cast("double") - F.col("slope") * F.col("si").cast("double"))
-            / F.col("nd")
-        ).alias("intercept"),
-    )
-    e = idx.join(F.broadcast(params)).select(
-        "i",
-        (
-            F.col("x").cast("double")
-            - F.col("intercept")
-            - F.col("slope") * F.col("i").cast("double")
-        ).alias("e"),
-        "n_days",
-        "slope",
-        "intercept",
-    )
-    shifted = e.select((F.col("i") + 1).alias("i"), F.col("e").alias("e_prev"))
-    dsq = e.join(shifted, "i").agg(
-        _dsum18c(
-            (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev"))
-        ).alias("num")
-    )
-    esq = e.groupBy("n_days", "slope", "intercept").agg(
-        _dsum18c(F.col("e") * F.col("e")).alias("den")
-    )
-    res = esq.join(F.broadcast(dsq)).select(
-        "n_days",
-        F.round(F.col("slope"), 9).alias("slope"),
-        F.round(F.col("intercept"), 9).alias("intercept"),
-        F.round(
-            F.col("num") / F.nullif(F.col("den"), F.lit(0.0)), 9
-        ).alias("dw"),
-    )
+    from ..operators.timeseries import durbin_watson_table
+
+    daily = _daily_counts_frame(spark, sf_dir)
+    res, pin = durbin_watson_table(daily)
     return materialize_release(res, pin)
 
 
@@ -8291,60 +8159,16 @@ def q299_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions of those integers; z = (R − μ)/σ NULLIF-guarded for
     m ≤ 1 / σ = 0.
 
-    Shape: the shared `_daily_indexed` core + one dist_rank over the
+    Shape: the shared `_indexed_daily` core + one dist_rank over the
     (x, day) value order for the median pick (broadcast 1-row
     scalar), a survivor re-rank, the k=1 shift join, 1-row
     arithmetic.
     """
-    from .common import dist_rank
+    from ..operators.timeseries import runs_table
 
-    idx, totals, pin = _daily_indexed(spark, sf_dir)
-    byval, pin2 = dist_rank(idx.select("day", "x"), ["x", "day"], out="vr")
-    med = (
-        byval.join(F.broadcast(totals))
-        .filter(F.col("vr") == F.floor((F.col("n").cast("double") + 1.0) / 2.0))
-        .select(F.col("x").alias("med"))
-    )
-    signed = (
-        idx.join(F.broadcast(med))
-        .filter(F.col("x") != F.col("med"))
-        .select("day", (F.col("x") > F.col("med")).alias("up"))
-    )
-    srank, pin3 = dist_rank(signed, ["day"], out="j")
-    shifted = srank.select((F.col("j") + 1).alias("j"), F.col("up").alias("up_prev"))
-    changes = srank.join(shifted, "j", "left").agg(
-        F.count(F.lit(1)).cast("bigint").alias("m"),
-        F.sum(F.when(F.col("up"), 1).otherwise(0)).cast("bigint").alias("n_above"),
-        F.sum(
-            F.when(
-                F.col("up_prev").isNull() | (F.col("up") != F.col("up_prev")), 1
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("runs"),
-    )
-    n1 = F.col("n_above").cast("double")
-    n2 = (F.col("m") - F.col("n_above")).cast("double")
-    md = F.col("m").cast("double")
-    mu = F.lit(1.0) + F.lit(2.0) * n1 * n2 / F.nullif(md, F.lit(0.0))
-    var = (
-        F.lit(2.0)
-        * n1
-        * n2
-        * (F.lit(2.0) * n1 * n2 - md)
-        / F.nullif(md * md * (md - F.lit(1.0)), F.lit(0.0))
-    )
-    z = (F.col("runs").cast("double") - mu) / F.nullif(
-        F.sqrt(F.nullif(var, F.lit(0.0))), F.lit(0.0)
-    )
-    res = changes.select(
-        "n_above",
-        (F.col("m") - F.col("n_above")).alias("n_below"),
-        "runs",
-        F.round(mu, 9).alias("mu"),
-        F.when((F.col("m") > 1), F.round(z, 9)).alias("z"),
-    )
-    return materialize_release(res, pin, pin2, pin3)
+    daily = _daily_counts_frame(spark, sf_dir)
+    res, pins = runs_table(daily)
+    return materialize_release(res, *pins)
 
 
 Q299_SQL = f"""

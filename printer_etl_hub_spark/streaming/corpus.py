@@ -972,6 +972,67 @@ def holt_winters_daily_sink(
     )
 
 
+def ljung_box_daily_sink(
+    daily_dir: str, out_dir: str, ts_col: str = "ts", compact_every: int = 64
+):
+    """foreachBatch sink: incrementally-maintained Ljung-Box lag
+    battery — the streaming twin of q295 (plans/relational.py),
+    sharing its statistic verbatim via
+    `operators/timeseries.py::ljung_box_table` on the shared
+    daily-store protocol (`_daily_store_sink`). ORDER-INSENSITIVE like
+    the rest of the daily family: per-day counts are mergeable sums
+    and the statistic recomputes off the |days|-bounded store each
+    batch. Writes ``<out_dir>/current``.
+
+    Equivalence contract (tests/test_streaming.py): after ANY
+    partitioning — ordered or not, compaction triggered or not, crash
+    debris or not — the final current table equals q295's batch
+    output over the same rows.
+    """
+    from ..operators.timeseries import ljung_box_table
+
+    return _daily_store_sink(
+        daily_dir, out_dir, {"current": ljung_box_table},
+        ts_col=ts_col, compact_every=compact_every,
+    )
+
+
+def durbin_watson_daily_sink(
+    daily_dir: str, out_dir: str, ts_col: str = "ts", compact_every: int = 64
+):
+    """foreachBatch sink: incrementally-maintained Durbin-Watson
+    residual-autocorrelation readout — the streaming twin of q297,
+    sharing `operators/timeseries.py::durbin_watson_table` on the
+    shared daily-store protocol. Order-insensitive (daily family).
+    Writes ``<out_dir>/current``; equivalence contract as the rest of
+    the family (tests/test_streaming.py).
+    """
+    from ..operators.timeseries import durbin_watson_table
+
+    return _daily_store_sink(
+        daily_dir, out_dir, {"current": durbin_watson_table},
+        ts_col=ts_col, compact_every=compact_every,
+    )
+
+
+def runs_daily_sink(
+    daily_dir: str, out_dir: str, ts_col: str = "ts", compact_every: int = 64
+):
+    """foreachBatch sink: incrementally-maintained Wald-Wolfowitz runs
+    readout — the streaming twin of q299, sharing
+    `operators/timeseries.py::runs_table` on the shared daily-store
+    protocol. Order-insensitive (daily family). Writes
+    ``<out_dir>/current``; equivalence contract as the rest of the
+    family (tests/test_streaming.py).
+    """
+    from ..operators.timeseries import runs_table
+
+    return _daily_store_sink(
+        daily_dir, out_dir, {"current": runs_table},
+        ts_col=ts_col, compact_every=compact_every,
+    )
+
+
 def attribution_sink(
     state_dir: str,
     trans_dir: str,

@@ -2751,12 +2751,15 @@ def test_deadline_funnel_sink_repair_converges_on_disordered_feed(
         ("wilcoxon_weekly_sink", [("current", "q282_wilcoxon_signed")]),
         ("pettitt_daily_sink", [("current", "q289_pettitt")]),
         ("holt_winters_daily_sink", [("current", "q271_holt_winters")]),
+        ("ljung_box_daily_sink", [("current", "q295_ljung_box")]),
+        ("durbin_watson_daily_sink", [("current", "q297_durbin_watson")]),
+        ("runs_daily_sink", [("current", "q299_runs_test")]),
     ],
 )
 def test_daily_sinks_survive_crash_and_redelivery(
     spark, tmp_path, factory_name, checks
 ):
-    """VERDICT r12 #5: ALL five daily-store sinks through ONE shared
+    """VERDICT r12 #5: ALL daily-store sinks through ONE shared
     adversarial schedule — not per-sink happy-path splits. The events
     table feeds in six DISORDERED slices (event_id mod 6: every slice
     spans the full ts range) with compact_every=2, so the store folds
