@@ -355,6 +355,14 @@ HEADLINE = [
     "q297_durbin_watson",
     "q298_silhouette",
     "q299_runs_test",
+    # Round 13 second batch: one-way ANOVA, curriculum phases, Cohen's
+    # d, Mantel-Haenszel, Fleiss' kappa, Chow structural break.
+    "q300_anova_f",
+    "q301_curriculum_phases",
+    "q302_cohens_d",
+    "q303_mantel_haenszel",
+    "q304_fleiss_kappa",
+    "q305_chow_test",
 ]
 
 

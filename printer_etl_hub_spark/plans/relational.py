@@ -8211,6 +8211,561 @@ FROM changes
 """
 
 
+# --------------------------------------------------------------------------
+# q300 — one-way ANOVA F (value by event type)
+# --------------------------------------------------------------------------
+
+
+def q300_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of ``value`` across event types → one row
+    (k_groups, n_total, ssb, ssw, f_stat): the PARAMETRIC member the
+    rank family was missing — q278 (Kruskal-Wallis) is its
+    distribution-free twin, q283 (Brown-Forsythe) tests the variance
+    precondition this F assumes. SSB = Σ n_g(m_g − m)², SSW =
+    Σ_g (Σv² − (Σv)²/n_g), F = (SSB/(k−1)) / (SSW/(N−k)).
+
+    EXACTNESS: v quantizes ONCE to DECIMAL(12,6) (the q265 posture —
+    a 6-decimal quantum dwarfs double-representation error, where a
+    scale-18 cast of a value-magnitude double is engine-divergent);
+    Σv and Σv² are then EXACT decimal sums (the square is a decimal
+    product of the quantized value, not a double), so both engines
+    derive means from identical integers; per-group SSW/SSB
+    contributions are fixed-order double expressions of those exact
+    operands — identical doubles in both engines — summed across the
+    |types|-row frame through DECIMAL(25,6) (plans/common.py::dsum:
+    the 0.5e-6 quantization margin dwarfs double-representation
+    error, where a scale-18 quantization of a 10⁵-magnitude double
+    sits INSIDE it — the empirical lesson this query taught).
+    NaN excluded and −0.0 normalized before grouping (the
+    q266 float-portability pins); NULLIF guards k < 2, N ≤ k,
+    SSW = 0.
+
+    Shape: one (type)-keyed groupBy over the cleaned pool (the only
+    corpus-sized stage, map-side combinable), then |types|-row
+    arithmetic with one 1-row broadcast.
+    """
+    t = load_tables(spark, sf_dir)
+    v = F.col("value")
+    pool = t["events"].filter(
+        F.col("event_type").isNotNull() & v.isNotNull() & ~F.isnan(v)
+    ).select(
+        "event_type",
+        F.when(v == 0.0, F.lit(0.0)).otherwise(v).alias("v"),
+    )
+    v6 = F.col("v").cast("decimal(12,6)")
+    per_g = pool.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(v6).cast("decimal(38,6)").cast("double").alias("sv"),
+        F.sum(v6 * v6).cast("decimal(38,12)").cast("double").alias("svv"),
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("n_g").cast("bigint").alias("n_total"),
+        F.sum(F.col("sv").cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("sv_all"),
+    )
+    j = per_g.join(F.broadcast(tot))
+    m_all = F.col("sv_all") / F.col("n_total").cast("double")
+    m_g = F.col("sv") / F.col("n_g").cast("double")
+    ssw_g = F.col("svv") - F.col("sv") * F.col("sv") / F.col("n_g").cast("double")
+    ssb_g = F.col("n_g").cast("double") * (m_g - m_all) * (m_g - m_all)
+    agg = j.groupBy("k_groups", "n_total").agg(
+        dsum(ssw_g).alias("ssw"),
+        dsum(ssb_g).alias("ssb"),
+    )
+    kd = F.col("k_groups").cast("double")
+    nd = F.col("n_total").cast("double")
+    f_stat = (F.col("ssb") / F.nullif(kd - 1.0, F.lit(0.0))) / F.nullif(
+        F.col("ssw") / F.nullif(nd - kd, F.lit(0.0)), F.lit(0.0)
+    )
+    guard = (F.col("k_groups") > 1) & (F.col("n_total") > F.col("k_groups"))
+    return agg.select(
+        "k_groups",
+        "n_total",
+        F.round(F.col("ssb"), 9).alias("ssb"),
+        F.round(F.col("ssw"), 9).alias("ssw"),
+        F.when(guard, F.round(f_stat, 9)).alias("f_stat"),
+    )
+
+
+Q300_SQL = f"""
+WITH pool AS (
+  SELECT event_type, CASE WHEN value = 0 THEN 0.0 ELSE value END AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), per_g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(CAST(sum(CAST(v AS DECIMAL(12,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sv,
+         CAST(CAST(sum(CAST(v AS DECIMAL(12,6)) * CAST(v AS DECIMAL(12,6)))
+                   AS DECIMAL(38,12)) AS DOUBLE) AS svv
+  FROM pool GROUP BY event_type
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+         CAST(sum(n_g) AS BIGINT) AS n_total,
+         CAST(CAST(sum(CAST(sv AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE)
+           AS sv_all
+  FROM per_g
+), agg AS (
+  SELECT tot.k_groups, tot.n_total,
+         {sql_dsum('svv - sv * sv / CAST(n_g AS DOUBLE)')} AS ssw,
+         {sql_dsum(
+             "CAST(n_g AS DOUBLE)"
+             " * (sv / CAST(n_g AS DOUBLE) - sv_all / CAST(n_total AS DOUBLE))"
+             " * (sv / CAST(n_g AS DOUBLE) - sv_all / CAST(n_total AS DOUBLE))"
+         )} AS ssb
+  FROM per_g CROSS JOIN tot
+  GROUP BY tot.k_groups, tot.n_total
+)
+SELECT k_groups, n_total, round(ssb, 9) AS ssb, round(ssw, 9) AS ssw,
+       CASE WHEN k_groups > 1 AND n_total > k_groups THEN
+         round((ssb / NULLIF(CAST(k_groups AS DOUBLE) - 1.0, 0.0))
+               / NULLIF(ssw / NULLIF(CAST(n_total AS DOUBLE)
+                                     - CAST(k_groups AS DOUBLE), 0.0), 0.0), 9)
+       END AS f_stat
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# q302 — Cohen's d / Hedges' g (arm effect size on per-user activity)
+# --------------------------------------------------------------------------
+
+
+def q302_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g between the experiment arms on per-user
+    event counts → one row (n_a, n_b, mean_a, mean_b, pooled_sd, d, g):
+    the STANDARDIZED effect size q279's Welch t leaves implicit — a t
+    says significant, d says how many pooled standard deviations apart,
+    and Hedges' J = 1 − 3/(4·df − 1) removes the small-sample bias.
+    q293 is the rank-scale sibling (ordinal δ); this is the
+    interval-scale one.
+
+    EXACTNESS: per-user counts are integers, so all five sufficient
+    statistics are exact DECIMAL(38,0) (q279's conventions, same arm
+    hash); means, the pooled variance ((n_a−1)s_a² + (n_b−1)s_b²)/df
+    with n·Σx² − (Σx)² assembled in DECIMAL(38,0), and d/J/g are
+    fixed-order double expressions, NULLIF-guarded for empty/singleton
+    arms and zero pooled variance.
+
+    Shape: one per-user groupBy (the only corpus-sized stage), 1-row
+    arithmetic after.
+    """
+    from ..operators.experiment import ab_arm
+
+    t = load_tables(spark, sf_dir)
+    per_user = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select(ab_arm(F.col("user_id")).alias("arm_a"), "x")
+    )
+    dec = "decimal(38,0)"
+    dec19 = "decimal(19,0)"
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm_a"), F.col("x")).otherwise(0)).cast(dec).alias("s_a"),
+        F.sum(F.when(~F.col("arm_a"), F.col("x")).otherwise(0)).cast(dec).alias("s_b"),
+        F.sum(
+            F.when(F.col("arm_a"), F.col("x").cast(dec19) * F.col("x")).otherwise(0)
+        ).cast(dec).alias("q_a"),
+        F.sum(
+            F.when(~F.col("arm_a"), F.col("x").cast(dec19) * F.col("x")).otherwise(0)
+        ).cast(dec).alias("q_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mean_a = F.col("s_a").cast("double") / F.nullif(na, F.lit(0.0))
+    mean_b = F.col("s_b").cast("double") / F.nullif(nb, F.lit(0.0))
+    ssq_a = (
+        (F.col("n_a").cast(dec) * F.col("q_a") - F.col("s_a") * F.col("s_a"))
+        .cast(dec)
+        .cast("double")
+        / F.nullif(na, F.lit(0.0))
+    )
+    ssq_b = (
+        (F.col("n_b").cast(dec) * F.col("q_b") - F.col("s_b") * F.col("s_b"))
+        .cast(dec)
+        .cast("double")
+        / F.nullif(nb, F.lit(0.0))
+    )
+    df = na + nb - F.lit(2.0)
+    sp = F.sqrt((ssq_a + ssq_b) / F.nullif(df, F.lit(0.0)))
+    d = (mean_a - mean_b) / F.nullif(sp, F.lit(0.0))
+    jcorr = F.lit(1.0) - F.lit(3.0) / F.nullif(
+        F.lit(4.0) * df - F.lit(1.0), F.lit(0.0)
+    )
+    guard = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 9).alias("mean_a"),
+        F.round(mean_b, 9).alias("mean_b"),
+        F.when(guard, F.round(sp, 9)).alias("pooled_sd"),
+        F.when(guard, F.round(d, 9)).alias("d"),
+        F.when(guard, F.round(d * jcorr, 9)).alias("g"),
+    )
+
+
+Q302_SQL = f"""
+WITH per_user AS (
+  SELECT (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':{_AB_SALT}'), 1, 15)) AS BIGINT) % 2) = 0 AS arm_a,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), agg AS (
+  SELECT
+    CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN arm_a THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END)
+         AS DECIMAL(38,0)) AS s_a,
+    CAST(sum(CASE WHEN NOT arm_a THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END)
+         AS DECIMAL(38,0)) AS s_b,
+    CAST(sum(CASE WHEN arm_a THEN CAST(x AS DECIMAL(19,0)) * x ELSE 0 END)
+         AS DECIMAL(38,0)) AS q_a,
+    CAST(sum(CASE WHEN NOT arm_a THEN CAST(x AS DECIMAL(19,0)) * x ELSE 0 END)
+         AS DECIMAL(38,0)) AS q_b
+  FROM per_user
+), d AS (
+  SELECT n_a, n_b,
+    CAST(s_a AS DOUBLE) / CAST(NULLIF(n_a, 0) AS DOUBLE) AS mean_a,
+    CAST(s_b AS DOUBLE) / CAST(NULLIF(n_b, 0) AS DOUBLE) AS mean_b,
+    CAST(CAST(CAST(n_a AS DECIMAL(38,0)) * q_a - s_a * s_a AS DECIMAL(38,0))
+         AS DOUBLE) / CAST(NULLIF(n_a, 0) AS DOUBLE) AS ssq_a,
+    CAST(CAST(CAST(n_b AS DECIMAL(38,0)) * q_b - s_b * s_b AS DECIMAL(38,0))
+         AS DOUBLE) / CAST(NULLIF(n_b, 0) AS DOUBLE) AS ssq_b,
+    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0 AS df
+  FROM agg
+)
+SELECT n_a, n_b, round(mean_a, 9) AS mean_a, round(mean_b, 9) AS mean_b,
+  CASE WHEN n_a > 1 AND n_b > 1 THEN
+    round(sqrt((ssq_a + ssq_b) / NULLIF(df, 0.0)), 9) END AS pooled_sd,
+  CASE WHEN n_a > 1 AND n_b > 1 THEN
+    round((mean_a - mean_b)
+          / NULLIF(sqrt((ssq_a + ssq_b) / NULLIF(df, 0.0)), 0.0), 9)
+  END AS d,
+  CASE WHEN n_a > 1 AND n_b > 1 THEN
+    round(((mean_a - mean_b)
+           / NULLIF(sqrt((ssq_a + ssq_b) / NULLIF(df, 0.0)), 0.0))
+          * (1.0 - 3.0 / NULLIF(4.0 * df - 1.0, 0.0)), 9)
+  END AS g
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# q303 — Mantel-Haenszel stratified 2×2 (arm × conversion by signup dow)
+# --------------------------------------------------------------------------
+
+
+def q303_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified purchase-rate readout →
+    (stratum, a, b, c, d, or_stratum, or_mh, cmh) with one row per
+    stratum: does arm A's traffic purchase at a higher rate
+    CONTROLLING for day-of-week? Strata are the event's weekday
+    (0 = Monday) — the mix q229 shows is far from uniform — so a
+    Simpson-paradox flip (a pooled table mixes weekday traffic
+    differently per arm) is visible instead of averaged away. Units
+    are EVENTS (the pipeline-audit read; user-level outcomes are
+    degenerate in this corpus — every active user eventually
+    purchases, the q294 lesson — and within-user clustering is the
+    documented caveat, as for any naive CMH over log lines).
+    OR_MH = Σ(a_s·d_s/n_s)/Σ(b_s·c_s/n_s), CMH = (Σa_s − ΣE_s)²/ΣV_s
+    with the hypergeometric E/V per stratum (uncorrected — q291
+    carries the continuity-corrected member).
+
+    EXACTNESS: the 2×2 cells per stratum are exact integers; each
+    stratum's r/s/E/V terms are fixed-order double expressions of
+    those integers, summed across the ≤7 strata through
+    DECIMAL(38,18) (safe here: identical doubles, O(1)-to-10⁵
+    magnitudes, 9dp output); or/cmh are NULLIF-guarded (empty
+    margins, zero variance). Arm hash is q250/q290's.
+
+    Shape: one event-level conditional-count groupBy (the only
+    corpus-sized stage, map-side combinable), a 7-row stratum
+    aggregation, one 1-row broadcast of the pooled terms.
+    """
+    from ..operators.experiment import ab_arm
+
+    t = load_tables(spark, sf_dir)
+    units = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            ab_arm(F.col("user_id")).alias("arm_a"),
+            F.weekday(F.date_trunc("day", F.col("ts")).cast("date"))
+            .cast("int")
+            .alias("stratum"),
+            F.when(F.col("event_type") == _ATTR_CONV_TYPE, 1)
+            .otherwise(0)
+            .alias("conv"),
+        )
+    )
+    cells = units.groupBy("stratum").agg(
+        F.sum(F.when(F.col("arm_a") & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("arm_a") & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~F.col("arm_a") & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(~F.col("arm_a") & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    ad_, bd_, cd_, dd_ = (F.col(c).cast("double") for c in ("a", "b", "c", "d"))
+    nd_ = ad_ + bd_ + cd_ + dd_
+    r_s = ad_ * dd_ / F.nullif(nd_, F.lit(0.0))
+    s_s = bd_ * cd_ / F.nullif(nd_, F.lit(0.0))
+    e_s = (ad_ + bd_) * (ad_ + cd_) / F.nullif(nd_, F.lit(0.0))
+    v_s = (
+        (ad_ + bd_) * (cd_ + dd_) * (ad_ + cd_) * (bd_ + dd_)
+        / F.nullif(nd_ * nd_ * (nd_ - F.lit(1.0)), F.lit(0.0))
+    )
+    terms = cells.select(
+        "stratum", "a", "b", "c", "d",
+        (ad_ * dd_ / F.nullif(bd_ * cd_, F.lit(0.0))).alias("or_stratum"),
+        r_s.alias("r_s"), s_s.alias("s_s"), e_s.alias("e_s"), v_s.alias("v_s"),
+    )
+    pooled = terms.agg(
+        F.sum("a").cast("bigint").alias("sum_a"),
+        _dsum18c(F.col("r_s")).alias("sr"),
+        _dsum18c(F.col("s_s")).alias("ss"),
+        _dsum18c(F.col("e_s")).alias("se"),
+        _dsum18c(F.coalesce(F.col("v_s"), F.lit(0.0))).alias("sv"),
+    )
+    or_mh = F.col("sr") / F.nullif(F.col("ss"), F.lit(0.0))
+    dev = F.col("sum_a").cast("double") - F.col("se")
+    cmh = dev * dev / F.nullif(F.col("sv"), F.lit(0.0))
+    return (
+        terms.join(F.broadcast(pooled))
+        .select(
+            "stratum", "a", "b", "c", "d",
+            F.round(F.col("or_stratum"), 9).alias("or_stratum"),
+            F.round(or_mh, 9).alias("or_mh"),
+            F.round(cmh, 9).alias("cmh"),
+        )
+        .orderBy("stratum")
+    )
+
+
+Q303_SQL = f"""
+WITH units AS (
+  SELECT (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':{_AB_SALT}'), 1, 15)) AS BIGINT) % 2) = 0 AS arm_a,
+         CAST(isodow(CAST(date_trunc('day', ts) AS DATE)) - 1 AS INT) AS stratum,
+         CASE WHEN event_type = '{_ATTR_CONV_TYPE}' THEN 1 ELSE 0 END AS conv
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), cells AS (
+  SELECT stratum,
+         CAST(sum(CASE WHEN arm_a AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN arm_a AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN NOT arm_a AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN NOT arm_a AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM units GROUP BY stratum
+), terms AS (
+  SELECT stratum, a, b, c, d,
+         CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+           / NULLIF(CAST(b AS DOUBLE) * CAST(c AS DOUBLE), 0.0) AS or_stratum,
+         CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+           / NULLIF(CAST(a + b + c + d AS DOUBLE), 0.0) AS r_s,
+         CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+           / NULLIF(CAST(a + b + c + d AS DOUBLE), 0.0) AS s_s,
+         CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+           / NULLIF(CAST(a + b + c + d AS DOUBLE), 0.0) AS e_s,
+         CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+           * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+           / NULLIF(CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE)
+                    * (CAST(a + b + c + d AS DOUBLE) - 1.0), 0.0) AS v_s
+  FROM cells
+), pooled AS (
+  SELECT CAST(sum(a) AS BIGINT) AS sum_a,
+         {_sql_dsum18c('r_s')} AS sr, {_sql_dsum18c('s_s')} AS ss,
+         {_sql_dsum18c('e_s')} AS se,
+         {_sql_dsum18c('COALESCE(v_s, 0.0)')} AS sv
+  FROM terms
+)
+SELECT stratum, a, b, c, d, round(or_stratum, 9) AS or_stratum,
+       round(sr / NULLIF(ss, 0.0), 9) AS or_mh,
+       round((CAST(sum_a AS DOUBLE) - se) * (CAST(sum_a AS DOUBLE) - se)
+             / NULLIF(sv, 0.0), 9) AS cmh
+FROM terms CROSS JOIN pooled
+ORDER BY stratum
+"""
+
+
+# --------------------------------------------------------------------------
+# q305 — Chow structural-break test (daily trend, split at the midpoint)
+# --------------------------------------------------------------------------
+
+
+def q305_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break in the daily-volume trend at
+    the corpus midpoint → one row (n_days, n_pre, n_post, ssr_pooled,
+    ssr_pre, ssr_post, f_stat): did the level/trend REGIME change, not
+    just drift? The parametric known-breakpoint complement of q289
+    (Pettitt finds an unknown changepoint nonparametrically) and q230
+    (CUSUM tracks the level only): F = ((SSR_p − SSR_1 − SSR_2)/2) /
+    ((SSR_1 + SSR_2)/(n − 4)) over the q297 regression, split at the
+    q290 midpoint convention (min day + 15).
+
+    EXACTNESS: each segment's five sufficient statistics are exact
+    DECIMALs over the `dist_rank` day index (the pooled ones are their
+    SUMS — re-aggregated, not re-scanned); every SSR is one
+    fixed-order double expression of those integers; NULLIF guards
+    degenerate segments (n < 3 a side), zero regressor variance, and
+    zero residual variance.
+
+    Shape: one daily pre-agg + dist_rank (the shared q297 core), a
+    2-row segment aggregation, 1-row arithmetic.
+    """
+    from .common import dist_rank
+
+    daily = _daily_counts_frame(spark, sf_dir)
+    idx, pin = dist_rank(daily, ["day"], out="i")
+    mid = daily.agg(F.date_add(F.min("day"), 15).alias("mid_day"))
+    dec19 = "decimal(19,0)"
+    dec25 = "decimal(25,0)"
+    seg = (
+        idx.join(F.broadcast(mid))
+        .select((F.col("day") < F.col("mid_day")).alias("pre"), "i", "x")
+        .groupBy("pre")
+        .agg(
+            F.count(F.lit(1)).cast(dec19).alias("n"),
+            F.sum(F.col("i").cast(dec19)).cast(dec19).alias("si"),
+            F.sum(F.col("x").cast(dec19)).cast(dec19).alias("sx"),
+            F.sum(F.col("i").cast(dec19) * F.col("x").cast(dec19))
+            .cast(dec25)
+            .alias("six"),
+            F.sum(F.col("i").cast(dec19) * F.col("i").cast(dec19))
+            .cast(dec25)
+            .alias("sii"),
+            F.sum(F.col("x").cast(dec19) * F.col("x").cast(dec19))
+            .cast(dec25)
+            .alias("sxx"),
+        )
+    )
+
+    def _ssr(n, si, sx, six, sii, sxx):
+        nd = n.cast("double")
+        syy_c = sxx.cast("double") - sx.cast("double") * sx.cast("double") / nd
+        sxy_c = six.cast("double") - si.cast("double") * sx.cast("double") / nd
+        sii_c = sii.cast("double") - si.cast("double") * si.cast("double") / nd
+        return syy_c - sxy_c * sxy_c / F.nullif(sii_c, F.lit(0.0))
+
+    pooled = seg.agg(
+        F.sum("n").cast(dec19).alias("n"),
+        F.sum("si").cast(dec19).alias("si"),
+        F.sum("sx").cast(dec19).alias("sx"),
+        F.sum("six").cast(dec25).alias("six"),
+        F.sum("sii").cast(dec25).alias("sii"),
+        F.sum("sxx").cast(dec25).alias("sxx"),
+        F.sum(F.when(F.col("pre"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_pre"),
+    )
+    per = seg.select(
+        "pre",
+        F.col("n").cast("bigint").alias("n_s"),
+        _ssr(
+            F.col("n"), F.col("si"), F.col("sx"),
+            F.col("six"), F.col("sii"), F.col("sxx"),
+        ).alias("ssr_s"),
+    )
+    wide = per.groupBy().pivot("pre", [True, False]).agg(
+        F.first("n_s").alias("n"), F.first("ssr_s").alias("ssr")
+    )
+    j = wide.join(
+        F.broadcast(
+            pooled.select(
+                F.col("n").cast("bigint").alias("n_days"),
+                _ssr(
+                    F.col("n"), F.col("si"), F.col("sx"),
+                    F.col("six"), F.col("sii"), F.col("sxx"),
+                ).alias("ssr_p"),
+            )
+        )
+    )
+    n1 = F.coalesce(F.col("true_n"), F.lit(0)).cast("double")
+    n2 = F.coalesce(F.col("false_n"), F.lit(0)).cast("double")
+    s1 = F.col("true_ssr")
+    s2 = F.col("false_ssr")
+    f_stat = ((F.col("ssr_p") - s1 - s2) / F.lit(2.0)) / F.nullif(
+        (s1 + s2) / F.nullif(n1 + n2 - F.lit(4.0), F.lit(0.0)), F.lit(0.0)
+    )
+    guard = (n1 >= 3) & (n2 >= 3)
+    return j.select(
+        "n_days",
+        F.coalesce(F.col("true_n"), F.lit(0)).cast("bigint").alias("n_pre"),
+        F.coalesce(F.col("false_n"), F.lit(0)).cast("bigint").alias("n_post"),
+        F.round(F.col("ssr_p"), 9).alias("ssr_pooled"),
+        F.round(s1, 9).alias("ssr_pre"),
+        F.round(s2, 9).alias("ssr_post"),
+        F.when(guard, F.round(f_stat, 9)).alias("f_stat"),
+    )
+
+
+_CHOW_SSR = (
+    "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+    " - (CAST(six AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sx AS DOUBLE)"
+    "    / CAST(n AS DOUBLE))"
+    "   * (CAST(six AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sx AS DOUBLE)"
+    "      / CAST(n AS DOUBLE))"
+    "   / NULLIF(CAST(sii AS DOUBLE) - CAST(si AS DOUBLE)"
+    "            * CAST(si AS DOUBLE) / CAST(n AS DOUBLE), 0.0)"
+)
+
+Q305_SQL = f"""
+WITH {_DAILY_IDX_SQL}, mid AS (
+  SELECT min(day) + 15 AS mid_day FROM daily
+), seg AS (
+  SELECT idx.day < mid.mid_day AS pre,
+         CAST(count(*) AS DECIMAL(19,0)) AS n,
+         CAST(sum(CAST(i AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS si,
+         CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sx,
+         CAST(sum(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DECIMAL(25,0)) AS six,
+         CAST(sum(CAST(i AS DECIMAL(19,0)) * CAST(i AS DECIMAL(19,0))) AS DECIMAL(25,0)) AS sii,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DECIMAL(25,0)) AS sxx
+  FROM idx CROSS JOIN mid GROUP BY 1
+), per AS (
+  SELECT pre, CAST(n AS BIGINT) AS n_s, {_CHOW_SSR} AS ssr_s FROM seg
+), pooled0 AS (
+  SELECT CAST(sum(n) AS DECIMAL(19,0)) AS n,
+         CAST(sum(si) AS DECIMAL(19,0)) AS si,
+         CAST(sum(sx) AS DECIMAL(19,0)) AS sx,
+         CAST(sum(six) AS DECIMAL(25,0)) AS six,
+         CAST(sum(sii) AS DECIMAL(25,0)) AS sii,
+         CAST(sum(sxx) AS DECIMAL(25,0)) AS sxx
+  FROM seg
+), pooled AS (
+  SELECT CAST(n AS BIGINT) AS n_days, {_CHOW_SSR} AS ssr_p FROM pooled0
+), wide AS (
+  SELECT
+    (SELECT n_s FROM per WHERE pre) AS n_pre,
+    (SELECT n_s FROM per WHERE NOT pre) AS n_post,
+    (SELECT ssr_s FROM per WHERE pre) AS ssr_pre,
+    (SELECT ssr_s FROM per WHERE NOT pre) AS ssr_post
+)
+SELECT pooled.n_days,
+       CAST(COALESCE(wide.n_pre, 0) AS BIGINT) AS n_pre,
+       CAST(COALESCE(wide.n_post, 0) AS BIGINT) AS n_post,
+       round(pooled.ssr_p, 9) AS ssr_pooled,
+       round(wide.ssr_pre, 9) AS ssr_pre,
+       round(wide.ssr_post, 9) AS ssr_post,
+       CASE WHEN COALESCE(wide.n_pre, 0) >= 3 AND COALESCE(wide.n_post, 0) >= 3
+       THEN round(((pooled.ssr_p - wide.ssr_pre - wide.ssr_post) / 2.0)
+                  / NULLIF((wide.ssr_pre + wide.ssr_post)
+                           / NULLIF(CAST(COALESCE(wide.n_pre, 0)
+                                         + COALESCE(wide.n_post, 0) AS DOUBLE)
+                                    - 4.0, 0.0), 0.0), 9)
+       END AS f_stat
+FROM pooled CROSS JOIN wide
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -8327,4 +8882,8 @@ RELATIONAL_QUERIES = {
     "q296_binned_drift": (q296_binned_drift, Q296_SQL),
     "q297_durbin_watson": (q297_durbin_watson, Q297_SQL),
     "q299_runs_test": (q299_runs_test, Q299_SQL),
+    "q300_anova_f": (q300_anova_f, Q300_SQL),
+    "q302_cohens_d": (q302_cohens_d, Q302_SQL),
+    "q303_mantel_haenszel": (q303_mantel_haenszel, Q303_SQL),
+    "q305_chow_test": (q305_chow_test, Q305_SQL),
 }

@@ -12099,6 +12099,241 @@ ORDER BY label
 
 
 # --------------------------------------------------------------------------
+# q301 — token-budget curriculum phases (easy-to-hard ordering)
+# --------------------------------------------------------------------------
+
+#: Number of curriculum phases q301 buckets the corpus into.
+_CURRICULUM_PHASES = 4
+
+
+def q301_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curriculum plan → (phase, n_docs, tokens_total,
+    min_toks, max_toks): order documents easy-to-hard (ascending token
+    count — the standard length-as-difficulty proxy of curriculum
+    learning) and cut the ordered stream into 4 phases of equal TOKEN
+    budget (⌈total/4⌉), so each training phase consumes the same
+    compute, not the same document count — short-doc phases hold many
+    more documents. The ordering complement of q117 (epoch
+    up-sampling reweights; this sequences) and q77 (shards balance
+    size with no order semantics).
+
+    EXACTNESS: all-integer — token counts, the dist_cumsum prefix, the
+    broadcast ⌈total/4⌉ budget, and phase = least(3, cum_before DIV
+    budget) (integer division, no doubles anywhere).
+
+    Shape: one tokenize pass (the only corpus-sized stage), one
+    dist_cumsum range shuffle over the (n_toks, doc_id) total order,
+    one 1-row budget broadcast, a 4-row aggregation.
+    """
+    from .common import dist_cumsum
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_toks"),
+    )
+    cum, pin = dist_cumsum(d, ["n_toks", "doc_id"], ["n_toks"])
+    budget = d.agg(
+        F.ceil(
+            F.sum("n_toks").cast("decimal(38,0)") / _CURRICULUM_PHASES
+        )
+        .cast("bigint")
+        .alias("budget")
+    )
+    phased = cum.join(F.broadcast(budget)).select(
+        "doc_id",
+        "n_toks",
+        F.least(
+            F.lit(_CURRICULUM_PHASES - 1),
+            F.floor(
+                (F.col("n_toks_cum") - F.col("n_toks"))
+                / F.nullif(F.col("budget"), F.lit(0))
+            ),
+        )
+        .cast("int")
+        .alias("phase"),
+    )
+    res = (
+        phased.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens_total"),
+            F.min("n_toks").alias("min_toks"),
+            F.max("n_toks").alias("max_toks"),
+        )
+        .orderBy("phase")
+    )
+    return materialize_release(res, pin)
+
+
+Q301_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+           AS n_toks
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_toks,
+         SUM(n_toks) OVER (ORDER BY n_toks, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS c
+  FROM d
+), budget AS (
+  SELECT CAST(ceil(CAST(sum(n_toks) AS DECIMAL(38,0)) / 4) AS BIGINT) AS b
+  FROM d
+)
+SELECT CAST(least(3, (c - n_toks) // NULLIF(b, 0)) AS INT) AS phase,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+       min(n_toks) AS min_toks, max(n_toks) AS max_toks
+FROM cum CROSS JOIN budget
+GROUP BY 1
+ORDER BY phase
+"""
+
+
+# --------------------------------------------------------------------------
+# q304 — Fleiss' kappa (three deterministic quality raters)
+# --------------------------------------------------------------------------
+
+
+def q304_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across three deterministic document 'raters' →
+    one row (n_docs, c0, c1, c2, p_bar, p_e, kappa): the MULTI-rater
+    generalization q284's Cohen kappa can't give (Cohen is exactly two
+    raters) — the agreement audit a labeling pipeline runs when
+    several heuristic annotators vote. Raters here are three pinned
+    integer heuristics binning each document LOW/MED/HIGH: character
+    length (< 220 / < 390 / else), whitespace-token count (< 40 /
+    < 70 / else), and distinct-token ratio (3·distinct ≤ n / ≤ 2n /
+    else — cross-multiplied, no division). κ = (P̄ − P_e)/(1 − P_e)
+    with the standard Fleiss cell algebra for n = 3 raters.
+
+    EXACTNESS: PURE INTEGER to the end — with S = Σ_i Σ_j n_ij² and
+    C_j the per-category totals, κ = (3N(S − 3N) − 2ΣC_j²) /
+    (2(9N² − ΣC_j²)) exactly (common-denominator algebra), one double
+    division; P̄ = (S − 3N)/(6N) and P_e = ΣC_j²/(9N²) likewise.
+    NULLIF guards the all-rater-one-category degenerate (P_e = 1).
+
+    Shape: one tokenize pass (the only corpus-sized stage; the three
+    raters are Column expressions over it), a 1-row integer
+    aggregation.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = tokenize(F.col("text"))
+    nt = F.size(toks).cast("bigint")
+    nd = F.size(F.array_distinct(toks)).cast("bigint")
+    r1 = (
+        F.when(F.col("n_chars") < 220, 0)
+        .when(F.col("n_chars") < 390, 1)
+        .otherwise(2)
+    )
+    r2 = F.when(nt < 40, 0).when(nt < 70, 1).otherwise(2)
+    r3 = (
+        F.when(3 * nd <= nt, 0)
+        .when(3 * nd <= 2 * nt, 1)
+        .otherwise(2)
+    )
+    per_doc = t["documents"].select(
+        r1.alias("r1"), r2.alias("r2"), r3.alias("r3")
+    )
+    nij = [
+        sum(
+            F.when(F.col(r) == j, 1).otherwise(0)
+            for r in ("r1", "r2", "r3")
+        )
+        for j in range(3)
+    ]
+    cells = per_doc.select(
+        *[c.cast("bigint").alias(f"n{j}") for j, c in enumerate(nij)]
+    )
+    dec = "decimal(38,0)"
+    dec12 = "decimal(12,0)"
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[F.sum(f"n{j}").cast("bigint").alias(f"c{j}") for j in range(3)],
+        F.sum(
+            sum(
+                F.col(f"n{j}").cast(dec12) * F.col(f"n{j}").cast(dec12)
+                for j in range(3)
+            )
+        )
+        .cast(dec)
+        .alias("s"),
+    )
+    n = F.col("n_docs").cast(dec)
+    sc2 = sum(
+        F.col(f"c{j}").cast(dec) * F.col(f"c{j}").cast(dec) for j in range(3)
+    )
+    p_bar = (F.col("s") - 3 * n).cast("double") / F.nullif(
+        (6 * n).cast("double"), F.lit(0.0)
+    )
+    p_e = sc2.cast(dec).cast("double") / F.nullif(
+        (9 * n * n).cast(dec).cast("double"), F.lit(0.0)
+    )
+    kappa = (3 * n * (F.col("s") - 3 * n) - 2 * sc2).cast(dec).cast(
+        "double"
+    ) / F.nullif(
+        (2 * (9 * n * n - sc2)).cast(dec).cast("double"), F.lit(0.0)
+    )
+    return agg.select(
+        "n_docs",
+        "c0",
+        "c1",
+        "c2",
+        F.round(p_bar, 9).alias("p_bar"),
+        F.round(p_e, 9).alias("p_e"),
+        F.round(kappa, 9).alias("kappa"),
+    )
+
+
+Q304_SQL = r"""
+WITH per_doc AS (
+  SELECT
+    CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 390 THEN 1 ELSE 2 END AS r1,
+    CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 40 THEN 0
+         WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 70 THEN 1
+         ELSE 2 END AS r2,
+    CASE WHEN 3 * len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))
+              <= len(regexp_split_to_array(trim(lower(text)), '\s+')) THEN 0
+         WHEN 3 * len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))
+              <= 2 * len(regexp_split_to_array(trim(lower(text)), '\s+')) THEN 1
+         ELSE 2 END AS r3
+  FROM documents
+), cells AS (
+  SELECT
+    CAST((CASE WHEN r1=0 THEN 1 ELSE 0 END) + (CASE WHEN r2=0 THEN 1 ELSE 0 END)
+         + (CASE WHEN r3=0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST((CASE WHEN r1=1 THEN 1 ELSE 0 END) + (CASE WHEN r2=1 THEN 1 ELSE 0 END)
+         + (CASE WHEN r3=1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST((CASE WHEN r1=2 THEN 1 ELSE 0 END) + (CASE WHEN r2=2 THEN 1 ELSE 0 END)
+         + (CASE WHEN r3=2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM per_doc
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n0) AS BIGINT) AS c0,
+         CAST(sum(n1) AS BIGINT) AS c1,
+         CAST(sum(n2) AS BIGINT) AS c2,
+         CAST(sum(CAST(n0 AS DECIMAL(12,0)) * n0 + CAST(n1 AS DECIMAL(12,0)) * n1
+                  + CAST(n2 AS DECIMAL(12,0)) * n2) AS DECIMAL(38,0)) AS s
+  FROM cells
+)
+SELECT n_docs, c0, c1, c2,
+  round(CAST(CAST(s - 3 * CAST(n_docs AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE)
+        / NULLIF(CAST(CAST(6 * CAST(n_docs AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE), 0.0), 9) AS p_bar,
+  round(CAST(CAST(CAST(c0 AS DECIMAL(38,0)) * c0 + CAST(c1 AS DECIMAL(38,0)) * c1
+                  + CAST(c2 AS DECIMAL(38,0)) * c2 AS DECIMAL(38,0)) AS DOUBLE)
+        / NULLIF(CAST(CAST(9 * CAST(n_docs AS DECIMAL(38,0)) * n_docs AS DECIMAL(38,0)) AS DOUBLE), 0.0), 9) AS p_e,
+  round(CAST(CAST(3 * CAST(n_docs AS DECIMAL(38,0)) * (s - 3 * CAST(n_docs AS DECIMAL(38,0)))
+                  - 2 * (CAST(c0 AS DECIMAL(38,0)) * c0 + CAST(c1 AS DECIMAL(38,0)) * c1
+                         + CAST(c2 AS DECIMAL(38,0)) * c2) AS DECIMAL(38,0)) AS DOUBLE)
+        / NULLIF(CAST(CAST(2 * (9 * CAST(n_docs AS DECIMAL(38,0)) * n_docs
+                                - (CAST(c0 AS DECIMAL(38,0)) * c0 + CAST(c1 AS DECIMAL(38,0)) * c1
+                                   + CAST(c2 AS DECIMAL(38,0)) * c2)) AS DECIMAL(38,0)) AS DOUBLE), 0.0), 9) AS kappa
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # q287 — temperature-scaled mixture sweep (α ∈ {1, 1/2, 1/4})
 # --------------------------------------------------------------------------
 
@@ -13653,6 +13888,8 @@ TEXT_QUERIES = {
     "q285_calinski_harabasz": (q285_calinski_harabasz, Q285_SQL),
     "q286_davies_bouldin": (q286_davies_bouldin, Q286_SQL),
     "q298_silhouette": (q298_silhouette, Q298_SQL),
+    "q301_curriculum_phases": (q301_curriculum_phases, Q301_SQL),
+    "q304_fleiss_kappa": (q304_fleiss_kappa, Q304_SQL),
     "q287_temperature_mixture": (q287_temperature_mixture, Q287_SQL),
     "q288_dim_robust_scaling": (q288_dim_robust_scaling, Q288_SQL),
 }

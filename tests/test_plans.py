@@ -292,6 +292,10 @@ BNLJ_ALLOWED = {
     "q297_durbin_watson": 4,  # 1-row sufficient-statistic + DW-numerator scalar broadcasts (q89's class)
     "q298_silhouette": 1,  # 1-row overall-mean scalar broadcast (q89's class)
     "q299_runs_test": 4,  # 1-row totals/median scalar broadcasts (q89's class)
+    "q300_anova_f": 1,  # 1-row grand-total scalar broadcast (q89's class)
+    "q301_curriculum_phases": 1,  # 1-row token-budget scalar broadcast (q89's class)
+    "q303_mantel_haenszel": 1,  # 1-row pooled-terms scalar broadcast (q89's class)
+    "q305_chow_test": 3,  # 1-row midpoint + pooled-SSR scalar broadcasts (q89's class)
 }
 
 
