@@ -161,3 +161,107 @@ def welch_table(per_user: DataFrame) -> DataFrame:
         F.when(guard, F.round(tstat, 9)).alias("t"),
         F.when(guard, F.round(df_w, 6)).alias("df"),
     )
+
+def _d18(col: Column) -> Column:
+    """Order-insensitive exact sum of a double expression through
+    DECIMAL(38,18) (the statistic-term discipline; safe here — the
+    terms are identical doubles built from exact integers)."""
+    return F.sum(col.cast("decimal(38,18)")).cast("double")
+
+
+def cohens_d_table(per_user: DataFrame) -> DataFrame:
+    """q302's effect-size readout from a per-user (arm_a, x) frame →
+    one row (n_a, n_b, mean_a, mean_b, pooled_sd, d, g) — factored
+    here so the streaming ``ab_sink`` emits the IDENTICAL table off
+    its incrementally-merged store (the welch_table convention). See
+    the q302 docstring (plans/relational.py) for the exactness
+    argument: exact DECIMAL(38,0) sufficient statistics, fixed-order
+    double d/J/g, NULLIF-guarded degenerates."""
+    dec = "decimal(38,0)"
+    dec19 = "decimal(19,0)"
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm_a"), F.col("x")).otherwise(0)).cast(dec).alias("s_a"),
+        F.sum(F.when(~F.col("arm_a"), F.col("x")).otherwise(0)).cast(dec).alias("s_b"),
+        F.sum(
+            F.when(F.col("arm_a"), F.col("x").cast(dec19) * F.col("x")).otherwise(0)
+        ).cast(dec).alias("q_a"),
+        F.sum(
+            F.when(~F.col("arm_a"), F.col("x").cast(dec19) * F.col("x")).otherwise(0)
+        ).cast(dec).alias("q_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mean_a = F.col("s_a").cast("double") / F.nullif(na, F.lit(0.0))
+    mean_b = F.col("s_b").cast("double") / F.nullif(nb, F.lit(0.0))
+    ssq_a = (
+        (F.col("n_a").cast(dec) * F.col("q_a") - F.col("s_a") * F.col("s_a"))
+        .cast(dec)
+        .cast("double")
+        / F.nullif(na, F.lit(0.0))
+    )
+    ssq_b = (
+        (F.col("n_b").cast(dec) * F.col("q_b") - F.col("s_b") * F.col("s_b"))
+        .cast(dec)
+        .cast("double")
+        / F.nullif(nb, F.lit(0.0))
+    )
+    df = na + nb - F.lit(2.0)
+    sp = F.sqrt((ssq_a + ssq_b) / F.nullif(df, F.lit(0.0)))
+    d = (mean_a - mean_b) / F.nullif(sp, F.lit(0.0))
+    jcorr = F.lit(1.0) - F.lit(3.0) / F.nullif(
+        F.lit(4.0) * df - F.lit(1.0), F.lit(0.0)
+    )
+    guard = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 9).alias("mean_a"),
+        F.round(mean_b, 9).alias("mean_b"),
+        F.when(guard, F.round(sp, 9)).alias("pooled_sd"),
+        F.when(guard, F.round(d, 9)).alias("d"),
+        F.when(guard, F.round(d * jcorr, 9)).alias("g"),
+    )
+
+
+def cmh_table(cells: DataFrame) -> DataFrame:
+    """q303's Cochran-Mantel-Haenszel readout from a per-stratum 2×2
+    cell frame (stratum, a, b, c, d) → per-stratum rows with the
+    pooled OR_MH and CMH repeated — factored here so the streaming
+    ``cmh_sink`` emits the IDENTICAL table off its incrementally-merged
+    cell store. See the q303 docstring for the exactness argument."""
+    ad_, bd_, cd_, dd_ = (F.col(c).cast("double") for c in ("a", "b", "c", "d"))
+    nd_ = ad_ + bd_ + cd_ + dd_
+    r_s = ad_ * dd_ / F.nullif(nd_, F.lit(0.0))
+    s_s = bd_ * cd_ / F.nullif(nd_, F.lit(0.0))
+    e_s = (ad_ + bd_) * (ad_ + cd_) / F.nullif(nd_, F.lit(0.0))
+    v_s = (
+        (ad_ + bd_) * (cd_ + dd_) * (ad_ + cd_) * (bd_ + dd_)
+        / F.nullif(nd_ * nd_ * (nd_ - F.lit(1.0)), F.lit(0.0))
+    )
+    terms = cells.select(
+        "stratum", "a", "b", "c", "d",
+        (ad_ * dd_ / F.nullif(bd_ * cd_, F.lit(0.0))).alias("or_stratum"),
+        r_s.alias("r_s"), s_s.alias("s_s"), e_s.alias("e_s"), v_s.alias("v_s"),
+    )
+    pooled = terms.agg(
+        F.sum("a").cast("bigint").alias("sum_a"),
+        _d18(F.col("r_s")).alias("sr"),
+        _d18(F.col("s_s")).alias("ss"),
+        _d18(F.col("e_s")).alias("se"),
+        _d18(F.coalesce(F.col("v_s"), F.lit(0.0))).alias("sv"),
+    )
+    or_mh = F.col("sr") / F.nullif(F.col("ss"), F.lit(0.0))
+    dev = F.col("sum_a").cast("double") - F.col("se")
+    cmh = dev * dev / F.nullif(F.col("sv"), F.lit(0.0))
+    return (
+        terms.join(F.broadcast(pooled))
+        .select(
+            "stratum", "a", "b", "c", "d",
+            F.round(F.col("or_stratum"), 9).alias("or_stratum"),
+            F.round(or_mh, 9).alias("or_mh"),
+            F.round(cmh, 9).alias("cmh"),
+        )
+        .orderBy("stratum")
+    )
+

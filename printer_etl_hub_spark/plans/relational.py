@@ -8350,9 +8350,11 @@ def q302_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms and zero pooled variance.
 
     Shape: one per-user groupBy (the only corpus-sized stage), 1-row
-    arithmetic after.
+    arithmetic after — the statistic lives in
+    `operators/experiment.py::cohens_d_table` so the streaming
+    ``ab_sink`` emits the identical table off its merged store.
     """
-    from ..operators.experiment import ab_arm
+    from ..operators.experiment import ab_arm, cohens_d_table
 
     t = load_tables(spark, sf_dir)
     per_user = (
@@ -8362,51 +8364,7 @@ def q302_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
         .select(ab_arm(F.col("user_id")).alias("arm_a"), "x")
     )
-    dec = "decimal(38,0)"
-    dec19 = "decimal(19,0)"
-    agg = per_user.agg(
-        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
-        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
-        F.sum(F.when(F.col("arm_a"), F.col("x")).otherwise(0)).cast(dec).alias("s_a"),
-        F.sum(F.when(~F.col("arm_a"), F.col("x")).otherwise(0)).cast(dec).alias("s_b"),
-        F.sum(
-            F.when(F.col("arm_a"), F.col("x").cast(dec19) * F.col("x")).otherwise(0)
-        ).cast(dec).alias("q_a"),
-        F.sum(
-            F.when(~F.col("arm_a"), F.col("x").cast(dec19) * F.col("x")).otherwise(0)
-        ).cast(dec).alias("q_b"),
-    )
-    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    mean_a = F.col("s_a").cast("double") / F.nullif(na, F.lit(0.0))
-    mean_b = F.col("s_b").cast("double") / F.nullif(nb, F.lit(0.0))
-    ssq_a = (
-        (F.col("n_a").cast(dec) * F.col("q_a") - F.col("s_a") * F.col("s_a"))
-        .cast(dec)
-        .cast("double")
-        / F.nullif(na, F.lit(0.0))
-    )
-    ssq_b = (
-        (F.col("n_b").cast(dec) * F.col("q_b") - F.col("s_b") * F.col("s_b"))
-        .cast(dec)
-        .cast("double")
-        / F.nullif(nb, F.lit(0.0))
-    )
-    df = na + nb - F.lit(2.0)
-    sp = F.sqrt((ssq_a + ssq_b) / F.nullif(df, F.lit(0.0)))
-    d = (mean_a - mean_b) / F.nullif(sp, F.lit(0.0))
-    jcorr = F.lit(1.0) - F.lit(3.0) / F.nullif(
-        F.lit(4.0) * df - F.lit(1.0), F.lit(0.0)
-    )
-    guard = (F.col("n_a") > 1) & (F.col("n_b") > 1)
-    return agg.select(
-        "n_a",
-        "n_b",
-        F.round(mean_a, 9).alias("mean_a"),
-        F.round(mean_b, 9).alias("mean_b"),
-        F.when(guard, F.round(sp, 9)).alias("pooled_sd"),
-        F.when(guard, F.round(d, 9)).alias("d"),
-        F.when(guard, F.round(d * jcorr, 9)).alias("g"),
-    )
+    return cohens_d_table(per_user)
 
 
 Q302_SQL = f"""
@@ -8484,9 +8442,12 @@ def q303_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one event-level conditional-count groupBy (the only
     corpus-sized stage, map-side combinable), a 7-row stratum
-    aggregation, one 1-row broadcast of the pooled terms.
+    aggregation, one 1-row broadcast of the pooled terms — the
+    statistic lives in `operators/experiment.py::cmh_table` so the
+    streaming ``cmh_sink`` emits the identical table off its merged
+    cell store.
     """
-    from ..operators.experiment import ab_arm
+    from ..operators.experiment import ab_arm, cmh_table
 
     t = load_tables(spark, sf_dir)
     units = (
@@ -8516,40 +8477,7 @@ def q303_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("d"),
     )
-    ad_, bd_, cd_, dd_ = (F.col(c).cast("double") for c in ("a", "b", "c", "d"))
-    nd_ = ad_ + bd_ + cd_ + dd_
-    r_s = ad_ * dd_ / F.nullif(nd_, F.lit(0.0))
-    s_s = bd_ * cd_ / F.nullif(nd_, F.lit(0.0))
-    e_s = (ad_ + bd_) * (ad_ + cd_) / F.nullif(nd_, F.lit(0.0))
-    v_s = (
-        (ad_ + bd_) * (cd_ + dd_) * (ad_ + cd_) * (bd_ + dd_)
-        / F.nullif(nd_ * nd_ * (nd_ - F.lit(1.0)), F.lit(0.0))
-    )
-    terms = cells.select(
-        "stratum", "a", "b", "c", "d",
-        (ad_ * dd_ / F.nullif(bd_ * cd_, F.lit(0.0))).alias("or_stratum"),
-        r_s.alias("r_s"), s_s.alias("s_s"), e_s.alias("e_s"), v_s.alias("v_s"),
-    )
-    pooled = terms.agg(
-        F.sum("a").cast("bigint").alias("sum_a"),
-        _dsum18c(F.col("r_s")).alias("sr"),
-        _dsum18c(F.col("s_s")).alias("ss"),
-        _dsum18c(F.col("e_s")).alias("se"),
-        _dsum18c(F.coalesce(F.col("v_s"), F.lit(0.0))).alias("sv"),
-    )
-    or_mh = F.col("sr") / F.nullif(F.col("ss"), F.lit(0.0))
-    dev = F.col("sum_a").cast("double") - F.col("se")
-    cmh = dev * dev / F.nullif(F.col("sv"), F.lit(0.0))
-    return (
-        terms.join(F.broadcast(pooled))
-        .select(
-            "stratum", "a", "b", "c", "d",
-            F.round(F.col("or_stratum"), 9).alias("or_stratum"),
-            F.round(or_mh, 9).alias("or_mh"),
-            F.round(cmh, 9).alias("cmh"),
-        )
-        .orderBy("stratum")
-    )
+    return cmh_table(cells)
 
 
 Q303_SQL = f"""

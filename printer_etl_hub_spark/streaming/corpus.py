@@ -1744,10 +1744,16 @@ def ab_sink(
 
     Equivalence contract (tests/test_streaming.py): after ANY
     micro-batch partitioning — ordered or not, compaction triggered or
-    not — ``chi2`` equals q250's batch output and ``welch`` equals
-    q279's over the same rows; re-delivering the last batch is a no-op.
+    not — ``chi2`` equals q250's batch output, ``welch`` equals q279's,
+    and ``effect`` equals q302's (Cohen's d / Hedges' g, round 13)
+    over the same rows; re-delivering the last batch is a no-op.
     """
-    from ..operators.experiment import ab_arm, conversion_chi2_table, welch_table
+    from ..operators.experiment import (
+        ab_arm,
+        cohens_d_table,
+        conversion_chi2_table,
+        welch_table,
+    )
 
     def _merged(spark, upto_exclusive: int | None = None):
         df = _read_store(spark, user_dir, upto_exclusive)
@@ -1781,8 +1787,88 @@ def ab_sink(
             f"{out_dir}/chi2"
         )
         welch_table(armed).write.mode("overwrite").parquet(f"{out_dir}/welch")
+        cohens_d_table(armed).write.mode("overwrite").parquet(
+            f"{out_dir}/effect"
+        )
         _compact_store(
             spark, user_dir, batch_id, compact_every,
+            lambda: _merged(spark, batch_id),
+        )
+
+    return _sink
+
+
+def cmh_sink(
+    cell_dir: str,
+    out_dir: str,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    conv_type: str = "purchase",
+    compact_every: int = 64,
+):
+    """foreachBatch sink: incrementally-maintained Cochran-Mantel-
+    Haenszel stratified readout — the streaming twin of q303
+    (plans/relational.py), sharing its statistic verbatim via
+    `operators/experiment.py::cmh_table`. Like `ab_sink`/`km_sink`,
+    ORDER-INSENSITIVE BY CONSTRUCTION: the state is per-(stratum, arm)
+    conversion/non-conversion COUNTS — pure mergeable sums over
+    event-level units, so any micro-batch partitioning folds
+    identically. Per batch: ≤7×4-row cell partials land under
+    ``batch_id=<n>`` (overwrite — re-delivery idempotence), the store
+    merges by sum, ``<out_dir>/current`` recomputes off the ≤7-row
+    merged frame; partials fold with the shared prior-only base-fold
+    protocol (the fold IS the merge).
+
+    Equivalence contract (tests/test_streaming.py): after ANY
+    partitioning — ordered or not, compaction triggered or not —
+    ``current`` equals q303's batch output over the same rows;
+    re-delivering the last batch is a no-op.
+    """
+    from ..operators.experiment import ab_arm, cmh_table
+
+    def _merged(spark, upto_exclusive: int | None = None):
+        df = _read_store(spark, cell_dir, upto_exclusive)
+        if df is None:
+            return None
+        return df.groupBy("stratum").agg(
+            F.sum("a").cast("bigint").alias("a"),
+            F.sum("b").cast("bigint").alias("b"),
+            F.sum("c").cast("bigint").alias("c"),
+            F.sum("d").cast("bigint").alias("d"),
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        units = batch_df.filter(
+            F.col(id_col).isNotNull() & F.col(ts_col).isNotNull()
+        ).select(
+            ab_arm(F.col(id_col)).alias("arm_a"),
+            F.weekday(F.date_trunc("day", F.col(ts_col)).cast("date"))
+            .cast("int")
+            .alias("stratum"),
+            F.when(F.col(type_col) == conv_type, 1).otherwise(0).alias("conv"),
+        )
+        partial = units.groupBy("stratum").agg(
+            F.sum(F.when(F.col("arm_a") & (F.col("conv") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(F.col("arm_a") & (F.col("conv") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("b"),
+            F.sum(F.when(~F.col("arm_a") & (F.col("conv") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c"),
+            F.sum(F.when(~F.col("arm_a") & (F.col("conv") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("d"),
+        )
+        partial.write.mode("overwrite").parquet(f"{cell_dir}/batch_id={batch_id}")
+        cmh_table(_merged(spark)).write.mode("overwrite").parquet(
+            f"{out_dir}/current"
+        )
+        _compact_store(
+            spark, cell_dir, batch_id, compact_every,
             lambda: _merged(spark, batch_id),
         )
 

@@ -1858,6 +1858,11 @@ def test_ab_sink_stream_equals_batch_unordered(spark, tmp_path):
         tuple(r) for r in REGISTRY["q279_welch_t"].fn(spark, SF_SMOKE).collect()
     ]
     assert got_w == want_w and want_w
+    got_e = [tuple(r) for r in spark.read.parquet(f"{out_dir}/effect").collect()]
+    want_e = [
+        tuple(r) for r in REGISTRY["q302_cohens_d"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got_e == want_e and want_e
 
     parts = sorted(os.listdir(user_dir))
     bases = [p for p in parts if p.startswith("batch_id=base-")]
@@ -2819,3 +2824,55 @@ def test_daily_sinks_survive_crash_and_redelivery(
             tuple(r) for r in REGISTRY[qname].fn(spark, SF_SMOKE).collect()
         )
         assert got == want and want, f"{factory_name}/{view} diverged"
+
+
+def test_cmh_sink_stream_equals_batch_unordered(spark, tmp_path):
+    """Incremental CMH stratified readout (q303's streaming twin): the
+    state is per-(stratum, arm) conversion counts — pure mergeable
+    sums over event-level units — so equivalence must hold for an
+    ARBITRARY (non-ts-ordered) split, the ab_sink/km_sink contract.
+    Compaction at compact_every=2; an exact re-delivery is a no-op."""
+    import os
+
+    from printer_etl_hub_spark.plans import REGISTRY
+    from printer_etl_hub_spark.streaming.corpus import cmh_sink
+    from printer_etl_hub_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"].select(
+        "user_id", "ts", "event_type"
+    )
+    src = str(tmp_path / "cmh_src")
+    ev.repartition(5).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    cell_dir = str(tmp_path / "cmh_cells")
+    out_dir = str(tmp_path / "cmh_out")
+    sink = cmh_sink(cell_dir, out_dir, compact_every=2)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [tuple(r) for r in spark.read.parquet(f"{out_dir}/current").collect()]
+    want = [
+        tuple(r)
+        for r in REGISTRY["q303_mantel_haenszel"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert sorted(got) == sorted(want) and want
+
+    parts = sorted(os.listdir(cell_dir))
+    assert any(p.startswith("batch_id=base-") for p in parts), parts
+
+    # exact re-delivery no-op
+    c2, o2 = str(tmp_path / "cmh2_cells"), str(tmp_path / "cmh2_out")
+    sink2 = cmh_sink(c2, o2)
+    b0 = ev.filter(F.coalesce(F.col("user_id"), F.lit(0)) % 2 == 0)
+    b1 = ev.filter(F.coalesce(F.col("user_id"), F.lit(0)) % 2 == 1)
+    sink2(b0, 0)
+    sink2(b1, 1)
+    snap = [tuple(r) for r in spark.read.parquet(f"{o2}/current").collect()]
+    sink2(b1, 1)
+    assert [tuple(r) for r in spark.read.parquet(f"{o2}/current").collect()] == snap
