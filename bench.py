@@ -363,6 +363,12 @@ HEADLINE = [
     "q303_mantel_haenszel",
     "q304_fleiss_kappa",
     "q305_chow_test",
+    # Round 13 third batch: classical decomposition, forecast
+    # scorecard, score AUC, Brier calibration.
+    "q306_classical_decomposition",
+    "q307_forecast_scorecard",
+    "q308_score_auc",
+    "q309_brier_calibration",
 ]
 
 

@@ -4561,26 +4561,38 @@ def q258_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_table(daily).orderBy("day")
 
 
-Q258_SQL = f"""
-WITH RECURSIVE daily AS (
+#: The daily/idx CTE pair every recursive daily-series oracle starts
+#: from (q258/q271/q307).
+_REC_DAILY_SQL = """daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(count(*) AS BIGINT) AS x
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), idx AS (
   SELECT day, x, row_number() OVER (ORDER BY day) AS i FROM daily
-), r AS (
+)"""
+
+
+def _holt_r_sql(name: str = "r") -> str:
+    """q258's Holt recursion as a named CTE — shared verbatim by
+    Q258_SQL and the q307 scorecard oracle so the fold can't drift
+    between them."""
+    return f"""{name} AS (
   SELECT i, day, x, CAST(x AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS tr,
          CAST(NULL AS DOUBLE) AS f
   FROM idx WHERE i = 1
   UNION ALL
   SELECT idx.i, idx.day, idx.x,
-         {_HOLT_ALPHA} * idx.x + {1.0 - _HOLT_ALPHA} * (r.l + r.tr),
+         {_HOLT_ALPHA} * idx.x + {1.0 - _HOLT_ALPHA} * ({name}.l + {name}.tr),
          {_HOLT_BETA} * (({_HOLT_ALPHA} * idx.x
-                          + {1.0 - _HOLT_ALPHA} * (r.l + r.tr)) - r.l)
-           + {1.0 - _HOLT_BETA} * r.tr,
-         r.l + r.tr
-  FROM r JOIN idx ON idx.i = r.i + 1
-)
+                          + {1.0 - _HOLT_ALPHA} * ({name}.l + {name}.tr)) - {name}.l)
+           + {1.0 - _HOLT_BETA} * {name}.tr,
+         {name}.l + {name}.tr
+  FROM {name} JOIN idx ON idx.i = {name}.i + 1
+)"""
+
+
+Q258_SQL = f"""
+WITH RECURSIVE {_REC_DAILY_SQL}, {_holt_r_sql()}
 SELECT strftime(day, '%Y-%m-%d') AS day, x,
        round(f, 6) AS forecast, round(x - f, 6) AS resid,
        round(l, 6) AS level, round(tr, 6) AS trend
@@ -5922,14 +5934,10 @@ def q271_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters_table(daily).orderBy("day")
 
 
-Q271_SQL = """
-WITH RECURSIVE daily AS (
-  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-         CAST(count(*) AS BIGINT) AS x
-  FROM events WHERE ts IS NOT NULL GROUP BY 1
-), idx AS (
-  SELECT day, x, row_number() OVER (ORDER BY day) AS i FROM daily
-), r AS (
+def _hw_r_sql(name: str = "r") -> str:
+    """q271's Holt-Winters recursion as a named CTE — shared verbatim
+    by Q271_SQL and the q307 scorecard oracle."""
+    return """{name} AS (
   SELECT i, day, x,
          CAST(x AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS tr,
          CAST(0.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
@@ -5941,50 +5949,54 @@ WITH RECURSIVE daily AS (
   UNION ALL
   SELECT idx.i, idx.day, idx.x,
          0.5 * (idx.x - CASE dayofweek(idx.day)
-             WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
-             WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
-             ELSE r.s6 END)
-           + 0.5 * (r.l + r.tr),
+             WHEN 0 THEN {name}.s0 WHEN 1 THEN {name}.s1 WHEN 2 THEN {name}.s2
+             WHEN 3 THEN {name}.s3 WHEN 4 THEN {name}.s4 WHEN 5 THEN {name}.s5
+             ELSE {name}.s6 END)
+           + 0.5 * ({name}.l + {name}.tr),
          0.5 * ((0.5 * (idx.x - CASE dayofweek(idx.day)
-               WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
-               WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
-               ELSE r.s6 END) + 0.5 * (r.l + r.tr)) - r.l)
-           + 0.5 * r.tr,
+               WHEN 0 THEN {name}.s0 WHEN 1 THEN {name}.s1 WHEN 2 THEN {name}.s2
+               WHEN 3 THEN {name}.s3 WHEN 4 THEN {name}.s4 WHEN 5 THEN {name}.s5
+               ELSE {name}.s6 END) + 0.5 * ({name}.l + {name}.tr)) - {name}.l)
+           + 0.5 * {name}.tr,
          CASE WHEN dayofweek(idx.day) = 0 THEN
-           0.5 * (idx.x - (0.5 * (idx.x - r.s0) + 0.5 * (r.l + r.tr)))
-             + 0.5 * r.s0 ELSE r.s0 END,
+           0.5 * (idx.x - (0.5 * (idx.x - {name}.s0) + 0.5 * ({name}.l + {name}.tr)))
+             + 0.5 * {name}.s0 ELSE {name}.s0 END,
          CASE WHEN dayofweek(idx.day) = 1 THEN
-           0.5 * (idx.x - (0.5 * (idx.x - r.s1) + 0.5 * (r.l + r.tr)))
-             + 0.5 * r.s1 ELSE r.s1 END,
+           0.5 * (idx.x - (0.5 * (idx.x - {name}.s1) + 0.5 * ({name}.l + {name}.tr)))
+             + 0.5 * {name}.s1 ELSE {name}.s1 END,
          CASE WHEN dayofweek(idx.day) = 2 THEN
-           0.5 * (idx.x - (0.5 * (idx.x - r.s2) + 0.5 * (r.l + r.tr)))
-             + 0.5 * r.s2 ELSE r.s2 END,
+           0.5 * (idx.x - (0.5 * (idx.x - {name}.s2) + 0.5 * ({name}.l + {name}.tr)))
+             + 0.5 * {name}.s2 ELSE {name}.s2 END,
          CASE WHEN dayofweek(idx.day) = 3 THEN
-           0.5 * (idx.x - (0.5 * (idx.x - r.s3) + 0.5 * (r.l + r.tr)))
-             + 0.5 * r.s3 ELSE r.s3 END,
+           0.5 * (idx.x - (0.5 * (idx.x - {name}.s3) + 0.5 * ({name}.l + {name}.tr)))
+             + 0.5 * {name}.s3 ELSE {name}.s3 END,
          CASE WHEN dayofweek(idx.day) = 4 THEN
-           0.5 * (idx.x - (0.5 * (idx.x - r.s4) + 0.5 * (r.l + r.tr)))
-             + 0.5 * r.s4 ELSE r.s4 END,
+           0.5 * (idx.x - (0.5 * (idx.x - {name}.s4) + 0.5 * ({name}.l + {name}.tr)))
+             + 0.5 * {name}.s4 ELSE {name}.s4 END,
          CASE WHEN dayofweek(idx.day) = 5 THEN
-           0.5 * (idx.x - (0.5 * (idx.x - r.s5) + 0.5 * (r.l + r.tr)))
-             + 0.5 * r.s5 ELSE r.s5 END,
+           0.5 * (idx.x - (0.5 * (idx.x - {name}.s5) + 0.5 * ({name}.l + {name}.tr)))
+             + 0.5 * {name}.s5 ELSE {name}.s5 END,
          CASE WHEN dayofweek(idx.day) = 6 THEN
-           0.5 * (idx.x - (0.5 * (idx.x - r.s6) + 0.5 * (r.l + r.tr)))
-             + 0.5 * r.s6 ELSE r.s6 END,
-         (r.l + r.tr + CASE dayofweek(idx.day)
-             WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
-             WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
-             ELSE r.s6 END),
+           0.5 * (idx.x - (0.5 * (idx.x - {name}.s6) + 0.5 * ({name}.l + {name}.tr)))
+             + 0.5 * {name}.s6 ELSE {name}.s6 END,
+         ({name}.l + {name}.tr + CASE dayofweek(idx.day)
+             WHEN 0 THEN {name}.s0 WHEN 1 THEN {name}.s1 WHEN 2 THEN {name}.s2
+             WHEN 3 THEN {name}.s3 WHEN 4 THEN {name}.s4 WHEN 5 THEN {name}.s5
+             ELSE {name}.s6 END),
          0.5 * (idx.x - (0.5 * (idx.x - CASE dayofweek(idx.day)
-               WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
-               WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
-               ELSE r.s6 END) + 0.5 * (r.l + r.tr)))
+               WHEN 0 THEN {name}.s0 WHEN 1 THEN {name}.s1 WHEN 2 THEN {name}.s2
+               WHEN 3 THEN {name}.s3 WHEN 4 THEN {name}.s4 WHEN 5 THEN {name}.s5
+               ELSE {name}.s6 END) + 0.5 * ({name}.l + {name}.tr)))
            + 0.5 * CASE dayofweek(idx.day)
-               WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
-               WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
-               ELSE r.s6 END
-  FROM r JOIN idx ON idx.i = r.i + 1
-)
+               WHEN 0 THEN {name}.s0 WHEN 1 THEN {name}.s1 WHEN 2 THEN {name}.s2
+               WHEN 3 THEN {name}.s3 WHEN 4 THEN {name}.s4 WHEN 5 THEN {name}.s5
+               ELSE {name}.s6 END
+  FROM {name} JOIN idx ON idx.i = {name}.i + 1
+)""".replace("{name}", name)
+
+
+Q271_SQL = f"""
+WITH RECURSIVE {_REC_DAILY_SQL}, {_hw_r_sql()}
 SELECT strftime(day, '%Y-%m-%d') AS day, x,
        round(f, 6) AS forecast, round(x - f, 6) AS resid,
        round(l, 6) AS level, round(tr, 6) AS trend,
@@ -8694,6 +8706,228 @@ FROM pooled CROSS JOIN wide
 """
 
 
+# --------------------------------------------------------------------------
+# q306 — classical additive decomposition (trend / weekday / remainder)
+# --------------------------------------------------------------------------
+
+
+def q306_classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily volume → (day, x,
+    trend, seasonal, remainder): trend = centered 7-day moving average
+    (NULL where the window is incomplete), seasonal = each weekday's
+    mean deviation from trend, remainder = what neither explains — the
+    DIAGNOSTIC view of the series q271's Holt-Winters smooths
+    adaptively (HW answers 'forecast me', decomposition answers 'what
+    is this series made of'; q229's dow profile is the raw, untrended
+    version of the seasonal column). Seasonal is the UNCENTERED
+    per-weekday mean — the remainder absorbs any constant, and the
+    deviation sums are exactly zero over the trend-covered rows by
+    construction — so every component stays an exact-integer ratio.
+
+    EXACTNESS: trend = (Σ₇ x)/7 — one double division of an integer
+    window sum; deviations carry as INTEGER numerators dev_num =
+    7x − Σ₇x, so seasonal = Σ dev_num/(7·n_dow) is one double
+    division of exact integers per weekday; remainder is one
+    fixed-order double expression. No corpus-scaled windows: the
+    7-day window is the explode-shift equi-join (q295's shape) with
+    an exact count==7 completeness gate.
+
+    Shape: one daily pre-agg + dist_rank (the shared core), a 7-way
+    explode-shift join, a ≤7-row weekday broadcast.
+    """
+    from .common import dist_rank
+
+    daily = _daily_counts_frame(spark, sf_dir)
+    idx, pin = dist_rank(daily, ["day"], out="i")
+    shifted = idx.select(
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("k"),
+        (F.col("i") + F.col("k")).alias("i"),
+        F.col("x").alias("x_w"),
+    ).select((F.col("i")).alias("i"), "x_w")
+    win = shifted.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n_w"),
+        F.sum("x_w").cast("bigint").alias("wsum"),
+    )
+    with_trend = idx.join(win, "i", "left").select(
+        "day",
+        "x",
+        "i",
+        F.when(F.col("n_w") == 7, F.col("wsum")).alias("t_num"),
+    )
+    dows = with_trend.filter(F.col("t_num").isNotNull()).select(
+        F.weekday(F.col("day")).cast("int").alias("dow"),
+        (7 * F.col("x") - F.col("t_num")).cast("bigint").alias("dev_num"),
+    )
+    seas = dows.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dow"),
+        F.sum("dev_num").cast("decimal(38,0)").alias("dev_sum"),
+    ).select(
+        "dow",
+        (
+            F.col("dev_sum").cast("double")
+            / (F.lit(7.0) * F.col("n_dow").cast("double"))
+        ).alias("seasonal"),
+    )
+    trend = F.col("t_num").cast("double") / F.lit(7.0)
+    res = (
+        with_trend.join(
+            F.broadcast(seas),
+            F.weekday(F.col("day")).cast("int") == F.col("dow"),
+            "left",
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "x",
+            F.round(trend, 6).alias("trend"),
+            F.round(F.col("seasonal"), 6).alias("seasonal"),
+            F.round(
+                F.col("x").cast("double") - trend - F.col("seasonal"), 6
+            ).alias("remainder"),
+        )
+        .orderBy("day")
+    )
+    return materialize_release(res, pin)
+
+
+Q306_SQL = f"""
+WITH {_DAILY_IDX_SQL}, win AS (
+  SELECT a.i, CAST(count(*) AS BIGINT) AS n_w,
+         CAST(sum(b.x) AS BIGINT) AS wsum
+  FROM idx a JOIN idx b ON b.i BETWEEN a.i - 3 AND a.i + 3
+  GROUP BY a.i
+), wt AS (
+  SELECT idx.day, idx.x, idx.i,
+         CASE WHEN win.n_w = 7 THEN win.wsum END AS t_num
+  FROM idx LEFT JOIN win ON idx.i = win.i
+), seas AS (
+  SELECT CAST(isodow(day) - 1 AS INT) AS dow,
+         CAST(sum(CAST(7 * x - t_num AS BIGINT)) AS DECIMAL(38,0)) AS dev_sum,
+         CAST(count(*) AS BIGINT) AS n_dow
+  FROM wt WHERE t_num IS NOT NULL GROUP BY 1
+)
+SELECT strftime(wt.day, '%Y-%m-%d') AS day, wt.x,
+       round(CAST(wt.t_num AS DOUBLE) / 7.0, 6) AS trend,
+       round(CAST(seas.dev_sum AS DOUBLE)
+             / (7.0 * CAST(seas.n_dow AS DOUBLE)), 6) AS seasonal,
+       round(CAST(wt.x AS DOUBLE) - CAST(wt.t_num AS DOUBLE) / 7.0
+             - CAST(seas.dev_sum AS DOUBLE)
+               / (7.0 * CAST(seas.n_dow AS DOUBLE)), 6) AS remainder
+FROM wt LEFT JOIN seas ON CAST(isodow(wt.day) - 1 AS INT) = seas.dow
+ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# q307 — forecast scorecard (MAE / RMSE / MASE: holt vs holt-winters vs
+# seasonal naive)
+# --------------------------------------------------------------------------
+
+
+def q307_forecast_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead forecast scorecard over the daily series →
+    (model, n, mae, rmse, mase) for 'holt', 'holt_winters', and
+    'snaive' (x̂_t = x_{t−7}): which smoother actually EARNS its
+    state? MASE (Hyndman & Koehler 2006) divides each model's MAE by
+    the seasonal-naive MAE, so < 1 means the model beats the
+    no-model baseline — the accept/reject number a forecasting
+    pipeline gates deploys on. Residuals come verbatim from the
+    SHARED q258/q271 table builders (operators/timeseries.py), at
+    their pinned 6-dp rounding, so this scorecard measures exactly
+    the tables the engine serves.
+
+    EXACTNESS: the holt/HW residual streams are the gate-verified
+    recursions; |resid| and resid² quantize through DECIMAL(25,6)
+    (plans/common.py::dsum — the value-magnitude posture); the snaive
+    residuals are pure integers. MAE/RMSE/MASE are fixed-order double
+    expressions, NULLIF-guarded for an empty baseline.
+
+    Shape: one daily pre-agg feeding all three models; the recursions
+    fold on one row (the q258 discipline), the snaive lag is a
+    date-keyed self-join; 3-row output with one 1-row broadcast.
+    """
+    from ..operators.timeseries import holt_table, holt_winters_table
+
+    daily = _daily_counts_frame(spark, sf_dir)
+    h = holt_table(daily).select(F.col("resid"))
+    hw = holt_winters_table(daily).select(F.col("resid"))
+    prev = daily.select(
+        F.date_add(F.col("day"), 7).alias("day"), F.col("x").alias("x_prev")
+    )
+    sn = daily.join(prev, "day").select(
+        (F.col("x") - F.col("x_prev")).cast("double").alias("resid")
+    )
+
+    def _metrics(frame, name):
+        return frame.filter(F.col("resid").isNotNull()).agg(
+            F.lit(name).alias("model"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (dsum(F.abs(F.col("resid"))) / F.count(F.lit(1)).cast("double")).alias(
+                "mae"
+            ),
+            F.sqrt(
+                dsum(F.col("resid") * F.col("resid"))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("rmse"),
+        )
+
+    base = _metrics(sn, "snaive")
+    rows = (
+        _metrics(h, "holt")
+        .unionByName(_metrics(hw, "holt_winters"))
+        .unionByName(base)
+    )
+    nmae = base.select(F.col("mae").alias("mae_base"))
+    return (
+        rows.join(F.broadcast(nmae))
+        .select(
+            "model",
+            "n",
+            F.round(F.col("mae"), 9).alias("mae"),
+            F.round(F.col("rmse"), 9).alias("rmse"),
+            F.round(
+                F.col("mae") / F.nullif(F.col("mae_base"), F.lit(0.0)), 9
+            ).alias("mase"),
+        )
+        .orderBy("model")
+    )
+
+
+Q307_SQL = f"""
+WITH RECURSIVE {_REC_DAILY_SQL}, {_holt_r_sql('hr')}, {_hw_r_sql('wr')},
+h_res AS (
+  SELECT round(x - f, 6) AS resid FROM hr WHERE i >= 2 AND f IS NOT NULL
+),
+w_res AS (
+  SELECT round(x - f, 6) AS resid FROM wr WHERE i > 1 AND f IS NOT NULL
+),
+s_res AS (
+  SELECT CAST(a.x - b.x AS DOUBLE) AS resid
+  FROM daily a JOIN daily b ON a.day = b.day + 7
+),
+m AS (
+  SELECT 'holt' AS model, CAST(count(*) AS BIGINT) AS n,
+         {sql_dsum('abs(resid)')} / CAST(count(*) AS DOUBLE) AS mae,
+         sqrt({sql_dsum('resid * resid')} / CAST(count(*) AS DOUBLE)) AS rmse
+  FROM h_res WHERE resid IS NOT NULL
+  UNION ALL
+  SELECT 'holt_winters', CAST(count(*) AS BIGINT),
+         {sql_dsum('abs(resid)')} / CAST(count(*) AS DOUBLE),
+         sqrt({sql_dsum('resid * resid')} / CAST(count(*) AS DOUBLE))
+  FROM w_res WHERE resid IS NOT NULL
+  UNION ALL
+  SELECT 'snaive', CAST(count(*) AS BIGINT),
+         {sql_dsum('abs(resid)')} / CAST(count(*) AS DOUBLE),
+         sqrt({sql_dsum('resid * resid')} / CAST(count(*) AS DOUBLE))
+  FROM s_res WHERE resid IS NOT NULL
+),
+base AS (SELECT mae AS mae_base FROM m WHERE model = 'snaive')
+SELECT model, n, round(mae, 9) AS mae, round(rmse, 9) AS rmse,
+       round(mae / NULLIF(base.mae_base, 0.0), 9) AS mase
+FROM m CROSS JOIN base
+ORDER BY model
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -8814,4 +9048,6 @@ RELATIONAL_QUERIES = {
     "q302_cohens_d": (q302_cohens_d, Q302_SQL),
     "q303_mantel_haenszel": (q303_mantel_haenszel, Q303_SQL),
     "q305_chow_test": (q305_chow_test, Q305_SQL),
+    "q306_classical_decomposition": (q306_classical_decomposition, Q306_SQL),
+    "q307_forecast_scorecard": (q307_forecast_scorecard, Q307_SQL),
 }

@@ -12334,6 +12334,235 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# q308 — quality-score AUC against the exact-duplicate label
+# --------------------------------------------------------------------------
+
+
+def q308_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-bias audit of the quality filter: ROC AUC of q25's
+    quality score as a detector of ENGLISH documents → one row (n_en,
+    n_other, u2, auc, gini). Quality composites built on English
+    stopword lists are known to encode language, not quality — the
+    Gopher-era filtering-bias finding — and this is the single
+    threshold-free number that measures it: AUC ≈ 0.5 means the
+    filter is language-neutral, ≫ 0.5 means 'quality' is largely
+    'English'. Computed exactly via the rank identity AUC = U/(n₁n₀)
+    (ties half) — q266's Mann-Whitney machinery pointed at an ML
+    evaluation; gini = 2·AUC − 1. q144's lang-ID margin says WHAT
+    language a doc is; this says how much the quality gate cares.
+    (An exact-duplicate label would be the other natural target, but
+    the gate corpora have no exact dups — a q240-vacuity trap — while
+    the lang label splits every SF.)
+
+    EXACTNESS: scores are q25's fixed-order IEEE expression —
+    identical doubles — grouped exactly; DOUBLED midranks via
+    `dist_cumsum` keep every rank quantity integer (u2 = 2U in
+    DECIMAL(38,0), emitted as a string); AUC is one double division.
+    NULLIF-guarded one-class degenerates; NULL lang excluded in both
+    engines.
+
+    Shape: one scan computing (lang, score) (the only corpus-sized
+    stage), a distinct-score groupBy + dist_cumsum, 1-row arithmetic.
+    """
+    from .common import dist_cumsum
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("lang").isNotNull()).select(
+        "lang", "text", tokenize(F.col("text")).alias("toks")
+    )
+    feats = quality_features(F.col("text"), F.col("toks"))
+    lab = d.select(
+        (F.col("lang") == "en").alias("is_en"),
+        feats["quality_score"].alias("v"),
+    )
+    tv = lab.groupBy("is_en", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tv")
+    )
+    per_v = tv.groupBy("v").agg(F.sum("n_tv").cast("bigint").alias("n_v"))
+    cum, pin = dist_cumsum(per_v, ["v"], ["n_v"])
+    dec19 = "decimal(19,0)"
+    w2 = cum.select(
+        "v",
+        (F.lit(2) * (F.col("n_v_cum") - F.col("n_v")) + F.col("n_v") + 1)
+        .cast(dec19)
+        .alias("w2"),
+    )
+    per_g = (
+        tv.filter(F.col("is_en"))
+        .join(w2, "v")
+        .agg(
+            F.sum("n_tv").cast("bigint").alias("n_en"),
+            F.sum(F.col("n_tv").cast(dec19) * F.col("w2"))
+            .cast("decimal(38,0)")
+            .alias("r2_en"),
+        )
+    )
+    tot = per_v.agg(F.sum("n_v").cast("bigint").alias("n_all"))
+    j = per_g.join(F.broadcast(tot))
+    n1 = F.col("n_en").cast(dec19)
+    n0 = (F.col("n_all") - F.col("n_en")).cast(dec19)
+    u2 = (F.col("r2_en") - n1 * (n1 + 1)).cast("decimal(38,0)")
+    auc = u2.cast("double") / F.nullif(
+        (F.lit(2).cast(dec19) * n1 * n0).cast("decimal(38,0)").cast("double"),
+        F.lit(0.0),
+    )
+    res = j.select(
+        "n_en",
+        (F.col("n_all") - F.col("n_en")).cast("bigint").alias("n_other"),
+        u2.cast("string").alias("u2"),
+        F.round(auc, 9).alias("auc"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 9).alias("gini"),
+    )
+    return materialize_release(res, pin)
+
+
+Q308_SQL = f"""
+WITH q AS ({Q25_SQL}), lab AS (
+  SELECT d.lang = 'en' AS is_en, q.quality_score AS v
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE d.lang IS NOT NULL
+), tv AS (
+  SELECT is_en, v, CAST(count(*) AS BIGINT) AS n_tv FROM lab GROUP BY 1, 2
+), per_v AS (
+  SELECT v, CAST(sum(n_tv) AS BIGINT) AS n_v FROM tv GROUP BY v
+), cum AS (
+  SELECT v, n_v, sum(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c
+  FROM per_v
+), w2 AS (
+  SELECT v, CAST(2 * (c - n_v) + n_v + 1 AS DECIMAL(19,0)) AS w2 FROM cum
+), per_g AS (
+  SELECT CAST(sum(tv.n_tv) AS BIGINT) AS n_en,
+         CAST(sum(CAST(tv.n_tv AS DECIMAL(19,0)) * w2.w2) AS DECIMAL(38,0))
+           AS r2_en
+  FROM tv JOIN w2 ON tv.v = w2.v WHERE tv.is_en
+), tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n_all FROM per_v),
+fin AS (
+  SELECT n_en, n_all,
+         CAST(r2_en - CAST(n_en AS DECIMAL(19,0))
+              * (CAST(n_en AS DECIMAL(19,0)) + 1) AS DECIMAL(38,0)) AS u2
+  FROM per_g CROSS JOIN tot
+)
+SELECT n_en, CAST(n_all - n_en AS BIGINT) AS n_other,
+       CAST(u2 AS VARCHAR) AS u2,
+       round(CAST(u2 AS DOUBLE)
+             / NULLIF(CAST(CAST(CAST(2 AS DECIMAL(19,0))
+                                * CAST(n_en AS DECIMAL(19,0))
+                                * CAST(n_all - n_en AS DECIMAL(19,0))
+                           AS DECIMAL(38,0)) AS DOUBLE), 0.0), 9) AS auc,
+       round(2.0 * (CAST(u2 AS DOUBLE)
+             / NULLIF(CAST(CAST(CAST(2 AS DECIMAL(19,0))
+                                * CAST(n_en AS DECIMAL(19,0))
+                                * CAST(n_all - n_en AS DECIMAL(19,0))
+                           AS DECIMAL(38,0)) AS DOUBLE), 0.0)) - 1.0, 9)
+         AS gini
+FROM fin
+"""
+
+
+# --------------------------------------------------------------------------
+# q309 — Brier score + calibration bins (quality score as P(unique))
+# --------------------------------------------------------------------------
+
+
+def q309_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score and 10-bin calibration table for q25's quality
+    score read as a probability that a document is ENGLISH → (bin, n,
+    mean_p, frac_en, brier): the PROPER-scoring-rule companion to
+    q308's language-bias AUC — AUC only ranks, the Brier score
+    punishes miscalibrated confidence, and the per-bin
+    (mean_p − frac_en) gap is the reliability diagram of the bias
+    (q225 draws the accuracy analogue). brier = Σ(p − y)²/N repeated
+    on every row.
+
+    EXACTNESS: p quantizes ONCE to DECIMAL(12,6) (the q300 lesson —
+    raw-double scale-18 quantization is engine-divergent), so
+    (p − y)² is an EXACT decimal product summed exactly; per-bin
+    mean_p is an exact decimal-sum ratio; frac_unique an integer
+    ratio; bin = floor of the identical quantized decimal ×10,
+    clamped. One double division each at the very end.
+
+    Shape: one scan + digest groupBy (the corpus-sized stages), a
+    10-row bin aggregation, one 1-row broadcast of the total.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("lang").isNotNull()).select(
+        "lang", "text", tokenize(F.col("text")).alias("toks")
+    )
+    feats = quality_features(F.col("text"), F.col("toks"))
+    p6 = feats["quality_score"].cast("decimal(12,6)")
+    lab = d.select(
+        p6.alias("p6"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = lab.select(
+        F.least(F.lit(9), F.floor(F.col("p6") * 10).cast("int")).alias("bin"),
+        "p6",
+        "y",
+        ((F.col("p6") - F.col("y")) * (F.col("p6") - F.col("y")))
+        .cast("decimal(25,12)")
+        .alias("sq"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p6").cast("decimal(38,6)").alias("sp"),
+        F.sum("y").cast("bigint").alias("ny"),
+        F.sum("sq").cast("decimal(38,12)").alias("ssq"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum(F.col("ssq")).cast("decimal(38,12)").alias("ssq_all"),
+    )
+    return (
+        per_bin.join(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            F.round(
+                F.col("sp").cast("double") / F.col("n").cast("double"), 9
+            ).alias("mean_p"),
+            F.round(
+                F.col("ny").cast("double") / F.col("n").cast("double"), 9
+            ).alias("frac_en"),
+            F.round(
+                F.col("ssq_all").cast("double") / F.col("n_all").cast("double"),
+                9,
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+Q309_SQL = f"""
+WITH q AS ({Q25_SQL}), lab AS (
+  SELECT CAST(q.quality_score AS DECIMAL(12,6)) AS p6,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE d.lang IS NOT NULL
+), binned AS (
+  SELECT CAST(least(9, floor(p6 * 10)) AS INT) AS bin, p6, y,
+         CAST((p6 - y) * (p6 - y) AS DECIMAL(25,12)) AS sq
+  FROM lab
+), per_bin AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(p6) AS DECIMAL(38,6)) AS sp,
+         CAST(sum(y) AS BIGINT) AS ny,
+         CAST(sum(sq) AS DECIMAL(38,12)) AS ssq
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_all,
+         CAST(sum(ssq) AS DECIMAL(38,12)) AS ssq_all
+  FROM per_bin
+)
+SELECT bin, n,
+       round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean_p,
+       round(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE), 9) AS frac_en,
+       round(CAST(ssq_all AS DOUBLE) / CAST(n_all AS DOUBLE), 9) AS brier
+FROM per_bin CROSS JOIN tot
+ORDER BY bin
+"""
+
+
+# --------------------------------------------------------------------------
 # q287 — temperature-scaled mixture sweep (α ∈ {1, 1/2, 1/4})
 # --------------------------------------------------------------------------
 
@@ -13890,6 +14119,8 @@ TEXT_QUERIES = {
     "q298_silhouette": (q298_silhouette, Q298_SQL),
     "q301_curriculum_phases": (q301_curriculum_phases, Q301_SQL),
     "q304_fleiss_kappa": (q304_fleiss_kappa, Q304_SQL),
+    "q308_score_auc": (q308_score_auc, Q308_SQL),
+    "q309_brier_calibration": (q309_brier_calibration, Q309_SQL),
     "q287_temperature_mixture": (q287_temperature_mixture, Q287_SQL),
     "q288_dim_robust_scaling": (q288_dim_robust_scaling, Q288_SQL),
 }

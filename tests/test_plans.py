@@ -296,6 +296,9 @@ BNLJ_ALLOWED = {
     "q301_curriculum_phases": 1,  # 1-row token-budget scalar broadcast (q89's class)
     "q303_mantel_haenszel": 1,  # 1-row pooled-terms scalar broadcast (q89's class)
     "q305_chow_test": 3,  # 1-row midpoint + pooled-SSR scalar broadcasts (q89's class)
+    "q307_forecast_scorecard": 1,  # 1-row snaive-baseline scalar broadcast (q89's class)
+    "q308_score_auc": 1,  # 1-row pooled-total scalar broadcast (q266's class)
+    "q309_brier_calibration": 1,  # 1-row brier-total scalar broadcast (q89's class)
 }
 
 
