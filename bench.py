@@ -369,6 +369,12 @@ HEADLINE = [
     "q307_forecast_scorecard",
     "q308_score_auc",
     "q309_brier_calibration",
+    # Round 13 fourth batch: Friedman/Kendall W, negative-binomial fit,
+    # Grubbs outlier, sampling-gate uniformity KS.
+    "q310_friedman_kendall_w",
+    "q311_negbin_fit",
+    "q312_grubbs_outlier",
+    "q313_hash_uniformity_ks",
 ]
 
 

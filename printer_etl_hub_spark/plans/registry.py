@@ -19,16 +19,16 @@ r8 cohort (q149-q198) in numeric order to fill the 50 slots
 (q149-q158 fit; q159-q198 lead round 14).
 
 Round-14 backfill plan (pre-committed): the r8 remainder in numeric
-order (q159-q198 — 40), then the round-13 additions q292-q309 (18:
+order (q159-q198 — 40), then the round-13 additions q292-q313 (22:
 log-rank, Cliff's delta, Cochran's Q, Ljung-Box, binned drift,
 Durbin-Watson, silhouette, runs test, ANOVA F, curriculum phases,
 Cohen's d, Mantel-Haenszel, Fleiss' kappa, Chow, classical
 decomposition, forecast scorecard, language-bias AUC, Brier
-calibration — each oracle-verified exact at sf0.001 + sf0.01
-in-session at r13, each with a SCALE wave-37/38/39 clone invariant
-AND an independent Python pin) — 40 + 18 > 50, so the window is
-q159-q198 then q292-q301, and q302-q309 lead the round-15 additions
-block. Binding rule, as every round:
+calibration, Friedman/Kendall W, negbin fit, Grubbs, sampling-gate
+KS — each oracle-verified exact at sf0.001 + sf0.01 in-session at
+r13, each with a SCALE wave-37..40 clone invariant AND an
+independent Python pin) — 40 + 22 > 50, so the window is q159-q198
+then q292-q301, and q302-q313 lead the round-15 additions block. Binding rule, as every round:
 r8-remainder-then-r13-additions in numeric order, truncated at 50.
 
 q37 stays OUTSIDE the window by design: its estimator output has no
@@ -50,7 +50,7 @@ r10: q241-q254, q02, q04, q06, q08-q11, q13, q15, q25, q100, q101,
 r9: q199-q240, q98, q99, q102, q104, q01, q03, q05, q07;
 r8: q149-q198;
 r7: q72, q77, q82-q91, q93-q97, q108, q124, q141-q148;
-never: q37 (by design), q292-q309 (landed round 13 AFTER that round's
+never: q37 (by design), q292-q313 (landed round 13 AFTER that round's
     window was committed; oracle-verified exact at sf0.001 + sf0.01
     in-session at r13 and pre-committed to the round-14 window).
 """

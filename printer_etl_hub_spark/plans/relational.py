@@ -8928,6 +8928,416 @@ ORDER BY model
 """
 
 
+# --------------------------------------------------------------------------
+# q310 — Friedman test + Kendall's W (weekday effect, week-blocked)
+# --------------------------------------------------------------------------
+
+
+def q310_friedman_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of weekday effect across complete weeks, with
+    Kendall's W concordance → one row (n_blocks, k, chi2_f, w): do
+    weekdays differ AFTER removing each week's level? The
+    matched-design completion of the nonparametric family — q278's
+    Kruskal-Wallis pools independent groups (week-level swamps the
+    weekday signal), q294's Cochran Q handles matched BINARY outcomes,
+    Friedman handles matched ordinal/continuous ones; W = χ²_F/(b(k−1))
+    rescales to the [0,1] 'how consistently do the weeks agree on the
+    weekday ordering' number. Blocks are ISO weeks with ALL 7 days
+    present (an incomplete week has no rank 1..7 to give).
+
+    EXACTNESS: PURE INTEGER via doubled within-week midranks
+    (w2 = 2·below + tied + 1 — q266's tie device) and Conover's
+    tie-safe form multiplied through by 4: χ²_F = (k−1)·Σ_j(ΣW2_j −
+    b(k+1))² / (Σw2² − b·k·(k+1)²), one double division;
+    W = χ²_F/(b(k−1)). NULLIF guards the all-tied degenerate and
+    b = 0.
+
+    Shape: one daily pre-agg (corpus-sized), a per-week completeness
+    filter, a 7×7-bounded within-week rank join (equi on week), a
+    7-row treatment aggregation.
+    """
+    daily = _daily_counts_frame(spark, sf_dir).select(
+        F.date_trunc("week", F.col("day")).cast("date").alias("wk"),
+        F.weekday(F.col("day")).cast("int").alias("dow"),
+        "x",
+    )
+    full = daily.groupBy("wk").agg(F.count(F.lit(1)).alias("nd")).filter(
+        F.col("nd") == 7
+    )
+    blocks = daily.join(full.select("wk"), "wk")
+    other = blocks.select(
+        F.col("wk").alias("wk2"), F.col("x").alias("x2")
+    )
+    ranked = (
+        blocks.join(other, F.col("wk") == F.col("wk2"))
+        .groupBy("wk", "dow", "x")
+        .agg(
+            F.sum(F.when(F.col("x2") < F.col("x"), 1).otherwise(0)).alias("below"),
+            F.sum(F.when(F.col("x2") == F.col("x"), 1).otherwise(0)).alias("tied"),
+        )
+        .select(
+            "wk",
+            "dow",
+            (2 * F.col("below") + F.col("tied") + 1).cast("bigint").alias("w2"),
+        )
+    )
+    dec = "decimal(38,0)"
+    dec12 = "decimal(12,0)"
+    per_j = ranked.groupBy("dow").agg(
+        F.sum("w2").cast(dec).alias("sw2"),
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+    )
+    tots = ranked.agg(
+        F.sum(F.col("w2").cast(dec12) * F.col("w2").cast(dec12))
+        .cast(dec)
+        .alias("a4"),
+        (F.count(F.lit(1)) / 7).cast("bigint").alias("b"),
+    )
+    k = F.lit(7).cast(dec)
+    j = per_j.join(F.broadcast(tots).withColumnRenamed("b", "b_all"))
+    dev = F.col("sw2") - F.col("b_all").cast(dec) * (k + 1)
+    num = j.agg(
+        F.sum(dev * dev).cast(dec).alias("sdev2"),
+        F.first("a4").alias("a4"),
+        F.first("b_all").alias("b_all"),
+    )
+    den = F.col("a4") - F.col("b_all").cast(dec) * k * (k + 1) * (k + 1)
+    chi2 = (F.lit(6).cast(dec) * F.col("sdev2")).cast(dec).cast(
+        "double"
+    ) / F.nullif(den, F.lit(0).cast(dec)).cast("double")
+    res = num.select(
+        F.col("b_all").alias("n_blocks"),
+        F.lit(7).cast("int").alias("k"),
+        F.round(chi2, 9).alias("chi2_f"),
+        F.round(
+            chi2
+            / F.nullif(
+                F.col("b_all").cast("double") * F.lit(6.0), F.lit(0.0)
+            ),
+            9,
+        ).alias("w"),
+    )
+    return res
+
+
+Q310_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), wkd AS (
+  SELECT CAST(date_trunc('week', day) AS DATE) AS wk,
+         CAST(isodow(day) - 1 AS INT) AS dow, x
+  FROM daily
+), full_w AS (
+  SELECT wk FROM wkd GROUP BY wk HAVING count(*) = 7
+), blocks AS (
+  SELECT wkd.* FROM wkd JOIN full_w ON wkd.wk = full_w.wk
+), ranked AS (
+  SELECT a.wk, a.dow,
+         CAST(2 * sum(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+              + sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1 AS BIGINT) AS w2
+  FROM blocks a JOIN blocks b ON a.wk = b.wk
+  GROUP BY a.wk, a.dow, a.x
+), per_j AS (
+  SELECT dow, CAST(sum(w2) AS DECIMAL(38,0)) AS sw2 FROM ranked GROUP BY dow
+), tots AS (
+  SELECT CAST(sum(CAST(w2 AS DECIMAL(12,0)) * CAST(w2 AS DECIMAL(12,0)))
+              AS DECIMAL(38,0)) AS a4,
+         CAST(count(*) / 7 AS BIGINT) AS b_all
+  FROM ranked
+), num AS (
+  SELECT CAST(sum((per_j.sw2 - CAST(tots.b_all AS DECIMAL(38,0)) * 8)
+                  * (per_j.sw2 - CAST(tots.b_all AS DECIMAL(38,0)) * 8))
+              AS DECIMAL(38,0)) AS sdev2,
+         any_value(tots.a4) AS a4, any_value(tots.b_all) AS b_all
+  FROM per_j CROSS JOIN tots
+)
+SELECT b_all AS n_blocks, CAST(7 AS INT) AS k,
+       round(CAST(CAST(6 AS DECIMAL(38,0)) * sdev2 AS DOUBLE)
+             / CAST(NULLIF(a4 - CAST(b_all AS DECIMAL(38,0)) * 7 * 8 * 8,
+                           CAST(0 AS DECIMAL(38,0))) AS DOUBLE), 9) AS chi2_f,
+       round((CAST(CAST(6 AS DECIMAL(38,0)) * sdev2 AS DOUBLE)
+              / CAST(NULLIF(a4 - CAST(b_all AS DECIMAL(38,0)) * 7 * 8 * 8,
+                            CAST(0 AS DECIMAL(38,0))) AS DOUBLE))
+             / NULLIF(CAST(b_all AS DOUBLE) * 6.0, 0.0), 9) AS w
+FROM num
+"""
+
+
+# --------------------------------------------------------------------------
+# q311 — negative-binomial fit + Poisson dispersion test (daily volume)
+# --------------------------------------------------------------------------
+
+
+def q311_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit of daily volume + the
+    Poisson dispersion test → one row (n_days, mean_x, var_x, r_hat,
+    p_hat, dispersion): q268's Fano factor SAYS the series is
+    overdispersed; this FITS the standard overdispersed count model
+    (r̂ = m²/(s² − m), p̂ = m/s²) so capacity planning can sample from
+    it, and dispersion = (n−1)s²/m is the classic χ²_{n−1} index the
+    Poisson hypothesis is rejected on. r̂/p̂ are NULL when s² ≤ m
+    (under-dispersed — NB does not exist there; the honest answer, not
+    a clamp).
+
+    EXACTNESS: m and s² come from exact integer sums (n·Σx² − S² in
+    DECIMAL(38,0), the q274 class); every output is a fixed-order
+    double expression of those integers, NULLIF-guarded (n < 2, zero
+    mean, s² ≤ m).
+
+    Shape: one daily pre-agg, a 1-row aggregation.
+    """
+    daily = _daily_counts_frame(spark, sf_dir)
+    dec = "decimal(38,0)"
+    dec19 = "decimal(19,0)"
+    agg = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast(dec).alias("s"),
+        F.sum(F.col("x").cast(dec19) * F.col("x").cast(dec19))
+        .cast(dec)
+        .alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("s").cast("double") / nd
+    var = (
+        (F.col("n").cast(dec) * F.col("q") - F.col("s") * F.col("s"))
+        .cast(dec)
+        .cast("double")
+        / F.nullif(nd * (nd - F.lit(1.0)), F.lit(0.0))
+    )
+    r_hat = m * m / F.nullif(var - m, F.lit(0.0))
+    p_hat = m / F.nullif(var, F.lit(0.0))
+    disp = (nd - F.lit(1.0)) * var / F.nullif(m, F.lit(0.0))
+    over = var > m
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.round(m, 9).alias("mean_x"),
+        F.when(F.col("n") > 1, F.round(var, 9)).alias("var_x"),
+        F.when((F.col("n") > 1) & over, F.round(r_hat, 9)).alias("r_hat"),
+        F.when((F.col("n") > 1) & over, F.round(p_hat, 9)).alias("p_hat"),
+        F.when(F.col("n") > 1, F.round(disp, 9)).alias("dispersion"),
+    )
+
+
+Q311_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS q
+  FROM daily
+), d AS (
+  SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         CAST(CAST(CAST(n AS DECIMAL(38,0)) * q - s * s AS DECIMAL(38,0))
+              AS DOUBLE)
+         / NULLIF(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0.0) AS var
+  FROM agg
+)
+SELECT n AS n_days, round(m, 9) AS mean_x,
+       CASE WHEN n > 1 THEN round(var, 9) END AS var_x,
+       CASE WHEN n > 1 AND var > m THEN
+         round(m * m / NULLIF(var - m, 0.0), 9) END AS r_hat,
+       CASE WHEN n > 1 AND var > m THEN
+         round(m / NULLIF(var, 0.0), 9) END AS p_hat,
+       CASE WHEN n > 1 THEN
+         round((CAST(n AS DOUBLE) - 1.0) * var / NULLIF(m, 0.0), 9)
+       END AS dispersion
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# q312 — Grubbs single-outlier test (daily volume)
+# --------------------------------------------------------------------------
+
+
+def q312_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' two-sided single-outlier test on daily volume → one row
+    (n_days, outlier_day, x_outlier, g_stat): WHICH day deviates most
+    from the series mean in standard-deviation units, and by how much —
+    the single-point complement of q216's population-level MAD flags
+    and q228's sequential EWMA (Grubbs asks about exactly one
+    suspicious point against a normal bulk). G = max|x_i − x̄|/s; the
+    argmax day rides along so the answer is actionable.
+
+    EXACTNESS: the argmax runs on the INTEGER score |n·x_i − S|
+    (scale-free: the 1/(n·s) factor is positive and constant), ties
+    broken by earliest day — a TakeOrdered head, totally ordered;
+    G itself is one fixed-order double expression of exact integer
+    sums. NULLIF guards n < 2 / zero variance.
+
+    Shape: one daily pre-agg, one 1-row sufficient-statistic
+    broadcast, a 1-row TakeOrdered head.
+    """
+    daily = _daily_counts_frame(spark, sf_dir)
+    dec = "decimal(38,0)"
+    dec19 = "decimal(19,0)"
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast(dec).alias("s"),
+        F.sum(F.col("x").cast(dec19) * F.col("x").cast(dec19))
+        .cast(dec)
+        .alias("q"),
+    )
+    j = daily.join(F.broadcast(stats))
+    score = F.abs(
+        (F.col("n").cast(dec) * F.col("x").cast(dec) - F.col("s")).cast(dec)
+    )
+    top = (
+        j.select("day", "x", "n", "s", "q", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("day").asc())
+        .limit(1)
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("s").cast("double") / nd
+    var = (
+        (F.col("n").cast(dec) * F.col("q") - F.col("s") * F.col("s"))
+        .cast(dec)
+        .cast("double")
+        / F.nullif(nd * (nd - F.lit(1.0)), F.lit(0.0))
+    )
+    g = F.abs(F.col("x").cast("double") - m) / F.nullif(
+        F.sqrt(F.nullif(var, F.lit(0.0))), F.lit(0.0)
+    )
+    return top.select(
+        F.col("n").alias("n_days"),
+        F.date_format("day", "yyyy-MM-dd").alias("outlier_day"),
+        F.col("x").alias("x_outlier"),
+        F.when(F.col("n") > 1, F.round(g, 9)).alias("g_stat"),
+    )
+
+
+Q312_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS q
+  FROM daily
+), top AS (
+  SELECT daily.day, daily.x, stats.n, stats.s, stats.q
+  FROM daily CROSS JOIN stats
+  ORDER BY abs(CAST(CAST(stats.n AS DECIMAL(38,0)) * CAST(daily.x AS DECIMAL(38,0))
+                    - stats.s AS DECIMAL(38,0))) DESC, daily.day ASC
+  LIMIT 1
+)
+SELECT n AS n_days, strftime(day, '%Y-%m-%d') AS outlier_day,
+       x AS x_outlier,
+       CASE WHEN n > 1 THEN
+         round(abs(CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / NULLIF(sqrt(NULLIF(
+                   CAST(CAST(CAST(n AS DECIMAL(38,0)) * q - s * s
+                        AS DECIMAL(38,0)) AS DOUBLE)
+                   / NULLIF(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0.0),
+                   0.0)), 0.0), 9)
+       END AS g_stat
+FROM top
+"""
+
+
+# --------------------------------------------------------------------------
+# q313 — sampling-gate uniformity audit (one-sample KS vs U(0,1))
+# --------------------------------------------------------------------------
+
+
+def q313_hash_uniformity_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov uniformity audit of the md5
+    sampling gate → one row (n, d_stat, sqrt_n_d, u_at_max): the
+    engine's deterministic samplers (q114/q126/q138's recall
+    harnesses, q276's budget gate) all trust that md5(id:salt) mod 10⁶
+    is uniform — this measures it, D = sup|ECDF(u) − u| against
+    U(0,1) over the document ids with the 'sample' salt. √n·D ≫ 1.63
+    (the 1% Kolmogorov critical point) would mean the sampling knobs
+    are quietly biased — the infrastructure audit behind every
+    sampled-oracle number. The two-sample sibling is q233's KS drift.
+
+    EXACTNESS: u = (md5 bucket)/10⁶ is an EXACT dyadic-free rational
+    (integer/10⁶ — the double is correctly rounded, identical in both
+    engines); ranks come from `dist_rank` under the (u, doc_id) total
+    order (never a corpus-wide single-partition window); each row's
+    max(i/n − u, u − (i−1)/n) is one fixed-order double expression;
+    D is an order-safe max. NULLIF guards the empty corpus.
+
+    Shape: one scan computing the hash (corpus-sized), one dist_rank
+    range shuffle, a 1-row max aggregation.
+    """
+    from .common import dist_rank
+
+    t = load_tables(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = t["documents"].select(
+        "doc_id", (F.pmod(h, F.lit(1_000_000)).cast("double") / 1_000_000.0).alias("u")
+    )
+    ranked, pin = dist_rank(u, ["u", "doc_id"], out="i")
+    tot = u.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = ranked.join(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    d_plus = F.col("i").cast("double") / nd - F.col("u")
+    d_minus = F.col("u") - (F.col("i").cast("double") - F.lit(1.0)) / nd
+    per = j.select(
+        "u",
+        "n",
+        F.greatest(d_plus, d_minus).alias("d_row"),
+    )
+    top = (
+        per.orderBy(F.col("d_row").desc(), F.col("u").asc())
+        .limit(1)
+        .select(
+            "n",
+            F.round(F.col("d_row"), 9).alias("d_stat"),
+            F.round(F.col("d_row") * F.sqrt(F.col("n").cast("double")), 9).alias(
+                "sqrt_n_d"
+            ),
+            F.round(F.col("u"), 9).alias("u_at_max"),
+        )
+    )
+    return materialize_release(top, pin)
+
+
+Q313_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         CAST((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15)) AS BIGINT) % 1000000) AS DOUBLE)
+         / 1000000.0 AS u
+  FROM documents
+), ranked AS (
+  SELECT u, doc_id,
+         CAST(row_number() OVER (ORDER BY u, doc_id) AS BIGINT) AS i
+  FROM u
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+per AS (
+  SELECT ranked.u, tot.n,
+         greatest(CAST(i AS DOUBLE) / CAST(n AS DOUBLE) - ranked.u,
+                  ranked.u - (CAST(i AS DOUBLE) - 1.0) / CAST(n AS DOUBLE))
+           AS d_row
+  FROM ranked CROSS JOIN tot
+)
+SELECT n, round(d_row, 9) AS d_stat,
+       round(d_row * sqrt(CAST(n AS DOUBLE)), 9) AS sqrt_n_d,
+       round(u, 9) AS u_at_max
+FROM per
+ORDER BY d_row DESC, u ASC
+LIMIT 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_bad_value_filter": (q02_bad_value_filter, Q02_SQL),
@@ -9050,4 +9460,8 @@ RELATIONAL_QUERIES = {
     "q305_chow_test": (q305_chow_test, Q305_SQL),
     "q306_classical_decomposition": (q306_classical_decomposition, Q306_SQL),
     "q307_forecast_scorecard": (q307_forecast_scorecard, Q307_SQL),
+    "q310_friedman_kendall_w": (q310_friedman_kendall_w, Q310_SQL),
+    "q311_negbin_fit": (q311_negbin_fit, Q311_SQL),
+    "q312_grubbs_outlier": (q312_grubbs_outlier, Q312_SQL),
+    "q313_hash_uniformity_ks": (q313_hash_uniformity_ks, Q313_SQL),
 }

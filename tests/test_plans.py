@@ -299,6 +299,9 @@ BNLJ_ALLOWED = {
     "q307_forecast_scorecard": 1,  # 1-row snaive-baseline scalar broadcast (q89's class)
     "q308_score_auc": 1,  # 1-row pooled-total scalar broadcast (q266's class)
     "q309_brier_calibration": 1,  # 1-row brier-total scalar broadcast (q89's class)
+    "q310_friedman_kendall_w": 1,  # 1-row (a4, b) totals scalar broadcast (q266's class)
+    "q312_grubbs_outlier": 1,  # 1-row sufficient-statistic scalar broadcast (q89's class)
+    "q313_hash_uniformity_ks": 1,  # 1-row n scalar broadcast (q89's class)
 }
 
 
