@@ -84,11 +84,17 @@ def connected_components(
         fs = p.getFileSystem(edges.sparkSession._jsc.hadoopConfiguration())
         fs.delete(p, True)
 
-    def _cut(df: DataFrame, subdir: str = "cc-base") -> DataFrame:
+    def _cut(df: DataFrame, subdir: str = "cc-base", eager: bool = True) -> DataFrame:
         if checkpoint_dir is not None:
+            # Reliable checkpoints stay EAGER even when the caller asks for
+            # lazy: a lazy reliable checkpoint is not persisted, so Spark
+            # recomputes the whole round to write the checkpoint files at
+            # the end of the first job that touches it — paying the round
+            # twice. localCheckpoint persists on first materialization, so
+            # lazy is free there.
             sc.setCheckpointDir(f"{checkpoint_dir}/{subdir}")
             return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
 
     # Materialize the edge input ONCE before the symmetrization union — its
     # two branches would otherwise re-execute the caller's whole pair
@@ -122,7 +128,15 @@ def connected_components(
         # through the label table halves every chain each round. Skipped in
         # round 0: near-dup cliques converge on LP alone by round 1 and
         # never pay the jump join; long chains pay ~one extra round of the
-        # O(log) schedule.
+        # O(log) schedule. (A hash-to-min root relay and a SECOND jump per
+        # round were tried this round and REVERTED: they halve the round
+        # count on long-chain graphs, but each adds a |nodes|-sized shuffle
+        # stage per round, and on the bench's cliquey near-dup graphs —
+        # which converge in a handful of rounds anyway — job count rose
+        # ~2x and wall clock regressed 20-45% (q215 2.84→4.07 s, q203
+        # 3.17→4.21 s, measured with the after-run in the BETTER host
+        # phase). Per guide §1.2: the round schedule is already O(log D);
+        # the per-round stage count is what this operator pays for.)
         if it > 0:
             lbl_map = stepped.select(
                 F.col("node").alias("_ln"), F.col("component").alias("_lc")
@@ -133,7 +147,14 @@ def connected_components(
                 "node",
                 F.coalesce("_lc", "component").alias("component"),
             )
-        new_labels = _cut(stepped, f"cc-round-{it}")  # cut lineage — see module docstring
+        # Lazy cut (r13 optimization): the convergence probe below is the
+        # round's first action on new_labels, so it materializes the
+        # checkpoint AND reads the sum in ONE job submission instead of
+        # an eager-checkpoint job followed by a probe job — one fewer
+        # driver barrier per round, same lineage truncation (the RDD is
+        # marked before the action; every later consumer reads the
+        # persisted blocks).
+        new_labels = _cut(stepped, f"cc-round-{it}", eager=False)
         # Convergence probe: per-node labels are MONOTONE non-increasing
         # across rounds (least(old, nbr_min) ≤ old, and the pointer jump
         # resolves through label(x) ≤ x), so Σ component is strictly
