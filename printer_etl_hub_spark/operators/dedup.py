@@ -605,30 +605,54 @@ def semantic_dedup(
         )
         .filter(F.col("vd").isNotNull())
     )
-    dist = F.aggregate(
-        F.zip_with("vd", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     nrm = F.sqrt(
         F.aggregate(
             F.transform("vd", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
         )
     )
-    assigned = (
-        # Slim argmin (see kmeans_fit): the vector joins back after the
-        # min collapses the n·k fan-out instead of riding inside every
-        # candidate struct.
-        v.join(F.broadcast(cents.select("cluster_id", "centroid")))
-        .select("_sid", F.struct(dist.alias("dist"), "cluster_id").alias("cand"))
-        .groupBy("_sid")
-        .agg(F.min("cand").alias("best"))
-        .select("_sid", F.col("best.cluster_id").alias("cluster_id"))
-        .join(v, "_sid")
-        .select("_sid", "cluster_id", "vd", nrm.alias("nrm"))
-        # Feeds both pair sides AND the final projection — compute once.
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    from .similarity import LITERAL_ARGMIN_MAX_DOUBLES, _literal_argmin
+    from ..bounded import bounded_collect
+
+    cent_rows = bounded_collect(
+        cents.select("cluster_id", "centroid"),
+        k,
+        "semantic_dedup centroid fetch",  # k rows, driver-sized by the k knob
     )
+    cent_map = {int(r.cluster_id): list(r.centroid) for r in cent_rows}
+    if cent_map and k * max(len(c) for c in cent_map.values()) <= LITERAL_ARGMIN_MAX_DOUBLES:
+        # Literal-codebook argmin (r13 optimization — kmeans_fit
+        # discipline): assignment becomes a pure map over v, removing the
+        # broadcast build, the n-row argmin shuffle AND the n-row
+        # join-back per run. Large-k (k ∝ n) callers fall through to the
+        # broadcast join below, whose argmin is map-side combinable.
+        assigned = v.select(
+            "_sid",
+            _literal_argmin(cent_map, F.col("vd"))["cluster_id"]
+            .cast("int")
+            .alias("cluster_id"),
+            "vd",
+            nrm.alias("nrm"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        dist = F.aggregate(
+            F.zip_with("vd", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            # Slim argmin (see kmeans_fit): the vector joins back after the
+            # min collapses the n·k fan-out instead of riding inside every
+            # candidate struct.
+            v.join(F.broadcast(cents.select("cluster_id", "centroid")))
+            .select("_sid", F.struct(dist.alias("dist"), "cluster_id").alias("cand"))
+            .groupBy("_sid")
+            .agg(F.min("cand").alias("best"))
+            .select("_sid", F.col("best.cluster_id").alias("cluster_id"))
+            .join(v, "_sid")
+            .select("_sid", "cluster_id", "vd", nrm.alias("nrm"))
+            # Feeds both pair sides AND the final projection — compute once.
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     # The pair join's INPUT shuffle is cluster-table-sized but its OUTPUT
     # explodes quadratically per cluster — exactly the shape AQE's
     # coalescing mis-sizes (it sees ~100 MB of shuffle input and folds

@@ -39,6 +39,47 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+#: Ceiling (in total literal doubles, k·dim) under which a driver-resident
+#: centroid set is inlined as a LITERAL array instead of broadcast-joined.
+#: The literal path makes nearest-centroid assignment a pure map (zero
+#: shuffle, zero broadcast-build job, no join-back to refetch the vector);
+#: past the ceiling the expression tree itself becomes the cost (analysis/
+#: codegen scale with k·dim), so large codebooks — SemDeDup's k ∝ n
+#: posture — keep the broadcast n·k join, whose argmin is map-side
+#: combinable. Both paths fold the same zip_with/aggregate expression in
+#: the same order, so distances and tie-breaks are bit-identical.
+LITERAL_ARGMIN_MAX_DOUBLES = 8192
+
+
+def _literal_argmin(cents: dict[int, list[float]], vec: Column) -> Column:
+    """Nearest-centroid id for ``vec`` against a driver-resident centroid
+    dict, as ONE scalar expression: array_min over per-centroid
+    (dist, cluster_id) structs — identical ordering (and NaN placement) to
+    the broadcast-join ``min(struct(dist, cluster_id))`` it replaces."""
+    cand = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("int").alias("cluster_id"),
+                F.lit(cvec).cast("array<double>").alias("cvec"),
+            )
+            for cid, cvec in sorted(cents.items())
+        ]
+    )
+    return F.array_min(
+        F.transform(
+            cand,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, c["cvec"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                c["cluster_id"].alias("cluster_id"),
+            ),
+        )
+    )
+
+
 def with_vector_norm(
     df: DataFrame, vec_col: str, out_vec: str = "vec_d", out_norm: str = "norm"
 ) -> DataFrame:
@@ -725,31 +766,48 @@ def _kmeans_loop(spark, base, k, max_iter, tol, stats, seeding="lowest_id"):
     cents: dict[int, list[float]] = {i: list(r.vd) for i, r in enumerate(seeds)}
     counts: dict[int, int] = {i: 0 for i in cents}
     it_done, shift = 0, float("inf")
+    dim = max(len(v) for v in cents.values())
     for _ in range(max_iter):
-        cdf = spark.createDataFrame(
-            [(cid, vec) for cid, vec in cents.items()],
-            "cluster_id int, cvec array<double>",
-        )
-        dist = F.aggregate(
-            F.zip_with("vd", "cvec", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        # Argmin over SLIM (dist, cluster_id) candidate rows — carrying vd
-        # inside the min-struct copies the full vector into every n·k
-        # fan-out row (measured: ~45 GB of transient row volume at the
-        # 10x audit's k=447), so the vector joins back AFTER the argmin
-        # collapses the fan-out to n rows. Tie-breaks unchanged: (dist,
-        # cluster_id) already totally ordered the candidates.
-        assigned = (
-            base.join(F.broadcast(cdf))
-            .select("vid", F.struct(dist.alias("dist"), "cluster_id").alias("cand"))
-            .groupBy("vid")
-            .agg(F.min("cand").alias("best"))
-            .select("vid", F.col("best.cluster_id").alias("cid"))
-            .join(base, "vid")
-            .select("cid", "vd")
-        )
+        if len(cents) * dim <= LITERAL_ARGMIN_MAX_DOUBLES:
+            # Literal-codebook argmin (r13 optimization, guide §2.4):
+            # centroids already live on the driver between rounds, so
+            # inlining them as a literal array makes assignment a pure map
+            # over the persisted base — the round's only shuffle is the
+            # k·dim-row partial-aggregated centroid update, where the
+            # broadcast-join form paid a broadcast build, an n-row
+            # argmin shuffle AND an n-row join-back per round (measured
+            # on q94 at sf0.1: 15 jobs/32 stages → 9 jobs/18 stages).
+            assigned = base.select(
+                _literal_argmin(cents, F.col("vd"))["cluster_id"].alias("cid"),
+                "vd",
+            )
+        else:
+            cdf = spark.createDataFrame(
+                [(cid, vec) for cid, vec in cents.items()],
+                "cluster_id int, cvec array<double>",
+            )
+            dist = F.aggregate(
+                F.zip_with("vd", "cvec", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            # Argmin over SLIM (dist, cluster_id) candidate rows — carrying
+            # vd inside the min-struct copies the full vector into every
+            # n·k fan-out row (measured: ~45 GB of transient row volume at
+            # the 10x audit's k=447), so the vector joins back AFTER the
+            # argmin collapses the fan-out to n rows. Tie-breaks unchanged:
+            # (dist, cluster_id) already totally ordered the candidates.
+            assigned = (
+                base.join(F.broadcast(cdf))
+                .select(
+                    "vid", F.struct(dist.alias("dist"), "cluster_id").alias("cand")
+                )
+                .groupBy("vid")
+                .agg(F.min("cand").alias("best"))
+                .select("vid", F.col("best.cluster_id").alias("cid"))
+                .join(base, "vid")
+                .select("cid", "vd")
+            )
         rows = bounded_collect(
             assigned.select("cid", F.posexplode("vd").alias("dim", "v"))
             .groupBy("cid", "dim")
@@ -800,9 +858,12 @@ def pq_train_encode(
     cluster at 100 TB corpus scale.
 
     Training is ONE job per Lloyd round for ALL subspaces at once: the
-    exploded (id, sub, sub-vector) table joins the broadcast ``m·k``-row
-    codebook on the int ``sub`` key, the argmin is a map-side-combinable
-    ``min(struct)``, and the decimal-exact component means group by
+    exploded (id, sub, sub-vector) table assigns against the codebook as
+    a pure map (the driver-resident ``m·k``-row codebook is inlined as a
+    literal sub-indexed array — zero shuffle, zero broadcast build; past
+    ``LITERAL_ARGMIN_MAX_DOUBLES`` it falls back to a broadcast join on
+    the int ``sub`` key with a map-side-combinable ``min(struct)``
+    argmin), and the decimal-exact component means group by
     (sub, code, dim) — never one training job per subspace. Codebooks
     round-trip through the driver between rounds (``m·k·dim`` doubles,
     index-sized — the kmeans_fit discipline, so lineage never grows).
@@ -855,10 +916,54 @@ def pq_train_encode(
         for sub in range(m):
             books[(sub, code)] = list(r.vd[sub * d : (sub + 1) * d])
 
-    def _assign(cdf):
-        # Slim argmin — see kmeans_fit: the sub-vector joins back after
-        # the min collapses the m·n·k fan-out, instead of riding inside
-        # every candidate struct.
+    def _assign():
+        # Literal-codebook argmin (r13 optimization — the kmeans_fit
+        # discipline): the codebooks already live on the driver between
+        # rounds, so inline them as a literal sub-indexed array of
+        # (code, cvec) structs and assign with a pure map over the
+        # persisted sub-vector table — no broadcast build, no n·m-row
+        # argmin shuffle, no join-back to refetch svd. Subs are 0..m-1
+        # contiguous by construction (element_at is 1-based). Falls back
+        # to the broadcast m·k-row join past the literal ceiling — a
+        # caller-sized codebook, not this gate's m·k=32.
+        if sum(len(v) for v in books.values()) <= LITERAL_ARGMIN_MAX_DOUBLES:
+            n_subs = 1 + max(s for s, _ in books)
+            per_sub = F.array(
+                *[
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(code).cast("int").alias("code"),
+                                F.lit(books[(sub, code)])
+                                .cast("array<double>")
+                                .alias("cvec"),
+                            )
+                            for code in sorted(c for s, c in books if s == sub)
+                        ]
+                    )
+                    for sub in range(n_subs)
+                ]
+            )
+            best = F.array_min(
+                F.transform(
+                    F.element_at(per_sub, F.col("sub") + 1),
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("svd"), c["cvec"], lambda a, b: (a - b) * (a - b)
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("dist"),
+                        c["code"].alias("code"),
+                    ),
+                )
+            )
+            return sv.select("vid", "sub", "svd", best["code"].alias("code"))
+        cdf = spark.createDataFrame(
+            [(sub, code, vec) for (sub, code), vec in books.items()],
+            "sub int, code int, cvec array<double>",
+        )
         dist = F.aggregate(
             F.zip_with("svd", "cvec", lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
@@ -869,21 +974,13 @@ def pq_train_encode(
             .select("vid", "sub", F.struct(dist.alias("dist"), "code").alias("cand"))
             .groupBy("vid", "sub")
             .agg(F.min("cand").alias("best"))
-        )
-
-    def _cdf():
-        return spark.createDataFrame(
-            [(sub, code, vec) for (sub, code), vec in books.items()],
-            "sub int, code int, cvec array<double>",
+            .select("vid", "sub", F.col("best.code").alias("code"))
+            .join(sv, ["vid", "sub"])
+            .select("vid", "sub", "svd", "code")
         )
 
     for _ in range(iters):
-        assigned = (
-            _assign(_cdf())
-            .select("vid", "sub", F.col("best.code").alias("code"))
-            .join(sv, ["vid", "sub"])
-            .select("sub", "code", "svd")
-        )
+        assigned = _assign().select("sub", "code", "svd")
         rows = bounded_collect(
             assigned.select("sub", "code", F.posexplode("svd").alias("dim", "v"))
             .groupBy("sub", "code", "dim")
@@ -903,14 +1000,7 @@ def pq_train_encode(
         books = new_books
     if codebooks_out is not None:
         codebooks_out.update(books)
-    out = (
-        _assign(_cdf())
-        .select(
-            F.col("vid").alias(id_col),
-            "sub",
-            F.col("best.code").alias("code"),
-        )
-    )
+    out = _assign().select(F.col("vid").alias(id_col), "sub", "code")
     # The final encode is the cache's last consumer: materialize the
     # narrow (id, sub, code) result — n·m small ints, the whole point of
     # PQ — and release the sub-vector cache instead of leaking it for
