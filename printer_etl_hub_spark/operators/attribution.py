@@ -102,6 +102,17 @@ def attribution_frames(trans: DataFrame):
     from pyspark import StorageLevel
 
     spark = trans.sparkSession
+    # Materialize the transition counts ONCE (r13 optimization, guide §5):
+    # ``trans`` is ≤ |states|²-row index-scale by construction, but its
+    # SUBTREE is the corpus pass (q263: three user-keyed windows over
+    # events + a shuffle), and five downstream consumers (tot, p→r,
+    # p→q_ch, channels twice) would re-execute it per consumer — the
+    # caller's persist on the event prefix kept the SCAN cheap but still
+    # re-ran the windows and the counting shuffle each time. One eager
+    # localCheckpoint collapses every re-execution to a tiny LogicalRDD
+    # read (measured on q263 at sf0.1, together with the astart cut
+    # below: 97 stages → 45, wall 6.9 s → 2.5 s).
+    trans = trans.localCheckpoint(eager=True)
     tot = trans.groupBy("prev").agg(F.sum("n").cast("bigint").alias("tot"))
     p = trans.join(F.broadcast(tot), "prev").select(
         "prev",
@@ -156,6 +167,9 @@ def attribution_frames(trans: DataFrame):
         rbase.unionByName(q_ch)
         .groupBy("chain")
         .applyInPandas(_solve_chain, "chain string, a double")
+        # |chains| rows; consumed twice (p_base probe + per_ch) — one
+        # eager cut keeps the pandas solve and its join jungle single-run.
+        .localCheckpoint(eager=True)
     )
     p_base = astart.filter(F.col("chain") == ATTR_NONE).select(
         F.col("a").alias("p_base")

@@ -100,9 +100,23 @@ def connected_components(
     # two branches would otherwise re-execute the caller's whole pair
     # pipeline (measured: the q72 near-dup DAG ran twice, ~9s of a 13s run)
     edges = _cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    # Partition the symmetrized edge table by its JOIN KEY before pinning
+    # it (r13 optimization, guide §2.4): every round's message join probes
+    # sym on "a", but distinct() leaves the cache hash-partitioned on
+    # (a, b), so each round re-exchanged the EDGE table — the big side, at
+    # 100 TB the whole graph — per round. Repartitioning once on "a" makes
+    # the cached outputPartitioning satisfy the join's requirement, so
+    # rounds exchange only the (node-sized) label side.
+    n_part = int(
+        edges.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions",
+            str(sc.defaultParallelism),
+        )
+    )
     sym = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .repartition(n_part, "a")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = _cut(
@@ -112,17 +126,21 @@ def connected_components(
     )  # initial labels live in cc-base alongside the edges
     prev_sum = None  # Σ component of the previous round (set from round 0 on)
     for it in range(max_iter):
-        msgs = (
+        # LP step as (neighbor messages ∪ self-label) → one min per node
+        # (r13 optimization): the former shape computed neighbor minima
+        # with a groupBy, then LEFT-JOINED them back onto labels to
+        # coalesce message-less nodes — a second node-keyed join (and its
+        # exchange) per round. Every node is present in ``labels``, so
+        # unioning the self-label rows into the message stream makes the
+        # single min(component) aggregation compute least(own, nbr_min)
+        # directly: same monotone update, one join and one exchange fewer
+        # per round.
+        stepped = (
             sym.join(labels, sym["a"] == labels["node"])
             .select(F.col("b").alias("node"), F.col("component"))
+            .union(labels.select("node", "component"))
             .groupBy("node")
-            .agg(F.min("component").alias("_nbr_min"))
-        )
-        stepped = labels.join(msgs, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce("_nbr_min", F.col("component"))
-            ).alias("component"),
+            .agg(F.min("component").alias("component"))
         )
         # pointer jump: component ids ARE node ids, so resolving a label
         # through the label table halves every chain each round. Skipped in
