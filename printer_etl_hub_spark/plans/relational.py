@@ -4659,6 +4659,10 @@ def q259_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb.join(F.broadcast(auth1), "brand")
         .groupBy("cust")
         .agg(F.sum("a1").cast(dec).alias("h2"))
+        # Two consumers (auth2's propagation join and the hub top-10) —
+        # unpinned, the whole degc→auth1→hub2 chain executed twice
+        # (r13, guide §5: persist exactly the reused subtree).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     auth2 = (
         cb.join(hub2, "cust")
@@ -4696,7 +4700,7 @@ def q259_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     res = top_a.unionByName(top_h).orderBy("side", "r")
-    return materialize_release(res, cb)
+    return materialize_release(res, cb, hub2)
 
 
 Q259_SQL = f"""

@@ -11417,6 +11417,10 @@ def _pca_component_frames(spark: SparkSession, sf_dir: str):
             "vec_id",
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
         )
+        # Three consumers re-ran the scan + spread exchange unpinned (the
+        # Gram expansion, the mean pass, q254's projection pass) — one
+        # corpus-sized pin turns them into cache reads (r13, guide §5).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pos = emb.select("vec_id", F.posexplode(F.col("vd")).alias("a", "x"))
     n = t["embeddings"].agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
@@ -11476,17 +11480,22 @@ def _pca_component_frames(spark: SparkSession, sf_dir: str):
         # localCheckpoint per round (the q263 lineage rule): w feeds
         # BOTH the norm and the normalized v, and v feeds every
         # downstream branch (next round, Rayleigh legs, q254's
-        # projection) — left lazy, each broadcast build re-derives the
+        # projection) — left uncut, each broadcast build re-derives the
         # whole prior-round subtree and the plan grows ~50 nested
         # scalar joins per round (measured: the d²-frame recomputes,
         # all hitting the persisted C, were pure scheduler overhead on
         # a 64-row frame). Values are identical — the checkpoint only
-        # pins WHERE the 64 rows are read from.
+        # pins WHERE the 64 rows are read from. LAZY cuts (r13, the
+        # components.py rule): the next consumer of each frame is a
+        # broadcast/aggregate build that materializes every partition,
+        # so the blocks persist inside that job instead of paying a
+        # dedicated checkpoint job — two fewer job submissions per
+        # round, same truncation.
         w = (
             c.join(F.broadcast(v), c["bb"] == v["b"])
             .groupBy("aa")
             .agg(_dsum18(F.col("c_ab") * F.col("v")).alias("w"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         nrm = w.agg(F.sqrt(_dsum18(F.col("w") * F.col("w"))).alias("_nrm"))
         # NULLIF: a zero-variance corpus makes C·v the zero vector —
@@ -11495,9 +11504,9 @@ def _pca_component_frames(spark: SparkSession, sf_dir: str):
         v = w.join(F.broadcast(nrm)).select(
             F.col("aa").alias("b"),
             (F.col("w") / F.nullif(F.col("_nrm"), F.lit(0.0))).alias("v"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return {"emb": emb, "pos": pos, "mu": mu, "c": c, "v": v,
-            "pins": [c, s_up]}
+            "pins": [c, s_up, emb]}
 
 
 def q245_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
