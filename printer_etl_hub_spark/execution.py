@@ -1,0 +1,59 @@
+"""Execution posture for iterative driver loops (r13 optimization).
+
+Every iterative operator in this engine (connected components, the k-core
+peel, Lloyd's k-means, PQ training) runs a driver loop whose per-round plan
+shape is FIXED and KNOWN: the big side is pre-partitioned/persisted once,
+the per-round frames are node-/index-sized, and the aggregations are
+partial-aggregable map-side. Under AQE, every exchange of every round is
+materialized as its own query-stage JOB — measured on q100's 11-round
+component graph: 87 jobs / 201 stages with AQE vs 29 / 88 without,
+identical results — and AQE's runtime re-planning buys nothing back,
+because there is nothing left for it to decide (join sides and partition
+sizing are already fixed by the operator).
+
+:func:`loop_execution` scopes that posture to the loop body only: AQE off
+and a shuffle width DERIVED from the loop's materialized row count (the
+coalescing AQE would have performed, decided once instead of per stage),
+both restored on exit — callers' plans before and after the loop, and
+every consumer of the loop's returned frame, run under the session's own
+settings. The derived width is scale-adaptive, never a constant tuned to
+local cores or to a cluster: 1 partition on the bench's thousand-row label
+frames, thousands of partitions at 100 TB.
+
+Contract: single-threaded, loop-at-a-time — the same query-at-a-time
+contract `plans/common.py`'s deferred-release ledger documents. A session
+driving queries concurrently must not interleave two loops (the conf is
+session-scoped while the loop runs).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+#: Target rows per loop shuffle partition. Loop frames are slim rows
+#: (two bigints for labels/edges, (cid, dim, n, m) for centroid updates
+#: — ~50 B shuffled), so 2 M rows ≈ 100 MB per partition, the guide's
+#: §2.2 "fewer, larger reduce partitions" band.
+LOOP_ROWS_PER_PARTITION = 2_000_000
+
+
+@contextmanager
+def loop_execution(spark, n_rows: int, rows_per_partition: int = LOOP_ROWS_PER_PARTITION):
+    """Run an iterative loop body with AQE off and a shuffle width derived
+    from ``n_rows`` (the loop's dominant materialized row count), restoring
+    the session's settings on every exit path. Yields the derived width so
+    the caller can pin explicit repartitions to the same number."""
+    conf = spark.conf
+    loop_parts = max(1, -(-int(n_rows) // int(rows_per_partition)))
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    old_sp = conf.get(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        yield loop_parts
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_sp)

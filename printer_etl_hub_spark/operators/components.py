@@ -10,21 +10,29 @@ Round structure (each is a shuffle join on node id):
 1. neighbor-min message: component(n) ← min over neighbors' components —
    plain label propagation, advances a min label ONE hop per round
    (O(diameter) alone — a 10^6-node chain would need 10^6 rounds);
-2. pointer jump: component(n) ← component(component(n)) — labels are node
-   ids, so one self-join halves every label-chain, giving the O(log n)
-   convergence of hash-to-min / Kiveris-style MapReduce CC with the same
-   join primitives.
+2. pointer jump: component(n) ← previous_labels(component(n)) — labels are
+   node ids, so resolving each stepped label through the PREVIOUS round's
+   (already-materialized) label table halves every label-chain, giving the
+   O(log n) convergence of hash-to-min / Kiveris-style MapReduce CC with
+   the same join primitives and a LINEAR per-round plan (resolving through
+   the round's own output would duplicate the message-join subtree in
+   every plan).
 
-Each round ends in ``localCheckpoint(eager=True)``: the pointer-jump
-self-join REFERENCES the round's frame twice, so without truncation the
-logical plan doubles per round and ANALYSIS time (not execution — the cache
-serves reads) grows exponentially (measured: 0.5s → 3.5s → 27s → 159s per
-round on a 100-node chain). Checkpointing flattens the plan to a LogicalRDD
-each round — the same lineage-cut every iterative Spark algorithm
-(GraphX/GraphFrames) performs. localCheckpoint is executor-local (lost on
-executor failure); pass ``checkpoint_dir=`` to use reliable
-``checkpoint()`` on a real cluster when retry-safety across rounds
-matters more than speed.
+Each round ends in a lazy ``localCheckpoint`` (materialized by the round's
+convergence probe): without truncation the logical plan grows per round and
+ANALYSIS time (not execution — the cache serves reads) grows exponentially
+(measured: 0.5s → 3.5s → 27s → 159s per round on a 100-node chain).
+Checkpointing flattens the plan to a LogicalRDD each round — the same
+lineage-cut every iterative Spark algorithm (GraphX/GraphFrames) performs.
+localCheckpoint is executor-local (lost on executor failure); pass
+``checkpoint_dir=`` to use reliable ``checkpoint()`` on a real cluster when
+retry-safety across rounds matters more than speed.
+
+The round loop runs with AQE disabled and a shuffle width derived from the
+materialized edge count (both restored on exit): AQE turns every exchange
+of every round into its own query-stage job for a plan whose shape is
+fixed and already known — see the inline notes for the measured job/stage
+counts.
 
 The convergence probe is a LIMIT-1 existence check, not a full count.
 Non-convergence RAISES — silently returning partial labels would split
@@ -38,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..bounded import bounded_collect
+from ..execution import loop_execution
 
 
 def connected_components(
@@ -100,113 +109,136 @@ def connected_components(
     # two branches would otherwise re-execute the caller's whole pair
     # pipeline (measured: the q72 near-dup DAG ran twice, ~9s of a 13s run)
     edges = _cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
-    # Partition the symmetrized edge table by its JOIN KEY before pinning
-    # it (r13 optimization, guide §2.4): every round's message join probes
-    # sym on "a", but distinct() leaves the cache hash-partitioned on
-    # (a, b), so each round re-exchanged the EDGE table — the big side, at
-    # 100 TB the whole graph — per round. Repartitioning once on "a" makes
-    # the cached outputPartitioning satisfy the join's requirement, so
-    # rounds exchange only the (node-sized) label side.
-    n_part = int(
-        edges.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions",
-            str(sc.defaultParallelism),
+    # One cheap count over the just-materialized blocks sizes the loop.
+    n_edges = edges.count()
+    spark = edges.sparkSession
+    # Round-loop execution posture (r13 optimization, guide §1.2/§2):
+    # AQE OFF and a shuffle width derived from the symmetrized edge count
+    # for the duration of the loop only (see execution.loop_execution;
+    # restored on exit). AQE materializes every exchange of every round
+    # as its own query-stage JOB — measured on q100's 11-round graph: 87
+    # jobs/201 stages with AQE vs 29/88 without, identical labels — and
+    # its per-round re-planning buys nothing here: the loop's plan shape
+    # is fixed and known (sym pre-partitioned and pre-sorted on the join
+    # key, label frames node-sized), and the min() aggregations are
+    # partial-aggregable map-side, so a hot node folds before its
+    # shuffle. Callers' plans outside the loop (including the returned
+    # labels' consumers) run with the session's own settings.
+    with loop_execution(spark, 2 * n_edges) as loop_parts:
+        # Partition AND sort the symmetrized edge table by its JOIN KEY
+        # before pinning it (r13 optimization, guide §2.4): every round's
+        # message join probes sym on "a". The cached outputPartitioning /
+        # outputOrdering satisfy the sort-merge join's requirements, so
+        # rounds exchange and sort only the (node-sized) label side —
+        # the edge table (at 100 TB the whole graph) is never re-shuffled
+        # or re-sorted after this one materialization.
+        sym = (
+            edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .repartition(loop_parts, "a")
+            .sortWithinPartitions("a")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    )
-    sym = (
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .repartition(n_part, "a")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    labels = _cut(
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )  # initial labels live in cc-base alongside the edges
-    prev_sum = None  # Σ component of the previous round (set from round 0 on)
-    for it in range(max_iter):
-        # LP step as (neighbor messages ∪ self-label) → one min per node
-        # (r13 optimization): the former shape computed neighbor minima
-        # with a groupBy, then LEFT-JOINED them back onto labels to
-        # coalesce message-less nodes — a second node-keyed join (and its
-        # exchange) per round. Every node is present in ``labels``, so
-        # unioning the self-label rows into the message stream makes the
-        # single min(component) aggregation compute least(own, nbr_min)
-        # directly: same monotone update, one join and one exchange fewer
-        # per round.
-        stepped = (
-            sym.join(labels, sym["a"] == labels["node"])
-            .select(F.col("b").alias("node"), F.col("component"))
-            .union(labels.select("node", "component"))
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+        labels = _cut(
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+        )  # initial labels live in cc-base alongside the edges
+        prev_sum = None  # Σ component of previous round (set from round 0 on)
+        for it in range(max_iter):
+            # LP step as (neighbor messages ∪ self-label) → one min per
+            # node (r13 optimization): the former shape computed neighbor
+            # minima with a groupBy, then LEFT-JOINED them back onto
+            # labels to coalesce message-less nodes — a second node-keyed
+            # join (and its exchange) per round. Every node is present in
+            # ``labels``, so unioning the self-label rows into the message
+            # stream makes the single min(component) aggregation compute
+            # least(own, nbr_min) directly: same monotone update, one join
+            # and one exchange fewer per round.
+            stepped = (
+                sym.join(labels, sym["a"] == labels["node"])
+                .select(F.col("b").alias("node"), F.col("component"))
+                .union(labels.select("node", "component"))
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+            # Pointer jump THROUGH THE PREVIOUS ROUND'S labels (r13
+            # optimization): labels are node ids of the same component
+            # with label(x) ≤ x, so resolving the stepped label through
+            # ANY label table contracts chains while preserving the
+            # component invariant — and the previous round's table is
+            # already materialized (the localCheckpoint below), so the
+            # jump join is one linear chain over cached blocks. The
+            # former self-jump (resolving through ``stepped`` itself)
+            # halves chains one round sooner but duplicates the whole
+            # message-join+groupBy subtree inside every round's plan —
+            # measured on q100's 11-round chain graph: self-jump 37
+            # jobs/111 stages/1608 tasks vs stale-jump 29/88/1010 at one
+            # extra round, identical labels. Skipped in round 0: near-dup
+            # cliques converge on LP alone by round 1 and never pay the
+            # jump join. (A hash-to-min root relay and a SECOND jump per
+            # round were tried this round and REVERTED: they halve the
+            # round count on long-chain graphs, but each adds a
+            # |nodes|-sized shuffle stage per round, and on the bench's
+            # cliquey near-dup graphs job count rose ~2x and wall clock
+            # regressed 20-45%. Per guide §1.2: the round schedule is
+            # already O(log D); per-round stage count is what this
+            # operator pays for.)
+            if it > 0:
+                lbl_map = labels.select(
+                    F.col("node").alias("_ln"), F.col("component").alias("_lc")
+                )
+                stepped = stepped.join(
+                    lbl_map, stepped["component"] == F.col("_ln"), "left"
+                ).select(
+                    "node",
+                    F.coalesce("_lc", "component").alias("component"),
+                )
+            # Lazy cut (r13 optimization): the convergence probe below is
+            # the round's first action on new_labels, so it materializes
+            # the checkpoint AND reads the sum in ONE job submission
+            # instead of an eager-checkpoint job followed by a probe job —
+            # one fewer driver barrier per round, same lineage truncation
+            # (the RDD is marked before the action; every later consumer
+            # reads the persisted blocks).
+            new_labels = _cut(stepped, f"cc-round-{it}", eager=False)
+            # Convergence probe: per-node labels are MONOTONE
+            # non-increasing across rounds (least(old, nbr_min) ≤ old, and
+            # the jump resolves through label(x) ≤ x), so Σ component is
+            # strictly decreasing until the fixed point — equal sums ⇔ no
+            # node changed, and a stable sum implies plain-LP stability
+            # (the jump only ever lowers labels), i.e. labels constant per
+            # component = the component minimum. One shuffle-free scalar
+            # agg per round instead of the former old⋈new join probe (a
+            # broadcast-join + count job — measured at ~2 extra job
+            # submissions per round on q100's driver-latency-bound
+            # profile). DECIMAL(38,0) keeps the sum exact for any bigint
+            # id set. Round 0 always changes something (any b-side node
+            # adopts a smaller a-side label) — skip it.
+            new_sum = bounded_collect(
+                new_labels.agg(
+                    F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+                ),
+                1,
+                "connected_components convergence probe",
+            )[0].s
+            changed = 1 if it == 0 else int(new_sum != prev_sum)
+            prev_sum = new_sum
+            # The previous ROUND's checkpoint is dead once this round is
+            # eagerly materialized (nothing references old labels anymore —
+            # the sum probe reads only new_labels): sym recomputes from the
+            # cc-base edges, never from round files.
+            if checkpoint_dir is not None and it >= 1:
+                _rm(f"{checkpoint_dir}/cc-round-{it - 1}")
+            labels = new_labels
+            if changed == 0:
+                if stats is not None:
+                    stats["rounds"] = it + 1
+                    stats["edges"] = sym.count()
+                sym.unpersist()
+                return labels
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter too large for the iteration budget)"
         )
-        # pointer jump: component ids ARE node ids, so resolving a label
-        # through the label table halves every chain each round. Skipped in
-        # round 0: near-dup cliques converge on LP alone by round 1 and
-        # never pay the jump join; long chains pay ~one extra round of the
-        # O(log) schedule. (A hash-to-min root relay and a SECOND jump per
-        # round were tried this round and REVERTED: they halve the round
-        # count on long-chain graphs, but each adds a |nodes|-sized shuffle
-        # stage per round, and on the bench's cliquey near-dup graphs —
-        # which converge in a handful of rounds anyway — job count rose
-        # ~2x and wall clock regressed 20-45% (q215 2.84→4.07 s, q203
-        # 3.17→4.21 s, measured with the after-run in the BETTER host
-        # phase). Per guide §1.2: the round schedule is already O(log D);
-        # the per-round stage count is what this operator pays for.)
-        if it > 0:
-            lbl_map = stepped.select(
-                F.col("node").alias("_ln"), F.col("component").alias("_lc")
-            )
-            stepped = stepped.join(
-                lbl_map, stepped["component"] == F.col("_ln"), "left"
-            ).select(
-                "node",
-                F.coalesce("_lc", "component").alias("component"),
-            )
-        # Lazy cut (r13 optimization): the convergence probe below is the
-        # round's first action on new_labels, so it materializes the
-        # checkpoint AND reads the sum in ONE job submission instead of
-        # an eager-checkpoint job followed by a probe job — one fewer
-        # driver barrier per round, same lineage truncation (the RDD is
-        # marked before the action; every later consumer reads the
-        # persisted blocks).
-        new_labels = _cut(stepped, f"cc-round-{it}", eager=False)
-        # Convergence probe: per-node labels are MONOTONE non-increasing
-        # across rounds (least(old, nbr_min) ≤ old, and the pointer jump
-        # resolves through label(x) ≤ x), so Σ component is strictly
-        # decreasing until the fixed point — equal sums ⇔ no node
-        # changed. One shuffle-free scalar agg per round instead of the
-        # former old⋈new join probe (a broadcast-join + count job —
-        # measured at ~2 extra job submissions per round on q100's
-        # driver-latency-bound profile). DECIMAL(38,0) keeps the sum
-        # exact for any bigint id set. Round 0 always changes something
-        # (any b-side node adopts a smaller a-side label) — skip it.
-        new_sum = bounded_collect(
-            new_labels.agg(
-                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-            ),
-            1,
-            "connected_components convergence probe",
-        )[0].s
-        changed = 1 if it == 0 else int(new_sum != prev_sum)
-        prev_sum = new_sum
-        # The previous ROUND's checkpoint is dead once this round is
-        # eagerly materialized (nothing references old labels anymore —
-        # the sum probe reads only new_labels): sym recomputes from the
-        # cc-base edges, never from round files.
-        if checkpoint_dir is not None and it >= 1:
-            _rm(f"{checkpoint_dir}/cc-round-{it - 1}")
-        labels = new_labels
-        if changed == 0:
-            if stats is not None:
-                stats["rounds"] = it + 1
-                stats["edges"] = sym.count()
-            sym.unpersist()
-            return labels
-    sym.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        "(graph diameter too large for the iteration budget)"
-    )

@@ -75,6 +75,24 @@ def minhash_coeffs(k: int) -> list[tuple[int, int]]:
     return out
 
 
+def _spread_narrow(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition narrow per-document rows across the cluster before a
+    CPU-heavy per-document expression chain — but ONLY when the scan
+    arrives narrower than the session's parallelism (r13 optimization,
+    guide §2.5 "input skew ... repartition immediately after the read").
+    A small corpus lands as 1-3 parquet splits, serializing per-gram md5
+    work onto as many cores (q122 measured at 3 tasks total); a 100 TB
+    scan has thousands of splits and must NOT pay a full-text shuffle it
+    doesn't need — the condition makes the spread scale-adaptive instead
+    of a constant local-mode tax. The partition probe compiles the plan
+    (driver-side file listing) without running a job."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key_col))
+
+
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # Repartition the NARROW doc rows before the explode fans them out:
     # a single small parquet file arrives as one partition, and shingle
@@ -1086,21 +1104,28 @@ def winnow_fingerprints(
     Returns the selected fingerprints, one row per distinct selection:
     ``(id, fp_hash, fp_pos)``.
 
-    Plan shape: ZERO-shuffle narrow pipeline. Winnowing is a
-    per-document computation, so the whole selection runs in the array
-    domain of one row — gram hashes via transform, window minima via
-    array_min over w-wide slices, per-document dedup via array_distinct
-    — and only the SELECTED fingerprints (density 2/(w+1)) are ever
-    exploded into rows. The first cut used a per-document window
-    function instead; correct, but it shuffled and sorted every gram
-    row (47 M rows at the 10x audit, 129 s) for what one row can
-    compute locally — the array form audits at a few seconds. Memory
-    per row is O(doc chars); the 2^20-gram position cap of the packed
-    encoding bounds it at ~8 MB. Ties -> rightmost comes from packing
-    (hash, pos) as ``hash * 2^20 + (2^20 - 1 - pos)`` so a single MIN
-    picks min-hash-then-max-pos; hash is the 32-bit md5 prefix so the
-    DuckDB oracle replays selections exactly.
+    Plan shape: narrow pipeline — at most ONE shuffle, and only when the
+    scan arrives narrower than the cluster (the ``_spread_narrow``
+    load-balancing repartition of the raw doc rows; a wide 100 TB scan
+    pays no shuffle at all). Winnowing is a per-document computation, so
+    the whole selection runs in the array domain of one row — gram
+    hashes via transform, window minima via array_min over w-wide
+    slices, per-document dedup via array_distinct — and only the
+    SELECTED fingerprints (density 2/(w+1)) are ever exploded into rows.
+    The first cut used a per-document window function instead; correct,
+    but it shuffled and sorted every gram row (47 M rows at the 10x
+    audit, 129 s) for what one row can compute locally — the array form
+    audits at a few seconds. Memory per row is O(doc chars); the
+    2^20-gram position cap of the packed encoding bounds it at ~8 MB.
+    Ties -> rightmost comes from packing (hash, pos) as
+    ``hash * 2^20 + (2^20 - 1 - pos)`` so a single MIN picks
+    min-hash-then-max-pos; hash is the 32-bit md5 prefix so the DuckDB
+    oracle replays selections exactly.
     """
+    # The per-gram md5 chain is the CPU-heavy part: spread the narrow doc
+    # rows first so it runs at cluster parallelism, not scan-split count
+    # (measured: q122 ran as 3 tasks total on the one-split bench corpus).
+    df = _spread_narrow(df.select(id_col, text_col), id_col)
     s = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", "")
     # Loud failure on documents the packed (hash, pos) encoding cannot
     # represent: > 2^20 grams would drive the position term negative and

@@ -765,6 +765,27 @@ def _kmeans_loop(spark, base, k, max_iter, tol, stats, seeding="lowest_id"):
         )
     cents: dict[int, list[float]] = {i: list(r.vd) for i, r in enumerate(seeds)}
     counts: dict[int, int] = {i: 0 for i in cents}
+    dim = max(len(v) for v in cents.values())
+    if len(cents) * dim <= LITERAL_ARGMIN_MAX_DOUBLES:
+        # Literal-argmin rounds have a FIXED, known shape — one pure map
+        # over the persisted base and one k·dim-row partial-aggregated
+        # update — so run the loop under the iterative execution posture
+        # (execution.loop_execution: AQE off, shuffle width derived from
+        # the k·dim update-row count; r13 optimization). AQE was turning
+        # each round's single exchange into extra query-stage jobs for a
+        # reduce side it could only ever coalesce to 1. The broadcast
+        # fallback (k ∝ n) keeps AQE: its per-round n-row argmin shuffle
+        # and join-back are corpus-sized and deserve runtime sizing.
+        from ..execution import loop_execution
+
+        with loop_execution(spark, len(cents) * dim):
+            return _lloyd_rounds(
+                spark, base, cents, counts, max_iter, tol, stats
+            )
+    return _lloyd_rounds(spark, base, cents, counts, max_iter, tol, stats)
+
+
+def _lloyd_rounds(spark, base, cents, counts, max_iter, tol, stats):
     it_done, shift = 0, float("inf")
     dim = max(len(v) for v in cents.values())
     for _ in range(max_iter):
@@ -979,34 +1000,52 @@ def pq_train_encode(
             .select("vid", "sub", "svd", "code")
         )
 
-    for _ in range(iters):
-        assigned = _assign().select("sub", "code", "svd")
-        rows = bounded_collect(
-            assigned.select("sub", "code", F.posexplode("svd").alias("dim", "v"))
-            .groupBy("sub", "code", "dim")
-            .agg(
-                (
-                    F.sum(F.col("v").cast("decimal(25,6)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mn")
-            ),
-            # one row per (subspace, code, dim) — m*k*dsub codebook cells
-            len(books) * max(len(v) for v in books.values()),
-            "pq_train codebook update",
-        )
-        new_books = {key: list(vec) for key, vec in books.items()}
-        for r in rows:
-            new_books[(r.sub, r.code)][r.dim] = r.mn
-        books = new_books
-    if codebooks_out is not None:
-        codebooks_out.update(books)
-    out = _assign().select(F.col("vid").alias(id_col), "sub", "code")
-    # The final encode is the cache's last consumer: materialize the
-    # narrow (id, sub, code) result — n·m small ints, the whole point of
-    # PQ — and release the sub-vector cache instead of leaking it for
-    # the session's lifetime. The operator is already eager (one collect
-    # per training round).
-    out = out.localCheckpoint(eager=True)
+    def _train_and_encode():
+        nonlocal books
+        for _ in range(iters):
+            assigned = _assign().select("sub", "code", "svd")
+            rows = bounded_collect(
+                assigned.select("sub", "code", F.posexplode("svd").alias("dim", "v"))
+                .groupBy("sub", "code", "dim")
+                .agg(
+                    (
+                        F.sum(F.col("v").cast("decimal(25,6)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("mn")
+                ),
+                # one row per (subspace, code, dim) — m*k*dsub codebook cells
+                len(books) * max(len(v) for v in books.values()),
+                "pq_train codebook update",
+            )
+            new_books = {key: list(vec) for key, vec in books.items()}
+            for r in rows:
+                new_books[(r.sub, r.code)][r.dim] = r.mn
+            books = new_books
+        if codebooks_out is not None:
+            codebooks_out.update(books)
+        out = _assign().select(F.col("vid").alias(id_col), "sub", "code")
+        # The final encode is the cache's last consumer: materialize the
+        # narrow (id, sub, code) result — n·m small ints, the whole point
+        # of PQ — and release the sub-vector cache instead of leaking it
+        # for the session's lifetime. The operator is already eager (one
+        # collect per training round).
+        return out.localCheckpoint(eager=True)
+
+    if sum(len(v) for v in books.values()) <= LITERAL_ARGMIN_MAX_DOUBLES:
+        # Literal-codebook rounds have a fixed, known shape (pure map +
+        # m·k·dsub-row partial-aggregated update) — run them under the
+        # iterative execution posture (execution.loop_execution: AQE off,
+        # shuffle width derived from the codebook cell count; r13
+        # optimization, the kmeans_fit discipline). The broadcast
+        # fallback keeps AQE for its corpus-sized argmin shuffle.
+        from ..execution import loop_execution
+
+        with loop_execution(
+            spark, len(books) * max(len(v) for v in books.values())
+        ):
+            out = _train_and_encode()
+    else:
+        out = _train_and_encode()
     sv.unpersist(blocking=False)
     return out
 

@@ -5926,11 +5926,21 @@ def q146_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     one over the exploded pair-member ids for the distinct-doc count —
     joined on the threshold. Output: 5 rows.
     """
+    from pyspark import StorageLevel
+
     t = load_tables(spark, sf_dir)
+    _pins: list = []
+    # The pair table feeds TWO aggregations (pair_agg + doc_agg); without a
+    # pin the whole postings-join subtree above the operator's internal
+    # index cache — pair explode, n_inter groupBy, both size joins — ran
+    # once per consumer (r13 optimization, guide §5: persist only what is
+    # reused AND expensive to recompute). The pair table itself is
+    # threshold-filtered and tiny relative to the corpus at any scale.
     pairs = ngram_jaccard_pairs(
         t["documents"], "doc_id", "text",
-        threshold=min(_SWEEP_THRESHOLDS), max_df=_J_MAX_DF,
-    )
+        threshold=min(_SWEEP_THRESHOLDS), max_df=_J_MAX_DF, pins=_pins,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _pins.append(pairs)
     thr = F.explode(
         F.array(*[F.lit(float(x)) for x in _SWEEP_THRESHOLDS])
     ).alias("threshold")
@@ -5949,14 +5959,15 @@ def q146_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("threshold")
         .agg(F.count_distinct("doc").cast("bigint").alias("n_docs_involved"))
     )
-    return (
+    return materialize_release(
         pair_agg.join(doc_agg, "threshold")
         .select(
             F.round("threshold", 2).alias("threshold"),
             "n_pairs",
             "n_docs_involved",
             "mean_jaccard",
-        )
+        ),
+        *_pins,
     )
 
 
@@ -6002,8 +6013,15 @@ def q147_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram key, one doc re-agg. Postings-bounded at every stage;
     first-occurrence via min(doc_id) is order-insensitive and exact.
     """
+    from ..operators.dedup import _spread_narrow
+
     t = load_tables(spark, sf_dir)
-    d = t["documents"].select("doc_id", tokenize(F.col("text")).alias("w"))
+    # The tokenize+trigram build is the CPU-heavy narrow stage; spread it
+    # across the cluster when the scan arrives as few splits (r13
+    # optimization — the winnow_fingerprints/_doc_shingles discipline; a
+    # wide 100 TB scan skips the shuffle).
+    docs = _spread_narrow(t["documents"].select("doc_id", "text"), "doc_id")
+    d = docs.select("doc_id", tokenize(F.col("text")).alias("w"))
     grams = F.when(
         F.size("w") >= 3,
         F.array_distinct(
@@ -10981,6 +10999,8 @@ def q240_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
+    from ..execution import loop_execution
+
     t = load_tables(spark, sf_dir)
     pins: list = []
     edges = (
@@ -10994,20 +11014,27 @@ def q240_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins.append(edges)
     rounds = [edges.localCheckpoint(eager=True)]
     cur = rounds[0]
-    for _ in range(_KCORE_ROUNDS):
-        deg = (
-            cur.select(F.col("a_id").alias("node"))
-            .unionAll(cur.select(F.col("b_id").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
-        cur = (
-            cur.join(keep.withColumnRenamed("node", "a_id"), "a_id", "left_semi")
-            .join(keep.withColumnRenamed("node", "b_id"), "b_id", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        rounds.append(cur)
+    # Peel rounds run under the iterative execution posture (r13
+    # optimization — the connected_components discipline): each round is
+    # one degree agg + two semi-joins of a fixed, known shape over
+    # monotonically SHRINKING edge sets, so AQE's per-exchange query-stage
+    # jobs buy nothing; shuffle width derives from the materialized
+    # round-0 edge count (scale-adaptive, 1 locally / thousands at 100 TB).
+    with loop_execution(spark, 2 * rounds[0].count()):
+        for _ in range(_KCORE_ROUNDS):
+            deg = (
+                cur.select(F.col("a_id").alias("node"))
+                .unionAll(cur.select(F.col("b_id").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+            cur = (
+                cur.join(keep.withColumnRenamed("node", "a_id"), "a_id", "left_semi")
+                .join(keep.withColumnRenamed("node", "b_id"), "b_id", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            rounds.append(cur)
     n_last = rounds[-1].agg(F.count(F.lit(1)).alias("_nl"))
     n_prev = rounds[-2].agg(F.count(F.lit(1)).alias("_np"))
     conv = n_last.join(F.broadcast(n_prev)).select(

@@ -511,15 +511,18 @@ def test_q127_closed_form_zero_cells_equal_full_grid(spark, tmp_path):
         )
 
 
-def test_q122_winnowing_zero_shuffle(spark):
+def test_q122_winnowing_single_narrow_shuffle(spark):
     """The array-domain winnowing rewrite's claim is structural: gram
     hashing, window minima, and per-doc dedup all happen inside one
-    row's higher-order functions — the plan must contain NO Exchange
-    and NO Window operator (the first cut's window form shuffled every
-    gram row; this test keeps it from coming back)."""
+    row's higher-order functions — the plan must contain NO Window
+    operator and at most ONE Exchange, and that one only the narrow
+    doc-row load-balancing spread (`_spread_narrow`; fires exactly when
+    the scan is narrower than the cluster, as the small test corpus is).
+    The first cut's window form shuffled every GRAM row; this count pin
+    keeps it from coming back."""
     spark.catalog.clearCache()
     plan = plan_of(spark, "q122_winnowing", "simple")
-    assert "Exchange" not in plan, plan[:1500]
+    assert plan.count("Exchange") <= 1, plan[:1500]
     assert "Window" not in plan, plan[:1500]
 
 
