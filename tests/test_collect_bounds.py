@@ -37,6 +37,9 @@ PULL_METHODS = {"collect", "toPandas", "toLocalIterator", "first", "head", "take
 MANIFEST = {
     "bounded.py": (1, 0),            # the guard's own capped fetch
     "operators/components.py": (0, 1),   # convergence probe (1 row)
+    "operators/dedup.py": (0, 1),        # semantic_dedup centroid fetch
+    #   (k rows, k is the caller's knob; feeds the literal-argmin path —
+    #   r13 optimization #2, reviewed)
     "operators/similarity.py": (4, 6),   # 4 seed/limit fetches; psi,
     #   candidate draw, cell weights, farthest probe, Lloyd update,
     #   PQ codebook update
