@@ -256,7 +256,7 @@ BNLJ_ALLOWED = {
     "q238_cell_purity": 1,  # 16-row broadcast centroid table (q164's class)
     "q240_kcore": 2,  # 1-row convergence-flag scalar broadcast (q89's class)
     "q241_brand_affinity": 1,  # 1-row n_cust scalar broadcast (q89's class)
-    "q245_pca_power": 6,  # 1-row n / norm / lambda scalar broadcasts — was 103 before the per-round localCheckpoint collapsed the nested power-iteration lineage (round 12)
+    "q245_pca_power": 7,  # 1-row n / norm / lambda scalar broadcasts — was 103 before the per-round localCheckpoint collapsed the nested power-iteration lineage (round 12); 6 -> 7 at r13: pinning emb made the mu_a/mu_b broadcast builds separate cache-read subtrees, so the 1-row n join is no longer deduplicated by ReusedExchange (same bounded scalar class)
     "q248_hybrid_fusion": 2,  # 1-row pinned-query-vector broadcast + composes q104
     "q251_markov_stationary": 2,  # 1-row |types| scalar broadcast (q89's class)
     "q252_seasonality_strength": 1,  # 1-row between-groups scalar broadcast
@@ -266,7 +266,7 @@ BNLJ_ALLOWED = {
     "q260_theil_sen": 3,  # 1-row slope / n_pairs / n_days scalar broadcasts
     "q261_rrf_fusion": 2,  # composes q248's 1-row pinned-query-vector broadcast
     "q262_benford_audit": 1,  # 1-row N scalar broadcast (q89's class)
-    "q263_markov_attribution": 11,  # chain x state grid builds (|channels|+1-row broadcasts)
+    "q263_markov_attribution": 3,  # chain x state grid builds (|channels|+1-row broadcasts); 11 -> 3 at r13: the trans/astart localCheckpoints collapsed the repeated grid subtrees to LogicalRDD reads
     "q264_lorenz_curve": 1,  # 1-row (n, sx) totals scalar broadcast (q226's class)
     "q265_winsorized_moments": 3,  # 1-row n + 1-row thresholds scalar broadcasts
     "q266_mannwhitney_u": 1,  # 1-row (n, tie-term) totals scalar broadcast
