@@ -30,6 +30,14 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
+#: Test hook (plan-hygiene suites only): when False, :func:`bounded_tail`
+#: skips both materializations and returns the LAZY full plan, so the
+#: registry-wide plan sweeps (unpartitioned windows, BNLJ count pins,
+#: no-Python paths) keep walking the REAL tail shape instead of a
+#: collapsed LogicalRDD scan. Production default is True; a dedicated
+#: equivalence test pins eager == lazy rows.
+EAGER_TAILS = True
+
 #: Target rows per loop shuffle partition. Loop frames are slim rows
 #: (two bigints for labels/edges, (cid, dim, n, m) for centroid updates
 #: — ~50 B shuffled), so 2 M rows ≈ 100 MB per partition, the guide's
@@ -57,3 +65,58 @@ def loop_execution(spark, n_rows: int, rows_per_partition: int = LOOP_ROWS_PER_P
     finally:
         conf.set("spark.sql.adaptive.enabled", old_aqe)
         conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def bounded_tail(spark, head, build):
+    """Execute a statistic's index-scale tail eagerly under the loop
+    posture (r13 optimization: the daily-series statistics family).
+
+    ``head`` is a frame whose row count is BOUNDED BY CONSTRUCTION
+    regardless of corpus size (the |days| daily pre-agg, a ≤k-bin
+    histogram): its subtree is the query's only corpus-sized stage, and
+    its several tail consumers would otherwise re-execute that subtree
+    once each (measured: q295 ran the events scan + day groupBy three
+    times — idx, totals, and the den re-read). ``build(head_frame)``
+    constructs the tail and returns ``(result_df, pins)``.
+
+    Eager path (production): ``localCheckpoint`` the head once — every
+    consumer now reads a |days|-row LogicalRDD, ONE corpus pass total —
+    then run the whole tail inside :func:`loop_execution` sized by the
+    head's actual row count and cut the ≤k-row result out with a second
+    checkpoint so the tail EXECUTES under the posture (the conf is
+    execution-time state; a lazy return would run under the caller's
+    session settings). Pins are released immediately after — the
+    checkpointed result no longer references them.
+
+    Scale honesty (the loop_execution argument): the tail's shape is
+    fixed and its frames are bounded by construction, so the derived
+    shuffle width (1 partition until 2M head rows) is scale-correct and
+    AQE's per-exchange query-stage jobs — driver round-trips ANY
+    cluster pays — buy nothing. The corpus-sized head stage itself runs
+    under the session's own settings (AQE sizing, skew splits intact).
+
+    Results are identical on both paths: the tail arithmetic is
+    partitioning-independent by contract (dist_rank/dist_cumsum), and
+    checkpoints preserve the computed row order.
+    """
+    if not EAGER_TAILS:
+        from .plans.common import materialize_release
+
+        res, pins = build(head)
+        return materialize_release(res, *_as_pins(pins))
+    h = head.localCheckpoint()
+    n_rows = h.count()
+    with loop_execution(spark, n_rows):
+        res, pins = build(h)
+        out = res.localCheckpoint()
+    for p in _as_pins(pins):
+        p.unpersist(False)
+    return out
+
+
+def _as_pins(pins) -> list:
+    if pins is None:
+        return []
+    if isinstance(pins, (list, tuple)):
+        return [p for p in pins if p is not None]
+    return [pins]

@@ -4005,19 +4005,27 @@ def q249_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized stage), then a |days|-bounded self-join per lag via
     date_add; the moment agg is 1 row per lag.
     """
-    from pyspark import StorageLevel
+    from ..execution import bounded_tail
 
     t = load_tables(spark, sf_dir)
-    # persisted: the corpus-sized daily pre-agg feeds BOTH union legs
-    # and both sides of each lag self-join (the q151/q201 rule;
-    # review r9 — unpersisted, the events scan ran once per leg)
+    # NOTE: no ts-null filter here (the q249 oracle has none) — a NULL
+    # day row is a legitimate group, so this daily differs from
+    # _daily_counts_frame by design.
     daily = (
         t["events"]
         .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # bounded_tail materializes the corpus-sized daily pre-agg ONCE (it
+    # feeds both sides of each lag self-join — the q151/q201 rule, now a
+    # checkpoint instead of a persist) and runs the |days|-bounded lag
+    # legs under the index-tail posture.
+    return bounded_tail(spark, daily, _acf_tail)
+
+
+def _acf_tail(daily: DataFrame):
+    """q249's index-scale tail (build callback for ``bounded_tail``)."""
     dec = "decimal(38,0)"
     legs = None
     for k in _ACF_LAGS:
@@ -4053,7 +4061,7 @@ def q249_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / F.nullif(den, F.lit(0.0)), 9).alias("acf"),
         )
         legs = leg if legs is None else legs.unionByName(leg)
-    return materialize_release(legs, daily)
+    return legs, []
 
 
 def _sql_acf_leg(k: int) -> str:
@@ -7114,18 +7122,11 @@ def q289_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim with the streaming ``pettitt_daily_sink`` via
     `operators/timeseries.py::pettitt_table`.
     """
+    from ..execution import bounded_tail
     from ..operators.timeseries import pettitt_table
 
-    t = load_tables(spark, sf_dir)
-    daily = (
-        t["events"]
-        .filter(F.col("ts").isNotNull())
-        .select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-    )
-    res, pins = pettitt_table(daily)
-    return materialize_release(res, *pins)
+    daily = _daily_counts_frame(spark, sf_dir)
+    return bounded_tail(spark, daily, pettitt_table)
 
 
 Q289_SQL = """
@@ -7864,11 +7865,11 @@ def q295_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-predicate BNLJ over the series), lag-frame arithmetic on ≤7
     rows via a triangular self-join.
     """
+    from ..execution import bounded_tail
     from ..operators.timeseries import ljung_box_table
 
     daily = _daily_counts_frame(spark, sf_dir)
-    res, pin = ljung_box_table(daily)
-    return materialize_release(res, pin)
+    return bounded_tail(spark, daily, ljung_box_table)
 
 
 Q295_SQL = f"""
@@ -7977,6 +7978,16 @@ def q296_binned_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("first_p"), 1).otherwise(0)).cast("bigint").alias("a"),
         F.sum(F.when(~F.col("first_p"), 1).otherwise(0)).cast("bigint").alias("b"),
     )
+    # The ≤10-row per_bin frame is the tail boundary: the two
+    # corpus-sized pool passes (edges + binned) run under the session's
+    # own settings; the term arithmetic runs as a bounded tail.
+    from ..execution import bounded_tail
+
+    return bounded_tail(spark, per_bin, _binned_drift_tail)
+
+
+def _binned_drift_tail(per_bin: DataFrame):
+    """q296's index-scale tail (build callback for ``bounded_tail``)."""
     tots = per_bin.agg(
         F.sum("a").cast("bigint").alias("n1"),
         F.sum("b").cast("bigint").alias("n2"),
@@ -8004,7 +8015,7 @@ def q296_binned_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum18c(F.coalesce(F.col("tri_term"), F.lit(0.0))).alias("tri_total"),
         _dsum18c(F.coalesce(F.col("chi2_term"), F.lit(0.0))).alias("chi2_total"),
     )
-    return (
+    res = (
         terms.join(F.broadcast(term_tot))
         .select(
             "bin",
@@ -8017,6 +8028,7 @@ def q296_binned_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+    return res, []
 
 
 Q296_SQL = f"""
@@ -8101,11 +8113,11 @@ def q297_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode-shift equi-join for the lag pairing (q295's shape, one
     lag).
     """
+    from ..execution import bounded_tail
     from ..operators.timeseries import durbin_watson_table
 
     daily = _daily_counts_frame(spark, sf_dir)
-    res, pin = durbin_watson_table(daily)
-    return materialize_release(res, pin)
+    return bounded_tail(spark, daily, durbin_watson_table)
 
 
 Q297_SQL = f"""
@@ -8180,11 +8192,11 @@ def q299_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar), a survivor re-rank, the k=1 shift join, 1-row
     arithmetic.
     """
+    from ..execution import bounded_tail
     from ..operators.timeseries import runs_table
 
     daily = _daily_counts_frame(spark, sf_dir)
-    res, pins = runs_table(daily)
-    return materialize_release(res, *pins)
+    return bounded_tail(spark, daily, runs_table)
 
 
 Q299_SQL = f"""
@@ -8565,9 +8577,16 @@ def q305_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one daily pre-agg + dist_rank (the shared q297 core), a
     2-row segment aggregation, 1-row arithmetic.
     """
-    from .common import dist_rank
+    from ..execution import bounded_tail
 
     daily = _daily_counts_frame(spark, sf_dir)
+    return bounded_tail(spark, daily, _chow_tail)
+
+
+def _chow_tail(daily: DataFrame):
+    """q305's index-scale tail (build callback for ``bounded_tail``)."""
+    from .common import dist_rank
+
     idx, pin = dist_rank(daily, ["day"], out="i")
     mid = daily.agg(F.date_add(F.min("day"), 15).alias("mid_day"))
     dec19 = "decimal(19,0)"
@@ -8640,7 +8659,7 @@ def q305_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s1 + s2) / F.nullif(n1 + n2 - F.lit(4.0), F.lit(0.0)), F.lit(0.0)
     )
     guard = (n1 >= 3) & (n2 >= 3)
-    return j.select(
+    res = j.select(
         "n_days",
         F.coalesce(F.col("true_n"), F.lit(0)).cast("bigint").alias("n_pre"),
         F.coalesce(F.col("false_n"), F.lit(0)).cast("bigint").alias("n_post"),
@@ -8649,6 +8668,7 @@ def q305_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s2, 9).alias("ssr_post"),
         F.when(guard, F.round(f_stat, 9)).alias("f_stat"),
     )
+    return res, [pin]
 
 
 _CHOW_SSR = (
@@ -8739,9 +8759,16 @@ def q306_classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one daily pre-agg + dist_rank (the shared core), a 7-way
     explode-shift join, a ≤7-row weekday broadcast.
     """
-    from .common import dist_rank
+    from ..execution import bounded_tail
 
     daily = _daily_counts_frame(spark, sf_dir)
+    return bounded_tail(spark, daily, _decomposition_tail)
+
+
+def _decomposition_tail(daily: DataFrame):
+    """q306's index-scale tail (build callback for ``bounded_tail``)."""
+    from .common import dist_rank
+
     idx, pin = dist_rank(daily, ["day"], out="i")
     shifted = idx.select(
         F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("k"),
@@ -8790,7 +8817,7 @@ def q306_classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
-    return materialize_release(res, pin)
+    return res, [pin]
 
 
 Q306_SQL = f"""
@@ -8849,9 +8876,16 @@ def q307_forecast_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold on one row (the q258 discipline), the snaive lag is a
     date-keyed self-join; 3-row output with one 1-row broadcast.
     """
-    from ..operators.timeseries import holt_table, holt_winters_table
+    from ..execution import bounded_tail
 
     daily = _daily_counts_frame(spark, sf_dir)
+    return bounded_tail(spark, daily, _scorecard_tail)
+
+
+def _scorecard_tail(daily: DataFrame):
+    """q307's index-scale tail (build callback for ``bounded_tail``)."""
+    from ..operators.timeseries import holt_table, holt_winters_table
+
     h = holt_table(daily).select(F.col("resid"))
     hw = holt_winters_table(daily).select(F.col("resid"))
     prev = daily.select(
@@ -8881,7 +8915,7 @@ def q307_forecast_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(base)
     )
     nmae = base.select(F.col("mae").alias("mae_base"))
-    return (
+    res = (
         rows.join(F.broadcast(nmae))
         .select(
             "model",
@@ -8894,6 +8928,7 @@ def q307_forecast_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+    return res, []
 
 
 Q307_SQL = f"""
@@ -8960,11 +8995,18 @@ def q310_friedman_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, a 7×7-bounded within-week rank join (equi on week), a
     7-row treatment aggregation.
     """
+    from ..execution import bounded_tail
+
     daily = _daily_counts_frame(spark, sf_dir).select(
         F.date_trunc("week", F.col("day")).cast("date").alias("wk"),
         F.weekday(F.col("day")).cast("int").alias("dow"),
         "x",
     )
+    return bounded_tail(spark, daily, _friedman_tail)
+
+
+def _friedman_tail(daily: DataFrame):
+    """q310's index-scale tail (build callback for ``bounded_tail``)."""
     full = daily.groupBy("wk").agg(F.count(F.lit(1)).alias("nd")).filter(
         F.col("nd") == 7
     )
@@ -9021,7 +9063,7 @@ def q310_friedman_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("w"),
     )
-    return res
+    return res, []
 
 
 Q310_SQL = """

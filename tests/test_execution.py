@@ -1,0 +1,93 @@
+"""bounded_tail / loop_execution posture tests (r13 optimization).
+
+The daily-series statistics family routes its index-scale tail through
+``execution.bounded_tail``: the |days|-bounded head is checkpointed once
+(one corpus pass instead of one per tail consumer) and the tail executes
+eagerly under the loop posture (AQE off, shuffle width derived from the
+head's actual row count). The plan-hygiene suites flip ``EAGER_TAILS``
+off to keep walking the full lazy plan — so THIS module pins the
+contract that makes that sound: eager and lazy produce IDENTICAL rows
+in identical order, and the posture always restores the session confs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from printer_etl_hub_spark import execution
+from printer_etl_hub_spark.plans import REGISTRY
+from printer_etl_hub_spark.plans.common import flush_pending_release
+
+from conftest import SF_SMOKE
+
+#: Every registry query converted to the bounded_tail posture. Keep in
+#: sync when converting more — the equivalence sweep below runs each on
+#: both paths.
+BOUNDED_TAIL_QUERIES = [
+    "q249_daily_acf",
+    "q289_pettitt",
+    "q295_ljung_box",
+    "q296_binned_drift",
+    "q297_durbin_watson",
+    "q299_runs_test",
+    "q305_chow_test",
+    "q306_classical_decomposition",
+    "q307_forecast_scorecard",
+    "q310_friedman_kendall_w",
+]
+
+
+@pytest.mark.parametrize("name", BOUNDED_TAIL_QUERIES)
+def test_bounded_tail_eager_equals_lazy(spark, name):
+    """The production (eager, posture) path must return exactly the lazy
+    path's rows, in the same order — the oracle gate hashes ordered
+    rows, so order is part of the contract."""
+    spark.catalog.clearCache()
+    flush_pending_release()
+    old = execution.EAGER_TAILS
+    try:
+        execution.EAGER_TAILS = True
+        eager = [tuple(r) for r in REGISTRY[name].fn(spark, SF_SMOKE).collect()]
+        spark.catalog.clearCache()
+        flush_pending_release()
+        execution.EAGER_TAILS = False
+        lazy = [tuple(r) for r in REGISTRY[name].fn(spark, SF_SMOKE).collect()]
+    finally:
+        execution.EAGER_TAILS = old
+        spark.catalog.clearCache()
+        flush_pending_release()
+    assert eager == lazy, name
+
+
+def test_bounded_tail_restores_session_confs(spark):
+    """The posture must restore AQE and the shuffle width on exit even
+    when the build raises."""
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    sp0 = spark.conf.get("spark.sql.shuffle.partitions", None)
+
+    def boom(_df):
+        raise RuntimeError("tail build failed")
+
+    with pytest.raises(RuntimeError, match="tail build failed"):
+        execution.bounded_tail(spark, spark.range(3), boom)
+    assert spark.conf.get("spark.sql.adaptive.enabled", "true") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions", None) == sp0
+
+
+def test_bounded_tail_runs_tail_under_posture(spark):
+    """Inside the build, AQE must be off and the derived width must be 1
+    for a tiny head — and the head must already be materialized (a
+    LogicalRDD scan, not the original lineage)."""
+    seen = {}
+
+    def probe(df):
+        seen["aqe"] = spark.conf.get("spark.sql.adaptive.enabled")
+        seen["parts"] = spark.conf.get("spark.sql.shuffle.partitions")
+        seen["plan"] = df._jdf.queryExecution().executedPlan().toString()
+        return df.groupBy().count(), []
+
+    out = execution.bounded_tail(spark, spark.range(5), probe)
+    assert seen["aqe"] == "false"
+    assert seen["parts"] == "1"
+    assert "LogicalRDD" in seen["plan"] or "Scan ExistingRDD" in seen["plan"]
+    assert out.collect()[0][0] == 5

@@ -8,11 +8,27 @@ assumed.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from printer_etl_hub_spark.tables import load_tables
 
 from conftest import SF_SMOKE
+
+
+@pytest.fixture(autouse=True)
+def _lazy_tails():
+    """Walk the REAL tail plans (see tests/test_plans.py::_lazy_tails):
+    with EAGER_TAILS off, bounded_tail returns the full lazy plan so the
+    registry-wide unpartitioned-window sweep keeps seeing the genuine
+    tail shape instead of a collapsed LogicalRDD scan."""
+    from printer_etl_hub_spark import execution
+
+    old = execution.EAGER_TAILS
+    execution.EAGER_TAILS = False
+    yield
+    execution.EAGER_TAILS = old
 
 
 def test_date_partitioned_write_prunes(spark, tmp_path):

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from printer_etl_hub_spark.plans import REGISTRY
 from printer_etl_hub_spark.plans import common as _common
 
@@ -15,6 +17,22 @@ from conftest import SF_SMOKE
 # The plan tripwires need materialize_release's pre-checkpoint plan;
 # production leaves the capture off (plans/common.py::CAPTURE_PLANS).
 _common.CAPTURE_PLANS = True
+
+
+@pytest.fixture(autouse=True)
+def _lazy_tails():
+    """Walk the REAL tail plans: bounded_tail (r13, the daily-series
+    statistics family) collapses its result to a LogicalRDD scan in
+    production; with EAGER_TAILS off it returns the full lazy plan, so
+    every sweep in this module (BNLJ count pins, no-Python paths,
+    pushdown checks) keeps seeing the genuine shape. Eager == lazy rows
+    is pinned by tests/test_execution.py."""
+    from printer_etl_hub_spark import execution
+
+    old = execution.EAGER_TAILS
+    execution.EAGER_TAILS = False
+    yield
+    execution.EAGER_TAILS = old
 
 
 def plan_of(spark, name: str, mode: str = "formatted") -> str:
