@@ -67,7 +67,7 @@ def loop_execution(spark, n_rows: int, rows_per_partition: int = LOOP_ROWS_PER_P
         conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
-def bounded_tail(spark, head, build):
+def bounded_tail(spark, head, build, head_pins=()):
     """Execute a statistic's index-scale tail eagerly under the loop
     posture (r13 optimization: the daily-series statistics family).
 
@@ -98,13 +98,20 @@ def bounded_tail(spark, head, build):
     Results are identical on both paths: the tail arithmetic is
     partitioning-independent by contract (dist_rank/dist_cumsum), and
     checkpoints preserve the computed row order.
+
+    ``head_pins``: frames persisted inside the HEAD's subtree (e.g. a
+    per-user pre-agg feeding two head consumers) — released right after
+    the head checkpoint on the eager path, deferred with the tail pins
+    on the lazy path.
     """
     if not EAGER_TAILS:
         from .plans.common import materialize_release
 
         res, pins = build(head)
-        return materialize_release(res, *_as_pins(pins))
+        return materialize_release(res, *_as_pins(pins), *_as_pins(head_pins))
     h = head.localCheckpoint()
+    for p in _as_pins(head_pins):
+        p.unpersist(False)
     n_rows = h.count()
     with loop_execution(spark, n_rows):
         res, pins = build(h)

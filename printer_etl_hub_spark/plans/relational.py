@@ -2463,7 +2463,10 @@ def q209_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1, p1 = dist_rank(per, ["recency_days", "user_id"], out="_rr")
     r2, p2 = dist_rank(r1, ["frequency", "user_id"], out="_fr")
     r3, p3 = dist_rank(r2, ["monetary", "user_id"], out="_mr")
-    ntot = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    # n_users from the FIRST rank's persisted frame (same rows as per):
+    # aggregating `per` directly re-executed the purchase scan + user
+    # groupBy a second time (r13 optimization — one corpus pass).
+    ntot = p1.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     tern = lambda rank: F.floor(  # noqa: E731
         F.lit(3) * (F.col(rank) - 1) / F.col("n_users")
     ).cast("int")
@@ -7474,8 +7477,10 @@ def q292_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the 1-row arm totals. Reference parity: the q270
     lifecycle family (SURVEY §2 statistics tier).
     """
+    from pyspark import StorageLevel
+
+    from ..execution import bounded_tail
     from ..operators.experiment import ab_arm
-    from .common import dist_cumsum
 
     t = load_tables(spark, sf_dir)
     per_u = (
@@ -7494,6 +7499,10 @@ def q292_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(ab_arm(F.col("user_id")).alias("arm_a"), "first_day",
                 "last_day", "conv_day")
+        # per_u feeds BOTH the max-day scalar and the (t_days) event
+        # frame — persisted so the user groupBy (the corpus stage) runs
+        # once; released as a bounded_tail head pin.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mx = per_u.agg(F.max("last_day").alias("max_day"))
     lab = per_u.join(F.broadcast(mx)).select(
@@ -7517,10 +7526,21 @@ def q292_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("r1"),
         F.count(F.lit(1)).cast("bigint").alias("r"),
     )
+    # ev is the |t_days|-bounded boundary; the arm totals re-derive from
+    # it EXACTLY (every lab row has a non-NULL t_days, so Σr1/Σr over the
+    # event frame equal the lab-level counts — previously a second
+    # corpus-sized pass over lab).
+    return bounded_tail(spark, ev, _logrank_tail, head_pins=[per_u])
+
+
+def _logrank_tail(ev: DataFrame):
+    """q292's index-scale tail (build callback for ``bounded_tail``)."""
+    from .common import dist_cumsum
+
     cum, pin = dist_cumsum(ev, ["t_days"], ["r1", "r"])
-    tots = lab.agg(
-        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
-        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+    tots = ev.agg(
+        F.sum("r1").cast("bigint").alias("n_a"),
+        F.sum("r").cast("bigint").alias("n_all"),
     )
     j = cum.join(F.broadcast(tots))
     # risk sets at t: everyone whose (conversion-or-censor) time >= t
@@ -7551,7 +7571,7 @@ def q292_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 9).alias("z"),
         F.round(z * z, 9).alias("chi2"),
     )
-    return materialize_release(res, pin)
+    return res, [pin]
 
 
 Q292_SQL = f"""
@@ -9332,7 +9352,10 @@ def q313_hash_uniformity_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.pmod(h, F.lit(1_000_000)).cast("double") / 1_000_000.0).alias("u")
     )
     ranked, pin = dist_rank(u, ["u", "doc_id"], out="i")
-    tot = u.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # n from the rank's persisted frame (same rows as u): aggregating
+    # `u` directly re-executed the documents scan + hash projection a
+    # second time (r13 optimization — one corpus pass).
+    tot = pin.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     j = ranked.join(F.broadcast(tot))
     nd = F.col("n").cast("double")
     d_plus = F.col("i").cast("double") / nd - F.col("u")

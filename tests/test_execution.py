@@ -34,6 +34,7 @@ BOUNDED_TAIL_QUERIES = [
     "q306_classical_decomposition",
     "q307_forecast_scorecard",
     "q310_friedman_kendall_w",
+    "q292_logrank",
 ]
 
 
