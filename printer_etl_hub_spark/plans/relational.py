@@ -9352,10 +9352,11 @@ def q313_hash_uniformity_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.pmod(h, F.lit(1_000_000)).cast("double") / 1_000_000.0).alias("u")
     )
     ranked, pin = dist_rank(u, ["u", "doc_id"], out="i")
-    # n from the rank's persisted frame (same rows as u): aggregating
-    # `u` directly re-executed the documents scan + hash projection a
-    # second time (r13 optimization — one corpus pass).
-    tot = pin.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # tot stays a count over `u` on purpose (measured r13): Catalyst
+    # prunes the md5 projection out of a count, so this is a column-less
+    # parquet scan — cheaper than re-reading the persisted rank frame
+    # (11 -> 12 jobs when counted from the pin).
+    tot = u.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     j = ranked.join(F.broadcast(tot))
     nd = F.col("n").cast("double")
     d_plus = F.col("i").cast("double") / nd - F.col("u")

@@ -11450,6 +11450,10 @@ def _pca_component_frames(spark: SparkSession, sf_dir: str):
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pos = emb.select("vec_id", F.posexplode(F.col("vd")).alias("a", "x"))
+    # n stays a RAW-table count on purpose (measured r13): it feeds
+    # several independent broadcast builds, and a column-pruned parquet
+    # count is cheaper per build than re-reading the 32-partition cached
+    # vector frame (28 -> 32 jobs when counted from emb).
     n = t["embeddings"].agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     dd = F.size("vd")
     tri = F.flatten(
