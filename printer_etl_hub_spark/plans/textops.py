@@ -11118,6 +11118,9 @@ def q242_lang_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
+    from .. import execution
+    from ..execution import loop_execution
+
     t = load_tables(spark, sf_dir)
     _pins: list = []
     e = (
@@ -11128,45 +11131,68 @@ def q242_lang_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    und = e.select(F.col("a_id").alias("node"), F.col("b_id").alias("nbr")).unionAll(
-        e.select(F.col("b_id").alias("node"), F.col("a_id").alias("nbr"))
-    )
-    nodes = und.select("node").distinct()
-    # NULL-lang documents are excluded from seeding entirely (ADVICE r9:
-    # Spark's min(struct) orders a NULL lab FIRST while the oracle's
-    # row_number(ORDER BY cnt DESC, lab ASC) orders NULLs LAST, so a
-    # NULL label reaching a tie would diverge — the q251 NULL-pin class).
-    # An unlabeled node neither votes nor appears in the output.
-    l0 = (
-        t["documents"]
-        .filter(F.col("lang").isNotNull())
-        .select(F.col("doc_id").alias("node"), F.col("lang").alias("lab"))
-        .join(nodes, "node", "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    cur = l0
-    for _ in range(_LPA_ROUNDS):
-        votes = (
-            und.join(cur.withColumnRenamed("node", "nbr"), "nbr")
-            .groupBy("node", "lab")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # One cheap count over the (persisted) pair table sizes the round
+    # loop — the CC operator's discipline applied to the LPA rounds
+    # (r13 optimization): the rounds' plan shape is fixed and known
+    # (2 pinned rounds, partial-aggregable counts), so they run under
+    # the loop posture with the edge table pre-partitioned AND
+    # pre-sorted on the join key — at any scale the graph is exchanged
+    # once, not once per round.
+    ne = e.count()
+    with loop_execution(spark, 2 * ne) as loop_parts:
+        und = (
+            e.select(F.col("a_id").alias("node"), F.col("b_id").alias("nbr"))
+            .unionAll(e.select(F.col("b_id").alias("node"), F.col("a_id").alias("nbr")))
+            .repartition(loop_parts, "nbr")
+            .sortWithinPartitions("nbr")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        cur = votes.groupBy("node").agg(
-            F.min(F.struct((-F.col("cnt")).alias("_nc"), F.col("lab").alias("lab")))[
-                "lab"
-            ].alias("lab")
+        nodes = und.select("node").distinct()
+        # NULL-lang documents are excluded from seeding entirely (ADVICE r9:
+        # Spark's min(struct) orders a NULL lab FIRST while the oracle's
+        # row_number(ORDER BY cnt DESC, lab ASC) orders NULLs LAST, so a
+        # NULL label reaching a tie would diverge — the q251 NULL-pin class).
+        # An unlabeled node neither votes nor appears in the output.
+        l0 = (
+            t["documents"]
+            .filter(F.col("lang").isNotNull())
+            .select(F.col("doc_id").alias("node"), F.col("lang").alias("lab"))
+            .join(nodes, "node", "left_semi")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    res = (
-        l0.select("node", F.col("lab").alias("lang0"))
-        .join(cur.select("node", F.col("lab").alias("lang2")), "node")
-        .select(
-            F.col("node").alias("doc_id"),
-            "lang0",
-            "lang2",
-            (F.col("lang0") != F.col("lang2")).alias("changed"),
+        cur = l0
+        for _ in range(_LPA_ROUNDS):
+            votes = (
+                und.join(cur.withColumnRenamed("node", "nbr"), "nbr")
+                .groupBy("node", "lab")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            )
+            cur = votes.groupBy("node").agg(
+                F.min(F.struct((-F.col("cnt")).alias("_nc"), F.col("lab").alias("lab")))[
+                    "lab"
+                ].alias("lab")
+            )
+        res = (
+            l0.select("node", F.col("lab").alias("lang0"))
+            .join(cur.select("node", F.col("lab").alias("lang2")), "node")
+            .select(
+                F.col("node").alias("doc_id"),
+                "lang0",
+                "lang2",
+                (F.col("lang0") != F.col("lang2")).alias("changed"),
+            )
         )
-    )
-    return materialize_release(res, e, l0, *_pins)
+        # Eager path: the posture is execution-time state, so the rounds
+        # must materialize INSIDE it (node-scale slim output — the CC
+        # label-checkpoint class). Lazy path (EAGER_TAILS off): the
+        # plan-hygiene sweeps get the full lazy plan; eager≡lazy rows
+        # pinned in tests/test_execution.py.
+        out = res.localCheckpoint() if execution.EAGER_TAILS else None
+    if out is not None:
+        for p in (e, und, l0, *_pins):
+            p.unpersist(False)
+        return out
+    return materialize_release(res, e, und, l0, *_pins)
 
 
 Q242_SQL = f"""

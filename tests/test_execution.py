@@ -37,12 +37,21 @@ BOUNDED_TAIL_QUERIES = [
     "q292_logrank",
 ]
 
+#: Posture-converted queries whose declared output carries NO ORDER BY
+#: (the oracle gate sorts rows before hashing) — compared as sorted sets.
+UNORDERED_POSTURE_QUERIES = [
+    "q242_lang_propagation",
+]
 
-@pytest.mark.parametrize("name", BOUNDED_TAIL_QUERIES)
+
+@pytest.mark.parametrize(
+    "name", BOUNDED_TAIL_QUERIES + UNORDERED_POSTURE_QUERIES
+)
 def test_bounded_tail_eager_equals_lazy(spark, name):
     """The production (eager, posture) path must return exactly the lazy
-    path's rows, in the same order — the oracle gate hashes ordered
-    rows, so order is part of the contract."""
+    path's rows — in the same order for the ORDER BY queries (stricter
+    than the gate needs), as sorted sets for the declared-unordered
+    ones."""
     spark.catalog.clearCache()
     flush_pending_release()
     old = execution.EAGER_TAILS
@@ -57,6 +66,8 @@ def test_bounded_tail_eager_equals_lazy(spark, name):
         execution.EAGER_TAILS = old
         spark.catalog.clearCache()
         flush_pending_release()
+    if name in UNORDERED_POSTURE_QUERIES:
+        eager, lazy = sorted(eager), sorted(lazy)
     assert eager == lazy, name
 
 
