@@ -10981,12 +10981,12 @@ def q240_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the audited pair generator once (persisted), then per round
     one degree agg + one two-sided semi-join. Each round's edge set is
-    an EAGER localCheckpoint (the q94 iterative-trainer discipline):
-    round N's plan references round N−1 FOUR times (two degree-union
-    legs + two semi-joins), so un-truncated lineage grows 4^rounds
-    logical copies of the pair subtree and Catalyst analysis itself
-    melts — checkpointing makes every round's plan shallow and its cost
-    edge-set-bounded (the sets shrink monotonically).
+    a LAZY localCheckpoint (r13 — the components.py rule): the
+    checkpoint truncates the LOGICAL plan at marking time (round N's
+    plan references round N−1 FOUR times — two degree-union legs + two
+    semi-joins — so un-truncated lineage grows 4^rounds logical copies
+    and Catalyst analysis itself melts), and the blocks persist inside
+    the first downstream action instead of a dedicated job per round.
 
     FAULT-TOLERANCE TRADEOFF at cluster scale: ``localCheckpoint``
     stores blocks on executors with NO lineage to recompute them, so an
@@ -11029,10 +11029,18 @@ def q240_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("d"))
             )
             keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+            # LAZY cut (r13, the components.py rule): the checkpoint
+            # truncates the LOGICAL plan at marking time — the 4^rounds
+            # analysis blowup never happens either way — and the blocks
+            # persist inside the first downstream action (the
+            # convergence count), so the whole peel runs as ONE job
+            # chain instead of paying a dedicated checkpoint job per
+            # round. Values identical; only WHERE the blocks
+            # materialize changes.
             cur = (
                 cur.join(keep.withColumnRenamed("node", "a_id"), "a_id", "left_semi")
                 .join(keep.withColumnRenamed("node", "b_id"), "b_id", "left_semi")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             rounds.append(cur)
     n_last = rounds[-1].agg(F.count(F.lit(1)).alias("_nl"))
