@@ -613,13 +613,17 @@ def _kmeans_parallel_seeds(base, k, rounds=5, oversample=2.0, stats=None):
         # Materialize the slim per-point distances ONCE per round: both
         # the cost aggregation and the sampling filter read dmin, and
         # without the cut the n·|C| distance pass would run twice per
-        # round. n rows x 16 B — executor-local, freed by GC.
+        # round. n rows x 16 B — executor-local, freed by GC. LAZY cut
+        # (r13, the components.py rule): the psi probe directly below is
+        # the round's first action, so it materializes the blocks and
+        # reads the sum in one job instead of paying a dedicated
+        # checkpoint job per seeding round.
         dmin = (
             base.join(F.broadcast(_cand_df()))
             .select("vid", d2.alias("d"))
             .groupBy("vid")
             .agg(F.min("d").alias("dmin"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         psi = bounded_collect(
             dmin.agg(F.sum("dmin").alias("s")), 1, "kmeans_par psi probe"
