@@ -86,6 +86,31 @@ def test_bounded_tail_restores_session_confs(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions", None) == sp0
 
 
+def test_bounded_tail_unpersists_pins_when_checkpoint_fails(spark):
+    """r14 (ADVICE r13): if the result checkpoint job fails AFTER the
+    build returned (the only point where pins can hold real blocks),
+    the eager path must unpersist the build's pins before re-raising —
+    previously they stayed cached for the life of the session."""
+    from pyspark.sql import functions as F
+
+    pin = spark.range(4).persist()
+
+    def build(df):
+        pin.count()  # materialize the pin's blocks, as a real tail would
+        failing = df.select(
+            F.when(F.col("id") >= 0, F.raise_error(F.lit("tail job failed")))
+            .otherwise(F.lit("x"))
+            .alias("boom")
+        )
+        return failing, [pin]
+
+    with pytest.raises(Exception, match="tail job failed"):
+        execution.bounded_tail(spark, spark.range(3), build)
+    assert not pin.storageLevel.useMemory and not pin.storageLevel.useDisk
+    # session confs restored too (the loop_execution finally)
+    assert spark.conf.get("spark.sql.adaptive.enabled", "true") != "false"
+
+
 def test_bounded_tail_runs_tail_under_posture(spark):
     """Inside the build, AQE must be off and the derived width must be 1
     for a tiny head — and the head must already be materialized (a
