@@ -11460,11 +11460,25 @@ def _sql_dsum18(expr: str) -> str:
 _PCA_ROUNDS = 2
 
 
-def _pca_component_frames(spark: SparkSession, sf_dir: str):
-    """Shared core of q245/q254: the covariance matrix C (persisted), the
-    per-dim mean, and the 2-round power-iterate v — plus the pins the
-    caller must hand to materialize_release. See q245's docstring for the
-    exactness contract and the measured Gram-pass shape."""
+def _pca_moment_frames(spark: SparkSession, sf_dir: str, persist_emb: bool):
+    """Shared head of q245/q254 (r14 optimization, guide §2.3/§2.4 "one
+    pass, shuffle fewer bytes"): ONE corpus pass computes EVERY sufficient
+    statistic the spectral tail needs — the d·(d+1)/2 upper-triangle
+    moment cells, the d per-dim linear sums (the mean numerators), and the
+    row count — by tagging each cell with a (aa, bb) key where bb = −1
+    marks a linear cell and (−1, −1) marks the count marker. The r13 shape
+    paid THREE corpus-sized stages (the Gram expansion, a separate
+    per-dim mean pass over the posexploded frame, and a pruned count scan
+    per broadcast build); the merged pass pays one, and every sum still
+    goes through DECIMAL(38,18) (`_dsum18`, order-insensitive) so the
+    values — mu, n, S — are bit-identical to the split passes.
+
+    Returns ``(emb, head, pins)``: the (optionally persisted) spread
+    vector frame, the ≤(d²/2 + d + 1)-row moment frame — BOUNDED BY THE
+    DIMENSION, the bounded_tail head contract — and the pins to release.
+    ``persist_emb`` is for callers with a second corpus pass (q254's
+    projection); q245 consumes the corpus exactly once and must not pay
+    the cache write."""
     from pyspark import StorageLevel
 
     t = load_tables(spark, sf_dir)
@@ -11478,17 +11492,11 @@ def _pca_component_frames(spark: SparkSession, sf_dir: str):
             "vec_id",
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
         )
-        # Three consumers re-ran the scan + spread exchange unpinned (the
-        # Gram expansion, the mean pass, q254's projection pass) — one
-        # corpus-sized pin turns them into cache reads (r13, guide §5).
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pos = emb.select("vec_id", F.posexplode(F.col("vd")).alias("a", "x"))
-    # n stays a RAW-table count on purpose (measured r13): it feeds
-    # several independent broadcast builds, and a column-pruned parquet
-    # count is cheaper per build than re-reading the 32-partition cached
-    # vector frame (28 -> 32 jobs when counted from emb).
-    n = t["embeddings"].agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    pins: list = []
+    if persist_emb:
+        emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+        pins.append(emb)
     dd = F.size("vd")
     tri = F.flatten(
         F.transform(
@@ -11506,58 +11514,98 @@ def _pca_component_frames(spark: SparkSession, sf_dir: str):
             ),
         )
     )
-    # s_up feeds BOTH union legs → persisted, or the corpus-sized
-    # expansion executes twice (union sits outside exchange reuse — the
-    # q151/q201 rule)
-    s_up = (
-        emb.select(F.explode(tri).alias("c"))
+    lin = F.transform(
+        F.sequence(F.lit(1), dd),
+        lambda a: F.struct(
+            (a - 1).cast("int").alias("aa"),
+            F.lit(-1).cast("int").alias("bb"),
+            F.element_at("vd", a.cast("int")).alias("p"),
+        ),
+    )
+    marker = F.array(
+        F.struct(
+            F.lit(-1).cast("int").alias("aa"),
+            F.lit(-1).cast("int").alias("bb"),
+            F.lit(1.0).alias("p"),
+        )
+    )
+    # A NULL embedding carries no geometry (concat propagates the NULL)
+    # but still counts toward n — exactly the split-pass semantics, where
+    # posexplode dropped it and count(*) did not.
+    cells = F.coalesce(F.concat(tri, lin, marker), marker)
+    head = (
+        emb.select(F.explode(cells).alias("c"))
         .groupBy(F.col("c.aa").alias("aa"), F.col("c.bb").alias("bb"))
         .agg(_dsum18(F.col("c.p")).alias("s_ab"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return emb, head, pins
+
+
+def _one_join(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
+    """Attach a 1-row frame's columns to every row of ``df`` via a
+    constant-key equi join. Relationally identical to the former
+    ``join(F.broadcast(scalar))`` cross join, but under the tail posture
+    (AQE off) it plans as a single-partition sort-merge join instead of a
+    BroadcastNestedLoopJoin — no dedicated broadcast-BUILD job, and the
+    whole tail collapses into the one result-checkpoint job (r14; the
+    BNLJ whitelist entries for q245/q254 drop to zero)."""
+    k = "_one_k"
+    return df.withColumn(k, F.lit(1)).join(
+        scalar_df.withColumn(k, F.lit(1)), k
+    ).drop(k)
+
+
+def _pca_tail_frames(h: DataFrame):
+    """q245/q254's spectral tail over the checkpointed moment head: n,
+    mu, the symmetrized covariance C, and the 2-round power iterate v —
+    every frame ≤ d² rows, every sum `_dsum18`. Runs inside
+    ``bounded_tail``'s posture; the arithmetic is expression-identical
+    to the r13 split-pass form, so the values (and the oracle hash) are
+    unchanged."""
+    n = h.filter((F.col("aa") == -1) & (F.col("bb") == -1)).select(
+        F.col("s_ab").cast("bigint").alias("_n")
+    )
+    mu = _one_join(
+        h.filter((F.col("bb") == -1) & (F.col("aa") >= 0)).select(
+            F.col("aa").alias("a"), F.col("s_ab").alias("_sx")
+        ),
+        n,
+    ).select("a", (F.col("_sx") / F.col("_n").cast("double")).alias("mu"))
+    s_up = h.filter((F.col("aa") >= 0) & (F.col("bb") >= 0)).select(
+        "aa", "bb", "s_ab"
     )
     s = s_up.unionByName(
         s_up.filter(F.col("aa") != F.col("bb")).select(
             F.col("bb").alias("aa"), F.col("aa").alias("bb"), "s_ab"
         )
     )
-    mu = pos.groupBy("a").agg(_dsum18(F.col("x")).alias("_sx"))
-    mu = mu.join(F.broadcast(n)).select(
-        "a", (F.col("_sx") / F.col("_n").cast("double")).alias("mu")
-    )
     c = (
-        s.join(F.broadcast(n))
-        .join(F.broadcast(mu.select(F.col("a").alias("aa"), F.col("mu").alias("mu_a"))),
-              "aa")
-        .join(F.broadcast(mu.select(F.col("a").alias("bb"), F.col("mu").alias("mu_b"))),
-              "bb")
+        _one_join(s, n)
+        .join(mu.select(F.col("a").alias("aa"), F.col("mu").alias("mu_a")), "aa")
+        .join(mu.select(F.col("a").alias("bb"), F.col("mu").alias("mu_b")), "bb")
         .select(
             "aa", "bb",
             (F.col("s_ab") / F.col("_n").cast("double")
              - F.col("mu_a") * F.col("mu_b")).alias("c_ab"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # C feeds every multiply (both power rounds + the Rayleigh legs):
+        # cut the lineage once — under the posture this materializes
+        # inside the tail's single result-checkpoint job, not as a
+        # dedicated job (the components.py lazy-cut rule).
+        .localCheckpoint(eager=False)
     )
     # v0 = 1/8 per dim — build as a 64-row frame off the dims of C
     v = c.select(F.col("aa").alias("b")).distinct().select(
         "b", F.lit(0.125).alias("v")
     )
     for _ in range(_PCA_ROUNDS):
-        # localCheckpoint per round (the q263 lineage rule): w feeds
-        # BOTH the norm and the normalized v, and v feeds every
-        # downstream branch (next round, Rayleigh legs, q254's
-        # projection) — left uncut, each broadcast build re-derives the
-        # whole prior-round subtree and the plan grows ~50 nested
-        # scalar joins per round (measured: the d²-frame recomputes,
-        # all hitting the persisted C, were pure scheduler overhead on
-        # a 64-row frame). Values are identical — the checkpoint only
-        # pins WHERE the 64 rows are read from. LAZY cuts (r13, the
-        # components.py rule): the next consumer of each frame is a
-        # broadcast/aggregate build that materializes every partition,
-        # so the blocks persist inside that job instead of paying a
-        # dedicated checkpoint job — two fewer job submissions per
-        # round, same truncation.
+        # Per-round lazy cuts (the q263 lineage rule): w feeds BOTH the
+        # norm and the normalized v, and v feeds every downstream branch
+        # (next round, Rayleigh legs, q254's projection) — left uncut the
+        # plan nests ~50 scalar joins per round. Values identical; the
+        # cut only pins WHERE the 64 rows are read from.
         w = (
-            c.join(F.broadcast(v), c["bb"] == v["b"])
+            c.join(v, c["bb"] == v["b"])
             .groupBy("aa")
             .agg(_dsum18(F.col("c_ab") * F.col("v")).alias("w"))
             .localCheckpoint(eager=False)
@@ -11566,12 +11614,11 @@ def _pca_component_frames(spark: SparkSession, sf_dir: str):
         # NULLIF: a zero-variance corpus makes C·v the zero vector —
         # loadings NULL identically in both engines, never an ANSI
         # divide-by-zero (review r9)
-        v = w.join(F.broadcast(nrm)).select(
+        v = _one_join(w, nrm).select(
             F.col("aa").alias("b"),
             (F.col("w") / F.nullif(F.col("_nrm"), F.lit(0.0))).alias("v"),
         ).localCheckpoint(eager=False)
-    return {"emb": emb, "pos": pos, "mu": mu, "c": c, "v": v,
-            "pins": [c, s_up, emb]}
+    return {"n": n, "mu": mu, "c": c, "v": v}
 
 
 def q245_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11590,40 +11637,47 @@ def q245_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-insensitive, engine-exact); per-row double arithmetic is
     IEEE-identical, √ is correctly rounded. No transcendentals.
 
-    Shape: the moment cells are built IN-ARRAY per row — each vector
-    expands to its d·(d+1)/2 = 2 080 upper-triangle products inside one
-    narrow transform (NO self-join: the first implementation joined the
+    Shape (r14): ONE corpus pass — the moment cells are built IN-ARRAY
+    per row (each vector expands to its d·(d+1)/2 = 2 080 upper-triangle
+    products, its d linear cells, and a count marker inside one narrow
+    transform; NO self-join: the first implementation joined the
     posexploded frame to itself on vec_id and the join fan-out, n·d²
-    rows through a shuffle, was 94% of the 10×-audit wall) — then one
-    explode + (a, b) groupBy whose partial sums combine map-side, so
-    the shuffle carries parts·d² rows. The lower triangle is mirrored
-    from the aggregated 2 080-row frame, not recomputed. Everything
-    after runs on d²- and d-sized frames with the 64-row iteration
-    vector broadcast into each product. C is persisted once and feeds
-    all three multiplies. At 100 TB the only corpus-sized stage is the
-    in-array expansion — the standard distributed Gram computation.
+    rows through a shuffle, was 94% of the 10×-audit wall), then one
+    explode + (aa, bb) groupBy whose partial sums combine map-side, so
+    the shuffle carries parts·(d²/2 + d + 1) rows. The r13 form paid the
+    mean pass and the count scan as SEPARATE corpus stages. Everything
+    after — C (mirrored from the 2 080 aggregated cells), both power
+    rounds, the Rayleigh legs — runs on d²-bounded frames under the
+    ``bounded_tail`` posture: one job for the whole tail, no broadcast
+    builds (constant-key equi joins attach the scalars). At 100 TB the
+    only corpus-sized stage is the in-array expansion — the standard
+    distributed Gram computation.
     """
-    f = _pca_component_frames(spark, sf_dir)
-    c, v = f["c"], f["v"]
-    # Rayleigh quotient λ = v₂ᵀ C v₂ (‖v₂‖ = 1 by construction)
-    w3 = (
-        c.join(F.broadcast(v), c["bb"] == v["b"])
-        .groupBy("aa")
-        .agg(_dsum18(F.col("c_ab") * F.col("v")).alias("w3"))
-    )
-    lam = (
-        w3.join(F.broadcast(v), w3["aa"] == v["b"])
-        .agg(_dsum18(F.col("w3") * F.col("v")).alias("_lam"))
-    )
-    res = (
-        v.join(F.broadcast(lam))
-        .select(
+    from ..execution import bounded_tail
+
+    emb, head, pins = _pca_moment_frames(spark, sf_dir, persist_emb=False)
+
+    def _build(h):
+        f = _pca_tail_frames(h)
+        c, v = f["c"], f["v"]
+        # Rayleigh quotient λ = v₂ᵀ C v₂ (‖v₂‖ = 1 by construction)
+        w3 = (
+            c.join(v, c["bb"] == v["b"])
+            .groupBy("aa")
+            .agg(_dsum18(F.col("c_ab") * F.col("v")).alias("w3"))
+        )
+        lam = (
+            w3.join(v, w3["aa"] == v["b"])
+            .agg(_dsum18(F.col("w3") * F.col("v")).alias("_lam"))
+        )
+        res = _one_join(v, lam).select(
             F.col("b").cast("bigint").alias("dim"),
             F.round(F.col("v"), 6).alias("loading"),
             F.round(F.col("_lam"), 6).alias("lam"),
         )
-    )
-    return materialize_release(res, *f["pins"])
+        return res, []
+
+    return bounded_tail(spark, head, _build, head_pins=pins)
 
 
 #: Shared q245/q254 oracle CTE chain: moments → covariance → 2 power rounds.
@@ -11699,18 +11753,30 @@ def q254_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,18) per vector (order-insensitive); ranking is
     (|score| DESC, vec_id) — |·| of identical doubles, a total order.
 
-    Shape: reuses the shared PCA core (covariance persisted once), then
-    ONE corpus-sized pass: the posexploded frame joins the BROADCAST
-    64-row (v, μ) table and aggregates per vec_id — map-side
-    combinable, no window; top-10 is a distributed TakeOrdered.
+    Shape (r14): the shared single-pass moment head + spectral tail
+    (see q245 — the tail, run under the ``bounded_tail`` posture,
+    returns the checkpointed 64-row (v, μ) table), then ONE more
+    corpus-sized pass: the posexploded frame joins the BROADCAST (v, μ)
+    table and aggregates per vec_id — map-side combinable, no window;
+    top-10 is a distributed TakeOrdered. Two corpus passes total (the
+    r13 form paid the Gram pass, the mean pass, AND the projection
+    pass); the vector frame is persisted across its two passes.
     """
-    f = _pca_component_frames(spark, sf_dir)
-    vm = f["v"].join(f["mu"], f["v"]["b"] == f["mu"]["a"]).select(
-        F.col("b").alias("a"), "v", "mu"
-    )
+    from ..execution import bounded_tail
+
+    emb, head, pins = _pca_moment_frames(spark, sf_dir, persist_emb=True)
+
+    def _build(h):
+        f = _pca_tail_frames(h)
+        vm = f["v"].join(f["mu"], f["v"]["b"] == f["mu"]["a"]).select(
+            F.col("b").alias("a"), "v", "mu"
+        )
+        return vm, []
+
+    vm = bounded_tail(spark, head, _build)
+    pos = emb.select("vec_id", F.posexplode(F.col("vd")).alias("a", "x"))
     scores = (
-        f["pos"]
-        .join(F.broadcast(vm), "a")
+        pos.join(F.broadcast(vm), "a")
         .groupBy("vec_id")
         .agg(_dsum18(F.col("v") * (F.col("x") - F.col("mu"))).alias("score"))
     )
@@ -11719,7 +11785,7 @@ def q254_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PCA_SCORE_TOPN)
         .select("vec_id", F.round("score", 6).alias("score"))
     )
-    return materialize_release(res, *f["pins"])
+    return materialize_release(res, *pins)
 
 
 Q254_SQL = f"""{_PCA_SQL_CTES},

@@ -35,12 +35,14 @@ BOUNDED_TAIL_QUERIES = [
     "q307_forecast_scorecard",
     "q310_friedman_kendall_w",
     "q292_logrank",
+    "q254_pca_scores",
 ]
 
 #: Posture-converted queries whose declared output carries NO ORDER BY
 #: (the oracle gate sorts rows before hashing) — compared as sorted sets.
 UNORDERED_POSTURE_QUERIES = [
     "q242_lang_propagation",
+    "q245_pca_power",
 ]
 
 

@@ -345,6 +345,35 @@ def test_connected_components_long_chain_pointer_jump(spark):
     assert got == {(i, 1) for i in range(1, 101)}
 
 
+def test_connected_components_multi_partition_union_find(spark):
+    """r14: the partition-local union-find init must be a pure
+    contraction under ANY edge partitioning — scatter a long chain and
+    two cliques round-robin across 7 partitions so every partition holds
+    disconnected fragments and the distributed rounds must merge ACROSS
+    partitions. Labels must equal the component minimum exactly, and the
+    rounds telemetry must stay inside the pointer-jump budget."""
+    from printer_etl_hub_spark.operators.components import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 100)]
+    cliques = [(200 + i, 200 + j) for i in range(5) for j in range(i + 1, 5)]
+    cliques += [(300 + i, 300 + j) for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(
+        chain + cliques, "a_id BIGINT, b_id BIGINT"
+    ).repartition(7)  # round-robin: fragments land in every partition
+    stats: dict = {}
+    got = {
+        (r.node, r.component)
+        for r in connected_components(
+            edges, "a_id", "b_id", max_iter=12, stats=stats
+        ).collect()
+    }
+    want = {(i, 1) for i in range(1, 101)}
+    want |= {(200 + i, 200) for i in range(5)}
+    want |= {(300 + i, 300) for i in range(4)}
+    assert got == want
+    assert 1 <= stats["rounds"] <= 12
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salt scatter must not change the join result (inner and left, with
     a hot key dominating the big side)."""

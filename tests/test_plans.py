@@ -274,12 +274,16 @@ BNLJ_ALLOWED = {
     "q238_cell_purity": 1,  # 16-row broadcast centroid table (q164's class)
     "q240_kcore": 2,  # 1-row convergence-flag scalar broadcast (q89's class)
     "q241_brand_affinity": 1,  # 1-row n_cust scalar broadcast (q89's class)
-    "q245_pca_power": 7,  # 1-row n / norm / lambda scalar broadcasts — was 103 before the per-round localCheckpoint collapsed the nested power-iteration lineage (round 12); 6 -> 7 at r13: pinning emb made the mu_a/mu_b broadcast builds separate cache-read subtrees, so the 1-row n join is no longer deduplicated by ReusedExchange (same bounded scalar class)
+    # q245_pca_power: 7 -> 0 at r14 — the spectral tail's scalar attaches
+    # (n / norm / lambda) became constant-key equi joins under the
+    # bounded_tail posture, so no BroadcastNestedLoopJoin remains (was
+    # 103 before round 12's per-round localCheckpoint lineage collapse).
     "q248_hybrid_fusion": 2,  # 1-row pinned-query-vector broadcast + composes q104
     "q251_markov_stationary": 2,  # 1-row |types| scalar broadcast (q89's class)
     "q252_seasonality_strength": 1,  # 1-row between-groups scalar broadcast
     "q253_histogram_quantiles": 2,  # 1-row (min,max,n) range scalar broadcast
-    "q254_pca_scores": 1,  # composes q245's checkpointed core: one n-broadcast remains
+    # q254_pca_scores: 1 -> 0 at r14 — the remaining n-broadcast became a
+    # constant-key equi join inside the shared single-pass spectral tail.
     "q256_chi2_keyness": 1,  # 1-row grand-total scalar broadcast (q127's class)
     "q260_theil_sen": 3,  # 1-row slope / n_pairs / n_days scalar broadcasts
     "q261_rrf_fusion": 2,  # composes q248's 1-row pinned-query-vector broadcast
