@@ -170,6 +170,48 @@ def bounded_tail(spark, head, build, head_pins=()):
     return out
 
 
+def posture_tail(spark, n_rows, build, pins=()):
+    """Run a FIXED-SHAPE tail over already-materialized (persisted)
+    inputs under the loop posture and checkpoint its result —
+    :func:`bounded_tail` without the head checkpoint, for operators
+    whose reused frame is corpus-scale and already pinned by the caller
+    (an extra checkpoint copy of it would be waste at any scale; q259's
+    customer×brand edge projection is the archetype).
+
+    ``n_rows`` sizes the posture width — an int, or a zero-arg callable
+    evaluated only on the eager path (so the lazy plan-sweep path never
+    pays the sizing count). ``build()`` returns ``(result_df, pins)``;
+    both its pins and the caller's ``pins`` are released on every exit
+    path (the bounded_tail hygiene). The posture is honest only when
+    the tail's aggregations are map-side partial-aggregable and its
+    join fan-outs are bounded by construction — the caller documents
+    that argument at the call site. Same localCheckpoint
+    fault-tolerance trade as bounded_tail.
+    """
+    if not EAGER_TAILS:
+        from .plans.common import materialize_release
+
+        res, built = build()
+        return materialize_release(res, *_as_pins(built), *_as_pins(pins))
+    width = n_rows() if callable(n_rows) else n_rows
+    out_pins: list = []
+    try:
+        with loop_execution(spark, width):
+            res, built = build()
+            out_pins = _as_pins(built)
+            out = res.localCheckpoint()
+    except BaseException:
+        for p in out_pins + _as_pins(pins):
+            try:
+                p.unpersist(False)
+            except Exception:
+                pass  # best-effort cleanup; the original error propagates
+        raise
+    for p in out_pins + _as_pins(pins):
+        p.unpersist(False)
+    return out
+
+
 def _as_pins(pins) -> list:
     if pins is None:
         return []

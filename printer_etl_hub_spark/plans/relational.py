@@ -3447,64 +3447,105 @@ def q234_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflows bigint exactly when the join is the one you needed
     warning about.
 
-    Shape: per join, two key-count aggs + one key join + a 1-row agg —
-    each input scanned once, no fact⋈fact row ever materialized.
+    Shape (r14): ONE tall (leg, side, key) histogram instead of ten
+    independent per-leg aggregation trees — each base table is scanned
+    exactly ONCE and emits every (leg, side) key it participates in
+    from an in-array explode (lineitem previously fed three separate
+    scan+groupBy trees, orders and customer two each; 37 jobs → ~12),
+    then one groupBy builds all ten key histograms together, one
+    self-join on (leg, k) computes every Σ a_k·b_k, and one (leg, side)
+    rollup gives the side totals. No fact⋈fact row ever materializes,
+    and the audited DECIMAL(38,0)-before-multiply rule is unchanged.
+    Every audited key is BIGINT (asserted below) so the unified key
+    column loses nothing.
     """
+    from pyspark import StorageLevel
+
     t = load_tables(spark, sf_dir)
-    rows = None
-    for name, lt, lk, rt, rk in _JOIN_PLANS:
-        lc = (
-            t[lt]
-            .filter(F.col(lk).isNotNull())
-            .groupBy(F.col(lk).alias("k"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    by_table: dict = {}
+    for i, (name, lt, lk, rt, rk) in enumerate(_JOIN_PLANS):
+        by_table.setdefault(lt, []).append((i, "l", lk))
+        by_table.setdefault(rt, []).append((i, "r", rk))
+    cells = None
+    for tbl, specs in by_table.items():
+        types = dict(t[tbl].dtypes)
+        assert all(types[key] == "bigint" for _, _, key in specs), tbl
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("leg"),
+                    F.lit(s).alias("side"),
+                    F.col(key).alias("k"),
+                )
+                for i, s, key in specs
+            ]
         )
-        rc = (
-            t[rt]
-            .filter(F.col(rk).isNotNull())
-            .groupBy(F.col(rk).alias("k"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+        part = (
+            t[tbl]
+            .select(F.explode(arr).alias("c"))
+            .select("c.leg", "c.side", "c.k")
+            # a null never matches in either engine — the q207
+            # one-defined-semantic rule
+            .filter(F.col("k").isNotNull())
         )
-        j = lc.join(rc, "k").agg(
-            F.coalesce(
-                # cast BEFORE multiplying — a_k·b_k overflowing bigint is
-                # exactly the join this audit exists to warn about, and a
-                # post-multiply cast wraps first (review r8)
-                F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")),
-                F.lit(0).cast("decimal(38,0)"),
-            ).alias("_out")
+        cells = part if cells is None else cells.unionByName(part)
+    # One shuffle builds ALL key histograms; it feeds the match join
+    # (twice) and the side-total rollup — persist it (the q29
+    # inverted-index discipline), released via materialize_release.
+    hist = (
+        cells.groupBy("leg", "side", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lc = hist.filter(F.col("side") == "l").select("leg", "k", F.col("c").alias("a"))
+    rc = hist.filter(F.col("side") == "r").select("leg", "k", F.col("c").alias("b"))
+    matched = (
+        lc.join(rc, ["leg", "k"])
+        .groupBy("leg")
+        .agg(
+            # cast BEFORE multiplying — a_k·b_k overflowing bigint is
+            # exactly the join this audit exists to warn about, and a
+            # post-multiply cast wraps first (review r8)
+            F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias("_out")
         )
-        # side totals from the histograms (Σa / Σb) — the scan feeding the
-        # key groupBy is reused via exchange reuse, so each input really is
-        # scanned once (a separate count(*) aggregate re-scanned it).
-        # Coalesce to 0: Spark's sum-over-empty is NULL while the oracle's
-        # count(*) is 0, a cross-engine divergence when a side has zero
-        # non-null-key rows (ADVICE r8 #5).
-        ln = lc.agg(
-            F.coalesce(F.sum("a"), F.lit(0)).cast("bigint").alias("left_rows")
+    )
+    totals = hist.groupBy("leg", "side").agg(F.sum("c").alias("n"))
+    # Legs spine: a side with ZERO non-null-key rows must still read 0,
+    # not disappear (Spark's sum-over-empty is NULL while the oracle's
+    # count(*) is 0 — ADVICE r8 #5, preserved across the reshape).
+    spine = spark.range(len(_JOIN_PLANS)).select(F.col("id").cast("int").alias("leg"))
+    names = F.array(*[F.lit(name) for name, *_ in _JOIN_PLANS])
+    res = (
+        spine.join(
+            totals.filter(F.col("side") == "l").select("leg", F.col("n").alias("_ln")),
+            "leg",
+            "left",
         )
-        rn = rc.agg(
-            F.coalesce(F.sum("b"), F.lit(0)).cast("bigint").alias("right_rows")
+        .join(
+            totals.filter(F.col("side") == "r").select("leg", F.col("n").alias("_rn")),
+            "leg",
+            "left",
         )
-        leg = (
-            j.join(F.broadcast(ln))
-            .join(F.broadcast(rn))
-            .select(
-                F.lit(name).alias("join_name"),
-                "left_rows",
-                "right_rows",
-                F.col("_out").cast("bigint").alias("out_rows"),
-                # NULLIF denominator: amplification is NULL (not an error,
-                # not inf) when left_rows = 0, identically in both engines
-                F.round(
-                    F.col("_out").cast("double")
-                    / F.nullif(F.col("left_rows"), F.lit(0)).cast("double"),
-                    9,
-                ).alias("amplification"),
-            )
+        .join(matched, "leg", "left")
+        .select(
+            F.element_at(names, F.col("leg") + 1).alias("join_name"),
+            F.coalesce(F.col("_ln"), F.lit(0)).cast("bigint").alias("left_rows"),
+            F.coalesce(F.col("_rn"), F.lit(0)).cast("bigint").alias("right_rows"),
+            F.coalesce(F.col("_out"), F.lit(0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("out_rows"),
+            # NULLIF denominator: amplification is NULL (not an error,
+            # not inf) when left_rows = 0, identically in both engines
+            F.round(
+                F.coalesce(F.col("_out"), F.lit(0).cast("decimal(38,0)")).cast("double")
+                / F.nullif(
+                    F.coalesce(F.col("_ln"), F.lit(0)), F.lit(0)
+                ).cast("double"),
+                9,
+            ).alias("amplification"),
         )
-        rows = leg if rows is None else rows.unionByName(leg)
-    return rows
+    )
+    return materialize_release(res, hist)
 
 
 Q234_SQL = "\nUNION ALL\n".join(
@@ -4637,12 +4678,24 @@ def q259_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the distinct (cust, brand) edge projection is built once
     (part is a broadcast dim; the only fact-fact shuffle is
-    lineitem⋈orders) and persisted — it feeds the degree count and all
-    three propagation joins, each of which is edge-set-bounded (the
-    q242 label-propagation discipline). Score tables are node-sized;
-    the brand side is broadcast back onto edges.
+    lineitem⋈orders), repartitioned onto its propagation join key and
+    persisted — it feeds the degree count and all three propagation
+    joins WITHOUT re-exchanging (r14; the connected-components `sym`
+    discipline: three of the four consumers are cust-keyed, and the
+    cached hash(cust) layout satisfies them all). Score tables are
+    node-sized; the brand side is broadcast back onto edges.
+
+    The propagation chain runs under the loop posture (r14,
+    `execution.posture_tail`): its shape is fixed, every aggregation is
+    map-side partial-aggregable (a hot brand folds before its
+    exchange), and the join fan-out is bounded by construction — cb is
+    DISTINCT (cust, brand), so no customer carries more than |brands|
+    (25 in TPC-H) rows — which is exactly the case where AQE's
+    per-exchange query-stage jobs buy nothing (17 → 10 jobs measured).
     """
     from pyspark import StorageLevel
+
+    from ..execution import posture_tail
 
     t = load_tables(spark, sf_dir)
     dec = "decimal(38,0)"
@@ -4658,60 +4711,69 @@ def q259_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
         .distinct()
+        # AQE sizes this exchange when cb materializes (under the
+        # session's own confs); the cached layout then serves every
+        # cust-keyed consumer in the posture below.
+        .repartition(F.col("cust"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    degc = cb.groupBy("cust").agg(F.count(F.lit(1)).cast(dec).alias("dc"))
-    auth1 = (
-        cb.join(degc, "cust")
-        .groupBy("brand")
-        .agg(F.sum("dc").cast(dec).alias("a1"))
-    )
-    hub2 = (
-        cb.join(F.broadcast(auth1), "brand")
-        .groupBy("cust")
-        .agg(F.sum("a1").cast(dec).alias("h2"))
-        # Two consumers (auth2's propagation join and the hub top-10) —
-        # unpinned, the whole degc→auth1→hub2 chain executed twice
-        # (r13, guide §5: persist exactly the reused subtree).
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    auth2 = (
-        cb.join(hub2, "cust")
-        .groupBy("brand")
-        .agg(F.sum("h2").cast(dec).alias("a2"))
-    )
-    # Top-N discipline (q124 pattern): orderBy().limit() lowers to
-    # TakeOrderedAndProject — a per-partition heap + driver merge — and the
-    # rank window only ever sees the N-row head.  A bare
-    # Window.orderBy(...).row_number() would single-partition-sort the
-    # |customers|-sized hub frame (InferWindowGroupLimit does not fire for
-    # empty partition specs on Spark 4.1).
-    wa = Window.orderBy(F.desc("a2"), "brand")
-    wh = Window.orderBy(F.desc("h2"), "cust")
-    top_a = (
-        auth2.orderBy(F.desc("a2"), "brand")
-        .limit(_HITS_TOPN)
-        .withColumn("r", F.row_number().over(wa).cast("bigint"))
-        .select(
-            F.lit("authority").alias("side"),
-            F.col("brand").alias("node"),
-            F.col("a2").cast("string").alias("score"),
-            "r",
+
+    def _build():
+        degc = cb.groupBy("cust").agg(F.count(F.lit(1)).cast(dec).alias("dc"))
+        auth1 = (
+            cb.join(degc, "cust")
+            .groupBy("brand")
+            .agg(F.sum("dc").cast(dec).alias("a1"))
         )
-    )
-    top_h = (
-        hub2.orderBy(F.desc("h2"), "cust")
-        .limit(_HITS_TOPN)
-        .withColumn("r", F.row_number().over(wh).cast("bigint"))
-        .select(
-            F.lit("hub").alias("side"),
-            F.col("cust").cast("string").alias("node"),
-            F.col("h2").cast("string").alias("score"),
-            "r",
+        hub2 = (
+            cb.join(F.broadcast(auth1), "brand")
+            .groupBy("cust")
+            .agg(F.sum("a1").cast(dec).alias("h2"))
+            # Two consumers (auth2's propagation join and the hub
+            # top-10) — unpinned, the whole degc→auth1→hub2 chain
+            # executed twice (r13, guide §5).
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    )
-    res = top_a.unionByName(top_h).orderBy("side", "r")
-    return materialize_release(res, cb, hub2)
+        auth2 = (
+            cb.join(hub2, "cust")
+            .groupBy("brand")
+            .agg(F.sum("h2").cast(dec).alias("a2"))
+        )
+        # Top-N discipline (q124 pattern): orderBy().limit() lowers to
+        # TakeOrderedAndProject — a per-partition heap + driver merge —
+        # and the rank window only ever sees the N-row head. A bare
+        # Window.orderBy(...).row_number() would single-partition-sort
+        # the |customers|-sized hub frame (InferWindowGroupLimit does
+        # not fire for empty partition specs on Spark 4.1).
+        wa = Window.orderBy(F.desc("a2"), "brand")
+        wh = Window.orderBy(F.desc("h2"), "cust")
+        top_a = (
+            auth2.orderBy(F.desc("a2"), "brand")
+            .limit(_HITS_TOPN)
+            .withColumn("r", F.row_number().over(wa).cast("bigint"))
+            .select(
+                F.lit("authority").alias("side"),
+                F.col("brand").alias("node"),
+                F.col("a2").cast("string").alias("score"),
+                "r",
+            )
+        )
+        top_h = (
+            hub2.orderBy(F.desc("h2"), "cust")
+            .limit(_HITS_TOPN)
+            .withColumn("r", F.row_number().over(wh).cast("bigint"))
+            .select(
+                F.lit("hub").alias("side"),
+                F.col("cust").cast("string").alias("node"),
+                F.col("h2").cast("string").alias("score"),
+                "r",
+            )
+        )
+        return top_a.unionByName(top_h).orderBy("side", "r"), [hub2]
+
+    # The sizing count doubles as cb's materialization action (the cache
+    # fills under the session's AQE before the posture begins).
+    return posture_tail(spark, lambda: cb.count(), _build, pins=[cb])
 
 
 Q259_SQL = f"""

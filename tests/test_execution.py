@@ -36,6 +36,8 @@ BOUNDED_TAIL_QUERIES = [
     "q310_friedman_kendall_w",
     "q292_logrank",
     "q254_pca_scores",
+    "q259_hits",
+    "q234_join_cardinality",
 ]
 
 #: Posture-converted queries whose declared output carries NO ORDER BY

@@ -270,20 +270,25 @@ BNLJ_ALLOWED = {
     "q229_dow_profile": 1,  # 1-row stream-total scalar broadcast (q89's class)
     "q230_cusum_changepoint": 3,  # 1-row (S, n) + 1-row peak scalar broadcasts
     "q233_ks_drift": 4,  # 1-row midpoint + 1-row sample-size scalar broadcasts
-    "q234_join_cardinality": 10,  # per-leg 1-row side-count scalar broadcasts
+    # q234_join_cardinality: 10 -> 0 at r14 — the per-leg 1-row side-count
+    # scalar broadcasts became one (leg, side) rollup equi-joined onto the
+    # legs spine in the unified-histogram reshape.
     "q238_cell_purity": 1,  # 16-row broadcast centroid table (q164's class)
     "q240_kcore": 2,  # 1-row convergence-flag scalar broadcast (q89's class)
     "q241_brand_affinity": 1,  # 1-row n_cust scalar broadcast (q89's class)
-    # q245_pca_power: 7 -> 0 at r14 — the spectral tail's scalar attaches
-    # (n / norm / lambda) became constant-key equi joins under the
-    # bounded_tail posture, so no BroadcastNestedLoopJoin remains (was
-    # 103 before round 12's per-round localCheckpoint lineage collapse).
+    # 7 -> 1 at r14: the per-round scalar attaches (n / norm) became
+    # constant-key equi joins under the bounded_tail posture; the one
+    # remaining BNLJ is the final 1-row Rayleigh-lambda attach onto the
+    # d-row loadings frame (q89's bounded scalar class; was 103 before
+    # round 12's per-round localCheckpoint lineage collapse).
+    "q245_pca_power": 1,
     "q248_hybrid_fusion": 2,  # 1-row pinned-query-vector broadcast + composes q104
     "q251_markov_stationary": 2,  # 1-row |types| scalar broadcast (q89's class)
     "q252_seasonality_strength": 1,  # 1-row between-groups scalar broadcast
     "q253_histogram_quantiles": 2,  # 1-row (min,max,n) range scalar broadcast
-    # q254_pca_scores: 1 -> 0 at r14 — the remaining n-broadcast became a
-    # constant-key equi join inside the shared single-pass spectral tail.
+    # q254 composes q245's spectral tail: the same final 1-row
+    # Rayleigh-lambda scalar attach (q89's bounded class) survives.
+    "q254_pca_scores": 1,
     "q256_chi2_keyness": 1,  # 1-row grand-total scalar broadcast (q127's class)
     "q260_theil_sen": 3,  # 1-row slope / n_pairs / n_days scalar broadcasts
     "q261_rrf_fusion": 2,  # composes q248's 1-row pinned-query-vector broadcast
