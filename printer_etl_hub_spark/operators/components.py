@@ -112,9 +112,15 @@ def connected_components(
 
     # Materialize the edge input ONCE before the symmetrization union — its
     # two branches would otherwise re-execute the caller's whole pair
-    # pipeline (measured: the q72 near-dup DAG ran twice, ~9s of a 13s run)
-    edges = _cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
-    # One cheap count over the just-materialized blocks sizes the loop.
+    # pipeline (measured: the q72 near-dup DAG ran twice, ~9s of a 13s run).
+    # The cut is LAZY and the sizing count is its materializing action
+    # (r14): an eager cut followed by a count paid two job submissions for
+    # one materialization (the CC round idiom, applied to the edge cut).
+    # Reliable checkpoints stay eager inside _cut, where the count then
+    # reads the checkpoint files.
+    edges = _cut(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")), eager=False
+    )
     n_edges = edges.count()
     spark = edges.sparkSession
     # Round-loop execution posture (r13 optimization, guide §1.2/§2):

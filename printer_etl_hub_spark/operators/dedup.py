@@ -609,20 +609,17 @@ def semantic_dedup(
     from .components import connected_components
     from .similarity import kmeans_fit
 
+    _base: list = []
     cents = kmeans_fit(
         df, id_col, vec_col, k=k, max_iter=iters, tol=0.0,
-        seeding=seeding, stats=stats,
+        seeding=seeding, stats=stats, base_out=_base,
     )
-    v = (
-        # Spread first: the assignment fold and the norm computation run
-        # at the scan's parallelism otherwise (see kmeans_fit).
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(
-            F.col(id_col).alias("_sid"),
-            F.transform(vec_col, lambda x: x.cast("double")).alias("vd"),
-        )
-        .filter(F.col("vd").isNotNull())
-    )
+    # Reuse the trainer's persisted (vid, vd) corpus for the final
+    # assignment (r14, guide §2.2): rebuilding it from ``df`` paid a
+    # second full scan + double-cast + repartition exchange of the
+    # vector corpus per call. Ownership transferred via base_out; the
+    # pin is released with ``assigned`` below.
+    v = _base[0].select(F.col("vid").alias("_sid"), "vd")
     nrm = F.sqrt(
         F.aggregate(
             F.transform("vd", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
@@ -726,6 +723,7 @@ def semantic_dedup(
     # unreferenced, unlike catalog-cache entries).
     out = out.localCheckpoint(eager=True)
     assigned.unpersist(blocking=False)
+    _base[0].unpersist(blocking=False)
     return out
 
 

@@ -494,6 +494,7 @@ def kmeans_fit(
     tol: float = 1e-9,
     seeding: str = "lowest_id",
     stats: dict | None = None,
+    base_out: list | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column — the trainer behind
     `ivf_topk`'s coarse quantizer (its docstring defers centroid TRAINING
@@ -534,6 +535,15 @@ def kmeans_fit(
     ``n_members`` from the final assignment. ``stats`` (optional dict)
     receives ``iterations`` and ``last_shift`` (max squared centroid
     displacement of the final round; ≤ tol means converged).
+
+    ``base_out`` (optional caller-owned list): receives the persisted,
+    double-cast, repartitioned (vid, vd) corpus the trainer itself
+    assigns against — ownership transfers to the caller, who MUST
+    unpersist it (r14; guide §2.2: a caller that assigns against the
+    final centroids right after training — SemDeDup — otherwise pays a
+    second scan + cast + repartition exchange of the whole vector
+    corpus to rebuild exactly this frame). Omitted → released here, as
+    before.
     """
     from pyspark import StorageLevel
 
@@ -562,11 +572,19 @@ def kmeans_fit(
             f"got {seeding!r}"
         )
     try:
-        return _kmeans_loop(spark, base, k, max_iter, tol, stats, seeding)
+        out = _kmeans_loop(spark, base, k, max_iter, tol, stats, seeding)
+        if base_out is not None:
+            # Ownership transfer: the caller reuses the pinned corpus for
+            # its own post-training assignment and releases it.
+            base_out.append(base)
+        return out
     finally:
         # Release the pinned corpus on EVERY path — a mid-training failure
-        # must not leave the double-cast base cached for the session.
-        base.unpersist()
+        # must not leave the double-cast base cached for the session —
+        # EXCEPT when ownership just transferred via base_out (success
+        # path only; a raise never reaches the append above).
+        if base_out is None or not any(p is base for p in base_out):
+            base.unpersist()
 
 
 def _kmeans_parallel_seeds(base, k, rounds=5, oversample=2.0, stats=None):

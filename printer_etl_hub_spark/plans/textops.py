@@ -11012,7 +11012,9 @@ def q240_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pins.append(edges)
-    rounds = [edges.localCheckpoint(eager=True)]
+    # Lazy cut + sizing count in ONE job (r14 — the components.py edge-cut
+    # idiom): the count below is the checkpoint's materializing action.
+    rounds = [edges.localCheckpoint(eager=False)]
     cur = rounds[0]
     # Peel rounds run under the iterative execution posture (r13
     # optimization — the connected_components discipline): each round is
