@@ -2436,8 +2436,6 @@ def q209_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks ascending (most recent = best); frequency/monetary descend
     into the tercile arithmetic. Monetary sums through decimal.
     """
-    from .common import dist_rank
-
     t = load_tables(spark, sf_dir)
     p = t["events"].filter(F.col("event_type") == "purchase")
     maxts = p.agg(F.max("ts").alias("mts"))
@@ -2460,17 +2458,60 @@ def q209_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r1, p1 = dist_rank(per, ["recency_days", "user_id"], out="_rr")
-    r2, p2 = dist_rank(r1, ["frequency", "user_id"], out="_fr")
-    r3, p3 = dist_rank(r2, ["monetary", "user_id"], out="_mr")
-    # n_users from the FIRST rank's persisted frame (same rows as per):
-    # aggregating `per` directly re-executed the purchase scan + user
-    # groupBy a second time (r13 optimization — one corpus pass).
-    ntot = p1.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    # ONE grouped rank pass instead of three chained dist_rank calls
+    # (r14, the q234 tall-layout reshape): melt the per-user frame to
+    # (metric, value, user_id) and rank within each metric via
+    # dist_rank_grouped — one range-sampling pass + one range exchange +
+    # one (3 + n_parts)-row offset broadcast, where the chain paid a
+    # sampling pass, an exchange, a persist and an offset join PER
+    # METRIC (q209 measured 29 → 15 jobs / 133 → 43 stages). The rank
+    # order is unchanged: recency/frequency are bigint counts cast to
+    # double (exact below 2^53 — day offsets and per-user purchase
+    # counts are nowhere near it) and monetary is already double, so
+    # each metric's (value, user_id) total order is bit-identical to
+    # the per-metric dist_rank it replaces.
+    from .common import dist_rank_grouped
+
+    melted = per.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("recency_days").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    F.col("frequency").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"), F.col("monetary").alias("value")
+                ),
+            )
+        ).alias("mv"),
+    ).select("user_id", "mv.metric", "mv.value")
+    ranked, pin = dist_rank_grouped(
+        melted, ["metric"], ["value", "user_id"], out="_rank"
+    )
+    # n_users from the pinned melted frame (3 rows per user): aggregating
+    # `per` directly would re-execute the purchase scan + user groupBy.
+    ntot = pin.agg((F.count(F.lit(1)) / 3).cast("bigint").alias("n_users"))
+    # Pivot the tall ranks back to one row per user — metric values ride
+    # along, so `per` is never re-joined (bigint reconstruction is exact
+    # by the same 2^53 argument).
+    m = lambda tag, col: F.max(F.when(F.col("metric") == tag, F.col(col)))  # noqa: E731
+    wide = ranked.groupBy("user_id").agg(
+        m("r", "value").cast("bigint").alias("recency_days"),
+        m("f", "value").cast("bigint").alias("frequency"),
+        m("m", "value").alias("monetary"),
+        m("r", "_rank").alias("_rr"),
+        m("f", "_rank").alias("_fr"),
+        m("m", "_rank").alias("_mr"),
+    )
     tern = lambda rank: F.floor(  # noqa: E731
         F.lit(3) * (F.col(rank) - 1) / F.col("n_users")
     ).cast("int")
-    scored = r3.join(F.broadcast(ntot)).select(
+    scored = wide.join(F.broadcast(ntot)).select(
         "user_id",
         "recency_days",
         "frequency",
@@ -2489,7 +2530,7 @@ def q209_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("other"))
     )
     res = scored.withColumn("segment", segment)
-    return materialize_release(res, p1, p2, p3)
+    return materialize_release(res, pin)
 
 
 Q209_SQL = """

@@ -260,7 +260,11 @@ BNLJ_ALLOWED = {
     "q196_ivf_probe_sweep": 3,  # composes q31's guarded theta ground truth (q114's class)
     "q200_budget_allocation": 3,  # two 1-row total/leftover scalar broadcasts (q145's class)
     "q202_shard_balance": 1,  # 1-row mean-shard scalar broadcast (q89's class)
-    "q209_rfm_segments": 10,  # 1-row corpus-max + n_users scalar broadcasts (q89's class)
+    # 10 -> 4 at r14: the tall one-pass dist_rank_grouped reshape left one
+    # corpus-max + one n_users scalar broadcast per consumer subtree
+    # (q89's class); the per-metric rank chains' duplicated scalars died
+    # with the chain.
+    "q209_rfm_segments": 4,
     "q211_freshness_audit": 1,  # 1-row corpus-max scalar broadcast (q89's class)
     "q214_weekly_drift": 1,  # 1-row grand-total scalar broadcast (q127's class)
     "q220_head_share": 1,  # 1-row token-total scalar broadcast (q89's class)
