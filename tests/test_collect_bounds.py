@@ -36,7 +36,9 @@ PULL_METHODS = {"collect", "toPandas", "toLocalIterator", "first", "head", "take
 #: not — changes a count and fails the pin until reviewed here.
 MANIFEST = {
     "bounded.py": (1, 0),            # the guard's own capped fetch
-    "operators/components.py": (0, 1),   # convergence probe (1 row)
+    # convergence probe + the r14 union-find-seed initial-label probe
+    # (both 1-row scalar aggs)
+    "operators/components.py": (0, 2),
     "operators/dedup.py": (0, 1),        # semantic_dedup centroid fetch
     #   (k rows, k is the caller's knob; feeds the literal-argmin path —
     #   r13 optimization #2, reviewed)
