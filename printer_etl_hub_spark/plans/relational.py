@@ -3488,20 +3488,21 @@ def q234_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflows bigint exactly when the join is the one you needed
     warning about.
 
-    Shape (r14): ONE tall (leg, side, key) histogram instead of ten
+    Shape (r14): ONE tall (leg, side, key) cell stream instead of ten
     independent per-leg aggregation trees — each base table is scanned
     exactly ONCE and emits every (leg, side) key it participates in
     from an in-array explode (lineitem previously fed three separate
-    scan+groupBy trees, orders and customer two each; 37 jobs → ~12),
-    then one groupBy builds all ten key histograms together, one
-    self-join on (leg, k) computes every Σ a_k·b_k, and one (leg, side)
-    rollup gives the side totals. No fact⋈fact row ever materializes,
-    and the audited DECIMAL(38,0)-before-multiply rule is unchanged.
-    Every audited key is BIGINT (asserted below) so the unified key
-    column loses nothing.
+    scan+groupBy trees, orders and customer two each), then ONE
+    groupBy(leg, k) folds both sides' counts into the same row (a_k,
+    b_k) — so Σ a_k·b_k needs NO self-join (a key absent on a side has
+    a·b = 0 and contributes nothing, exactly the inner join's
+    semantics) and the side totals Σa / Σb ride the SAME tiny
+    groupBy(leg) that sums the products: 37 jobs → 4, no persist, no
+    join until the 5-row legs spine. No fact⋈fact row ever
+    materializes, and the audited DECIMAL(38,0)-before-multiply rule
+    is unchanged. Every audited key is BIGINT (asserted below) so the
+    unified key column loses nothing.
     """
-    from pyspark import StorageLevel
-
     t = load_tables(spark, sf_dir)
     by_table: dict = {}
     for i, (name, lt, lk, rt, rk) in enumerate(_JOIN_PLANS):
@@ -3530,44 +3531,34 @@ def q234_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("k").isNotNull())
         )
         cells = part if cells is None else cells.unionByName(part)
-    # One shuffle builds ALL key histograms; it feeds the match join
-    # (twice) and the side-total rollup — persist it (the q29
-    # inverted-index discipline), released via materialize_release.
-    hist = (
-        cells.groupBy("leg", "side", "k")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # One shuffle folds BOTH sides' per-key counts into the same row —
+    # the only key-wide exchange in the plan (map-side partial aggs
+    # collapse duplicate keys before it).
+    hist = cells.groupBy("leg", "k").agg(
+        F.sum(F.when(F.col("side") == "l", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("side") == "r", 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
     )
-    lc = hist.filter(F.col("side") == "l").select("leg", "k", F.col("c").alias("a"))
-    rc = hist.filter(F.col("side") == "r").select("leg", "k", F.col("c").alias("b"))
-    matched = (
-        lc.join(rc, ["leg", "k"])
-        .groupBy("leg")
-        .agg(
-            # cast BEFORE multiplying — a_k·b_k overflowing bigint is
-            # exactly the join this audit exists to warn about, and a
-            # post-multiply cast wraps first (review r8)
-            F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias("_out")
-        )
+    # Σ a_k·b_k, Σa and Σb from ONE 5-row groupBy: a key absent on a
+    # side has a·b = 0 — exactly the inner histogram join's semantics,
+    # with no join. Cast BEFORE multiplying — a_k·b_k overflowing
+    # bigint is exactly the join this audit exists to warn about, and
+    # a post-multiply cast wraps first (review r8).
+    legs = hist.groupBy("leg").agg(
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias("_out"),
+        F.sum("a").alias("_ln"),
+        F.sum("b").alias("_rn"),
     )
-    totals = hist.groupBy("leg", "side").agg(F.sum("c").alias("n"))
     # Legs spine: a side with ZERO non-null-key rows must still read 0,
     # not disappear (Spark's sum-over-empty is NULL while the oracle's
     # count(*) is 0 — ADVICE r8 #5, preserved across the reshape).
     spine = spark.range(len(_JOIN_PLANS)).select(F.col("id").cast("int").alias("leg"))
     names = F.array(*[F.lit(name) for name, *_ in _JOIN_PLANS])
     res = (
-        spine.join(
-            totals.filter(F.col("side") == "l").select("leg", F.col("n").alias("_ln")),
-            "leg",
-            "left",
-        )
-        .join(
-            totals.filter(F.col("side") == "r").select("leg", F.col("n").alias("_rn")),
-            "leg",
-            "left",
-        )
-        .join(matched, "leg", "left")
+        spine.join(legs, "leg", "left")
         .select(
             F.element_at(names, F.col("leg") + 1).alias("join_name"),
             F.coalesce(F.col("_ln"), F.lit(0)).cast("bigint").alias("left_rows"),
@@ -3586,7 +3577,7 @@ def q234_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("amplification"),
         )
     )
-    return materialize_release(res, hist)
+    return materialize_release(res)
 
 
 Q234_SQL = "\nUNION ALL\n".join(
